@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level string helpers re-expressing the reference's pandas string
+  * semantics (SURVEY.md §2.3) as codegen-friendly built-in compositions —
+  * no UDFs, so every helper stays inside whole-stage codegen.
+  */
+object StringFns {
+
+  /** pandas `.str.capitalize()` (trading212.py:117): uppercase the FIRST
+    * character, lowercase ALL the rest. Deliberately NOT `initcap`
+    * (which capitalizes every word: "limit sell" -> "Limit Sell" whereas
+    * capitalize gives "Limit sell"). Null-safe: concat propagates null.
+    */
+  def capitalize(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), lower(c.substr(lit(2), length(c))))
+
+  /** Reference action normalization pipeline, exactly P1 -> P2 -> P3:
+    *  - P1 (trading212.py:115): strip the SUBSTRINGS "Market ", "Limit ",
+    *    "Stop " anywhere they occur (regex alternation, case-sensitive).
+    *  - P2 (trading212.py:116): whole-cell replace of "Dividend (Ordinary)"
+    *    with "Div" — NOT a regex (parentheses are literal; only exact
+    *    full-value matches change).
+    *  - P3 (trading212.py:117): trim then capitalize (first char upper,
+    *    rest lower).
+    */
+  def normalizeAction(action: Column): Column = {
+    val stripped = regexp_replace(action, "Market |Limit |Stop ", "")
+    val replaced = when(stripped === "Dividend (Ordinary)", lit("Div")).otherwise(stripped)
+    capitalize(trim(replaced))
+  }
+}

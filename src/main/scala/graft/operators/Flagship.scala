@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.StringFns
+import graft.sources.Tables
+
+/** The reference's flagship transform+publish pipeline (SURVEY.md §3.3,
+  * trading212.py:113-136), re-expressed as ONE lazy DataFrame expression.
+  *
+  * The reference runs it eagerly over rows accumulated from CSV exports; the
+  * fixture set has no transactions table, so `rawTransactions` synthesizes a
+  * deterministic transactions feed from `lineitem` (every derivation is pure
+  * arithmetic/string composition so the DuckDB oracle reproduces it exactly).
+  *
+  * Pipeline stages map 1:1 to the survey inventory:
+  *   P1,P2,P3 action normalization -> P4 date prefix -> P5/P6 constants ->
+  *   F2 Buy/Sell filter -> D1 full-row dedup -> U2 union-by-name with the
+  *   all-strings manual side table -> P7 timestamp parse -> P8 19-column
+  *   projection -> O1 global sort (ID tiebreak added for determinism).
+  *
+  * Scale notes (100 TB): all narrow stages fuse into one whole-stage-codegen
+  * span over the scan; the only wide exchanges are D1 (hash repartition on
+  * all 19 columns — Catalyst rewrites dropDuplicates to a hash aggregate with
+  * map-side partial dedup) and O1 (range-partitioned global sort). The
+  * Buy/Sell filter and column pruning reach the Parquet scan, so dividends
+  * etc. are dropped before the first shuffle, mirroring the reference's
+  * hand-placed filter-before-union (trading212.py:120-121 before :127).
+  */
+object Flagship {
+
+  /** The canonical 19-column projection, exact names and order
+    * (trading212.py:132-133, FIXTURES.md §A1). */
+  val outputColumns: Seq[String] = Seq(
+    "Time", "Account ID", "Action", "Ticker", "No. of shares",
+    "Stock Split Ratio", "Currency (Price / share)", "Price / share",
+    "Exchange rate", "Finra fee (GBP)", "ID", "ISIN", "Name", "Notes",
+    "Result (GBP)", "Total (GBP)", "Transaction fee (GBP)",
+    "Transaction Date", "Charge amount (GBP)")
+
+  /** Deterministic synthetic transactions feed (pre-normalization, Time as
+    * string — exactly what the CSV exports deliver, SURVEY.md §2.1 S1).
+    * Raw Action values cover every P1/P2/P3 edge: prefix strip targets,
+    * whole-cell-only replace, case-sensitivity, trim.
+    */
+  def rawTransactions(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val actionCase = pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(6))
+    li.select(
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("Time"),
+      when(actionCase === 0, "Market buy")
+        .when(actionCase === 1, "Limit sell")
+        .when(actionCase === 2, "Stop buy")
+        .when(actionCase === 3, "Dividend (Ordinary)")
+        .when(actionCase === 4, " sell ")
+        .otherwise("  LIMIT SELL ").as("Action"),
+      concat(lit("T"), pmod(col("l_partkey"), lit(100)).cast("string")).as("Ticker"),
+      col("l_quantity").cast("decimal(18,6)").as("No. of shares"),
+      lit("USD").as("Currency (Price / share)"),
+      col("l_extendedprice").cast("decimal(18,6)").as("Price / share"),
+      (lit(1.0) + col("l_discount")).cast("decimal(18,8)").as("Exchange rate"),
+      col("l_tax").cast("decimal(18,6)").as("Finra fee (GBP)"),
+      concat_ws("-", lit("tx"), col("l_orderkey"), col("l_linenumber")).as("ID"),
+      concat(lit("GB00"), lpad(col("l_partkey").cast("string"), 8, "0")).as("ISIN"),
+      concat(lit("Stock "), col("l_partkey").cast("string")).as("Name"),
+      lit(null).cast("string").as("Notes"),
+      (col("l_extendedprice") * col("l_discount")).cast("decimal(18,6)").as("Result (GBP)"),
+      (col("l_extendedprice") + col("l_tax")).cast("decimal(18,6)").as("Total (GBP)"),
+      (col("l_tax") * lit(0.5)).cast("decimal(18,6)").as("Transaction fee (GBP)"),
+      lit(null).cast("decimal(18,6)").as("Charge amount (GBP)"))
+  }
+
+  /** The "chunked re-download" feed: raw transactions plus a re-downloaded
+    * overlapping 365-day window (U1, trading212.py:110 — the reference's
+    * chunk loop re-ingests overlapping exports) — D1 must collapse it. */
+  def chunkedFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = rawTransactions(spark, sfDir)
+    base.unionAll(base.filter(substring(col("Time"), 1, 4) === "1996"))
+  }
+
+  /** The manual-sheet side table (S5, trading212.py:122-125): a column
+    * SUBSET, all values strings (sheet semantics), plus an extra column the
+    * final projection must drop. Derived deterministically from `orders`. */
+  def manualData(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("Time"),
+        lit("MANUAL").as("Account ID"),
+        lit("Buy").as("Action"),
+        concat(lit("MAN"), pmod(col("o_custkey"), lit(50)).cast("string")).as("Ticker"),
+        concat(lit("man-"), col("o_orderkey").cast("string")).as("ID"),
+        // Sheet numbers arrive as strings; decimal->string->decimal is exact.
+        col("o_totalprice").cast("decimal(18,6)").cast("string").as("Total (GBP)"),
+        lit("from sheet").as("Sheet Note"))
+  }
+
+  /** Full flagship pipeline. `accountId` threads the INTENT of the
+    * reference's Account ID stamp (trading212.py:109 assigns the literal
+    * string "get_acc_info()" — a bug; we implement the intended id). */
+  def pipeline(spark: SparkSession, sfDir: String, accountId: String = "ACC-EQ-1"): DataFrame = {
+    val normalized = chunkedFeed(spark, sfDir)
+      .withColumn("Action", StringFns.normalizeAction(col("Action")))           // P1,P2,P3
+      .withColumn("Transaction Date", substring(col("Time"), 1, 10))            // P4
+      .withColumn("Stock Split Ratio", lit(0))                                  // P5
+      .withColumn("Account ID", lit(accountId))                                 // P6 (intent)
+      .filter(col("Action").isin("Buy", "Sell"))                                // F2
+      .dropDuplicates()                                                         // D1
+
+    val manual = manualData(spark, sfDir)
+      .drop("Sheet Note")  // P8 drops it anyway; dropping early prunes the scan
+      .withColumn("Total (GBP)", col("Total (GBP)").cast("decimal(18,6)"))
+
+    normalized
+      .unionByName(manual, allowMissingColumns = true)                          // U2
+      .withColumn("Time", to_timestamp(col("Time")))                            // P7
+      .select(outputColumns.map(c => col(s"`$c`")): _*)                         // P8
+      .orderBy(col("Time").asc, col("ID").asc)                                  // O1 (+ID tiebreak)
+  }
+
+  /** DuckDB oracle SQL for the full pipeline — same derivations, same stage
+    * order, over the same parquet files. */
+  def oracleSql: String =
+    """WITH raw AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS "Time",
+      |    CASE (l_orderkey*7 + l_linenumber) % 6
+      |      WHEN 0 THEN 'Market buy' WHEN 1 THEN 'Limit sell'
+      |      WHEN 2 THEN 'Stop buy' WHEN 3 THEN 'Dividend (Ordinary)'
+      |      WHEN 4 THEN ' sell ' ELSE '  LIMIT SELL ' END AS "Action",
+      |    'T' || CAST(l_partkey % 100 AS VARCHAR) AS "Ticker",
+      |    CAST(l_quantity AS DECIMAL(18,6)) AS "No. of shares",
+      |    'USD' AS "Currency (Price / share)",
+      |    CAST(l_extendedprice AS DECIMAL(18,6)) AS "Price / share",
+      |    CAST(1.0 + l_discount AS DECIMAL(18,8)) AS "Exchange rate",
+      |    CAST(l_tax AS DECIMAL(18,6)) AS "Finra fee (GBP)",
+      |    'tx-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS "ID",
+      |    'GB00' || lpad(CAST(l_partkey AS VARCHAR), 8, '0') AS "ISIN",
+      |    'Stock ' || CAST(l_partkey AS VARCHAR) AS "Name",
+      |    CAST(NULL AS VARCHAR) AS "Notes",
+      |    CAST(l_extendedprice * l_discount AS DECIMAL(18,6)) AS "Result (GBP)",
+      |    CAST(l_extendedprice + l_tax AS DECIMAL(18,6)) AS "Total (GBP)",
+      |    CAST(l_tax * 0.5 AS DECIMAL(18,6)) AS "Transaction fee (GBP)",
+      |    CAST(NULL AS DECIMAL(18,6)) AS "Charge amount (GBP)"
+      |  FROM lineitem),
+      |chunked AS (
+      |  SELECT * FROM raw
+      |  UNION ALL
+      |  SELECT * FROM raw WHERE substring("Time", 1, 4) = '1996'),
+      |normalized AS (
+      |  SELECT DISTINCT "Time",
+      |    upper(substring(a2, 1, 1)) || lower(substring(a2, 2)) AS "Action",
+      |    "Ticker", "No. of shares", "Currency (Price / share)",
+      |    "Price / share", "Exchange rate", "Finra fee (GBP)", "ID", "ISIN",
+      |    "Name", "Notes", "Result (GBP)", "Total (GBP)",
+      |    "Transaction fee (GBP)", "Charge amount (GBP)",
+      |    substring("Time", 1, 10) AS "Transaction Date",
+      |    0 AS "Stock Split Ratio",
+      |    'ACC-EQ-1' AS "Account ID"
+      |  FROM (
+      |    SELECT *, trim(CASE WHEN a1 = 'Dividend (Ordinary)' THEN 'Div' ELSE a1 END) AS a2
+      |    FROM (SELECT *, regexp_replace("Action", 'Market |Limit |Stop ', '', 'g') AS a1
+      |          FROM chunked))
+      |  WHERE upper(substring(a2, 1, 1)) || lower(substring(a2, 2)) IN ('Buy', 'Sell')),
+      |manual AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "Time",
+      |    'MANUAL' AS "Account ID", 'Buy' AS "Action",
+      |    'MAN' || CAST(o_custkey % 50 AS VARCHAR) AS "Ticker",
+      |    'man-' || CAST(o_orderkey AS VARCHAR) AS "ID",
+      |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR) AS DECIMAL(18,6)) AS "Total (GBP)"
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |unioned AS (SELECT * FROM normalized UNION ALL BY NAME SELECT * FROM manual)
+      |SELECT CAST("Time" AS TIMESTAMP) AS "Time", "Account ID", "Action",
+      |  "Ticker", "No. of shares", "Stock Split Ratio",
+      |  "Currency (Price / share)", "Price / share", "Exchange rate",
+      |  "Finra fee (GBP)", "ID", "ISIN", "Name", "Notes", "Result (GBP)",
+      |  "Total (GBP)", "Transaction fee (GBP)", "Transaction Date",
+      |  "Charge amount (GBP)"
+      |FROM unioned
+      |ORDER BY CAST("Time" AS TIMESTAMP) ASC, "ID" ASC
+      |""".stripMargin
+}

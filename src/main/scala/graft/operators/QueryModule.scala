@@ -1,0 +1,11 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One slice of the SURVEY.md §2 operator inventory: named queries plus
+  * their DuckDB oracle SQL (keys without oracle SQL get a rows-only check).
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,19 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-derived operator queries (SURVEY.md §2.1-§2.9): every
+  * relational operation the reference performs, re-expressed Spark-first and
+  * oracle-checked. The flagship pipeline covers P1-P8, F2, D1, U1/U2, O1, K1
+  * in one composed plan; the remaining reference operators get focused
+  * queries below (added incrementally).
+  */
+object ReferenceOps extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_flagship" -> ((s, dir) => Flagship.pipeline(s, dir)))
+
+  def oracles: Map[String, String] = Map(
+    "ref_flagship" -> Flagship.oracleSql)
+}

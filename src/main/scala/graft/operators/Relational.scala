@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Relational core over the TPC-H-style fixture tables
+  * (SURVEY.md §2.10 J1-J5, A2-A4, W1-W2, T1, SET1).
+  *
+  * Oracle-parity rules used throughout this module (SURVEY.md §7 risk 1):
+  *  - Aggregates over DOUBLE columns are computed EXACTLY by casting each
+  *    input to DECIMAL(18,4) first (per-row double arithmetic is IEEE-
+  *    deterministic; decimal summation is associative, so shuffle order
+  *    cannot perturb the result the way double summation would).
+  *  - Final aggregate types are cast explicitly (DECIMAL(38,4) / DOUBLE) so
+  *    the Spark result schema matches DuckDB's.
+  *  - Every query ends in a total ORDER BY (unique tiebreak) on both sides.
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact sum of a double column: per-row cast to DECIMAL(18,4), exact
+    * decimal sum, explicit DECIMAL(38,4) result type (matches DuckDB). */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("decimal(38,4)")
+
+  /** The fixture money columns are exact 2-decimal values; casting the RAW
+    * column to DECIMAL(12,2) is lossless. All derived arithmetic then stays
+    * in decimals (exact, shuffle-order-independent) — computed DOUBLEs are
+    * never cast to decimal, because a 6-decimal true product cast to scale 4
+    * lands on rounding midpoints where Spark (HALF_UP on the shortest double
+    * repr) and DuckDB (binary-value rounding) disagree. */
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  private val one2 = lit(1).cast("decimal(12,2)")
+
+  // ------------------------------------------------------------------
+  // A2: TPC-H Q1-shaped grouped aggregation over lineitem.
+  // Scale: map-side partial aggregation (hash agg) before the exchange on
+  // (l_returnflag, l_linestatus) — cardinality ~6 groups, so the shuffle
+  // moves a handful of rows per partition regardless of input size.
+  // ------------------------------------------------------------------
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))
+          * (one2 + dec2(col("l_tax")))).cast("decimal(38,6)").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // Registry -----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql)
+}

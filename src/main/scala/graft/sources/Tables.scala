@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed loaders for the driver-shipped fixture tables
+  * (`/root/testdata/sf*`, see TESTDATA.md / FIXTURES.md §B).
+  *
+  * Schemas are declared explicitly — never inferred — mirroring the survey's
+  * conclusion (SURVEY.md §1.4) that the reference's schema-on-read
+  * (`pd.read_csv`, trading212.py:108) must become explicit `StructType`s at
+  * 100 TB scale: inference requires an extra pass over data and is
+  * nondeterministic under schema drift.
+  *
+  * All loaders are thin `spark.read.parquet` wrappers: Parquet footers carry
+  * the physical schema, and Catalyst's vectorized reader + column pruning +
+  * row-group predicate pushdown do the heavy lifting. The explicit schemas
+  * below serve as (a) documentation, (b) compile-time anchors for the typed
+  * Dataset views, and (c) a guard: `load` verifies the on-disk schema contains
+  * the expected columns so drift fails fast instead of mid-query.
+  */
+object Tables {
+
+  val region = StructType(Seq(
+    StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+
+  val nation = StructType(Seq(
+    StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customer = StructType(Seq(
+    StructField("c_custkey", LongType), StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplier = StructType(Seq(
+    StructField("s_suppkey", LongType), StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+
+  val part = StructType(Seq(
+    StructField("p_partkey", LongType), StructField("p_name", StringType),
+    StructField("p_brand", StringType), StructField("p_type", StringType),
+    StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+
+  val orders = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+
+  val lineitem = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val events = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  val documents = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddings = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val expected: Map[String, StructType] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+    "embeddings" -> embeddings)
+
+  /** Load a fixture table. Fails fast if a declared column is missing. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    expected.get(name).foreach { schema =>
+      val missing = schema.fieldNames.toSet -- df.columns.toSet
+      require(missing.isEmpty, s"table $name missing columns: $missing")
+    }
+    df
+  }
+}

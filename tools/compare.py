@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs after `graft.Verify <sfDir> <outDir>`: for each query result parquet in
+<outDir>, executes the matching oracle SQL from oracle_sql.json in DuckDB
+(tables = the fixture parquet files), sorts columns by name and rows by all
+columns, and diffs values exactly.
+
+Usage: python3 tools/compare.py <sfDir> <outDir> [query ...]
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        sql = oracles[name]
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        s = spark_df.reindex(sorted(spark_df.columns), axis=1)
+        d = duck_df.reindex(sorted(duck_df.columns), axis=1)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        sv = s.astype(str).apply(lambda r: "\x01".join(r), axis=1).sort_values().tolist() if len(s) else []
+        dv = d.astype(str).apply(lambda r: "\x01".join(r), axis=1).sort_values().tolist() if len(d) else []
+        if sv == dv:
+            # dtypes can legitimately differ in pandas repr (decimal/object);
+            # value equality after str-normalization is the driver-style check
+            print(f"PASS {name} ({len(s)} rows)")
+            n_pass += 1
+        else:
+            bad = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+            print(f"FAIL {name}: value mismatch; first diffs:")
+            for a, b in bad:
+                print(f"  spark: {a[:300]}")
+                print(f"  duck : {b[:300]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
