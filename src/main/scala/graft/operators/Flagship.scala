@@ -60,7 +60,8 @@ object Flagship {
       col("l_extendedprice").cast("decimal(18,6)").as("Price / share"),
       (lit(1.0) + col("l_discount")).cast("decimal(18,8)").as("Exchange rate"),
       col("l_tax").cast("decimal(18,6)").as("Finra fee (GBP)"),
-      concat_ws("-", lit("tx"), col("l_orderkey"), col("l_linenumber")).as("ID"),
+      concat_ws("-", lit("tx"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("int")).as("ID"),
       concat(lit("GB00"), lpad(col("l_partkey").cast("string"), 8, "0")).as("ISIN"),
       concat(lit("Stock "), col("l_partkey").cast("string")).as("Name"),
       lit(null).cast("string").as("Notes"),
@@ -133,7 +134,9 @@ object Flagship {
       |    CAST(l_extendedprice AS DECIMAL(18,6)) AS "Price / share",
       |    CAST(1.0 + l_discount AS DECIMAL(18,8)) AS "Exchange rate",
       |    CAST(l_tax AS DECIMAL(18,6)) AS "Finra fee (GBP)",
-      |    'tx-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS "ID",
+      |    'tx-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)
+      |      || '-' || CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS "ID",
       |    'GB00' || lpad(CAST(l_partkey AS VARCHAR), 8, '0') AS "ISIN",
       |    'Stock ' || CAST(l_partkey AS VARCHAR) AS "Name",
       |    CAST(NULL AS VARCHAR) AS "Notes",

@@ -2,18 +2,172 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Reference-derived operator queries (SURVEY.md §2.1-§2.9): every
   * relational operation the reference performs, re-expressed Spark-first and
   * oracle-checked. The flagship pipeline covers P1-P8, F2, D1, U1/U2, O1, K1
   * in one composed plan; the remaining reference operators get focused
-  * queries below (added incrementally).
+  * queries here.
   */
 object ReferenceOps extends QueryModule {
 
+  // ------------------------------------------------------------------
+  // S6: ingestion window generator (trading212.py:11-14, 86-97).
+  // The reference's imperative while-loop becomes a declarative
+  // sequence+explode: one row per contiguous 365-day window, with the
+  // reference's exact boundary stamping (timeTo = start+364d @ 23:59:59,
+  // suffix format from form_data, trading212.py:46-47). End date pinned
+  // (the reference uses today(); a pinned end keeps the oracle stable).
+  // Scale: generated on the driver as a single-row explode — zero scan.
+  // ------------------------------------------------------------------
+  def windowGen(s: SparkSession, dir: String): DataFrame =
+    s.range(1)
+      .select(explode(sequence(
+        to_date(lit("2020-01-01")),
+        to_date(lit("2026-01-01")),
+        expr("interval 365 days"))).as("win_start"))
+      .select(
+        concat(date_format(col("win_start"), "yyyy-MM-dd"), lit("T00:00:00.000+00:00")).as("timeFrom"),
+        concat(date_format(date_add(col("win_start"), 364), "yyyy-MM-dd"), lit("T23:59:59.000+00:00")).as("timeTo"))
+      .orderBy("timeFrom")
+
+  val windowGenSql: String =
+    """SELECT strftime(d, '%Y-%m-%d') || 'T00:00:00.000+00:00' AS timeFrom,
+      |       strftime(d + INTERVAL 364 DAY, '%Y-%m-%d') || 'T23:59:59.000+00:00' AS timeTo
+      |FROM (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2026-01-01', INTERVAL 365 DAY)) AS d)
+      |ORDER BY timeFrom""".stripMargin
+
+  // ------------------------------------------------------------------
+  // P9: export-request JSON construction (form_data, trading212.py:44-54).
+  // The reference templates the body with %-interpolation; we build it as a
+  // typed struct and serialize with to_json — one body per S6 window.
+  // ------------------------------------------------------------------
+  def jsonConstruct(s: SparkSession, dir: String): DataFrame =
+    windowGen(s, dir)
+      .select(col("timeFrom"), to_json(struct(
+        col("timeFrom"), col("timeTo"),
+        lit("CSV").as("reportFormat"),
+        struct(
+          lit(true).as("includeOrders"),
+          lit(true).as("includeDividends"),
+          lit(true).as("includeTransactions")).as("dataIncluded"))).as("body"))
+      .orderBy("timeFrom")
+
+  val jsonConstructSql: String =
+    """SELECT timeFrom, to_json(struct_pack(
+      |    timeFrom := timeFrom, timeTo := timeTo, reportFormat := 'CSV',
+      |    dataIncluded := struct_pack(includeOrders := true,
+      |      includeDividends := true, includeTransactions := true))) AS body
+      |FROM (
+      |  SELECT strftime(d, '%Y-%m-%d') || 'T00:00:00.000+00:00' AS timeFrom,
+      |         strftime(d + INTERVAL 364 DAY, '%Y-%m-%d') || 'T23:59:59.000+00:00' AS timeTo
+      |  FROM (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2026-01-01', INTERVAL 365 DAY)) AS d))
+      |ORDER BY timeFrom""".stripMargin
+
+  // ------------------------------------------------------------------
+  // P10/S4: scalar JSON field extraction (trading212.py:92,105-108) over the
+  // events.props JSON column; F5 range predicate on the extracted value.
+  // Scale: get_json_object is codegen'd; filter + pruning reach the scan for
+  // the non-JSON columns.
+  // ------------------------------------------------------------------
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+
+  val jsonExtractSql: String =
+    """SELECT event_id, event_type, CAST(props->>'$.k' AS INTEGER) AS k
+      |FROM events WHERE CAST(props->>'$.k' AS INTEGER) > 50
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // L1 + A1 + P11: head-8 newest notifications, ids comma-joined
+  // (clear_notfi, trading212.py:79-83). The REST array order was implicit
+  // newest-first; we make it explicit (ts DESC, event_id DESC tiebreak).
+  // Scale: limit-8 is a partial top-K pushed into each scan task (TakeOrdered)
+  // — no full sort, no full shuffle; the final concat folds 8 rows.
+  // ------------------------------------------------------------------
+  def limitConcat(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(8)
+      .agg(array_join(transform(sort_array(collect_list(col("event_id"))),
+        _.cast("string")), ",").as("ids"))
+
+  val limitConcatSql: String =
+    """SELECT string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+      |FROM (SELECT event_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 8)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // S3 + F1 + F4: the switch_account flow (trading212.py:62-77): iterate the
+  // accountId->account map, keep tradingType in ('EQUITY','ISA'), skip the
+  // current account. The funds map is synthesized deterministically from
+  // customer; "current account" = the minimum eligible key, computed as a
+  // 1-row broadcast anti-filter (the reference's if-equal-skip, :69).
+  // ------------------------------------------------------------------
+  def switchAccount(s: SparkSession, dir: String): DataFrame = {
+    val funds = Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("accountId"),
+      when(pmod(col("c_custkey"), lit(3)) === 0, "EQUITY")
+        .when(pmod(col("c_custkey"), lit(3)) === 1, "ISA")
+        .otherwise("CFD").as("tradingType"))
+    val eligible = funds.filter(col("tradingType").isin("EQUITY", "ISA"))
+    val current = eligible.agg(min(col("accountId")).as("currentId"))
+    eligible.join(broadcast(current), col("accountId") === col("currentId"), "left_anti")
+      .orderBy("accountId")
+  }
+
+  val switchAccountSql: String =
+    """WITH funds AS (
+      |  SELECT c_custkey AS accountId,
+      |    CASE c_custkey % 3 WHEN 0 THEN 'EQUITY' WHEN 1 THEN 'ISA' ELSE 'CFD' END AS tradingType
+      |  FROM customer),
+      |eligible AS (SELECT * FROM funds WHERE tradingType IN ('EQUITY','ISA'))
+      |SELECT accountId, tradingType FROM eligible
+      |WHERE accountId <> (SELECT min(accountId) FROM eligible)
+      |ORDER BY accountId""".stripMargin
+
+  // ------------------------------------------------------------------
+  // D2/L1x: keyed dedup keep-latest (SURVEY.md §2.9 at-least-once + dedup;
+  // the streaming-incremental variant of D1). row_number over
+  // (user_id, ts DESC, event_id DESC) == 1.
+  // Scale: one hash exchange on user_id; AQE coalesces post-shuffle
+  // partitions. At 100 TB this is the canonical "latest state per key".
+  // ------------------------------------------------------------------
+  def dedupKeepLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  val dedupKeepLatestSql: String =
+    """SELECT user_id, event_id, ts, event_type FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ref_flagship" -> ((s, dir) => Flagship.pipeline(s, dir)))
+    "ref_flagship" -> ((s, dir) => Flagship.pipeline(s, dir)),
+    "ref_window_gen" -> (windowGen _),
+    "ref_json_construct" -> (jsonConstruct _),
+    "ref_json_extract" -> (jsonExtract _),
+    "ref_limit_concat" -> (limitConcat _),
+    "ref_switch_account" -> (switchAccount _),
+    "ref_dedup_latest" -> (dedupKeepLatest _))
 
   def oracles: Map[String, String] = Map(
-    "ref_flagship" -> Flagship.oracleSql)
+    "ref_flagship" -> Flagship.oracleSql,
+    "ref_window_gen" -> windowGenSql,
+    "ref_json_construct" -> jsonConstructSql,
+    "ref_json_extract" -> jsonExtractSql,
+    "ref_limit_concat" -> limitConcatSql,
+    "ref_switch_account" -> switchAccountSql,
+    "ref_dedup_latest" -> dedupKeepLatestSql)
 }

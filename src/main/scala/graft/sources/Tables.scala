@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
 
 /** Typed loaders for the driver-shipped fixture tables
@@ -76,9 +77,21 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
-  /** Load a fixture table. Fails fast if a declared column is missing. */
+  /** Load a fixture table. Fails fast if a declared column is missing.
+    *
+    * `events.ts` is physically Parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses outright (PARQUET_TYPE_ILLEGAL). We read it as nanos-since-epoch
+    * (legacy conf) and truncate to microseconds — the same ns->us truncation
+    * DuckDB applies when it surfaces the column as TIMESTAMP, so the oracle
+    * sees identical values. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
     expected.get(name).foreach { schema =>
       val missing = schema.fieldNames.toSet -- df.columns.toSet
       require(missing.isEmpty, s"table $name missing columns: $missing")

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Flagship
+
+/** Flagship pipeline semantics (SURVEY.md §3.3): projection shape, Buy/Sell
+  * filter, dedup idempotence, union null-fill, global order. */
+class FlagshipSpec extends SparkTestBase {
+
+  lazy val out = Flagship.pipeline(spark, sfDir).cache()
+
+  test("smoke: entry returns rows with the canonical 19-column projection") {
+    assert(out.columns.toSeq == Flagship.outputColumns)
+    assert(out.count() > 0)
+  }
+
+  test("F2: only Buy/Sell survive from the API feed; manual rows kept") {
+    val actions = out.select("Action").distinct().collect().map(_.getString(0)).toSet
+    assert(actions.subsetOf(Set("Buy", "Sell")))
+  }
+
+  test("D1: re-downloaded overlapping chunk rows are collapsed (no dup IDs from API feed)") {
+    val dupIds = out.filter(not(col("ID").startsWith("man-")))
+      .groupBy("ID").count().filter(col("count") > 1).count()
+    assert(dupIds == 0)
+  }
+
+  test("U2: manual rows null-fill columns absent from the sheet") {
+    val manual = out.filter(col("ID").startsWith("man-"))
+    assert(manual.count() > 0)
+    assert(manual.filter(col("`No. of shares`").isNotNull).count() == 0)
+    assert(manual.filter(col("`Total (GBP)`").isNull).count() == 0)
+  }
+
+  test("O1: output is globally sorted by Time") {
+    val times = out.select(col("Time").cast("long")).collect().map(_.getLong(0))
+    assert(times.sameElements(times.sorted))
+  }
+
+  test("dedup is idempotent: running D1 twice changes nothing") {
+    assert(out.dropDuplicates().count() == out.count())
+  }
+}

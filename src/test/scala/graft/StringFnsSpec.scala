@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.StringFns
+
+/** Pins the verified reference string semantics (SURVEY.md §2.3, §5.2.2):
+  * P2 whole-value-only replace, P3 capitalize != initcap, P1 substring strip.
+  */
+class StringFnsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(inputs: String*): Seq[String] =
+    inputs.toDF("a").select(StringFns.normalizeAction($"a").as("n"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("P1 strips Market/Limit/Stop prefixes anywhere, case-sensitively") {
+    assert(norm("Market buy") == Seq("Buy"))
+    assert(norm("Limit sell") == Seq("Sell"))
+    assert(norm("Stop buy") == Seq("Buy"))
+    // lowercase 'limit' is NOT stripped (pandas replace is case-sensitive)
+    assert(norm("limit sell") == Seq("Limit sell"))
+  }
+
+  test("P2 replaces Dividend (Ordinary) only on whole-cell match") {
+    assert(norm("Dividend (Ordinary)") == Seq("Div"))
+    // substring occurrences must NOT be replaced
+    assert(norm("XDividend (Ordinary)") == Seq("Xdividend (ordinary)"))
+  }
+
+  test("P3 capitalize is first-char-upper rest-lower, NOT initcap") {
+    assert(norm("  LIMIT SELL ") == Seq("Limit sell"))
+    val initcapResult = Seq("  LIMIT SELL ").toDF("a")
+      .select(initcap(trim($"a"))).head.getString(0)
+    assert(initcapResult == "Limit Sell") // what initcap would (wrongly) give
+  }
+
+  test("P3 trims before capitalizing") {
+    assert(norm(" sell ") == Seq("Sell"))
+  }
+
+  test("capitalize handles empty and single-char strings") {
+    val out = Seq("", "x", "X").toDF("a")
+      .select(StringFns.capitalize($"a")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("", "X", "X"))
+  }
+}
