@@ -1,45 +1,47 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** [EXT] Relational core over the TPC-H-style fixture tables
-  * (SURVEY.md §2.10 J1-J5, A2-A4, W1-W2, T1, SET1).
+  * (SURVEY.md §2.10 J1-J5, A2-A4, W1-W2, T1, SET1, X1).
   *
   * Oracle-parity rules used throughout this module (SURVEY.md §7 risk 1):
-  *  - Aggregates over DOUBLE columns are computed EXACTLY by casting each
-  *    input to DECIMAL(18,4) first (per-row double arithmetic is IEEE-
-  *    deterministic; decimal summation is associative, so shuffle order
-  *    cannot perturb the result the way double summation would).
-  *  - Final aggregate types are cast explicitly (DECIMAL(38,4) / DOUBLE) so
-  *    the Spark result schema matches DuckDB's.
+  *  - Aggregates over DOUBLE columns are computed EXACTLY: the raw 2-decimal
+  *    fixture values are cast to DECIMAL before any arithmetic (per-row
+  *    double->decimal of a 2dp value is lossless; decimal sums are
+  *    associative, so shuffle order cannot perturb results the way double
+  *    summation would). Computed doubles are never cast to decimal.
+  *  - Final aggregate types are cast explicitly so Spark/DuckDB schemas match.
   *  - Every query ends in a total ORDER BY (unique tiebreak) on both sides.
+  *
+  * Scale notes are per-query; the common themes: dimension joins broadcast,
+  * fact-side shuffles happen at most once per query, partial aggregation
+  * precedes every exchange, AQE handles runtime re-planning and skew.
   */
 object Relational extends QueryModule {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Exact sum of a double column: per-row cast to DECIMAL(18,4), exact
-    * decimal sum, explicit DECIMAL(38,4) result type (matches DuckDB). */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,4)")).cast("decimal(38,4)")
+  /** Exact sum of a raw 2dp double column; DECIMAL(38,4) on both engines. */
+  private def dsum(c: Column) = sum(c.cast("decimal(18,4)")).cast("decimal(38,4)")
 
-  /** The fixture money columns are exact 2-decimal values; casting the RAW
-    * column to DECIMAL(12,2) is lossless. All derived arithmetic then stays
-    * in decimals (exact, shuffle-order-independent) — computed DOUBLEs are
-    * never cast to decimal, because a 6-decimal true product cast to scale 4
-    * lands on rounding midpoints where Spark (HALF_UP on the shortest double
-    * repr) and DuckDB (binary-value rounding) disagree. */
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  /** Lossless decimal view of a raw 2dp money column. */
+  private def dec2(c: Column) = c.cast("decimal(12,2)")
   private val one2 = lit(1).cast("decimal(12,2)")
+
+  /** Exact revenue term: extendedprice * (1 - discount), in decimals. */
+  private def revenue = dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
   // ------------------------------------------------------------------
   // A2: TPC-H Q1-shaped grouped aggregation over lineitem.
-  // Scale: map-side partial aggregation (hash agg) before the exchange on
-  // (l_returnflag, l_linestatus) — cardinality ~6 groups, so the shuffle
-  // moves a handful of rows per partition regardless of input size.
+  // Scale: map-side partial hash agg before the exchange on ~6 groups —
+  // the shuffle moves a handful of rows per partition regardless of input.
   // ------------------------------------------------------------------
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -48,21 +50,19 @@ object Relational extends QueryModule {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))))
-          .cast("decimal(38,4)").as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))
-          * (one2 + dec2(col("l_tax")))).cast("decimal(38,6)").as("sum_charge"),
+        sum(revenue).cast("decimal(38,4)").as("sum_disc_price"),
+        sum(revenue * (one2 + dec2(col("l_tax")))).cast("decimal(38,6)").as("sum_charge"),
         (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(SUM($revenueSql * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
@@ -71,11 +71,448 @@ object Relational extends QueryModule {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------------
+  // J1+J2+T1: TPC-H Q3 shape — 3-way join, group, top-10 by revenue.
+  // Scale: customer is the small side -> broadcast hash join (no shuffle of
+  // lineitem for it); orders⋈lineitem shuffles on the order key once; the
+  // LIMIT 10 after sort is a TakeOrdered (partial top-K per partition).
+  // ------------------------------------------------------------------
+  def q3JoinTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenue).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopKSql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // J1/J2: TPC-H Q5 shape — 6-table star join, revenue per nation.
+  // Scale: region/nation/supplier/customer all broadcast; the only big
+  // shuffle is lineitem⋈orders on the order key. Filters push to every scan.
+  // ------------------------------------------------------------------
+  def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5StarJoinSql: String =
+    s"""SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // J1 (left outer): customers with their order count/spend, 0 for none.
+  // Scale: orders pre-aggregates per custkey BEFORE the join (shrinks the
+  // shuffle to one row per customer), then joins — never the raw fact table.
+  // ------------------------------------------------------------------
+  def joinLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("decimal(38,2)").as("spend"))
+    t(s, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0).cast("decimal(38,2)")).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinLeftOuterSql: String =
+    """SELECT c_custkey, c_name,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  CAST(COALESCE(spend, 0) AS DECIMAL(38,2)) AS spend
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS spend
+      |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // J3: semi / anti joins. Scale: the probe side aggregates to distinct keys
+  // inside the join operator; Spark plans LeftSemi/LeftAnti natively (hash
+  // or broadcast depending on side sizes).
+  // ------------------------------------------------------------------
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    t(s, dir, "customer")
+      .join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val pOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    t(s, dir, "customer")
+      .join(pOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // J4: theta/range join — parts into generated price bands.
+  // Scale: the band table is tiny and broadcast; Spark plans a broadcast
+  // nested-loop join, so the part scan streams once with no shuffle.
+  // ------------------------------------------------------------------
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(90, 100)
+      .select((col("id") * 10.0).as("lo"), ((col("id") + 1) * 10.0).as("hi"))
+    t(s, dir, "part")
+      .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("lo"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(dec2(col("p_retailprice"))).cast("decimal(38,2)").as("band_value"))
+      .orderBy(col("lo"))
+  }
+
+  val joinRangeSql: String =
+    """SELECT lo, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS band_value
+      |FROM part JOIN (SELECT b*10.0 AS lo, (b+1)*10.0 AS hi FROM range(90,100) t(b))
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY lo ORDER BY lo""".stripMargin
+
+  // ------------------------------------------------------------------
+  // J5: as-of join — for every event, the latest 'purchase' event of the
+  // same user at-or-before it. Implemented the Spark-native way (SURVEY.md
+  // §2.10 J5): NOT as a range join + filter (quadratic) but as a single
+  // ordered window with last(ignoreNulls) — one shuffle on user_id, one
+  // local sort, linear scan. This is the 100 TB-safe as-of pattern.
+  // ------------------------------------------------------------------
+  def joinAsOf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("last_purchase_id",
+        last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinAsOfSql: String =
+    """SELECT event_id, user_id, ts,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_id
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // A3: exact + approximate distinct counts.
+  // Scale: countDistinct expands to a two-phase agg (partial distinct per
+  // partition, then merge); approx_count_distinct (HLL++) is single-pass
+  // mergeable state — the 100 TB default. The approx variant has no SQL
+  // oracle (sketch internals differ) -> rows-only check.
+  // ------------------------------------------------------------------
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts")).cast("string")).as("n_days"))
+      .orderBy(col("event_type"))
+
+  val aggDistinctSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR)) AS n_days
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  // ------------------------------------------------------------------
+  // A4: rollup over region -> nation with subtotal rows.
+  // Scale: Spark expands rollup into a single Expand + hash agg — one pass,
+  // one shuffle. Both engines order NULL subtotal keys first explicitly.
+  // ------------------------------------------------------------------
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("decimal(38,2)").as("total_balance"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val aggRollupSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_balance
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
+  // W1: ranking windows. rank/dense_rank over a coarse key (ties real),
+  // row_number/ntile over the totally-ordered spec (deterministic).
+  // Scale: one shuffle on the partition key; windows evaluate with a local
+  // sort per partition.
+  // ------------------------------------------------------------------
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val bucket = floor(col("s_acctbal") / 100).cast("long")
+    val coarse = Window.partitionBy(col("s_nationkey")).orderBy(bucket.desc)
+    val total = Window.partitionBy(col("s_nationkey")).orderBy(bucket.desc, col("s_suppkey"))
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_name"),
+        bucket.as("bal_bucket"),
+        row_number().over(total).as("rn"),
+        rank().over(coarse).as("rnk"),
+        dense_rank().over(coarse).as("drnk"),
+        ntile(4).over(total).as("quartile"))
+      .orderBy(col("s_nationkey"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT s_suppkey, s_nationkey, s_name,
+      |  CAST(floor(s_acctbal / 100) AS BIGINT) AS bal_bucket,
+      |  row_number() OVER w_total AS rn,
+      |  rank() OVER w_coarse AS rnk,
+      |  dense_rank() OVER w_coarse AS drnk,
+      |  ntile(4) OVER w_total AS quartile
+      |FROM supplier
+      |WINDOW
+      |  w_coarse AS (PARTITION BY s_nationkey ORDER BY CAST(floor(s_acctbal / 100) AS BIGINT) DESC),
+      |  w_total AS (PARTITION BY s_nationkey ORDER BY CAST(floor(s_acctbal / 100) AS BIGINT) DESC, s_suppkey)
+      |ORDER BY s_nationkey, rn""".stripMargin
+
+  // ------------------------------------------------------------------
+  // W2: analytic windows — running spend, lag/lead, per customer over time.
+  // Running sums accumulate DECIMALS (exact, order-stable under the total
+  // window ordering). Scale: single shuffle on o_custkey.
+  // ------------------------------------------------------------------
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(38,2)").as("running_spend"),
+        lag(dec2(col("o_totalprice")), 1).over(w).as("prev_price"),
+        lead(dec2(col("o_totalprice")), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend,
+      |  lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  lead(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS next_price
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // T1: top-K per group (top-3 orders by price per market segment).
+  // Scale: row_number + filter(rn<=k) — Spark pushes a partial top-K into
+  // the window sort per partition (rank-limit optimization); with AQE the
+  // post-filter output coalesces.
+  // ------------------------------------------------------------------
+  def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(dec2(col("o_totalprice")).desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        dec2(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  val topKPerGroupSql: String =
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SET1: intersect / except / union-distinct, tagged into one result.
+  // Scale: each set op is a hash-based distinct-aggregate join; inputs
+  // pre-project to the key column so only keys shuffle.
+  // ------------------------------------------------------------------
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val fCust = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val pCust = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("k"))
+    val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val allCust = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val anyOrder = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    fCust.intersect(building).withColumn("op", lit("intersect"))
+      .unionAll(allCust.except(anyOrder).withColumn("op", lit("except")))
+      .unionAll(fCust.union(pCust).distinct().withColumn("op", lit("union")))
+      .select(col("op"), col("k"))
+      .orderBy(col("op"), col("k"))
+  }
+
+  val setOpsSql: String =
+    """SELECT 'intersect' AS op, k FROM (
+      |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'except', k FROM (
+      |  SELECT c_custkey AS k FROM customer
+      |  EXCEPT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'union', k FROM (
+      |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |  UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY op, k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // X1a: scalar function surface — string/array/math over part.
+  // All codegen'd built-ins; stays inside one WholeStageCodegen span.
+  // ------------------------------------------------------------------
+  def scalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+      upper(element_at(split(col("p_name"), " "), 1)).as("first_word"),
+      size(split(col("p_name"), " ")).as("n_words"),
+      array_contains(split(col("p_name"), " "), "widget").as("is_widget"),
+      array_join(sort_array(split(col("p_name"), " ")), "_").as("sorted_words"),
+      levenshtein(col("p_name"), col("p_type")).as("lev"),
+      lpad(col("p_partkey").cast("string"), 6, "0").as("padded"),
+      round(col("p_retailprice") * 100).cast("long").as("retail_cents"),
+      floor(sqrt(col("p_retailprice"))).cast("long").as("sqrt_floor"))
+      .orderBy(col("p_partkey"))
+
+  val scalarFuncsSql: String =
+    """SELECT p_partkey,
+      |  CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INTEGER) AS brand_num,
+      |  upper(string_split(p_name, ' ')[1]) AS first_word,
+      |  len(string_split(p_name, ' ')) AS n_words,
+      |  list_contains(string_split(p_name, ' '), 'widget') AS is_widget,
+      |  list_aggregate(list_sort(string_split(p_name, ' ')), 'string_agg', '_') AS sorted_words,
+      |  levenshtein(p_name, p_type) AS lev,
+      |  lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS padded,
+      |  CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents,
+      |  CAST(floor(sqrt(p_retailprice)) AS BIGINT) AS sqrt_floor
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // X1b: date/time function surface over orders.
+  // ------------------------------------------------------------------
+  def scalarDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      year(col("o_orderdate")).as("yr"),
+      quarter(col("o_orderdate")).as("qtr"),
+      datediff(lit("2002-01-01").cast("timestamp"), col("o_orderdate")).as("days_to_2002"),
+      add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy(col("o_orderkey"))
+
+  val scalarDatesSql: String =
+    """SELECT o_orderkey,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER) AS days_to_2002,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+      |  strftime(o_orderdate, '%Y-%m') AS ym
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _))
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topk" -> (q3JoinTopK _),
+    "q5_star_join" -> (q5StarJoin _),
+    "join_left_outer" -> (joinLeftOuter _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_range" -> (joinRange _),
+    "join_asof" -> (joinAsOf _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "window_rank" -> (windowRank _),
+    "window_running" -> (windowRunning _),
+    "topk_per_group" -> (topKPerGroup _),
+    "set_ops" -> (setOps _),
+    "scalar_funcs" -> (scalarFuncs _),
+    "scalar_dates" -> (scalarDates _))
 
   def oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql)
+    "q1_agg" -> q1AggSql,
+    "q3_join_topk" -> q3JoinTopKSql,
+    "q5_star_join" -> q5StarJoinSql,
+    "join_left_outer" -> joinLeftOuterSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "join_range" -> joinRangeSql,
+    "join_asof" -> joinAsOfSql,
+    "agg_distinct" -> aggDistinctSql,
+    "agg_rollup" -> aggRollupSql,
+    "window_rank" -> windowRankSql,
+    "window_running" -> windowRunningSql,
+    "topk_per_group" -> topKPerGroupSql,
+    "set_ops" -> setOpsSql,
+    "scalar_funcs" -> scalarFuncsSql,
+    "scalar_dates" -> scalarDatesSql)
 }

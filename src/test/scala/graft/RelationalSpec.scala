@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Cross-query invariants for the relational core (SURVEY.md §2.10). */
+class RelationalSpec extends SparkTestBase {
+
+  test("q1_agg groups cover all returnflag/linestatus combos with positive sums") {
+    val rows = Relational.q1Agg(spark, sfDir).collect()
+    assert(rows.length > 0)
+    assert(rows.forall(r => r.getAs[java.math.BigDecimal]("sum_qty").signum() > 0))
+  }
+
+  test("q3 returns exactly 10 rows in strictly descending revenue order") {
+    val revs = Relational.q3JoinTopK(spark, sfDir)
+      .collect().map(_.getAs[java.math.BigDecimal]("revenue"))
+    assert(revs.length == 10)
+    assert(revs.sliding(2).forall { case Array(a, b) => a.compareTo(b) >= 0 })
+  }
+
+  test("semi and anti joins partition customers by order-status existence") {
+    val total = graft.sources.Tables.load(spark, sfDir, "customer").count()
+    val semiP = graft.sources.Tables.load(spark, sfDir, "customer")
+      .join(graft.sources.Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "P"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    val anti = Relational.joinAnti(spark, sfDir).count()
+    assert(semiP + anti == total)
+  }
+
+  test("rollup contains the grand-total row and per-region subtotals") {
+    val out = Relational.aggRollup(spark, sfDir).collect()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val regions = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(regions.length == 5)
+    assert(grand.head.getAs[Long]("n_customers") ==
+      regions.map(_.getAs[Long]("n_customers")).sum)
+  }
+
+  test("as-of join: last_purchase_id is itself a purchase at-or-before the event") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id").as("pid"), col("ts").as("pts"), col("event_type").as("ptype"))
+    val bad = Relational.joinAsOf(spark, sfDir)
+      .filter(col("last_purchase_id").isNotNull)
+      .join(ev, col("last_purchase_id") === col("pid"))
+      .filter(col("ptype") =!= "purchase" || col("pts") > col("ts"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("left outer join keeps every customer exactly once") {
+    assert(Relational.joinLeftOuter(spark, sfDir).count() ==
+      graft.sources.Tables.load(spark, sfDir, "customer").count())
+  }
+
+  test("top-k per group emits at most 3 per segment, rn contiguous") {
+    val out = Relational.topKPerGroup(spark, sfDir).collect()
+    val bySeg = out.groupBy(_.getAs[String]("c_mktsegment"))
+    assert(bySeg.values.forall(rs => rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length)))
+    assert(bySeg.values.forall(_.length <= 3))
+  }
+}
