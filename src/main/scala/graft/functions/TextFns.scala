@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text derivations for the [EXT] LLM-data-pipeline operators
+  * (SURVEY.md §2.10 L2x/L4x). Everything is built-in-function composition —
+  * codegen'd, no UDFs — with exact DuckDB twins for the oracle.
+  */
+object TextFns {
+
+  /** Whitespace tokenization of lowercased, trimmed text.
+    * DuckDB twin: string_split_regex(lower(trim(text)), '\s+'). */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word-5-gram shingles over the token array: shingle i joins
+    * tokens[i..i+4] with spaces, i = 1..n-4 (1-based, n>=5; docs in the
+    * fixture always have >=10 tokens).
+    * DuckDB twin: list_distinct(list_transform(range(1, len(toks)-3),
+    *   i -> array_to_string(toks[i:i+4], ' '))). */
+  def shingles(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 4, lit(1))),
+      i => array_join(slice(toks, i, lit(5)), " ")))
+
+  /** Portable per-seed hash for MinHash: lowercase md5 hex of "k|shingle".
+    * Identical in DuckDB: md5(CAST(k AS VARCHAR) || '|' || shingle). Hex
+    * strings compare lexicographically the same in both engines, so
+    * min() over them is a valid (if slow-ish) portable MinHash. */
+  def seedHash(k: Column, shingle: Column): Column =
+    md5(concat(k.cast("string"), lit("|"), shingle).cast("binary"))
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** [EXT] Near-duplicate detection over `documents` (SURVEY.md §2.10 L2x):
+  * MinHash + LSH banding, exact n-gram Jaccard on candidate pairs, and
+  * SimHash fingerprints. Exact content dedup is docs_fingerprint in TextOps.
+  *
+  * Design for 100 TB:
+  *  - Never all-pairs: candidates come only from equi-joins (shared shingle
+  *    for Jaccard, shared band key for MinHash) — hash shuffles, linear in
+  *    corpus + candidate volume, no quadratic stage anywhere.
+  *  - The MinHash signature is a fixed K=12 hashes -> constant state per doc;
+  *    banding (4 bands x 3 rows) turns near-dup search into GROUP BY.
+  *  - Portable hashing: md5 hex (identical in DuckDB) instead of engine hash
+  *    functions, so the oracle reproduces every signature bit-for-bit.
+  */
+object DedupOps extends QueryModule {
+
+  private val K = 12       // minhash signature length
+  private val BANDROWS = 3 // rows per LSH band -> 4 bands
+
+  /** (doc_id, shingle) distinct pairs. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.shingles(TextFns.tokens(col("text")))).as("shingle"))
+
+  /** (doc_id, k, mh): the K-row minhash signature per document. */
+  private def signature(s: SparkSession, dir: String): DataFrame =
+    shingleRows(s, dir)
+      .select(col("doc_id"), col("shingle"), explode(sequence(lit(0), lit(K - 1))).as("k"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(TextFns.seedHash(col("k"), col("shingle"))).as("mh"))
+
+  private val shingleRowsSql =
+    """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-3),
+      |    i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+      |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)""".stripMargin
+
+  private val signatureSql =
+    s"""SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS mh
+      |FROM (SELECT doc_id, shingle, unnest(range(0, $K)) AS k FROM ($shingleRowsSql))
+      |GROUP BY doc_id, k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH: band signatures, bucket-join candidates, then estimate
+  // similarity as the fraction of matching signature positions.
+  // ------------------------------------------------------------------
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signature(s, dir).cache()
+    val bands = sig
+      .withColumn("b", floor(col("k") / BANDROWS))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+        x => x.getField("mh")), "").as("band_key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    cand.join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id") && col("s1.k") === col("s2.k"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((sum(when(col("s1.mh") === col("s2.mh"), 1).otherwise(0)).cast("double") / K)
+        .as("est_jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val minhashPairsSql: String =
+    s"""WITH sig AS ($signatureSql),
+      |bands AS (
+      |  SELECT doc_id, CAST(floor(k / $BANDROWS) AS BIGINT) AS b,
+      |    string_agg(mh, '' ORDER BY k) AS band_key
+      |  FROM sig GROUP BY doc_id, CAST(floor(k / $BANDROWS) AS BIGINT)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+      |SELECT d1, d2,
+      |  CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K AS est_jaccard
+      |FROM cand
+      |JOIN sig s1 ON d1 = s1.doc_id
+      |JOIN sig s2 ON d2 = s2.doc_id AND s1.k = s2.k
+      |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Exact n-gram Jaccard on shingle-sharing candidate pairs.
+  // ------------------------------------------------------------------
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n1.n") + col("n2.n") - col("n_shared"))).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS ($shingleRowsSql),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d1, d2, n_shared,
+      |  CAST(n_shared AS DOUBLE) / (n1.n + n2.n - n_shared) AS jaccard
+      |FROM inter
+      |JOIN sizes n1 ON d1 = n1.doc_id
+      |JOIN sizes n2 ON d2 = n2.doc_id
+      |ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SimHash: 16-bit fingerprint from md5-nibble parity, majority-voted over
+  // the token multiset. Near-identical docs land on near-identical bit
+  // patterns; at scale the fingerprint is the dedup/block key.
+  // ------------------------------------------------------------------
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("tok"), explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("contrib",
+        when(pmod(ascii(md5(col("tok").cast("binary")).substr(col("b") + 1, lit(1))), lit(2)) === 1, 1)
+          .otherwise(-1))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("cast(pow(2, b) as bigint)")).otherwise(0L))
+        .as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val simhashSql: String =
+    """SELECT doc_id,
+      |  CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM (
+      |  SELECT doc_id, b, SUM(contrib) AS v FROM (
+      |    SELECT doc_id, b,
+      |      CASE WHEN ascii(substring(md5(tok), b + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+      |    FROM (
+      |      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |      FROM documents) CROSS JOIN range(0, 16) t(b))
+      |  GROUP BY doc_id, b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_simhash" -> (simhash _))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_simhash" -> simhashSql)
+}

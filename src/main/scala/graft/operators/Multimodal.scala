@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Multimodal column plumbing (SURVEY.md §2.10 L5x): opaque binary
+  * payloads + typed metadata structs, and a batch-shaped decode stage.
+  *
+  * The fixture set has no real media, so the payload is the document text's
+  * UTF-8 bytes and the DECODER IS A DETERMINISTIC STUB (clearly marked
+  * below) — the Spark-side plumbing (BinaryType column, metadata struct
+  * schema, partition-preserving batched mapPartitions, typed output schema)
+  * is real and tested. Swapping the stub for an actual image/audio decoder
+  * changes one function body, not the pipeline.
+  */
+object Multimodal extends QueryModule {
+
+  // ------------------------------------------------------------------
+  // Binary payload + metadata struct, oracle-checked (md5/byte-length are
+  // engine-portable). At scale: binary columns stay columnar in Parquet;
+  // metadata lives beside the payload so filters prune without decoding.
+  // ------------------------------------------------------------------
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("checksum"),
+        lit("text/plain").as("media_type"),
+        ceil(octet_length(col("text")) / lit(256.0)).cast("long").as("n_chunks"))
+      .orderBy(col("doc_id"))
+
+  val binaryMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  'text/plain' AS media_type,
+      |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_chunks
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** One decoded media row. `width`/`height`/`duration_ms` come from the
+    * STUB decoder below. */
+  case class DecodedMedia(doc_id: Long, width: Int, height: Int,
+    duration_ms: Long, n_frames: Int, ok: Boolean)
+
+  /** STUB DECODER — the real implementation would hand `payload` to an
+    * image/audio library (not present in this container). Deterministic
+    * fake: dimensions derived from the first payload bytes. The signature
+    * (byte-array batch in, typed row out) is what a real decoder needs. */
+  private def decodeStub(docId: Long, payload: Array[Byte]): DecodedMedia = {
+    if (payload.isEmpty) DecodedMedia(docId, 0, 0, 0L, 0, ok = false)
+    else {
+      val w = 64 + (payload(0) & 0x3f)
+      val h = 64 + (payload(payload.length / 2) & 0x3f)
+      DecodedMedia(docId, w, h, payload.length.toLong * 10, payload.length / 100 + 1, ok = true)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Batch decode stage: binary column -> mapPartitions -> typed Dataset.
+  // Partition-preserving (no shuffle); each task decodes its partition's
+  // payloads in one pass — the Spark-native shape for per-row native-lib
+  // work (amortizes per-batch setup, keeps memory bounded per task).
+  // No SQL oracle (the stub is not SQL-expressible) -> rows-only check.
+  // ------------------------------------------------------------------
+  def decodeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (binaryMeta _),
+    "mm_decode_stub" -> (decodeBatch _))
+
+  def oracles: Map[String, String] = Map(
+    "mm_binary_meta" -> binaryMetaSql)
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** [EXT] L4x text analysis over the `documents` table (SURVEY.md §2.10):
+  * token statistics, quality scoring, heuristic language-ID, document
+  * fingerprinting. All pure built-in compositions (one whole-stage-codegen
+  * span over the scan; per-language profiles add one partial-agg exchange).
+  *
+  * Determinism: every ratio is a division of exact integer counts (IEEE
+  * double division of identical operands is bit-identical across engines);
+  * weighted score combinations are written with the same association order
+  * in the Spark and DuckDB expressions.
+  */
+object TextOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val toks = TextFns.tokens(col("text"))
+
+  // Stopword lists for the language-ID heuristic (tiny, deliberate).
+  private val stop = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "und", "die", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "es" -> Seq("el", "los", "y", "es", "un"))
+
+  private def hits(lang: String): Column = {
+    val list = stop(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t IN ($list)))")
+  }
+  private def hitsSql(lang: String): String = {
+    val list = stop(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($list)))"
+  }
+
+  // ------------------------------------------------------------------
+  // Token statistics per document.
+  // ------------------------------------------------------------------
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      length(col("text")).as("n_chars_real"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(toks))
+        .as("avg_word_len"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+      |  len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS n_uniq_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars_real,
+      |  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+      |    / len(string_split_regex(lower(trim(text)), '\s+')) AS ttr,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |    / len(string_split_regex(lower(trim(text)), '\s+')) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Per-language corpus profile (grouped aggregation over derived stats).
+  // ------------------------------------------------------------------
+  def langProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), size(toks).as("n_tokens"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  val langProfileSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Quality scoring: length/punctuation/stopword/uppercase signals folded
+  // into one score, plus an accept/reject gate — the classic pretraining
+  // corpus filter shape.
+  // ------------------------------------------------------------------
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[.!?,;]"), lit(0))).cast("double") / length(col("text"))
+    val stopRatio = hits("en").cast("double") / size(toks)
+    val upperRatio = size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0))).cast("double") / length(col("text"))
+    val score = (stopRatio * 0.4) + ((lit(1.0) - punct) * 0.3) +
+      (when(nTok >= 20 && nTok <= 1000, lit(0.3)).otherwise(lit(0.0)))
+    docs(s, dir).select(
+      col("doc_id"), size(toks).as("n_tokens"),
+      punct.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      upperRatio.as("upper_ratio"), score.as("quality_score"),
+      (score >= 0.35).as("accepted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String = {
+    val nTokS = "len(string_split_regex(lower(trim(text)), '\\s+'))"
+    val punctS = s"CAST(len(regexp_extract_all(text, '[.!?,;]')) AS DOUBLE) / length(text)"
+    val stopS = s"CAST(${hitsSql("en")} AS DOUBLE) / $nTokS"
+    val upperS = s"CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text)"
+    val scoreS = s"(($stopS) * 0.4) + ((1.0 - ($punctS)) * 0.3) + " +
+      s"(CASE WHEN CAST($nTokS AS DOUBLE) >= 20 AND CAST($nTokS AS DOUBLE) <= 1000 THEN 0.3 ELSE 0.0 END)"
+    s"""SELECT doc_id, $nTokS AS n_tokens,
+      |  $punctS AS punct_ratio, $stopS AS stopword_ratio,
+      |  $upperS AS upper_ratio, $scoreS AS quality_score,
+      |  ($scoreS) >= 0.35 AS accepted
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Heuristic language-ID: stopword-hit argmax with a deterministic
+  // tie-break chain (en > de > fr > es > unknown). The fixture text is
+  // synthetic word salad, so most rows land in 'unknown' — the point is the
+  // operator, not the classifier.
+  // ------------------------------------------------------------------
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val en = hits("en"); val de = hits("de"); val fr = hits("fr"); val es = hits("es")
+    val pred = when(en + de + fr + es === 0, lit("unknown"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+    docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
+      pred.as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val (en, de, fr, es) = (hitsSql("en"), hitsSql("de"), hitsSql("fr"), hitsSql("es"))
+    s"""SELECT doc_id, lang AS labeled_lang,
+      |  $en AS en_hits, $de AS de_hits, $fr AS fr_hits, $es AS es_hits,
+      |  CASE WHEN $en + $de + $fr + $es = 0 THEN 'unknown'
+      |       WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+      |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+      |       WHEN $fr >= $es THEN 'fr'
+      |       ELSE 'es' END AS predicted_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Document fingerprinting: normalized-content md5 (the exact-dedup key)
+  // plus the duplicate-group size via a count window over the fingerprint.
+  // Scale: one exchange on the fingerprint — this IS exact content dedup at
+  // 100 TB (hash-partition by fingerprint, keep min doc_id per group).
+  // ------------------------------------------------------------------
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = md5(lower(trim(col("text"))).cast("binary"))
+    val w = Window.partitionBy(col("fp"))
+    docs(s, dir).select(col("doc_id"), fp.as("fp"))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("keeper", min(col("doc_id")).over(w) === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id, fp, dup_count, keeper FROM (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp,
+      |    count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS dup_count,
+      |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) = doc_id AS keeper
+      |  FROM documents) ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_token_stats" -> (tokenStats _),
+    "docs_lang_profile" -> (langProfile _),
+    "docs_quality" -> (quality _),
+    "docs_langid" -> (langId _),
+    "docs_fingerprint" -> (fingerprint _))
+
+  def oracles: Map[String, String] = Map(
+    "docs_token_stats" -> tokenStatsSql,
+    "docs_lang_profile" -> langProfileSql,
+    "docs_quality" -> qualitySql,
+    "docs_langid" -> langIdSql,
+    "docs_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** [EXT] Similarity search over `embeddings` (SURVEY.md §2.10 L3x).
+  *
+  * Two tiers, as a 100 TB engine needs both:
+  *  - Brute-force cosine top-K: the exact baseline. The query set is tiny
+  *    and BROADCAST; the corpus streams once per partition and the top-K is
+  *    taken with a rank window — no corpus shuffle of vectors, only the
+  *    K survivors move.
+  *  - IVF-style ANN: coarse quantizer = per-label centroids (computed with
+  *    exact integer arithmetic so the oracle matches), probe the 2 nearest
+  *    cells, exact-search only inside them. At scale the cell id is the
+  *    partition key: probing turns a full scan into reading ~2/N of data.
+  */
+object VectorOps extends QueryModule {
+
+  private val NQUERY = 5 // query vectors = vec_id < 5
+  private val TOPK = 10
+  private val PROBES = 2
+  private val IVFK = 5
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ------------------------------------------------------------------
+  // Brute-force exact cosine top-K.
+  // ------------------------------------------------------------------
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir).filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val d = emb(s, dir).select(col("vec_id").as("did"), col("embedding").as("de"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
+    d.join(broadcast(q), col("did") =!= col("qid"))
+      .select(col("qid"), col("did"),
+        VectorFns.cosine(col("qe"), col("de")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank"), col("did"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < $NQUERY),
+      |d AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |scored AS (
+      |  SELECT qid, did,
+      |    list_dot_product(qe, de) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(de, de))) AS cos
+      |  FROM d JOIN q ON did <> qid)
+      |SELECT qid, rank, did, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
+      |  FROM scored)
+      |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // IVF-style ANN: label = coarse cell; centroid per cell via exact
+  // integer micro-unit sums; probe the PROBES best cells by dot product;
+  // exact cosine only within probed cells.
+  // ------------------------------------------------------------------
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // exact centroid: sum of round(v * 1e6) per (label, pos), then /n
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("csum"), count(lit(1)).as("n"))
+      .withColumn("cv", col("csum").cast("double") / col("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("ce"))
+    val q = e.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
+    val probes = centroids.join(broadcast(q), lit(true))
+      .select(col("qid"), col("label"),
+        VectorFns.dot(col("qe"), col("ce")).as("score"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= PROBES)
+      .select(col("qid").as("pqid"), col("label").as("plabel"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
+    e.select(col("vec_id").as("did"), col("label"), col("embedding").as("de"))
+      .join(broadcast(probes), col("label") === col("plabel"))
+      .join(broadcast(q), col("qid") === col("pqid") && col("did") =!= col("qid"))
+      .select(col("qid"), col("did"), col("label"),
+        VectorFns.cosine(col("qe"), col("de")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= IVFK)
+      .select(col("qid"), col("rank"), col("did"), col("label"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |cent AS (
+      |  SELECT label, list(cv ORDER BY pos) AS ce FROM (
+      |    SELECT label, pos, CAST(SUM(sv) AS DOUBLE) / COUNT(*) AS cv FROM (
+      |      SELECT label, g.i AS pos, CAST(round(de[g.i] * 1e6) AS BIGINT) AS sv
+      |      FROM e CROSS JOIN range(1, 65) g(i))
+      |    GROUP BY label, pos)
+      |  GROUP BY label),
+      |q AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < $NQUERY),
+      |probes AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY list_dot_product(qe, ce) DESC, label) AS pr
+      |    FROM cent CROSS JOIN q)
+      |  WHERE pr <= $PROBES),
+      |scored AS (
+      |  SELECT q.qid AS qid, vec_id AS did, e.label,
+      |    list_dot_product(qe, de) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(de, de))) AS cos
+      |  FROM e JOIN probes ON e.label = probes.label
+      |  JOIN q ON probes.qid = q.qid AND e.vec_id <> q.qid)
+      |SELECT qid, rank, did, label, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
+      |  FROM scored)
+      |WHERE rank <= $IVFK ORDER BY qid, rank""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cosine_topk" -> (cosineTopK _),
+    "emb_ann_ivf" -> (annIvf _))
+
+  def oracles: Map[String, String] = Map(
+    "emb_cosine_topk" -> cosineTopKSql,
+    "emb_ann_ivf" -> annIvfSql)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, Multimodal, TextOps, VectorOps}
+
+/** Invariants for the [EXT] LLM-data-pipeline operators (SURVEY.md §2.10). */
+class LlmOpsSpec extends SparkTestBase {
+
+  test("token stats: uniq <= total, ratios in (0,1]") {
+    val bad = TextOps.tokenStats(spark, sfDir)
+      .filter(col("n_uniq_tokens") > col("n_tokens") ||
+        col("ttr") <= 0 || col("ttr") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("quality: score bounded and accepted iff score >= threshold") {
+    val bad = TextOps.quality(spark, sfDir)
+      .filter(col("quality_score") < 0 || col("quality_score") > 1.0 ||
+        (col("accepted") =!= (col("quality_score") >= 0.35))).count()
+    assert(bad == 0)
+  }
+
+  test("langid predictions stay in the closed label set") {
+    val preds = TextOps.langId(spark, sfDir).select("predicted_lang")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es", "unknown")))
+  }
+
+  test("fingerprint: exactly one keeper per fingerprint group") {
+    val bad = TextOps.fingerprint(spark, sfDir)
+      .groupBy("fp").agg(sum(when(col("keeper"), 1).otherwise(0)).as("keepers"))
+      .filter(col("keepers") =!= 1).count()
+    assert(bad == 0)
+  }
+
+  test("minhash pairs: estimates in [0,1], d1 < d2") {
+    val df = DedupOps.minhashPairs(spark, sfDir).cache()
+    assert(df.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() == 0)
+    assert(df.filter(col("d1") >= col("d2")).count() == 0)
+  }
+
+  test("ngram jaccard: bounds and shared <= min set size") {
+    val df = DedupOps.ngramJaccard(spark, sfDir)
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("simhash: 16-bit range, one row per doc") {
+    val df = DedupOps.simhash(spark, sfDir).cache()
+    assert(df.filter(col("simhash") < 0 || col("simhash") > 65535).count() == 0)
+    assert(df.count() == graft.sources.Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("cosine top-k: 10 ranked neighbors per query, cos in [-1,1], descending") {
+    val rows = VectorOps.cosineTopK(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 10))
+      val coss = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(coss.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(coss.sliding(2).forall { case Array(a, b) => a >= b })
+    }
+  }
+
+  test("IVF ANN: results come only from probed cells; ranks contiguous") {
+    val rows = VectorOps.annIvf(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+      assert(rs.map(_.getAs[Int]("label")).distinct.length <= 2)
+    }
+  }
+
+  test("decode stub: every doc decoded with plausible dimensions") {
+    val df = Multimodal.decodeBatch(spark, sfDir).cache()
+    assert(df.count() == graft.sources.Tables.load(spark, sfDir, "documents").count())
+    assert(df.filter(!col("ok") || col("width") < 64 || col("width") > 127).count() == 0)
+  }
+}
