@@ -15,7 +15,8 @@ object SparkEntry {
     Flagship.pipeline(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[QueryModule] = Seq(
-    ReferenceOps, Relational, TextOps, DedupOps, VectorOps, Multimodal)
+    ReferenceOps, Relational, TextOps, DedupOps, VectorOps, Multimodal,
+    StreamShapes)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Event-time window shapes (SURVEY.md §2.10 ST1/ST2) run in BATCH
+  * mode over `events` — the same `window`/`session_window` expressions the
+  * streaming slice uses (graft.streaming.Streams), oracle-checked against
+  * gaps-and-islands / time_bucket SQL. Batch-vs-stream equivalence is
+  * asserted in StreamingSpec; here the driver gets the DuckDB hash check.
+  *
+  * Scale: window() is a generated grouping column — aggregation cost is the
+  * same one-exchange hash agg as any groupBy; session_window uses the
+  * sort-merge session assignment per user partition.
+  */
+object StreamShapes extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ST1: tumbling 1-hour windows per event type.
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val tumblingSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
+
+  // ST1 (sliding): 1-hour windows sliding every 30 minutes.
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val slidingSql: String =
+    """SELECT window_start, event_type, COUNT(*) AS n FROM (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+      |    event_type
+      |  FROM events CROSS JOIN range(0, 2) t(k))
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ST2: session windows with a 5-minute gap, per user.
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL '5 minutes' AS session_end,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+      |FROM islands GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> (tumbling _),
+    "events_sliding" -> (sliding _),
+    "events_session" -> (sessions _))
+
+  def oracles: Map[String, String] = Map(
+    "events_tumbling" -> tumblingSql,
+    "events_sliding" -> slidingSql,
+    "events_session" -> sessionsSql)
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Tables
+
+/** [EXT] Structured Streaming slice (SURVEY.md §2.9, §2.10 ST1-ST4).
+  *
+  * The reference's poll-until-done + 30s pacing loop (trading212.py:95,
+  * 103-111) is micro-batch-with-trigger semantics; here the `events` table
+  * replays as a file-source stream and the transforms are the streaming
+  * counterparts of the batch window queries in
+  * [[graft.operators.StreamShapes]] (same SQL surface, batch-verifiable).
+  *
+  * Scale notes: watermarks bound state; tumbling/session aggregation state
+  * is per (window x key) and evicted past the watermark; dropDuplicates
+  * keyed state is bounded by the watermark horizon. mapGroupsWithState
+  * keeps one counter per user — the 100 TB-safe shape for per-entity state.
+  */
+object Streams {
+
+  /** File-source stream over a directory of parquet chunks with the events
+    * schema (microsecond timestamps — see Tables.load notes on ns data). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Tables.events).parquet(dir)
+
+  /** ST1: tumbling 1-hour window aggregate with a 2-hour watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** ST3: watermarked exactly-once dedup on the event key. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** ST4: arbitrary stateful op — running event count + running value sum
+    * per user via mapGroupsWithState (update mode). */
+  case class UserState(n: Long, totalCents: Long)
+  case class UserSnapshot(user_id: Long, n: Long, total_cents: Long)
+
+  def runningUserState(events: DataFrame): Dataset[UserSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          val (dn, dc) = rows.foldLeft((0L, 0L)) { case ((n, c), (_, v)) =>
+            (n + 1, c + math.round(v * 100))
+          }
+          val next = UserState(prev.n + dn, prev.totalCents + dc)
+          state.update(next)
+          UserSnapshot(user, next.n, next.totalCents)
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion over a static input dir and
+    * return the final result (memory sink, AvailableNow-style semantics). */
+  def runToCompletion(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** ST1-ST4 (SURVEY.md §2.9): replay the events table as a file-source
+  * stream, drive to completion, and assert equivalence with the batch
+  * window queries over the same closed input. */
+class StreamingSpec extends SparkTestBase {
+
+  /** Events re-materialized as standard µs-timestamp parquet chunks (the
+    * fixture file is ns-typed, which the streaming schema reader can't
+    * declare) — split into 3 files to exercise multi-batch file discovery. */
+  lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("events-stream").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("ST1: streaming tumbling agg == batch tumbling agg on closed input") {
+    val streamed = Streams.runToCompletion(
+      Streams.tumblingAgg(Streams.eventsStream(spark, streamDir)),
+      "tumbling_out", OutputMode.Append())
+    val batch = graft.operators.StreamShapes.tumbling(spark, sfDir)
+    // watermark append-mode emits only finalized windows; on a closed input
+    // every window except those near the max event time is final
+    val sCount = streamed.count()
+    val bCount = batch.count()
+    assert(sCount > 0 && sCount <= bCount)
+    val joined = streamed.alias("s").join(batch.alias("b"),
+      col("s.window_start") === col("b.window_start") &&
+        col("s.event_type") === col("b.event_type"))
+    assert(joined.filter(col("s.n") =!= col("b.n")).count() == 0)
+    assert(joined.count() == sCount)
+  }
+
+  test("ST3: watermarked dropDuplicates removes a replayed chunk exactly once") {
+    // replay: copy one chunk file so the stream sees duplicate event_ids
+    val dir = Files.createTempDirectory("events-dup").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.write.mode("overwrite").parquet(dir)
+    ev.limit(100).write.mode("append").parquet(dir)
+    val streamed = Streams.runToCompletion(
+      Streams.dedupStream(spark.readStream.schema(Tables.events).parquet(dir))
+        .groupBy().count(),
+      "dedup_out", OutputMode.Complete())
+    assert(streamed.head().getLong(0) == ev.count())
+  }
+
+  test("ST4: mapGroupsWithState final per-user counts match batch groupBy") {
+    val streamed = Streams.runToCompletion(
+      Streams.runningUserState(Streams.eventsStream(spark, streamDir)).toDF(),
+      "state_out", OutputMode.Update())
+    // update mode re-emits snapshots per batch; the LAST snapshot per user
+    // must equal the batch aggregate
+    val finalSnap = streamed.groupBy("user_id")
+      .agg(max(col("n")).as("n"), max(col("total_cents")).as("total_cents"))
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("bn"),
+        sum(expr("cast(round(value * 100) as long)")).as("bc"))
+    val bad = finalSnap.join(batch, "user_id")
+      .filter(col("n") =!= col("bn") || col("total_cents") =!= col("bc"))
+    assert(bad.count() == 0)
+    assert(finalSnap.count() == batch.count())
+  }
+
+  test("ST2: batch session windows respect the 5-minute gap invariant") {
+    val sess = graft.operators.StreamShapes.sessions(spark, sfDir).cache()
+    // session_end = last event + gap; within a user, sessions don't overlap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val overlaps = sess
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
+      .count()
+    assert(overlaps == 0)
+  }
+}
