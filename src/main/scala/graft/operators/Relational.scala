@@ -477,9 +477,33 @@ object Relational extends QueryModule {
       |  strftime(o_orderdate, '%Y-%m') AS ym
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // UD1: custom typed Aggregator (graft.functions.VwapAggregator) —
+  // volume-weighted average price per return flag. Exact integer-cents
+  // accumulation makes the result merge-order-independent (see Aggregator
+  // scaladoc); the oracle reproduces it with integer SQL arithmetic.
+  // ------------------------------------------------------------------
+  def weightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val vwap = udaf(graft.functions.VwapAggregator)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(vwap(col("l_extendedprice"), col("l_quantity")).as("vwap"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val weightedAvgSql: String =
+    """SELECT l_returnflag,
+      |  (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |            * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0)
+      |    / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS vwap,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_avg" -> (weightedAvg _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
     "q5_star_join" -> (q5StarJoin _),
@@ -499,6 +523,7 @@ object Relational extends QueryModule {
     "scalar_dates" -> (scalarDates _))
 
   def oracles: Map[String, String] = Map(
+    "agg_weighted_avg" -> weightedAvgSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,
     "q5_star_join" -> q5StarJoinSql,

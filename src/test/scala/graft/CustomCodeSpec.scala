@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFns, VwapAggregator}
+import graft.operators.{Relational, VectorOps}
+
+/** The custom-code surface: VwapAggregator (UD1) and the codegen'd
+  * CosineSimilarity expression (graft.plans). */
+class CustomCodeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("VwapAggregator: exact on a hand-computed group") {
+    // (price, qty): vwap = (10.50*2 + 20.00*3) / 5 = 81.0 / 5 = 16.2
+    val df = Seq(("a", 10.50, 2.0), ("a", 20.00, 3.0), ("b", 5.00, 1.0))
+      .toDF("g", "p", "q")
+    val vwap = udaf(VwapAggregator)
+    val out = df.groupBy("g").agg(vwap($"p", $"q").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 16.2)
+    assert(out("b") == 5.0)
+  }
+
+  test("VwapAggregator: result is bit-identical regardless of partitioning/merge order") {
+    val vwap = udaf(VwapAggregator)
+    def run(parts: Int): Map[Long, Double] = {
+      graft.sources.Tables.load(spark, sfDir, "lineitem")
+        .repartition(parts)
+        .groupBy((col("l_orderkey") % 7).as("g"))
+        .agg(vwap(col("l_extendedprice"), col("l_quantity")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val single = run(1)
+    val many = run(16)
+    assert(single.keySet == many.keySet)
+    // exact integer accumulation => merge order cannot change a single bit
+    assert(single.forall { case (k, v) => many(k) == v })
+  }
+
+  test("cosine_fast expression matches the HOF composition bit-for-bit") {
+    val mismatches = VectorOps.cosineTopKFast(spark, sfDir).as("f")
+      .join(VectorOps.cosineTopK(spark, sfDir).as("h"),
+        col("f.qid") === col("h.qid") && col("f.rank") === col("h.rank"))
+      .filter(col("f.did") =!= col("h.did") || col("f.cos") =!= col("h.cos"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("cosine_fast agrees with VectorFns.cosine on raw pairs and stays in codegen") {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(50)
+    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .filter(col("i") < col("j"))
+    val diff = pairs
+      .select(expr("cosine_fast(a, b)").as("fast"), VectorFns.cosine(col("a"), col("b")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+    // the expression must not fall out of whole-stage codegen (inspect the
+    // AQE-final executed plan, i.e. after an action has run)
+    val scored = pairs.select(expr("cosine_fast(a, b)").as("c"))
+    scored.collect()
+    // the `*(n)` prefix on Project marks a WholeStageCodegen stage
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l => l.contains("*(") && l.contains("cosinesimilarity")))
+  }
+}
