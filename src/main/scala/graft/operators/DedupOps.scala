@@ -23,9 +23,10 @@ object DedupOps extends QueryModule {
   private val K = 12       // minhash signature length
   private val BANDROWS = 3 // rows per LSH band -> 4 bands
 
-  /** (doc_id, shingle) distinct pairs. */
+  /** (doc_id, shingle) distinct pairs. loadParallel: shingling + md5
+    * signatures are the heavy narrow stage (see Tables.loadParallel). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.shingles(TextFns.tokens(col("text")))).as("shingle"))
 
   /** (doc_id, k, mh): the K-row minhash signature per document. */
@@ -125,11 +126,13 @@ object DedupOps extends QueryModule {
   // patterns; at scale the fingerprint is the dedup/block key.
   // ------------------------------------------------------------------
   def simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("tok"), explode(sequence(lit(0), lit(15))).as("b"))
+      // compute the token md5 ONCE, then fan out to the 16 bit positions
+      .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
       .withColumn("contrib",
-        when(pmod(ascii(md5(col("tok").cast("binary")).substr(col("b") + 1, lit(1))), lit(2)) === 1, 1)
+        when(pmod(ascii(col("h").substr(col("b") + 1, lit(1))), lit(2)) === 1, 1)
           .otherwise(-1))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("contrib")).as("v"))

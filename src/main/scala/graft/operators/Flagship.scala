@@ -44,7 +44,9 @@ object Flagship {
     * whole-cell-only replace, case-sensitivity, trim.
     */
   def rawTransactions(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.load(spark, sfDir, "lineitem")
+    // loadParallel: the string-normalization chain below is the expensive
+    // narrow stage; spread it across all threads (see Tables.loadParallel).
+    val li = Tables.loadParallel(spark, sfDir, "lineitem")
     val actionCase = pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(6))
     li.select(
       date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("Time"),
@@ -75,8 +77,14 @@ object Flagship {
     * overlapping 365-day window (U1, trading212.py:110 — the reference's
     * chunk loop re-ingests overlapping exports) — D1 must collapse it. */
   def chunkedFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    // One scan, not two: rows in the re-downloaded window are emitted twice
+    // via explode (multiset-identical to the union-of-filtered-base form).
     val base = rawTransactions(spark, sfDir)
-    base.unionAll(base.filter(substring(col("Time"), 1, 4) === "1996"))
+    base
+      .withColumn("__copies",
+        explode(when(substring(col("Time"), 1, 4) === "1996", array(lit(1), lit(2)))
+          .otherwise(array(lit(1)))))
+      .drop("__copies")
   }
 
   /** The manual-sheet side table (S5, trading212.py:122-125): a column
@@ -99,13 +107,24 @@ object Flagship {
   /** Full flagship pipeline. `accountId` threads the INTENT of the
     * reference's Account ID stamp (trading212.py:109 assigns the literal
     * string "get_acc_info()" — a bug; we implement the intended id). */
+  /** Raw Action values whose P1-P3 normalization lands in {Buy, Sell}.
+    * F2 (the Buy/Sell filter) is rewritten onto this raw domain: since
+    * normalization is a pure function, filter(normalize(a) IN (Buy,Sell))
+    * == filter(a IN survivingRawActions). The rewrite matters at scale:
+    * expressed on the normalized column, Catalyst substitutes the whole
+    * regex/trim/case chain into the pushed-down scan predicate and evaluates
+    * it per input row; expressed on the raw value it pushes down as a cheap
+    * IN-list and normalization runs ONCE per surviving row. FlagshipSpec
+    * asserts the two filters are equivalent over the raw domain. */
+  val survivingRawActions: Seq[String] = Seq("Market buy", "Limit sell", "Stop buy", " sell ")
+
   def pipeline(spark: SparkSession, sfDir: String, accountId: String = "ACC-EQ-1"): DataFrame = {
     val normalized = chunkedFeed(spark, sfDir)
+      .filter(col("Action").isin(survivingRawActions: _*))                      // F2 (raw-domain form)
       .withColumn("Action", StringFns.normalizeAction(col("Action")))           // P1,P2,P3
       .withColumn("Transaction Date", substring(col("Time"), 1, 10))            // P4
       .withColumn("Stock Split Ratio", lit(0))                                  // P5
       .withColumn("Account ID", lit(accountId))                                 // P6 (intent)
-      .filter(col("Action").isin("Buy", "Sell"))                                // F2
       .dropDuplicates()                                                         // D1
 
     val manual = manualData(spark, sfDir)

@@ -77,6 +77,22 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
+  /** Load + spread a fixture table across the executor threads.
+    *
+    * The driver-shipped fixtures are SINGLE-ROW-GROUP parquet files, which
+    * caps scan parallelism at 1 task no matter how
+    * spark.sql.files.maxPartitionBytes is set — so any compute-heavy narrow
+    * chain (regex normalization, md5 signatures, per-row hashing) would run
+    * single-threaded. This loader round-robins the rows across
+    * defaultParallelism partitions right after the scan. On a production
+    * many-file/many-row-group layout the scan parallelizes naturally and
+    * this exchange is a cheap rebalance of already-distributed data; use
+    * plain `load` for queries whose first operation is itself a shuffle
+    * (aggregate/join on a key), where the extra exchange buys nothing.
+    */
+  def loadParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    load(spark, sfDir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** Load a fixture table. Fails fast if a declared column is missing.
     *
     * `events.ts` is physically Parquet TIMESTAMP(NANOS), which Spark 4

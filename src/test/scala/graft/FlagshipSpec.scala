@@ -40,4 +40,21 @@ class FlagshipSpec extends SparkTestBase {
   test("dedup is idempotent: running D1 twice changes nothing") {
     assert(out.dropDuplicates().count() == out.count())
   }
+
+  test("F2 raw-domain rewrite is equivalent to filtering on the normalized value") {
+    import spark.implicits._
+    import graft.functions.StringFns
+    // over the full raw action domain the two filter forms must agree
+    val rawDomain = Seq("Market buy", "Limit sell", "Stop buy",
+      "Dividend (Ordinary)", " sell ", "  LIMIT SELL ")
+    val checked = rawDomain.toDF("a")
+      .select($"a", StringFns.normalizeAction($"a").as("n"))
+      .collect()
+    checked.foreach { r =>
+      val rawKept = Flagship.survivingRawActions.contains(r.getString(0))
+      val normKept = Set("Buy", "Sell").contains(r.getString(1))
+      assert(rawKept == normKept,
+        s"'${r.getString(0)}' -> '${r.getString(1)}': raw=$rawKept norm=$normKept")
+    }
+  }
 }
