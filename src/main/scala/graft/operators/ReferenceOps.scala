@@ -153,8 +153,25 @@ object ReferenceOps extends QueryModule {
       |  FROM events) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // S2: JSON scan + flatten (pd.json_normalize, trading212.py:59) — parse
+  // with an explicit schema via from_json, then flatten the struct with
+  // a .* projection (dot-path flattening, the Spark-native json_normalize).
+  // ------------------------------------------------------------------
+  def jsonFlatten(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      .select(col("event_id"), col("p.*"))
+      .orderBy("event_id")
+
+  val jsonFlattenSql: String =
+    """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ref_flagship" -> ((s, dir) => Flagship.pipeline(s, dir)),
+    "ref_json_flatten" -> (jsonFlatten _),
     "ref_window_gen" -> (windowGen _),
     "ref_json_construct" -> (jsonConstruct _),
     "ref_json_extract" -> (jsonExtract _),
@@ -164,6 +181,7 @@ object ReferenceOps extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ref_flagship" -> Flagship.oracleSql,
+    "ref_json_flatten" -> jsonFlattenSql,
     "ref_window_gen" -> windowGenSql,
     "ref_json_construct" -> jsonConstructSql,
     "ref_json_extract" -> jsonExtractSql,

@@ -500,6 +500,124 @@ object Relational extends QueryModule {
       |  COUNT(*) AS n_lines
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------------
+  // A4 (cube): full cube over region x market segment with an explicit
+  // grouping-id (grouping(a)*2 + grouping(b) — identical convention on
+  // both engines). Same single Expand + hash agg execution as rollup.
+  // ------------------------------------------------------------------
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg((grouping(col("r_name")) * 2 + grouping(col("c_mktsegment"))).as("gid"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  val aggCubeSql: String =
+    """SELECT r_name, c_mktsegment,
+      |  CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS INTEGER) AS gid,
+      |  COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, c_mktsegment)
+      |ORDER BY gid, r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
+  // W2 (range frame): 30-day trailing spend per customer — a VALUE-based
+  // window frame (RANGE + interval), not a row count; tied order dates
+  // share one frame, so the result is deterministic under ties.
+  // ------------------------------------------------------------------
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        expr("""cast(sum(cast(o_totalprice as decimal(12,2))) over (
+          |  partition by o_custkey order by o_orderdate
+          |  range between interval 30 days preceding and current row)
+          |as decimal(38,2))""".stripMargin).as("spend_30d"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+
+  val windowRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS spend_30d
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Pivot: order counts per priority pivoted by status — Spark's
+  // RelationalGroupedDataset.pivot with EXPLICIT values (never inferred:
+  // value inference costs an extra distinct scan and breaks determinism).
+  // ------------------------------------------------------------------
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val aggPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SET1 (ALL variants): multiset intersect/except on order-status keys.
+  // ------------------------------------------------------------------
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val p = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("k"))
+    f.intersectAll(p).withColumn("op", lit("intersect_all"))
+      .unionAll(f.exceptAll(p).withColumn("op", lit("except_all")))
+      .select(col("op"), col("k"))
+      .orderBy(col("op"), col("k"))
+  }
+
+  val setOpsAllSql: String =
+    """SELECT 'intersect_all' AS op, k FROM (
+      |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |UNION ALL
+      |SELECT 'except_all', k FROM (
+      |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY op, k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // UD1 (scalar UDF): price bucketing via a Scala closure UDF — included
+  // for API-surface completeness ONLY. A UDF is opaque to Catalyst (no
+  // pushdown through it, no codegen fusion); the same logic as when/
+  // otherwise (cf. P2) is strictly better — which is why every other
+  // operator in this engine avoids UDFs.
+  // ------------------------------------------------------------------
+  def udfScalar(s: SparkSession, dir: String): DataFrame = {
+    val bucket = udf((price: Double) =>
+      if (price < 50000) "low" else if (price < 200000) "mid" else "high")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), bucket(col("o_totalprice")).as("bucket"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val udfScalarSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 50000 THEN 'low'
+      |       WHEN o_totalprice < 200000 THEN 'mid'
+      |       ELSE 'high' END AS bucket
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -515,6 +633,11 @@ object Relational extends QueryModule {
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_pivot" -> (aggPivot _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "set_ops_all" -> (setOpsAll _),
+    "udf_scalar" -> (udfScalar _),
     "window_rank" -> (windowRank _),
     "window_running" -> (windowRunning _),
     "topk_per_group" -> (topKPerGroup _),
@@ -534,6 +657,11 @@ object Relational extends QueryModule {
     "join_asof" -> joinAsOfSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
+    "agg_pivot" -> aggPivotSql,
+    "window_range_frame" -> windowRangeFrameSql,
+    "set_ops_all" -> setOpsAllSql,
+    "udf_scalar" -> udfScalarSql,
     "window_rank" -> windowRankSql,
     "window_running" -> windowRunningSql,
     "topk_per_group" -> topKPerGroupSql,

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Formats, Tables}
+
+/** Source/sink round-trips (SURVEY.md §2.1/§2.2): CSV and JSON with
+  * explicit schemas must be lossless; sheet reads are all-strings with
+  * header promotion; partitioned parquet layouts must prune. */
+class FormatsSpec extends SparkTestBase {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  lazy val events = Tables.load(spark, sfDir, "events").cache()
+
+  test("CSV round-trip with explicit schema is lossless (incl. microsecond ts)") {
+    val dir = tmp("csv-rt")
+    Formats.writeCsv(events, dir)
+    val back = Formats.readCsv(spark, dir, Tables.events)
+    assert(back.schema == events.schema)
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).count() == 0)
+    assert(events.exceptAll(back).count() == 0)
+  }
+
+  test("JSON round-trip with explicit schema is lossless") {
+    val dir = tmp("json-rt")
+    Formats.writeJson(events, dir)
+    val back = Formats.readJson(spark, dir, Tables.events)
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).count() == 0)
+  }
+
+  test("sheet reader: header promotion, all columns string") {
+    val dir = tmp("sheet")
+    Formats.writeCsv(events.limit(10), dir)
+    val sheet = Formats.readSheet(spark, dir)
+    assert(sheet.columns.toSeq == events.columns.toSeq)
+    assert(sheet.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(sheet.count() == 10)
+  }
+
+  test("partitioned sink: layout prunes partitions at read time") {
+    val dir = tmp("part")
+    Formats.writePartitioned(
+      events.withColumn("dt", to_date(col("ts")).cast("string")), dir, "dt")
+    val pruned = spark.read.parquet(dir).filter(col("dt") === "2024-01-05")
+    val expected = events.filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(pruned.count() == expected && expected > 0)
+    // the partition filter must appear in the scan, not as a post-filter
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(dt"))
+  }
+}
