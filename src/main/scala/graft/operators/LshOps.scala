@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** [EXT] MLlib-backed LSH variants (SURVEY.md §2.10 L2x/L3x): the library
+  * wiring counterpart to the portable-md5 MinHash in DedupOps and the exact
+  * IVF in VectorOps. Seeds are FIXED so results are reproducible run to run;
+  * there is no SQL oracle (MLlib's hash families are not reproducible in
+  * DuckDB), so the driver records the rows-only check — the cross-checks
+  * against the oracle-verified exact implementations live in LshSpec.
+  *
+  * Scale: both transformers are single-pass (hash signature per row), and
+  * approxSimilarityJoin explodes rows by hash table then equi-joins on
+  * (table, bucket) — same no-all-pairs property as the hand-rolled LSH.
+  */
+object LshOps extends QueryModule {
+
+  /** documents -> (doc_id, binary token-presence vector over a hashed
+    * vocabulary) for MinHash (which requires binary vectors). */
+  private def docVectors(s: SparkSession, dir: String): DataFrame = {
+    val dim = 1 << 12
+    val toVec = udf { (toks: Seq[String]) =>
+      val idx = toks.map(t => math.floorMod(t.hashCode, dim)).distinct.sorted.toArray
+      Vectors.sparse(dim, idx, Array.fill(idx.length)(1.0))
+    }
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), TextFns.shingles(TextFns.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), toVec(col("sh")).as("features"))
+  }
+
+  /** L2x: MinHashLSH near-dup candidate pairs (Jaccard distance <= 0.8). */
+  def minhashMl(s: SparkSession, dir: String): DataFrame = {
+    val docs = docVectors(s, dir).cache()
+    val model = new MinHashLSH()
+      .setNumHashTables(8).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(docs)
+    model.approxSimilarityJoin(docs, docs, 0.8, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
+        col("jaccard_dist"))
+      .filter(col("d1") < col("d2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** L3x: BucketedRandomProjectionLSH ANN — top-5 euclidean neighbors for
+    * each query vector (vec_id < 5) via approxSimilarityJoin + rank. */
+  def annBrpLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray): Vector)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toVec(col("embedding")).as("features")).cache()
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(e)
+    val q = e.filter(col("vec_id") < 5)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("did"))
+    model.approxSimilarityJoin(q, e, 100.0, "dist")
+      .select(col("datasetA.vec_id").as("qid"), col("datasetB.vec_id").as("did"), col("dist"))
+      .filter(col("qid") =!= col("did"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("did"), col("dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_ml" -> (minhashMl _),
+    "emb_ann_brp_lsh" -> (annBrpLsh _))
+
+  // No SQL oracles: MLlib hash families aren't reproducible in DuckDB.
+  def oracles: Map[String, String] = Map.empty
+}

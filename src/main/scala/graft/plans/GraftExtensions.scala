@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Production registration path for the engine's custom expressions
+  * (SURVEY.md §4.2): inject into every session built with
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * The runtime-registry fallback (GraftFunctions.ensureRegistered) covers
+  * sessions the engine doesn't construct — e.g. the driver's Verify/Bench
+  * harness sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_fast"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_fast"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

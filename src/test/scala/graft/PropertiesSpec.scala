@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.functions.StringFns
+
+/** Property-based checks (SURVEY.md §5.2.3): algebraic laws the operators
+  * must satisfy on arbitrary inputs, not just fixtures. Uses ScalaCheck
+  * generators with explicit sampling (the scalatest/scalacheck bridge
+  * artifact isn't on the offline classpath). */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("normalizeAction output is always trimmed and capitalize-shaped") {
+    val word = Gen.oneOf("Market buy", "Limit sell", "Stop buy",
+      "Dividend (Ordinary)", " sell ", "BUY", "", " ", "buy sell",
+      "Market Market buy", "stop Stop buy", "  LIMIT SELL ")
+    val ws = samples(word, 200)
+    val out = ws.toDF("a").select(StringFns.normalizeAction($"a").as("n"))
+      .collect().map(r => Option(r.getString(0)).getOrElse(""))
+    out.foreach { s =>
+      assert(s == s.trim, s"not trimmed: '$s'")
+      assert(s.drop(1).forall(!_.isUpper), s"upper beyond head: '$s'")
+    }
+  }
+
+  test("dedup is idempotent and partitioning-insensitive") {
+    (1 to 5).foreach { _ =>
+      val xs = samples(Gen.chooseNum(0, 9), 40)
+      val df = xs.toDF("x")
+      val d1 = df.dropDuplicates()
+      assert(d1.dropDuplicates().count() == d1.count())
+      assert(df.repartition(7).dropDuplicates().count() == d1.count())
+      assert(d1.count() == xs.distinct.length)
+    }
+  }
+
+  test("filter commutes with union: f(a union b) == f(a) union f(b)") {
+    (1 to 5).foreach { _ =>
+      val as = samples(Gen.chooseNum(0, 20), 15)
+      val bs = samples(Gen.chooseNum(0, 20), 15)
+      val a = as.toDF("x"); val b = bs.toDF("x")
+      val lhs = a.unionAll(b).filter($"x" % 2 === 0).collect().map(_.getInt(0)).sorted
+      val rhs = a.filter($"x" % 2 === 0).unionAll(b.filter($"x" % 2 === 0))
+        .collect().map(_.getInt(0)).sorted
+      assert(lhs.sameElements(rhs))
+    }
+  }
+
+  test("re-ingestion idempotence: dedup(x union x) == dedup(x)") {
+    (1 to 5).foreach { _ =>
+      val xs = samples(Gen.chooseNum(0, 999), 25)
+      val df = xs.toDF("x")
+      assert(df.unionAll(df).dropDuplicates().count() == df.dropDuplicates().count())
+    }
+  }
+
+  test("sort is stable under re-sorting: orderBy twice == orderBy once") {
+    (1 to 3).foreach { _ =>
+      val xs = samples(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)), 30)
+      val df = xs.toDF("k", "v")
+      val once = df.orderBy($"k", $"v").collect().toSeq
+      val twice = df.orderBy($"k", $"v").orderBy($"k", $"v").collect().toSeq
+      assert(once == twice)
+    }
+  }
+}
