@@ -169,8 +169,31 @@ object ReferenceOps extends QueryModule {
     """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // S1: CSV scan with explicit schema (pd.read_csv of the export download,
+  // trading212.py:108), made driver-checkable: a deterministic event slice
+  // is round-tripped through a headered CSV landing dir and read back with
+  // graft.sources.Formats — the oracle compares against the parquet
+  // original, so any reader/writer lossiness fails the hash.
+  // ------------------------------------------------------------------
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val landing = System.getProperty("java.io.tmpdir") + "/graft_csv_landing"
+    val slice = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 1000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    graft.sources.Formats.writeCsv(slice, landing)
+    graft.sources.Formats.readCsv(s, landing,
+      org.apache.spark.sql.types.StructType(Tables.events.filterNot(_.name == "props")))
+      .orderBy("event_id")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ref_flagship" -> ((s, dir) => Flagship.pipeline(s, dir)),
+    "ref_csv_roundtrip" -> (csvRoundtrip _),
     "ref_json_flatten" -> (jsonFlatten _),
     "ref_window_gen" -> (windowGen _),
     "ref_json_construct" -> (jsonConstruct _),
@@ -181,6 +204,7 @@ object ReferenceOps extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ref_flagship" -> Flagship.oracleSql,
+    "ref_csv_roundtrip" -> csvRoundtripSql,
     "ref_json_flatten" -> jsonFlattenSql,
     "ref_window_gen" -> windowGenSql,
     "ref_json_construct" -> jsonConstructSql,
