@@ -1,0 +1,38 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.DataFrame
+import graft.operators.Flagship
+
+/** End-to-end golden test (SURVEY.md §5.2.4): the flagship pipeline on the
+  * deterministic sf0.001 fixture must produce EXACTLY the pinned result —
+  * any change to normalization, filtering, dedup, union, typing, or
+  * ordering shows up as a hash change. (The DuckDB oracle gate proves
+  * cross-engine agreement; this pins cross-VERSION stability.) */
+class GoldenSpec extends SparkTestBase {
+
+  private def canonicalHash(df: DataFrame): (Long, String) = {
+    val cols = df.columns.sorted
+    val rows = df.selectExpr(cols.map(c => s"`$c`"): _*).collect().map { r =>
+      cols.indices.map { i =>
+        r.get(i) match {
+          case null => "␀"
+          case t: java.sql.Timestamp => (t.getTime * 1000 + t.getNanos / 1000 % 1000).toString
+          case d: java.math.BigDecimal => d.toPlainString
+          case v => v.toString
+        }
+      }.mkString("")
+    }.sorted
+    val md = MessageDigest.getInstance("MD5")
+    val h = md.digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (rows.length.toLong, h)
+  }
+
+  test("flagship pipeline on sf0.001 matches the pinned golden hash") {
+    val (n, h) = canonicalHash(Flagship.pipeline(spark, sfDir))
+    info(s"rows=$n hash=$h")
+    assert(n == 3996L)
+    assert(h == "fca718a2f75826f527ab2ebe62ca1f51")
+  }
+}
