@@ -70,6 +70,38 @@ class StreamingSpec extends SparkTestBase {
     assert(finalSnap.count() == batch.count())
   }
 
+  test("trigger wiring: AvailableNow drains the closed input and terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = Streams.tumblingAgg(Streams.eventsStream(spark, streamDir))
+      .writeStream.format("memory").queryName("avail_now_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(spark.table("avail_now_out").count() > 0)
+  }
+
+  test("K2 side-effect sink: foreachBatch collects notification ids to delete") {
+    // the reference DELETEs the newest notifications after ingest
+    // (clear_notfi, trading212.py:79-83); modeled as a foreachBatch side
+    // effect so the data plane stays declarative
+    val deleted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = Streams.dedupStream(Streams.eventsStream(spark, streamDir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.orderBy(col("ts").desc, col("event_id").desc).limit(8)
+          .select("event_id").collect().foreach(r => deleted.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(!deleted.isEmpty)
+    val valid = Tables.load(spark, sfDir, "events")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    deleted.forEach(id => assert(valid.contains(id)))
+  }
+
   test("ST2: batch session windows respect the 5-minute gap invariant") {
     val sess = graft.operators.StreamShapes.sessions(spark, sfDir).cache()
     // session_end = last event + gap; within a user, sessions don't overlap
