@@ -51,7 +51,7 @@ object DedupOps extends QueryModule {
   // similarity as the fraction of matching signature positions.
   // ------------------------------------------------------------------
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = signature(s, dir).cache()
+    val sig = signature(s, dir)
     val bands = sig
       .withColumn("b", floor(col("k") / BANDROWS))
       .groupBy(col("doc_id"), col("b"))
@@ -91,7 +91,7 @@ object DedupOps extends QueryModule {
   // Exact n-gram Jaccard on shingle-sharing candidate pairs.
   // ------------------------------------------------------------------
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir).cache()
+    val sh = shingleRows(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -35,12 +35,16 @@ object LshOps extends QueryModule {
 
   /** L2x: MinHashLSH near-dup candidate pairs (Jaccard distance <= 0.8). */
   def minhashMl(s: SparkSession, dir: String): DataFrame = {
-    val docs = docVectors(s, dir).cache()
+    // localCheckpoint (not cache): the self-join consumes docs three times
+    // (fit-side transform x2 + join); checkpoint materializes once and the
+    // blocks are freed by the context cleaner when the query's RDDs go out
+    // of scope — a cache() here would pin storage for the session lifetime.
+    val docs = docVectors(s, dir).localCheckpoint()
     val model = new MinHashLSH()
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(4).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
       .fit(docs)
-    model.approxSimilarityJoin(docs, docs, 0.8, "jaccard_dist")
+    model.approxSimilarityJoin(docs, docs, 0.6, "jaccard_dist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
         col("jaccard_dist"))
       .filter(col("d1") < col("d2"))
@@ -53,7 +57,8 @@ object LshOps extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray): Vector)
     val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), toVec(col("embedding")).as("features")).cache()
+      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+      .localCheckpoint()
     val model = new BucketedRandomProjectionLSH()
       .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
