@@ -597,6 +597,31 @@ object Relational extends QueryModule {
       |ORDER BY op, k""".stripMargin
 
   // ------------------------------------------------------------------
+  // A2 (order statistics): EXACT interpolated percentiles per segment —
+  // sort-based (deterministic operands), matching DuckDB quantile_cont.
+  // At scale exact percentile shuffles the group's values; the sketch-based
+  // alternative (approx_percentile, mergeable t-digest-like state) is the
+  // 100 TB default but has no cross-engine oracle.
+  // ------------------------------------------------------------------
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  val aggPercentileSql: String =
+    """SELECT c_mktsegment,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------
   // UD1 (scalar UDF): price bucketing via a Scala closure UDF — included
   // for API-surface completeness ONLY. A UDF is opaque to Catalyst (no
   // pushdown through it, no codegen fusion); the same logic as when/
@@ -635,6 +660,7 @@ object Relational extends QueryModule {
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_pivot" -> (aggPivot _),
+    "agg_percentile" -> (aggPercentile _),
     "window_range_frame" -> (windowRangeFrame _),
     "set_ops_all" -> (setOpsAll _),
     "udf_scalar" -> (udfScalar _),
@@ -659,6 +685,7 @@ object Relational extends QueryModule {
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,
     "agg_pivot" -> aggPivotSql,
+    "agg_percentile" -> aggPercentileSql,
     "window_range_frame" -> windowRangeFrameSql,
     "set_ops_all" -> setOpsAllSql,
     "udf_scalar" -> udfScalarSql,

@@ -40,6 +40,23 @@ class FormatsSpec extends SparkTestBase {
     assert(sheet.count() == 10)
   }
 
+  test("dynamic partition pruning: joining a filtered dim prunes fact partitions") {
+    val dir = tmp("dpp")
+    Formats.writePartitioned(
+      events.withColumn("dt", to_date(col("ts")).cast("string")), dir, "dt")
+    val fact = spark.read.parquet(dir)
+    // dim: one row per date, filtered to a single date at runtime
+    val dim = events.select(to_date(col("ts")).cast("string").as("dt")).distinct()
+      .withColumn("flag", col("dt") === "2024-01-07")
+    val joined = fact.join(dim.filter(col("flag")), Seq("dt"))
+    val expected = events.filter(to_date(col("ts")) === "2024-01-07").count()
+    assert(joined.count() == expected && expected > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning") ||
+      plan.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning in plan")
+  }
+
   test("partitioned sink: layout prunes partitions at read time") {
     val dir = tmp("part")
     Formats.writePartitioned(
