@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Flagship, ReferenceOps, Relational}
+
+/** Physical-plan shape guards: the properties that make these queries scale
+  * must be visible in the executed plan, so a regression (lost broadcast,
+  * lost partial top-K, un-eliminated sort) fails loudly here rather than
+  * silently costing an exchange at 100 TB. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5 star join broadcasts every dimension (no shuffle of lineitem for dims)") {
+    val plan = executedPlan(Relational.q5StarJoin(spark, sfDir))
+    val broadcasts = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q3 top-10 is a partial top-K (TakeOrdered), not a global sort") {
+    val plan = executedPlan(Relational.q3JoinTopK(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject")
+  }
+
+  test("limit-concat head-8 is a TakeOrdered, not a full sort") {
+    val plan = executedPlan(ReferenceOps.limitConcat(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship count eliminates the output sort (EliminateSorts)") {
+    val counted = Flagship.pipeline(spark, sfDir).groupBy().count()
+    val plan = executedPlan(counted)
+    assert(!plan.split("\n").exists(l => l.contains("Sort ") && !l.contains("SortAggregate")),
+      s"global sort survived under count():\n$plan")
+  }
+
+  test("as-of join is one window pass: exactly one exchange, no join operator") {
+    val plan = executedPlan(Relational.joinAsOf(spark, sfDir))
+    assert(!plan.contains("Join"), "as-of must not plan a join")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
+  }
+
+  test("dedup rewrites to hash aggregate (ReplaceDeduplicateWithAggregate)") {
+    val plan = executedPlan(Flagship.pipeline(spark, sfDir).groupBy().count())
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+    assert(!plan.contains("Deduplicate"))
+  }
+}
