@@ -62,6 +62,48 @@ object Streams {
       }
   }
 
+  /** ST4 (modern API): the same per-user running state as
+    * [[runningUserState]], on Spark 4's transformWithState — typed
+    * ValueState, explicit TimeMode/TTL, RocksDB-backed state store
+    * (required by the API; set the provider conf before starting):
+    *
+    * {{{
+    * spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    *   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    * }}}
+    */
+  class UserStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserSnapshot] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("userState", E.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserSnapshot] = {
+      val prev = Option(state.get()).getOrElse(UserState(0L, 0L))
+      val (dn, dc) = rows.foldLeft((0L, 0L)) { case ((n, c), (_, v)) =>
+        (n + 1, c + math.round(v * 100))
+      }
+      val next = UserState(prev.n + dn, prev.totalCents + dc)
+      state.update(next)
+      Iterator.single(UserSnapshot(user, next.n, next.totalCents))
+    }
+  }
+
+  def runningUserStateTws(events: DataFrame): Dataset[UserSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStateProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Drive a streaming DataFrame to completion over a static input dir and
     * return the final result (memory sink, AvailableNow-style semantics). */
   def runToCompletion(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {

@@ -102,6 +102,28 @@ class StreamingSpec extends SparkTestBase {
     deleted.forEach(id => assert(valid.contains(id)))
   }
 
+  test("ST4 (transformWithState): final per-user state matches batch groupBy") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = Streams.runToCompletion(
+        Streams.runningUserStateTws(Streams.eventsStream(spark, streamDir)).toDF(),
+        "tws_out", OutputMode.Update())
+      val finalSnap = streamed.groupBy("user_id")
+        .agg(max(col("n")).as("n"), max(col("total_cents")).as("total_cents"))
+      val batch = Tables.load(spark, sfDir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("bn"),
+          sum(expr("cast(round(value * 100) as long)")).as("bc"))
+      val bad = finalSnap.join(batch, "user_id")
+        .filter(col("n") =!= col("bn") || col("total_cents") =!= col("bc"))
+      assert(bad.count() == 0)
+      assert(finalSnap.count() == batch.count())
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("ST2: batch session windows respect the 5-minute gap invariant") {
     val sess = graft.operators.StreamShapes.sessions(spark, sfDir).cache()
     // session_end = last event + gap; within a user, sessions don't overlap
