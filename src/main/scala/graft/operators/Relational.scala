@@ -643,6 +643,52 @@ object Relational extends QueryModule {
       |       ELSE 'high' END AS bucket
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // X1 (map functions): construct a map column, read it back via
+  // map_keys / element_at. The oracle validates against the plain source
+  // columns, which checks Spark's map semantics against ground truth.
+  // ------------------------------------------------------------------
+  def scalarMaps(s: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("qty"), col("l_quantity"), lit("price"), col("l_extendedprice"))
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      array_join(map_keys(m), ",").as("keys"),
+      size(map_values(m)).as("n_vals"),
+      element_at(m, "qty").as("qty_val"),
+      element_at(m, "price").as("price_val"),
+      map_contains_key(m, "fee").as("has_fee"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("qty_val"))
+  }
+
+  val scalarMapsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  'qty,price' AS keys, 2 AS n_vals,
+      |  l_quantity AS qty_val, l_extendedprice AS price_val,
+      |  false AS has_fee
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, qty_val""".stripMargin
+
+  // ------------------------------------------------------------------
+  // A4 (grouping sets) through the SQL entry point: the engine's full SQL
+  // surface (spark.sql) with explicit GROUPING SETS.
+  // ------------------------------------------------------------------
+  def sqlGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT n_name, c_mktsegment, count(*) AS n
+        |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
+  val sqlGroupingSetsSql: String =
+    """SELECT n_name, c_mktsegment, count(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+      |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -669,7 +715,9 @@ object Relational extends QueryModule {
     "topk_per_group" -> (topKPerGroup _),
     "set_ops" -> (setOps _),
     "scalar_funcs" -> (scalarFuncs _),
-    "scalar_dates" -> (scalarDates _))
+    "scalar_dates" -> (scalarDates _),
+    "scalar_maps" -> (scalarMaps _),
+    "sql_grouping_sets" -> (sqlGroupingSets _))
 
   def oracles: Map[String, String] = Map(
     "agg_weighted_avg" -> weightedAvgSql,
@@ -694,5 +742,7 @@ object Relational extends QueryModule {
     "topk_per_group" -> topKPerGroupSql,
     "set_ops" -> setOpsSql,
     "scalar_funcs" -> scalarFuncsSql,
-    "scalar_dates" -> scalarDatesSql)
+    "scalar_dates" -> scalarDatesSql,
+    "scalar_maps" -> scalarMapsSql,
+    "sql_grouping_sets" -> sqlGroupingSetsSql)
 }

@@ -141,13 +141,43 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-duplicate pairs: all (i < j) pairs above a
+  // similarity threshold, scored by the fused codegen expression.
+  // NOTE on scale: this brute-force form is O(n²) and correct for the
+  // oracle; at 100 TB the same query runs with a blocking prefix — join
+  // inside IVF cells (annIvf's probe structure) or LSH buckets
+  // (LshOps.annBrpLsh) — which drops the pair space to cell-local.
+  // ------------------------------------------------------------------
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val a = emb(s, dir).select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = emb(s, dir).select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), expr("cosine_fast(e1, e2)").as("cos"))
+      .filter(col("cos") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+      |SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |  list_dot_product(a.de, b.de) /
+      |    (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.de, b.de) /
+      |    (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_cosine_topk_fast" -> (cosineTopKFast _),
-    "emb_ann_ivf" -> (annIvf _))
+    "emb_ann_ivf" -> (annIvf _),
+    "dedup_embedding_cosine" -> (embeddingNearDup _))
 
   def oracles: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_cosine_topk_fast" -> cosineTopKSql,
-    "emb_ann_ivf" -> annIvfSql)
+    "emb_ann_ivf" -> annIvfSql,
+    "dedup_embedding_cosine" -> embeddingNearDupSql)
 }
