@@ -51,7 +51,10 @@ object DedupOps extends QueryModule {
   // similarity as the fraction of matching signature positions.
   // ------------------------------------------------------------------
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = signature(s, dir)
+    // signature is consumed 3x (bands + both sides of the estimate join);
+    // checkpoint once (60k rows) instead of recomputing the md5 pipeline —
+    // blocks are context-cleaned after the query (see LshOps note).
+    val sig = signature(s, dir).localCheckpoint()
     val bands = sig
       .withColumn("b", floor(col("k") / BANDROWS))
       .groupBy(col("doc_id"), col("b"))
@@ -91,10 +94,17 @@ object DedupOps extends QueryModule {
   // Exact n-gram Jaccard on shingle-sharing candidate pairs.
   // ------------------------------------------------------------------
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // join on the fixed-width md5 of the shingle, not the (long) shingle
+    // string: cheaper shuffle keys and comparisons, identical semantics on
+    // both engines (md5 equality == shingle equality; any astronomically-
+    // unlikely collision would be IDENTICAL in the oracle, preserving
+    // parity). sh is consumed 3x -> checkpoint once.
     val sh = shingleRows(s, dir)
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
     inter
@@ -107,11 +117,11 @@ object DedupOps extends QueryModule {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH sh AS ($shingleRowsSql),
+    s"""WITH sh AS (SELECT doc_id, md5(shingle) AS sh_key FROM ($shingleRowsSql)),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM sh a JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)
       |SELECT d1, d2, n_shared,
       |  CAST(n_shared AS DOUBLE) / (n1.n + n2.n - n_shared) AS jaccard

@@ -576,10 +576,12 @@ object Relational extends QueryModule {
   // SET1 (ALL variants): multiset intersect/except on order-status keys.
   // ------------------------------------------------------------------
   def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    // each key set feeds both the intersect and the except branch —
+    // checkpoint the (tiny) projected key sets instead of re-scanning
     val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      .select(col("o_custkey").as("k"))
+      .select(col("o_custkey").as("k")).localCheckpoint()
     val p = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
-      .select(col("o_custkey").as("k"))
+      .select(col("o_custkey").as("k")).localCheckpoint()
     f.intersectAll(p).withColumn("op", lit("intersect_all"))
       .unionAll(f.exceptAll(p).withColumn("op", lit("except_all")))
       .select(col("op"), col("k"))
