@@ -73,9 +73,29 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Frame sampling: decoded media -> one row per SAMPLED frame (every
+  // k-th frame index, capped) — the fan-out stage that feeds per-frame
+  // feature extraction. Runs on the decode output; the frame "content"
+  // would come from a real decoder (stubbed: the frame index + payload
+  // checksum stands in). No SQL oracle (depends on the stub) -> rows-only;
+  // LlmOpsSpec pins the sampling arithmetic.
+  // ------------------------------------------------------------------
+  val FRAME_STRIDE = 4
+  val MAX_FRAMES_SAMPLED = 8
+
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    decodeBatch(s, dir)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), least(col("n_frames") - 1,
+          lit(FRAME_STRIDE * (MAX_FRAMES_SAMPLED - 1))), lit(FRAME_STRIDE)))
+          .as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
-    "mm_decode_stub" -> (decodeBatch _))
+    "mm_decode_stub" -> (decodeBatch _),
+    "mm_frame_sample" -> (frameSample _))
 
   def oracles: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql)

@@ -171,7 +171,33 @@ object TextOps extends QueryModule {
       |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) = doc_id AS keeper
       |  FROM documents) ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Token counting, BPE-ish: a subword regex (letter runs capped at 4
+  // chars, digit runs, single punctuation marks) approximating byte-pair
+  // segment counts — the cheap pre-tokenizer-estimate pattern used to
+  // budget LLM training data. Compared against whitespace counts.
+  // ------------------------------------------------------------------
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val pat = lit("[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\\s]")
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), pat, lit(0))).as("bpe_tokens"),
+      (size(regexp_extract_all(col("text"), pat, lit(0))).cast("double") / size(toks))
+        .as("subwords_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE)
+      |    / len(string_split_regex(lower(trim(text)), '\s+')) AS subwords_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_bpe_tokens" -> (bpeTokens _),
     "docs_token_stats" -> (tokenStats _),
     "docs_lang_profile" -> (langProfile _),
     "docs_quality" -> (quality _),
@@ -179,6 +205,7 @@ object TextOps extends QueryModule {
     "docs_fingerprint" -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "docs_bpe_tokens" -> bpeTokensSql,
     "docs_token_stats" -> tokenStatsSql,
     "docs_lang_profile" -> langProfileSql,
     "docs_quality" -> qualitySql,

@@ -72,6 +72,17 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("frame sampling: stride-4, capped at 8 samples, within frame count") {
+    val out = Multimodal.frameSample(spark, sfDir).cache()
+    val bad = out.filter(col("frame_idx") % Multimodal.FRAME_STRIDE =!= 0 ||
+      col("frame_idx") >= col("n_frames") ||
+      col("frame_idx") > Multimodal.FRAME_STRIDE * (Multimodal.MAX_FRAMES_SAMPLED - 1)).count()
+    assert(bad == 0)
+    val perDoc = out.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") > Multimodal.MAX_FRAMES_SAMPLED).count() == 0)
+    assert(out.count() > 0)
+  }
+
   test("decode stub: every doc decoded with plausible dimensions") {
     val df = Multimodal.decodeBatch(spark, sfDir).cache()
     assert(df.count() == graft.sources.Tables.load(spark, sfDir, "documents").count())

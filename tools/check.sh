@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# Full local gate: compile, test, verify vs DuckDB oracle at sf0.01.
+# Usage: tools/check.sh [sfDir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+OUT=$(mktemp -d /tmp/graft_check.XXXX)
+sbt -batch compile
+sbt -batch test
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} sbt -batch "runMain graft.Verify $SF $OUT"
+python3 tools/compare.py "$SF" "$OUT"
+echo "ALL GREEN ($SF)"
