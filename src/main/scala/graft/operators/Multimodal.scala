@@ -73,6 +73,44 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** One extracted-feature row per sampled frame. The feature math (mean/
+    * max/nonzero over the frame's byte slice) is REAL byte arithmetic; only
+    * the frame boundary definition comes from the stub decoder. `resized_w/h`
+    * model the resize stage (half-resolution thumbnail dims). */
+  case class FrameFeatures(doc_id: Long, frame_idx: Int,
+    mean_byte: Double, max_byte: Int, n_nonzero: Int,
+    resized_w: Int, resized_h: Int)
+
+  // ------------------------------------------------------------------
+  // Feature extraction + resize over sampled frames: payload -> per-frame
+  // byte-slice statistics + thumbnail dimensions, one mapPartitions pass
+  // (batch-shaped: one task walks its partition's payloads once; a real
+  // image library slots into the slice->features function body).
+  // Rows-only driver check; arithmetic pinned in LlmOpsSpec.
+  // ------------------------------------------------------------------
+  def featureExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val dec = decodeStub(id, payload)
+        val frames = Range(0, math.min(dec.n_frames, FRAME_STRIDE * (MAX_FRAMES_SAMPLED - 1) + 1),
+          FRAME_STRIDE)
+        frames.iterator.map { idx =>
+          val slice = payload.slice(idx * 100, math.min(idx * 100 + 100, payload.length))
+          val unsigned = slice.map(_ & 0xff)
+          FrameFeatures(id, idx,
+            if (unsigned.isEmpty) 0.0 else unsigned.sum.toDouble / unsigned.length,
+            if (unsigned.isEmpty) 0 else unsigned.max,
+            unsigned.count(_ != 0),
+            dec.width / 2, dec.height / 2)
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ------------------------------------------------------------------
   // Frame sampling: decoded media -> one row per SAMPLED frame (every
   // k-th frame index, capped) — the fan-out stage that feeds per-frame
@@ -95,7 +133,8 @@ object Multimodal extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_stub" -> (decodeBatch _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_feature_extract" -> (featureExtract _))
 
   def oracles: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql)

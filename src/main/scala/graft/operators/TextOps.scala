@@ -196,7 +196,37 @@ object TextOps extends QueryModule {
       |    / len(string_split_regex(lower(trim(text)), '\s+')) AS subwords_per_word
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Rolling-hash document fingerprint: position-weighted polynomial hash
+  // over the token stream (order-sensitive, unlike the content-md5 in
+  // docs_fingerprint: token swaps change the value). Token codes come from
+  // md5 bytes so the whole construction is engine-portable.
+  // ------------------------------------------------------------------
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        expr("""aggregate(
+          |  transform(sequence(1, size(toks)), i ->
+          |    cast(i as bigint) *
+          |      (ascii(substring(md5(cast(element_at(toks, i) as binary)), 1, 1)) * 65536
+          |       + ascii(substring(md5(cast(element_at(toks, i) as binary)), 2, 1)) * 256
+          |       + ascii(substring(md5(cast(element_at(toks, i) as binary)), 3, 1)))),
+          |  0L, (acc, x) -> acc + x) % 2147483647""".stripMargin).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  val rollingFingerprintSql: String =
+    """SELECT doc_id, len(toks) AS n_tokens,
+      |  CAST(list_aggregate(list_transform(range(1, len(toks)+1),
+      |    i -> CAST(i AS BIGINT) * (ascii(substr(md5(toks[i]), 1, 1)) * 65536
+      |         + ascii(substr(md5(toks[i]), 2, 1)) * 256
+      |         + ascii(substr(md5(toks[i]), 3, 1)))), 'sum') % 2147483647 AS BIGINT) AS rolling_fp
+      |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_rolling_fp" -> (rollingFingerprint _),
     "docs_bpe_tokens" -> (bpeTokens _),
     "docs_token_stats" -> (tokenStats _),
     "docs_lang_profile" -> (langProfile _),
@@ -205,6 +235,7 @@ object TextOps extends QueryModule {
     "docs_fingerprint" -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "docs_rolling_fp" -> rollingFingerprintSql,
     "docs_bpe_tokens" -> bpeTokensSql,
     "docs_token_stats" -> tokenStatsSql,
     "docs_lang_profile" -> langProfileSql,

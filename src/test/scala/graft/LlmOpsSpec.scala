@@ -83,6 +83,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("feature extraction: real byte statistics per sampled frame, resize halves dims") {
+    val feats = Multimodal.featureExtract(spark, sfDir).cache()
+    assert(feats.count() > 0)
+    val bad = feats.filter(
+      col("mean_byte") < 0 || col("mean_byte") > 255 ||
+        col("max_byte") < col("mean_byte") - 0.5 ||
+        col("n_nonzero") < 0 ||
+        col("resized_w") < 32 || col("resized_w") > 64).count()
+    assert(bad == 0)
+    // frame 0's slice is the first 100 bytes: verify one row by hand
+    val doc0 = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).head.getAs[String]("text")
+    val expected = doc0.getBytes("UTF-8").take(100).map(_ & 0xff)
+    val row0 = feats.filter(col("doc_id") === 0 && col("frame_idx") === 0).head
+    assert(row0.getAs[Double]("mean_byte") == expected.sum.toDouble / expected.length)
+    assert(row0.getAs[Int]("max_byte") == expected.max)
+  }
+
   test("decode stub: every doc decoded with plausible dimensions") {
     val df = Multimodal.decodeBatch(spark, sfDir).cache()
     assert(df.count() == graft.sources.Tables.load(spark, sfDir, "documents").count())
