@@ -273,6 +273,20 @@ object Relational extends QueryModule {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** A2/A3 (approximate order statistics): approx_percentile — mergeable
+    * sketch state, single pass, the 100 TB default where exact percentile's
+    * per-group sort is too expensive. Rows-only check (sketch internals
+    * have no DuckDB twin); accuracy vs the exact percentile is asserted in
+    * RelationalSpec. */
+  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+      .orderBy(col("c_mktsegment"))
+
   // ------------------------------------------------------------------
   // A4: rollup over region -> nation with subtotal rows.
   // Scale: Spark expands rollup into a single Expand + hash agg — one pass,
@@ -709,6 +723,7 @@ object Relational extends QueryModule {
     "agg_cube" -> (aggCube _),
     "agg_pivot" -> (aggPivot _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_approx_percentile" -> (aggApproxPercentile _),
     "window_range_frame" -> (windowRangeFrame _),
     "set_ops_all" -> (setOpsAll _),
     "udf_scalar" -> (udfScalar _),

@@ -1,0 +1,43 @@
+package graft
+
+/** Guards on the driver contract itself (SparkEntry / Verify / Bench):
+  * these failing means the driver's gate breaks silently, so they fail
+  * loudly here first. */
+class ContractSpec extends SparkTestBase {
+
+  /** Queries intentionally WITHOUT oracle SQL — each needs a reason. */
+  private val rowsOnlyAllowlist = Map(
+    "agg_approx_distinct" -> "HLL++ sketch has no DuckDB twin",
+    "agg_approx_percentile" -> "approx_percentile sketch has no DuckDB twin",
+    "dedup_minhash_ml" -> "MLlib hash family not reproducible in SQL",
+    "emb_ann_brp_lsh" -> "MLlib hash family not reproducible in SQL",
+    "mm_decode_stub" -> "stub decoder not SQL-expressible",
+    "mm_frame_sample" -> "derived from stub decoder output",
+    "mm_feature_extract" -> "derived from stub decoder output")
+
+  test("every query has oracle SQL or a documented rows-only reason") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undocumented = noOracle -- rowsOnlyAllowlist.keySet
+    assert(undocumented.isEmpty, s"queries missing oracle AND allowlist entry: $undocumented")
+    val stale = rowsOnlyAllowlist.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist entries with no query: $stale")
+  }
+
+  test("every oracle key has a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("entry (driver smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query builds and resolves (analysis succeeds) on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.schema.fields.nonEmpty, s"$name produced empty schema")
+      assert(df.schema.fieldNames.distinct.length == df.schema.fieldNames.length,
+        s"$name has duplicate column names (breaks the driver's column-sorted hash)")
+    }
+  }
+}

@@ -50,6 +50,19 @@ class RelationalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("approx percentile tracks the exact percentile within sketch accuracy") {
+    val exact = Relational.aggPercentile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Relational.aggApproxPercentile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (seg, (p50, p90)) =>
+      val (a50, a90) = approx(seg)
+      assert(math.abs(a50 - p50) / p50 < 0.05, s"$seg p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.05, s"$seg p90 $a90 vs $p90")
+    }
+  }
+
   test("left outer join keeps every customer exactly once") {
     assert(Relational.joinLeftOuter(spark, sfDir).count() ==
       graft.sources.Tables.load(spark, sfDir, "customer").count())
