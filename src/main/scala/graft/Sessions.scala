@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory — the engine's operational knobs in one place.
+  *
+  * Sizing rationale (SURVEY.md §4 / the 100 TB mandate):
+  *  - shuffle partitions = executor threads locally; on a real cluster this
+  *    is total-cores x 2-3 as a floor and AQE coalesces upward sizes —
+  *    coalescing only ever merges, so over-partitioning is the safe side.
+  *  - AQE on everywhere: runtime re-planning (join strategy switch, skew
+  *    split, partition coalescing) replaces hand-tuned per-query numbers.
+  *  - skew-join handling on explicitly (belt) in addition to
+  *    operators.Skew's salting utilities (braces).
+  *  - files.maxPartitionBytes stays at the 128m default: with the target
+  *    layout (many multi-row-group files) that yields scan tasks that fit
+  *    comfortably in executor memory even with wide rows; the fixture
+  *    caveat (single-row-group files) is handled by Tables.loadParallel,
+  *    not by shrinking this global.
+  *  - UTC session timezone is load-bearing for oracle parity.
+  */
+object Sessions {
+
+  /** Local session shaped like the driver harness runs it. */
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    plans.GraftFunctions.ensureRegistered(spark)
+    spark
+  }
+
+  /** Production builder: same knobs, cluster master/resources come from
+    * spark-submit; custom expressions arrive via extensions so SQL-only
+    * clients get them too. */
+  def productionBuilder(): SparkSession.Builder =
+    SparkSession.builder()
+      .withExtensions(new plans.GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+}
