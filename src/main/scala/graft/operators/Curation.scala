@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] The composed training-data curation pipeline — the end-to-end
+  * shape the individual LLM operators exist for:
+  *
+  *   quality gate (docs_quality.accepted)
+  *     -> exact-dedup keeper (docs_fingerprint.keeper)
+  *     -> near-dup removal (drop the higher doc_id of every MinHash pair
+  *        with estimated Jaccard >= 0.9)
+  *     -> surviving-corpus profile per language.
+  *
+  * Everything is semi/anti-join composition over the already-verified
+  * operator outputs, so the whole pipeline stays one lazy plan: Catalyst
+  * pushes the quality/keeper predicates into their subplans and the
+  * near-dup anti join broadcasts (candidate pairs are tiny by
+  * construction). This is the query to scale-test: at 100 TB the three
+  * gates run as successive hash semi-joins on doc_id — each a single
+  * key-only shuffle.
+  */
+object Curation extends QueryModule {
+
+  private val NEAR_DUP_CUTOFF = 0.9
+
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val accepted = TextOps.quality(s, dir).filter(col("accepted")).select("doc_id")
+    val keepers = TextOps.fingerprint(s, dir).filter(col("keeper")).select("doc_id")
+    val nearDupLosers = DedupOps.minhashPairs(s, dir)
+      .filter(col("est_jaccard") >= NEAR_DUP_CUTOFF)
+      .select(col("d2").as("doc_id")).distinct()
+    Tables.load(s, dir, "documents")
+      .join(accepted, Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val curateSql: String =
+    s"""WITH q AS (${TextOps.qualitySql}),
+      |fp AS (${TextOps.fingerprintSql}),
+      |mh AS (${DedupOps.minhashPairsSql})
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents d
+      |WHERE EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id AND q.accepted)
+      |  AND EXISTS (SELECT 1 FROM fp WHERE fp.doc_id = d.doc_id AND fp.keeper)
+      |  AND NOT EXISTS (SELECT 1 FROM mh
+      |                  WHERE mh.d2 = d.doc_id AND mh.est_jaccard >= $NEAR_DUP_CUTOFF)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curation" -> (curate _))
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_curation" -> curateSql)
+}

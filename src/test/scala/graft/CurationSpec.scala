@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, DedupOps, TextOps}
+import graft.sources.Tables
+
+/** The composed curation pipeline must be consistent with its stages. */
+class CurationSpec extends SparkTestBase {
+
+  test("curation output counts never exceed the input corpus, all langs valid") {
+    val out = Curation.curate(spark, sfDir).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables.load(spark, sfDir, "documents").count()
+    assert(total > 0 && total <= corpus)
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getAs[String]("lang")).toSet.subsetOf(langs))
+  }
+
+  test("every gate actually gates: survivors pass quality, keep, and near-dup checks") {
+    val survivors = Tables.load(spark, sfDir, "documents")
+      .join(TextOps.quality(spark, sfDir).filter(col("accepted")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(TextOps.fingerprint(spark, sfDir).filter(col("keeper")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(DedupOps.minhashPairs(spark, sfDir).filter(col("est_jaccard") >= 0.9)
+        .select(col("d2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val profiled = Curation.curate(spark, sfDir)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(survivors.count() == profiled)
+  }
+}
