@@ -7,6 +7,7 @@ SF=${1:-/root/testdata/sf0.01}
 OUT=$(mktemp -d /tmp/graft_check.XXXX)
 sbt -batch compile
 sbt -batch test
+sbt -batch "runMain graft.Smoke"   # t1-style entry smoke (rows > 0)
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} sbt -batch "runMain graft.Verify $SF $OUT"
 python3 tools/compare.py "$SF" "$OUT"
 echo "ALL GREEN ($SF)"
