@@ -9,15 +9,17 @@ object Bench {
     // then time the second execution — the figure that scales with data
     // volume rather than with plan complexity. JVM warmup is covered by the
     // warm pass itself.
+    // A throwing query records -1 (NOT its elapsed time) so broken queries
+    // are visible in the bench JSON instead of polluting the total.
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

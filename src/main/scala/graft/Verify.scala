@@ -8,11 +8,16 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // Failed queries (no parquet written) are recorded in _failures.json so
+    // the compare step has a positive signal even for oracle-less queries,
+    // which would otherwise fail silently (ADVICE.md round 1).
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -30,6 +35,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Exit stays 0 even on per-query failure: the driver must still run the
+    // DuckDB compare for the queries that DID produce parquet — the manifest
+    // (read by tools/compare.py) carries the failure signal.
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failed.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -38,6 +38,16 @@ object Flagship {
     "Result (GBP)", "Total (GBP)", "Transaction fee (GBP)",
     "Transaction Date", "Charge amount (GBP)")
 
+  /** Money columns: DECIMAL through the pipeline (exact dedup/union
+    * semantics), DOUBLE at the output boundary — decimal rendering differs
+    * across engines on trailing zeros ("12.50" vs "12.5") and the driver's
+    * correctness gate hashes rendered values; double rendering is
+    * bit-identical on both sides. Mirrored in [[oracleSql]]'s final SELECT. */
+  val moneyColumns: Set[String] = Set(
+    "No. of shares", "Price / share", "Exchange rate", "Finra fee (GBP)",
+    "Result (GBP)", "Total (GBP)", "Transaction fee (GBP)",
+    "Charge amount (GBP)")
+
   /** Deterministic synthetic transactions feed (pre-normalization, Time as
     * string — exactly what the CSV exports deliver, SURVEY.md §2.1 S1).
     * Raw Action values cover every P1/P2/P3 edge: prefix strip targets,
@@ -134,7 +144,9 @@ object Flagship {
     normalized
       .unionByName(manual, allowMissingColumns = true)                          // U2
       .withColumn("Time", to_timestamp(col("Time")))                            // P7
-      .select(outputColumns.map(c => col(s"`$c`")): _*)                         // P8
+      .select(outputColumns.map { c =>                                          // P8
+        if (moneyColumns(c)) col(s"`$c`").cast("double").as(c) else col(s"`$c`")
+      }: _*)
       .orderBy(col("Time").asc, col("ID").asc)                                  // O1 (+ID tiebreak)
   }
 
@@ -192,11 +204,18 @@ object Flagship {
       |  FROM orders WHERE o_orderkey % 97 = 0),
       |unioned AS (SELECT * FROM normalized UNION ALL BY NAME SELECT * FROM manual)
       |SELECT CAST("Time" AS TIMESTAMP) AS "Time", "Account ID", "Action",
-      |  "Ticker", "No. of shares", "Stock Split Ratio",
-      |  "Currency (Price / share)", "Price / share", "Exchange rate",
-      |  "Finra fee (GBP)", "ID", "ISIN", "Name", "Notes", "Result (GBP)",
-      |  "Total (GBP)", "Transaction fee (GBP)", "Transaction Date",
-      |  "Charge amount (GBP)"
+      |  "Ticker", CAST("No. of shares" AS DOUBLE) AS "No. of shares",
+      |  "Stock Split Ratio",
+      |  "Currency (Price / share)",
+      |  CAST("Price / share" AS DOUBLE) AS "Price / share",
+      |  CAST("Exchange rate" AS DOUBLE) AS "Exchange rate",
+      |  CAST("Finra fee (GBP)" AS DOUBLE) AS "Finra fee (GBP)",
+      |  "ID", "ISIN", "Name", "Notes",
+      |  CAST("Result (GBP)" AS DOUBLE) AS "Result (GBP)",
+      |  CAST("Total (GBP)" AS DOUBLE) AS "Total (GBP)",
+      |  CAST("Transaction fee (GBP)" AS DOUBLE) AS "Transaction fee (GBP)",
+      |  "Transaction Date",
+      |  CAST("Charge amount (GBP)" AS DOUBLE) AS "Charge amount (GBP)"
       |FROM unioned
       |ORDER BY CAST("Time" AS TIMESTAMP) ASC, "ID" ASC
       |""".stripMargin

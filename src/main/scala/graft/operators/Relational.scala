@@ -26,8 +26,15 @@ object Relational extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Exact sum of a raw 2dp double column; DECIMAL(38,4) on both engines. */
-  private def dsum(c: Column) = sum(c.cast("decimal(18,4)")).cast("decimal(38,4)")
+  /** Exact sum of a raw 2dp double column, OUTPUT AS DOUBLE.
+    * The sum itself accumulates in decimal (exact, shuffle-order-stable);
+    * only the final value converts to double. Rationale: the driver's
+    * correctness gate hashes RENDERED values, and decimal rendering differs
+    * across engines on trailing zeros (Spark parquet "152729.20" vs oracle
+    * "152729.2") even when values are numerically identical — double
+    * rendering is bit-identical on both sides. Every oracle SQL mirrors the
+    * final CAST(... AS DOUBLE). */
+  private def dsum(c: Column) = sum(c.cast("decimal(18,4)")).cast("double")
 
   /** Lossless decimal view of a raw 2dp money column. */
   private def dec2(c: Column) = c.cast("decimal(12,2)")
@@ -50,8 +57,8 @@ object Relational extends QueryModule {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(revenue).cast("decimal(38,4)").as("sum_disc_price"),
-        sum(revenue * (one2 + dec2(col("l_tax")))).cast("decimal(38,6)").as("sum_charge"),
+        sum(revenue).cast("double").as("sum_disc_price"),
+        sum(revenue * (one2 + dec2(col("l_tax")))).cast("double").as("sum_charge"),
         (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -59,10 +66,10 @@ object Relational extends QueryModule {
 
   val q1AggSql: String =
     s"""SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      |  CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(SUM($revenueSql * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM($revenueSql * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
@@ -84,14 +91,14 @@ object Relational extends QueryModule {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(revenue).cast("decimal(38,4)").as("revenue"))
+      .agg(sum(revenue).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3JoinTopKSql: String =
     s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue
+      |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -121,12 +128,12 @@ object Relational extends QueryModule {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(revenue).cast("decimal(38,4)").as("revenue"))
+      .agg(sum(revenue).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5StarJoinSql: String =
-    s"""SELECT n_name, CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue
+    s"""SELECT n_name, CAST(SUM($revenueSql) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -152,14 +159,14 @@ object Relational extends QueryModule {
       .join(perCust, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_name"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-        coalesce(col("spend"), lit(0).cast("decimal(38,2)")).as("spend"))
+        coalesce(col("spend"), lit(0).cast("decimal(38,2)")).cast("double").as("spend"))
       .orderBy(col("c_custkey"))
   }
 
   val joinLeftOuterSql: String =
     """SELECT c_custkey, c_name,
       |  COALESCE(n_orders, 0) AS n_orders,
-      |  CAST(COALESCE(spend, 0) AS DECIMAL(38,2)) AS spend
+      |  CAST(COALESCE(spend, 0) AS DOUBLE) AS spend
       |FROM customer LEFT JOIN (
       |  SELECT o_custkey, COUNT(*) AS n_orders,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS spend
@@ -209,13 +216,13 @@ object Relational extends QueryModule {
       .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy(col("lo"))
       .agg(count(lit(1)).as("n_parts"),
-        sum(dec2(col("p_retailprice"))).cast("decimal(38,2)").as("band_value"))
+        sum(dec2(col("p_retailprice"))).cast("double").as("band_value"))
       .orderBy(col("lo"))
   }
 
   val joinRangeSql: String =
     """SELECT lo, COUNT(*) AS n_parts,
-      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS band_value
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS band_value
       |FROM part JOIN (SELECT b*10.0 AS lo, (b+1)*10.0 AS hi FROM range(90,100) t(b))
       |  ON p_retailprice >= lo AND p_retailprice < hi
       |GROUP BY lo ORDER BY lo""".stripMargin
@@ -300,13 +307,13 @@ object Relational extends QueryModule {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(dec2(col("c_acctbal"))).cast("decimal(38,2)").as("total_balance"))
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_balance"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
   val aggRollupSql: String =
     """SELECT r_name, n_name, COUNT(*) AS n_customers,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_balance
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -356,9 +363,9 @@ object Relational extends QueryModule {
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         sum(dec2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("decimal(38,2)").as("running_spend"),
-        lag(dec2(col("o_totalprice")), 1).over(w).as("prev_price"),
-        lead(dec2(col("o_totalprice")), 1).over(w).as("next_price"))
+          .cast("double").as("running_spend"),
+        lag(dec2(col("o_totalprice")), 1).over(w).cast("double").as("prev_price"),
+        lead(dec2(col("o_totalprice")), 1).over(w).cast("double").as("next_price"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
@@ -366,11 +373,11 @@ object Relational extends QueryModule {
     """SELECT o_custkey, o_orderkey, o_orderdate,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend,
-      |  lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (PARTITION BY o_custkey
-      |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
-      |  lead(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (PARTITION BY o_custkey
-      |    ORDER BY o_orderdate, o_orderkey) AS next_price
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  CAST(lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+      |  CAST(lead(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
@@ -388,14 +395,15 @@ object Relational extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
-        dec2(col("o_totalprice")).as("o_totalprice"))
+        // raw double, NOT dec2: the output must render identically on both
+        // engines (decimal trailing zeros don't); ordering stays on dec2.
+        col("o_totalprice"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
   val topKPerGroupSql: String =
     """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
-      |  SELECT c_mktsegment, o_orderkey,
-      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY c_mktsegment
       |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
       |  FROM orders JOIN customer ON o_custkey = c_custkey)
@@ -552,14 +560,14 @@ object Relational extends QueryModule {
         expr("""cast(sum(cast(o_totalprice as decimal(12,2))) over (
           |  partition by o_custkey order by o_orderdate
           |  range between interval 30 days preceding and current row)
-          |as decimal(38,2))""".stripMargin).as("spend_30d"))
+          |as double)""".stripMargin).as("spend_30d"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
 
   val windowRangeFrameSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate
-      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS spend_30d
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 

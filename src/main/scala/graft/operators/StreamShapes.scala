@@ -23,8 +23,10 @@ object StreamShapes extends QueryModule {
   def tumbling(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // decimal accumulation (exact), double OUTPUT (renders identically on
+      // both engines — decimal trailing zeros break the driver's value hash)
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -33,7 +35,7 @@ object StreamShapes extends QueryModule {
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
       |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
       |  event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
 
@@ -58,7 +60,7 @@ object StreamShapes extends QueryModule {
     ev(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -80,7 +82,7 @@ object StreamShapes extends QueryModule {
       |SELECT user_id, min(ts) AS session_start,
       |  max(ts) + INTERVAL '5 minutes' AS session_end,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM islands GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 

@@ -32,7 +32,10 @@ class GoldenSpec extends SparkTestBase {
   test("flagship pipeline on sf0.001 matches the pinned golden hash") {
     val (n, h) = canonicalHash(Flagship.pipeline(spark, sfDir))
     info(s"rows=$n hash=$h")
+    // Re-pinned after the round-2 output-boundary change: money columns now
+    // emit as DOUBLE (decimal kept internally) for cross-engine rendering
+    // parity — see Flagship.moneyColumns.
     assert(n == 3996L)
-    assert(h == "fca718a2f75826f527ab2ebe62ca1f51")
+    assert(h == "d98491487781ab85e9aa747d2ba9836e")
   }
 }

@@ -9,14 +9,14 @@ class RelationalSpec extends SparkTestBase {
   test("q1_agg groups cover all returnflag/linestatus combos with positive sums") {
     val rows = Relational.q1Agg(spark, sfDir).collect()
     assert(rows.length > 0)
-    assert(rows.forall(r => r.getAs[java.math.BigDecimal]("sum_qty").signum() > 0))
+    assert(rows.forall(r => r.getAs[Double]("sum_qty") > 0))
   }
 
   test("q3 returns exactly 10 rows in strictly descending revenue order") {
     val revs = Relational.q3JoinTopK(spark, sfDir)
-      .collect().map(_.getAs[java.math.BigDecimal]("revenue"))
+      .collect().map(_.getAs[Double]("revenue"))
     assert(revs.length == 10)
-    assert(revs.sliding(2).forall { case Array(a, b) => a.compareTo(b) >= 0 })
+    assert(revs.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
   test("semi and anti joins partition customers by order-status existence") {

