@@ -4,6 +4,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
+    // Optional args = run only these queries (local iteration aid; the
+    // driver passes none and benches everything).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // Steady-state measurement: run each query once untimed (pays one-off
     // whole-stage-codegen compilation + file listing, both cached by Spark),
     // then time the second execution — the figure that scales with data
@@ -11,7 +16,7 @@ object Bench {
     // warm pass itself.
     // A throwing query records -1 (NOT its elapsed time) so broken queries
     // are visible in the bench JSON instead of polluting the total.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

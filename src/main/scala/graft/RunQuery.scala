@@ -1,0 +1,19 @@
+package graft
+
+/** Dev aid: run one registered query against a fixture dir and print its
+  * row count (and optionally the rows). Not part of the driver contract.
+  *
+  * {{{ sbt "runMain graft.RunQuery dedup_minhash_ml /root/testdata/sf0.01 [show]" }}}
+  */
+object RunQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val show = args.contains("show")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (show) df.show(50, truncate = false)
+    println(s"RUNQUERY $name $sfDir rows=${df.count()}")
+    spark.stop()
+  }
+}
