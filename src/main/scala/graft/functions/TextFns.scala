@@ -14,14 +14,18 @@ object TextFns {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Distinct word-5-gram shingles over the token array: shingle i joins
-    * tokens[i..i+4] with spaces, i = 1..n-4 (1-based, n>=5; docs in the
-    * fixture always have >=10 tokens).
-    * DuckDB twin: list_distinct(list_transform(range(1, len(toks)-3),
-    *   i -> array_to_string(toks[i:i+4], ' '))). */
+    * tokens[i..i+4] with spaces, i = 1..n-4 (1-based). Documents with
+    * fewer than 5 tokens produce NO shingles — matching the DuckDB twin
+    * list_distinct(list_transform(range(1, len(toks)-3),
+    *   i -> array_to_string(toks[i:i+4], ' '))), whose range is empty for
+    * n<5. (Round 1 emitted one short shingle there — a latent divergence
+    * masked only because fixture docs all have >=10 tokens.) */
   def shingles(toks: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 4, lit(1))),
-      i => array_join(slice(toks, i, lit(5)), " ")))
+    when(size(toks) >= 5,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 4),
+        i => array_join(slice(toks, i, lit(5)), " "))))
+      .otherwise(array().cast("array<string>"))
 
   /** Portable per-seed hash for MinHash: lowercase md5 hex of "k|shingle".
     * Identical in DuckDB: md5(CAST(k AS VARCHAR) || '|' || shingle). Hex

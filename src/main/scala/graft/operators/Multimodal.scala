@@ -61,7 +61,9 @@ object Multimodal extends QueryModule {
   // Partition-preserving (no shuffle); each task decodes its partition's
   // payloads in one pass — the Spark-native shape for per-row native-lib
   // work (amortizes per-batch setup, keeps memory bounded per task).
-  // No SQL oracle (the stub is not SQL-expressible) -> rows-only check.
+  // ORACLE-CHECKED: the stub is pure byte arithmetic over ASCII text, so
+  // DuckDB reproduces it with ascii()/substring (fixture docs verified
+  // all-ASCII, so byte index == char index).
   // ------------------------------------------------------------------
   def decodeBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -86,7 +88,7 @@ object Multimodal extends QueryModule {
   // byte-slice statistics + thumbnail dimensions, one mapPartitions pass
   // (batch-shaped: one task walks its partition's payloads once; a real
   // image library slots into the slice->features function body).
-  // Rows-only driver check; arithmetic pinned in LlmOpsSpec.
+  // Oracle-checked ([[featureExtractSql]]); arithmetic also in LlmOpsSpec.
   // ------------------------------------------------------------------
   def featureExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -115,8 +117,7 @@ object Multimodal extends QueryModule {
   // Frame sampling: decoded media -> one row per SAMPLED frame (every
   // k-th frame index, capped) — the fan-out stage that feeds per-frame
   // feature extraction. Runs on the decode output; the frame "content"
-  // would come from a real decoder (stubbed: the frame index + payload
-  // checksum stands in). No SQL oracle (depends on the stub) -> rows-only;
+  // would come from a real decoder. Oracle-checked ([[frameSampleSql]]);
   // LlmOpsSpec pins the sampling arithmetic.
   // ------------------------------------------------------------------
   val FRAME_STRIDE = 4
@@ -130,6 +131,53 @@ object Multimodal extends QueryModule {
           .as("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** DuckDB twin of [[decodeStub]] (byte == char under the verified
+    * all-ASCII fixture). */
+  val decodeBatchSql: String =
+    """WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len FROM documents)
+      |SELECT doc_id,
+      |  CAST(64 + (ascii(substring(text, 1, 1)) & 63) AS INTEGER) AS width,
+      |  CAST(64 + (ascii(substring(text, len//2 + 1, 1)) & 63) AS INTEGER) AS height,
+      |  CAST(len * 10 AS BIGINT) AS duration_ms,
+      |  CAST(len//100 + 1 AS INTEGER) AS n_frames,
+      |  true AS ok
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  val frameSampleSql: String =
+    """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents),
+      |dec AS (SELECT doc_id, CAST(len//100 + 1 AS INTEGER) AS n_frames FROM d)
+      |SELECT doc_id, n_frames,
+      |  CAST(unnest(generate_series(0, least(n_frames - 1, 28), 4)) AS INTEGER) AS frame_idx
+      |FROM dec ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Per-frame byte statistics; the LEFT JOIN + COALESCE keeps the zero row
+    * Spark emits for an empty tail slice (len % 100 == 0 edge). */
+  val featureExtractSql: String =
+    """WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len FROM documents),
+      |dec AS (SELECT doc_id, text, len,
+      |    CAST(len//100 + 1 AS INTEGER) AS n_frames,
+      |    64 + (ascii(substring(text, 1, 1)) & 63) AS w,
+      |    64 + (ascii(substring(text, len//2 + 1, 1)) & 63) AS h
+      |  FROM d),
+      |frames AS (SELECT doc_id, text, len, w, h,
+      |    CAST(unnest(generate_series(0, least(n_frames - 1, 28), 4)) AS INTEGER) AS frame_idx
+      |  FROM dec),
+      |bytes AS (SELECT doc_id, frame_idx, ascii(substring(text, frame_idx*100 + i, 1)) AS b
+      |  FROM frames, unnest(generate_series(1, least(100, len - frame_idx*100))) t(i)),
+      |agg AS (SELECT doc_id, frame_idx,
+      |    CAST(SUM(b) AS DOUBLE)/COUNT(*) AS mean_byte,
+      |    CAST(MAX(b) AS INTEGER) AS max_byte,
+      |    CAST(COUNT(*) FILTER (b != 0) AS INTEGER) AS n_nonzero
+      |  FROM bytes GROUP BY doc_id, frame_idx)
+      |SELECT f.doc_id, f.frame_idx,
+      |  COALESCE(a.mean_byte, 0.0) AS mean_byte,
+      |  COALESCE(a.max_byte, 0) AS max_byte,
+      |  COALESCE(a.n_nonzero, 0) AS n_nonzero,
+      |  CAST(f.w//2 AS INTEGER) AS resized_w,
+      |  CAST(f.h//2 AS INTEGER) AS resized_h
+      |FROM frames f LEFT JOIN agg a USING (doc_id, frame_idx)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_stub" -> (decodeBatch _),
@@ -137,5 +185,8 @@ object Multimodal extends QueryModule {
     "mm_feature_extract" -> (featureExtract _))
 
   def oracles: Map[String, String] = Map(
-    "mm_binary_meta" -> binaryMetaSql)
+    "mm_binary_meta" -> binaryMetaSql,
+    "mm_decode_stub" -> decodeBatchSql,
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_feature_extract" -> featureExtractSql)
 }

@@ -176,8 +176,12 @@ object ReferenceOps extends QueryModule {
   // graft.sources.Formats — the oracle compares against the parquet
   // original, so any reader/writer lossiness fails the hash.
   // ------------------------------------------------------------------
+  /** Run-unique scratch dir (concurrent runs must not collide). */
+  private def scratch(prefix: String): String =
+    System.getProperty("java.io.tmpdir") + s"/${prefix}_${java.util.UUID.randomUUID()}"
+
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val landing = System.getProperty("java.io.tmpdir") + "/graft_csv_landing"
+    val landing = scratch("graft_csv_landing")
     val slice = Tables.load(s, dir, "events")
       .filter(col("event_id") < 1000)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -191,9 +195,48 @@ object ReferenceOps extends QueryModule {
     """SELECT event_id, ts, user_id, event_type, value
       |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // S5: spreadsheet scan with header promotion (trading212.py:122-125:
+  // `mf.columns = mf.iloc[0]; mf = mf[1:]`, all cells strings) — driver-
+  // checkable: a deterministic orders slice is laid out as a headered
+  // all-strings sheet, read back with Formats.readSheet (header promotion,
+  // inferSchema OFF so every cell arrives as a string — exactly
+  // get_all_values() semantics), then TYPE-PROMOTED to the engine schema.
+  // The oracle compares against the parquet original, so both the
+  // string-typed read and the promotion casts are under test.
+  // ------------------------------------------------------------------
+  def sheetScan(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_sheet_landing")
+    val sheet = Tables.load(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(
+        col("o_orderkey").cast("string").as("Order Key"),
+        col("o_custkey").cast("string").as("Customer"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("Order Date"),
+        // sheet numbers are strings; decimal->string->double is exact for 2dp
+        col("o_totalprice").cast("decimal(18,6)").cast("string").as("Total"),
+        col("o_orderpriority").as("Priority"))
+    graft.sources.Formats.writeCsv(sheet, landing)
+    graft.sources.Formats.readSheet(s, landing)
+      .select(
+        col("Order Key").cast("long").as("order_key"),
+        col("Customer").cast("long").as("cust_key"),
+        to_timestamp(col("Order Date")).as("order_ts"),
+        col("Total").cast("double").as("total"),
+        col("Priority").as("priority"))
+      .orderBy("order_key")
+  }
+
+  val sheetScanSql: String =
+    """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+      |  o_orderdate AS order_ts, CAST(o_totalprice AS DOUBLE) AS total,
+      |  o_orderpriority AS priority
+      |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY order_key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ref_flagship" -> ((s, dir) => Flagship.pipeline(s, dir)),
     "ref_csv_roundtrip" -> (csvRoundtrip _),
+    "ref_sheet_scan" -> (sheetScan _),
     "ref_json_flatten" -> (jsonFlatten _),
     "ref_window_gen" -> (windowGen _),
     "ref_json_construct" -> (jsonConstruct _),
@@ -205,6 +248,7 @@ object ReferenceOps extends QueryModule {
   def oracles: Map[String, String] = Map(
     "ref_flagship" -> Flagship.oracleSql,
     "ref_csv_roundtrip" -> csvRoundtripSql,
+    "ref_sheet_scan" -> sheetScanSql,
     "ref_json_flatten" -> jsonFlattenSql,
     "ref_window_gen" -> windowGenSql,
     "ref_json_construct" -> jsonConstructSql,

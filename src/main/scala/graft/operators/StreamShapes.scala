@@ -86,13 +86,78 @@ object StreamShapes extends QueryModule {
       |FROM islands GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ST3, driver-visible: the REAL streaming path — a duplicate-injected
+  // events copy replays as a file-source stream, Streams.dedupStream
+  // (watermark + dropDuplicates on event_id) runs to completion, and the
+  // final output must equal the original table (event_id is unique in the
+  // fixture; injected duplicates are full-row copies, so the kept row is
+  // value-deterministic). The oracle is the batch twin: SELECT ... FROM
+  // events — making the streaming dedup DuckDB-hash-checkable.
+  // ------------------------------------------------------------------
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val landing = System.getProperty("java.io.tmpdir") +
+      s"/graft_stream_dedup_${java.util.UUID.randomUUID()}"
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    val evs = ev(s, dir).select(cols: _*)
+    evs.unionAll(evs.filter(pmod(col("event_id"), lit(13)) === 0)) // inject dupes
+      .write.parquet(landing)
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Tables.events.filterNot(_.name == "props")))
+      .parquet(landing)
+    graft.streaming.Streams.runToCompletion(
+      graft.streaming.Streams.dedupStream(stream),
+      s"dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(cols: _*)
+      .orderBy(col("event_id"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ST4, driver-visible: per-user running state via mapGroupsWithState in
+  // update mode, run to completion over the events stream; the FINAL state
+  // per user (the max-n snapshot — n grows monotonically across batches)
+  // must equal the batch aggregate. Oracle: plain GROUP BY — making the
+  // arbitrary-stateful operator DuckDB-hash-checkable.
+  // ------------------------------------------------------------------
+  def streamUserState(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // file stream source wants a directory or a GLOB (a bare file path is
+    // rejected as basePath); this glob matches exactly the events file
+    val stream = graft.streaming.Streams.eventsStream(s, s"$dir/events.parqu*")
+    val snapshots = graft.streaming.Streams.runToCompletion(
+      graft.streaming.Streams.runningUserState(stream).toDF(),
+      s"ustate_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+    snapshots
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), col("total_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamUserStateSql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (tumbling _),
     "events_sliding" -> (sliding _),
-    "events_session" -> (sessions _))
+    "events_session" -> (sessions _),
+    "stream_dedup" -> (streamDedup _),
+    "stream_user_state" -> (streamUserState _))
 
   def oracles: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
-    "events_session" -> sessionsSql)
+    "events_session" -> sessionsSql,
+    "stream_dedup" -> streamDedupSql,
+    "stream_user_state" -> streamUserStateSql)
 }

@@ -144,16 +144,66 @@ object VectorOps extends QueryModule {
   // ------------------------------------------------------------------
   // Embedding-cosine near-duplicate pairs: all (i < j) pairs above a
   // similarity threshold, scored by the fused codegen expression.
-  // NOTE on scale: this brute-force form is O(n²) and correct for the
-  // oracle; at 100 TB the same query runs with a blocking prefix — join
-  // inside IVF cells (annIvf's probe structure) or LSH buckets
-  // (LshOps.annBrpLsh) — which drops the pair space to cell-local.
+  // BRUTE-FORCE form — O(n²), kept as the exact baseline the blocked
+  // variant below is cross-checked against (VectorSpec); the REGISTERED
+  // query is the blocked one.
   // ------------------------------------------------------------------
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(s)
     val a = emb(s, dir).select(col("vec_id").as("d1"), col("embedding").as("e1"))
     val b = emb(s, dir).select(col("vec_id").as("d2"), col("embedding").as("e2"))
     a.join(broadcast(b), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), expr("cosine_fast(e1, e2)").as("cos"))
+      .filter(col("cos") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ------------------------------------------------------------------
+  // BLOCKED near-dup (the registered, 100 TB-shaped form): candidate pairs
+  // come from an EQUI-JOIN on probed IVF cells, never from an all-pairs
+  // product. Stages:
+  //   1. per-label centroids (annIvf's exact integer arithmetic);
+  //   2. every vector is assigned to its PROBES best cells by centroid dot
+  //      product (multi-probe assignment is what keeps recall: two vectors
+  //      with cosine >= 0.5 land in a shared probed cell);
+  //   3. candidate (d1 < d2) pairs = vectors sharing a probed cell —
+  //      a hash join on the cell id, distinct'd;
+  //   4. embeddings re-joined BY ID for the candidates only, then one
+  //      exact cosine per pair.
+  // Scale: the pair space is cell-local (sum over cells of |cell|² instead
+  // of n²); the cell id is the shuffle key; candidates are a vanishing
+  // fraction of the corpus, so the two id-joins that rehydrate embeddings
+  // move candidate-sized data. Same result as the brute force on the
+  // fixture (oracle + VectorSpec cross-check).
+  // ------------------------------------------------------------------
+  def embeddingNearDupBlocked(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val e = emb(s, dir)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("csum"), count(lit(1)).as("n"))
+      .withColumn("cv", col("csum").cast("double") / col("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("ce"))
+      .select(col("label").as("cell"), col("ce"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("cell"),
+        VectorFns.dot(col("embedding"), col("ce")).as("score"))
+      .withColumn("pr", row_number().over(wAssign))
+      .filter(col("pr") <= PROBES)
+      .select(col("vec_id"), col("cell"))
+    val candidates = assigned.select(col("vec_id").as("d1"), col("cell"))
+      .join(assigned.select(col("vec_id").as("d2"), col("cell")), Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    candidates
+      .join(broadcast(emb(s, dir).select(col("vec_id").as("d1"), col("embedding").as("e1"))), Seq("d1"))
+      .join(broadcast(emb(s, dir).select(col("vec_id").as("d2"), col("embedding").as("e2"))), Seq("d2"))
       .select(col("d1"), col("d2"), expr("cosine_fast(e1, e2)").as("cos"))
       .filter(col("cos") >= 0.5)
       .orderBy(col("d1"), col("d2"))
@@ -173,7 +223,7 @@ object VectorOps extends QueryModule {
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_cosine_topk_fast" -> (cosineTopKFast _),
     "emb_ann_ivf" -> (annIvf _),
-    "dedup_embedding_cosine" -> (embeddingNearDup _))
+    "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,

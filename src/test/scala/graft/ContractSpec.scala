@@ -10,10 +10,9 @@ class ContractSpec extends SparkTestBase {
     "agg_approx_distinct" -> "HLL++ sketch has no DuckDB twin",
     "agg_approx_percentile" -> "approx_percentile sketch has no DuckDB twin",
     "dedup_minhash_ml" -> "MLlib hash family not reproducible in SQL",
-    "emb_ann_brp_lsh" -> "MLlib hash family not reproducible in SQL",
-    "mm_decode_stub" -> "stub decoder not SQL-expressible",
-    "mm_frame_sample" -> "derived from stub decoder output",
-    "mm_feature_extract" -> "derived from stub decoder output")
+    "emb_ann_brp_lsh" -> "MLlib hash family not reproducible in SQL")
+  // (round 2: the multimodal stub queries moved OFF this list — the stub is
+  // byte arithmetic over verified-ASCII text, so DuckDB reproduces it.)
 
   test("every query has oracle SQL or a documented rows-only reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

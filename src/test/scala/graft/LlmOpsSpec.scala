@@ -50,6 +50,14 @@ class LlmOpsSpec extends SparkTestBase {
     assert(df.count() == graft.sources.Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("blocked embedding near-dup finds exactly the brute-force pair set") {
+    val brute = VectorOps.embeddingNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = VectorOps.embeddingNearDupBlocked(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+  }
+
   test("cosine top-k: 10 ranked neighbors per query, cos in [-1,1], descending") {
     val rows = VectorOps.cosineTopK(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
