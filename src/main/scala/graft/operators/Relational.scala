@@ -713,6 +713,93 @@ object Relational extends QueryModule {
       |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
       |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------------------
+  // J1 (full outer): per-nation counts of a filtered customer slice vs a
+  // filtered supplier slice — both sides pre-aggregate to one row per
+  // nation BEFORE the join, so the full-outer join moves ~25 rows however
+  // big the inputs are. COALESCE completes the missing sides.
+  // ------------------------------------------------------------------
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinFullOuterSql: String =
+    """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+      |      WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey)
+      |FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+      |           WHERE s_acctbal > 5000 GROUP BY s_nationkey)
+      |  ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Correlated subqueries through the SQL surface: a scalar COUNT subquery
+  // and a correlated EXISTS. Catalyst DECORRELATES both (the scalar
+  // subquery becomes a left-outer aggregate join, the EXISTS a left-semi
+  // join) — no per-row re-execution, which is the difference between a
+  // plan that survives 100 TB and one that doesn't. Integer-only
+  // comparisons keep the oracle exact (no float-threshold flakiness).
+  // ------------------------------------------------------------------
+  def sqlCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("cust_cs")
+    t(s, dir, "orders").createOrReplaceTempView("ord_cs")
+    t(s, dir, "lineitem").createOrReplaceTempView("li_cs")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM ord_cs WHERE o_custkey = c_custkey) AS n_orders
+        |FROM cust_cs c
+        |WHERE EXISTS (SELECT 1 FROM ord_cs o JOIN li_cs l ON l_orderkey = o_orderkey
+        |              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val sqlCorrelatedSql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o JOIN lineitem l ON l_orderkey = o_orderkey
+      |              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // X1 (higher-order array functions): transform/filter/aggregate/exists
+  // over the tokenized part name — all codegen'd lambda expressions, zero
+  // UDFs, one WholeStageCodegen span over the scan. Outputs are SCALARS
+  // derived from the arrays (array rendering has no proven cross-engine
+  // hash parity; scalar folds of arrays do).
+  // ------------------------------------------------------------------
+  def scalarArrays(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x).as("total_chars"),
+      size(filter(words, w => length(w) >= 6)).as("n_long_words"),
+      exists(words, w => w === lit("green")).as("has_green"),
+      array_join(transform(words, w => upper(substring(w, 1, 1))), "").as("initials"),
+      element_at(sort_array(words, asc = false), 1).as("max_word"),
+      size(array_distinct(words)).as("n_distinct"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val scalarArraysSql: String =
+    """SELECT p_partkey,
+      |  CAST(list_sum(list_transform(string_split(p_name, ' '), w -> length(w))) AS INTEGER) AS total_chars,
+      |  CAST(len(list_filter(string_split(p_name, ' '), w -> length(w) >= 6)) AS INTEGER) AS n_long_words,
+      |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+      |  array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w[1])), '') AS initials,
+      |  list_sort(string_split(p_name, ' '))[-1] AS max_word,
+      |  CAST(len(list_distinct(string_split(p_name, ' '))) AS INTEGER) AS n_distinct
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -721,6 +808,9 @@ object Relational extends QueryModule {
     "q3_join_topk" -> (q3JoinTopK _),
     "q5_star_join" -> (q5StarJoin _),
     "join_left_outer" -> (joinLeftOuter _),
+    "join_full_outer" -> (joinFullOuter _),
+    "sql_correlated" -> (sqlCorrelated _),
+    "scalar_arrays" -> (scalarArrays _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_range" -> (joinRange _),
@@ -750,6 +840,9 @@ object Relational extends QueryModule {
     "q3_join_topk" -> q3JoinTopKSql,
     "q5_star_join" -> q5StarJoinSql,
     "join_left_outer" -> joinLeftOuterSql,
+    "join_full_outer" -> joinFullOuterSql,
+    "sql_correlated" -> sqlCorrelatedSql,
+    "scalar_arrays" -> scalarArraysSql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "join_range" -> joinRangeSql,

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Formats, Tables}
+
+/** [EXT] Storage-layout operators (SURVEY.md §2.1-§2.2 at scale, §4):
+  * format roundtrips beyond CSV, date/key-partitioned layouts that readers
+  * prune, and bucketed layouts that join without a shuffle. These are the
+  * write-side halves of the 100 TB story — partition pruning is the S6
+  * 365-day-window idea made physical (a reader touches ~1/N of the data),
+  * bucketing converts the dominant fact-join exchange into a local zip.
+  * Each query is driver-checked: the layout is written to a run-unique
+  * scratch dir, read back through the layout-aware path, and the oracle
+  * compares against the original parquet — so writer lossiness, pruning
+  * bugs, or bucket misassignment all fail the hash.
+  */
+object StorageOps extends QueryModule {
+
+  private def scratch(prefix: String): String =
+    System.getProperty("java.io.tmpdir") + s"/${prefix}_${java.util.UUID.randomUUID()}"
+
+  // ------------------------------------------------------------------
+  // S2/K-json: JSON-lines write + schema'd read roundtrip (the reference's
+  // JSON surface, trading212.py:59,81,92, driver-checked end to end).
+  // Explicit schema on read — inference is an extra pass and
+  // nondeterministic under drift (SURVEY.md §1.1).
+  // ------------------------------------------------------------------
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_json_landing")
+    val slice = Tables.load(s, dir, "events")
+      .filter(col("event_id") >= 1000 && col("event_id") < 2000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    Formats.writeJson(slice, landing)
+    Formats.readJson(s, landing,
+      org.apache.spark.sql.types.StructType(Tables.events.filterNot(_.name == "props")))
+      .orderBy("event_id")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events WHERE event_id >= 1000 AND event_id < 2000
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Partition-pruned scan: events written PARTITIONED BY event_type, read
+  // back with a partition predicate. The filter resolves against directory
+  // metadata — the scan never opens the other partitions' files (asserted
+  // on the executed plan in StorageSpec). At 100 TB with a date-partitioned
+  // layout this is the difference between reading a day and reading a year.
+  // ------------------------------------------------------------------
+  def partitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_part_landing")
+    Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "value", "event_type")
+      .write.partitionBy("event_type").parquet(landing)
+    s.read.parquet(landing)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value", "event_type")
+      .orderBy("event_id")
+  }
+
+  val partitionPrunedSql: String =
+    """SELECT event_id, ts, user_id, value, event_type
+      |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bucketed zero-exchange join: customer and a per-customer orders
+  // aggregate both bucketed on the customer key at write time; the join
+  // reads co-located buckets and needs NO exchange on either side
+  // (StorageSpec asserts no hash-partitioning exchange under the join).
+  // Run-unique table names: the metastore is per-JVM and Verify/Bench run
+  // many queries in one session.
+  // ------------------------------------------------------------------
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val custT = s"cust_bq_$tag"
+    val ordT = s"ord_bq_$tag"
+    Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable(custT)
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable(ordT)
+    s.table(custT)
+      .join(s.table(ordT), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_custkey, c_mktsegment, n_orders
+      |FROM customer
+      |JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_roundtrip" -> (jsonRoundtrip _),
+    "scan_partition_pruned" -> (partitionPruned _),
+    "join_bucketed" -> (bucketedJoin _))
+
+  def oracles: Map[String, String] = Map(
+    "json_roundtrip" -> jsonRoundtripSql,
+    "scan_partition_pruned" -> partitionPrunedSql,
+    "join_bucketed" -> bucketedJoinSql)
+}

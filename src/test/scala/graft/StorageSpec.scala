@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StorageOps
+import graft.sources.Tables
+
+/** Plan-shape guarantees for the storage-layout operators: the pruned scan
+  * must actually prune, and the bucketed join must actually avoid the
+  * exchange — result-correctness alone (the oracle) can't see either. */
+class StorageSpec extends SparkTestBase {
+
+  test("partition-pruned scan reads only the matching partition") {
+    val landing = java.nio.file.Files.createTempDirectory("graft_prune_spec").toString
+    Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(landing)
+    val pruned = spark.read.parquet(landing).filter(col("event_type") === "purchase")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the pushed partition predicate appears as a PartitionFilters entry,
+    // and the files actually read all come from the one partition dir
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition filter in plan:\n$plan")
+    // files actually read == files in the one matching partition dir
+    val purchaseFiles = {
+      val d = java.nio.file.Paths.get(landing, "event_type=purchase")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    assert(purchaseFiles > 0)
+    assert(scan.metrics("numFiles").value == purchaseFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, partition has $purchaseFiles")
+  }
+
+  test("bucketed join plans with no exchange on either side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = StorageOps.bucketedJoin(spark, sfDir)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      val joinSection = plan.split("\n").dropWhile(!_.contains("SortMergeJoin"))
+      assert(joinSection.nonEmpty, s"expected SortMergeJoin in:\n$plan")
+      assert(!joinSection.exists(l => l.contains("Exchange hashpartitioning(c_custkey") ||
+        l.contains("Exchange hashpartitioning(o_custkey")),
+        s"bucketed join still shuffled:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("json roundtrip preserves microsecond timestamps and doubles exactly") {
+    val out = StorageOps.jsonRoundtrip(spark, sfDir)
+    val orig = Tables.load(spark, sfDir, "events")
+      .filter(col("event_id") >= 1000 && col("event_id") < 2000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+    assert(out.exceptAll(orig).count() == 0 && orig.exceptAll(out).count() == 0)
+  }
+}
