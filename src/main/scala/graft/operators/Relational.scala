@@ -382,6 +382,39 @@ object Relational extends QueryModule {
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // W1/W2 (navigation + distribution): first/last/nth_value over the full
+  // partition frame, percent_rank and cume_dist over the running frame —
+  // completing the window-function surface. Total ordering (acctbal +
+  // suppkey tiebreak) keeps every value deterministic on both engines.
+  // ------------------------------------------------------------------
+  def windowNavigation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"), col("s_suppkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        first(col("s_suppkey")).over(full).as("poorest"),
+        last(col("s_suppkey")).over(full).as("richest"),
+        nth_value(col("s_suppkey"), 2).over(full).as("second_poorest"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
+  val windowNavigationSql: String =
+    """SELECT s_suppkey, s_nationkey,
+      |  first_value(s_suppkey) OVER w_full AS poorest,
+      |  last_value(s_suppkey) OVER w_full AS richest,
+      |  nth_value(s_suppkey, 2) OVER w_full AS second_poorest,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM supplier
+      |WINDOW
+      |  w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey),
+      |  w_full AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin
+
+  // ------------------------------------------------------------------
   // T1: top-K per group (top-3 orders by price per market segment).
   // Scale: row_number + filter(rn<=k) — Spark pushes a partial top-K into
   // the window sort per partition (rank-limit optimization); with AQE the
@@ -826,6 +859,7 @@ object Relational extends QueryModule {
     "set_ops_all" -> (setOpsAll _),
     "udf_scalar" -> (udfScalar _),
     "window_rank" -> (windowRank _),
+    "window_navigation" -> (windowNavigation _),
     "window_running" -> (windowRunning _),
     "topk_per_group" -> (topKPerGroup _),
     "set_ops" -> (setOps _),
@@ -856,6 +890,7 @@ object Relational extends QueryModule {
     "set_ops_all" -> setOpsAllSql,
     "udf_scalar" -> udfScalarSql,
     "window_rank" -> windowRankSql,
+    "window_navigation" -> windowNavigationSql,
     "window_running" -> windowRunningSql,
     "topk_per_group" -> topKPerGroupSql,
     "set_ops" -> setOpsSql,

@@ -147,17 +147,50 @@ object StreamShapes extends QueryModule {
       |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ST4 on the MODERN API: the same per-user running state, via Spark 4's
+  // transformWithState (typed ValueState, RocksDB-backed store — the
+  // provider conf is required by the API and scoped to this run). Same
+  // oracle as stream_user_state: two independent stateful-processing APIs
+  // must land on the identical batch-twin answer.
+  // ------------------------------------------------------------------
+  def streamUserStateTws(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val snapshots =
+      try {
+        val stream = graft.streaming.Streams.eventsStream(s, s"$dir/events.parqu*")
+        graft.streaming.Streams.runToCompletion(
+          graft.streaming.Streams.runningUserStateTws(stream).toDF(),
+          s"ustate_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+    snapshots
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), col("total_cents"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (tumbling _),
     "events_sliding" -> (sliding _),
     "events_session" -> (sessions _),
     "stream_dedup" -> (streamDedup _),
-    "stream_user_state" -> (streamUserState _))
+    "stream_user_state" -> (streamUserState _),
+    "stream_user_state_tws" -> (streamUserStateTws _))
 
   def oracles: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionsSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_user_state" -> streamUserStateSql)
+    "stream_user_state" -> streamUserStateSql,
+    "stream_user_state_tws" -> streamUserStateSql)
 }
