@@ -24,6 +24,13 @@ object VectorOps extends QueryModule {
   private val TOPK = 10
   private val PROBES = 2
   private val IVFK = 5
+  /** Near-dup blocking probes more cells than top-K search (PROBES=2): a
+    * PAIR is found only if the two vectors' probe sets intersect, so pair
+    * recall ~ probe-recall², and the 0.5-cosine threshold admits pairs far
+    * enough apart to land in disjoint top-2 cells (observed at sf0.1:
+    * 10/14 pairs with 2 probes, 14/14 with 4 — verified against brute
+    * force at sf0.001/0.01/0.1). */
+  private val DUP_PROBES = 4
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -189,13 +196,17 @@ object VectorOps extends QueryModule {
         x => x.getField("cv")).as("ce"))
       .select(col("label").as("cell"), col("ce"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
+    // localCheckpoint: the self-join below consumes the assignment twice —
+    // materialize it once instead of running centroid-agg + assignment
+    // (incl. its vector x centroid product) down both join branches.
     val assigned = e.select(col("vec_id"), col("embedding"))
       .join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("cell"),
         VectorFns.dot(col("embedding"), col("ce")).as("score"))
       .withColumn("pr", row_number().over(wAssign))
-      .filter(col("pr") <= PROBES)
+      .filter(col("pr") <= DUP_PROBES)
       .select(col("vec_id"), col("cell"))
+      .localCheckpoint()
     val candidates = assigned.select(col("vec_id").as("d1"), col("cell"))
       .join(assigned.select(col("vec_id").as("d2"), col("cell")), Seq("cell"))
       .filter(col("d1") < col("d2"))

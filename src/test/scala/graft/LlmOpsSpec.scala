@@ -51,10 +51,14 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("blocked embedding near-dup finds exactly the brute-force pair set") {
-    val brute = VectorOps.embeddingNearDup(spark, sfDir)
+    // sf0.01, not the suite default sf0.001: the smallest fixture has zero
+    // qualifying pairs, which would make this check vacuous.
+    val dir = "/root/testdata/sf0.01"
+    val brute = VectorOps.embeddingNearDup(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val blocked = VectorOps.embeddingNearDupBlocked(spark, sfDir)
+    val blocked = VectorOps.embeddingNearDupBlocked(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
     assert(blocked == brute)
   }
 

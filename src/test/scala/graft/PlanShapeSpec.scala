@@ -49,4 +49,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
     assert(!plan.contains("Deduplicate"))
   }
+
+  test("correlated subqueries decorrelate to joins (no per-row subquery exec)") {
+    val plan = executedPlan(Relational.sqlCorrelated(spark, sfDir))
+    // Catalyst rewrites the scalar COUNT subquery to an aggregate join and
+    // the EXISTS to a left-semi join; a surviving per-row subquery would
+    // show as a (non-dynamic-pruning) Subquery/InSubquery node.
+    assert(plan.contains("Join"), s"expected decorrelated joins in:\n$plan")
+    assert(!plan.split("\n").exists(l =>
+      l.contains("Subquery subquery") || l.contains("InSubqueryExec")),
+      s"per-row subquery survived decorrelation:\n$plan")
+  }
+
+  test("blocked embedding near-dup generates candidates via equi-join on cells") {
+    val df = graft.operators.VectorOps.embeddingNearDupBlocked(spark, sfDir)
+    val plan = executedPlan(df)
+    // the ONLY nested-loop join allowed is vector x centroid assignment
+    // (linear in the corpus: n x ncells); the pair space itself must come
+    // from hash joins. A second BNLJ would mean an all-pairs product.
+    val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"expected at most the centroid-assignment BNLJ, got $bnlj:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
