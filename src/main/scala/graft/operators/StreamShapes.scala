@@ -178,13 +178,52 @@ object StreamShapes extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------------------------------
+  // ST3/S1 (incremental exactly-once ingestion): the reference's chunked
+  // download loop (trading212.py:89-111 — chunks arrive over time, each
+  // ingested exactly once) as Structured Streaming ought to do it. Chunk 1
+  // lands; an AvailableNow run drains it to a parquet sink and STOPS.
+  // Chunk 2 lands; a SECOND run against the SAME checkpoint resumes,
+  // processes only the new files (file-source manifest), and stops. The
+  // sink must then hold every event exactly once — re-processing chunk 1
+  // (duplicates) or missing chunk 2 both fail the oracle hash.
+  // ------------------------------------------------------------------
+  def streamIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_stream_incr_${java.util.UUID.randomUUID()}"
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.events.filterNot(_.name == "props"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    val evs = ev(s, dir).select(cols: _*)
+    def drainOnce(): Unit = {
+      val q = s.readStream.schema(schema).parquet(landing)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    evs.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(landing) // chunk 1
+    drainOnce()
+    evs.filter(pmod(col("event_id"), lit(2)) === 1)
+      .write.mode("append").parquet(landing)                               // chunk 2
+    drainOnce()                                                            // resume
+    s.read.schema(schema).parquet(out).select(cols: _*).orderBy("event_id")
+  }
+
+  val streamIncrementalSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (tumbling _),
     "events_sliding" -> (sliding _),
     "events_session" -> (sessions _),
     "stream_dedup" -> (streamDedup _),
     "stream_user_state" -> (streamUserState _),
-    "stream_user_state_tws" -> (streamUserStateTws _))
+    "stream_user_state_tws" -> (streamUserStateTws _),
+    "stream_incremental" -> (streamIncremental _))
 
   def oracles: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -192,5 +231,6 @@ object StreamShapes extends QueryModule {
     "events_session" -> sessionsSql,
     "stream_dedup" -> streamDedupSql,
     "stream_user_state" -> streamUserStateSql,
-    "stream_user_state_tws" -> streamUserStateSql)
+    "stream_user_state_tws" -> streamUserStateSql,
+    "stream_incremental" -> streamIncrementalSql)
 }
