@@ -833,6 +833,28 @@ object Relational extends QueryModule {
       |  CAST(len(list_distinct(string_split(p_name, ' '))) AS INTEGER) AS n_distinct
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Skew-salted join, driver-visible (operators.Skew): the probe side is
+  // salted into 8 buckets and the build side replicated per salt, so a hot
+  // key's rows spread over 8 reducers instead of one. The salt cancels out
+  // of the RESULT (inner join, replicated side carries every salt value),
+  // which is what makes this oracle-checkable against the plain join.
+  // ------------------------------------------------------------------
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+    graft.operators.Skew.saltedJoin(ev, dim, "user_id", 8)
+      .select(col("event_id"), col("user_id"), col("user_events"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinSaltedSql: String =
+    """SELECT event_id, e.user_id AS user_id, user_events
+      |FROM events e
+      |JOIN (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id) d
+      |  ON e.user_id = d.user_id
+      |ORDER BY event_id""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -842,6 +864,7 @@ object Relational extends QueryModule {
     "q5_star_join" -> (q5StarJoin _),
     "join_left_outer" -> (joinLeftOuter _),
     "join_full_outer" -> (joinFullOuter _),
+    "join_salted" -> (joinSalted _),
     "sql_correlated" -> (sqlCorrelated _),
     "scalar_arrays" -> (scalarArrays _),
     "join_semi" -> (joinSemi _),
@@ -875,6 +898,7 @@ object Relational extends QueryModule {
     "q5_star_join" -> q5StarJoinSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
+    "join_salted" -> joinSaltedSql,
     "sql_correlated" -> sqlCorrelatedSql,
     "scalar_arrays" -> scalarArraysSql,
     "join_semi" -> joinSemiSql,
