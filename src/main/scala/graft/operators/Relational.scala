@@ -628,6 +628,49 @@ object Relational extends QueryModule {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ------------------------------------------------------------------
+  // Unpivot (melt) — the inverse of aggPivot: the wide per-status counts
+  // fold back to (priority, status, n) long form. Spark's native
+  // Dataset.unpivot is an Expand (one pass, no shuffle beyond the
+  // underlying aggregate); the oracle is the UNION ALL expansion.
+  // ------------------------------------------------------------------
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame =
+    aggPivot(s, dir)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")), "status", "n")
+      .orderBy(col("o_orderpriority"), col("status"))
+
+  val aggUnpivotSql: String =
+    s"""WITH pivoted AS ($aggPivotSql)
+      |SELECT o_orderpriority, 'n_f' AS status, n_f AS n FROM pivoted
+      |UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM pivoted
+      |UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM pivoted
+      |ORDER BY o_orderpriority, status""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Error-safe scalar surface (ANSI try_* family): malformed casts and
+  // division by zero yield NULL instead of failing the job — at 100 TB a
+  // single dirty row must not kill a 1000-executor stage. DuckDB parity:
+  // TRY_CAST matches try_cast, and DuckDB division by zero is NULL,
+  // matching try_divide exactly.
+  // ------------------------------------------------------------------
+  def scalarSafe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      expr("try_cast(regexp_extract(p_brand, '#(\\\\d+)', 1) AS INT)").as("brand_num"),
+      expr("try_cast(element_at(split(p_name, ' '), 1) AS INT)").as("bad_cast"),
+      expr("try_cast(p_type AS TIMESTAMP)").as("bad_ts"),
+      expr("try_divide(p_retailprice, p_partkey % 3)").as("safe_div"))
+      .orderBy(col("p_partkey"))
+
+  val scalarSafeSql: String =
+    """SELECT p_partkey,
+      |  TRY_CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INTEGER) AS brand_num,
+      |  TRY_CAST(string_split(p_name, ' ')[1] AS INTEGER) AS bad_cast,
+      |  TRY_CAST(p_type AS TIMESTAMP) AS bad_ts,
+      |  p_retailprice / (p_partkey % 3) AS safe_div
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------
   // SET1 (ALL variants): multiset intersect/except on order-status keys.
   // ------------------------------------------------------------------
   def setOpsAll(s: SparkSession, dir: String): DataFrame = {
@@ -876,6 +919,8 @@ object Relational extends QueryModule {
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_pivot" -> (aggPivot _),
+    "agg_unpivot" -> (aggUnpivot _),
+    "scalar_safe" -> (scalarSafe _),
     "agg_percentile" -> (aggPercentile _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "window_range_frame" -> (windowRangeFrame _),
@@ -909,6 +954,8 @@ object Relational extends QueryModule {
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,
     "agg_pivot" -> aggPivotSql,
+    "agg_unpivot" -> aggUnpivotSql,
+    "scalar_safe" -> scalarSafeSql,
     "agg_percentile" -> aggPercentileSql,
     "window_range_frame" -> windowRangeFrameSql,
     "set_ops_all" -> setOpsAllSql,
