@@ -104,6 +104,24 @@ object Streams {
       .transformWithState(new UserStateProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** K2: side-effect sink (clear_notfi, trading212.py:79-83) — after each
+    * micro-batch the 8 newest notification ids are handed to an external
+    * delete action via foreachBatch. Side effects stay OUT of the data
+    * plane; semantics are at-least-once on replay, which is safe because
+    * the reference's DELETE is idempotent (deleting an already-deleted
+    * notification is a no-op). The head-8 is a distributed TakeOrdered;
+    * only 8 ids ever reach the driver. */
+  def notificationDeleteSink(events: DataFrame, deleteAction: Seq[Long] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.orderBy(col("ts").desc, col("event_id").desc)
+          .limit(8).select("event_id")
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) deleteAction(ids)
+      }
+      .start()
+
   /** Drive a streaming DataFrame to completion over a static input dir and
     * return the final result (memory sink, AvailableNow-style semantics). */
   def runToCompletion(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {

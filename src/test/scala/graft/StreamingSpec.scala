@@ -22,6 +22,25 @@ class StreamingSpec extends SparkTestBase {
     dir
   }
 
+  test("K2: notification-delete side-effect sink hands the 8 newest ids to the delete action") {
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = Streams.notificationDeleteSink(
+      Streams.eventsStream(spark, streamDir),
+      ids => deleted.synchronized { deleted += ids })
+    q.processAllAvailable()
+    q.stop()
+    // batch twin of clear_notfi: newest-8 by (ts, event_id) desc
+    val expected = Tables.load(spark, sfDir, "events")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(8).select("event_id").collect().map(_.getLong(0)).toSet
+    val allDeleted = deleted.synchronized { deleted.flatten.toSet }
+    assert(deleted.nonEmpty, "delete action never invoked")
+    // every batch deletes ITS newest-8; the union must contain the global
+    // newest-8 (the final batch sees them) — at-least-once semantics
+    assert(expected.subsetOf(allDeleted) || deleted.exists(_.toSet == expected),
+      s"global newest-8 $expected not covered by deletions $allDeleted")
+  }
+
   test("ST1: streaming tumbling agg == batch tumbling agg on closed input") {
     val streamed = Streams.runToCompletion(
       Streams.tumblingAgg(Streams.eventsStream(spark, streamDir)),
