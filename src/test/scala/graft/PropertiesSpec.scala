@@ -57,6 +57,36 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("unpivot inverts pivot: melt(pivot(x)) == direct long-form aggregate") {
+    import org.apache.spark.sql.functions._
+    val long = graft.operators.Relational.aggUnpivot(spark, sfDir)
+      .withColumn("status", expr("substring(status, 3)")) // n_f -> f
+    val direct = graft.sources.Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"),
+        lower(col("o_orderstatus")).as("status"))
+      .agg(count(lit(1)).as("n"))
+    // direct omits zero-count combos that pivot materializes; every
+    // non-zero long row must match direct exactly, and the extras are 0
+    val joined = long.join(direct, Seq("o_orderpriority", "status"), "left")
+      .select(long("n").as("ln"), direct("n").as("dn"))
+    assert(joined.filter(col("dn").isNotNull && col("ln") =!= col("dn")).count() == 0)
+    assert(joined.filter(col("dn").isNull && col("ln") =!= 0).count() == 0)
+  }
+
+  test("salted join equals plain join for any salt factor") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"))
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("ue"))
+    val plain = ev.join(dim, Seq("user_id")).select("event_id", "user_id", "ue")
+    Seq(1, 3, 8).foreach { factor =>
+      val salted = graft.operators.Skew.saltedJoin(ev, dim, "user_id", factor)
+        .select("event_id", "user_id", "ue")
+      assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0,
+        s"salted(factor=$factor) != plain")
+    }
+  }
+
   test("sort is stable under re-sorting: orderBy twice == orderBy once") {
     (1 to 3).foreach { _ =>
       val xs = samples(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)), 30)
