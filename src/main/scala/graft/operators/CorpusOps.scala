@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** [EXT] Corpus-preparation operators — the steps between a cleaned corpus
+  * and a training run, which the L-series operators feed:
+  *
+  *  - CHUNKING: split each document into fixed-token-count training chunks.
+  *  - PACKING: assign chunks to ~BIN-token training sequences by running
+  *    token count (contiguous greedy packing — the standard sequence-packing
+  *    shape) within a pack domain.
+  *  - DECONTAMINATION: drop corpus documents that share any 5-gram shingle
+  *    with a held-out benchmark set (the GPT-3/Pile-style n-gram overlap
+  *    rule) — semi/anti joins on fixed-width shingle hashes.
+  *  - MIXTURE SAMPLING: deterministic per-language downsampling by md5
+  *    prefix (hash-mod sampling) — reproducible across runs and engines,
+  *    unlike rand()-based sampling.
+  *
+  * Scale notes: chunking is a narrow explode; packing windows are bounded
+  * by the pack domain (lang here; a shard key in production — never an
+  * unbounded global window); decontamination joins move only shingle
+  * hashes and benchmark keys (the benchmark side is tiny and broadcast);
+  * mixture sampling is a pure filter that pushes to the scan.
+  */
+object CorpusOps extends QueryModule {
+
+  private val CHUNK = 64 // tokens per training chunk
+  private val BIN = 512  // target tokens per packed sequence
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+
+  private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  // ------------------------------------------------------------------
+  // Chunking: one row per CHUNK-token slice of each document.
+  // ------------------------------------------------------------------
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    base
+      .select(col("doc_id"), col("lang"), col("toks"), col("n"),
+        explode(sequence(lit(0), floor((col("n") - 1).cast("double") / CHUNK).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
+        least(lit(CHUNK), col("n") - col("chunk_idx") * CHUNK).as("n_tokens"),
+        element_at(col("toks"), col("chunk_idx") * CHUNK + 1).as("first_tok"),
+        element_at(col("toks"), least(col("n"), (col("chunk_idx") + 1) * CHUNK)).as("last_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, lang, $toksSql AS toks, len($toksSql) AS n FROM documents),
+      |c AS (SELECT doc_id, lang, toks, n,
+      |    unnest(generate_series(0, (n - 1) // $CHUNK)) AS chunk_idx FROM base)
+      |SELECT doc_id, lang, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  CAST(least($CHUNK, n - chunk_idx * $CHUNK) AS INTEGER) AS n_tokens,
+      |  toks[chunk_idx * $CHUNK + 1] AS first_tok,
+      |  toks[least(n, (chunk_idx + 1) * $CHUNK)] AS last_tok
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sequence packing: chunks -> ~BIN-token bins by running token count
+  // within the lang pack domain, in deterministic (doc_id, chunk_idx)
+  // order. bin = (running_before_this_chunk) div BIN — contiguous greedy
+  // packing, one window pass, no shuffle beyond the domain partition.
+  // ------------------------------------------------------------------
+  def pack(s: SparkSession, dir: String): DataFrame =
+    chunk(s, dir)
+      .select(col("lang"), col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        expr(s"CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div $BIN AS INT)")
+          .as("bin"))
+      .orderBy(col("lang"), col("doc_id"), col("chunk_idx"))
+
+  val packSql: String =
+    s"""WITH chunks AS ($chunkSql)
+      |SELECT lang, doc_id, chunk_idx, n_tokens,
+      |  CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // $BIN AS INTEGER) AS bin
+      |FROM chunks
+      |ORDER BY lang, doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Decontamination: benchmark = doc_id % 97 == 0; any corpus doc sharing
+  // >= 1 five-gram shingle with the benchmark is dropped. Joins run on the
+  // fixed-width md5 of the shingle (cheap shuffle keys, engine-identical
+  // equality); the benchmark shingle set is tiny -> broadcast semi-join.
+  // ------------------------------------------------------------------
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key"))
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val benchKeys = sh.filter(isBench).select(col("sh_key")).distinct()
+    val contaminated = sh.filter(!isBench)
+      .join(broadcast(benchKeys), Seq("sh_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs(s, dir)
+      .filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, md5(shingle) AS sh_key FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, len($toksSql) - 3),
+      |      i -> array_to_string(($toksSql)[i:i+4], ' ')))) AS shingle
+      |    FROM documents)),
+      |bench AS (SELECT DISTINCT sh_key FROM sh WHERE doc_id % 97 = 0),
+      |contam AS (SELECT DISTINCT doc_id FROM sh
+      |           WHERE doc_id % 97 <> 0 AND sh_key IN (SELECT sh_key FROM bench))
+      |SELECT doc_id, lang, source FROM documents d
+      |WHERE doc_id % 97 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Mixture sampling: downsample English to ~50% by md5-prefix (first hex
+  // char < '8'), keep other languages whole — deterministic, engine-
+  // portable (no rand()), and a pure scan-pushable filter. Output is the
+  // per-language mixture profile.
+  // ------------------------------------------------------------------
+  def sampleMix(s: SparkSession, dir: String): DataFrame = {
+    val keep = col("lang") =!= "en" ||
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "8"
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio", col("n_kept").cast("double") / col("n_total"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleMixSql: String =
+    """SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN lang <> 'en'
+      |        OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN lang <> 'en'
+      |        OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_ratio
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_chunk" -> (chunk _),
+    "docs_pack" -> (pack _),
+    "docs_decontaminate" -> (decontaminate _),
+    "docs_sample_mix" -> (sampleMix _))
+
+  def oracles: Map[String, String] = Map(
+    "docs_chunk" -> chunkSql,
+    "docs_pack" -> packSql,
+    "docs_decontaminate" -> decontaminateSql,
+    "docs_sample_mix" -> sampleMixSql)
+}
