@@ -11,21 +11,34 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // Steady-state measurement: run each query once untimed (pays one-off
     // whole-stage-codegen compilation + file listing, both cached by Spark),
-    // then time the second execution — the figure that scales with data
-    // volume rather than with plan complexity. JVM warmup is covered by the
-    // warm pass itself.
+    // then time TIMED_RUNS further executions and report the MIN — the
+    // figure that scales with data volume rather than with plan complexity
+    // or host noise (round 2's headline number was a 10x in-session noise
+    // artifact; the per-run array makes any such outlier adjudicable from
+    // the JSON alone). JVM warmup is covered by the warm pass itself.
     // A throwing query records -1 (NOT its elapsed time) so broken queries
     // are visible in the bench JSON instead of polluting the total.
+    val TIMED_RUNS = 2
     val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val runs = (1 to TIMED_RUNS).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> runs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.4f"
+    val best = results.map { case (k, rs) =>
+      k -> (if (rs.forall(_ >= 0)) rs.min else -1.0)
+    }
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rs = results.map { case (k, runs) =>
+      s"\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = best.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

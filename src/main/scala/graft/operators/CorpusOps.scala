@@ -91,12 +91,23 @@ object CorpusOps extends QueryModule {
   // >= 1 five-gram shingle with the benchmark is dropped. Joins run on the
   // fixed-width md5 of the shingle (cheap shuffle keys, engine-identical
   // equality); the benchmark shingle set is tiny -> broadcast semi-join.
+  // Shingles in more than MAX_SHINGLE_DF documents are dropped first (the
+  // GPT-3-style ubiquitous-n-gram rule): they carry no contamination
+  // signal, and one hot key would otherwise skew the corpus-side probe.
+  // 64 is far above the fixture's max df (4 at sf0.1) -> results unchanged;
+  // the DuckDB twin applies the identical cap.
   // ------------------------------------------------------------------
+  private val MAX_SHINGLE_DF = 64
+
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docs(s, dir)
       .select(col("doc_id"),
         explode(TextFns.shingles(TextFns.tokens(col("text")))).as("shingle"))
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh_key"))))
+      .filter(col("df") <= MAX_SHINGLE_DF)
+      .select(col("doc_id"), col("sh_key"))
     val isBench = pmod(col("doc_id"), lit(97)) === 0
     val benchKeys = sh.filter(isBench).select(col("sh_key")).distinct()
     val contaminated = sh.filter(!isBench)
@@ -110,12 +121,14 @@ object CorpusOps extends QueryModule {
   }
 
   val decontaminateSql: String =
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
       |  SELECT doc_id, md5(shingle) AS sh_key FROM (
       |    SELECT doc_id, unnest(list_distinct(list_transform(
       |      range(1, len($toksSql) - 3),
       |      i -> array_to_string(($toksSql)[i:i+4], ' ')))) AS shingle
       |    FROM documents)),
+      |sh AS (SELECT doc_id, sh_key FROM sh0
+      |       QUALIFY COUNT(*) OVER (PARTITION BY sh_key) <= $MAX_SHINGLE_DF),
       |bench AS (SELECT DISTINCT sh_key FROM sh WHERE doc_id % 97 = 0),
       |contam AS (SELECT DISTINCT doc_id FROM sh
       |           WHERE doc_id % 97 <> 0 AND sh_key IN (SELECT sh_key FROM bench))

@@ -15,11 +15,10 @@ import graft.sources.Tables
   *
   * Everything is semi/anti-join composition over the already-verified
   * operator outputs, so the whole pipeline stays one lazy plan: Catalyst
-  * pushes the quality/keeper predicates into their subplans and the
-  * near-dup anti join broadcasts (candidate pairs are tiny by
-  * construction). This is the query to scale-test: at 100 TB the three
-  * gates run as successive hash semi-joins on doc_id — each a single
-  * key-only shuffle.
+  * pushes the quality/keeper predicates into their subplans. This is the
+  * query to scale-test: at 100 TB the three gates run as successive hash
+  * semi/anti joins on doc_id — each a single key-only shuffle, with AQE
+  * free to broadcast any side its runtime stats prove small.
   */
 object Curation extends QueryModule {
 
@@ -34,7 +33,12 @@ object Curation extends QueryModule {
     Tables.load(s, dir, "documents")
       .join(accepted, Seq("doc_id"), "left_semi")
       .join(keepers, Seq("doc_id"), "left_semi")
-      .join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+      // No broadcast hint: the loser set scales with corpus duplication
+      // (web corpora run 30%+ duplicates), so forcing a broadcast is
+      // unbounded at 100 TB. Unhinted, AQE broadcasts when runtime stats
+      // say it's small and falls back to a key-only shuffled anti join
+      // when they don't — exactly the size-aware behavior we want.
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("bigint").as("total_chars"))

@@ -12,7 +12,9 @@ import graft.sources.Tables
   * Design for 100 TB:
   *  - Never all-pairs: candidates come only from equi-joins (shared shingle
   *    for Jaccard, shared band key for MinHash) — hash shuffles, linear in
-  *    corpus + candidate volume, no quadratic stage anywhere.
+  *    corpus + candidate volume, no quadratic stage anywhere. Hot shingles
+  *    are df-capped (MAX_SHINGLE_DF) before the self-join, so no single
+  *    key can fan out quadratically either.
   *  - The MinHash signature is a fixed K=12 hashes -> constant state per doc;
   *    banding (4 bands x 3 rows) turns near-dup search into GROUP BY.
   *  - Portable hashing: md5 hex (identical in DuckDB) instead of engine hash
@@ -22,6 +24,15 @@ object DedupOps extends QueryModule {
 
   private val K = 12       // minhash signature length
   private val BANDROWS = 3 // rows per LSH band -> 4 bands
+  /** Document-frequency cap for the exact-Jaccard candidate join: a shingle
+    * appearing in more than this many documents is dropped BEFORE the
+    * self-join. Without it, one boilerplate 5-gram in 10⁶ documents yields
+    * 10¹² candidate pairs on a single key — a quadratic hot spot AQE can
+    * split but not shrink. Ubiquitous shingles carry ~no Jaccard signal, so
+    * the cap is the standard fix. 64 is far above the fixture's max df
+    * (3 at sf0.01, 4 at sf0.1), so fixture results are unchanged; the
+    * DuckDB twin applies the identical cap. */
+  private[operators] val MAX_SHINGLE_DF = 64
 
   /** (doc_id, shingle) distinct pairs. loadParallel: shingling + md5
     * signatures are the heavy narrow stage (see Tables.loadParallel). */
@@ -93,14 +104,27 @@ object DedupOps extends QueryModule {
   // ------------------------------------------------------------------
   // Exact n-gram Jaccard on shingle-sharing candidate pairs.
   // ------------------------------------------------------------------
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     // join on the fixed-width md5 of the shingle, not the (long) shingle
     // string: cheaper shuffle keys and comparisons, identical semantics on
     // both engines (md5 equality == shingle equality; any astronomically-
     // unlikely collision would be IDENTICAL in the oracle, preserving
-    // parity). sh is consumed 3x -> checkpoint once.
-    val sh = shingleRows(s, dir)
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key"))
+    // parity).
+    ngramJaccardOf(shingleRows(s, dir)
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key")))
+
+  /** Core of the exact-Jaccard pipeline over a (doc_id, sh_key) relation —
+    * factored out so specs can drive it with synthetic hot-shingle data.
+    * The df cap (one count-over-window pass, a single sh_key exchange)
+    * runs BEFORE the self-join, so no key can fan out quadratically. */
+  private[graft] def ngramJaccardOf(sh0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // capped relation is consumed 3x (sizes + both self-join sides) ->
+    // checkpoint once instead of recomputing the md5 + window pipeline.
+    val sh = sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh_key"))))
+      .filter(col("df") <= MAX_SHINGLE_DF)
+      .select(col("doc_id"), col("sh_key"))
       .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -117,7 +141,9 @@ object DedupOps extends QueryModule {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH sh AS (SELECT doc_id, md5(shingle) AS sh_key FROM ($shingleRowsSql)),
+    s"""WITH sh0 AS (SELECT doc_id, md5(shingle) AS sh_key FROM ($shingleRowsSql)),
+      |sh AS (SELECT doc_id, sh_key FROM sh0
+      |       QUALIFY COUNT(*) OVER (PARTITION BY sh_key) <= $MAX_SHINGLE_DF),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared

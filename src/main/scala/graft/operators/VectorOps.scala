@@ -212,9 +212,16 @@ object VectorOps extends QueryModule {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
-    candidates
-      .join(broadcast(emb(s, dir).select(col("vec_id").as("d1"), col("embedding").as("e1"))), Seq("d1"))
-      .join(broadcast(emb(s, dir).select(col("vec_id").as("d2"), col("embedding").as("e2"))), Seq("d2"))
+    // Rehydration: the CANDIDATES are the broadcast side (they're a
+    // vanishing fraction of the corpus); the corpus streams through each
+    // join unshuffled. Broadcasting the corpus here — the round-2 shape —
+    // would OOM the driver at 100 TB building the broadcast relation.
+    // Each probe keeps only candidate-sized output, so the second
+    // broadcast (candidates + e1) is still candidate-proportional.
+    val withE1 = emb(s, dir).select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      .join(broadcast(candidates), Seq("d1"))
+    emb(s, dir).select(col("vec_id").as("d2"), col("embedding").as("e2"))
+      .join(broadcast(withE1), Seq("d2"))
       .select(col("d1"), col("d2"), expr("cosine_fast(e1, e2)").as("cos"))
       .filter(col("cos") >= 0.5)
       .orderBy(col("d1"), col("d2"))

@@ -44,6 +44,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("ngram jaccard df-caps hot shingles: no quadratic fan-out on one key") {
+    import spark.implicits._
+    // 100 docs all share the boilerplate shingle "HOT" (df=100 > cap);
+    // each has a unique shingle; docs 1 and 2 additionally share "pair".
+    // Without the df cap the self-join emits 100*99/2 + 1 candidate pairs;
+    // with it, only (1,2) — from the signal-carrying shared shingle.
+    val sh = (1 to 100).flatMap { d =>
+      Seq((d.toLong, "HOT"), (d.toLong, s"uniq_$d")) ++
+        (if (d <= 2) Seq((d.toLong, "pair")) else Nil)
+    }.toDF("doc_id", "sh_key")
+    val out = DedupOps.ngramJaccardOf(sh).collect()
+    assert(out.length == 1, s"expected only the signal pair, got ${out.length}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 2L, 1L))
+    // capped sizes: each of docs 1,2 keeps {uniq, pair} -> jaccard 1/3
+    assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-12)
+  }
+
   test("simhash: 16-bit range, one row per doc") {
     val df = DedupOps.simhash(spark, sfDir).cache()
     assert(df.filter(col("simhash") < 0 || col("simhash") > 65535).count() == 0)

@@ -61,6 +61,54 @@ class PlanShapeSpec extends SparkTestBase {
       s"per-row subquery survived decorrelation:\n$plan")
   }
 
+  /** Run `body` with size-based broadcast selection OFF — simulating "no
+    * relation is small enough to auto-broadcast", i.e. the 100 TB
+    * condition. Only explicit broadcast() hints survive, so what these
+    * tests see is exactly the hint placement. */
+  private def withNoAutoBroadcast[A](body: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  /** The subtree (as lines) under each plan line containing `marker`:
+    * a node's subtree is the run of following lines whose content starts
+    * deeper (tree connectors ':', '+', '-' count as prefix). */
+  private def subtreesOf(plan: String, marker: String): Seq[Seq[String]] = {
+    val lines = plan.split("\n").toIndexedSeq
+    def depth(l: String): Int = l.segmentLength(c => c == ' ' || c == ':' || c == '+' || c == '-')
+    lines.zipWithIndex.filter(_._1.contains(marker)).map { case (l, i) =>
+      lines.drop(i + 1).takeWhile(depth(_) > depth(l))
+    }
+  }
+
+  test("near-dup rehydration broadcasts candidates, never the corpus (100 TB shape)") {
+    withNoAutoBroadcast {
+      val plan = executedPlan(graft.operators.VectorOps.embeddingNearDupBlocked(spark, sfDir))
+      val builds = subtreesOf(plan, "BroadcastExchange")
+      assert(builds.nonEmpty, s"expected hinted broadcasts in:\n$plan")
+      // every broadcast build side must be a DERIVED bounded relation
+      // (centroids = aggregate, candidates = join+distinct) — a broadcast
+      // whose subtree is a bare scan/projection chain would be the corpus.
+      builds.foreach { sub =>
+        assert(sub.exists(l => l.contains("Aggregate") || l.contains("Join")),
+          s"broadcast of a raw (corpus-sized) relation:\n${sub.mkString("\n")}")
+      }
+    }
+  }
+
+  test("curation anti join carries no broadcast hint (loser set is unbounded)") {
+    withNoAutoBroadcast {
+      val plan = executedPlan(graft.operators.Curation.curate(spark, sfDir))
+      assert(!plan.contains("BroadcastExchange"),
+        s"unhinted curation plan must not force a broadcast at scale:\n$plan")
+    }
+  }
+
   test("blocked embedding near-dup generates candidates via equi-join on cells") {
     val df = graft.operators.VectorOps.embeddingNearDupBlocked(spark, sfDir)
     val plan = executedPlan(df)
