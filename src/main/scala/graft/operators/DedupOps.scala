@@ -47,6 +47,19 @@ object DedupOps extends QueryModule {
       .groupBy(col("doc_id"), col("k"))
       .agg(min(TextFns.seedHash(col("k"), col("shingle"))).as("mh"))
 
+  /** The materialized signature relation, shared per (session, dir): the
+    * md5 minhash pipeline is the expensive common subexpression of BOTH
+    * dedup_minhash_pairs and pipeline_curation, so one localCheckpoint
+    * serves every consumer in the session instead of recomputing per query
+    * (at scale: compute-once-reuse-many is how a curation run treats its
+    * signature store). Keyed by session identity so a restarted session
+    * never sees another session's checkpointed blocks. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def signatureCached(s: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      signature(s, dir).localCheckpoint())
+
   private val shingleRowsSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-3),
       |    i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
@@ -62,10 +75,10 @@ object DedupOps extends QueryModule {
   // similarity as the fraction of matching signature positions.
   // ------------------------------------------------------------------
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // signature is consumed 3x (bands + both sides of the estimate join);
-    // checkpoint once (60k rows) instead of recomputing the md5 pipeline —
-    // blocks are context-cleaned after the query (see LshOps note).
-    val sig = signature(s, dir).localCheckpoint()
+    // signature is consumed 3x (bands + both sides of the estimate join)
+    // and by pipeline_curation — one session-cached checkpoint (60k rows)
+    // instead of recomputing the md5 pipeline per consumer.
+    val sig = signatureCached(s, dir)
     val bands = sig
       .withColumn("b", floor(col("k") / BANDROWS))
       .groupBy(col("doc_id"), col("b"))

@@ -131,6 +131,47 @@ object ReferenceOps extends QueryModule {
       |ORDER BY accountId""".stripMargin
 
   // ------------------------------------------------------------------
+  // S3 (full fidelity): the funds response is ONE JSON object mapping
+  // accountId -> account info (`for k, v in accs.json().items()`,
+  // trading212.py:65) — so the scan is a MapType read: from_json with a
+  // MapType schema, then explode(map) into (key, value) rows, feeding the
+  // same F1/F4 eligibility logic as ref_switch_account. The map is
+  // synthesized deterministically from customer and capped at 200 keys
+  // (an API response is response-sized — the single-row JSON string is
+  // the reference's data shape, not a scale path).
+  // ------------------------------------------------------------------
+  def fundsMap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val body = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .agg(to_json(map_from_entries(collect_list(struct(
+        col("c_custkey").cast("string"),
+        struct(when(pmod(col("c_custkey"), lit(3)) === 0, "EQUITY")
+          .when(pmod(col("c_custkey"), lit(3)) === 1, "ISA")
+          .otherwise("CFD").as("tradingType")))))).as("body"))
+    val accountsSchema = MapType(StringType,
+      StructType(Seq(StructField("tradingType", StringType))))
+    val accounts = body
+      .select(explode(from_json(col("body"), accountsSchema)).as(Seq("k", "v")))
+      .select(col("k").cast("bigint").as("accountId"),
+        col("v.tradingType").as("tradingType"))
+    val eligible = accounts.filter(col("tradingType").isin("EQUITY", "ISA"))
+    val current = eligible.agg(min(col("accountId")).as("currentId"))
+    eligible.join(broadcast(current), col("accountId") === col("currentId"), "left_anti")
+      .orderBy("accountId")
+  }
+
+  val fundsMapSql: String =
+    """WITH funds AS (
+      |  SELECT c_custkey AS accountId,
+      |    CASE c_custkey % 3 WHEN 0 THEN 'EQUITY' WHEN 1 THEN 'ISA' ELSE 'CFD' END AS tradingType
+      |  FROM customer WHERE c_custkey <= 200),
+      |eligible AS (SELECT * FROM funds WHERE tradingType IN ('EQUITY','ISA'))
+      |SELECT accountId, tradingType FROM eligible
+      |WHERE accountId <> (SELECT min(accountId) FROM eligible)
+      |ORDER BY accountId""".stripMargin
+
+  // ------------------------------------------------------------------
   // D2/L1x: keyed dedup keep-latest (SURVEY.md §2.9 at-least-once + dedup;
   // the streaming-incremental variant of D1). row_number over
   // (user_id, ts DESC, event_id DESC) == 1.
@@ -243,6 +284,7 @@ object ReferenceOps extends QueryModule {
     "ref_json_extract" -> (jsonExtract _),
     "ref_limit_concat" -> (limitConcat _),
     "ref_switch_account" -> (switchAccount _),
+    "ref_funds_map" -> (fundsMap _),
     "ref_dedup_latest" -> (dedupKeepLatest _))
 
   def oracles: Map[String, String] = Map(
@@ -255,5 +297,6 @@ object ReferenceOps extends QueryModule {
     "ref_json_extract" -> jsonExtractSql,
     "ref_limit_concat" -> limitConcatSql,
     "ref_switch_account" -> switchAccountSql,
+    "ref_funds_map" -> fundsMapSql,
     "ref_dedup_latest" -> dedupKeepLatestSql)
 }

