@@ -47,18 +47,21 @@ object DedupOps extends QueryModule {
       .groupBy(col("doc_id"), col("k"))
       .agg(min(TextFns.seedHash(col("k"), col("shingle"))).as("mh"))
 
-  /** The materialized signature relation, shared per (session, dir): the
-    * md5 minhash pipeline is the expensive common subexpression of BOTH
-    * dedup_minhash_pairs and pipeline_curation, so one localCheckpoint
-    * serves every consumer in the session instead of recomputing per query
-    * (at scale: compute-once-reuse-many is how a curation run treats its
-    * signature store). Keyed by session identity so a restarted session
-    * never sees another session's checkpointed blocks. */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private def signatureCached(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      signature(s, dir).localCheckpoint())
+  /** One materialized signature relation PER CALL: the md5 minhash pipeline
+    * is the expensive common subexpression consumed multiple times inside a
+    * single query plan (bands + both sides of the estimate join), so each
+    * call localCheckpoints it once and every consumer in that plan reuses
+    * the materialized RDD. Deliberately NOT memoized across calls — round 3
+    * kept a session-keyed TrieMap cache, which (a) turned Bench's timed
+    * runs into cache hits that silently excluded the query's dominant
+    * compute, (b) let the CacheManager alias a stale spec-cached physical
+    * plan into later queries via plan canonicalization (the round-3
+    * sbt-test failure), and (c) could outlive stopped sessions. At scale a
+    * curation run persists its signature store as an explicit table, not a
+    * process-lifetime cache; per-call recompute is the honest cost model
+    * for a registered query. */
+  private def signatureMaterialized(s: SparkSession, dir: String): DataFrame =
+    signature(s, dir).localCheckpoint()
 
   private val shingleRowsSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-3),
@@ -75,10 +78,10 @@ object DedupOps extends QueryModule {
   // similarity as the fraction of matching signature positions.
   // ------------------------------------------------------------------
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // signature is consumed 3x (bands + both sides of the estimate join)
-    // and by pipeline_curation — one session-cached checkpoint (60k rows)
-    // instead of recomputing the md5 pipeline per consumer.
-    val sig = signatureCached(s, dir)
+    // signature is consumed 3x (bands + both sides of the estimate join) —
+    // one per-call checkpoint instead of recomputing the md5 pipeline per
+    // consumer within this plan.
+    val sig = signatureMaterialized(s, dir)
     val bands = sig
       .withColumn("b", floor(col("k") / BANDROWS))
       .groupBy(col("doc_id"), col("b"))

@@ -1,10 +1,19 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import graft.operators.{DedupOps, Multimodal, TextOps, VectorOps}
 
 /** Invariants for the [EXT] LLM-data-pipeline operators (SURVEY.md §2.10). */
-class LlmOpsSpec extends SparkTestBase {
+class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  /** The session is shared across suites: any .cache() this suite leaves
+    * behind can be canonicalization-substituted into a LATER suite's plans
+    * (round-3 failure mode), so drop them all on the way out. */
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 
   test("token stats: uniq <= total, ratios in (0,1]") {
     val bad = TextOps.tokenStats(spark, sfDir)

@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkTestBase {
     * condition. Only explicit broadcast() hints survive, so what these
     * tests see is exactly the hint placement. */
   private def withNoAutoBroadcast[A](body: => A): A = {
+    // Cross-suite hygiene: a .cache() left behind by an earlier suite can be
+    // substituted into these plans by the CacheManager (plan
+    // canonicalization), and the stored InMemoryRelation carries the
+    // physical plan it was FIRST compiled with — possibly with
+    // auto-broadcast ON — which would false-positive the no-broadcast
+    // assertions below (the round-3 88/89 failure). Always start clean.
+    spark.catalog.clearCache()
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
@@ -101,9 +108,29 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  /** Plan text with every InMemoryRelation/InMemoryTableScan subtree
+    * removed: a replayed cache executes the physical plan it was first
+    * compiled with, which is not THIS query's plan choice — hint
+    * assertions must not be able to trip on it. */
+  private def withoutCachedSubtrees(plan: String): String = {
+    val lines = plan.split("\n").toIndexedSeq
+    def depth(l: String): Int = l.segmentLength(c => c == ' ' || c == ':' || c == '+' || c == '-')
+    val drop = scala.collection.mutable.BitSet.empty
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("InMemoryRelation") || l.contains("InMemoryTableScan")) {
+        drop += i
+        lines.drop(i + 1).zipWithIndex
+          .takeWhile { case (sub, _) => depth(sub) > depth(l) }
+          .foreach { case (_, j) => drop += i + 1 + j }
+      }
+    }
+    lines.zipWithIndex.collect { case (l, i) if !drop(i) => l }.mkString("\n")
+  }
+
   test("curation anti join carries no broadcast hint (loser set is unbounded)") {
     withNoAutoBroadcast {
-      val plan = executedPlan(graft.operators.Curation.curate(spark, sfDir))
+      val plan = withoutCachedSubtrees(
+        executedPlan(graft.operators.Curation.curate(spark, sfDir)))
       assert(!plan.contains("BroadcastExchange"),
         s"unhinted curation plan must not force a broadcast at scale:\n$plan")
     }
