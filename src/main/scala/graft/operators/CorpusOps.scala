@@ -20,10 +20,10 @@ import graft.sources.Tables
   *    unlike rand()-based sampling.
   *
   * Scale notes: chunking is a narrow explode; packing windows are bounded
-  * by the pack domain (lang here; a shard key in production — never an
-  * unbounded global window); decontamination joins move only shingle
-  * hashes and benchmark keys (the benchmark side is tiny and broadcast);
-  * mixture sampling is a pure filter that pushes to the scan.
+  * by the (lang, shard) pack domain — never an unbounded global window;
+  * decontamination joins move only shingle hashes and benchmark keys (the
+  * benchmark side is tiny and broadcast); mixture sampling is a pure
+  * filter that pushes to the scan.
   */
 object CorpusOps extends QueryModule {
 
@@ -66,25 +66,35 @@ object CorpusOps extends QueryModule {
 
   // ------------------------------------------------------------------
   // Sequence packing: chunks -> ~BIN-token bins by running token count
-  // within the lang pack domain, in deterministic (doc_id, chunk_idx)
-  // order. bin = (running_before_this_chunk) div BIN — contiguous greedy
-  // packing, one window pass, no shuffle beyond the domain partition.
+  // within the (lang, shard) pack domain, in deterministic (doc_id,
+  // chunk_idx) order. bin = (running_before_this_chunk) div BIN —
+  // contiguous greedy packing, one window pass. The shard key
+  // (pmod(doc_id, PACK_SHARDS)) bounds every window partition: with lang
+  // alone, a handful of language values means one task sorts and
+  // prefix-sums an entire language's chunks at 100 TB; sharding splits
+  // each language into PACK_SHARDS independent packing domains (packing
+  // needs deterministic bins, not a single global sequence per language).
   // ------------------------------------------------------------------
+  private val PACK_SHARDS = 16
+
   def pack(s: SparkSession, dir: String): DataFrame =
     chunk(s, dir)
-      .select(col("lang"), col("doc_id"), col("chunk_idx"), col("n_tokens"),
-        expr(s"CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx " +
+      .withColumn("shard", pmod(col("doc_id"), lit(PACK_SHARDS)).cast("int"))
+      .select(col("lang"), col("shard"), col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        expr(s"CAST((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id, chunk_idx " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div $BIN AS INT)")
           .as("bin"))
-      .orderBy(col("lang"), col("doc_id"), col("chunk_idx"))
+      .orderBy(col("lang"), col("shard"), col("doc_id"), col("chunk_idx"))
 
   val packSql: String =
     s"""WITH chunks AS ($chunkSql)
-      |SELECT lang, doc_id, chunk_idx, n_tokens,
-      |  CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+      |SELECT lang, CAST(doc_id % $PACK_SHARDS AS INTEGER) AS shard,
+      |  doc_id, chunk_idx, n_tokens,
+      |  CAST((SUM(n_tokens) OVER (PARTITION BY lang, doc_id % $PACK_SHARDS
+      |      ORDER BY doc_id, chunk_idx
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // $BIN AS INTEGER) AS bin
       |FROM chunks
-      |ORDER BY lang, doc_id, chunk_idx""".stripMargin
+      |ORDER BY lang, shard, doc_id, chunk_idx""".stripMargin
 
   // ------------------------------------------------------------------
   // Decontamination: benchmark = doc_id % 97 == 0; any corpus doc sharing
@@ -100,13 +110,16 @@ object CorpusOps extends QueryModule {
   private val MAX_SHINGLE_DF = 64
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs(s, dir)
+    val sh0 = docs(s, dir)
       .select(col("doc_id"),
         explode(TextFns.shingles(TextFns.tokens(col("text")))).as("shingle"))
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh_key"))))
+    // cap via aggregate + semi-join, not count-over-window: map-side
+    // partial counts + AQE-splittable probe (see DedupOps.ngramJaccardOf)
+    val keepKeys = sh0.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MAX_SHINGLE_DF)
+      .select(col("sh_key"))
+    val sh = sh0.join(keepKeys, Seq("sh_key"), "left_semi")
       .select(col("doc_id"), col("sh_key"))
     val isBench = pmod(col("doc_id"), lit(97)) === 0
     val benchKeys = sh.filter(isBench).select(col("sh_key")).distinct()

@@ -9,8 +9,9 @@ import graft.sources.Tables
   *
   *   quality gate (docs_quality.accepted)
   *     -> exact-dedup keeper (docs_fingerprint.keeper)
-  *     -> near-dup removal (drop the higher doc_id of every MinHash pair
-  *        with estimated Jaccard >= 0.9)
+  *     -> near-dup removal (drop every doc whose signature matches its
+  *        LSH-bucket representative at >= 0.9 — the linear loser-set
+  *        formulation, see DedupOps.minhashLosers)
   *     -> surviving-corpus profile per language.
   *
   * Everything is semi/anti-join composition over the already-verified
@@ -27,9 +28,11 @@ object Curation extends QueryModule {
   def curate(s: SparkSession, dir: String): DataFrame = {
     val accepted = TextOps.quality(s, dir).filter(col("accepted")).select("doc_id")
     val keepers = TextOps.fingerprint(s, dir).filter(col("keeper")).select("doc_id")
-    val nearDupLosers = DedupOps.minhashPairs(s, dir)
-      .filter(col("est_jaccard") >= NEAR_DUP_CUTOFF)
-      .select(col("d2").as("doc_id")).distinct()
+    // Loser-set formulation (round 4): candidates are per-bucket
+    // (representative, member) pairs — linear in corpus size even for a
+    // 10⁶-copy duplicate cluster — instead of the pairwise band self-join,
+    // whose output is quadratic in cluster size. See DedupOps.minhashLosers.
+    val nearDupLosers = DedupOps.minhashLosers(s, dir, NEAR_DUP_CUTOFF)
     Tables.load(s, dir, "documents")
       .join(accepted, Seq("doc_id"), "left_semi")
       .join(keepers, Seq("doc_id"), "left_semi")
@@ -48,13 +51,12 @@ object Curation extends QueryModule {
   val curateSql: String =
     s"""WITH q AS (${TextOps.qualitySql}),
       |fp AS (${TextOps.fingerprintSql}),
-      |mh AS (${DedupOps.minhashPairsSql})
+      |losers AS (${DedupOps.minhashLosersSql(NEAR_DUP_CUTOFF)})
       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents d
       |WHERE EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id AND q.accepted)
       |  AND EXISTS (SELECT 1 FROM fp WHERE fp.doc_id = d.doc_id AND fp.keeper)
-      |  AND NOT EXISTS (SELECT 1 FROM mh
-      |                  WHERE mh.d2 = d.doc_id AND mh.est_jaccard >= $NEAR_DUP_CUTOFF)
+      |  AND NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = d.doc_id)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

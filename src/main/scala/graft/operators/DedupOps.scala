@@ -73,20 +73,41 @@ object DedupOps extends QueryModule {
       |FROM (SELECT doc_id, shingle, unnest(range(0, $K)) AS k FROM ($shingleRowsSql))
       |GROUP BY doc_id, k""".stripMargin
 
+  /** Bucket-size cap for the PAIRWISE band self-join: a cluster of n
+    * identical documents shares identical band keys in ALL bands, so the
+    * uncapped self-join emits n²/2 candidate pairs on one key — the band
+    * analog of the shingle hot-spot MAX_SHINGLE_DF fixes. Pair OUTPUT is
+    * inherently quadratic in cluster size, so buckets above the cap are
+    * dropped from the pairwise query (their members are still caught by
+    * the loser-set formulation below, whose output is linear). 64 is far
+    * above the fixture's max bucket size; the DuckDB twin applies the
+    * identical cap. */
+  private[operators] val MAX_BAND_BUCKET = 64
+
   // ------------------------------------------------------------------
   // MinHash + LSH: band signatures, bucket-join candidates, then estimate
   // similarity as the fraction of matching signature positions.
   // ------------------------------------------------------------------
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // signature is consumed 3x (bands + both sides of the estimate join) —
-    // one per-call checkpoint instead of recomputing the md5 pipeline per
-    // consumer within this plan.
-    val sig = signatureMaterialized(s, dir)
-    val bands = sig
+
+  /** (doc_id, b, band_key): each document's LSH band keys. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig
       .withColumn("b", floor(col("k") / BANDROWS))
       .groupBy(col("doc_id"), col("b"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
         x => x.getField("mh")), "").as("band_key"))
+
+  /** Pairwise core over a (doc_id, k, mh) signature relation — factored
+    * out so specs can drive it with a synthetic identical-doc cluster.
+    * The bucket cap (aggregate + semi-join, map-side partial counts) runs
+    * BEFORE the self-join, so no bucket can fan out quadratically. */
+  private[graft] def minhashPairsOf(sig: DataFrame): DataFrame = {
+    val bands0 = bandsOf(sig)
+    val keepBuckets = bands0.groupBy(col("b"), col("band_key"))
+      .agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= MAX_BAND_BUCKET)
+      .select(col("b"), col("band_key"))
+    val bands = bands0.join(keepBuckets, Seq("b", "band_key"), "left_semi")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -100,12 +121,22 @@ object DedupOps extends QueryModule {
       .orderBy(col("d1"), col("d2"))
   }
 
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    // signature is consumed 3x (bands + both sides of the estimate join) —
+    // one per-call checkpoint instead of recomputing the md5 pipeline per
+    // consumer within this plan.
+    minhashPairsOf(signatureMaterialized(s, dir))
+
+  private val bandsSql =
+    s"""SELECT doc_id, CAST(floor(k / $BANDROWS) AS BIGINT) AS b,
+      |    string_agg(mh, '' ORDER BY k) AS band_key
+      |  FROM sig GROUP BY doc_id, CAST(floor(k / $BANDROWS) AS BIGINT)""".stripMargin
+
   val minhashPairsSql: String =
     s"""WITH sig AS ($signatureSql),
-      |bands AS (
-      |  SELECT doc_id, CAST(floor(k / $BANDROWS) AS BIGINT) AS b,
-      |    string_agg(mh, '' ORDER BY k) AS band_key
-      |  FROM sig GROUP BY doc_id, CAST(floor(k / $BANDROWS) AS BIGINT)),
+      |bands0 AS ($bandsSql),
+      |bands AS (SELECT doc_id, b, band_key FROM bands0
+      |          QUALIFY COUNT(*) OVER (PARTITION BY b, band_key) <= $MAX_BAND_BUCKET),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
       |  FROM bands x JOIN bands y
@@ -116,6 +147,56 @@ object DedupOps extends QueryModule {
       |JOIN sig s1 ON d1 = s1.doc_id
       |JOIN sig s2 ON d2 = s2.doc_id AND s1.k = s2.k
       |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Loser set (curation's near-dup removal): per (b, band_key) bucket the
+  // bucket-min doc is the canonical representative; every other member is
+  // a loser CANDIDATE paired with that representative, then verified by
+  // exact signature-match fraction >= cutoff. Candidate volume is <= one
+  // row per (doc, band) — a 10⁶-copy cluster yields 10⁶-1 candidates, not
+  // ~10¹²/2 pairs — so curation never materializes a quadratic pair set
+  // and needs NO bucket cap (capping would silently KEEP exactly the most
+  // duplicated content, the opposite of what dedup must do).
+  // ------------------------------------------------------------------
+
+  /** Loser core over a (doc_id, k, mh) signature relation. Returns the
+    * distinct doc_ids to DROP. */
+  private[graft] def minhashLosersOf(sig: DataFrame, cutoff: Double): DataFrame = {
+    val bands = bandsOf(sig)
+    val reps = bands.groupBy(col("b"), col("band_key")).agg(min(col("doc_id")).as("rep"))
+    val cand = bands.join(reps, Seq("b", "band_key"))
+      .filter(col("doc_id") > col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+      .distinct()
+    cand.join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id") && col("s1.k") === col("s2.k"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((sum(when(col("s1.mh") === col("s2.mh"), 1).otherwise(0)).cast("double") / K)
+        .as("est_jaccard"))
+      .filter(col("est_jaccard") >= cutoff)
+      .select(col("d2").as("doc_id"))
+      .distinct()
+  }
+
+  def minhashLosers(s: SparkSession, dir: String, cutoff: Double): DataFrame =
+    minhashLosersOf(signatureMaterialized(s, dir), cutoff)
+
+  def minhashLosersSql(cutoff: Double): String =
+    s"""WITH sig AS ($signatureSql),
+      |bands AS ($bandsSql),
+      |reps AS (SELECT b, band_key, MIN(doc_id) AS rep FROM bands GROUP BY b, band_key),
+      |cand AS (
+      |  SELECT DISTINCT r.rep AS d1, bd.doc_id AS d2
+      |  FROM bands bd JOIN reps r
+      |    ON bd.b = r.b AND bd.band_key = r.band_key AND bd.doc_id > r.rep)
+      |SELECT DISTINCT d2 AS doc_id FROM (
+      |  SELECT d1, d2,
+      |    CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K AS est_jaccard
+      |  FROM cand
+      |  JOIN sig s1 ON d1 = s1.doc_id
+      |  JOIN sig s2 ON d2 = s2.doc_id AND s1.k = s2.k
+      |  GROUP BY d1, d2)
+      |WHERE est_jaccard >= $cutoff""".stripMargin
 
   // ------------------------------------------------------------------
   // Exact n-gram Jaccard on shingle-sharing candidate pairs.
@@ -131,15 +212,19 @@ object DedupOps extends QueryModule {
 
   /** Core of the exact-Jaccard pipeline over a (doc_id, sh_key) relation —
     * factored out so specs can drive it with synthetic hot-shingle data.
-    * The df cap (one count-over-window pass, a single sh_key exchange)
-    * runs BEFORE the self-join, so no key can fan out quadratically. */
+    * The df cap runs BEFORE the self-join, so no key can fan out
+    * quadratically. It is an aggregate + semi-join (NOT count-over-window):
+    * the groupBy partial-aggregates map-side, so a hot key is counted
+    * across many tasks and AQE can split the skewed semi-join probe,
+    * whereas the window form funnels every hot-key row through one task
+    * just to be counted. */
   private[graft] def ngramJaccardOf(sh0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // capped relation is consumed 3x (sizes + both self-join sides) ->
-    // checkpoint once instead of recomputing the md5 + window pipeline.
-    val sh = sh0
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh_key"))))
+    val keepKeys = sh0.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MAX_SHINGLE_DF)
+      .select(col("sh_key"))
+    // capped relation is consumed 3x (sizes + both self-join sides) ->
+    // checkpoint once instead of recomputing the md5 + cap pipeline.
+    val sh = sh0.join(keepKeys, Seq("sh_key"), "left_semi")
       .select(col("doc_id"), col("sh_key"))
       .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -208,11 +293,13 @@ object DedupOps extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_simhash" -> (simhash _))
 
   def oracles: Map[String, String] = Map(
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql)
 }

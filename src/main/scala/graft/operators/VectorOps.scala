@@ -175,13 +175,13 @@ object VectorOps extends QueryModule {
   //      with cosine >= 0.5 land in a shared probed cell);
   //   3. candidate (d1 < d2) pairs = vectors sharing a probed cell —
   //      a hash join on the cell id, distinct'd;
-  //   4. embeddings re-joined BY ID for the candidates only, then one
-  //      exact cosine per pair.
+  //   4. embeddings re-joined BY ID in ONE pass (candidates exploded to
+  //      (pair, side, vec_id) probes), then one exact cosine per pair.
   // Scale: the pair space is cell-local (sum over cells of |cell|² instead
   // of n²); the cell id is the shuffle key; candidates are a vanishing
-  // fraction of the corpus, so the two id-joins that rehydrate embeddings
-  // move candidate-sized data. Same result as the brute force on the
-  // fixture (oracle + VectorSpec cross-check).
+  // fraction of the corpus, so the single id-join that rehydrates
+  // embeddings moves candidate-sized data. Same result as the brute force
+  // on the fixture (oracle + VectorSpec cross-check).
   // ------------------------------------------------------------------
   def embeddingNearDupBlocked(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(s)
@@ -212,16 +212,28 @@ object VectorOps extends QueryModule {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
-    // Rehydration: the CANDIDATES are the broadcast side (they're a
-    // vanishing fraction of the corpus); the corpus streams through each
-    // join unshuffled. Broadcasting the corpus here — the round-2 shape —
-    // would OOM the driver at 100 TB building the broadcast relation.
-    // Each probe keeps only candidate-sized output, so the second
-    // broadcast (candidates + e1) is still candidate-proportional.
-    val withE1 = emb(s, dir).select(col("vec_id").as("d1"), col("embedding").as("e1"))
-      .join(broadcast(candidates), Seq("d1"))
-    emb(s, dir).select(col("vec_id").as("d2"), col("embedding").as("e2"))
-      .join(broadcast(withE1), Seq("d2"))
+    // Rehydration (single pass): explode each candidate pair into its two
+    // (pair, side, vec_id) probes and join ONCE against the embeddings
+    // relation on vec_id, then regroup by pair — the corpus is scanned
+    // once (round 3 scanned it twice more here) and is never a broadcast
+    // build side. No broadcast hints in either direction: the candidate
+    // set scales with corpus duplication (web corpora run 30%+
+    // duplicates), so forcing it onto the driver is unbounded at 100 TB —
+    // the same reasoning as the unhinted curation anti join. Unhinted,
+    // AQE broadcasts the probe side when runtime stats prove it small and
+    // falls back to a key-only shuffle on vec_id when they don't.
+    val probes = candidates.select(
+        explode(array(
+          struct(col("d1"), col("d2"), lit(1).as("side"), col("d1").as("vid")),
+          struct(col("d1"), col("d2"), lit(2).as("side"), col("d2").as("vid")))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.side").as("side"), col("p.vid").as("vid"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(probes, col("vec_id") === col("vid"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(
+        first(when(col("side") === 1, col("embedding")), ignoreNulls = true).as("e1"),
+        first(when(col("side") === 2, col("embedding")), ignoreNulls = true).as("e2"))
       .select(col("d1"), col("d2"), expr("cosine_fast(e1, e2)").as("cos"))
       .filter(col("cos") >= 0.5)
       .orderBy(col("d1"), col("d2"))

@@ -71,6 +71,26 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("minhash band buckets are capped; loser set handles identical clusters linearly") {
+    import spark.implicits._
+    // 100 docs with IDENTICAL signatures (one duplicate cluster): every
+    // band bucket has size 100 > MAX_BAND_BUCKET, so the PAIRWISE query
+    // must drop them (100*99/2 pairs would be the quadratic blow-up);
+    // docs 200/201 share a distinct signature (bucket size 2 -> kept).
+    val sig = ((1 to 100).flatMap(d => (0 until 12).map(k => (d.toLong, k, s"m$k"))) ++
+      Seq(200L, 201L).flatMap(d => (0 until 12).map(k => (d, k, s"p$k"))))
+      .toDF("doc_id", "k", "mh")
+    val pairs = DedupOps.minhashPairsOf(sig).collect()
+    assert(pairs.length == 1, s"expected only the below-cap pair, got ${pairs.length}")
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (200L, 201L))
+    assert(pairs.head.getDouble(2) == 1.0)
+    // The loser set must catch the SAME cluster linearly: candidates are
+    // (bucket-rep, member) rows — 99 for the cluster, 1 for the pair —
+    // and every member verifies at est=1.0 against its representative.
+    val losers = DedupOps.minhashLosersOf(sig, 0.9).collect().map(_.getLong(0)).toSet
+    assert(losers == ((2 to 100).map(_.toLong).toSet + 201L))
+  }
+
   test("simhash: 16-bit range, one row per doc") {
     val df = DedupOps.simhash(spark, sfDir).cache()
     assert(df.filter(col("simhash") < 0 || col("simhash") > 65535).count() == 0)

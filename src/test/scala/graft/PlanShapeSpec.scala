@@ -93,14 +93,18 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("near-dup rehydration broadcasts candidates, never the corpus (100 TB shape)") {
+  test("near-dup broadcasts only bounded derived relations, never the corpus (100 TB shape)") {
     withNoAutoBroadcast {
       val plan = executedPlan(graft.operators.VectorOps.embeddingNearDupBlocked(spark, sfDir))
       val builds = subtreesOf(plan, "BroadcastExchange")
-      assert(builds.nonEmpty, s"expected hinted broadcasts in:\n$plan")
+      // the ONLY hinted broadcast is the centroid set (bounded by the
+      // label domain); rehydration is UNhinted (candidate volume scales
+      // with corpus duplication — AQE decides), so with auto-broadcast
+      // off it must plan as shuffle joins.
+      assert(builds.nonEmpty, s"expected the hinted centroid broadcast in:\n$plan")
       // every broadcast build side must be a DERIVED bounded relation
-      // (centroids = aggregate, candidates = join+distinct) — a broadcast
-      // whose subtree is a bare scan/projection chain would be the corpus.
+      // (centroids = aggregate) — a broadcast whose subtree is a bare
+      // scan/projection chain would be the corpus.
       builds.foreach { sub =>
         assert(sub.exists(l => l.contains("Aggregate") || l.contains("Join")),
           s"broadcast of a raw (corpus-sized) relation:\n${sub.mkString("\n")}")
