@@ -47,21 +47,16 @@ object DedupOps extends QueryModule {
       .groupBy(col("doc_id"), col("k"))
       .agg(min(TextFns.seedHash(col("k"), col("shingle"))).as("mh"))
 
-  /** One materialized signature relation PER CALL: the md5 minhash pipeline
-    * is the expensive common subexpression consumed multiple times inside a
-    * single query plan (bands + both sides of the estimate join), so each
-    * call localCheckpoints it once and every consumer in that plan reuses
-    * the materialized RDD. Deliberately NOT memoized across calls — round 3
-    * kept a session-keyed TrieMap cache, which (a) turned Bench's timed
-    * runs into cache hits that silently excluded the query's dominant
-    * compute, (b) let the CacheManager alias a stale spec-cached physical
-    * plan into later queries via plan canonicalization (the round-3
-    * sbt-test failure), and (c) could outlive stopped sessions. At scale a
-    * curation run persists its signature store as an explicit table, not a
-    * process-lifetime cache; per-call recompute is the honest cost model
-    * for a registered query. */
-  private def signatureMaterialized(s: SparkSession, dir: String): DataFrame =
-    signature(s, dir).localCheckpoint()
+  /** Sharing of the signature relation across its in-plan consumers (bands
+    * + both sides of the estimate join) is left to ReuseExchange/AQE stage
+    * reuse: every consumer sits downstream of the IDENTICAL partial-agg
+    * exchange on (doc_id, k), so the md5 minhash shuffle is computed once
+    * per query and its output read by each consumer. No explicit
+    * materialization: round 3's session cache silently turned bench runs
+    * into cache hits, and round 4's per-call localCheckpoint pinned blocks
+    * with no unpersist AND forfeited lineage (one lost executor fails a
+    * 100 TB run; shuffle-stage reuse keeps recomputability). At scale a
+    * curation run persists its signature store as an explicit table. */
 
   private val shingleRowsSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-3),
@@ -122,10 +117,7 @@ object DedupOps extends QueryModule {
   }
 
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    // signature is consumed 3x (bands + both sides of the estimate join) —
-    // one per-call checkpoint instead of recomputing the md5 pipeline per
-    // consumer within this plan.
-    minhashPairsOf(signatureMaterialized(s, dir))
+    minhashPairsOf(signature(s, dir))
 
   private val bandsSql =
     s"""SELECT doc_id, CAST(floor(k / $BANDROWS) AS BIGINT) AS b,
@@ -179,7 +171,7 @@ object DedupOps extends QueryModule {
   }
 
   def minhashLosers(s: SparkSession, dir: String, cutoff: Double): DataFrame =
-    minhashLosersOf(signatureMaterialized(s, dir), cutoff)
+    minhashLosersOf(signature(s, dir), cutoff)
 
   def minhashLosersSql(cutoff: Double): String =
     s"""WITH sig AS ($signatureSql),
@@ -222,11 +214,12 @@ object DedupOps extends QueryModule {
     val keepKeys = sh0.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MAX_SHINGLE_DF)
       .select(col("sh_key"))
-    // capped relation is consumed 3x (sizes + both self-join sides) ->
-    // checkpoint once instead of recomputing the md5 + cap pipeline.
+    // The capped relation is consumed 3x (sizes + both self-join sides);
+    // all three consumers share the semi-join's exchanges on sh_key, so
+    // ReuseExchange computes the md5 + cap shuffle once per query — no
+    // pinned blocks, lineage intact (see signature's reuse note).
     val sh = sh0.join(keepKeys, Seq("sh_key"), "left_semi")
       .select(col("doc_id"), col("sh_key"))
-      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id"))

@@ -38,11 +38,12 @@ object LshOps extends QueryModule {
 
   /** L2x: MinHashLSH near-dup candidate pairs (Jaccard distance <= 0.8). */
   def minhashMl(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint (not cache): the self-join consumes docs three times
-    // (fit-side transform x2 + join); checkpoint materializes once and the
-    // blocks are freed by the context cleaner when the query's RDDs go out
-    // of scope — a cache() here would pin storage for the session lifetime.
-    val docs = docVectors(s, dir).localCheckpoint()
+    // No explicit materialization: the self-join's two sides canonicalize
+    // identically, so exchange reuse shares the hashed/exploded docs
+    // shuffle within the plan, and fit() only draws seeded coefficients
+    // (no data pass). A cache()/localCheckpoint here would pin blocks with
+    // no deterministic unpersist and (for localCheckpoint) forfeit lineage.
+    val docs = docVectors(s, dir)
     // 2 hash tables (was 4): every emitted pair in the fixture has jaccard
     // similarity >= 0.87, so P(candidate missed) = (1-s)^2 < 2% and the
     // FIXED seed makes the outcome deterministic (verified: same 25 pairs
@@ -64,9 +65,11 @@ object LshOps extends QueryModule {
   def annBrpLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray): Vector)
+    // Narrow scan + UDF projection: recomputing it per consumer (fit's
+    // dimension probe + both join sides) is cheaper than pinning blocks —
+    // the parquet scan is the lineage.
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toVec(col("embedding")).as("features"))
-      .localCheckpoint()
     val model = new BucketedRandomProjectionLSH()
       .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")

@@ -80,16 +80,18 @@ object Relational extends QueryModule {
 
   // ------------------------------------------------------------------
   // J1+J2+T1: TPC-H Q3 shape — 3-way join, group, top-10 by revenue.
-  // Scale: customer is the small side -> broadcast hash join (no shuffle of
-  // lineitem for it); orders⋈lineitem shuffles on the order key once; the
-  // LIMIT 10 after sort is a TakeOrdered (partial top-K per partition).
+  // Scale: customer scales WITH the fact data (sf100k ≈ 1.5B rows), so it
+  // carries NO broadcast hint — AQE broadcasts it when runtime stats prove
+  // it small and shuffles on the key when they don't (a forced broadcast
+  // OOMs the driver at 100 TB); orders⋈lineitem shuffles on the order key
+  // once; the LIMIT 10 after sort is a TakeOrdered (partial top-K).
   // ------------------------------------------------------------------
   def q3JoinTopK(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(revenue).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -109,8 +111,12 @@ object Relational extends QueryModule {
 
   // ------------------------------------------------------------------
   // J1/J2: TPC-H Q5 shape — 6-table star join, revenue per nation.
-  // Scale: region/nation/supplier/customer all broadcast; the only big
-  // shuffle is lineitem⋈orders on the order key. Filters push to every scan.
+  // Scale: only the BOUNDED-domain dims (region: 5 rows, nation: 25 — fixed
+  // by the data model at every scale factor) carry broadcast hints.
+  // Customer and supplier grow linearly with the fact data, so they are
+  // unhinted: AQE broadcasts them at fixture scale and falls back to a
+  // key shuffle at 100 TB. The only mandatory big shuffle is
+  // lineitem⋈orders on the order key. Filters push to every scan.
   // ------------------------------------------------------------------
   def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -122,8 +128,8 @@ object Relational extends QueryModule {
     val l = t(s, dir, "lineitem")
     val sup = t(s, dir, "supplier")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c),
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -341,7 +347,7 @@ object Relational extends QueryModule {
     * sketches and the oracle emits literal TRUE. */
   def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         expr("percentile(o_totalprice, 0.5)").as("p50"),
@@ -496,7 +502,7 @@ object Relational extends QueryModule {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(dec2(col("o_totalprice")).desc, col("o_orderkey"))
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
@@ -746,12 +752,14 @@ object Relational extends QueryModule {
   // SET1 (ALL variants): multiset intersect/except on order-status keys.
   // ------------------------------------------------------------------
   def setOpsAll(s: SparkSession, dir: String): DataFrame = {
-    // each key set feeds both the intersect and the except branch —
-    // checkpoint the (tiny) projected key sets instead of re-scanning
+    // each key set feeds both the intersect and the except branch; the
+    // branches re-read the (column-pruned, filter-pushed) scan — cheaper
+    // than pinning blocks, and exchange reuse dedups the shuffles the set
+    // operators put on top of the identical scan subtrees
     val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      .select(col("o_custkey").as("k")).localCheckpoint()
+      .select(col("o_custkey").as("k"))
     val p = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
-      .select(col("o_custkey").as("k")).localCheckpoint()
+      .select(col("o_custkey").as("k"))
     f.intersectAll(p).withColumn("op", lit("intersect_all"))
       .unionAll(f.exceptAll(p).withColumn("op", lit("except_all")))
       .select(col("op"), col("k"))
@@ -777,7 +785,7 @@ object Relational extends QueryModule {
   // ------------------------------------------------------------------
   def aggPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         expr("percentile(o_totalprice, 0.5)").as("p50"),

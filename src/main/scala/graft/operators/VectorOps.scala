@@ -31,6 +31,13 @@ object VectorOps extends QueryModule {
     * 10/14 pairs with 2 probes, 14/14 with 4 — verified against brute
     * force at sf0.001/0.01/0.1). */
   private val DUP_PROBES = 4
+  /** Chunk fan-out for the cell self-join (see embeddingNearDupBlockedOn):
+    * each cell's pair space is split across NCHUNK join keys, so the
+    * quadratic pair EXPLOSION parallelizes NCHUNK-ways per cell instead of
+    * being bounded by the cell count — the self-join analog of skew
+    * salting. 16 ≈ 2 waves at 32 threads for the fixture's 5-cell domain;
+    * at scale it bounds any single hot cell's task to 1/16 of its pairs. */
+  private val NCHUNK = 16
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -183,9 +190,16 @@ object VectorOps extends QueryModule {
   // embeddings moves candidate-sized data. Same result as the brute force
   // on the fixture (oracle + VectorSpec cross-check).
   // ------------------------------------------------------------------
-  def embeddingNearDupBlocked(s: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDupBlocked(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDupBlockedOn(emb(s, dir))
+
+  /** Core over an arbitrary (vec_id, label, embedding) relation — factored
+    * out so specs can drive it with an input that GUARANTEES candidate
+    * pairs at any scale factor (an empty result lets AQE collapse the
+    * whole plan to an EmptyRelation, which no plan-shape guard survives). */
+  private[graft] def embeddingNearDupBlockedOn(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
     graft.plans.GraftFunctions.ensureRegistered(s)
-    val e = emb(s, dir)
     val centroids = e
       .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -196,9 +210,14 @@ object VectorOps extends QueryModule {
         x => x.getField("cv")).as("ce"))
       .select(col("label").as("cell"), col("ce"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))
-    // localCheckpoint: the self-join below consumes the assignment twice —
-    // materialize it once instead of running centroid-agg + assignment
-    // (incl. its vector x centroid product) down both join branches.
+    // The self-join below consumes the assignment twice, but NO explicit
+    // materialization: the two branches canonicalize identically, so
+    // ReuseExchange/AQE stage reuse computes the assignment shuffle once
+    // and shares it. (Round 4 used an eager localCheckpoint here — it ran
+    // the centroid stage as a separate opaque job during plan CONSTRUCTION,
+    // hiding it from AQE and the plan guards, and a localCheckpoint
+    // forfeits lineage: one lost executor fails a 100 TB run instead of
+    // recomputing the lost blocks.)
     val assigned = e.select(col("vec_id"), col("embedding"))
       .join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("cell"),
@@ -206,9 +225,32 @@ object VectorOps extends QueryModule {
       .withColumn("pr", row_number().over(wAssign))
       .filter(col("pr") <= DUP_PROBES)
       .select(col("vec_id"), col("cell"))
-      .localCheckpoint()
-    val candidates = assigned.select(col("vec_id").as("d1"), col("cell"))
-      .join(assigned.select(col("vec_id").as("d2"), col("cell")), Seq("cell"))
+    // SALTED pair generation: the self-join's INPUT is tiny but its OUTPUT
+    // is quadratic per cell, so (a) joining on cell alone bounds
+    // parallelism by the cell count, and (b) AQE, which plans by INPUT
+    // bytes, would coalesce (or broadcast-join) the whole explosion into
+    // one task. Chunk one side by hash(vec_id) % NCHUNK, fan the other out
+    // to all NCHUNK chunk keys, and join on (cell, chunk) with an
+    // explicitly PINNED partition count on BOTH sides (repartition with
+    // numPartitions is not AQE-coalescible; pinning only one side leaves
+    // the other serial whenever AQE broadcasts the pinned one): every
+    // (d1, d2) pair surfaces exactly once — at d2's chunk key — and each
+    // cell's pair space splits across NCHUNK independent tasks. Same rows
+    // as the plain cell join, verified by the brute-force cross-check in
+    // VectorSpec and the DuckDB oracle.
+    val nShuffle = s.sessionState.conf.numShufflePartitions
+    // coalesce makes the chunk key NON-NULLABLE (pmod is nullable in the
+    // abstract): otherwise the join infers isnotnull(pmod(hash(vec_id)))
+    // and pushes it into THIS branch's scan only, making the two window
+    // subtrees canonically unequal — which silently kills the exchange
+    // reuse and recomputes the whole assignment stage.
+    val byChunk = assigned.select(col("vec_id").as("d2"), col("cell"),
+      coalesce(pmod(hash(col("vec_id")), lit(NCHUNK)), lit(0)).as("chunk"))
+      .repartition(nShuffle, col("cell"), col("chunk"))
+    val fanned = assigned.select(col("vec_id").as("d1"), col("cell"))
+      .withColumn("chunk", explode(sequence(lit(0), lit(NCHUNK - 1))))
+      .repartition(nShuffle, col("cell"), col("chunk"))
+    val candidates = fanned.join(byChunk, Seq("cell", "chunk"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()

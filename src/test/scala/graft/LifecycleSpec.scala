@@ -1,0 +1,35 @@
+package graft
+
+/** Storage-lifecycle guard: no registered query may leave pinned blocks
+  * behind. Through round 4 the engine had 8 localCheckpoint sites with zero
+  * unpersist — freeing relied on the async ContextCleaner after driver-side
+  * GC, so a long-lived session accumulated pinned blocks between GCs, and
+  * localCheckpoint forfeits lineage (one lost executor fails a 100 TB run
+  * instead of recomputing). The engine now shares common subplans via
+  * ReuseExchange/AQE stage reuse WITHIN each plan — nothing is pinned, and
+  * fault tolerance stays lineage-based. This spec executes every query that
+  * formerly checkpointed (plus the composed pipeline over them) and asserts
+  * the session holds no persistent RDDs afterwards.
+  */
+class LifecycleSpec extends SparkTestBase {
+
+  private val formerlyPinned = Seq(
+    "dedup_minhash_pairs",     // DedupOps signature (r4: localCheckpoint)
+    "dedup_minhash_losers",    // DedupOps signature
+    "dedup_ngram_jaccard",     // DedupOps capped shingle relation
+    "dedup_embedding_cosine",  // VectorOps cell assignment
+    "dedup_minhash_ml",        // LshOps doc vectors
+    "emb_ann_brp_lsh",         // LshOps embedding vectors
+    "set_ops_all",             // Relational projected key sets
+    "pipeline_curation")       // composes the signature path
+
+  test("no persistent RDDs survive any formerly-pinned registered query") {
+    formerlyPinned.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val pinned = spark.sparkContext.getPersistentRDDs
+      assert(pinned.isEmpty,
+        s"$name left ${pinned.size} pinned RDD(s): " +
+          pinned.values.take(3).map(_.toString).mkString("; "))
+    }
+  }
+}

@@ -14,11 +14,30 @@ class PlanShapeSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
-  test("q5 star join broadcasts every dimension (no shuffle of lineitem for dims)") {
+  test("q5 star join: at fixture scale every dim joins as a broadcast (AQE or hint)") {
     val plan = executedPlan(Relational.q5StarJoin(spark, sfDir))
     val broadcasts = plan.split("\n").count(_.contains("BroadcastHashJoin"))
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q5 star join hints broadcast ONLY bounded dims (customer/supplier unhinted)") {
+    // With size-based broadcast selection off, the surviving broadcasts are
+    // exactly the hinted ones — they must cover only nation/region, whose
+    // domains are FIXED at every scale factor. A hint on customer or
+    // supplier (linear in the fact data) would OOM a 100 TB run.
+    withNoAutoBroadcast {
+      val plan = executedPlan(Relational.q5StarJoin(spark, sfDir))
+      val builds = subtreesOf(plan, "BroadcastExchange")
+      assert(builds.nonEmpty, s"expected the nation/region hints in:\n$plan")
+      builds.foreach { sub =>
+        val leaked = Seq("customer", "supplier", "orders", "lineitem")
+          .filter(tbl => sub.exists(_.contains(tbl)))
+        assert(leaked.isEmpty,
+          s"forced broadcast of unbounded relation(s) $leaked:\n${sub.mkString("\n")}")
+      }
+      assert(!plan.contains("CartesianProduct"))
+    }
   }
 
   test("q3 top-10 is a partial top-K (TakeOrdered), not a global sort") {
@@ -84,18 +103,35 @@ class PlanShapeSpec extends SparkTestBase {
 
   /** The subtree (as lines) under each plan line containing `marker`:
     * a node's subtree is the run of following lines whose content starts
-    * deeper (tree connectors ':', '+', '-' count as prefix). */
+    * deeper (tree connectors ':', '+', '-' count as prefix). Lines that
+    * are ReusedExchange REFERENCES (they quote the target exchange's name,
+    * e.g. "ReusedExchange [...], BroadcastExchange ...") are skipped: they
+    * have no subtree of their own — the expanded original is asserted. */
   private def subtreesOf(plan: String, marker: String): Seq[Seq[String]] = {
     val lines = plan.split("\n").toIndexedSeq
     def depth(l: String): Int = l.segmentLength(c => c == ' ' || c == ':' || c == '+' || c == '-')
-    lines.zipWithIndex.filter(_._1.contains(marker)).map { case (l, i) =>
-      lines.drop(i + 1).takeWhile(depth(_) > depth(l))
-    }
+    lines.zipWithIndex
+      .filter { case (l, _) => l.contains(marker) && !l.contains("ReusedExchange") }
+      .map { case (l, i) => lines.drop(i + 1).takeWhile(depth(_) > depth(l)) }
+  }
+
+  /** Embeddings slice guaranteed to yield >=1 near-dup pair: the corpus
+    * plus an exact copy of one vector under a fresh id (cosine 1.0). An
+    * empty result would let AQE collapse the inspected plan to an
+    * EmptyRelation — no broadcast/join structure left to assert on. */
+  private def embWithGuaranteedDup = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val dup = e.filter(col("vec_id") === e.select(org.apache.spark.sql.functions.min("vec_id"))
+        .head().get(0))
+      .withColumn("vec_id", (col("vec_id") + lit(1000000)).cast(e.schema("vec_id").dataType))
+    e.unionByName(dup)
   }
 
   test("near-dup broadcasts only bounded derived relations, never the corpus (100 TB shape)") {
     withNoAutoBroadcast {
-      val plan = executedPlan(graft.operators.VectorOps.embeddingNearDupBlocked(spark, sfDir))
+      val plan = executedPlan(
+        graft.operators.VectorOps.embeddingNearDupBlockedOn(embWithGuaranteedDup))
       val builds = subtreesOf(plan, "BroadcastExchange")
       // the ONLY hinted broadcast is the centroid set (bounded by the
       // label domain); rehydration is UNhinted (candidate volume scales
@@ -141,13 +177,20 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("blocked embedding near-dup generates candidates via equi-join on cells") {
-    val df = graft.operators.VectorOps.embeddingNearDupBlocked(spark, sfDir)
-    val plan = executedPlan(df)
+    val df = graft.operators.VectorOps.embeddingNearDupBlockedOn(embWithGuaranteedDup)
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" section,
+    // which duplicates every operator — assert on the Final Plan only.
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
     // the ONLY nested-loop join allowed is vector x centroid assignment
-    // (linear in the corpus: n x ncells); the pair space itself must come
-    // from hash joins. A second BNLJ would mean an all-pairs product.
+    // (linear in the corpus: n x ncells), and it must EXECUTE once: the
+    // self-join's second branch must reuse the assignment exchange, not
+    // recompute the corpus x centroid product. The pair space itself must
+    // come from hash joins — a second distinct BNLJ would be an all-pairs
+    // product.
     val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, s"expected at most the centroid-assignment BNLJ, got $bnlj:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"assignment subtree must be shared via ReuseExchange, not recomputed:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 }
