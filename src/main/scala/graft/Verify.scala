@@ -40,6 +40,7 @@ object Verify {
     // (read by tools/compare.py) carries the failure signal.
     Files.writeString(Paths.get(s"$outDir/_failures.json"),
       failed.map(q).mkString("[", ",", "]"))
+    Scratch.purge(spark)
     spark.stop()
   }
 }

@@ -217,9 +217,9 @@ object ReferenceOps extends QueryModule {
   // graft.sources.Formats — the oracle compares against the parquet
   // original, so any reader/writer lossiness fails the hash.
   // ------------------------------------------------------------------
-  /** Run-unique scratch dir (concurrent runs must not collide). */
-  private def scratch(prefix: String): String =
-    System.getProperty("java.io.tmpdir") + s"/${prefix}_${java.util.UUID.randomUUID()}"
+  /** Run-unique scratch dir (concurrent runs must not collide), registered
+    * in graft.Scratch for purge at Bench/Verify end or JVM shutdown. */
+  private def scratch(prefix: String): String = graft.Scratch.dir(prefix)
 
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val landing = scratch("graft_csv_landing")

@@ -17,8 +17,9 @@ import graft.sources.{Formats, Tables}
   */
 object StorageOps extends QueryModule {
 
-  private def scratch(prefix: String): String =
-    System.getProperty("java.io.tmpdir") + s"/${prefix}_${java.util.UUID.randomUUID()}"
+  // run-unique, registered in graft.Scratch: Bench/Verify purge these
+  // after their last action, and a shutdown hook covers other JVMs.
+  private def scratch(prefix: String): String = graft.Scratch.dir(prefix)
 
   // ------------------------------------------------------------------
   // S2/K-json: JSON-lines write + schema'd read roundtrip (the reference's
@@ -73,9 +74,8 @@ object StorageOps extends QueryModule {
   // many queries in one session.
   // ------------------------------------------------------------------
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val custT = s"cust_bq_$tag"
-    val ordT = s"ord_bq_$tag"
+    val custT = graft.Scratch.table(s, "cust_bq")
+    val ordT = graft.Scratch.table(s, "ord_bq")
     Tables.load(s, dir, "customer")
       .select("c_custkey", "c_name", "c_mktsegment")
       .write.bucketBy(8, "c_custkey").sortBy("c_custkey")

@@ -10,7 +10,9 @@ import graft.sources.Tables
 class StorageSpec extends SparkTestBase {
 
   test("partition-pruned scan reads only the matching partition") {
-    val landing = java.nio.file.Files.createTempDirectory("graft_prune_spec").toString
+    // registered scratch: deleted by the Scratch shutdown hook when the
+    // test JVM exits (a bare createTempDirectory would accumulate forever)
+    val landing = Scratch.dir("graft_prune_spec")
     Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "value", "event_type")
       .write.mode("overwrite").partitionBy("event_type").parquet(landing)

@@ -10,4 +10,5 @@ sbt -batch test
 sbt -batch "runMain graft.Smoke"   # t1-style entry smoke (rows > 0)
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} sbt -batch "runMain graft.Verify $SF $OUT"
 python3 tools/compare.py "$SF" "$OUT"
+rm -rf "$OUT"
 echo "ALL GREEN ($SF)"
