@@ -100,25 +100,49 @@ object StreamShapes extends QueryModule {
     * runs every query twice; Verify and specs again) reuse the first write
     * instead of re-materializing 1.1x the events table each time. */
   private val dedupLandings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  graft.Scratch.onPurge(() => dedupLandings.clear()) // purge deletes the dirs
 
-  def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
-    val landing = dedupLandings.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_stream_dedup_${java.util.UUID.randomUUID()}"
+  private def dedupLanding(s: SparkSession, dir: String, cols: Seq[org.apache.spark.sql.Column]): String =
+    dedupLandings.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val path = graft.Scratch.dir("graft_stream_dedup")
       val evs = ev(s, dir).select(cols: _*)
       evs.unionAll(evs.filter(pmod(col("event_id"), lit(13)) === 0)) // inject dupes
         .write.parquet(path)
       path
     })
-    val stream = s.readStream
+
+  private def dedupedStream(s: SparkSession, landing: String): DataFrame =
+    graft.streaming.Streams.dedupStream(s.readStream
       .schema(org.apache.spark.sql.types.StructType(
         Tables.events.filterNot(_.name == "props")))
-      .parquet(landing)
+      .parquet(landing))
+
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
     graft.streaming.Streams.runToCompletion(
-      graft.streaming.Streams.dedupStream(stream),
+      dedupedStream(s, dedupLanding(s, dir, cols)),
       s"dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}",
       org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(cols: _*)
+      .orderBy(col("event_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // ST3 + §2.9 pacing, driver-visible: the same watermark+dedup transform,
+  // but PACED by a ProcessingTime trigger — the reference's 30s sleep loop
+  // (trading212.py:95,103-111) as Structured Streaming means it: the
+  // trigger sets the micro-batch cadence instead of a hard-coded sleep.
+  // processAllAvailable drives it to the same deterministic final state as
+  // the AvailableNow-style run, so the SAME batch oracle hash-checks the
+  // paced execution path.
+  // ------------------------------------------------------------------
+  def streamPaced(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    graft.streaming.Streams.runToCompletion(
+      dedupedStream(s, dedupLanding(s, dir, cols)),
+      s"paced_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds")))
       .select(cols: _*)
       .orderBy(col("event_id"))
   }
@@ -199,8 +223,7 @@ object StreamShapes extends QueryModule {
   // ------------------------------------------------------------------
   def streamIncremental(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val base = System.getProperty("java.io.tmpdir") +
-      s"/graft_stream_incr_${java.util.UUID.randomUUID()}"
+    val base = graft.Scratch.dir("graft_stream_incr")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val schema = org.apache.spark.sql.types.StructType(
       Tables.events.filterNot(_.name == "props"))
@@ -230,6 +253,7 @@ object StreamShapes extends QueryModule {
     "events_sliding" -> (sliding _),
     "events_session" -> (sessions _),
     "stream_dedup" -> (streamDedup _),
+    "stream_paced" -> (streamPaced _),
     "stream_user_state" -> (streamUserState _),
     "stream_user_state_tws" -> (streamUserStateTws _),
     "stream_incremental" -> (streamIncremental _))
@@ -239,6 +263,7 @@ object StreamShapes extends QueryModule {
     "events_sliding" -> slidingSql,
     "events_session" -> sessionsSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_paced" -> streamDedupSql,
     "stream_user_state" -> streamUserStateSql,
     "stream_user_state_tws" -> streamUserStateSql,
     "stream_incremental" -> streamIncrementalSql)

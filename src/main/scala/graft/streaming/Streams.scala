@@ -123,13 +123,17 @@ object Streams {
       .start()
 
   /** Drive a streaming DataFrame to completion over a static input dir and
-    * return the final result (memory sink, AvailableNow-style semantics). */
-  def runToCompletion(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
-    val q = df.writeStream
+    * return the final result (memory sink; default-trigger micro-batches,
+    * or a caller-supplied trigger, e.g. ProcessingTime pacing — §2.9).
+    * processAllAvailable blocks until every available input is processed,
+    * so the final state is deterministic under any trigger. */
+  def runToCompletion(df: DataFrame, queryName: String, outputMode: OutputMode,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): DataFrame = {
+    val writer = df.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode(outputMode)
-      .start()
+    val q = trigger.fold(writer)(writer.trigger).start()
     q.processAllAvailable()
     q.stop()
     df.sparkSession.table(queryName)
