@@ -44,6 +44,31 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // ORC write + schema'd read roundtrip: the second columnar format the
+  // engine speaks natively (vectorized reader, predicate pushdown — the
+  // same scan-side machinery as parquet). DuckDB cannot read ORC, so the
+  // oracle is the parquet original of the identical slice: writer
+  // lossiness (timestamp precision, double fidelity) fails the hash.
+  // ------------------------------------------------------------------
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_orc_landing")
+    val slice = Tables.load(s, dir, "events")
+      .filter(col("event_id") >= 2000 && col("event_id") < 3000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    slice.write.orc(landing)
+    s.read.schema(org.apache.spark.sql.types.StructType(
+        Tables.events.filterNot(_.name == "props")))
+      .orc(landing)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events WHERE event_id >= 2000 AND event_id < 3000
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Partition-pruned scan: events written PARTITIONED BY event_type, read
   // back with a partition predicate. The filter resolves against directory
   // metadata — the scan never opens the other partitions' files (asserted
@@ -100,11 +125,13 @@ object StorageOps extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_roundtrip" -> (jsonRoundtrip _),
+    "orc_roundtrip" -> (orcRoundtrip _),
     "scan_partition_pruned" -> (partitionPruned _),
     "join_bucketed" -> (bucketedJoin _))
 
   def oracles: Map[String, String] = Map(
     "json_roundtrip" -> jsonRoundtripSql,
+    "orc_roundtrip" -> orcRoundtripSql,
     "scan_partition_pruned" -> partitionPrunedSql,
     "join_bucketed" -> bucketedJoinSql)
 }

@@ -225,7 +225,47 @@ object TextOps extends QueryModule {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // PII scrubbing (training-data redaction): emails and phone-shaped
+  // strings are replaced with typed placeholder tokens, with per-doc
+  // redaction counts for audit. The fixture text carries no PII, so the
+  // query INJECTS a deterministic email + phone derived from doc_id before
+  // scrubbing — the oracle reproduces injection and scrub, so a pattern or
+  // replacement divergence on either engine fails the hash. Patterns stay
+  // in the Java-regex ∩ RE2 common subset (no lookarounds, no backrefs).
+  // Scale: pure per-row regex work inside one codegen span — no shuffle.
+  // ------------------------------------------------------------------
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\b555-[0-9]{4}\\b"
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("injected",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" today")))
+      .select(col("doc_id"),
+        regexp_count(col("injected"), lit(emailPat)).as("n_emails"),
+        regexp_count(col("injected"), lit(phonePat)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("injected"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").cast("binary")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(injected, '$emailPat')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(injected, '\\b555-[0-9]{4}\\b')) AS INT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(injected, '$emailPat', '<EMAIL>', 'g'),
+      |    '\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS scrub_md5
+      |FROM (SELECT doc_id,
+      |        text || ' contact user' || doc_id || '@example.com or 555-' ||
+      |          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' AS injected
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_pii_scrub" -> (piiScrub _),
     "docs_rolling_fp" -> (rollingFingerprint _),
     "docs_bpe_tokens" -> (bpeTokens _),
     "docs_token_stats" -> (tokenStats _),
@@ -235,6 +275,7 @@ object TextOps extends QueryModule {
     "docs_fingerprint" -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "docs_pii_scrub" -> piiScrubSql,
     "docs_rolling_fp" -> rollingFingerprintSql,
     "docs_bpe_tokens" -> bpeTokensSql,
     "docs_token_stats" -> tokenStatsSql,
