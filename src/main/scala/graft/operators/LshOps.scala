@@ -27,10 +27,17 @@ object LshOps extends QueryModule {
     * vector and every pair-distance computation in approxSimilarityJoin. */
   private def docVectors(s: SparkSession, dir: String): DataFrame = {
     val dim = 1 << 10
+    // asNondeterministic (the function IS pure): MinHashLSH's similarity
+    // join adds a non-empty-vector filter, and Catalyst would collapse
+    // this UDF chain into that filter and push it below loadParallel's
+    // repartition — re-running the whole tokenize+shingle+vectorize on the
+    // unsplittable single-partition scan, serializing ~3s per join side.
+    // The nondeterministic marker forbids the inlining, so the vector is
+    // computed once, after the exchange, in parallel.
     val toVec = udf { (toks: Seq[String]) =>
       val idx = toks.map(t => math.floorMod(t.hashCode, dim)).distinct.sorted.toArray
       Vectors.sparse(dim, idx, Array.fill(idx.length)(1.0))
-    }
+    }.asNondeterministic()
     Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), TextFns.shingles(TextFns.tokens(col("text"))).as("sh"))
       .select(col("doc_id"), toVec(col("sh")).as("features"))

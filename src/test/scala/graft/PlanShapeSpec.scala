@@ -176,6 +176,31 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter reduces the fact scan behind a selective dim filter") {
+    // The 100 TB semi-join reduction: when one join side carries a
+    // selective filter, Catalyst injects a bloom filter of its join keys
+    // into the OTHER side's scan (InjectRuntimeFilter), so fact rows that
+    // cannot match are dropped at the scan instead of surviving to the
+    // shuffle. The size thresholds are tuned for clusters (application
+    // side >= 10 GB), so the fixture run pins the REWRITE by lowering them
+    // — the plan must show the might_contain probe on the fact side.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    // broadcast joins filter cheaply inside the hash join already, so the
+    // rewrite only targets SHUFFLE joins — turn auto-broadcast off to get
+    // the plan a 100 TB input produces.
+    try withNoAutoBroadcast {
+      val plan = executedPlan(Relational.q3JoinTopK(spark, sfDir))
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"expected a runtime bloom filter probe in:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("blocked embedding near-dup generates candidates via equi-join on cells") {
     val df = graft.operators.VectorOps.embeddingNearDupBlockedOn(embWithGuaranteedDup)
     // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" section,
