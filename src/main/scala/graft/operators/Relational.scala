@@ -338,6 +338,39 @@ object Relational extends QueryModule {
       |  COUNT(DISTINCT user_id) AS n_users, TRUE AS approx_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** A3 (sketch MERGE): per-group HLL sketches unioned into a global
+    * distinct estimate WITHOUT rescanning the input — the 100 TB rollup
+    * pattern (per-day/per-partition sketch tables, unioned at query time;
+    * a COUNT(DISTINCT) over the raw corpus would re-shuffle every key).
+    * Users appear under many event types, so the union must DEDUP across
+    * groups — a naive sum of per-group estimates (~5x exact here) fails
+    * loudly, proving real sketch-union semantics. Oracle-checkable like
+    * the other sketches: exact values + a within-band verdict the sketch
+    * meets deterministically on a fixed input. */
+  def aggSketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val perType = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_users"))
+    perType.agg(
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("n_users")).cast("long").as("sum_per_type_users"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .join(t(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("n_users_exact")))
+      .select(col("n_types"), col("sum_per_type_users"), col("n_users_exact"),
+        (abs(col("est") - col("n_users_exact")) <= col("n_users_exact") * 0.15 &&
+          col("est") < col("sum_per_type_users")).as("union_ok"))
+  }
+
+  val aggSketchUnionSql: String =
+    """SELECT COUNT(DISTINCT event_type) AS n_types,
+      |  CAST((SELECT SUM(n) FROM (SELECT COUNT(DISTINCT user_id) AS n FROM events
+      |                            GROUP BY event_type)) AS BIGINT) AS sum_per_type_users,
+      |  COUNT(DISTINCT user_id) AS n_users_exact,
+      |  TRUE AS union_ok
+      |FROM events""".stripMargin
+
   /** A2/A3 (approximate order statistics): approx_percentile — mergeable
     * sketch state, single pass, the 100 TB default where exact percentile's
     * per-group sort is too expensive. Hash-checkable the same way as
@@ -997,6 +1030,7 @@ object Relational extends QueryModule {
     "join_asof2" -> (joinAsOf2 _),
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_sketch_union" -> (aggSketchUnion _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_pivot" -> (aggPivot _),
@@ -1040,6 +1074,7 @@ object Relational extends QueryModule {
     "scalar_safe" -> scalarSafeSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_sketch_union" -> aggSketchUnionSql,
     "agg_approx_percentile" -> aggApproxPercentileSql,
     "window_range_frame" -> windowRangeFrameSql,
     "set_ops_all" -> setOpsAllSql,

@@ -248,7 +248,56 @@ object StreamShapes extends QueryModule {
     """SELECT event_id, ts, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ST5, driver-visible: stream-stream INTERVAL join — the even-id half of
+  // events joins the odd-id half on user within a 2-hour event-time bound.
+  // Both sides carry watermarks; the time-range condition is what lets the
+  // join BOUND ITS STATE (rows older than watermark+bound are evicted) —
+  // the only shape a stream-stream join can take at 100 TB. Inner-join
+  // matches emit as both sides arrive, so draining the closed input yields
+  // a deterministic final set; the oracle is the equivalent batch
+  // self-join in DuckDB.
+  // ------------------------------------------------------------------
+  private val joinLandings = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  graft.Scratch.onPurge(() => joinLandings.clear())
+
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    val (landA, landB) = joinLandings.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val (a, b) = (graft.Scratch.dir("graft_stream_join_a"), graft.Scratch.dir("graft_stream_join_b"))
+      val evs = ev(s, dir).select(cols: _*)
+      evs.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(a)
+      evs.filter(pmod(col("event_id"), lit(2)) === 1).write.parquet(b)
+      (a, b)
+    })
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.events.filterNot(_.name == "props"))
+    val a = s.readStream.schema(schema).parquet(landA)
+      .withWatermark("ts", "4 hours")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"), col("user_id"))
+    val b = s.readStream.schema(schema).parquet(landB)
+      .withWatermark("ts", "4 hours")
+      .select(col("event_id").as("b_id"), col("ts").as("b_ts"), col("user_id").as("b_user"))
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 2 hours"))
+    graft.streaming.Streams.runToCompletion(joined,
+      s"ssjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(col("a_id"), col("b_id"), col("user_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
+      |ORDER BY a_id, b_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join" -> (streamStreamJoin _),
     "events_tumbling" -> (tumbling _),
     "events_sliding" -> (sliding _),
     "events_session" -> (sessions _),
@@ -259,6 +308,7 @@ object StreamShapes extends QueryModule {
     "stream_incremental" -> (streamIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "stream_join" -> streamStreamJoinSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionsSql,
