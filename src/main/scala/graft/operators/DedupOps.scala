@@ -255,12 +255,15 @@ object DedupOps extends QueryModule {
   // the token multiset. Near-identical docs land on near-identical bit
   // patterns; at scale the fingerprint is the dedup/block key.
   // ------------------------------------------------------------------
-  def simhash(s: SparkSession, dir: String): DataFrame =
+  /** nbits-wide simhash fingerprints: bit i = majority sign, over the
+    * token multiset, of the parity of md5 hex char i (md5 has 32 hex
+    * chars, so nbits <= 32). */
+  private def simhashFp(s: SparkSession, dir: String, nbits: Int): DataFrame =
     Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      // compute the token md5 ONCE, then fan out to the 16 bit positions
+      // compute the token md5 ONCE, then fan out to the bit positions
       .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(nbits - 1))).as("b"))
       .withColumn("contrib",
         when(pmod(ascii(col("h").substr(col("b") + 1, lit(1))), lit(2)) === 1, 1)
           .otherwise(-1))
@@ -269,30 +272,94 @@ object DedupOps extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("v") > 0, expr("cast(pow(2, b) as bigint)")).otherwise(0L))
         .as("simhash"))
-      .orderBy(col("doc_id"))
 
-  val simhashSql: String =
-    """SELECT doc_id,
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashFp(s, dir, 16).orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // SimHash near-dup PAIRS on a 32-bit fingerprint, banded into 4 x 8-bit
+  // keys: by pigeonhole, any pair within Hamming distance 3 shares at
+  // least one intact band, so the equi-join on (band, band-value) is a
+  // LOSSLESS blocker for the classic <=3 cutoff — no all-pairs stage.
+  // Verification is the custom codegen'd hamming_dist expression (popcount
+  // of XOR, a single intrinsic inside whole-stage codegen). 32 bits (not
+  // dedup_simhash's 16) because band selectivity bounds candidate volume:
+  // 256 bucket values per band instead of 16 keeps same-vocabulary corpora
+  // from collapsing into a handful of quadratic buckets; at web scale this
+  // is a 64-bit fingerprint with 4 x 16-bit bands, same plan.
+  // ------------------------------------------------------------------
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val fp = simhashFp(s, dir, 32)
+    // integer-arithmetic band extraction ((fp div 256^b) mod 256) —
+    // identical on both engines, no shift-function semantics to align
+    val banded0 = fp
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bk", expr("(simhash div cast(pow(256, b) as bigint)) % 256"))
+    // same hot-bucket discipline as the MinHash band join (MAX_BAND_BUCKET):
+    // pair output is quadratic per bucket by nature, so over-full buckets
+    // (near-identical fingerprint regions) are dropped from the PAIRWISE
+    // query — a loser-set formulation covers dedup of those regions
+    val keep = banded0.groupBy(col("b"), col("bk"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= MAX_BAND_BUCKET)
+      .select(col("b"), col("bk"))
+    val banded = banded0.join(keep, Seq("b", "bk"), "left_semi")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    cand.join(fp.select(col("doc_id").as("d1"), col("simhash").as("s1")), Seq("d1"))
+      .join(fp.select(col("doc_id").as("d2"), col("simhash").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"), expr("hamming_dist(s1, s2)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private def simhashCoreSql(nbits: Int): String =
+    s"""SELECT doc_id,
       |  CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |FROM (
       |  SELECT doc_id, b, SUM(contrib) AS v FROM (
       |    SELECT doc_id, b,
       |      CASE WHEN ascii(substring(md5(tok), b + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
       |    FROM (
-      |      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-      |      FROM documents) CROSS JOIN range(0, 16) t(b))
+      |      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      |      FROM documents) CROSS JOIN range(0, $nbits) t(b))
       |  GROUP BY doc_id, b)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |GROUP BY doc_id""".stripMargin
+
+  val simhashSql: String = simhashCoreSql(16) + "\nORDER BY doc_id"
+
+  val simhashPairsSql: String =
+    s"""WITH fp AS (${simhashCoreSql(32)}),
+      |banded0 AS (
+      |  SELECT doc_id, simhash, b, (simhash // CAST(pow(256, b) AS BIGINT)) % 256 AS bk
+      |  FROM fp CROSS JOIN range(0, 4) t(b)),
+      |banded AS (SELECT doc_id, simhash, b, bk FROM banded0
+      |           QUALIFY COUNT(*) OVER (PARTITION BY b, bk) <= $MAX_BAND_BUCKET),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM banded x JOIN banded y
+      |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hamming
+      |FROM cand
+      |JOIN fp s1 ON d1 = s1.doc_id
+      |JOIN fp s2 ON d2 = s2.doc_id
+      |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+      |ORDER BY d1, d2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
-    "dedup_simhash" -> (simhash _))
+    "dedup_simhash" -> (simhash _),
+    "dedup_simhash_pairs" -> (simhashPairs _))
 
   def oracles: Map[String, String] = Map(
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_simhash" -> simhashSql)
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql)
 }

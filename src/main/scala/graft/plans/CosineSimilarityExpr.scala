@@ -78,12 +78,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session-level registration so the expression is usable from SQL and the
-  * Column API via expr("cosine_fast(a, b)"). Idempotent. */
+/** Session-level registration so the expressions are usable from SQL and
+  * the Column API via expr("cosine_fast(a, b)") / expr("hamming_dist(a, b)").
+  * Idempotent. */
 object GraftFunctions {
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_fast",
       { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_dist",
+      { exprs: Seq[Expression] => HammingDistance(exprs(0), exprs(1)) },
+      "scala_udf")
+  }
 }

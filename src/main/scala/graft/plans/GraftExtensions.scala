@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_fast"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_fast"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),
+      (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
   }
 }

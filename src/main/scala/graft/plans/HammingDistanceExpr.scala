@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+/** [EXT] Custom codegen'd Catalyst Expression: Hamming distance between two
+  * long-encoded bit fingerprints (SURVEY.md §2.10 L2x — the SimHash
+  * verification primitive). popcount(a XOR b) compiles to a single
+  * Long.bitCount intrinsic inside whole-stage codegen — the per-candidate
+  * inner loop of simhash near-dup verification, where a composition over
+  * bit-string manipulation would allocate per row.
+  *
+  * Tier (b) of the custom-operator ladder (spark_guide.md): a scalar
+  * Expression, chosen because the op sits in the candidate-pair hot path.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == LongType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_dist expects (bigint, bigint), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -45,6 +45,29 @@ class CustomCodeSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("hamming_dist: hand-computed values, null propagation, codegen") {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (0L, 0L), (0L, 15L), (0b1010L, 0b0101L), (Long.MaxValue, 0L), (null, 3L))
+      .toDF("a", "b")
+    val out = df.select(expr("hamming_dist(a, b)").as("h")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(out.toSeq == Seq(0, 4, 4, 63, null))
+    // interpreted eval (no codegen) must agree — covers nullSafeEval
+    val interp = graft.plans.HammingDistance(
+      org.apache.spark.sql.catalyst.expressions.Literal(0b1010L),
+      org.apache.spark.sql.catalyst.expressions.Literal(0b0101L)).eval(null)
+    assert(interp == 4)
+    // codegen check needs a non-local input: a project over a local
+    // relation is constant-folded by ConvertToLocalRelation and never
+    // enters whole-stage codegen
+    val scored = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(expr("hamming_dist(event_id, user_id)").as("h"))
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l => l.contains("*(") && l.contains("hammingdistance")))
+  }
+
   test("cosine_fast agrees with VectorFns.cosine on raw pairs and stays in codegen") {
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val e = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(50)
