@@ -312,7 +312,101 @@ object StreamShapes extends QueryModule {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Funnel analysis: users progressing view -> click -> purchase, each
+  // stage strictly AFTER the previous one's first occurrence. Classic
+  // event analytics; expressed as three per-user conditional MIN
+  // aggregates chained by user-key joins — every shuffle is on user_id,
+  // so at scale the whole funnel is one partitioning reused across
+  // stages (no window sort over the full stream needed).
+  // ------------------------------------------------------------------
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("v_ts")).as("users_view"),
+        count(col("c_ts")).as("users_click_after_view"),
+        count(col("p_ts")).as("users_purchase_after_click"))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+      |SELECT COUNT(v.v_ts) AS users_view,
+      |  COUNT(c.c_ts) AS users_click_after_view,
+      |  COUNT(p.p_ts) AS users_purchase_after_click
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SCD2 validity intervals: each user's event-type stream collapsed into
+  // consecutive runs with [valid_from, valid_to) boundaries — the
+  // slowly-changing-dimension type-2 shape (gaps-and-islands + lead).
+  // Scale: both windows and the run aggregation share ONE partitioning on
+  // user_id; state per user is the run counter, nothing global.
+  // ------------------------------------------------------------------
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = ev(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wSeq).isNull ||
+          lag(col("event_type"), 1).over(wSeq) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("run", sum(col("chg")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run"))
+      .agg(first(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+      |    ts
+      |  FROM flagged),
+      |grouped AS (
+      |  SELECT user_id, run, MIN(event_type) AS event_type,
+      |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM runs GROUP BY user_id, run)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+      |  n_events
+      |FROM grouped
+      |ORDER BY user_id, valid_from""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (funnel _),
+    "events_scd2" -> (scd2Intervals _),
     "stream_join" -> (streamStreamJoin _),
     "events_tumbling" -> (tumbling _),
     "events_sliding" -> (sliding _),
@@ -324,6 +418,8 @@ object StreamShapes extends QueryModule {
     "stream_incremental" -> (streamIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "events_funnel" -> funnelSql,
+    "events_scd2" -> scd2IntervalsSql,
     "stream_join" -> streamStreamJoinSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
