@@ -119,6 +119,50 @@ object DedupOps extends QueryModule {
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(signature(s, dir))
 
+  // ------------------------------------------------------------------
+  // Duplicate CLUSTERS: connected components over the near-dup pair graph
+  // (est_jaccard >= 0.9), labeled by component-minimum doc_id — the
+  // canonical transitive-closure formulation of corpus dedup (A~B, B~C =>
+  // one cluster even if A,C never pair). Iterative min-label propagation:
+  // each round every vertex takes the min of its own and its neighbors'
+  // labels; fixpoint = component minimum. The edge set is materialized
+  // ONCE to registered scratch parquet — an iterative algorithm needs a
+  // lineage cut per round, and an explicit file (recomputable, purged by
+  // Scratch) is the fault-tolerant form of that cut, unlike pinned blocks.
+  // Scale: every round is one key-only shuffle (join on vertex id); round
+  // count is the component diameter (near-dup clusters are star-shaped
+  // around bucket reps — 2-3 rounds), with a hard cap as a safety rail.
+  // ------------------------------------------------------------------
+  def minhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val edgesPath = graft.Scratch.dir("graft_dedup_edges")
+    minhashPairs(s, dir).filter(col("est_jaccard") >= 0.9)
+      .select(col("d1"), col("d2"))
+      .write.parquet(edgesPath)
+    val pairs = s.read.parquet(edgesPath)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("a"), col("label").as("albl")), Seq("a"))
+        .groupBy(col("b")).agg(min(col("albl")).as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("b").as("v"), col("nmin")), Seq("v"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private val bandsSql =
     s"""SELECT doc_id, CAST(floor(k / $BANDROWS) AS BIGINT) AS b,
       |    string_agg(mh, '' ORDER BY k) AS band_key
@@ -139,6 +183,20 @@ object DedupOps extends QueryModule {
       |JOIN sig s1 ON d1 = s1.doc_id
       |JOIN sig s2 ON d2 = s2.doc_id AND s1.k = s2.k
       |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+
+  val minhashClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+      |edges AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs WHERE est_jaccard >= 0.9
+      |  UNION ALL
+      |  SELECT d2 AS a, d1 AS b FROM pairs WHERE est_jaccard >= 0.9),
+      |verts AS (SELECT DISTINCT a AS v FROM edges),
+      |walk(v, l) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.b AS v, w.l AS l FROM walk w JOIN edges e ON e.a = w.v)
+      |SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id
+      |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Loser set (curation's near-dup removal): per (b, band_key) bucket the
@@ -351,6 +409,7 @@ object DedupOps extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_minhash_clusters" -> (minhashClusters _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_simhash" -> (simhash _),
@@ -358,6 +417,7 @@ object DedupOps extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_minhash_clusters" -> minhashClustersSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
