@@ -348,7 +348,13 @@ object DedupOps extends QueryModule {
   // ------------------------------------------------------------------
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(s)
-    val fp = simhashFp(s, dir, 32)
+    simhashPairsOf(simhashFp(s, dir, 32))
+  }
+
+  /** Pairwise core over a (doc_id, simhash) fingerprint relation —
+    * factored out so specs can drive it with a synthetic identical-
+    * fingerprint cluster (the hot-bucket cap must bound the self-join). */
+  private[graft] def simhashPairsOf(fp: DataFrame): DataFrame = {
     // integer-arithmetic band extraction ((fp div 256^b) mod 256) —
     // identical on both engines, no shift-function semantics to align
     val banded0 = fp

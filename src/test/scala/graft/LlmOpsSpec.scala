@@ -91,6 +91,21 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(losers == ((2 to 100).map(_.toLong).toSet + 201L))
   }
 
+  test("simhash band buckets are capped: an identical-fingerprint cluster cannot explode") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    // 100 docs with the IDENTICAL 32-bit fingerprint: all 4 band buckets
+    // have size 100 > MAX_BAND_BUCKET, so the pairwise query must drop
+    // them (100*99/2 pairs would be the quadratic blow-up); docs 200/201
+    // differ in exactly one low bit (hamming 1, bucket size 2 -> kept).
+    val fp = ((1 to 100).map(d => (d.toLong, 0x12345678L)) ++
+      Seq((200L, 0x0F0F0F0FL), (201L, 0x0F0F0F0EL)))
+      .toDF("doc_id", "simhash")
+    val out = DedupOps.simhashPairsOf(fp).collect()
+    assert(out.length == 1, s"expected only the below-cap pair, got ${out.length}")
+    assert((out.head.getLong(0), out.head.getLong(1), out.head.getInt(2)) == (200L, 201L, 1))
+  }
+
   test("simhash: 16-bit range, one row per doc") {
     val df = DedupOps.simhash(spark, sfDir).cache()
     assert(df.filter(col("simhash") < 0 || col("simhash") > 65535).count() == 0)

@@ -40,6 +40,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q1 scan pushes the date filter and prunes to the 7 referenced columns") {
+    val plan = executedPlan(Relational.q1Agg(spark, sfDir))
+    val scan = plan.split("\n").find(l => l.contains("FileScan") && l.contains("lineitem"))
+      .getOrElse(fail(s"no lineitem scan in:\n$plan"))
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"),
+      s"shipdate filter not pushed to the scan:\n$scan")
+    // ReadSchema must carry only the referenced columns — a scan reading
+    // all 16 lineitem columns for a 7-column aggregate is wrong at any
+    // scale
+    val readSchema = scan.substring(scan.indexOf("ReadSchema:"))
+    val ncols = readSchema.count(_ == ':') - 1 // field:type pairs after the label
+    assert(ncols <= 7, s"expected <=7 read columns, got $ncols:\n$readSchema")
+  }
+
   test("q3 top-10 is a partial top-K (TakeOrdered), not a global sort") {
     val plan = executedPlan(Relational.q3JoinTopK(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject")
