@@ -177,15 +177,50 @@ object CorpusOps extends QueryModule {
       |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_ratio
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Deterministic train/val/test split: every training pipeline's last
+  // step. Assignment hashes the DOCUMENT ID (never rand(): re-runs and
+  // late-arriving shards must land each doc in the same split, and the
+  // split must survive repartitioning) — md5 first two hex chars give 256
+  // buckets: 0..229 train (~90%), 230..242 val (~5%), 243..255 test.
+  // Output is the per-(lang, split) profile; at scale the same expression
+  // is the partitionBy column of the split write. Fixed-width lowercase
+  // hex compares lexicographically == numerically, so the bucket
+  // boundaries are plain string comparisons on both engines: 0x00-0xe5
+  // train (~90%), 0xe6-0xf2 val (~5%), 0xf3-0xff test.
+  // ------------------------------------------------------------------
+  def split(s: SparkSession, dir: String): DataFrame = {
+    val prefix = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    docs(s, dir)
+      .withColumn("split",
+        when(prefix < "e6", "train").when(prefix < "f3", "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("bigint").as("n_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val splitSql: String =
+    """SELECT lang, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN p < 'e6' THEN 'train' WHEN p < 'f3' THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT lang, n_chars,
+      |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS p
+      |        FROM documents))
+      |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_chunk" -> (chunk _),
     "docs_pack" -> (pack _),
     "docs_decontaminate" -> (decontaminate _),
-    "docs_sample_mix" -> (sampleMix _))
+    "docs_sample_mix" -> (sampleMix _),
+    "docs_split" -> (split _))
 
   def oracles: Map[String, String] = Map(
     "docs_chunk" -> chunkSql,
     "docs_pack" -> packSql,
     "docs_decontaminate" -> decontaminateSql,
-    "docs_sample_mix" -> sampleMixSql)
+    "docs_sample_mix" -> sampleMixSql,
+    "docs_split" -> splitSql)
 }
