@@ -264,7 +264,96 @@ object TextOps extends QueryModule {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Intra-document repetition signals (the Gopher/MassiveText repetition
+  // filters): duplicate n-gram fractions for n=2,3,4 plus the share of the
+  // single most frequent bigram. Highly repetitive pages (boilerplate,
+  // keyword stuffing, templated spam) score high and are rejected.
+  // Scale: the dup fractions are one narrow codegen span (array ops only,
+  // no shuffle); the top-bigram share is explode -> two partial-agg
+  // exchanges keyed by (doc_id[, gram]) -> join back on doc_id — every
+  // stage keyed, nothing quadratic, the exact shape this takes at 100 TB.
+  // ------------------------------------------------------------------
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(docs(s, dir))
+
+  /** Core over any (doc_id, text) relation — factored for synthetic specs. */
+  def repetitionOf(d: DataFrame): DataFrame = {
+    def grams(n: Int): Column = {
+      val parts = (0 until n)
+        .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i+$j)")
+        .mkString(", ")
+      expr(s"transform(sequence(1, size(toks)-${n - 1}), i -> concat_ws(' ', $parts))")
+    }
+    def dupRatio(g: Column): Column =
+      (size(g) - size(array_distinct(g))).cast("double") / size(g)
+    val withG = d.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"), grams(4).as("g4"))
+    val dups = withG.select(
+      col("doc_id"), size(col("g2")).as("n_2grams"),
+      dupRatio(col("g2")).as("dup2_ratio"),
+      dupRatio(col("g3")).as("dup3_ratio"),
+      dupRatio(col("g4")).as("dup4_ratio"))
+    val top2 = withG.select(col("doc_id"), explode(col("g2")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_count"))
+    dups.join(top2, "doc_id")
+      .withColumn("top2_ratio", col("top2_count").cast("double") / col("n_2grams"))
+      .withColumn("accepted",
+        col("dup2_ratio") <= 0.2 && col("dup3_ratio") <= 0.18 &&
+          col("dup4_ratio") <= 0.16 && col("top2_ratio") <= 0.08)
+      .select(col("doc_id"), col("n_2grams"), col("dup2_ratio"), col("dup3_ratio"),
+        col("dup4_ratio"), col("top2_count"), col("top2_ratio"), col("accepted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(range(1, len(toks)),   i -> toks[i] || ' ' || toks[i+1]) AS g2,
+      |        list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3,
+      |        list_transform(range(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS g4
+      |      FROM t),
+      |top AS (SELECT doc_id, max(c) AS top2_count FROM (
+      |          SELECT doc_id, gram, count(*) AS c
+      |          FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+      |          GROUP BY doc_id, gram) GROUP BY doc_id)
+      |SELECT g.doc_id, len(g2) AS n_2grams,
+      |  CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup2_ratio,
+      |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup3_ratio,
+      |  CAST(len(g4) - len(list_distinct(g4)) AS DOUBLE) / len(g4) AS dup4_ratio,
+      |  top2_count,
+      |  CAST(top2_count AS DOUBLE) / len(g2) AS top2_ratio,
+      |  (CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) <= 0.2
+      |   AND CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) <= 0.18
+      |   AND CAST(len(g4) - len(list_distinct(g4)) AS DOUBLE) / len(g4) <= 0.16
+      |   AND CAST(top2_count AS DOUBLE) / len(g2) <= 0.08) AS accepted
+      |FROM g JOIN top ON g.doc_id = top.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Vocabulary building: global token frequencies, top-100 with a
+  // deterministic (freq DESC, token ASC) tiebreak — the vocab/coverage
+  // estimation step before tokenizer training. Scale: explode -> partial
+  // map-side counts -> one exchange on token -> TakeOrdered(100); the
+  // top-K never materializes the full vocabulary on one node.
+  // ------------------------------------------------------------------
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+
+  val vocabTopKSql: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS freq
+      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_repetition" -> (repetition _),
+    "docs_vocab_topk" -> (vocabTopK _),
     "docs_pii_scrub" -> (piiScrub _),
     "docs_rolling_fp" -> (rollingFingerprint _),
     "docs_bpe_tokens" -> (bpeTokens _),
@@ -275,6 +364,8 @@ object TextOps extends QueryModule {
     "docs_fingerprint" -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "docs_repetition" -> repetitionSql,
+    "docs_vocab_topk" -> vocabTopKSql,
     "docs_pii_scrub" -> piiScrubSql,
     "docs_rolling_fp" -> rollingFingerprintSql,
     "docs_bpe_tokens" -> bpeTokensSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
-import graft.operators.{DedupOps, Multimodal, TextOps, VectorOps}
+import graft.operators.{CorpusOps, DedupOps, Multimodal, TextOps, VectorOps}
 
 /** Invariants for the [EXT] LLM-data-pipeline operators (SURVEY.md §2.10). */
 class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
@@ -33,6 +33,60 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     val preds = TextOps.langId(spark, sfDir).select("predicted_lang")
       .distinct().collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(Set("en", "de", "fr", "es", "unknown")))
+  }
+
+  test("repetition: pinned dup-ngram fractions on a fully repetitive doc") {
+    import spark.implicits._
+    // "a b a b a b": g2 = [ab, ba, ab, ba, ab] -> dup 3/5, top2 3/5;
+    // g3 = [aba, bab, aba, bab] -> dup 2/4; g4 = [abab, baba, abab] -> 1/3.
+    val out = TextOps.repetitionOf(Seq((1L, "a b a b a b")).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Int]("n_2grams") == 5)
+    assert(math.abs(out.getAs[Double]("dup2_ratio") - 0.6) < 1e-12)
+    assert(math.abs(out.getAs[Double]("dup3_ratio") - 0.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("dup4_ratio") - 1.0 / 3.0) < 1e-12)
+    assert(out.getAs[Long]("top2_count") == 3L)
+    assert(!out.getAs[Boolean]("accepted"))
+    // All-distinct tokens: zero duplicate grams everywhere, accepted
+    // hinges only on top2_ratio = 1/n_2grams.
+    val clean = TextOps.repetitionOf(Seq((2L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")).collect().head
+    assert(clean.getAs[Double]("dup2_ratio") == 0.0)
+    assert(clean.getAs[Double]("dup4_ratio") == 0.0)
+    assert(clean.getAs[Long]("top2_count") == 1L)
+  }
+
+  test("repetition fixture invariants: ratios bounded, top gram consistent") {
+    val bad = TextOps.repetition(spark, sfDir).filter(
+      col("dup2_ratio") < 0 || col("dup2_ratio") >= 1 ||
+        col("dup3_ratio") < 0 || col("dup4_ratio") < 0 ||
+        col("top2_count") < 1 || col("top2_ratio") > 1 ||
+        // a top bigram seen twice+ implies a nonzero duplicate fraction
+        (col("top2_count") >= 2 && col("dup2_ratio") === 0.0)).count()
+    assert(bad == 0)
+  }
+
+  test("vocab top-k: frequencies non-increasing, bounded by corpus size") {
+    val rows = TextOps.vocabTopK(spark, sfDir).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    val total = TextOps.tokenStats(spark, sfDir)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(freqs.sum <= total)
+  }
+
+  test("split: deterministic, exhaustive, and ~90/5/5 by construction") {
+    val rows = CorpusOps.split(spark, sfDir).collect()
+    val byName = rows.groupBy(_.getAs[String]("split"))
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == 500L, s"split must cover every doc exactly once, got $nDocs")
+    val trainFrac = byName("train").map(_.getAs[Long]("n_docs")).sum.toDouble / nDocs
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // hash-of-id assignment is repartition- and re-run-stable
+    val again = CorpusOps.split(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
   test("fingerprint: exactly one keeper per fingerprint group") {
