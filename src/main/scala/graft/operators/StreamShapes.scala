@@ -404,7 +404,38 @@ object StreamShapes extends QueryModule {
       |FROM grouped
       |ORDER BY user_id, valid_from""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Cohort retention: users bucketed by first-activity week, retention =
+  // distinct users active k weeks after their cohort week (the classic
+  // retention triangle). Scale: all four shuffles are keyed (user for the
+  // distinct/first-week/join, (cohort, offset) for the final count) — the
+  // user-keyed stages reuse one partitioning; nothing is per-cohort global.
+  // ------------------------------------------------------------------
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = ev(s, dir).select(col("user_id"),
+      floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7)
+        .as("week"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH w AS (SELECT DISTINCT user_id,
+      |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+      |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+      |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+      |FROM w JOIN c ON w.user_id = c.user_id
+      |GROUP BY c.cohort_week, w.week - c.cohort_week
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (retention _),
     "events_funnel" -> (funnel _),
     "events_scd2" -> (scd2Intervals _),
     "stream_join" -> (streamStreamJoin _),
@@ -418,6 +449,7 @@ object StreamShapes extends QueryModule {
     "stream_incremental" -> (streamIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "events_retention" -> retentionSql,
     "events_funnel" -> funnelSql,
     "events_scd2" -> scd2IntervalsSql,
     "stream_join" -> streamStreamJoinSql,

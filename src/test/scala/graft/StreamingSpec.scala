@@ -176,4 +176,18 @@ class StreamingSpec extends SparkTestBase {
       .count()
     assert(overlaps == 0)
   }
+
+  test("retention triangle: offset-0 row IS the cohort size and bounds every later offset") {
+    val ret = graft.operators.StreamShapes.retention(spark, sfDir).cache()
+    assert(ret.filter(col("week_offset") < 0).count() == 0)
+    // every user is active in their own cohort week, so the offset-0 cell
+    // counts the whole cohort and no later offset can exceed it
+    val base = ret.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    assert(base.count() == ret.select("cohort_week").distinct().count(),
+      "a cohort is missing its offset-0 row")
+    assert(ret.join(base, Seq("cohort_week"))
+      .filter(col("n_users") > col("cohort_size")).count() == 0)
+    ret.unpersist()
+  }
 }
