@@ -123,15 +123,54 @@ object StorageOps extends QueryModule {
       |  ON c_custkey = o_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Range-clustered layout (the 1-D Z-order story): events written
+  // repartitionByRange on ts + sortWithinPartitions, so every output file
+  // covers a DISJOINT ts interval and the parquet min/max footer stats let
+  // the pushed-down range predicate skip whole row groups — partition
+  // pruning's unpartitioned cousin, the right layout for high-cardinality
+  // sort keys where a directory per value is infeasible. At 100 TB:
+  // range-cluster the fact table by (event_date, key) and a time-slice
+  // query reads ~1/N of the files regardless of partition-count limits.
+  // StorageSpec proves the physical property (pairwise-disjoint per-file
+  // intervals) and the pushdown (PushedFilters carries both ts bounds).
+  // ------------------------------------------------------------------
+  private[graft] def writeRangeClustered(s: SparkSession, dir: String): String = {
+    val landing = scratch("graft_range_landing")
+    Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartitionByRange(8, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(landing)
+    landing
+  }
+
+  def rangeClusteredScan(s: SparkSession, dir: String): DataFrame = {
+    val landing = writeRangeClustered(s, dir)
+    s.read.parquet(landing)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-11").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val rangeClusteredScanSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "scan_partition_pruned" -> (partitionPruned _),
+    "scan_range_clustered" -> (rangeClusteredScan _),
     "join_bucketed" -> (bucketedJoin _))
 
   def oracles: Map[String, String] = Map(
     "json_roundtrip" -> jsonRoundtripSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "scan_partition_pruned" -> partitionPrunedSql,
+    "scan_range_clustered" -> rangeClusteredScanSql,
     "join_bucketed" -> bucketedJoinSql)
 }

@@ -54,6 +54,33 @@ class StorageSpec extends SparkTestBase {
     }
   }
 
+  test("range-clustered files cover pairwise-disjoint ts intervals and the range filter is pushed") {
+    val landing = StorageOps.writeRangeClustered(spark, sfDir)
+    // the physical property that makes row-group skipping work: every file
+    // owns a disjoint slice of the sort key, so min/max footer stats are
+    // selective instead of all spanning the whole domain
+    val intervals = spark.read.parquet(landing)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+      .sortBy(_._1)
+    assert(intervals.length > 1, "expected multiple range files")
+    intervals.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file intervals overlap: hi=$hi lo2=$lo2")
+    }
+    // and the read side pushes both bounds to the scan
+    val scanned = spark.read.parquet(landing)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-11").cast("timestamp"))
+    scanned.collect()
+    val scanLine = scanned.queryExecution.executedPlan.toString.split("\n")
+      .find(_.contains("PushedFilters"))
+      .getOrElse(fail("no PushedFilters in scan"))
+    assert(scanLine.contains("GreaterThanOrEqual(ts") && scanLine.contains("LessThan(ts"),
+      s"ts bounds not pushed:\n$scanLine")
+  }
+
   test("json roundtrip preserves microsecond timestamps and doubles exactly") {
     val out = StorageOps.jsonRoundtrip(spark, sfDir)
     val orig = Tables.load(spark, sfDir, "events")
