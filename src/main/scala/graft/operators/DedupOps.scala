@@ -125,13 +125,17 @@ object DedupOps extends QueryModule {
   // canonical transitive-closure formulation of corpus dedup (A~B, B~C =>
   // one cluster even if A,C never pair). Iterative min-label propagation:
   // each round every vertex takes the min of its own and its neighbors'
-  // labels; fixpoint = component minimum. The edge set is materialized
-  // ONCE to registered scratch parquet — an iterative algorithm needs a
-  // lineage cut per round, and an explicit file (recomputable, purged by
-  // Scratch) is the fault-tolerant form of that cut, unlike pinned blocks.
-  // Scale: every round is one key-only shuffle (join on vertex id); round
-  // count is the component diameter (near-dup clusters are star-shaped
-  // around bucket reps — 2-3 rounds), with a hard cap as a safety rail.
+  // labels; fixpoint = component minimum. The edge set AND each round's
+  // labels are materialized to registered scratch parquet — an iterative
+  // algorithm needs a lineage cut per round (without one, round k's plan
+  // AND its convergence probe replay all k-1 earlier rounds: O(k²) stages,
+  // measured 2x the whole query's cost at fixture scale), and an explicit
+  // file (recomputable, purged by Scratch) is the fault-tolerant form of
+  // that cut, unlike pinned blocks or a localCheckpoint.
+  // Scale: every round is one key-only shuffle (join on vertex id) plus a
+  // label-file write that is tiny relative to the corpus; round count is
+  // the component diameter (near-dup clusters are star-shaped around
+  // bucket reps — 2-3 rounds), with a hard cap as a safety rail.
   // ------------------------------------------------------------------
   def minhashClusters(s: SparkSession, dir: String): DataFrame = {
     val edgesPath = graft.Scratch.dir("graft_dedup_edges")
@@ -141,17 +145,24 @@ object DedupOps extends QueryModule {
     val pairs = s.read.parquet(edgesPath)
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
-    var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("label", col("v"))
+    def cut(df: DataFrame): DataFrame = {
+      val p = graft.Scratch.dir("graft_cc_labels")
+      df.write.parquet(p)
+      s.read.parquet(p)
+    }
+    var labels = cut(edges.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v")))
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
       val nbrMin = edges
         .join(labels.select(col("v").as("a"), col("label").as("albl")), Seq("a"))
         .groupBy(col("b")).agg(min(col("albl")).as("nmin"))
-      val next = labels
+      val next = cut(labels
         .join(nbrMin.select(col("b").as("v"), col("nmin")), Seq("v"), "left")
-        .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+      // both sides are parquet-backed, so the probe costs one tiny join,
+      // not a replay of the loop prefix
       converged = next.as("n")
         .join(labels.as("o"), col("n.v") === col("o.v"))
         .filter(col("n.label") =!= col("o.label"))

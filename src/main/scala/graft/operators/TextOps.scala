@@ -275,29 +275,59 @@ object TextOps extends QueryModule {
   // stage keyed, nothing quadratic, the exact shape this takes at 100 TB.
   // ------------------------------------------------------------------
   def repetition(s: SparkSession, dir: String): DataFrame =
-    repetitionOf(docs(s, dir))
+    // loadParallel: gram construction + per-doc sort is the heavy narrow
+    // stage; the fixture's single row group would otherwise run it serially
+    repetitionOf(Tables.loadParallel(s, dir, "documents"))
 
-  /** Core over any (doc_id, text) relation — factored for synthetic specs. */
+  /** Core over any (doc_id, text) relation — factored for synthetic specs.
+    *
+    * Single narrow pass: top2_count (the max multiplicity of any 2-gram)
+    * equals the longest equal-neighbour run in the SORTED gram list, so it
+    * folds per row with an aggregate HOF — no explode, no per-gram
+    * exchange, no rejoin (the previous form paid two shuffles and a join,
+    * and recomputed the gram pipeline in both branches). The only exchange
+    * left in the query is the final presentation sort, and per-doc work is
+    * O(g log g) — embarrassingly parallel at any corpus size. */
   def repetitionOf(d: DataFrame): DataFrame = {
+    // Guarded: sequence(1, size-k) flips DESCENDING when size <= k, and
+    // element_at(toks, 0) then throws under ANSI — short docs get an empty
+    // gram list instead (DuckDB's range(1, n) is already empty for n <= 1).
     def grams(n: Int): Column = {
       val parts = (0 until n)
         .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i+$j)")
         .mkString(", ")
-      expr(s"transform(sequence(1, size(toks)-${n - 1}), i -> concat_ws(' ', $parts))")
+      expr(s"if(size(toks) < $n, array()," +
+        s" transform(sequence(1, size(toks)-${n - 1}), i -> concat_ws(' ', $parts)))")
     }
     def dupRatio(g: Column): Column =
       (size(g) - size(array_distinct(g))).cast("double") / size(g)
-    val withG = d.select(col("doc_id"), toks.as("toks"))
+    // null prev on the first element: `null = x` is null -> else branch -> 1
+    val top2 = expr(
+      """aggregate(array_sort(g2),
+        |  named_struct('prev', cast(null as string),
+        |               'run',  cast(0 as bigint), 'best', cast(0 as bigint)),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run',  if(acc.prev = x, acc.run + 1, cast(1 as bigint)),
+        |    'best', greatest(acc.best,
+        |                     if(acc.prev = x, acc.run + 1, cast(1 as bigint)))),
+        |  acc -> acc.best)""".stripMargin)
+    d.select(col("doc_id"), toks.as("toks"))
+      // docs too short for a 2-gram were dropped by the old inner join (and
+      // are dropped by the oracle's join). Filter on the TOKEN count, not
+      // size(g2) > 0: a size(g2) filter pushed below the projections
+      // substitutes the whole gram transform — with `toks` inlined INSIDE
+      // the lambda, i.e. one regex split per element_at per element,
+      // O(tokens²) splits per doc on the serial pre-repartition scan (this
+      // was 5.4 s of the bench's count() shape; the token-count filter
+      // substitutes one split per row instead).
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"), grams(4).as("g4"))
-    val dups = withG.select(
-      col("doc_id"), size(col("g2")).as("n_2grams"),
-      dupRatio(col("g2")).as("dup2_ratio"),
-      dupRatio(col("g3")).as("dup3_ratio"),
-      dupRatio(col("g4")).as("dup4_ratio"))
-    val top2 = withG.select(col("doc_id"), explode(col("g2")).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_count"))
-    dups.join(top2, "doc_id")
+      .select(col("doc_id"), size(col("g2")).as("n_2grams"),
+        dupRatio(col("g2")).as("dup2_ratio"),
+        dupRatio(col("g3")).as("dup3_ratio"),
+        dupRatio(col("g4")).as("dup4_ratio"),
+        top2.as("top2_count"))
       .withColumn("top2_ratio", col("top2_count").cast("double") / col("n_2grams"))
       .withColumn("accepted",
         col("dup2_ratio") <= 0.2 && col("dup3_ratio") <= 0.18 &&
