@@ -35,10 +35,22 @@ object DedupOps extends QueryModule {
   private[operators] val MAX_SHINGLE_DF = 64
 
   /** (doc_id, shingle) distinct pairs. loadParallel: shingling + md5
-    * signatures are the heavy narrow stage (see Tables.loadParallel). */
+    * signatures are the heavy narrow stage (see Tables.loadParallel).
+    *
+    * doc_id is COALESCED to a sentinel (never hit — the fixture column has
+    * no nulls, and a null id has no meaningful dedup identity anyway) so
+    * the attribute is NON-NULLABLE: the signature relation feeds three
+    * consumers (bands + both sides of the estimate join), and with a
+    * nullable doc_id the joins push `isnotnull(doc_id)` into the s1/s2
+    * branches but not the bands branch — canonically unequal subtrees, so
+    * ReuseExchange recomputed the dominant md5 minhash aggregate once PER
+    * CONSUMER (the round-5 nullable-join-key lesson, same as VectorOps's
+    * chunk key). Non-nullable, the isnotnull is constant-folded away and
+    * all consumers share one exchange. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFns.shingles(TextFns.tokens(col("text")))).as("shingle"))
+      .select(coalesce(col("doc_id"), lit(Long.MinValue)).as("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")))).as("shingle"))
 
   /** (doc_id, k, mh): the K-row minhash signature per document. */
   private def signature(s: SparkSession, dir: String): DataFrame =
@@ -84,10 +96,16 @@ object DedupOps extends QueryModule {
   // similarity as the fraction of matching signature positions.
   // ------------------------------------------------------------------
 
-  /** (doc_id, b, band_key): each document's LSH band keys. */
+  /** (doc_id, b, band_key): each document's LSH band keys.
+    *
+    * b is coalesced NON-NULLABLE (floor(k/3) is nullable in the abstract):
+    * the bands->reps / bands->bucket-cap joins on b otherwise push
+    * `isnotnull(FLOOR(k/3))` below the signature aggregate in THIS branch
+    * only, breaking canonical equality with the estimate-join branches and
+    * recomputing the md5 signature exchange (see shingleRows). */
   private def bandsOf(sig: DataFrame): DataFrame =
     sig
-      .withColumn("b", floor(col("k") / BANDROWS))
+      .withColumn("b", coalesce(floor(col("k") / BANDROWS), lit(-1L)))
       .groupBy(col("doc_id"), col("b"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
         x => x.getField("mh")), "").as("band_key"))

@@ -434,8 +434,68 @@ object StreamShapes extends QueryModule {
       |GROUP BY c.cohort_week, w.week - c.cohort_week
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ST4 (flatMapGroupsWithState), driver-visible: streaming sessionization
+  // with eager emission — see Streams.sessionizeStream for the semantics
+  // and the oracle identity (batch sessions minus each user's final open
+  // session). The landing is written as ONE FILE per user-parity chunk:
+  // a file is atomic w.r.t. micro-batch assignment, so every user's whole
+  // history lands in a single batch no matter how the file source batches
+  // it, making eager emission deterministic (at scale: bucket the landing
+  // by user instead of coalescing).
+  // ------------------------------------------------------------------
+  private val sessionLandings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  graft.Scratch.onPurge(() => sessionLandings.clear())
+
+  private def sessionLanding(s: SparkSession, dir: String): String =
+    sessionLandings.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val path = graft.Scratch.dir("graft_stream_sess")
+      val evs = ev(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      evs.filter(pmod(col("user_id"), lit(2)) === 0).coalesce(1).write.parquet(path)
+      evs.filter(pmod(col("user_id"), lit(2)) === 1).coalesce(1)
+        .write.mode("append").parquet(path)
+      path
+    })
+
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val in = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Tables.events.filterNot(_.name == "props")))
+      .parquet(sessionLanding(s, dir))
+    graft.streaming.Streams.runToCompletion(
+      graft.streaming.Streams.sessionizeStream(in).toDF(),
+      s"sess_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val streamSessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, min(ts) AS session_start,
+      |    max(ts) + INTERVAL '5 minutes' AS session_end,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM islands GROUP BY user_id, sid)
+      |SELECT user_id, session_start, session_end, n, total_value
+      |FROM sess
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY session_start DESC) > 1
+      |ORDER BY user_id, session_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> (retention _),
+    "stream_sessions" -> (streamSessions _),
     "events_funnel" -> (funnel _),
     "events_scd2" -> (scd2Intervals _),
     "stream_join" -> (streamStreamJoin _),
@@ -450,6 +510,7 @@ object StreamShapes extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "events_retention" -> retentionSql,
+    "stream_sessions" -> streamSessionsSql,
     "events_funnel" -> funnelSql,
     "events_scd2" -> scd2IntervalsSql,
     "stream_join" -> streamStreamJoinSql,

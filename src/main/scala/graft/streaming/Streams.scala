@@ -104,6 +104,61 @@ object Streams {
       .transformWithState(new UserStateProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** ST4 (flatMapGroupsWithState): streaming sessionization with eager
+    * emission. Each CLOSED session (the next event for that user arrives
+    * >= 5 minutes later — the same boundary rule as Spark's
+    * session_window and the batch gaps-and-islands oracle) is emitted the
+    * moment the closing event is processed; the user's open tail session
+    * stays in state and is never emitted. On a closed input the output is
+    * therefore exactly the batch session set MINUS each user's final
+    * session — a set the DuckDB oracle states in one QUALIFY clause.
+    * flatMap (not map) because one batch can close MANY sessions for one
+    * user. Scale: state is one (start, last, n, sum) tuple per user —
+    * the same bounded per-entity shape as [[runningUserState]]; value
+    * sums are exact 1e-4-unit longs (the decimal(18,4) twin). */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum4: Long)
+  case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n: Long, total_value: Double)
+
+  private val SESSION_GAP_US = 5L * 60 * 1000000
+
+  private def toUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  def sessionizeStream(events: DataFrame): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[OpenSession]) =>
+          // sort within the batch: group iterators carry no order; equal
+          // timestamps can't straddle a 5-minute boundary, so ts alone is
+          // a sufficient key
+          val evs = rows.map { case (_, t, v) => (toUs(t), math.round(v * 10000)) }
+            .toArray.sortBy(_._1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          var open = state.getOption.orNull
+          evs.foreach { case (t, v4) =>
+            if (open == null) open = OpenSession(t, t, 1, v4)
+            else if (t - open.lastUs >= SESSION_GAP_US) {
+              out += SessionRow(user, toTs(open.startUs),
+                toTs(open.lastUs + SESSION_GAP_US), open.n, open.sum4 / 10000.0)
+              open = OpenSession(t, t, 1, v4)
+            } else open = OpenSession(open.startUs, t, open.n + 1, open.sum4 + v4)
+          }
+          if (open != null) state.update(open)
+          out.iterator
+      }
+  }
+
   /** K2: side-effect sink (clear_notfi, trading212.py:79-83) — after each
     * micro-batch the 8 newest notification ids are handed to an external
     * delete action via foreachBatch. Side effects stay OUT of the data

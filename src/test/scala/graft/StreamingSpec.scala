@@ -177,6 +177,19 @@ class StreamingSpec extends SparkTestBase {
     assert(overlaps == 0)
   }
 
+  test("ST4 (flatMapGroupsWithState): eager sessions == batch sessions minus each user's tail") {
+    val streamed = graft.operators.StreamShapes.streamSessions(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_start").desc)
+    val expected = graft.operators.StreamShapes.sessions(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .drop("rn")
+    assert(streamed.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(streamed).count() == 0,
+      "streaming eager sessions must equal batch sessions minus each user's final session")
+  }
+
   test("retention triangle: offset-0 row IS the cohort size and bounds every later offset") {
     val ret = graft.operators.StreamShapes.retention(spark, sfDir).cache()
     assert(ret.filter(col("week_offset") < 0).count() == 0)
