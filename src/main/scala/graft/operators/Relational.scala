@@ -1011,9 +1011,58 @@ object Relational extends QueryModule {
       |  ON e.user_id = d.user_id
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // CDC merge / upsert (SCD1 apply): a deterministic change set — updates
+  // for custkey % 10 == 0, deletes for % 10 == 1, inserts above the key
+  // domain for % 10 == 2 — applied to the customer base in ONE full-outer
+  // join on the key: matched+update -> new values, matched+delete ->
+  // dropped, unmatched change -> inserted, unmatched base -> carried.
+  // This is the engine's MERGE INTO: at 100 TB both sides shuffle once on
+  // the merge key (or zero times if the base is bucketed by it — see
+  // join_bucketed), the apply itself is a projection, and the result is
+  // written back partition-aligned. No per-row lookups, no driver state.
+  // ------------------------------------------------------------------
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val changes = t(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(10)) < 3)
+      .select(
+        when(pmod(col("c_custkey"), lit(10)) === 2, col("c_custkey") + 1000000L)
+          .otherwise(col("c_custkey")).as("k"),
+        when(pmod(col("c_custkey"), lit(10)) === 0, lit("U"))
+          .when(pmod(col("c_custkey"), lit(10)) === 1, lit("D"))
+          .otherwise(lit("I")).as("op"),
+        concat(lit("Customer#"), col("c_custkey")).as("new_name"),
+        lit("MERGED").as("new_seg"))
+    base.join(changes, col("c_custkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        when(col("op").isNotNull, col("new_name")).otherwise(col("c_name")).as("c_name"),
+        when(col("op").isNotNull, col("new_seg")).otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH changes AS (
+      |  SELECT CASE WHEN c_custkey % 10 = 2 THEN c_custkey + 1000000 ELSE c_custkey END AS k,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'U'
+      |         WHEN c_custkey % 10 = 1 THEN 'D' ELSE 'I' END AS op,
+      |    'Customer#' || c_custkey AS new_name,
+      |    'MERGED' AS new_seg
+      |  FROM customer WHERE c_custkey % 10 < 3)
+      |SELECT COALESCE(c_custkey, k) AS c_custkey,
+      |  CASE WHEN op IS NOT NULL THEN new_name ELSE c_name END AS c_name,
+      |  CASE WHEN op IS NOT NULL THEN new_seg ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer FULL OUTER JOIN changes ON c_custkey = k
+      |WHERE op IS NULL OR op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _),
     "agg_weighted_avg" -> (weightedAvg _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
@@ -1052,6 +1101,7 @@ object Relational extends QueryModule {
     "sql_grouping_sets" -> (sqlGroupingSets _))
 
   def oracles: Map[String, String] = Map(
+    "merge_upsert" -> mergeUpsertSql,
     "agg_weighted_avg" -> weightedAvgSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,
