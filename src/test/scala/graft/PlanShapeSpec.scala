@@ -215,6 +215,32 @@ class PlanShapeSpec extends SparkTestBase {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("minhash signature computes once: all consumers share one md5 exchange") {
+    // The signature relation feeds bands + both sides of the estimate
+    // join. With nullable join keys the pushed isnotnull filters break
+    // canonical equality and the dominant md5 aggregate recomputes per
+    // consumer (round-5 fix: coalesce doc_id and the band id) — so the
+    // partial md5 min-agg must appear EXACTLY once in the executed plan,
+    // every other consumer reading it via ReusedExchange.
+    val df = graft.operators.DedupOps.minhashPairs(spark, sfDir)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    val mdAggs = plan.split("\n").count(l => l.contains("partial_min") && l.contains("md5"))
+    assert(mdAggs == 1, s"md5 signature aggregate computed $mdAggs times:\n$plan")
+  }
+
+  test("docs_repetition is one narrow pass: no join, single presentation-sort exchange") {
+    // top2_count folds per row over the sorted gram list; a reappearing
+    // explode+groupBy+join formulation (or a filter pushed into the scan
+    // as a per-element gram recompute) shows up here as extra operators.
+    val df = graft.operators.TextOps.repetition(spark, sfDir)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"repetition must not plan a join:\n$plan")
+    val exchanges = plan.split("\n")
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // round-robin spread of the serial scan + the final sort
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+
   test("blocked embedding near-dup generates candidates via equi-join on cells") {
     val df = graft.operators.VectorOps.embeddingNearDupBlockedOn(embWithGuaranteedDup)
     // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" section,
