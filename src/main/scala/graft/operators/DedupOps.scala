@@ -442,7 +442,35 @@ object DedupOps extends QueryModule {
       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
       |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Curation telemetry: duplication rate per language — the fraction of
+  // each language slice the near-dup loser set would remove. The metric a
+  // corpus owner watches per ingestion batch. Scale: the loser set is
+  // linear (see minhashLosers); the profile is one left join on doc_id +
+  // one partial-agg exchange on lang.
+  // ------------------------------------------------------------------
+  def dupRateByLang(s: SparkSession, dir: String): DataFrame = {
+    val losers = minhashLosers(s, dir, 0.9).withColumn("is_loser", lit(1))
+    Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_loser"), lit(0))).cast("bigint").as("n_dup"),
+        (sum(coalesce(col("is_loser"), lit(0))).cast("double") / count(lit(1)))
+          .as("dup_rate"))
+      .orderBy(col("lang"))
+  }
+
+  val dupRateByLangSql: String =
+    s"""WITH losers AS (${minhashLosersSql(0.9)})
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / COUNT(*) AS dup_rate
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_rate_by_lang" -> (dupRateByLang _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_minhash_clusters" -> (minhashClusters _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
@@ -451,6 +479,7 @@ object DedupOps extends QueryModule {
     "dedup_simhash_pairs" -> (simhashPairs _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_rate_by_lang" -> dupRateByLangSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_minhash_clusters" -> minhashClustersSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
