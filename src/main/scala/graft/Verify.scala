@@ -4,7 +4,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: run only the named queries (local iteration;
+    // the driver's 2-arg invocation is unaffected)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
@@ -12,7 +15,9 @@ object Verify {
     // the compare step has a positive signal even for oracle-less queries,
     // which would otherwise fail silently (ADVICE.md round 1).
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

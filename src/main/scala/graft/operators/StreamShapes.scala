@@ -493,7 +493,58 @@ object StreamShapes extends QueryModule {
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY session_start DESC) > 1
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Time-series resample + gap-fill: per-user hourly activity rollup with
+  // the missing hours materialized as explicit zero rows (the shape every
+  // downstream forecasting/feature job wants — dense, regular grids).
+  // The dense grid is GENERATED per user from that user's own [min, max]
+  // hour span (sequence + explode) — never a global calendar product — so
+  // grid size scales with genuine activity spans, and every stage
+  // (hourly rollup, span agg, grid left join) shuffles on the user key.
+  // The 40-user cap bounds the fixture output; at scale it is the
+  // analyst's cohort predicate, pushed to the scan.
+  // ------------------------------------------------------------------
+  def gapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .filter(col("user_id") < 40)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"),
+        col("n_events").isNull.cast("int").as("filled"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val gapfillSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events WHERE user_id < 40
+      |  GROUP BY user_id, date_trunc('hour', ts)),
+      |spans AS (
+      |  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+      |  FROM hourly GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+      |  FROM spans)
+      |SELECT g.user_id, g.hour,
+      |  COALESCE(h.n_events, 0) AS n_events,
+      |  COALESCE(h.total_value, 0.0) AS total_value,
+      |  CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS filled
+      |FROM grid g LEFT JOIN hourly h
+      |  ON g.user_id = h.user_id AND g.hour = h.hour
+      |ORDER BY g.user_id, g.hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gapfill" -> (gapfill _),
     "events_retention" -> (retention _),
     "stream_sessions" -> (streamSessions _),
     "events_funnel" -> (funnel _),
@@ -509,6 +560,7 @@ object StreamShapes extends QueryModule {
     "stream_incremental" -> (streamIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "events_gapfill" -> gapfillSql,
     "events_retention" -> retentionSql,
     "stream_sessions" -> streamSessionsSql,
     "events_funnel" -> funnelSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
@@ -281,6 +281,101 @@ object VectorOps extends QueryModule {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ------------------------------------------------------------------
+  // [EXT] k-means training for the IVF coarse quantizer: KM_ITER unrolled
+  // Lloyd iterations of SPHERICAL k-means (cosine assignment — the right
+  // metric for normalized-ish embedding spaces, and scale-invariant, so
+  // centroids can stay in exact micro-units). annIvf above USES a coarse
+  // quantizer (per-label cells); this trains one from scratch:
+  //   init:   the KM_K lowest-id vectors (deterministic, pushdown filter);
+  //   assign: per-row argmax cosine against the K centroids, computed as a
+  //           NARROW codegen'd map over centroid LITERALS — zero join,
+  //           zero shuffle of the corpus;
+  //   update: posexplode to (k, pos), exact integer micro-unit sums
+  //           (annIvf's determinism trick), map-side partial aggregation —
+  //           the only exchange per iteration carries K*dims rows.
+  // Between iterations the K*dims centroid matrix is collected to the
+  // driver and re-embedded as literals — bounded state (KM_K*64 doubles),
+  // the same broadcast-value pattern MLlib's KMeans uses; NOT a
+  // driver-side data loop. At 100 TB each iteration is one full scan with
+  // nothing wider than a K*dims aggregate behind it — the optimal shape.
+  // Output: per-cluster size + exact centroid norm after KM_ITER rounds.
+  // ------------------------------------------------------------------
+  private val KM_K = 8
+  private val KM_ITER = 2
+
+  /** Argmax-cosine cluster id over literal centroids, as one codegen'd
+    * expression: greatest() of (cos, -k) structs — max cosine, ties to the
+    * lowest cluster id — mirroring the oracle's ORDER BY cos DESC, k. */
+  private def kmAssign(cents: Seq[(Long, Array[Double])]): Column = {
+    val scored = cents.map { case (k, ce) =>
+      val lce = array(ce.map(lit): _*)
+      struct(VectorFns.cosine(col("de"), lce).as("cos"), lit(-k).as("negk"))
+    }
+    -greatest(scored: _*).getField("negk")
+  }
+
+  /** Exact micro-unit mean per (cluster, pos), re-assembled to a centroid
+    * vector (same integer arithmetic as annIvf's centroids). */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("k"), posexplode(col("de")).as(Seq("pos", "v")))
+      .groupBy(col("k"), col("pos"))
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("csum"), count(lit(1)).as("n"))
+      .withColumn("cv", col("csum").cast("double") / col("n"))
+      .groupBy(col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("ce"),
+        max(col("n")).as("n"))
+
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+    def collectCents(c: DataFrame): Seq[(Long, Array[Double])] =
+      c.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    // init: K seed vectors (bounded collect; id pushdown prunes the scan)
+    var cents = collectCents(
+      e.filter(col("vec_id") < KM_K).select(col("vec_id").as("k"), col("de")))
+    // all but the last Lloyd round materialize the K*dims matrix eagerly
+    for (_ <- 1 until KM_ITER)
+      cents = collectCents(
+        kmUpdate(e.withColumn("k", kmAssign(cents))).select(col("k"), col("ce")))
+    // the last round stays lazy: the registered plan is assign -> update
+    kmUpdate(e.withColumn("k", kmAssign(cents)))
+      .select(col("k").as("cluster"), col("n").as("n_members"),
+        sqrt(VectorFns.dot(col("ce"), col("ce"))).as("centroid_norm"))
+      .orderBy(col("cluster"))
+  }
+
+  val kmeansTrainSql: String = {
+    def assignSql(centsCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT vec_id, de, k FROM (
+        |  SELECT e.vec_id, e.de, c.k,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.de, c.ce) /
+        |        (sqrt(list_dot_product(e.de, e.de)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |      c.k) AS rn
+        |  FROM e CROSS JOIN $centsCte c) WHERE rn = 1)""".stripMargin
+    def updateSql(assignCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT k, list(cv ORDER BY pos) AS ce, MAX(n) AS n FROM (
+        |  SELECT k, g.i AS pos,
+        |    CAST(SUM(CAST(round(de[g.i] * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) AS cv,
+        |    COUNT(*) AS n
+        |  FROM $assignCte CROSS JOIN range(1, 65) g(i)
+        |  GROUP BY k, g.i) GROUP BY k)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |c0 AS (SELECT vec_id AS k, de AS ce FROM e WHERE vec_id < $KM_K),
+      |${assignSql("c0", "a1")},
+      |${updateSql("a1", "c1")},
+      |${assignSql("c1", "a2")},
+      |${updateSql("a2", "c2")}
+      |SELECT k AS cluster, n AS n_members,
+      |  sqrt(list_dot_product(ce, ce)) AS centroid_norm
+      |FROM c2 ORDER BY cluster""".stripMargin
+  }
+
   val embeddingNearDupSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
       |SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -295,11 +390,13 @@ object VectorOps extends QueryModule {
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_cosine_topk_fast" -> (cosineTopKFast _),
     "emb_ann_ivf" -> (annIvf _),
+    "emb_kmeans" -> (kmeansTrain _),
     "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_cosine_topk_fast" -> cosineTopKSql,
     "emb_ann_ivf" -> annIvfSql,
+    "emb_kmeans" -> kmeansTrainSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

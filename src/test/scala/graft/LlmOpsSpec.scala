@@ -15,6 +15,16 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     super.afterAll()
   }
 
+  test("kmeans: partition of the corpus — sizes sum to |corpus|, centroids non-degenerate") {
+    val out = VectorOps.kmeansTrain(spark, sfDir).cache()
+    val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.agg(sum(col("n_members"))).head().getLong(0) == n,
+      "every vector must land in exactly one cluster")
+    assert(out.count() <= 8 && out.count() >= 1)
+    assert(out.filter(col("centroid_norm") <= 0.0).count() == 0)
+    out.unpersist()
+  }
+
   test("token stats: uniq <= total, ratios in (0,1]") {
     val bad = TextOps.tokenStats(spark, sfDir)
       .filter(col("n_uniq_tokens") > col("n_tokens") ||

@@ -71,6 +71,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"global sort survived under count():\n$plan")
   }
 
+  test("kmeans assignment is a narrow literal map: no join, only K*dims-sized exchanges") {
+    // The registered plan (last Lloyd round) must score centroids as
+    // literal expressions — a Join/BroadcastExchange here would mean the
+    // corpus is being matched relationally, and any exchange beyond the
+    // two K*dims aggregates + K-row output sort would mean corpus data is
+    // being reshuffled per iteration (the shape that dies at 100 TB).
+    val plan = executedPlan(graft.operators.VectorOps.kmeansTrain(spark, sfDir))
+    assert(!plan.contains("Join"), s"kmeans must not plan a join:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.split("\n")
+      .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges <= 3, s"expected <=3 tiny exchanges, got $exchanges:\n$plan")
+  }
+
   test("as-of join is one window pass: exactly one exchange, no join operator") {
     val plan = executedPlan(Relational.joinAsOf(spark, sfDir))
     assert(!plan.contains("Join"), "as-of must not plan a join")

@@ -190,6 +190,27 @@ class StreamingSpec extends SparkTestBase {
       "streaming eager sessions must equal batch sessions minus each user's final session")
   }
 
+  test("gap-fill grid is dense, endpoints real, filled flag <=> zero activity") {
+    val g = graft.operators.StreamShapes.gapfill(spark, sfDir).cache()
+    // dense & regular: per user, row count == hours in [min, max] inclusive
+    val spans = g.groupBy(col("user_id")).agg(
+      count(lit(1)).as("rows"),
+      ((unix_timestamp(max(col("hour"))) - unix_timestamp(min(col("hour")))) / 3600 + 1)
+        .cast("long").as("hours"))
+    assert(spans.filter(col("rows") =!= col("hours")).count() == 0,
+      "grid has gaps or duplicate hours")
+    // span endpoints come from real activity, so they can never be filled
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    assert(g.withColumn("h0", min(col("hour")).over(w))
+      .withColumn("h1", max(col("hour")).over(w))
+      .filter((col("hour") === col("h0") || col("hour") === col("h1")) &&
+        col("filled") === 1).count() == 0)
+    // filled <=> no events (and zero value)
+    assert(g.filter((col("filled") === 1) =!= (col("n_events") === 0)).count() == 0)
+    assert(g.filter(col("filled") === 1 && col("total_value") =!= 0.0).count() == 0)
+    g.unpersist()
+  }
+
   test("retention triangle: offset-0 row IS the cohort size and bounds every later offset") {
     val ret = graft.operators.StreamShapes.retention(spark, sfDir).cache()
     assert(ret.filter(col("week_offset") < 0).count() == 0)
