@@ -210,11 +210,44 @@ object CorpusOps extends QueryModule {
       |        FROM documents))
       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Stratified fixed-size sampling: exactly min(K, |stratum|) docs per
+  // source, chosen uniformly-at-hash (md5 order — deterministic across
+  // re-runs, repartitioning, and late shards; never rand()). This is the
+  // distributed reservoir-sample equivalent: rank by hash within stratum,
+  // keep the first K. At 100 TB a hot stratum's window sort is bounded by
+  // first pre-pruning with a conservative hash-prefix filter (keep only
+  // h < bound where bound retains >= K with high probability), which turns
+  // the per-stratum sort volume from O(|stratum|) to O(K/eps); the fixture
+  // strata are small enough that the prune would cost correctness here, so
+  // the registered shape is the plain ranked form.
+  // ------------------------------------------------------------------
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16)
+      .select(col("doc_id"), col("source"), col("lang"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, source, lang, rn FROM (
+      |  SELECT doc_id, source, lang,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 16 ORDER BY source, rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_chunk" -> (chunk _),
     "docs_pack" -> (pack _),
     "docs_decontaminate" -> (decontaminate _),
     "docs_sample_mix" -> (sampleMix _),
+    "docs_sample_stratified" -> (sampleStratified _),
     "docs_split" -> (split _))
 
   def oracles: Map[String, String] = Map(
@@ -222,5 +255,6 @@ object CorpusOps extends QueryModule {
     "docs_pack" -> packSql,
     "docs_decontaminate" -> decontaminateSql,
     "docs_sample_mix" -> sampleMixSql,
+    "docs_sample_stratified" -> sampleStratifiedSql,
     "docs_split" -> splitSql)
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Event/time-series analytics over `events` — the downsample /
+  * outlier / growth / histogram shapes a trading-data pipeline (the
+  * reference ingests Trading212 order history, trading212.py:89-111) runs
+  * downstream of ingestion. All four are single-purpose batch analytics:
+  *
+  *  - OHLC bars: the canonical market-data downsample (open/high/low/close
+  *    per instrument per hour). One window sort + one hash agg on the SAME
+  *    (event_type, hour) keys — the exchange is planned once and reused.
+  *  - Anomaly flags: classic z-score outliers, but the |z| > 3 predicate is
+  *    evaluated in EXACT integer-cent arithmetic ((n*v-S)^2 > 9(nQ-S^2) —
+  *    the textbook one-pass form multiplied through by n^2) so the result
+  *    set is bit-deterministic and DuckDB-checkable; no order-dependent FP
+  *    stddev anywhere. Stats are one map-side-combined agg over a BOUNDED
+  *    key domain (event_type) broadcast back at the filter.
+  *  - User growth: first-activity day per user, then daily new/cumulative
+  *    counts. The only global window runs over the DAY domain (bounded, a
+  *    few thousand rows at any corpus size), after aggregation.
+  *  - Value histogram: fixed-width bucketing via floor(value/width) (DuckDB
+  *    has no width_bucket; the explicit floor is engine-identical IEEE
+  *    arithmetic) — one hash agg, no second pass for bounds.
+  *
+  * 100 TB notes: every shuffle here is keyed by (event_type[, hour]) or
+  * user_id; stats relations are bounded-domain (5 event types, day count)
+  * so the broadcasts cannot OOM; nothing collects to the driver.
+  */
+object EventOps extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ------------------------------------------------------------------
+  // OHLC bars: hourly open/high/low/close/volume per event_type. Open and
+  // close are ORDER-DEFINED (first/last by (ts, event_id) — event_id breaks
+  // ts ties deterministically); high/low/volume are order-free aggregates.
+  // rn + per-partition count come from one window pass; the subsequent
+  // group-by reuses the same hash partitioning on (event_type, hour).
+  // ------------------------------------------------------------------
+  def ohlcBars(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_type"), col("ts"), col("event_id"),
+      col("value"), date_trunc("hour", col("ts")).as("hour"))
+    val wOrd = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"), col("hour"))
+    e.withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("volume"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val ohlcBarsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+      |    row_number() OVER w AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+      |               ORDER BY ts, event_id))
+      |SELECT event_type, hour,
+      |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rn = cnt THEN value END) AS close,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+      |FROM seq GROUP BY event_type, hour
+      |ORDER BY event_type, hour""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Z-score anomalies in exact arithmetic. value is 2dp by construction, so
+  // cents (round(value*100) — the parity-established conversion, see
+  // stream_user_state) are exact integers; every quantity below is integer
+  // decimal(38,0) on the Spark side / HUGEINT on the DuckDB side.
+  //   |v - mean| > 3*sigma_pop  <=>  (n*v - S)^2 > 9*(n*Q - S^2)
+  // with S = sum(v), Q = sum(v^2) — the one-pass moments multiplied through
+  // by n^2 so no division (and no FP) ever happens in the predicate.
+  // ------------------------------------------------------------------
+  def anomalies(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_id"), col("event_type"), col("value"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val stats = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      // vc <= ~1e7 for any plausible price, so vc*vc fits a long before the
+      // widening cast; the SUMS are what need 128-bit headroom
+      sum(col("vc").cast("decimal(38,0)")).as("s"),
+      sum((col("vc") * col("vc")).cast("decimal(38,0)")).as("q"))
+    val nD = col("n").cast("decimal(38,0)")
+    val num = nD * col("vc").cast("decimal(38,0)") - col("s")
+    val den2 = nD * col("q") - col("s") * col("s")
+    // event_type is a bounded domain => stats is a handful of rows; the
+    // broadcast can never OOM regardless of fact-table volume
+    e.join(broadcast(stats), Seq("event_type"))
+      .filter(num * num > lit(9) * den2)
+      .select(col("event_id"), col("event_type"), col("value"),
+        num.cast("long").as("ndev_cents"), col("n"))
+      .orderBy(col("event_id"))
+  }
+
+  val anomaliesSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS vc
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(vc) AS s, SUM(vc * vc) AS q
+      |  FROM e GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CAST(st.n * e.vc - st.s AS BIGINT) AS ndev_cents,
+      |  CAST(st.n AS BIGINT) AS n
+      |FROM e JOIN stats st USING (event_type)
+      |WHERE (st.n * e.vc - st.s) * (st.n * e.vc - st.s)
+      |      > 9 * (st.n * st.q - st.s * st.s)
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // User growth: new users per first-activity day + running cumulative
+  // total. The per-user min is a keyed one-exchange agg; the cumulative
+  // window is global-ordered but runs AFTER aggregation over the bounded
+  // day domain (#days rows), so the single-partition sort is trivial at
+  // any fact volume.
+  // ------------------------------------------------------------------
+  def userGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("d"))
+    val daily = firstDay.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_users", sum(col("new_users")).over(wCum))
+      // string-rendered day: DATE columns render differently across the
+      // driver's two readers (pandas date vs duckdb datetime64)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  val userGrowthSql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events
+      |  GROUP BY user_id),
+      |d AS (SELECT d, COUNT(*) AS new_users FROM f GROUP BY d)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Fixed-width value histogram per event_type: bucket = floor(value/25).
+  // The explicit floor is IEEE-identical across engines (DuckDB has no
+  // width_bucket); fixed literal bounds mean ONE pass — no min/max
+  // pre-scan. bucket_lo is integer-derived, so every output column is
+  // exact.
+  // ------------------------------------------------------------------
+  def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    ev(s, dir)
+      .select(col("event_type"),
+        floor(col("value") / 25.0).cast("int").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", (col("bucket") * 25).cast("double"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val valueHistogramSql: String =
+    """SELECT event_type, CAST(floor(value / 25.0) AS INT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(floor(value / 25.0) AS INT) * 25 AS DOUBLE) AS bucket_lo
+      |FROM events
+      |GROUP BY event_type, CAST(floor(value / 25.0) AS INT)
+      |ORDER BY event_type, bucket""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ohlc" -> (ohlcBars _),
+    "events_anomaly" -> (anomalies _),
+    "events_user_growth" -> (userGrowth _),
+    "events_value_histogram" -> (valueHistogram _))
+
+  def oracles: Map[String, String] = Map(
+    "events_ohlc" -> ohlcBarsSql,
+    "events_anomaly" -> anomaliesSql,
+    "events_user_growth" -> userGrowthSql,
+    "events_value_histogram" -> valueHistogramSql)
+}

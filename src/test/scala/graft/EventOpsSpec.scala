@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.sources.Tables
+
+/** Invariants for the [EXT] event/time-series analytics slice (EventOps). */
+class EventOpsSpec extends SparkTestBase {
+
+  private lazy val total = Tables.load(spark, sfDir, "events").count()
+
+  test("ohlc: low <= open/close <= high, bar counts sum to |events|") {
+    val bars = EventOps.ohlcBars(spark, sfDir).cache()
+    try {
+      val bad = bars.filter(
+        col("low") > col("high") ||
+          col("open") < col("low") || col("open") > col("high") ||
+          col("close") < col("low") || col("close") > col("high")).count()
+      assert(bad == 0, "OHLC bounds must order low <= open,close <= high")
+      assert(bars.agg(sum(col("n_events"))).head().getLong(0) == total)
+      // single-event bars must have open == close == high == low
+      val degenerate = bars.filter(col("n_events") === 1)
+        .filter(col("open") =!= col("close") || col("high") =!= col("low")).count()
+      assert(degenerate == 0)
+    } finally bars.unpersist()
+  }
+
+  test("anomaly: exact integer predicate agrees with FP z-score away from the boundary") {
+    val flagged = EventOps.anomalies(spark, sfDir).cache()
+    try {
+      assert(flagged.count() > 0, "skewed fixture must yield z>3 outliers")
+      // cross-check against the conventional double formulation with a
+      // boundary margin: everything flagged must exceed z = 2.999, nothing
+      // unflagged may exceed z = 3.001
+      val e = Tables.load(spark, sfDir, "events")
+      val stats = e.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("m"), stddev_pop(col("value")).as("sd"))
+      val z = e.join(stats, Seq("event_type"))
+        .withColumn("z", abs(col("value") - col("m")) / col("sd"))
+        .select(col("event_id"), col("z"))
+      val joined = z.join(flagged.select(col("event_id"), lit(1).as("hit")),
+        Seq("event_id"), "left")
+      assert(joined.filter(col("hit").isNotNull && col("z") < 2.999).count() == 0)
+      assert(joined.filter(col("hit").isNull && col("z") > 3.001).count() == 0)
+    } finally flagged.unpersist()
+  }
+
+  test("user growth: monotone cumulative, totals match distinct users") {
+    val g = EventOps.userGrowth(spark, sfDir).cache()
+    try {
+      val users = Tables.load(spark, sfDir, "events")
+        .select(col("user_id")).distinct().count()
+      assert(g.agg(sum(col("new_users"))).head().getLong(0) == users)
+      assert(g.orderBy(col("day").desc).head().getAs[Long]("cum_users") == users)
+      val rows = g.orderBy(col("day")).collect()
+      assert(rows.sliding(2).forall {
+        case Array(a, b) =>
+          b.getAs[Long]("cum_users") ==
+            a.getAs[Long]("cum_users") + b.getAs[Long]("new_users")
+        case _ => true
+      }, "cumulative must be the running sum of new_users")
+    } finally g.unpersist()
+  }
+
+  test("histogram: bucket counts sum to |events|, buckets consistent with bounds") {
+    val h = EventOps.valueHistogram(spark, sfDir).cache()
+    try {
+      assert(h.agg(sum(col("n"))).head().getLong(0) == total)
+      val bad = h.filter(col("bucket") < 0 ||
+        col("bucket_lo") =!= col("bucket") * 25.0).count()
+      assert(bad == 0)
+    } finally h.unpersist()
+  }
+}

@@ -99,6 +99,24 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("stratified sample: exactly min(K, |stratum|) per source, a subset of the corpus") {
+    val sample = CorpusOps.sampleStratified(spark, sfDir).collect()
+    val corpus = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val perSource = sample.groupBy(_.getAs[String]("source"))
+    val sizes = corpus.groupBy(_._2).map { case (s, m) => (s, m.size) }
+    perSource.foreach { case (src, rows) =>
+      assert(rows.length == math.min(16, sizes(src)),
+        s"stratum $src must yield exactly min(16, ${sizes(src)}) rows")
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rows.length),
+        "ranks must be contiguous from 1")
+    }
+    assert(sample.forall(r =>
+      corpus.get(r.getAs[Long]("doc_id")).contains(r.getAs[String]("source"))),
+      "sampled rows must exist in the corpus with matching stratum")
+  }
+
   test("fingerprint: exactly one keeper per fingerprint group") {
     val bad = TextOps.fingerprint(spark, sfDir)
       .groupBy("fp").agg(sum(when(col("keeper"), 1).otherwise(0)).as("keepers"))
