@@ -160,11 +160,71 @@ object StorageOps extends QueryModule {
       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Z-order (2-D) clustered layout: the multi-dimension extension of the
+  // range-clustered story above. Bit-interleaving (user_id, hour-index)
+  // into a Morton key and range-partitioning on THAT gives every output
+  // file a small min/max box in BOTH dimensions — so a query filtering on
+  // either-or-both columns skips files via footer stats, where a 1-D sort
+  // localizes only its own column (a ts-sorted file spans the whole user
+  // domain). This is Delta/Iceberg OPTIMIZE ZORDER re-expressed as plain
+  // Spark: the z-value is pure codegen'd integer shifts (no UDF), the
+  // layout is repartitionByRange(z) + sortWithinPartitions(z), and the
+  // physical locality guarantee is pinned by StorageSpec (per-file spans +
+  // both predicates pushed + query-box file-intersection count).
+  // At 100 TB: z-cluster the fact table on its 2-3 hottest filter columns;
+  // file count scales freely because pruning is stats-based, not
+  // directory-based.
+  // ------------------------------------------------------------------
+  /** Morton/Z-value: bit-interleave two 11-bit non-negative dimensions
+    * into one 22-bit key — pure codegen'd shifts/masks. */
+  private[graft] def zValue(u: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 11).map { i =>
+      shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(h, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Hours since 2024-01-01 UTC — the second z dimension (integer, ~10
+    * bits over the fixture's one-month span). */
+  private[graft] def hourIdx: org.apache.spark.sql.Column =
+    floor((unix_timestamp(col("ts")) - lit(1704067200L)) / 3600).cast("long")
+
+  private[graft] def writeZOrdered(s: SparkSession, dir: String): String = {
+    val landing = scratch("graft_zorder_landing")
+    Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("z", zValue(col("user_id"), hourIdx))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(landing)
+    landing
+  }
+
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val landing = writeZOrdered(s, dir)
+    s.read.parquet(landing)
+      .filter(col("user_id") >= 4 && col("user_id") <= 7 &&
+        col("ts") >= lit("2024-01-08").cast("timestamp") &&
+        col("ts") < lit("2024-01-12").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val zorderScanSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events
+      |WHERE user_id >= 4 AND user_id <= 7
+      |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-12'
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "scan_partition_pruned" -> (partitionPruned _),
     "scan_range_clustered" -> (rangeClusteredScan _),
+    "scan_zorder" -> (zorderScan _),
     "join_bucketed" -> (bucketedJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -172,5 +232,6 @@ object StorageOps extends QueryModule {
     "orc_roundtrip" -> orcRoundtripSql,
     "scan_partition_pruned" -> partitionPrunedSql,
     "scan_range_clustered" -> rangeClusteredScanSql,
+    "scan_zorder" -> zorderScanSql,
     "join_bucketed" -> bucketedJoinSql)
 }

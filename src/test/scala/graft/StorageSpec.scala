@@ -81,6 +81,48 @@ class StorageSpec extends SparkTestBase {
       s"ts bounds not pushed:\n$scanLine")
   }
 
+  test("z-ordered files localize BOTH dimensions; a 2-D query box touches few files") {
+    // sf0.01: user_id spans 8 bits vs hour's 10 — balanced enough for the
+    // interleave to localize both dims (at sf0.001 the 4-bit user domain
+    // degenerates z-order toward a plain time sort)
+    val dir001 = "/root/testdata/sf0.01"
+    val landing = StorageOps.writeZOrdered(spark, dir001)
+    val perFile = spark.read.parquet(landing)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("ts").as("tlo"), max("ts").as("thi"))
+      .collect()
+    assert(perFile.length > 4, "expected a multi-file layout")
+    // every file must localize the hour dimension (a user-sorted layout
+    // would span the full month in every file)
+    val hSpanFrac = perFile.map(r =>
+      (r.getTimestamp(4).getTime - r.getTimestamp(3).getTime).toDouble)
+      .sum / perFile.length / (30L * 24 * 3600 * 1000).toDouble
+    assert(hSpanFrac < 0.5, s"avg ts-span fraction $hSpanFrac not localized")
+    // and the 2-D query box (4 users x 4 days) must intersect a minority of
+    // files — the both-dimension pruning a 1-D layout cannot give
+    val boxLo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val boxHi = java.sql.Timestamp.valueOf("2024-01-12 00:00:00")
+    val hits = perFile.count { r =>
+      val (ulo, uhi, tlo, thi) =
+        (r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))
+      uhi >= 4 && ulo <= 7 && thi.compareTo(boxLo) >= 0 && tlo.compareTo(boxHi) < 0
+    }
+    assert(hits <= perFile.length / 2,
+      s"query box intersects $hits of ${perFile.length} files — no 2-D locality")
+    // both predicates reach the scan as pushed filters
+    val scanned = spark.read.parquet(landing)
+      .filter(col("user_id") >= 4 && col("user_id") <= 7 &&
+        col("ts") >= lit("2024-01-08").cast("timestamp") &&
+        col("ts") < lit("2024-01-12").cast("timestamp"))
+    scanned.collect()
+    val scanLine = scanned.queryExecution.executedPlan.toString.split("\n")
+      .find(_.contains("PushedFilters"))
+      .getOrElse(fail("no PushedFilters in scan"))
+    assert(scanLine.contains("user_id") && scanLine.contains("ts"),
+      s"both dims not pushed:\n$scanLine")
+  }
+
   test("json roundtrip preserves microsecond timestamps and doubles exactly") {
     val out = StorageOps.jsonRoundtrip(spark, sfDir)
     val orig = Tables.load(spark, sfDir, "events")
