@@ -386,11 +386,161 @@ object VectorOps extends QueryModule {
       |    (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // [EXT] Product quantization (PQ) — the memory-scale path of ANN: each
+  // 64-dim vector compresses to PQ_M=4 one-byte codes (16x smaller than
+  // float32), and search runs over the COMPRESSED codes via asymmetric
+  // distance (ADC): dist(q, x) ~ sum_m ||q_m - codebook_m[code_m(x)]||^2.
+  // The whole pipeline is deterministic and DuckDB-checkable:
+  //   train:  per-subspace k-means (init = slices of the PQ_K lowest-id
+  //           vectors; one Lloyd round) — assignment is a codegen'd
+  //           argmin-L2 over centroid LITERALS (no join, no shuffle of the
+  //           corpus; all PQ_M subspaces assigned in ONE scan), update is
+  //           the exact micro-unit mean (kmeansTrain's trick) whose only
+  //           exchange carries M*K*16 rows;
+  //   encode: a second narrow literal-map scan -> (vec_id, code0..code3);
+  //   search: 4 broadcast joins against the tiny codebooks rehydrate the
+  //           centroid vectors, a bounded query set (PQ_NQ rows) broadcast
+  //           cross-joins, and ADC evaluates as a FIXED left-assoc
+  //           d0+d1+d2+d3 of dot-product identities (fold-identical to
+  //           DuckDB, see VectorFns) — bit-deterministic doubles.
+  // At 100 TB: codes are 16x cheaper to scan than raw vectors, codebooks
+  // are O(M*K*sub) bounded broadcasts, and the only corpus-wide exchange
+  // is the final top-K rank window (refinable to per-partition local
+  // top-K + merge when the query set grows).
+  // ------------------------------------------------------------------
+  private val PQ_M = 4     // subspaces
+  private val PQ_SUB = 16  // dims per subspace
+  private val PQ_K = 8     // codes per subspace
+  private val PQ_NQ = 3    // query vectors: vec_id < 3
+  private val PQ_TOPK = 5
+
+  /** 1-based subspace slice m of a 64-dim array column. */
+  private def sub(c: Column, m: Int): Column = slice(c, m * PQ_SUB + 1, PQ_SUB)
+
+  /** Squared L2 via the three dot products — the fold-identical form both
+    * engines compute bit-equally (never elementwise subtraction, whose
+    * summation order would differ). */
+  private def l2sq(a: Column, b: Column): Column =
+    VectorFns.dot(a, a) + VectorFns.dot(b, b) - lit(2.0) * VectorFns.dot(a, b)
+
+  /** Argmin-L2 code over literal codebook entries: least() of (dist, code)
+    * structs — min distance, ties to the lowest code, mirroring the
+    * oracle's ORDER BY dist, code. */
+  private def pqAssign(cb: Seq[(Long, Array[Double])], sliceCol: Column): Column = {
+    val scored = cb.map { case (code, ce) =>
+      struct(l2sq(sliceCol, array(ce.map(lit): _*)).as("d"), lit(code).as("code"))
+    }
+    least(scored: _*).getField("code")
+  }
+
+  /** One Lloyd round per subspace, all subspaces in one corpus pass.
+    * Returns codebook m as sorted (code, centroid) pairs — bounded
+    * driver state (PQ_M * PQ_K * PQ_SUB doubles), the literal-broadcast
+    * pattern kmeansTrain uses. */
+  private def pqTrain(e: DataFrame): IndexedSeq[Seq[(Long, Array[Double])]] = {
+    val initRows = e.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id"), col("de")).collect().sortBy(_.getLong(0))
+    val init = (0 until PQ_M).map(m => initRows.toSeq.map(r => (r.getLong(0),
+      r.getSeq[Double](1).slice(m * PQ_SUB, (m + 1) * PQ_SUB).toArray)))
+    val withCodes = e.select(
+      col("vec_id") +: col("de") +:
+        (0 until PQ_M).map(m => pqAssign(init(m), sub(col("de"), m)).as(s"code$m")): _*)
+    val upd = withCodes
+      .select(col("vec_id") +:
+        (0 until PQ_M).map(m => col(s"code$m")) :+ posexplode(col("de")): _*)
+      .withColumn("m", (col("pos") / PQ_SUB).cast("int"))
+      .withColumn("subpos", pmod(col("pos"), lit(PQ_SUB)))
+      .withColumn("code", element_at(
+        array((0 until PQ_M).map(m => col(s"code$m")): _*), col("m") + 1))
+      .groupBy(col("m"), col("code"), col("subpos"))
+      .agg(sum(round(col("col") * 1e6).cast("long")).as("csum"), count(lit(1)).as("n"))
+      .withColumn("cv", col("csum").cast("double") / col("n"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("subpos"), col("cv")))),
+        x => x.getField("cv")).as("ce"))
+      .collect()
+    (0 until PQ_M).map(m => upd.filter(_.getInt(0) == m)
+      .map(r => (r.getLong(1), r.getSeq[Double](2).toArray)).toSeq.sortBy(_._1))
+  }
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+    val cbs = pqTrain(e)
+    val enc = e.select(
+      col("vec_id") +:
+        (0 until PQ_M).map(m => pqAssign(cbs(m), sub(col("de"), m)).as(s"code$m")): _*)
+    // rehydrate centroid vectors: 4 broadcast joins against the codebooks
+    val withCents = (0 until PQ_M).foldLeft(enc) { (cur, m) =>
+      val cb = cbs(m).map { case (c, ce) => (c, ce.toSeq) }
+        .toDF(s"code$m", s"ce$m")
+      cur.join(broadcast(cb), Seq(s"code$m"))
+    }
+    val q = e.filter(col("vec_id") < PQ_NQ).select(
+      col("vec_id").as("qid") +:
+        (0 until PQ_M).map(m => sub(col("de"), m).as(s"q$m")): _*)
+    val adc = withCents.crossJoin(broadcast(q))
+      .withColumn("adc",
+        (0 until PQ_M).map(m => l2sq(col(s"q$m"), col(s"ce$m"))).reduce(_ + _))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PQ_TOPK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val pqTopKSql: String = {
+    val subCols = (0 until PQ_M).map(m =>
+      s"de[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}] AS s$m").mkString(", ")
+    def l2(a: String, b: String): String =
+      s"list_dot_product($a, $a) + list_dot_product($b, $b) - 2.0 * list_dot_product($a, $b)"
+    def assignCte(m: Int, cbCte: String, outCte: String): String =
+      s"""$outCte AS (SELECT vec_id, code FROM (
+        |  SELECT s.vec_id, c.code, row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY ${l2(s"s.s$m", "c.ce")}, c.code) AS rn
+        |  FROM s CROSS JOIN $cbCte c) WHERE rn = 1)""".stripMargin
+    def updCte(m: Int): String =
+      s"""u$m AS (SELECT code, list(cv ORDER BY pos) AS ce FROM (
+        |  SELECT a.code, g.i AS pos,
+        |    CAST(SUM(CAST(round(s.s$m[g.i] * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) AS cv
+        |  FROM a$m a JOIN s ON a.vec_id = s.vec_id
+        |  CROSS JOIN range(1, ${PQ_SUB + 1}) g(i)
+        |  GROUP BY a.code, g.i) GROUP BY code)""".stripMargin
+    val inits = (0 until PQ_M).map(m =>
+      s"i$m AS (SELECT vec_id AS code, s$m AS ce FROM s WHERE vec_id < $PQ_K)")
+    val assigns = (0 until PQ_M).map(m => assignCte(m, s"i$m", s"a$m"))
+    val upds = (0 until PQ_M).map(updCte)
+    val encs = (0 until PQ_M).map(m => assignCte(m, s"u$m", s"e$m"))
+    val encJoin = (1 until PQ_M).map(m => s"JOIN e$m USING (vec_id)").mkString(" ")
+    val centJoins = (0 until PQ_M).map(m => s"JOIN u$m c$m ON enc.code$m = c$m.code").mkString(" ")
+    val adcExpr = (0 until PQ_M).map(m => s"(${l2(s"q.q$m", s"c$m.ce")})").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |s AS (SELECT vec_id, $subCols FROM e),
+      |${inits.mkString(",\n")},
+      |${assigns.mkString(",\n")},
+      |${upds.mkString(",\n")},
+      |${encs.mkString(",\n")},
+      |enc AS (SELECT e0.vec_id, ${(0 until PQ_M).map(m => s"e$m.code AS code$m").mkString(", ")}
+      |        FROM e0 $encJoin),
+      |q AS (SELECT vec_id AS qid, ${(0 until PQ_M).map(m => s"s$m AS q$m").mkString(", ")}
+      |      FROM s WHERE vec_id < $PQ_NQ),
+      |adc AS (SELECT q.qid, enc.vec_id, $adcExpr AS adc
+      |        FROM enc $centJoins CROSS JOIN q)
+      |SELECT qid, rank, vec_id, adc FROM (
+      |  SELECT qid, vec_id, adc,
+      |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+      |  FROM adc)
+      |WHERE rank <= $PQ_TOPK ORDER BY qid, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_cosine_topk_fast" -> (cosineTopKFast _),
     "emb_ann_ivf" -> (annIvf _),
     "emb_kmeans" -> (kmeansTrain _),
+    "emb_pq_topk" -> (pqTopK _),
     "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
@@ -398,5 +548,6 @@ object VectorOps extends QueryModule {
     "emb_cosine_topk_fast" -> cosineTopKSql,
     "emb_ann_ivf" -> annIvfSql,
     "emb_kmeans" -> kmeansTrainSql,
+    "emb_pq_topk" -> pqTopKSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

@@ -206,6 +206,21 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(blocked == brute)
   }
 
+  test("pq top-k: full result grid, non-negative non-decreasing ADC, deterministic") {
+    val rows = VectorOps.pqTopK(spark, sfDir).collect()
+    assert(rows.length == 3 * 5, s"expected 3 queries x 5 ranks, got ${rows.length}")
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5), s"ranks for q$q")
+      val adcs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adc"))
+      assert(adcs.forall(_ > -1e-6), "squared distances must be non-negative")
+      assert(adcs.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+        "ADC must be non-decreasing in rank")
+    }
+    val again = VectorOps.pqTopK(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "PQ training + search must be re-run deterministic")
+  }
+
   test("cosine top-k: 10 ranked neighbors per query, cos in [-1,1], descending") {
     val rows = VectorOps.cosineTopK(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
