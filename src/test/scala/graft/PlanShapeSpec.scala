@@ -272,4 +272,44 @@ class PlanShapeSpec extends SparkTestBase {
       s"assignment subtree must be shared via ReuseExchange, not recomputed:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("anomaly stats broadcast is the bounded aggregate, never the fact side") {
+    withNoAutoBroadcast {
+      val plan = executedPlan(graft.operators.EventOps.anomalies(spark, sfDir))
+      val builds = subtreesOf(plan, "BroadcastExchange")
+      assert(builds.nonEmpty,
+        s"expected the hinted stats broadcast to survive no-auto-broadcast:\n$plan")
+      builds.foreach { sub =>
+        assert(sub.exists(_.contains("Aggregate")),
+          s"broadcast build side must be the event_type stats aggregate " +
+            s"(bounded domain), not a raw scan:\n${sub.mkString("\n")}")
+      }
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("ohlc window and group-by share ONE partitioning on (event_type, hour)") {
+    val plan = executedPlan(graft.operators.EventOps.ohlcBars(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    // the window sort and the bar aggregation group on the same keys: one
+    // hash exchange feeds both (plus the final presentation orderBy's
+    // range exchange) — a second hashpartitioning would mean the agg
+    // reshuffled what the window already partitioned
+    val hashEx = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(hashEx <= 1, s"expected one shared hash exchange, got $hashEx:\n$plan")
+  }
+
+  test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {
+    val plan = executedPlan(graft.operators.VectorOps.pqTopK(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"expected 4 codebook broadcast joins, got $bhj:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the only hash exchange allowed is the rank window's partitioning on
+    // qid — encode and ADC are narrow over the corpus scan
+    val hashEx = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(hashEx <= 1, s"corpus reshuffled before the rank window ($hashEx):\n$plan")
+  }
 }
