@@ -16,7 +16,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     ReferenceOps, Relational, TextOps, DedupOps, VectorOps, Multimodal,
-    StreamShapes, LshOps, Curation, StorageOps, CorpusOps, EventOps)
+    StreamShapes, LshOps, Curation, StorageOps, CorpusOps, EventOps,
+    ProfileOps)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -184,15 +184,60 @@ object EventOps extends QueryModule {
       |GROUP BY event_type, CAST(floor(value / 25.0) AS INT)
       |ORDER BY event_type, bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Last-touch attribution: each purchase is attributed to the user's most
+  // recent preceding non-purchase event within a 3-day window (classic
+  // marketing attribution). One ordered window per user carries the
+  // last-seen candidate as a struct with IGNORE NULLS — a single keyed
+  // sort, no self-join, no per-purchase lookup; purchases outside the
+  // window attribute to NULL rather than dropping.
+  // ------------------------------------------------------------------
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = when(col("event_type") =!= "purchase",
+      struct(col("event_id").as("tid"), col("ts").as("tts"),
+        col("event_type").as("ttype")))
+    ev(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("touch", last(cand, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("in_window",
+        col("touch").isNotNull &&
+          col("touch.tts") >= col("ts") - expr("interval 3 days"))
+      .select(col("event_id"), col("user_id"),
+        when(col("in_window"), col("touch.tid")).as("touch_event_id"),
+        when(col("in_window"), col("touch.ttype")).as("touch_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val attributionSql: String =
+    """WITH tagged AS (
+      |  SELECT event_id, ts, user_id, event_type,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |        THEN struct_pack(tid := event_id, tts := ts, ttype := event_type)
+      |      END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CASE WHEN touch IS NOT NULL AND touch.tts >= ts - INTERVAL '3 days'
+      |    THEN touch.tid END AS touch_event_id,
+      |  CASE WHEN touch IS NOT NULL AND touch.tts >= ts - INTERVAL '3 days'
+      |    THEN touch.ttype END AS touch_type
+      |FROM tagged WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ohlc" -> (ohlcBars _),
     "events_anomaly" -> (anomalies _),
     "events_user_growth" -> (userGrowth _),
+    "events_attribution" -> (attribution _),
     "events_value_histogram" -> (valueHistogram _))
 
   def oracles: Map[String, String] = Map(
     "events_ohlc" -> ohlcBarsSql,
     "events_anomaly" -> anomaliesSql,
     "events_user_growth" -> userGrowthSql,
+    "events_attribution" -> attributionSql,
     "events_value_histogram" -> valueHistogramSql)
 }

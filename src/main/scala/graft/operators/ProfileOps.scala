@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Data profiling + declarative quality checks — the two inspection
+  * operators every ingestion pipeline runs before trusting a table
+  * (what Deequ/Great Expectations do, re-expressed as plain aggregates).
+  *
+  *  - `profile_lineitem`: per-column null count, exact distinct count, and
+  *    min/max, computed in ONE scan. Multiple exact COUNT(DISTINCT)s in a
+  *    single aggregate plan via Expand (one row per profiled column) —
+  *    the standard Spark shape; every partial aggregates map-side. At
+  *    100 TB the same query swaps `countDistinct` for
+  *    `approx_count_distinct` when exactness isn't contractual.
+  *  - `dq_checks`: constraint validation — null keys, referential
+  *    integrity (orphan foreign keys via left-join null counts — the
+  *    join-shaped checks AQE sizes), domain bounds. Output is one
+  *    (check, n_violations) row per rule; a scheduler alerts on > 0.
+  *
+  * Scale notes: profiling is scan-bound with bounded agg state; each
+  * integrity check shuffles only on its join key; nothing collects.
+  */
+object ProfileOps extends QueryModule {
+
+  def profileLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_shipdate")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        // strings unify numeric/string/timestamp min-max in one output
+        // column (fixture timestamps are midnight-exact, so the rendered
+        // form is engine-identical)
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct, min_s, max_s)")
+      .orderBy(col("column"))
+  }
+
+  val profileLineitemSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_shipdate")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column",
+        |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  CAST(MIN($c) AS VARCHAR) AS min_s,
+        |  CAST(MAX($c) AS VARCHAR) AS max_s
+        |FROM lineitem""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    val events = Tables.load(s, dir, "events")
+    def check(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check"), col("n").cast("long").as("n_violations"))
+    val nullKey = check("orders_null_custkey",
+      orders.agg(sum(col("o_custkey").isNull.cast("long")).as("n")))
+    // referential integrity via left join + parent-null count: the
+    // join-shaped check — broadcast or shuffle as AQE sizes the dim
+    val orphanOrders = check("orders_orphan_custkey",
+      orders.join(customer, col("o_custkey") === col("c_custkey"), "left")
+        .agg(sum(col("c_custkey").isNull.cast("long")).as("n")))
+    val orphanLines = check("lineitem_orphan_orderkey",
+      lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(sum(col("o_orderkey").isNull.cast("long")).as("n")))
+    val badDiscount = check("lineitem_discount_range",
+      lineitem.agg(sum((col("l_discount") < 0 || col("l_discount") > 0.1)
+        .cast("long")).as("n")))
+    val bigValue = check("events_value_gt_500",
+      events.agg(sum((col("value") > 500).cast("long")).as("n")))
+    nullKey.unionByName(orphanOrders).unionByName(orphanLines)
+      .unionByName(badDiscount).unionByName(bigValue)
+      .orderBy(col("check"))
+  }
+
+  val dqChecksSql: String =
+    """SELECT 'orders_null_custkey' AS "check",
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_orphan_custkey',
+      |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'lineitem_orphan_orderkey',
+      |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem_discount_range',
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'events_value_gt_500',
+      |  CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM events
+      |ORDER BY "check"""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_lineitem" -> (profileLineitem _),
+    "dq_checks" -> (dqChecks _))
+
+  def oracles: Map[String, String] = Map(
+    "profile_lineitem" -> profileLineitemSql,
+    "dq_checks" -> dqChecksSql)
+}

@@ -62,6 +62,51 @@ class EventOpsSpec extends SparkTestBase {
     } finally g.unpersist()
   }
 
+  test("attribution: touches are same-user, strictly earlier, non-purchase, in-window") {
+    val att = EventOps.attribution(spark, sfDir)
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("event_id").as("teid"), col("ts").as("tts"),
+        col("user_id").as("tuid"), col("event_type").as("ttype2"))
+    val p = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts").as("pts"))
+    val joined = att.filter(col("touch_event_id").isNotNull)
+      .join(e, col("touch_event_id") === col("teid"))
+      .join(p, Seq("event_id"))
+    assert(joined.filter(col("tuid") =!= col("user_id")).count() == 0,
+      "touch must belong to the same user")
+    assert(joined.filter(col("ttype2") === "purchase").count() == 0,
+      "touch must be a non-purchase event")
+    assert(joined.filter(col("tts") > col("pts")).count() == 0,
+      "touch must not follow the purchase")
+    assert(joined.filter(col("tts") < col("pts") - expr("interval 3 days")).count() == 0,
+      "touch must be within the 3-day window")
+    // and every purchase appears exactly once (attributed or NULL)
+    val purchases = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(att.count() == purchases)
+  }
+
+  test("dq checks: full rule set, violation counts match direct recomputation") {
+    val m = graft.operators.ProfileOps.dqChecks(spark, sfDir).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("n_violations")).toMap
+    assert(m.keySet == Set("orders_null_custkey", "orders_orphan_custkey",
+      "lineitem_orphan_orderkey", "lineitem_discount_range", "events_value_gt_500"))
+    val direct = Tables.load(spark, sfDir, "events").filter(col("value") > 500).count()
+    assert(m("events_value_gt_500") == direct)
+    assert(m.values.forall(_ >= 0))
+  }
+
+  test("profile: one row per profiled column, distincts bounded by row count") {
+    val rows = graft.operators.ProfileOps.profileLineitem(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val n = Tables.load(spark, sfDir, "lineitem").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= n)
+      assert(r.getAs[Long]("n_nulls") + r.getAs[Long]("n_distinct") > 0)
+      assert(r.getAs[String]("min_s") != null && r.getAs[String]("max_s") != null)
+    }
+  }
+
   test("histogram: bucket counts sum to |events|, buckets consistent with bounds") {
     val h = EventOps.valueHistogram(spark, sfDir).cache()
     try {
