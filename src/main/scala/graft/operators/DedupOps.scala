@@ -338,6 +338,56 @@ object DedupOps extends QueryModule {
       |ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------------------------------
+  // Containment (asymmetric near-dup): |A∩B| / |A| — catches QUOTATION
+  // (a small doc wholly embedded in a big one), which symmetric Jaccard
+  // misses because the union is dominated by the big doc. Same capped
+  // md5-keyed shingle self-join as ngramJaccardOf (df cap BEFORE the
+  // join, so no quadratic fan-out), with both directed ratios emitted and
+  // the pair kept when either side is majority-contained.
+  // ------------------------------------------------------------------
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh0 = shingleRows(s, dir)
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key"))
+    val keepKeys = sh0.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MAX_SHINGLE_DF)
+      .select(col("sh_key"))
+    val sh = sh0.join(keepKeys, Seq("sh_key"), "left_semi")
+      .select(col("doc_id"), col("sh_key"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n1.n")).as("contain_d1"),
+        (col("n_shared").cast("double") / col("n2.n")).as("contain_d2"))
+      .filter(greatest(col("contain_d1"), col("contain_d2")) >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val containmentSql: String =
+    s"""WITH sh0 AS (SELECT doc_id, md5(shingle) AS sh_key FROM ($shingleRowsSql)),
+      |sh AS (SELECT doc_id, sh_key FROM sh0
+      |       QUALIFY COUNT(*) OVER (PARTITION BY sh_key) <= $MAX_SHINGLE_DF),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT * FROM (
+      |  SELECT d1, d2, n_shared,
+      |    CAST(n_shared AS DOUBLE) / n1.n AS contain_d1,
+      |    CAST(n_shared AS DOUBLE) / n2.n AS contain_d2
+      |  FROM inter
+      |  JOIN sizes n1 ON d1 = n1.doc_id
+      |  JOIN sizes n2 ON d2 = n2.doc_id)
+      |WHERE greatest(contain_d1, contain_d2) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------------------------
   // SimHash: 16-bit fingerprint from md5-nibble parity, majority-voted over
   // the token multiset. Near-identical docs land on near-identical bit
   // patterns; at scale the fingerprint is the dedup/block key.
@@ -475,6 +525,7 @@ object DedupOps extends QueryModule {
     "dedup_minhash_clusters" -> (minhashClusters _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _))
 
@@ -484,6 +535,7 @@ object DedupOps extends QueryModule {
     "dedup_minhash_clusters" -> minhashClustersSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment" -> containmentSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql)
 }

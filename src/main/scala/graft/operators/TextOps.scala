@@ -381,9 +381,49 @@ object TextOps extends QueryModule {
       |      FROM documents)
       |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Vocabulary coverage / OOV rate: per-document fraction of tokens not in
+  // the top-256 global vocabulary — the coverage check run before fixing a
+  // tokenizer vocab. The vocab is BOUNDED (top-K with deterministic
+  // freq-desc/token-asc tiebreak), so the membership join broadcasts at
+  // any corpus size; token rows never shuffle except the per-doc count
+  // (keyed on doc_id). Double division only at the output.
+  // ------------------------------------------------------------------
+  private val OOV_VOCAB = 256
+
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(toks).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(OOV_VOCAB)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, count(*) AS freq FROM tok GROUP BY token
+      |    ORDER BY freq DESC, token LIMIT $OOV_VOCAB))
+      |SELECT t.doc_id, t.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+      |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_repetition" -> (repetition _),
     "docs_vocab_topk" -> (vocabTopK _),
+    "docs_oov_rate" -> (oovRate _),
     "docs_pii_scrub" -> (piiScrub _),
     "docs_rolling_fp" -> (rollingFingerprint _),
     "docs_bpe_tokens" -> (bpeTokens _),
@@ -396,6 +436,7 @@ object TextOps extends QueryModule {
   def oracles: Map[String, String] = Map(
     "docs_repetition" -> repetitionSql,
     "docs_vocab_topk" -> vocabTopKSql,
+    "docs_oov_rate" -> oovRateSql,
     "docs_pii_scrub" -> piiScrubSql,
     "docs_rolling_fp" -> rollingFingerprintSql,
     "docs_bpe_tokens" -> bpeTokensSql,

@@ -130,6 +130,29 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(df.filter(col("d1") >= col("d2")).count() == 0)
   }
 
+  test("containment: directed ratios bounded, pair kept only when majority-contained") {
+    val rows = DedupOps.containment(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture near-dups must yield containment pairs")
+    rows.foreach { r =>
+      val (c1, c2) = (r.getAs[Double]("contain_d1"), r.getAs[Double]("contain_d2"))
+      assert(c1 > 0 && c1 <= 1.0 + 1e-12 && c2 > 0 && c2 <= 1.0 + 1e-12,
+        s"containment out of range: $c1 / $c2")
+      assert(math.max(c1, c2) >= 0.5)
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+  }
+
+  test("oov rate: one row per doc, rate consistent with counts and bounded") {
+    val rows = TextOps.oovRate(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(r.getAs[Double]("oov_rate") - oov.toDouble / n) < 1e-12)
+    }
+  }
+
   test("ngram jaccard: bounds and shared <= min set size") {
     val df = DedupOps.ngramJaccard(spark, sfDir)
     assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
