@@ -464,26 +464,39 @@ object VectorOps extends QueryModule {
       .map(r => (r.getLong(1), r.getSeq[Double](2).toArray)).toSeq.sortBy(_._1))
   }
 
-  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Encode every vector to PQ codes with the given codebooks, then
+    * rehydrate the centroid vector per subspace via broadcast joins.
+    * Extra passthrough columns (e.g. the IVF label) survive. */
+  private def pqEncodeWithCents(s: SparkSession, e: DataFrame,
+      cbs: IndexedSeq[Seq[(Long, Array[Double])]], extra: Seq[String]): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
-    val cbs = pqTrain(e)
     val enc = e.select(
-      col("vec_id") +:
+      (col("vec_id") +: extra.map(col)) ++
         (0 until PQ_M).map(m => pqAssign(cbs(m), sub(col("de"), m)).as(s"code$m")): _*)
-    // rehydrate centroid vectors: 4 broadcast joins against the codebooks
-    val withCents = (0 until PQ_M).foldLeft(enc) { (cur, m) =>
+    (0 until PQ_M).foldLeft(enc) { (cur, m) =>
       val cb = cbs(m).map { case (c, ce) => (c, ce.toSeq) }
         .toDF(s"code$m", s"ce$m")
       cur.join(broadcast(cb), Seq(s"code$m"))
     }
-    val q = e.filter(col("vec_id") < PQ_NQ).select(
-      col("vec_id").as("qid") +:
+  }
+
+  /** The bounded PQ query relation: subspace slices of the PQ_NQ lowest-id
+    * vectors (plus the full vector for cell probing). */
+  private def pqQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PQ_NQ).select(
+      col("vec_id").as("qid") +: col("de").as("qe") +:
         (0 until PQ_M).map(m => sub(col("de"), m).as(s"q$m")): _*)
-    val adc = withCents.crossJoin(broadcast(q))
-      .withColumn("adc",
-        (0 until PQ_M).map(m => l2sq(col(s"q$m"), col(s"ce$m"))).reduce(_ + _))
+
+  private def pqAdc: Column =
+    (0 until PQ_M).map(m => l2sq(col(s"q$m"), col(s"ce$m"))).reduce(_ + _)
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+    val cbs = pqTrain(e)
+    val withCents = pqEncodeWithCents(s, e, cbs, Seq.empty)
+    val adc = withCents.crossJoin(broadcast(pqQueries(e).drop("qe")))
+      .withColumn("adc", pqAdc)
     val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
     adc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= PQ_TOPK)
@@ -491,15 +504,25 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val pqTopKSql: String = {
+  /** Shared oracle fragments: the PQ train/encode CTE chain (`e`, `s`,
+    * init/assign/update per subspace, `enc`) plus the ADC helpers — used
+    * by both the flat PQ search and the IVF-PQ composition. */
+  private def pqL2(a: String, b: String): String =
+    s"list_dot_product($a, $a) + list_dot_product($b, $b) - 2.0 * list_dot_product($a, $b)"
+
+  private val pqCentJoins: String =
+    (0 until PQ_M).map(m => s"JOIN u$m c$m ON enc.code$m = c$m.code").mkString(" ")
+
+  private val pqAdcSqlExpr: String =
+    (0 until PQ_M).map(m => s"(${pqL2(s"q.q$m", s"c$m.ce")})").mkString(" + ")
+
+  private val pqCommonCtes: String = {
     val subCols = (0 until PQ_M).map(m =>
       s"de[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}] AS s$m").mkString(", ")
-    def l2(a: String, b: String): String =
-      s"list_dot_product($a, $a) + list_dot_product($b, $b) - 2.0 * list_dot_product($a, $b)"
     def assignCte(m: Int, cbCte: String, outCte: String): String =
       s"""$outCte AS (SELECT vec_id, code FROM (
         |  SELECT s.vec_id, c.code, row_number() OVER (PARTITION BY s.vec_id
-        |    ORDER BY ${l2(s"s.s$m", "c.ce")}, c.code) AS rn
+        |    ORDER BY ${pqL2(s"s.s$m", "c.ce")}, c.code) AS rn
         |  FROM s CROSS JOIN $cbCte c) WHERE rn = 1)""".stripMargin
     def updCte(m: Int): String =
       s"""u$m AS (SELECT code, list(cv ORDER BY pos) AS ce FROM (
@@ -514,9 +537,7 @@ object VectorOps extends QueryModule {
     val upds = (0 until PQ_M).map(updCte)
     val encs = (0 until PQ_M).map(m => assignCte(m, s"u$m", s"e$m"))
     val encJoin = (1 until PQ_M).map(m => s"JOIN e$m USING (vec_id)").mkString(" ")
-    val centJoins = (0 until PQ_M).map(m => s"JOIN u$m c$m ON enc.code$m = c$m.code").mkString(" ")
-    val adcExpr = (0 until PQ_M).map(m => s"(${l2(s"q.q$m", s"c$m.ce")})").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
       |s AS (SELECT vec_id, $subCols FROM e),
       |${inits.mkString(",\n")},
       |${assigns.mkString(",\n")},
@@ -524,16 +545,90 @@ object VectorOps extends QueryModule {
       |${encs.mkString(",\n")},
       |enc AS (SELECT e0.vec_id, ${(0 until PQ_M).map(m => s"e$m.code AS code$m").mkString(", ")}
       |        FROM e0 $encJoin),
-      |q AS (SELECT vec_id AS qid, ${(0 until PQ_M).map(m => s"s$m AS q$m").mkString(", ")}
-      |      FROM s WHERE vec_id < $PQ_NQ),
-      |adc AS (SELECT q.qid, enc.vec_id, $adcExpr AS adc
-      |        FROM enc $centJoins CROSS JOIN q)
+      |q AS (SELECT vec_id AS qid, de AS qe,
+      |        ${(0 until PQ_M).map(m => s"s$m AS q$m").mkString(", ")}
+      |      FROM s JOIN e USING (vec_id) WHERE vec_id < $PQ_NQ)""".stripMargin
+  }
+
+  val pqTopKSql: String =
+    s"""WITH $pqCommonCtes,
+      |adc AS (SELECT q.qid, enc.vec_id, $pqAdcSqlExpr AS adc
+      |        FROM enc $pqCentJoins CROSS JOIN q)
       |SELECT qid, rank, vec_id, adc FROM (
       |  SELECT qid, vec_id, adc,
       |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
       |  FROM adc)
       |WHERE rank <= $PQ_TOPK ORDER BY qid, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // [EXT] IVF-PQ: the composed production ANN — IVF bounds WHAT is scanned
+  // (only vectors in the query's PROBES best cells), PQ bounds what is
+  // scanned PER VECTOR (4 bytes of codes instead of 256 bytes of floats).
+  // Exactly the annIvf cell/probe machinery over exactly the pqTopK
+  // codebooks/codes; the candidate set is the equi-join of encoded codes
+  // with the probed (qid, label) pairs, scored by ADC. At 100 TB: cell id
+  // is the partition key, so a probe reads PROBES/ncells of the corpus,
+  // and each candidate row is a 4-code tuple — the scan-volume and
+  // memory-volume reductions compose multiplicatively.
+  // ------------------------------------------------------------------
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("de"))
+    val cbs = pqTrain(e.select(col("vec_id"), col("de")))
+    val withCents = pqEncodeWithCents(s, e, cbs, Seq("label"))
+    val q = pqQueries(e)
+    // coarse probe: same exact-centroid cells as annIvf, PQ_NQ queries
+    val centroids = e
+      .select(col("label"), posexplode(col("de")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("csum"), count(lit(1)).as("n"))
+      .withColumn("cv", col("csum").cast("double") / col("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("ce"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
+    val probes = centroids.join(broadcast(q.select(col("qid"), col("qe"))), lit(true))
+      .select(col("qid"), col("label"), VectorFns.dot(col("qe"), col("ce")).as("score"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= PROBES)
+      .select(col("qid").as("pqid"), col("label").as("plabel"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    withCents
+      .join(broadcast(probes), col("label") === col("plabel"))
+      .join(broadcast(q.drop("qe")),
+        col("qid") === col("pqid") && col("vec_id") =!= col("qid"))
+      .withColumn("adc", pqAdc)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= PQ_TOPK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"), col("adc"))
+      .orderBy(col("qid"), col("rank"))
   }
+
+  val annIvfPqSql: String =
+    s"""WITH $pqCommonCtes,
+      |cent AS (
+      |  SELECT label, list(cv ORDER BY pos) AS ce FROM (
+      |    SELECT label, pos, CAST(SUM(sv) AS DOUBLE) / COUNT(*) AS cv FROM (
+      |      SELECT label, g.i AS pos, CAST(round(de[g.i] * 1e6) AS BIGINT) AS sv
+      |      FROM e CROSS JOIN range(1, 65) g(i))
+      |    GROUP BY label, pos)
+      |  GROUP BY label),
+      |probes AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY list_dot_product(qe, ce) DESC, label) AS pr
+      |    FROM cent CROSS JOIN q)
+      |  WHERE pr <= $PROBES),
+      |encl AS (SELECT enc.*, e.label FROM enc JOIN e USING (vec_id)),
+      |adc AS (SELECT q.qid, enc.vec_id, enc.label, $pqAdcSqlExpr AS adc
+      |        FROM encl enc $pqCentJoins
+      |        JOIN probes ON enc.label = probes.label
+      |        JOIN q ON probes.qid = q.qid AND enc.vec_id <> q.qid)
+      |SELECT qid, rank, vec_id, label, adc FROM (
+      |  SELECT qid, vec_id, label, adc,
+      |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+      |  FROM adc)
+      |WHERE rank <= $PQ_TOPK ORDER BY qid, rank""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> (cosineTopK _),
@@ -541,6 +636,7 @@ object VectorOps extends QueryModule {
     "emb_ann_ivf" -> (annIvf _),
     "emb_kmeans" -> (kmeansTrain _),
     "emb_pq_topk" -> (pqTopK _),
+    "emb_ann_ivfpq" -> (annIvfPq _),
     "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
@@ -549,5 +645,6 @@ object VectorOps extends QueryModule {
     "emb_ann_ivf" -> annIvfSql,
     "emb_kmeans" -> kmeansTrainSql,
     "emb_pq_topk" -> pqTopKSql,
+    "emb_ann_ivfpq" -> annIvfPqSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

@@ -244,6 +244,19 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
       "PQ training + search must be re-run deterministic")
   }
 
+  test("ivf-pq: full grid, candidates confined to <= PROBES cells per query") {
+    val rows = VectorOps.annIvfPq(spark, sfDir).collect()
+    assert(rows.length == 3 * 5, s"expected 3 queries x 5 ranks, got ${rows.length}")
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5), s"ranks for q$q")
+      assert(rs.map(_.getAs[Int]("label")).distinct.length <= 2,
+        s"results for q$q must come only from the 2 probed cells")
+      val adcs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("adc"))
+      assert(adcs.forall(_ > -1e-6))
+      assert(adcs.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    }
+  }
+
   test("cosine top-k: 10 ranked neighbors per query, cos in [-1,1], descending") {
     val rows = VectorOps.cosineTopK(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
