@@ -227,7 +227,46 @@ object EventOps extends QueryModule {
       |FROM tagged WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Longest consecutive-day streak per user (gaps-and-islands on the date
+  // domain): distinct active days, island id = day_number - row_number
+  // (constant within a consecutive run), longest run per user. Every
+  // stage shuffles on user_id once; the distinct and both windows share
+  // that partitioning. The day_number is an exact integer (datediff), so
+  // the whole query is integer arithmetic.
+  // ------------------------------------------------------------------
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dnum"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dnum"))
+    days
+      .withColumn("grp", col("dnum") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak")).as("max_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
+  val streaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dnum
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    dnum - row_number() OVER (PARTITION BY user_id ORDER BY dnum) AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS streak FROM isl GROUP BY user_id, grp)
+      |SELECT user_id, CAST(MAX(streak) AS BIGINT) AS max_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_streaks" -> (streaks _),
     "events_ohlc" -> (ohlcBars _),
     "events_anomaly" -> (anomalies _),
     "events_user_growth" -> (userGrowth _),
@@ -235,6 +274,7 @@ object EventOps extends QueryModule {
     "events_value_histogram" -> (valueHistogram _))
 
   def oracles: Map[String, String] = Map(
+    "events_streaks" -> streaksSql,
     "events_ohlc" -> ohlcBarsSql,
     "events_anomaly" -> anomaliesSql,
     "events_user_growth" -> userGrowthSql,

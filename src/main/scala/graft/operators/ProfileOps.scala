@@ -111,11 +111,74 @@ object ProfileOps extends QueryModule {
       |FROM events
       |ORDER BY "check"""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Snapshot reconciliation (table diff): classify every key across two
+  // table versions as added / removed / changed / unchanged — the audit
+  // step after any CDC apply or backfill. v2 is DERIVED deterministically
+  // from the fixture (drop id%97, bump value on id%13, append id%101
+  // clones under new ids) so the oracle reconstructs the identical pair.
+  // One full-outer join on the key; change detection compares md5 of the
+  // concatenated row image (cheap fixed-width compare at any row width —
+  // the same trick a 100 TB reconciliation uses to avoid shipping wide
+  // rows twice); output is the bounded per-status count.
+  // ------------------------------------------------------------------
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val v1 = Tables.load(s, dir, "events").select(cols.map(col): _*)
+    val changed = v1.filter(pmod(col("event_id"), lit(13)) === 0)
+      .withColumn("value", col("value") + 1.0)
+    val v2base = v1.filter(pmod(col("event_id"), lit(13)) =!= 0)
+      .unionByName(changed)
+      .filter(pmod(col("event_id"), lit(97)) =!= 0)
+    val added = v1.filter(pmod(col("event_id"), lit(101)) === 0)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+    val v2 = v2base.unionByName(added)
+    def img(df: DataFrame, name: String): DataFrame = df.select(
+      col("event_id"),
+      md5(concat_ws("|", col("ts").cast("string"), col("user_id"),
+        col("event_type"), col("value").cast("string")).cast("binary")).as(name))
+    img(v1, "h1").join(img(v2, "h2"), Seq("event_id"), "full_outer")
+      .select(when(col("h1").isNull, "added")
+        .when(col("h2").isNull, "removed")
+        .when(col("h1") =!= col("h2"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
+  val tableDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events),
+      |changed AS (
+      |  SELECT event_id, ts, user_id, event_type, value + 1.0 AS value
+      |  FROM v1 WHERE event_id % 13 = 0),
+      |v2 AS (
+      |  SELECT * FROM (
+      |    SELECT * FROM v1 WHERE event_id % 13 <> 0
+      |    UNION ALL SELECT * FROM changed)
+      |  WHERE event_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT event_id + 10000000 AS event_id, ts, user_id, event_type, value
+      |  FROM v1 WHERE event_id % 101 = 0),
+      |i1 AS (SELECT event_id, md5(CAST(ts AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+      |         || '|' || event_type || '|' || CAST(value AS VARCHAR)) AS h1 FROM v1),
+      |i2 AS (SELECT event_id, md5(CAST(ts AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+      |         || '|' || event_type || '|' || CAST(value AS VARCHAR)) AS h2 FROM v2)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT CASE WHEN h1 IS NULL THEN 'added'
+      |              WHEN h2 IS NULL THEN 'removed'
+      |              WHEN h1 <> h2 THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM i1 FULL OUTER JOIN i2 USING (event_id))
+      |GROUP BY status ORDER BY status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_lineitem" -> (profileLineitem _),
-    "dq_checks" -> (dqChecks _))
+    "dq_checks" -> (dqChecks _),
+    "table_diff" -> (tableDiff _))
 
   def oracles: Map[String, String] = Map(
     "profile_lineitem" -> profileLineitemSql,
-    "dq_checks" -> dqChecksSql)
+    "dq_checks" -> dqChecksSql,
+    "table_diff" -> tableDiffSql)
 }

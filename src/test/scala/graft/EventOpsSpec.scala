@@ -107,6 +107,38 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaks: one row per active user, streak bounded by active-day count") {
+    val st = EventOps.streaks(spark, sfDir).cache()
+    try {
+      val users = Tables.load(spark, sfDir, "events")
+        .select(col("user_id")).distinct().count()
+      assert(st.count() == users)
+      val dayCounts = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_days"))
+      val bad = st.join(dayCounts, Seq("user_id"))
+        .filter(col("max_streak") > col("n_days") ||
+          col("max_streak") < 1 || col("n_streaks") < 1 ||
+          // n_streaks runs of length >= 1 can't exceed active days
+          col("n_streaks") > col("n_days")).count()
+      assert(bad == 0)
+    } finally st.unpersist()
+  }
+
+  test("table diff: statuses partition both snapshots, counts match the derivation") {
+    val m = graft.operators.ProfileOps.tableDiff(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    val e = Tables.load(spark, sfDir, "events")
+    val added = e.filter(pmod(col("event_id"), lit(101)) === 0).count()
+    val removed = e.filter(pmod(col("event_id"), lit(97)) === 0).count()
+    val changed = e.filter(pmod(col("event_id"), lit(13)) === 0 &&
+      pmod(col("event_id"), lit(97)) =!= 0).count()
+    assert(m("added") == added)
+    assert(m("removed") == removed)
+    assert(m("changed") == changed)
+    assert(m("unchanged") == total - removed - changed)
+  }
+
   test("histogram: bucket counts sum to |events|, buckets consistent with bounds") {
     val h = EventOps.valueHistogram(spark, sfDir).cache()
     try {
