@@ -239,6 +239,11 @@ object EventOps extends QueryModule {
     val days = ev(s, dir)
       .select(col("user_id"),
         datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dnum"))
+      // partition by user alone BEFORE the distinct: HashPartitioning(user)
+      // satisfies the distinct's (user, dnum) clustering AND the window's
+      // user clustering, so the whole query rides ONE exchange — letting
+      // distinct() pick its own keys would shuffle twice
+      .repartition(col("user_id"))
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("dnum"))
     days

@@ -543,7 +543,42 @@ object StreamShapes extends QueryModule {
       |  ON g.user_id = h.user_id AND g.hour = h.hour
       |ORDER BY g.user_id, g.hour""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ST1 on the REAL streaming path: the tumbling-window aggregation run as
+  // a structured stream in COMPLETE mode over the events file stream. The
+  // final memory-sink snapshot must equal the batch aggregation — same
+  // oracle as events_tumbling, making the streaming windowed-agg path
+  // DuckDB-hash-checkable. Complete mode is valid here because the
+  // (window x event_type) state cardinality is BOUNDED (time span x 5
+  // types); unbounded-key streams use append+watermark instead (that path
+  // is exercised by stream_dedup/stream_sessions).
+  // ------------------------------------------------------------------
+  def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+    // the raw fixture is TIMESTAMP(NANOS): stream it as nanos-since-epoch
+    // and truncate to micros, the same read Tables.load performs (the
+    // other event streams never materialize ts, so only this query needs
+    // the conversion on the streaming path)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schemaNs = org.apache.spark.sql.types.StructType(Tables.events.map(f =>
+      if (f.name == "ts")
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+      else f))
+    val stream = s.readStream.schema(schemaNs).parquet(s"$dir/events.parqu*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+    graft.streaming.Streams.runToCompletion(agg,
+      s"tumb_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (streamTumbling _),
     "events_gapfill" -> (gapfill _),
     "events_retention" -> (retention _),
     "stream_sessions" -> (streamSessions _),
@@ -560,6 +595,7 @@ object StreamShapes extends QueryModule {
     "stream_incremental" -> (streamIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "stream_tumbling" -> tumblingSql,
     "events_gapfill" -> gapfillSql,
     "events_retention" -> retentionSql,
     "stream_sessions" -> streamSessionsSql,

@@ -300,6 +300,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashEx <= 1, s"expected one shared hash exchange, got $hashEx:\n$plan")
   }
 
+  test("streaks: window + both group-bys ride ONE user_id partitioning") {
+    // HashPartitioning(user_id) satisfies ClusteredDistribution(user_id,
+    // grp) — a regression inserting a second exchange (e.g. grouping on
+    // grp alone) would double the shuffle volume at scale
+    val plan = executedPlan(graft.operators.EventOps.streaks(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val hashEx = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(hashEx <= 1, s"expected one user_id exchange, got $hashEx:\n$plan")
+  }
+
   test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {
     val plan = executedPlan(graft.operators.VectorOps.pqTopK(spark, sfDir))
       .split("== Initial Plan ==")(0)
