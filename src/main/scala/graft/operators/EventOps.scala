@@ -270,8 +270,50 @@ object EventOps extends QueryModule {
       |  CAST(COUNT(*) AS BIGINT) AS n_streaks
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // 7-day rolling aggregates: per-user daily totals, then a RANGE frame
+  // over the integer day index (6 preceding .. current) — the trailing
+  // window is calendar-correct across gaps because the frame is RANGE on
+  // dnum, not ROWS. Daily rollup and the window share the user_id
+  // partitioning (one exchange); decimal accumulation, double output.
+  // ------------------------------------------------------------------
+  def rolling7(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .filter(col("user_id") < 40)
+      .groupBy(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dnum"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("dtot"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dnum"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n_7d", sum(col("n_events")).over(w))
+      .withColumn("total_7d", sum(col("dtot")).over(w).cast("double"))
+      .select(col("user_id"), col("dnum"), col("n_events"),
+        col("dtot").cast("double").as("day_total"), col("n_7d"), col("total_7d"))
+      .orderBy(col("user_id"), col("dnum"))
+  }
+
+  val rolling7Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dnum,
+      |    COUNT(*) AS n_events,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS dtot
+      |  FROM events WHERE user_id < 40
+      |  GROUP BY user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+      |SELECT user_id, dnum, n_events,
+      |  CAST(dtot AS DOUBLE) AS day_total,
+      |  CAST(SUM(n_events) OVER w AS BIGINT) AS n_7d,
+      |  CAST(SUM(dtot) OVER w AS DOUBLE) AS total_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY dnum
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, dnum""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_streaks" -> (streaks _),
+    "events_rolling7" -> (rolling7 _),
     "events_ohlc" -> (ohlcBars _),
     "events_anomaly" -> (anomalies _),
     "events_user_growth" -> (userGrowth _),
@@ -280,6 +322,7 @@ object EventOps extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "events_streaks" -> streaksSql,
+    "events_rolling7" -> rolling7Sql,
     "events_ohlc" -> ohlcBarsSql,
     "events_anomaly" -> anomaliesSql,
     "events_user_growth" -> userGrowthSql,

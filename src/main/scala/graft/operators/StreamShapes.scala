@@ -577,8 +577,30 @@ object StreamShapes extends QueryModule {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** ST1 sliding on the real streaming path — same complete-mode shape as
+    * streamTumbling (state = bounded (window x type) domain, 2x windows
+    * for the 30-minute slide). */
+  def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schemaNs = org.apache.spark.sql.types.StructType(Tables.events.map(f =>
+      if (f.name == "ts")
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+      else f))
+    val stream = s.readStream.schema(schemaNs).parquet(s"$dir/events.parqu*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    graft.streaming.Streams.runToCompletion(agg,
+      s"slide_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
+    "stream_sliding" -> (streamSliding _),
     "events_gapfill" -> (gapfill _),
     "events_retention" -> (retention _),
     "stream_sessions" -> (streamSessions _),
@@ -596,6 +618,7 @@ object StreamShapes extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
+    "stream_sliding" -> slidingSql,
     "events_gapfill" -> gapfillSql,
     "events_retention" -> retentionSql,
     "stream_sessions" -> streamSessionsSql,

@@ -125,6 +125,25 @@ class EventOpsSpec extends SparkTestBase {
     } finally st.unpersist()
   }
 
+  test("rolling7: trailing window dominates the day, windows reconcile by brute force") {
+    val r = EventOps.rolling7(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_7d") >= row.getAs[Long]("n_events"))
+      assert(row.getAs[Double]("total_7d") >= row.getAs[Double]("day_total") - 1e-9)
+    }
+    // brute-force re-derivation for one user
+    val u = r.map(_.getAs[Long]("user_id")).min
+    val mine = r.filter(_.getAs[Long]("user_id") == u)
+    val byDay = mine.map(x => x.getAs[Int]("dnum") -> x.getAs[Long]("n_events")).toMap
+    mine.foreach { x =>
+      val d = x.getAs[Int]("dnum")
+      val expected = (d - 6 to d).flatMap(byDay.get).sum
+      assert(x.getAs[Long]("n_7d") == expected,
+        s"user $u day $d: window ${x.getAs[Long]("n_7d")} != brute $expected")
+    }
+  }
+
   test("table diff: statuses partition both snapshots, counts match the derivation") {
     val m = graft.operators.ProfileOps.tableDiff(spark, sfDir).collect()
       .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
