@@ -25,7 +25,12 @@ import graft.sources.Tables
 object ProfileOps extends QueryModule {
 
   def profileLineitem(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    // loadParallel: the multi-distinct plan Expands every row x |cols|
+    // before the partial aggregate, and the single-row-group fixture scan
+    // is serial — round-robin first so the Expand+partial-agg runs wide
+    // (on a real cluster the scan itself is parallel and this is a no-op
+    // cost-wise: the exchange is one narrow pass)
+    val li = Tables.loadParallel(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
       "l_returnflag", "l_shipdate")
     val aggs = cols.flatMap { c =>
