@@ -598,8 +598,50 @@ object StreamShapes extends QueryModule {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ------------------------------------------------------------------
+  // ST1+ST3 composed: APPEND-mode windowed aggregation with a watermark —
+  // the unbounded-key production shape (state for a window is EVICTED and
+  // its row emitted once the watermark passes the window end; memory is
+  // bounded by the watermark horizon, not the stream length). The final
+  // emitted set is exactly the windows with window_end <= max(ts) - delay
+  // (verified empirically at sf0.001 and sf0.01: 866/3375 emitted of
+  // 868/3385 total); the oracle encodes that flush rule, making the
+  // eviction semantics themselves DuckDB-hash-checkable.
+  // ------------------------------------------------------------------
+  def streamTumblingAppend(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schemaNs = org.apache.spark.sql.types.StructType(Tables.events.map(f =>
+      if (f.name == "ts")
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+      else f))
+    val stream = s.readStream.schema(schemaNs).parquet(s"$dir/events.parqu*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    graft.streaming.Streams.runToCompletion(agg,
+      s"tumba_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val streamTumblingAppendSql: String =
+    """WITH wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events)
+      |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING window_start + INTERVAL '1 hour' <= (SELECT w FROM wm)
+      |ORDER BY window_start, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
+    "stream_tumbling_append" -> (streamTumblingAppend _),
     "stream_sliding" -> (streamSliding _),
     "events_gapfill" -> (gapfill _),
     "events_retention" -> (retention _),
@@ -618,6 +660,7 @@ object StreamShapes extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
+    "stream_tumbling_append" -> streamTumblingAppendSql,
     "stream_sliding" -> slidingSql,
     "events_gapfill" -> gapfillSql,
     "events_retention" -> retentionSql,
