@@ -36,5 +36,9 @@ object BenchOnly {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_approx_distinct_sketch" -> (approxDistinctSketch _),
-    "bench_approx_percentile_sketch" -> (approxPercentileSketch _))
+    "bench_approx_percentile_sketch" -> (approxPercentileSketch _),
+    // PQ search with pre-trained codebooks: emb_pq_topk's bench time
+    // includes the two training scans; this is the steady-state search
+    // cost alone (result-identical to emb_pq_topk — same codebooks)
+    "bench_pq_search_only" -> (graft.operators.VectorOps.pqTopKSearchOnly _))
 }

@@ -1059,9 +1059,41 @@ object Relational extends QueryModule {
       |WHERE op IS NULL OR op <> 'D'
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q13 shape (customer distribution): orders per customer INCLUDING
+  // zero-order customers (left join), then the count-of-counts histogram.
+  // Two keyed exchanges (custkey, then the bounded n_orders domain);
+  // zero-preservation is the part naive group-bys get wrong. The second
+  // aggregation's key domain is bounded by max orders-per-customer, so the
+  // final exchange is tiny at any scale.
+  // ------------------------------------------------------------------
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey"))
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"))
+    val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("n_orders"))
+    perCust.groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  val q13CustDistSql: String =
+    """SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_custkey) AS n_orders
+      |  FROM customer c LEFT JOIN (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o
+      |    ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey)
+      |GROUP BY n_orders
+      |ORDER BY n_customers DESC, n_orders DESC""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> (q13CustDist _),
     "merge_upsert" -> (mergeUpsert _),
     "agg_weighted_avg" -> (weightedAvg _),
     "q1_agg" -> (q1Agg _),
@@ -1106,6 +1138,7 @@ object Relational extends QueryModule {
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,
     "q5_star_join" -> q5StarJoinSql,
+    "q13_custdist" -> q13CustDistSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,
