@@ -311,8 +311,43 @@ object EventOps extends QueryModule {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, dnum""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Event-type transition matrix (first-order Markov counts): for each
+  // user's time-ordered stream, count (current -> next) type pairs, then
+  // the per-source transition probability. One user_id window (lead) and
+  // one bounded (from, to) aggregation — 5x5 output regardless of volume;
+  // probabilities are exact-count ratios, divided once at the output.
+  // ------------------------------------------------------------------
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val w2 = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(w2))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+      |FROM counts ORDER BY from_type, to_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_streaks" -> (streaks _),
+    "events_transitions" -> (transitions _),
     "events_rolling7" -> (rolling7 _),
     "events_ohlc" -> (ohlcBars _),
     "events_anomaly" -> (anomalies _),
@@ -322,6 +357,7 @@ object EventOps extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "events_streaks" -> streaksSql,
+    "events_transitions" -> transitionsSql,
     "events_rolling7" -> rolling7Sql,
     "events_ohlc" -> ohlcBarsSql,
     "events_anomaly" -> anomaliesSql,

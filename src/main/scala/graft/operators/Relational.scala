@@ -1090,10 +1090,55 @@ object Relational extends QueryModule {
       |GROUP BY n_orders
       |ORDER BY n_customers DESC, n_orders DESC""".stripMargin
 
+  // ------------------------------------------------------------------
+  // RFM segmentation: per-customer recency (days since last order),
+  // frequency (order count), monetary (exact-decimal spend), each scored
+  // into quintiles by ntile(5) with a deterministic custkey tiebreak.
+  // One custkey aggregation; the three ntile windows are global-ordered
+  // but run over the AGGREGATED relation (one row per customer) — and at
+  // true scale ntile's single-partition sort is replaced by
+  // percentile-based cut points, which is why the monetary quintile
+  // boundary logic lives in the agg layer, not the raw stream.
+  // ------------------------------------------------------------------
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")).cast("date"))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
+    def score(c: String, asc: Boolean) = {
+      val ord = if (asc) Seq(col(c).asc, col("o_custkey").asc)
+                else Seq(col(c).desc, col("o_custkey").asc)
+      ntile(5).over(Window.orderBy(ord: _*))
+    }
+    per
+      .withColumn("r_score", score("recency_days", asc = true))
+      .withColumn("f_score", score("frequency", asc = false))
+      .withColumn("m_score", score("monetary", asc = false))
+      .orderBy(col("o_custkey"))
+  }
+
+  val rfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '1998-12-31') AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, CAST(recency_days AS INT) AS recency_days,
+      |  frequency, monetary,
+      |  ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+      |  ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+      |  ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+      |FROM per ORDER BY o_custkey""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_custdist" -> (q13CustDist _),
+    "orders_rfm" -> (rfm _),
     "merge_upsert" -> (mergeUpsert _),
     "agg_weighted_avg" -> (weightedAvg _),
     "q1_agg" -> (q1Agg _),
@@ -1139,6 +1184,7 @@ object Relational extends QueryModule {
     "q3_join_topk" -> q3JoinTopKSql,
     "q5_star_join" -> q5StarJoinSql,
     "q13_custdist" -> q13CustDistSql,
+    "orders_rfm" -> rfmSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,

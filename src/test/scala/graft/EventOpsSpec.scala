@@ -144,6 +144,29 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("transitions: pair count = events - users, probabilities sum to 1 per source") {
+    val t = EventOps.transitions(spark, sfDir).collect()
+    val users = Tables.load(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(t.map(_.getAs[Long]("n")).sum == total - users,
+      "each user contributes exactly (n_events - 1) transitions")
+    t.groupBy(_.getAs[String]("from_type")).foreach { case (f, rows) =>
+      val psum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"P(.|$f) sums to $psum")
+    }
+  }
+
+  test("rfm: quintile scores in 1..5 with balanced bucket sizes") {
+    val r = graft.operators.Relational.rfm(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val byScore = r.groupBy(_.getAs[Int](c)).view.mapValues(_.length).toMap
+      assert(byScore.keySet.subsetOf((1 to 5).toSet), s"$c out of range")
+      val sizes = (1 to 5).map(byScore.getOrElse(_, 0))
+      assert(sizes.max - sizes.min <= 1, s"$c quintiles unbalanced: $sizes")
+    }
+  }
+
   test("table diff: statuses partition both snapshots, counts match the derivation") {
     val m = graft.operators.ProfileOps.tableDiff(spark, sfDir).collect()
       .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
