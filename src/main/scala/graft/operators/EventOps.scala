@@ -345,7 +345,87 @@ object EventOps extends QueryModule {
       |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
       |FROM counts ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // DAU / WAU: daily active users + trailing-7-day active users, both
+  // EXACT. WAU uses the contribute-forward expansion: each (user, day)
+  // activity row contributes to the 7 window-end days [day, day+6], so a
+  // per-day COUNT(DISTINCT user) over the expanded relation is the exact
+  // trailing-window distinct — a 7x row expansion instead of a quadratic
+  // window-distinct (which Spark windows can't express exactly anyway).
+  // At scale the expansion factor equals the window length — linear, keyed
+  // on the day, map-side partial distinct.
+  // ------------------------------------------------------------------
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dnum"))
+      .distinct()
+    val dau = days.groupBy(col("dnum")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"), explode(sequence(col("dnum"), col("dnum") + 6)).as("t"))
+      .distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("dnum") === col("t"))
+      .select(col("dnum"), col("dau"), col("wau"))
+      .orderBy(col("dnum"))
+  }
+
+  val dauWauSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dnum
+      |  FROM events),
+      |dau AS (SELECT dnum, COUNT(*) AS dau FROM days GROUP BY dnum),
+      |expanded AS (
+      |  SELECT DISTINCT user_id, dnum + k AS t
+      |  FROM days CROSS JOIN range(0, 7) g(k)),
+      |wau AS (SELECT t, COUNT(*) AS wau FROM expanded GROUP BY t)
+      |SELECT d.dnum, d.dau, w.wau
+      |FROM dau d JOIN wau w ON d.dnum = w.t
+      |ORDER BY d.dnum""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Pareto / concentration analysis: users ranked by exact total spend
+  // (cents), with each rank's cumulative share of the grand total — the
+  // 80/20 curve. Ranks and cumulative sums run over the AGGREGATED
+  // one-row-per-user relation; cents stay integers until the single
+  // output division.
+  // ------------------------------------------------------------------
+  def pareto(s: SparkSession, dir: String): DataFrame = {
+    val per = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val wRank = Window.orderBy(col("cents").desc, col("user_id"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = per.agg(sum(col("cents")).as("t"))
+    per
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("user_id"),
+        (col("cents").cast("double") / 100).as("total_value"),
+        (col("cum_cents").cast("double") / col("t")).as("cum_share"))
+      .orderBy(col("rnk"))
+  }
+
+  val paretoSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY user_id),
+      |t AS (SELECT SUM(cents) AS t FROM per)
+      |SELECT row_number() OVER w AS rnk, user_id,
+      |  CAST(cents AS DOUBLE) / 100 AS total_value,
+      |  CAST(SUM(cents) OVER (ORDER BY cents DESC, user_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / (SELECT t FROM t) AS cum_share
+      |FROM per
+      |WINDOW w AS (ORDER BY cents DESC, user_id)
+      |ORDER BY rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_wau" -> (dauWau _),
+    "events_pareto" -> (pareto _),
     "events_streaks" -> (streaks _),
     "events_transitions" -> (transitions _),
     "events_rolling7" -> (rolling7 _),
@@ -356,6 +436,8 @@ object EventOps extends QueryModule {
     "events_value_histogram" -> (valueHistogram _))
 
   def oracles: Map[String, String] = Map(
+    "events_dau_wau" -> dauWauSql,
+    "events_pareto" -> paretoSql,
     "events_streaks" -> streaksSql,
     "events_transitions" -> transitionsSql,
     "events_rolling7" -> rolling7Sql,

@@ -156,6 +156,33 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dau/wau: wau >= dau, wau bounded by union of the trailing week, exact on a probe day") {
+    val rows = EventOps.dauWau(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"), "weekly >= daily actives")
+    }
+    // brute-force one day: users active in [d-6, d]
+    val probe = rows(rows.length / 2).getAs[Int]("dnum")
+    val expected = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dnum"))
+      .filter(col("dnum") >= probe - 6 && col("dnum") <= probe)
+      .select(col("user_id")).distinct().count()
+    assert(rows.find(_.getAs[Int]("dnum") == probe).get.getAs[Long]("wau") == expected)
+  }
+
+  test("pareto: shares monotone to exactly 1.0, ranks contiguous") {
+    val rows = EventOps.pareto(spark, sfDir).collect().sortBy(_.getAs[Int]("rnk"))
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.sliding(2).forall { case Array(a, b) => a <= b + 1e-12; case _ => true })
+    assert(math.abs(shares.last - 1.0) < 1e-9, s"final share ${shares.last}")
+    // value-ordered: per-user totals non-increasing
+    val vals = rows.map(_.getAs[Double]("total_value"))
+    assert(vals.sliding(2).forall { case Array(a, b) => a >= b - 1e-9; case _ => true })
+  }
+
   test("rfm: quintile scores in 1..5 with balanced bucket sizes") {
     val r = graft.operators.Relational.rfm(spark, sfDir).collect()
     assert(r.nonEmpty)
