@@ -1134,11 +1134,47 @@ object Relational extends QueryModule {
       |  ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
       |FROM per ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Month-over-month revenue: exact-decimal monthly totals, then lag-based
+  // deltas over the BOUNDED month domain (the window runs on one row per
+  // month — never on the fact stream). Delta ratio is the single double
+  // division at the output; absolute delta stays exact decimal -> double.
+  // ------------------------------------------------------------------
+  def momRevenue(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.load(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("ym"))
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("ym"), col("rev").cast("double").as("revenue"), col("n_orders"),
+        (col("rev") - col("prev")).cast("double").as("mom_delta"),
+        when(col("prev").isNotNull,
+          (col("rev") - col("prev")).cast("double") / col("prev").cast("double"))
+          .as("mom_pct"))
+      .orderBy(col("ym"))
+  }
+
+  val momRevenueSql: String =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY strftime(o_orderdate, '%Y-%m'))
+      |SELECT ym, CAST(rev AS DOUBLE) AS revenue, n_orders,
+      |  CAST(rev - lag(rev) OVER (ORDER BY ym) AS DOUBLE) AS mom_delta,
+      |  CASE WHEN lag(rev) OVER (ORDER BY ym) IS NOT NULL
+      |    THEN CAST(rev - lag(rev) OVER (ORDER BY ym) AS DOUBLE)
+      |         / CAST(lag(rev) OVER (ORDER BY ym) AS DOUBLE) END AS mom_pct
+      |FROM m ORDER BY ym""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_custdist" -> (q13CustDist _),
     "orders_rfm" -> (rfm _),
+    "orders_mom" -> (momRevenue _),
     "merge_upsert" -> (mergeUpsert _),
     "agg_weighted_avg" -> (weightedAvg _),
     "q1_agg" -> (q1Agg _),
@@ -1185,6 +1221,7 @@ object Relational extends QueryModule {
     "q5_star_join" -> q5StarJoinSql,
     "q13_custdist" -> q13CustDistSql,
     "orders_rfm" -> rfmSql,
+    "orders_mom" -> momRevenueSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,

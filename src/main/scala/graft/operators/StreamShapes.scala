@@ -639,9 +639,61 @@ object StreamShapes extends QueryModule {
       |HAVING window_start + INTERVAL '1 hour' <= (SELECT w FROM wm)
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Session conversion: per user, how many 5-minute-gap sessions exist and
+  // what fraction contain a purchase — the funnel metric computed on
+  // SESSION grain rather than event grain. Manual gaps-and-islands (the
+  // exact semantics session_window uses), with the gap test on integer
+  // microseconds so both engines compare identically; ONE user_id
+  // partitioning carries the window and both aggregations.
+  // ------------------------------------------------------------------
+  def sessionConversion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = ev(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(wSeq).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wSeq))
+            >= 300000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_p"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_p")).cast("long").as("n_purchase_sessions"))
+      .withColumn("conversion",
+        col("n_purchase_sessions").cast("double") / col("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionConversionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, event_type,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, sid,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+      |  FROM islands GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(has_p) AS BIGINT) AS n_purchase_sessions,
+      |  CAST(SUM(has_p) AS DOUBLE) / COUNT(*) AS conversion
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
     "stream_tumbling_append" -> (streamTumblingAppend _),
+    "events_session_conversion" -> (sessionConversion _),
     "stream_sliding" -> (streamSliding _),
     "events_gapfill" -> (gapfill _),
     "events_retention" -> (retention _),
@@ -661,6 +713,7 @@ object StreamShapes extends QueryModule {
   def oracles: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
     "stream_tumbling_append" -> streamTumblingAppendSql,
+    "events_session_conversion" -> sessionConversionSql,
     "stream_sliding" -> slidingSql,
     "events_gapfill" -> gapfillSql,
     "events_retention" -> retentionSql,
