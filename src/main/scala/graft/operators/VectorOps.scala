@@ -420,9 +420,13 @@ object VectorOps extends QueryModule {
 
   /** Squared L2 via the three dot products — the fold-identical form both
     * engines compute bit-equally (never elementwise subtraction, whose
-    * summation order would differ). */
+    * summation order would differ). Scored by the fused codegen
+    * [[graft.plans.L2Squared]] expression (bit-identical to the HOF
+    * three-fold form — see its Scaladoc — so the DuckDB twins are
+    * unchanged); callers must have GraftFunctions registered (Sessions
+    * does; pqSearch/pqTrain re-ensure). */
   private def l2sq(a: Column, b: Column): Column =
-    VectorFns.dot(a, a) + VectorFns.dot(b, b) - lit(2.0) * VectorFns.dot(a, b)
+    call_function("l2sq_fast", a, b)
 
   /** Argmin-L2 code over literal codebook entries: least() of (dist, code)
     * structs — min distance, ties to the lowest code, mirroring the
@@ -439,6 +443,7 @@ object VectorOps extends QueryModule {
     * driver state (PQ_M * PQ_K * PQ_SUB doubles), the literal-broadcast
     * pattern kmeansTrain uses. */
   private def pqTrain(e: DataFrame): IndexedSeq[Seq[(Long, Array[Double])]] = {
+    graft.plans.GraftFunctions.ensureRegistered(e.sparkSession)
     val initRows = e.filter(col("vec_id") < PQ_K)
       .select(col("vec_id"), col("de")).collect().sortBy(_.getLong(0))
     val init = (0 until PQ_M).map(m => initRows.toSeq.map(r => (r.getLong(0),
@@ -495,6 +500,7 @@ object VectorOps extends QueryModule {
     * not retrained per query). */
   private def pqSearch(s: SparkSession, e: DataFrame,
       cbs: IndexedSeq[Seq[(Long, Array[Double])]]): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
     val withCents = pqEncodeWithCents(s, e, cbs, Seq.empty)
     val adc = withCents.crossJoin(broadcast(pqQueries(e).drop("qe")))
       .withColumn("adc", pqAdc)
@@ -595,6 +601,7 @@ object VectorOps extends QueryModule {
   // memory-volume reductions compose multiplicatively.
   // ------------------------------------------------------------------
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
     val e = emb(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("de"))
     val cbs = pqTrain(e.select(col("vec_id"), col("de")))

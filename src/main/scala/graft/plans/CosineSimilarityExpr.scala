@@ -91,5 +91,9 @@ object GraftFunctions {
       "hamming_dist",
       { exprs: Seq[Expression] => HammingDistance(exprs(0), exprs(1)) },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_fast",
+      { exprs: Seq[Expression] => L2Squared(exprs(0), exprs(1)) },
+      "scala_udf")
   }
 }

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** [EXT] Fused squared-L2 distance over two `array<double>` columns — the
+  * inner-loop scorer of the PQ family (pqAssign argmin, ADC).
+  *
+  * Computes EXACTLY the dot-product identity the HOF form uses:
+  * `dot(a,a) + dot(b,b) - 2*dot(a,b)`, with each of the three sums
+  * accumulated independently left-to-right — bit-identical to three
+  * separate `aggregate(zip_with(...))` folds AND to the DuckDB oracle's
+  * three `list_dot_product` calls, so the shared SQL twins stay green.
+  * Never the elementwise `sum((a_i-b_i)^2)` form: that is a DIFFERENT
+  * floating-point computation.
+  *
+  * Why an Expression (preference tier (b), spark_guide.md): the HOF form
+  * walks each input array three times and allocates three intermediate
+  * product arrays per row-pair; PQ assignment evaluates K of these per
+  * subspace per row, so the fused zero-allocation loop is the hot path.
+  */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2sq_fast expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    nx + ny - 2.0 * dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xv = $a.getDouble($i);
+        |  double $yv = $b.getDouble($i);
+        |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+        |}
+        |${ev.value} = $nx + $ny - 2.0 * $dot;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -45,6 +45,27 @@ class CustomCodeSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("l2sq_fast expression is bit-identical to the three-fold HOF identity") {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFns.dot(a, a) + VectorFns.dot(b, b) - lit(2.0) * VectorFns.dot(a, b)
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("de").as("qe"))
+    val mismatches = e.crossJoin(broadcast(q))
+      .select(call_function("l2sq_fast", col("de"), col("qe")).as("fast"),
+        hof(col("de"), col("qe")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0, "fused loop must reproduce the fold arithmetic exactly")
+    // hand-computed: |(1,2)-(3,1)|^2 = 4 + 1 = 5, via 5 + 10 - 2*5
+    val v = Seq((Seq(1.0, 2.0), Seq(3.0, 1.0))).toDF("a", "b")
+      .select(call_function("l2sq_fast", col("a"), col("b")))
+      .head().getDouble(0)
+    assert(v == 5.0)
+  }
+
   test("hamming_dist: hand-computed values, null propagation, codegen") {
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val df = Seq[(java.lang.Long, java.lang.Long)](
