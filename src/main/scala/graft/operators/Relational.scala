@@ -1169,10 +1169,45 @@ object Relational extends QueryModule {
       |         / CAST(lag(rev) OVER (ORDER BY ym) AS DOUBLE) END AS mom_pct
       |FROM m ORDER BY ym""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+  // quantity exceeds a threshold (HAVING over a keyed aggregate), joined
+  // back to order/customer attributes, top-100 by value. The HAVING
+  // aggregate is the semi-join REDUCER: at scale it shrinks the fact side
+  // to the rare heavy keys BEFORE any wide join happens, and the top-K is
+  // a TakeOrdered, never a global sort.
+  // ------------------------------------------------------------------
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    heavy.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    """WITH heavy AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |SELECT o_orderkey, o_custkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+      |FROM heavy JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_custdist" -> (q13CustDist _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "orders_rfm" -> (rfm _),
     "orders_mom" -> (momRevenue _),
     "merge_upsert" -> (mergeUpsert _),
@@ -1222,6 +1257,7 @@ object Relational extends QueryModule {
     "q13_custdist" -> q13CustDistSql,
     "orders_rfm" -> rfmSql,
     "orders_mom" -> momRevenueSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,
