@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed replacements for single-partition window shapes.
+  *
+  * `row_number()/ntile()/sum() OVER (ORDER BY ...)` with no PARTITION BY
+  * forces Spark to move EVERY row through one task (Exchange
+  * SinglePartition -> Sort -> Window) — correct and fast at fixture scale,
+  * a guaranteed straggler/OOM at 100 TB. The classic fix: split the data
+  * into buckets that are MONOTONE along the sort order, rank locally per
+  * bucket, and add per-bucket prefix-count offsets. Exact, so the DuckDB
+  * oracles (written with the plain global windows) are unchanged.
+  *
+  * WHY BUCKETS ARE VALUE-DERIVED, NOT `spark_partition_id()` OVER
+  * `repartitionByRange` (the round-7 bug this file replaces): the ranked
+  * rows and the per-bucket counts are two CONSUMERS of the same relation.
+  * Column pruning rewrites the counts branch to a narrower aggregate, the
+  * two range exchanges stop being canonically equal, ReuseExchange no
+  * longer unifies them — and each exchange then SAMPLES ITS OWN range
+  * boundaries, so the counts describe different partitions than the ones
+  * the rows sat in (observed at sf0.1: ranks shifted by ±68,
+  * nondeterministically per action). A bucket id computed as a PURE
+  * FUNCTION of the row's own values cannot diverge between consumers, no
+  * matter how Catalyst rewrites each branch. Boundaries are frozen into
+  * the plan as literals via a bounded construction-time collect (p-1
+  * quantiles / 2 domain endpoints — the same legitimate bounded-collect
+  * pattern as the PQ codebooks in VectorOps).
+  *
+  * Plan shape (per call): ONE hash exchange of the input (the per-bucket
+  * window), one bounded counts aggregate, offsets as a broadcast
+  * nested-loop join of the bucket-level rollup against itself (|buckets|²
+  * comparisons of tiny rows — no global window, so WindowExec-with-empty-
+  * partitionSpec stays banned registry-wide by PlanShapeSpec), and a
+  * broadcast join back onto the rows.
+  *
+  * Callers must pass a TOTAL order (unique tiebreak last) — with a
+  * non-total order, local rank + offset would depend on placement of the
+  * ties.
+  */
+object Distributed {
+
+  /** How rows map to rank buckets. Requirement for exactness: the bucket
+    * pair (b1, b2) must be lexicographically non-decreasing along the sort
+    * order, and every row in one bucket must compare consistently against
+    * every row of the next (guaranteed by construction below). */
+  sealed trait Buckets
+
+  /** For a LEADING SORT KEY WITH A BOUNDED DISCRETE DOMAIN (counting-sort
+    * shape): b1 = the key itself (as a long, monotone along the sort — pass
+    * `-key` for a descending sort), and ties — which can concentrate on a
+    * modal value (e.g. 30% of customers sharing frequency=1) — are split
+    * into `tieSub` sub-buckets by even ranges of the UNIQUE tiebreak
+    * column, which is the second sort key. Sub-bucketing by tiebreak range
+    * is order-aligned WITHIN a tie class (ties are ordered by the tiebreak
+    * alone), so ranks stay exact while the modal class fans out across
+    * `tieSub` tasks. */
+  final case class ByValue(monotoneKey: Column, tieCol: String, tieSub: Int = 32)
+      extends Buckets
+
+  /** For a CONTINUOUS leading sort key: b1 = how many percentile_approx
+    * boundaries the key has passed (p-1 quantiles collected ONCE at plan
+    * construction — approximate boundaries only affect bucket BALANCE,
+    * never rank correctness). Rows tying exactly on a boundary value share
+    * a bucket, so the skew bound is the multiplicity of a single exact key
+    * value — negligible for continuous keys (use [[ByValue]] for discrete
+    * ones). */
+  final case class ByRange(parts: Int = 0) extends Buckets
+
+  private val B1 = "__rank_b1"
+  private val B2 = "__rank_b2"
+  private val LRN = "__rank_lrn"
+
+  /** Exact global `row_number` over `sort` as a new long column `rnName`,
+    * computed without a single-partition sort. `sort` is (columnName,
+    * ascending). Optionally:
+    *  - `totalName`: the total row count n as a column (for rank-derived
+    *    quantile math, e.g. [[ntileFromRank]]);
+    *  - `cumsums`: (inputCol -> outName) exact running `sum(inputCol)` in
+    *    the same order (long input, long output), same offset technique.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      sort: Seq[(String, Boolean)],
+      rnName: String,
+      buckets: Buckets,
+      totalName: Option[String] = None,
+      cumsums: Seq[(String, String)] = Nil): DataFrame = {
+    val sortCols = sort.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }
+    val (b1Expr, b2Expr) = buckets match {
+      case ByValue(key, tie, k) =>
+        // tiebreak domain endpoints -> literals (bounded collect: 2 longs)
+        val mm = df.agg(min(col(tie)).cast("long"), max(col(tie)).cast("long")).head()
+        val (lo, span) =
+          if (mm.isNullAt(0)) (0L, 1L)
+          else (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1L)
+        // ((tie-lo)*k)/span in exact long arithmetic -> [0, k)
+        val scaled = (col(tie).cast("long") - lit(lo)) * lit(k.toLong)
+        val sub = ((scaled - pmod(scaled, lit(span))) / lit(span)).cast("long")
+        (key.cast("long"), coalesce(sub, lit(0L)))
+      case ByRange(parts0) =>
+        val parts = if (parts0 > 0) parts0
+          else df.sparkSession.sessionState.conf.numShufflePartitions
+        val (keyName, asc) = sort.head
+        // p-1 approximate quantiles of the leading key -> literals
+        // (bounded collect; they only steer balance, never correctness)
+        val levels = (1 until parts).map(_.toDouble / parts)
+        val bnds: Seq[Any] = if (levels.isEmpty) Nil else {
+          val row: Row = df.agg(percentile_approx(col(keyName),
+            array(levels.map(lit): _*), lit(10000)).as("q")).head()
+          if (row.isNullAt(0)) Nil else row.getSeq[Any](0)
+        }
+        val passed = bnds.map { v =>
+          val b = lit(v)
+          when(if (asc) col(keyName) > b else col(keyName) < b, 1L).otherwise(0L)
+        }
+        (passed.reduceOption(_ + _).getOrElse(lit(0L)), lit(0L))
+    }
+    val withB = df.withColumn(B1, b1Expr).withColumn(B2, b2Expr)
+    val wLocal = Window.partitionBy(col(B1), col(B2)).orderBy(sortCols: _*)
+    val wRun = wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = cumsums.foldLeft(withB.withColumn(LRN, row_number().over(wLocal))) {
+      case (d, (in, out)) => d.withColumn(s"${out}__loc", sum(col(in)).over(wRun))
+    }
+    // One row per (b1, b2): bounded by |b1 domain| * tieSub at ANY scale.
+    val cntAggs = count(lit(1)).as("__cnt") +:
+      cumsums.map { case (in, out) => sum(col(in)).as(s"${out}__part") }
+    val counts = withB.groupBy(col(B1), col(B2)).agg(cntAggs.head, cntAggs.tail: _*)
+    // Level-1 offsets: rollup per b1, then an exclusive prefix sum over the
+    // strictly-smaller b1s via a broadcast nested-loop self-join of the
+    // bounded rollup (|b1|² comparisons of tiny rows — no global window).
+    val rollAggs = sum(col("__cnt")).as("__c1") +:
+      cumsums.map { case (_, out) => sum(col(s"${out}__part")).as(s"${out}__c1") }
+    val perB1 = counts.groupBy(col(B1)).agg(rollAggs.head, rollAggs.tail: _*)
+    val other = perB1.select(
+      (col(B1).as("__b1o") +: col("__c1").as("__c1o") +:
+        cumsums.map { case (_, out) => col(s"${out}__c1").as(s"${out}__c1o") }): _*)
+    val off1Aggs =
+      sum(when(col("__b1o") < col(B1), col("__c1o")).otherwise(0L)).as("__off1") +:
+      sum(col("__c1o")).as("__n_total") +:
+      cumsums.map { case (_, out) =>
+        sum(when(col("__b1o") < col(B1), col(s"${out}__c1o")).otherwise(0L))
+          .as(s"${out}__off1")
+      }
+    val off1 = perB1.join(broadcast(other), lit(true))
+      .groupBy(col(B1)).agg(off1Aggs.head, off1Aggs.tail: _*)
+    // Level-2 offsets: exclusive prefix over b2 WITHIN each b1 — a
+    // partitioned window over the bounded counts relation (<= tieSub rows
+    // per partition).
+    val wOff2 = Window.partitionBy(col(B1)).orderBy(col(B2))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off2 = cumsums.foldLeft(
+      counts.withColumn("__off2", coalesce(sum(col("__cnt")).over(wOff2), lit(0L)))) {
+      case (d, (_, out)) =>
+        d.withColumn(s"${out}__off2",
+          coalesce(sum(col(s"${out}__part")).over(wOff2), lit(0L)))
+    }
+    val offsets = off2.join(broadcast(off1), B1).select(
+      (col(B1) :: col(B2) ::
+        (col("__off1") + col("__off2")).as("__rn_off") :: col("__n_total") ::
+        cumsums.toList.map { case (_, out) =>
+          (col(s"${out}__off1") + col(s"${out}__off2")).as(s"${out}__off")
+        }): _*)
+    val joined = local.join(broadcast(offsets), Seq(B1, B2))
+      .withColumn(rnName, col(LRN).cast("long") + col("__rn_off"))
+    val withCums = cumsums.foldLeft(joined) { case (d, (_, out)) =>
+      d.withColumn(out, col(s"${out}__loc") + col(s"${out}__off"))
+    }
+    val withTotal = totalName.fold(withCums.drop("__n_total"))(
+      withCums.withColumnRenamed("__n_total", _))
+    withTotal.drop(B1, B2, LRN, "__rn_off")
+      .drop(cumsums.flatMap { case (_, out) => Seq(s"${out}__loc", s"${out}__off") }: _*)
+  }
+
+  /** Exact `ntile(b)` derived from a global 1-based rank and the total row
+    * count — the SQL-standard bucket rule (first n%b buckets get one extra
+    * row), as pure column arithmetic. Integer division is exact:
+    * `(a - a%d) / d` divides an exact multiple, so the double division
+    * cannot round. The n<b edge (q=0) stays in the first branch (cut = n),
+    * so the q-divisor branch never sees a zero divisor. */
+  def ntileFromRank(rank: Column, n: Column, b: Int): Column = {
+    def idiv(a: Column, d: Column): Column = ((a - pmod(a, d)) / d).cast("long")
+    val q = idiv(n, lit(b))
+    val rem = pmod(n, lit(b))
+    val cut = (q + lit(1)) * rem
+    when(rank <= cut, idiv(rank - lit(1), q + lit(1)) + lit(1))
+      .otherwise(rem + idiv(rank - cut - lit(1), q) + lit(1))
+  }
+}

@@ -389,20 +389,23 @@ object EventOps extends QueryModule {
   // (cents), with each rank's cumulative share of the grand total — the
   // 80/20 curve. Ranks and cumulative sums run over the AGGREGATED
   // one-row-per-user relation; cents stay integers until the single
-  // output division.
+  // output division. Round-7: the rank AND the running sum are computed
+  // distributed (percentile range buckets + per-bucket prefix sums +
+  // broadcast offsets, see Distributed.globalRowNumber) — exact, so the
+  // oracle's global-window SQL is unchanged — instead of the
+  // single-partition Sort->Window that would funnel every user through
+  // one task at scale.
   // ------------------------------------------------------------------
   def pareto(s: SparkSession, dir: String): DataFrame = {
     val per = ev(s, dir)
       .groupBy(col("user_id"))
       .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-    val wRank = Window.orderBy(col("cents").desc, col("user_id"))
-    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = per.agg(sum(col("cents")).as("t"))
-    per
-      .withColumn("rnk", row_number().over(wRank))
-      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+    Distributed.globalRowNumber(per,
+        Seq("cents" -> false, "user_id" -> true), "__rnk",
+        Distributed.ByRange(), cumsums = Seq("cents" -> "cum_cents"))
       .crossJoin(broadcast(total))
-      .select(col("rnk"), col("user_id"),
+      .select(col("__rnk").cast("int").as("rnk"), col("user_id"),
         (col("cents").cast("double") / 100).as("total_value"),
         (col("cum_cents").cast("double") / col("t")).as("cum_share"))
       .orderBy(col("rnk"))

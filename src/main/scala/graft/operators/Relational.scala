@@ -1093,12 +1093,17 @@ object Relational extends QueryModule {
   // ------------------------------------------------------------------
   // RFM segmentation: per-customer recency (days since last order),
   // frequency (order count), monetary (exact-decimal spend), each scored
-  // into quintiles by ntile(5) with a deterministic custkey tiebreak.
-  // One custkey aggregation; the three ntile windows are global-ordered
-  // but run over the AGGREGATED relation (one row per customer) — and at
-  // true scale ntile's single-partition sort is replaced by
-  // percentile-based cut points, which is why the monetary quintile
-  // boundary logic lives in the agg layer, not the raw stream.
+  // into quintiles with a deterministic custkey tiebreak. One custkey
+  // aggregation; the quintiles are EXACT ntile(5) semantics but computed
+  // distributed (round-7): value-derived rank buckets + broadcast prefix
+  // offsets, then the tile from (global rank, n) with the SQL-standard
+  // bucket rule — bit-identical to ntile(5) OVER (ORDER BY ...) (the
+  // oracle below is unchanged) without the three single-partition sorts
+  // that would straggle at 100 TB. recency/frequency have bounded
+  // discrete domains -> counting-sort buckets with custkey tie-class
+  // splitting (a modal frequency value fans out instead of landing on
+  // one task); monetary is continuous -> percentile range buckets.
+  // See Distributed.globalRowNumber for the design.
   // ------------------------------------------------------------------
   def rfm(s: SparkSession, dir: String): DataFrame = {
     val per = Tables.load(s, dir, "orders")
@@ -1108,15 +1113,17 @@ object Relational extends QueryModule {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
-    def score(c: String, asc: Boolean) = {
-      val ord = if (asc) Seq(col(c).asc, col("o_custkey").asc)
-                else Seq(col(c).desc, col("o_custkey").asc)
-      ntile(5).over(Window.orderBy(ord: _*))
-    }
-    per
-      .withColumn("r_score", score("recency_days", asc = true))
-      .withColumn("f_score", score("frequency", asc = false))
-      .withColumn("m_score", score("monetary", asc = false))
+    def scored(df: DataFrame, c: String, asc: Boolean, out: String,
+               buckets: Distributed.Buckets): DataFrame =
+      Distributed.globalRowNumber(df, Seq(c -> asc, "o_custkey" -> true), "__rnk",
+          buckets, totalName = Some("__n"))
+        .withColumn(out, Distributed.ntileFromRank(col("__rnk"), col("__n"), 5).cast("int"))
+        .drop("__rnk", "__n")
+    val r = scored(per, "recency_days", asc = true, "r_score",
+      Distributed.ByValue(col("recency_days"), "o_custkey"))
+    val rf = scored(r, "frequency", asc = false, "f_score",
+      Distributed.ByValue(-col("frequency"), "o_custkey"))
+    scored(rf, "monetary", asc = false, "m_score", Distributed.ByRange())
       .orderBy(col("o_custkey"))
   }
 

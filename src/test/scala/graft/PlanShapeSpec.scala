@@ -311,6 +311,46 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashEx <= 1, s"expected one user_id exchange, got $hashEx:\n$plan")
   }
 
+  test("no single-partition Window over an unbounded relation, registry-wide") {
+    // A WindowExec with an empty partitionSpec funnels its ENTIRE input
+    // through one task (Exchange SinglePartition -> Sort -> Window) — the
+    // one plan shape that cannot survive a 100 TB input no matter how the
+    // rest of the query is written. Round 7 removed the last two
+    // (orders_rfm's three ntile sorts, events_pareto's rank/cumsum; both
+    // now use Distributed.globalRowNumber), so the ban is registry-wide,
+    // with an explicit allowlist for windows whose input relation is
+    // BOUNDED BY THE DOMAIN at any data scale (days, months) — those are
+    // aggregates-of-bounded-domains, not data-sized relations.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bounded = Map(
+      "events_user_growth" -> "cumulative sum over one row per DAY (bounded by calendar)",
+      "orders_mom" -> "lag over one row per MONTH (bounded by calendar)")
+    def globalWindows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other => other.children
+      }
+      self ++ (kids ++ p.subqueries).flatMap(globalWindows)
+    }
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val wins = globalWindows(fn(spark, sfDir).queryExecution.executedPlan)
+      if (wins.nonEmpty) Some(name) else None
+    }.toSet
+    val offenders = flagged -- bounded.keySet
+    assert(offenders.isEmpty,
+      s"single-partition Window over unbounded input in: $offenders")
+    // the allowlist must stay exact — an entry whose query no longer plans
+    // a global window is dead weight that could mask a future regression
+    val unused = bounded.keySet -- flagged
+    assert(unused.isEmpty, s"allowlist entries with no global window: $unused")
+  }
+
   test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {
     val plan = executedPlan(graft.operators.VectorOps.pqTopK(spark, sfDir))
       .split("== Initial Plan ==")(0)
