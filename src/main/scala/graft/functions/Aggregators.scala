@@ -37,3 +37,41 @@ object VwapAggregator extends Aggregator[(Double, Double), (Long, Long), Double]
   def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** [EXT] UD1 + A3 (SURVEY.md §2.10): distributed count-min sketch over a
+  * string column, as a typed Aggregator around Spark's own
+  * `org.apache.spark.util.sketch.CountMinSketch` (the merge-able heavy-
+  * hitters sketch; estimates only ever OVER-count, by <= eps*N with
+  * probability 1-delta). The buffer is the sketch itself — fixed
+  * depth x width Long counters regardless of input size — so partial
+  * aggregation happens map-side and the shuffle carries one sketch per
+  * partition, never the token stream: the frequent-items shape that works
+  * when the exact groupBy's key cardinality would be the bottleneck. At
+  * the fixture's vocabulary size the configured width makes collisions
+  * empirically absent, which is what lets the DuckDB oracle pin the
+  * estimates to the exact counts (see TextOps.freqSketch).
+  */
+class CmsAggregator(depth: Int, width: Int, seed: Int)
+    extends Aggregator[String, org.apache.spark.util.sketch.CountMinSketch, Array[Byte]] {
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  def zero: CountMinSketch = CountMinSketch.create(depth, width, seed)
+
+  def reduce(b: CountMinSketch, a: String): CountMinSketch = {
+    if (a != null) b.addString(a)
+    b
+  }
+
+  def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch =
+    a.mergeInPlace(b)
+
+  def finish(b: CountMinSketch): Array[Byte] = {
+    val os = new java.io.ByteArrayOutputStream()
+    b.writeTo(os)
+    os.toByteArray
+  }
+
+  def bufferEncoder: Encoder[CountMinSketch] =
+    Encoders.javaSerialization[CountMinSketch]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

@@ -155,7 +155,19 @@ object DedupOps extends QueryModule {
   // the component diameter (near-dup clusters are star-shaped around
   // bucket reps — 2-3 rounds), with a hard cap as a safety rail.
   // ------------------------------------------------------------------
-  def minhashClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Final (v, label) relation of the label-propagation loop, parquet-
+    * backed. The finished labels file is memoized per (session, dir) so
+    * CONSUMERS of the clustering (the registered clusters query AND the
+    * cluster-size histogram below) share one run of the iterative
+    * pipeline instead of replaying it — the scratch file IS the reusable
+    * artifact (existence-checked in case scratch was purged). */
+  private val ccLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val cached = ccLabelCache.get(key)
+    if (cached != null && new java.io.File(cached).exists()) return s.read.parquet(cached)
     val edgesPath = graft.Scratch.dir("graft_dedup_edges")
     minhashPairs(s, dir).filter(col("est_jaccard") >= 0.9)
       .select(col("d1"), col("d2"))
@@ -163,9 +175,11 @@ object DedupOps extends QueryModule {
     val pairs = s.read.parquet(edgesPath)
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    var lastPath: String = null
     def cut(df: DataFrame): DataFrame = {
       val p = graft.Scratch.dir("graft_cc_labels")
       df.write.parquet(p)
+      lastPath = p
       s.read.parquet(p)
     }
     var labels = cut(edges.select(col("a").as("v")).distinct()
@@ -188,9 +202,29 @@ object DedupOps extends QueryModule {
       labels = next
       iter += 1
     }
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    ccLabelCache.put(key, lastPath)
+    labels
   }
+
+  def minhashClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // Cluster-size histogram (the q13 count-of-counts shape over the dedup
+  // labels): how many near-dup clusters have 2 members, 3 members, ... —
+  // the curation telemetry that says whether duplication is pairwise or
+  // mega-cluster shaped (which decides rep-pick strategy and storage
+  // savings). Composes on the SHARED scratch-parquet labels artifact, so
+  // it costs two keyed aggregations over a tiny relation, not a rerun of
+  // the iterative clustering.
+  // ------------------------------------------------------------------
+  def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("csize"))
 
   private val bandsSql =
     s"""SELECT doc_id, CAST(floor(k / $BANDROWS) AS BIGINT) AS b,
@@ -226,6 +260,23 @@ object DedupOps extends QueryModule {
       |  SELECT e.b AS v, w.l AS l FROM walk w JOIN edges e ON e.a = w.v)
       |SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id
       |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin
+
+  val clusterSizesSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+      |edges AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs WHERE est_jaccard >= 0.9
+      |  UNION ALL
+      |  SELECT d2 AS a, d1 AS b FROM pairs WHERE est_jaccard >= 0.9),
+      |verts AS (SELECT DISTINCT a AS v FROM edges),
+      |walk(v, l) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.b AS v, w.l AS l FROM walk w JOIN edges e ON e.a = w.v),
+      |lab AS (SELECT v, MIN(l) AS cluster_id FROM walk GROUP BY v),
+      |per AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+      |        FROM lab GROUP BY cluster_id)
+      |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      |FROM per GROUP BY csize ORDER BY csize""".stripMargin
 
   // ------------------------------------------------------------------
   // Loser set (curation's near-dup removal): per (b, band_key) bucket the
@@ -523,6 +574,7 @@ object DedupOps extends QueryModule {
     "dedup_rate_by_lang" -> (dupRateByLang _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_minhash_clusters" -> (minhashClusters _),
+    "dedup_cluster_sizes" -> (clusterSizes _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
@@ -533,6 +585,7 @@ object DedupOps extends QueryModule {
     "dedup_rate_by_lang" -> dupRateByLangSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_minhash_clusters" -> minhashClustersSql,
+    "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,

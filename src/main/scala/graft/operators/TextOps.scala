@@ -382,6 +382,56 @@ object TextOps extends QueryModule {
       |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin
 
   // ------------------------------------------------------------------
+  // Frequent items via count-min sketch (the approx_top_k shape): the
+  // token stream folds into ONE fixed-size mergeable sketch (map-side
+  // partials, the shuffle carries sketches, never tokens), and the
+  // exact top-20 tokens are then probed against it. Output carries the
+  // exact count, the sketch estimate, and the eps*N error-bound verdict.
+  // At fixture scale the 3x65536 sketch is collision-free on the probed
+  // keys (verified at sf0.01 AND sf0.1, fixed seed -> deterministic), so
+  // the oracle pins cms_freq == freq exactly and within_bound == TRUE;
+  // at 100 TB the same query answers heavy hitters when the exact
+  // groupBy's key cardinality (not row count) is the bottleneck — the
+  // sketch stays 1.5 MB no matter how many distinct tokens exist.
+  // The estimate probe is a UDF over the serialized sketch — justified:
+  // K bounded rows (20), and sketch probing is not expressible as a
+  // built-in; the heavy path (the fold) is the typed Aggregator.
+  // ------------------------------------------------------------------
+  private val CMS_TOPK = 20
+  private val CMS_DEPTH = 3
+  private val CMS_WIDTH = 65536
+
+  def freqSketch(s: SparkSession, dir: String): DataFrame = {
+    val cmsAgg = udaf(new graft.functions.CmsAggregator(CMS_DEPTH, CMS_WIDTH, 42))
+    val estimate = udf { (bytes: Array[Byte], key: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(key)
+    }
+    val tokens = docs(s, dir).select(explode(toks).as("token"))
+    val sketch = tokens.agg(cmsAgg(col("token")).as("sk"))
+    val total = tokens.agg(count(lit(1)).as("n_tokens"))
+    val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(CMS_TOPK)
+    top.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+      .withColumn("cms_freq", estimate(col("sk"), col("token")))
+      .select(col("token"), col("freq"), col("cms_freq"),
+        (col("cms_freq") >= col("freq") &&
+          (col("cms_freq") - col("freq")).cast("double") <=
+            lit(2.0 / CMS_WIDTH) * col("n_tokens")).as("within_bound"))
+      .orderBy(col("freq").desc, col("token"))
+  }
+
+  val freqSketchSql: String =
+    s"""SELECT token, freq, freq AS cms_freq, TRUE AS within_bound FROM (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY token ORDER BY freq DESC, token LIMIT $CMS_TOPK)
+      |ORDER BY freq DESC, token""".stripMargin
+
+  // ------------------------------------------------------------------
   // Vocabulary coverage / OOV rate: per-document fraction of tokens not in
   // the top-256 global vocabulary — the coverage check run before fixing a
   // tokenizer vocab. The vocab is BOUNDED (top-K with deterministic
@@ -423,6 +473,7 @@ object TextOps extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_repetition" -> (repetition _),
     "docs_vocab_topk" -> (vocabTopK _),
+    "docs_freq_sketch" -> (freqSketch _),
     "docs_oov_rate" -> (oovRate _),
     "docs_pii_scrub" -> (piiScrub _),
     "docs_rolling_fp" -> (rollingFingerprint _),
@@ -436,6 +487,7 @@ object TextOps extends QueryModule {
   def oracles: Map[String, String] = Map(
     "docs_repetition" -> repetitionSql,
     "docs_vocab_topk" -> vocabTopKSql,
+    "docs_freq_sketch" -> freqSketchSql,
     "docs_oov_rate" -> oovRateSql,
     "docs_pii_scrub" -> piiScrubSql,
     "docs_rolling_fp" -> rollingFingerprintSql,

@@ -660,8 +660,101 @@ object VectorOps extends QueryModule {
       |  FROM adc)
       |WHERE rank <= $PQ_TOPK ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // [EXT] ANN recall telemetry: recall@K of both approximate searchers
+  // (IVF, IVF-PQ) against the exact brute-force top-K, as a REGISTERED
+  // oracle-checked query — the accuracy of the ANN family becomes a
+  // monitored number instead of a spec-only cross-check. One row per
+  // (method, query vector): hits = |ann top-5 ∩ exact top-5|, recall =
+  // hits/5. Both sides are deterministic, so the oracle is the same
+  // join over the existing CTE stacks. At 100 TB this is the standard
+  // eval harness shape: the exact side runs over the SAME bounded query
+  // set the ANN answers (NQUERY rows broadcast against the corpus), so
+  // cost is one extra brute-force pass over the query set, not a second
+  // index build. NOTE on fixture values: the synthetic embeddings are
+  // near-uniform random (labels carry little cluster structure), so
+  // recall at 2-of-5 probed cells is honestly low (~0.0-0.4) — the
+  // number measures the INDEX, and the fixture index has little to find.
+  // On clustered real embeddings the same probe budget concentrates the
+  // true neighbors in the probed cells.
+  // ------------------------------------------------------------------
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(s, dir).filter(col("rank") <= PQ_TOPK)
+      .select(col("qid").as("eqid"), col("did").as("edid"))
+    def recallOf(cand: DataFrame, method: String): DataFrame =
+      cand.join(broadcast(exact),
+          col("qid") === col("eqid") && col("did") === col("edid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("edid")).as("hits"))
+        .select(lit(method).as("method"), col("qid"), col("hits"),
+          (col("hits").cast("double") / PQ_TOPK).as("recall"))
+    val ivfCand = annIvf(s, dir).select(col("qid"), col("did"))
+    val ivfpqCand = annIvfPq(s, dir).select(col("qid"), col("vec_id").as("did"))
+    recallOf(ivfCand, "ivf")
+      .unionByName(recallOf(ivfpqCand, "ivfpq"))
+      .orderBy(col("method"), col("qid"))
+  }
+
+  val annRecallSql: String = {
+    val cos = "list_dot_product(q5.qe, cand.de) / (sqrt(list_dot_product(q5.qe, q5.qe)) * sqrt(list_dot_product(cand.de, cand.de)))"
+    s"""WITH $pqCommonCtes,
+      |q5 AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < $NQUERY),
+      |exact AS (
+      |  SELECT qid, did FROM (
+      |    SELECT q5.qid, cand.vec_id AS did,
+      |      row_number() OVER (PARTITION BY q5.qid ORDER BY $cos DESC, cand.vec_id) AS rank
+      |    FROM e cand JOIN q5 ON cand.vec_id <> q5.qid)
+      |  WHERE rank <= $PQ_TOPK),
+      |cent AS (
+      |  SELECT label, list(cv ORDER BY pos) AS ce FROM (
+      |    SELECT label, pos, CAST(SUM(sv) AS DOUBLE) / COUNT(*) AS cv FROM (
+      |      SELECT label, g.i AS pos, CAST(round(de[g.i] * 1e6) AS BIGINT) AS sv
+      |      FROM e CROSS JOIN range(1, 65) g(i))
+      |    GROUP BY label, pos)
+      |  GROUP BY label),
+      |probes5 AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY list_dot_product(qe, ce) DESC, label) AS pr
+      |    FROM cent CROSS JOIN q5)
+      |  WHERE pr <= $PROBES),
+      |ivf AS (
+      |  SELECT qid, did FROM (
+      |    SELECT q5.qid, cand.vec_id AS did,
+      |      row_number() OVER (PARTITION BY q5.qid ORDER BY $cos DESC, cand.vec_id) AS rank
+      |    FROM e cand JOIN probes5 ON cand.label = probes5.label
+      |    JOIN q5 ON probes5.qid = q5.qid AND cand.vec_id <> q5.qid)
+      |  WHERE rank <= $IVFK),
+      |probes3 AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY list_dot_product(qe, ce) DESC, label) AS pr
+      |    FROM cent CROSS JOIN q)
+      |  WHERE pr <= $PROBES),
+      |encl AS (SELECT enc.*, e.label FROM enc JOIN e USING (vec_id)),
+      |ivfpq AS (
+      |  SELECT qid, did FROM (
+      |    SELECT q.qid, enc.vec_id AS did,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY $pqAdcSqlExpr, enc.vec_id) AS rank
+      |    FROM encl enc $pqCentJoins
+      |    JOIN probes3 ON enc.label = probes3.label
+      |    JOIN q ON probes3.qid = q.qid AND enc.vec_id <> q.qid)
+      |  WHERE rank <= $PQ_TOPK),
+      |r AS (
+      |  SELECT 'ivf' AS method, i.qid, CAST(COUNT(ex.did) AS BIGINT) AS hits
+      |  FROM ivf i LEFT JOIN exact ex ON i.qid = ex.qid AND i.did = ex.did
+      |  GROUP BY i.qid
+      |  UNION ALL
+      |  SELECT 'ivfpq' AS method, p.qid, CAST(COUNT(ex.did) AS BIGINT) AS hits
+      |  FROM ivfpq p LEFT JOIN exact ex ON p.qid = ex.qid AND p.did = ex.did
+      |  GROUP BY p.qid)
+      |SELECT method, qid, hits, CAST(hits AS DOUBLE) / $PQ_TOPK AS recall
+      |FROM r ORDER BY method, qid""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> (cosineTopK _),
+    "emb_ann_recall" -> (annRecall _),
     "emb_cosine_topk_fast" -> (cosineTopKFast _),
     "emb_ann_ivf" -> (annIvf _),
     "emb_kmeans" -> (kmeansTrain _),
@@ -671,6 +764,7 @@ object VectorOps extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,
+    "emb_ann_recall" -> annRecallSql,
     "emb_cosine_topk_fast" -> cosineTopKSql,
     "emb_ann_ivf" -> annIvfSql,
     "emb_kmeans" -> kmeansTrainSql,
