@@ -44,7 +44,14 @@ object Bench {
       s"\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
+    println(full)
+    // Self-contained artifact: the full per-query JSON also lands in
+    // bench_out.json next to the repo, so post-hoc analysis never depends
+    // on how much of the stdout line a log capture kept.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
+    catch { case _: Throwable => () } // a read-only CWD must not fail the bench
     // Compact summary LAST: tail-truncated captures of the big line above
     // lost the leading "metric":"total" in rounds 3-4, costing a judge
     // re-run to adjudicate a phantom regression. Whatever survives a tail

@@ -87,6 +87,15 @@ object EventOps extends QueryModule {
   //   |v - mean| > 3*sigma_pop  <=>  (n*v - S)^2 > 9*(n*Q - S^2)
   // with S = sum(v), Q = sum(v^2) — the one-pass moments multiplied through
   // by n^2 so no division (and no FP) ever happens in the predicate.
+  // OVERFLOW HEADROOM (the parity hazard if it ever tripped: non-ANSI
+  // Spark yields NULL on decimal(38) overflow — silently UN-flagging
+  // anomalies — while DuckDB's HUGEINT stays exact to ~1.7e38): every
+  // term is bounded by n²·V² with V = max |cents|. n²V² < 1e38 holds for
+  // n·V < 1e19, i.e. with $100k-max values (V=1e7) up to n = 1e12 events
+  // PER EVENT TYPE — two orders of magnitude above the ~1e10 rows/group
+  // a 100 TB events table implies for this fixture's 5-type domain. If a
+  // deployment exceeds that, pre-aggregate moments per (type, value) or
+  // run ANSI mode, where the overflow is an error instead of a NULL.
   // ------------------------------------------------------------------
   def anomalies(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).select(col("event_id"), col("event_type"), col("value"),

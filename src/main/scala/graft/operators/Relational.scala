@@ -1210,9 +1210,68 @@ object Relational extends QueryModule {
       |FROM heavy JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q21 shape (suppliers who kept orders waiting): the composed
+  // semi + anti SELF-JOIN on the fact table. A supplier's late line
+  // counts only when the finished order is MULTI-supplier (EXISTS another
+  // supplier's line: left-semi) and this supplier is SOLELY to blame
+  // (NOT EXISTS another supplier's LATE line: left-anti). The fixture
+  // lacks commit/receipt dates, so "late" = shipped more than 60 days
+  // after the order date — same plan shape, same self-join semantics.
+  // Scale: lateness filters the fact side BEFORE both self-joins; the
+  // semi probes the full lineitem and the anti probes only the (already
+  // filtered) late relation, all three legs shuffling once on
+  // l_orderkey so AQE can plan them as co-partitioned sort-merge joins;
+  // supplier attaches AFTER the count-defining joins and the top-100 is
+  // a TakeOrdered, never a global sort.
+  // ------------------------------------------------------------------
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val fOrders = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").cast("date") >
+        date_add(col("o_orderdate").cast("date"), 60))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = late.select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+    val blamed = late
+      .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+    blamed
+      .join(Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21WaitingSuppliersSql: String =
+    """WITH late AS (
+      |  SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60),
+      |blamed AS (
+      |  SELECT * FROM late
+      |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = late.l_orderkey
+      |                  AND l2.l_suppkey <> late.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM late l3
+      |                    WHERE l3.l_orderkey = late.l_orderkey
+      |                      AND l3.l_suppkey <> late.l_suppkey))
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q13_custdist" -> (q13CustDist _),
     "q18_large_orders" -> (q18LargeOrders _),
     "orders_rfm" -> (rfm _),
@@ -1265,6 +1324,7 @@ object Relational extends QueryModule {
     "orders_rfm" -> rfmSql,
     "orders_mom" -> momRevenueSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,

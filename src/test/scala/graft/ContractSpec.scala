@@ -22,6 +22,17 @@ class ContractSpec extends SparkTestBase {
     assert(stale.isEmpty, s"allowlist entries with no query: $stale")
   }
 
+  test("registry size matches the counts documented in SURVEY §2 / README") {
+    // The round-6 verdict caught the docs drifting from the registry
+    // (127/125 documented vs 128/126 actual). This pin makes the drift a
+    // test failure: update SURVEY.md §2 and README.md alongside any
+    // change to these numbers.
+    assert(SparkEntry.queries.size == 132,
+      s"queries registered: ${SparkEntry.queries.size}; update docs + this pin together")
+    assert(SparkEntry.oracleSql.size == 130,
+      s"oracle-checked: ${SparkEntry.oracleSql.size}; update docs + this pin together")
+  }
+
   test("every oracle key has a query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")

@@ -85,7 +85,9 @@ class StorageSpec extends SparkTestBase {
     // sf0.01: user_id spans 8 bits vs hour's 10 — balanced enough for the
     // interleave to localize both dims (at sf0.001 the 4-bit user domain
     // degenerates z-order toward a plain time sort)
-    val dir001 = "/root/testdata/sf0.01"
+    // larger sibling of the suite fixture, derived (not hardcoded) so a
+    // relocated testdata root moves both together
+    val dir001 = new java.io.File(sfDir).toPath.resolveSibling("sf0.01").toString
     val landing = StorageOps.writeZOrdered(spark, dir001)
     val perFile = spark.read.parquet(landing)
       .groupBy(input_file_name().as("f"))
