@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale measurement (SCALING.md): run the dedup + ANN family
+  * (plus the round-7 distributed-rank query) on a fixture dir AND on a
+  * FACTOR-times replica of its documents/embeddings/events, and report
+  * per-query wall time, the widest stage, and any 1-task stage that moved
+  * real data — the direct evidence for "near-linear growth, no serial
+  * stage" that the plan-shape arguments only assert.
+  *
+  * Replication preserves workload CHARACTER, not just row count:
+  *  - `documents`: copy c tags every token with `_xc`, so copies are NOT
+  *    near-duplicates of each other (cross-copy shingles disjoint). An
+  *    untagged replica would turn every document into a 10-member
+  *    identical cluster and grow the pair OUTPUT quadratically — that
+  *    would measure the replica artifact, not the engine. Within-copy
+  *    duplicate structure is untouched, so the near-dup workload is
+  *    FACTOR independent corpora — exactly how a 10x corpus behaves.
+  *  - `embeddings`/`events`: ids shift by c*1e12; values unchanged. The
+  *    bounded ANN query sets (vec_id < NQ) stay in copy 0, so query
+  *    count is fixed while the searched corpus grows FACTOR-fold — the
+  *    production scaling axis.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe [baseDir] [factor]"
+  * Prints one JSON line per (dir, query); SCALING.md is written from these.
+  */
+object ScaleProbe {
+
+  private val ID_OFF = 1000000000000L
+
+  private class StageStats extends SparkListener {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+      val si = sc.stageInfo
+      val m = si.taskMetrics
+      val bytes = m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
+      buf += ((si.numTasks, bytes))
+    }
+    def reset(): Unit = synchronized(buf.clear())
+    def snapshot(): Seq[(Int, Long)] = synchronized(buf.toSeq)
+  }
+
+  private def replicate(s: SparkSession, base: String, out: String, factor: Int): Unit = {
+    if (new java.io.File(out, "_DONE").exists()) return
+    new java.io.File(out).mkdirs()
+    def copies(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = graft.sources.Tables.load(s, base, name)
+      (0 until factor).map(c => f(src, c)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    copies("documents", (d, c) =>
+      if (c == 0) d
+      else d.select(
+        (col("doc_id") + lit(c * ID_OFF)).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(s"_x$c"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+    copies("embeddings", (d, c) =>
+      if (c == 0) d
+      else d.select((col("vec_id") + lit(c * ID_OFF)).as("vec_id"),
+        col("embedding"), col("label")))
+    copies("events", (d, c) =>
+      if (c == 0) d
+      else d.select((col("event_id") + lit(c * ID_OFF)).as("event_id"), col("ts"),
+        (col("user_id") + lit(c * ID_OFF)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+    new java.io.File(out, "_DONE").createNewFile()
+  }
+
+  private val FAMILY = Seq(
+    "dedup_minhash_pairs", "dedup_minhash_losers", "dedup_minhash_clusters",
+    "dedup_simhash_pairs", "dedup_containment", "dedup_ngram_jaccard",
+    "emb_cosine_topk_fast", "emb_ann_ivf", "emb_pq_topk", "emb_ann_ivfpq",
+    "emb_kmeans", "events_pareto", "docs_freq_sketch")
+
+  /** 1-task stages moving less than this are bounded-relation machinery
+    * (offset/codebook/centroid aggregates, broadcast builds) — by design.
+    * Above it, a 1-task stage means corpus data funneled through one task. */
+  private val HEAVY_BYTES = 16L * 1024 * 1024
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val big = s"/tmp/graft_scale/${new java.io.File(base).getName}_x$factor"
+    replicate(spark, base, big, factor)
+    val stats = new StageStats
+    spark.sparkContext.addSparkListener(stats)
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    for (dir <- Seq(base, big); name <- FAMILY) {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count() // warm: codegen + listing cached
+      // clusters memoizes its labels parquet per (session, dir) — reset so
+      // the timed run measures the full iterative pipeline, not a file read
+      graft.operators.DedupOps.resetClusterCache()
+      stats.reset()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800) // let the async listener bus drain
+      val st = stats.snapshot()
+      val heavy1 = st.count { case (n, b) => n == 1 && b > HEAVY_BYTES }
+      val maxTasks = if (st.isEmpty) 0 else st.map(_._1).max
+      val maxBytes = if (st.isEmpty) 0L else st.map(_._2).max
+      println(s"""SCALEPROBE {"dir":"$dir","query":"$name","secs":${fmt(secs)},""" +
+        s""""stages":${st.size},"max_tasks":$maxTasks,"one_task_heavy":$heavy1,""" +
+        s""""max_stage_mb":${maxBytes / 1024 / 1024}}""")
+    }
+    Scratch.purge(spark)
+    spark.stop()
+  }
+}

@@ -164,6 +164,11 @@ object DedupOps extends QueryModule {
   private val ccLabelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Measurement hook (ScaleProbe): drop the memoized labels so a timed
+    * run rebuilds the full iterative pipeline instead of reading its
+    * cached artifact. */
+  private[graft] def resetClusterCache(): Unit = ccLabelCache.clear()
+
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + dir
     val cached = ccLabelCache.get(key)

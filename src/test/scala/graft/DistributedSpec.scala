@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Distributed
+
+/** Exactness pins for Distributed.globalRowNumber: the distributed rank /
+  * running sum / ntile must be BIT-IDENTICAL to the single-partition global
+  * window forms they replace, including on tie-heavy keys (the case the
+  * tie-class sub-bucketing exists for) and on rank-derived ntile edges
+  * (n % b != 0, n < b). */
+class DistributedSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // tie-heavy discrete key (7 distinct values over 500 rows), unique tiebreak
+  private lazy val tieHeavy = (1 to 500).map(i => ((i * 13) % 7).toLong -> i.toLong)
+    .toDF("k", "id")
+
+  test("ByValue rank == global row_number on a tie-heavy discrete key (asc+desc)") {
+    for (asc <- Seq(true, false)) {
+      val sort = if (asc) Seq(col("k").asc, col("id").asc) else Seq(col("k").desc, col("id").asc)
+      val key = if (asc) col("k") else -col("k")
+      val got = Distributed.globalRowNumber(tieHeavy, Seq("k" -> asc, "id" -> true),
+        "rn", Distributed.ByValue(key, "id", tieSub = 4))
+      val want = tieHeavy.withColumn("rn_ref", row_number().over(Window.orderBy(sort: _*)))
+      val diff = got.join(want.select(col("id").as("id2"), col("rn_ref")), col("id") === col("id2"))
+        .filter(col("rn") =!= col("rn_ref")).count()
+      assert(diff == 0, s"asc=$asc: $diff ranks differ from the global window")
+    }
+  }
+
+  test("ByRange rank + running sum == global window forms on a continuous key") {
+    val df = (1 to 400).map(i => (math.sin(i).abs * 1e6).toLong -> i.toLong).toDF("v", "id")
+    val got = Distributed.globalRowNumber(df, Seq("v" -> false, "id" -> true), "rn",
+      Distributed.ByRange(8), cumsums = Seq("v" -> "cum"))
+    val w = Window.orderBy(col("v").desc, col("id").asc)
+    val want = df
+      .withColumn("rn_ref", row_number().over(w))
+      .withColumn("cum_ref",
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val diff = got.join(want.select(col("id").as("id2"), col("rn_ref"), col("cum_ref")),
+        col("id") === col("id2"))
+      .filter(col("rn") =!= col("rn_ref") || col("cum") =!= col("cum_ref")).count()
+    assert(diff == 0, s"$diff rank/cumsum values differ from the global window")
+  }
+
+  test("ntileFromRank == ntile() including uneven and n<b edges") {
+    for (n <- Seq(1, 3, 4, 5, 7, 103, 500); b <- Seq(5, 4)) {
+      val df = (1 to n).map(_.toLong).toDF("id")
+      val got = Distributed.globalRowNumber(df, Seq("id" -> true), "rn",
+          Distributed.ByValue(col("id"), "id", tieSub = 3), totalName = Some("nn"))
+        .withColumn("t", Distributed.ntileFromRank(col("rn"), col("nn"), b).cast("int"))
+      val want = df.withColumn("t_ref", ntile(b).over(Window.orderBy(col("id"))))
+      val diff = got.join(want.select(col("id").as("id2"), col("t_ref")), col("id") === col("id2"))
+        .filter(col("t") =!= col("t_ref")).count()
+      assert(diff == 0, s"n=$n b=$b: $diff tiles differ from ntile")
+    }
+  }
+
+  test("totalName carries the exact row count; empty input yields empty output") {
+    val df = (1 to 42).map(_.toLong).toDF("id")
+    val got = Distributed.globalRowNumber(df, Seq("id" -> true), "rn",
+      Distributed.ByRange(4), totalName = Some("n"))
+    assert(got.select(min("n"), max("n")).as[(Long, Long)].head() == ((42L, 42L)))
+    val empty = Distributed.globalRowNumber(df.filter(col("id") < 0), Seq("id" -> true),
+      "rn", Distributed.ByRange(4))
+    assert(empty.count() == 0)
+    val emptyV = Distributed.globalRowNumber(df.filter(col("id") < 0), Seq("id" -> true),
+      "rn", Distributed.ByValue(col("id"), "id"))
+    assert(emptyV.count() == 0)
+  }
+
+  test("the distributed form plans NO single-partition window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Distributed.globalRowNumber(tieHeavy, Seq("k" -> true, "id" -> true), "rn",
+      Distributed.ByValue(col("k"), "id"), cumsums = Seq("k" -> "cum"))
+    def globals(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match { case w: WindowExec if w.partitionSpec.isEmpty => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other => other.children
+      }
+      self + (kids ++ p.subqueries).map(globals).sum
+    }
+    assert(globals(df.queryExecution.executedPlan) == 0)
+  }
+}
