@@ -22,9 +22,17 @@ object Bench {
     // A throwing query records -1 (NOT its elapsed time) so broken queries
     // are visible in the bench JSON instead of polluting the total.
     val TIMED_RUNS = 2
+    // Per-query pre-run hooks: dedup_minhash_clusters memoizes its labels
+    // parquet per (session, dir) — without a reset its timed runs measure
+    // a file read, not the iterative pipeline (and r7 would look 20x
+    // faster than r5/r6 on an unchanged algorithm). dedup_cluster_sizes
+    // is NOT reset: composing on the shared artifact is its design.
+    val preRun: Map[String, () => Unit] = Map(
+      "dedup_minhash_clusters" -> (() => graft.operators.DedupOps.resetClusterCache()))
     val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val runs = (1 to TIMED_RUNS).map { _ =>
+        preRun.get(name).foreach(_.apply())
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

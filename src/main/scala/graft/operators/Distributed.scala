@@ -56,9 +56,12 @@ object Distributed {
     * column, which is the second sort key. Sub-bucketing by tiebreak range
     * is order-aligned WITHIN a tie class (ties are ordered by the tiebreak
     * alone), so ranks stay exact while the modal class fans out across
-    * `tieSub` tasks. */
-  final case class ByValue(monotoneKey: Column, tieCol: String, tieSub: Int = 32)
-      extends Buckets
+    * `tieSub` tasks. `tieBounds` = precomputed (min, max) of the tiebreak —
+    * pass it when the caller already knows the domain (or scores several
+    * orderings of one relation and can fetch every boundary in ONE
+    * construction job, see Relational.rfm) to skip this call's collect. */
+  final case class ByValue(monotoneKey: Column, tieCol: String, tieSub: Int = 32,
+      tieBounds: Option[(Long, Long)] = None) extends Buckets
 
   /** For a CONTINUOUS leading sort key: b1 = how many percentile_approx
     * boundaries the key has passed (p-1 quantiles collected ONCE at plan
@@ -66,8 +69,10 @@ object Distributed {
     * never rank correctness). Rows tying exactly on a boundary value share
     * a bucket, so the skew bound is the multiplicity of a single exact key
     * value — negligible for continuous keys (use [[ByValue]] for discrete
-    * ones). */
-  final case class ByRange(parts: Int = 0) extends Buckets
+    * ones). `boundaries` = precomputed quantiles, same caller economics as
+    * ByValue.tieBounds. */
+  final case class ByRange(parts: Int = 0, boundaries: Option[Seq[Any]] = None)
+      extends Buckets
 
   private val B1 = "__rank_b1"
   private val B2 = "__rank_b2"
@@ -90,27 +95,34 @@ object Distributed {
       cumsums: Seq[(String, String)] = Nil): DataFrame = {
     val sortCols = sort.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }
     val (b1Expr, b2Expr) = buckets match {
-      case ByValue(key, tie, k) =>
-        // tiebreak domain endpoints -> literals (bounded collect: 2 longs)
-        val mm = df.agg(min(col(tie)).cast("long"), max(col(tie)).cast("long")).head()
-        val (lo, span) =
-          if (mm.isNullAt(0)) (0L, 1L)
-          else (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1L)
+      case ByValue(key, tie, k, pre) =>
+        // tiebreak domain endpoints -> literals (bounded collect: 2 longs,
+        // skipped when the caller supplies them)
+        val (lo, span) = pre match {
+          case Some((plo, phi)) => (plo, phi - plo + 1L)
+          case None =>
+            val mm = df.agg(min(col(tie)).cast("long"), max(col(tie)).cast("long")).head()
+            if (mm.isNullAt(0)) (0L, 1L)
+            else (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1L)
+        }
         // ((tie-lo)*k)/span in exact long arithmetic -> [0, k)
         val scaled = (col(tie).cast("long") - lit(lo)) * lit(k.toLong)
         val sub = ((scaled - pmod(scaled, lit(span))) / lit(span)).cast("long")
         (key.cast("long"), coalesce(sub, lit(0L)))
-      case ByRange(parts0) =>
+      case ByRange(parts0, pre) =>
         val parts = if (parts0 > 0) parts0
           else df.sparkSession.sessionState.conf.numShufflePartitions
         val (keyName, asc) = sort.head
         // p-1 approximate quantiles of the leading key -> literals
-        // (bounded collect; they only steer balance, never correctness)
+        // (bounded collect; they only steer balance, never correctness;
+        // skipped when the caller supplies them)
         val levels = (1 until parts).map(_.toDouble / parts)
-        val bnds: Seq[Any] = if (levels.isEmpty) Nil else {
-          val row: Row = df.agg(percentile_approx(col(keyName),
-            array(levels.map(lit): _*), lit(10000)).as("q")).head()
-          if (row.isNullAt(0)) Nil else row.getSeq[Any](0)
+        val bnds: Seq[Any] = pre.getOrElse {
+          if (levels.isEmpty) Nil else {
+            val row: Row = df.agg(percentile_approx(col(keyName),
+              array(levels.map(lit): _*), lit(10000)).as("q")).head()
+            if (row.isNullAt(0)) Nil else row.getSeq[Any](0)
+          }
         }
         val passed = bnds.map { v =>
           val b = lit(v)

@@ -1113,6 +1113,19 @@ object Relational extends QueryModule {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
+    // ONE construction job fetches every bucket boundary (custkey domain
+    // endpoints + monetary quantiles). Fetching them per scoring pass
+    // would re-execute the pass's whole upstream chain per collect — the
+    // chained second and third passes made that compound (5.6 s at sf0.1,
+    // stage-overhead-bound); with literals the query is one DAG plus this
+    // single bounded collect.
+    val parts = s.sessionState.conf.numShufflePartitions
+    val levels = (1 until parts).map(_.toDouble / parts)
+    val b = per.agg(
+      min(col("o_custkey")).cast("long"), max(col("o_custkey")).cast("long"),
+      percentile_approx(col("monetary"), array(levels.map(lit): _*), lit(10000))).head()
+    val ckBounds = if (b.isNullAt(0)) Some((0L, 0L)) else Some((b.getLong(0), b.getLong(1)))
+    val mBnds = if (b.isNullAt(2)) Some(Seq.empty[Any]) else Some(b.getSeq[Any](2))
     def scored(df: DataFrame, c: String, asc: Boolean, out: String,
                buckets: Distributed.Buckets): DataFrame =
       Distributed.globalRowNumber(df, Seq(c -> asc, "o_custkey" -> true), "__rnk",
@@ -1120,10 +1133,11 @@ object Relational extends QueryModule {
         .withColumn(out, Distributed.ntileFromRank(col("__rnk"), col("__n"), 5).cast("int"))
         .drop("__rnk", "__n")
     val r = scored(per, "recency_days", asc = true, "r_score",
-      Distributed.ByValue(col("recency_days"), "o_custkey"))
+      Distributed.ByValue(col("recency_days"), "o_custkey", tieBounds = ckBounds))
     val rf = scored(r, "frequency", asc = false, "f_score",
-      Distributed.ByValue(-col("frequency"), "o_custkey"))
-    scored(rf, "monetary", asc = false, "m_score", Distributed.ByRange())
+      Distributed.ByValue(-col("frequency"), "o_custkey", tieBounds = ckBounds))
+    scored(rf, "monetary", asc = false, "m_score",
+        Distributed.ByRange(boundaries = mBnds))
       .orderBy(col("o_custkey"))
   }
 
