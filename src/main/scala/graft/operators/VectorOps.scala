@@ -545,39 +545,48 @@ object VectorOps extends QueryModule {
   private val pqAdcSqlExpr: String =
     (0 until PQ_M).map(m => s"(${pqL2(s"q.q$m", s"c$m.ce")})").mkString(" + ")
 
-  private val pqCommonCtes: String = {
+  /** The PQ train/encode CTE chain (`{p}s`, init/assign/update per
+    * subspace, `{p}enc`) over an arbitrary (vec_id, de) source CTE —
+    * shared by the flat PQ oracles (src = `e`, empty prefix) and the
+    * residual oracles (src = a residual relation, prefixed so the chain
+    * can coexist with the flat one inside a single WITH list, as the
+    * recall oracle needs). */
+  private def pqChainCtes(src: String, p: String = ""): String = {
     val subCols = (0 until PQ_M).map(m =>
       s"de[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}] AS s$m").mkString(", ")
     def assignCte(m: Int, cbCte: String, outCte: String): String =
       s"""$outCte AS (SELECT vec_id, code FROM (
         |  SELECT s.vec_id, c.code, row_number() OVER (PARTITION BY s.vec_id
         |    ORDER BY ${pqL2(s"s.s$m", "c.ce")}, c.code) AS rn
-        |  FROM s CROSS JOIN $cbCte c) WHERE rn = 1)""".stripMargin
+        |  FROM ${p}s s CROSS JOIN $cbCte c) WHERE rn = 1)""".stripMargin
     def updCte(m: Int): String =
-      s"""u$m AS (SELECT code, list(cv ORDER BY pos) AS ce FROM (
+      s"""${p}u$m AS (SELECT code, list(cv ORDER BY pos) AS ce FROM (
         |  SELECT a.code, g.i AS pos,
         |    CAST(SUM(CAST(round(s.s$m[g.i] * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) AS cv
-        |  FROM a$m a JOIN s ON a.vec_id = s.vec_id
+        |  FROM ${p}a$m a JOIN ${p}s s ON a.vec_id = s.vec_id
         |  CROSS JOIN range(1, ${PQ_SUB + 1}) g(i)
         |  GROUP BY a.code, g.i) GROUP BY code)""".stripMargin
     val inits = (0 until PQ_M).map(m =>
-      s"i$m AS (SELECT vec_id AS code, s$m AS ce FROM s WHERE vec_id < $PQ_K)")
-    val assigns = (0 until PQ_M).map(m => assignCte(m, s"i$m", s"a$m"))
+      s"${p}i$m AS (SELECT vec_id AS code, s$m AS ce FROM ${p}s WHERE vec_id < $PQ_K)")
+    val assigns = (0 until PQ_M).map(m => assignCte(m, s"${p}i$m", s"${p}a$m"))
     val upds = (0 until PQ_M).map(updCte)
-    val encs = (0 until PQ_M).map(m => assignCte(m, s"u$m", s"e$m"))
-    val encJoin = (1 until PQ_M).map(m => s"JOIN e$m USING (vec_id)").mkString(" ")
-    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
-      |s AS (SELECT vec_id, $subCols FROM e),
+    val encs = (0 until PQ_M).map(m => assignCte(m, s"${p}u$m", s"${p}e$m"))
+    val encJoin = (1 until PQ_M).map(m => s"JOIN ${p}e$m USING (vec_id)").mkString(" ")
+    s"""${p}s AS (SELECT vec_id, $subCols FROM $src),
       |${inits.mkString(",\n")},
       |${assigns.mkString(",\n")},
       |${upds.mkString(",\n")},
       |${encs.mkString(",\n")},
-      |enc AS (SELECT e0.vec_id, ${(0 until PQ_M).map(m => s"e$m.code AS code$m").mkString(", ")}
-      |        FROM e0 $encJoin),
+      |${p}enc AS (SELECT ${p}e0.vec_id, ${(0 until PQ_M).map(m => s"${p}e$m.code AS code$m").mkString(", ")}
+      |        FROM ${p}e0 $encJoin)""".stripMargin
+  }
+
+  private val pqCommonCtes: String =
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |${pqChainCtes("e")},
       |q AS (SELECT vec_id AS qid, de AS qe,
       |        ${(0 until PQ_M).map(m => s"s$m AS q$m").mkString(", ")}
       |      FROM s JOIN e USING (vec_id) WHERE vec_id < $PQ_NQ)""".stripMargin
-  }
 
   val pqTopKSql: String =
     s"""WITH $pqCommonCtes,
@@ -661,6 +670,102 @@ object VectorOps extends QueryModule {
       |WHERE rank <= $PQ_TOPK ORDER BY qid, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // [EXT] IVF-PQ with RESIDUAL encoding — the production refinement over
+  // plain IVF-PQ: the PQ codebooks are trained on r = v - centroid(cell)
+  // instead of on v itself. Residuals concentrate near the origin, so the
+  // same PQ_K codes spend their resolution on the within-cell geometry
+  // rather than on re-encoding the coarse cell position the IVF list
+  // already knows — the standard accuracy-per-byte win. Query side: per
+  // probed cell the query is residualized against THAT cell's centroid
+  // (each (qid, cell) pair gets its own q-residual slices), then ADC runs
+  // exactly as in annIvfPq, over the residual codebooks. All arithmetic
+  // stays in the parity-proven forms (exact micro-unit centroids,
+  // elementwise double subtraction — identical in DuckDB's
+  // list_transform — and the fold-identical l2sq), so the full
+  // train/encode/probe/score pipeline has an exact generated-CTE oracle.
+  // Scale: identical plan skeleton to annIvfPq plus one broadcast
+  // centroid join to residualize the corpus — the residual relation is
+  // never wider than the input and the extra join is against the
+  // label-bounded centroid set.
+  // ------------------------------------------------------------------
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("de"))
+    val centroids = e
+      .select(col("label"), posexplode(col("de")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("csum"), count(lit(1)).as("n"))
+      .withColumn("cv", col("csum").cast("double") / col("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("ce"))
+    val res = e.join(broadcast(centroids), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("de"), col("ce"), (a, b) => a - b).as("de"))
+    val cbs = pqTrain(res.select(col("vec_id"), col("de")))
+    val withCents = pqEncodeWithCents(s, res, cbs, Seq("label"))
+    val q0 = e.filter(col("vec_id") < PQ_NQ)
+      .select(col("vec_id").as("qid"), col("de").as("qe"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
+    val qres = centroids.join(broadcast(q0), lit(true))
+      .select(col("qid"), col("label"), col("ce"), col("qe"),
+        VectorFns.dot(col("qe"), col("ce")).as("score"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= PROBES)
+      .select(
+        col("qid").as("pqid") +: col("label").as("plabel") +:
+          (0 until PQ_M).map(m =>
+            sub(zip_with(col("qe"), col("ce"), (a, b) => a - b), m).as(s"q$m")): _*)
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    withCents
+      .join(broadcast(qres),
+        col("label") === col("plabel") && col("vec_id") =!= col("pqid"))
+      .withColumn("qid", col("pqid"))
+      .withColumn("adc", pqAdc)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= PQ_TOPK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"), col("adc"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annIvfPqResidualSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |cent AS (
+      |  SELECT label, list(cv ORDER BY pos) AS ce FROM (
+      |    SELECT label, pos, CAST(SUM(sv) AS DOUBLE) / COUNT(*) AS cv FROM (
+      |      SELECT label, g.i AS pos, CAST(round(de[g.i] * 1e6) AS BIGINT) AS sv
+      |      FROM e CROSS JOIN range(1, 65) g(i))
+      |    GROUP BY label, pos)
+      |  GROUP BY label),
+      |r AS (SELECT e.vec_id, e.label,
+      |        list_transform(range(1, 65), i -> e.de[i] - c.ce[i]) AS de
+      |      FROM e JOIN cent c USING (label)),
+      |${pqChainCtes("r")},
+      |q0 AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < $PQ_NQ),
+      |qres AS (
+      |  SELECT qid, label,
+      |    ${(0 until PQ_M).map(m =>
+             s"rq[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}] AS q$m").mkString(", ")}
+      |  FROM (
+      |    SELECT qid, label, rq FROM (
+      |      SELECT q0.qid, cent.label,
+      |        list_transform(range(1, 65), i -> q0.qe[i] - cent.ce[i]) AS rq,
+      |        row_number() OVER (PARTITION BY q0.qid
+      |          ORDER BY list_dot_product(q0.qe, cent.ce) DESC, cent.label) AS pr
+      |      FROM cent CROSS JOIN q0)
+      |    WHERE pr <= $PROBES)),
+      |encl AS (SELECT enc.*, e.label FROM enc JOIN e USING (vec_id)),
+      |adc AS (SELECT q.qid, enc.vec_id, enc.label, $pqAdcSqlExpr AS adc
+      |        FROM encl enc $pqCentJoins
+      |        JOIN qres q ON enc.label = q.label AND enc.vec_id <> q.qid)
+      |SELECT qid, rank, vec_id, label, adc FROM (
+      |  SELECT qid, vec_id, label, adc,
+      |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+      |  FROM adc)
+      |WHERE rank <= $PQ_TOPK ORDER BY qid, rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // [EXT] ANN recall telemetry: recall@K of both approximate searchers
   // (IVF, IVF-PQ) against the exact brute-force top-K, as a REGISTERED
   // oracle-checked query — the accuracy of the ANN family becomes a
@@ -690,8 +795,10 @@ object VectorOps extends QueryModule {
           (col("hits").cast("double") / PQ_TOPK).as("recall"))
     val ivfCand = annIvf(s, dir).select(col("qid"), col("did"))
     val ivfpqCand = annIvfPq(s, dir).select(col("qid"), col("vec_id").as("did"))
+    val resCand = annIvfPqResidual(s, dir).select(col("qid"), col("vec_id").as("did"))
     recallOf(ivfCand, "ivf")
       .unionByName(recallOf(ivfpqCand, "ivfpq"))
+      .unionByName(recallOf(resCand, "ivfpq_res"))
       .orderBy(col("method"), col("qid"))
   }
 
@@ -740,6 +847,32 @@ object VectorOps extends QueryModule {
       |    JOIN probes3 ON enc.label = probes3.label
       |    JOIN q ON probes3.qid = q.qid AND enc.vec_id <> q.qid)
       |  WHERE rank <= $PQ_TOPK),
+      |rr AS (SELECT e.vec_id, e.label,
+      |        list_transform(range(1, 65), i -> e.de[i] - c.ce[i]) AS de
+      |      FROM e JOIN cent c USING (label)),
+      |${pqChainCtes("rr", "z")},
+      |qres AS (
+      |  SELECT qid, label,
+      |    ${(0 until PQ_M).map(m =>
+             s"rq[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}] AS q$m").mkString(", ")}
+      |  FROM (
+      |    SELECT qid, label, rq FROM (
+      |      SELECT q.qid, cent.label,
+      |        list_transform(range(1, 65), i -> q.qe[i] - cent.ce[i]) AS rq,
+      |        row_number() OVER (PARTITION BY q.qid
+      |          ORDER BY list_dot_product(q.qe, cent.ce) DESC, cent.label) AS pr
+      |      FROM cent CROSS JOIN q)
+      |    WHERE pr <= $PROBES)),
+      |zencl AS (SELECT zenc.*, e.label FROM zenc JOIN e USING (vec_id)),
+      |ivfpqres AS (
+      |  SELECT qid, did FROM (
+      |    SELECT qq.qid, enc.vec_id AS did,
+      |      row_number() OVER (PARTITION BY qq.qid ORDER BY ${
+                (0 until PQ_M).map(m => s"(${pqL2(s"qq.q$m", s"c$m.ce")})").mkString(" + ")
+              }, enc.vec_id) AS rank
+      |    FROM zencl enc ${(0 until PQ_M).map(m => s"JOIN zu$m c$m ON enc.code$m = c$m.code").mkString(" ")}
+      |    JOIN qres qq ON enc.label = qq.label AND enc.vec_id <> qq.qid)
+      |  WHERE rank <= $PQ_TOPK),
       |r AS (
       |  SELECT 'ivf' AS method, i.qid, CAST(COUNT(ex.did) AS BIGINT) AS hits
       |  FROM ivf i LEFT JOIN exact ex ON i.qid = ex.qid AND i.did = ex.did
@@ -747,6 +880,10 @@ object VectorOps extends QueryModule {
       |  UNION ALL
       |  SELECT 'ivfpq' AS method, p.qid, CAST(COUNT(ex.did) AS BIGINT) AS hits
       |  FROM ivfpq p LEFT JOIN exact ex ON p.qid = ex.qid AND p.did = ex.did
+      |  GROUP BY p.qid
+      |  UNION ALL
+      |  SELECT 'ivfpq_res' AS method, p.qid, CAST(COUNT(ex.did) AS BIGINT) AS hits
+      |  FROM ivfpqres p LEFT JOIN exact ex ON p.qid = ex.qid AND p.did = ex.did
       |  GROUP BY p.qid)
       |SELECT method, qid, hits, CAST(hits AS DOUBLE) / $PQ_TOPK AS recall
       |FROM r ORDER BY method, qid""".stripMargin
@@ -760,6 +897,7 @@ object VectorOps extends QueryModule {
     "emb_kmeans" -> (kmeansTrain _),
     "emb_pq_topk" -> (pqTopK _),
     "emb_ann_ivfpq" -> (annIvfPq _),
+    "emb_ann_ivfpq_res" -> (annIvfPqResidual _),
     "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
@@ -770,5 +908,6 @@ object VectorOps extends QueryModule {
     "emb_kmeans" -> kmeansTrainSql,
     "emb_pq_topk" -> pqTopKSql,
     "emb_ann_ivfpq" -> annIvfPqSql,
+    "emb_ann_ivfpq_res" -> annIvfPqResidualSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

@@ -311,6 +311,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashEx <= 1, s"expected one user_id exchange, got $hashEx:\n$plan")
   }
 
+  test("q21 plans real semi + anti self-joins, no cartesian, orderkey co-partition") {
+    val plan = executedPlan(Relational.q21WaitingSuppliers(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected a left-anti join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the 100 TB condition: with nothing auto-broadcastable, all legs must
+    // plan as shuffle joins keyed on l_orderkey (co-partitioned sort-merge
+    // or shuffled-hash), never a nested loop over the fact table
+    withNoAutoBroadcast {
+      val big = executedPlan(Relational.q21WaitingSuppliers(spark, sfDir))
+      assert(!big.contains("BroadcastNestedLoopJoin") && !big.contains("CartesianProduct"),
+        s"fact-table nested loop under no-broadcast:\n$big")
+      assert(big.contains("LeftSemi") && big.contains("LeftAnti"))
+    }
+  }
+
   test("no single-partition Window over an unbounded relation, registry-wide") {
     // A WindowExec with an empty partitionSpec funnels its ENTIRE input
     // through one task (Exchange SinglePartition -> Sort -> Window) — the
