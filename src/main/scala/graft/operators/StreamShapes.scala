@@ -640,6 +640,66 @@ object StreamShapes extends QueryModule {
       |ORDER BY window_start, event_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // ST2+ST3 composed: APPEND-mode NATIVE session_window aggregation with
+  // a watermark — the built-in session operator on the real streaming
+  // path (the custom-state twin is stream_sessions via
+  // flatMapGroupsWithState; this is the declarative form, whose state
+  // merging/eviction Spark manages). A session's state is evicted and its
+  // row emitted once the watermark passes the session END (last event +
+  // gap), so the final emitted set is exactly the sessions with
+  // session_end <= max(ts) - delay; the oracle is the gaps-and-islands
+  // twin filtered by that flush rule, making the native operator's
+  // eviction semantics DuckDB-hash-checkable. State is bounded by the
+  // watermark horizon (sessions older than it are gone), not by stream
+  // length or user count — the unbounded-key production shape.
+  // ------------------------------------------------------------------
+  def streamSessionAppend(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schemaNs = org.apache.spark.sql.types.StructType(Tables.events.map(f =>
+      if (f.name == "ts")
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
+      else f))
+    val stream = s.readStream.schema(schemaNs).parquet(s"$dir/events.parqu*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("total_value"))
+    graft.streaming.Streams.runToCompletion(agg,
+      s"sessa_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val streamSessionAppendSql: String =
+    """WITH wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, min(ts) AS session_start,
+      |    max(ts) + INTERVAL '5 minutes' AS session_end,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM islands GROUP BY user_id, sid)
+      |SELECT user_id, session_start, session_end, n, total_value
+      |FROM sess WHERE session_end <= (SELECT w FROM wm)
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ------------------------------------------------------------------
   // Session conversion: per user, how many 5-minute-gap sessions exist and
   // what fraction contain a purchase — the funnel metric computed on
   // SESSION grain rather than event grain. Manual gaps-and-islands (the
@@ -693,6 +753,7 @@ object StreamShapes extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
     "stream_tumbling_append" -> (streamTumblingAppend _),
+    "stream_session_append" -> (streamSessionAppend _),
     "events_session_conversion" -> (sessionConversion _),
     "stream_sliding" -> (streamSliding _),
     "events_gapfill" -> (gapfill _),
@@ -713,6 +774,7 @@ object StreamShapes extends QueryModule {
   def oracles: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
     "stream_tumbling_append" -> streamTumblingAppendSql,
+    "stream_session_append" -> streamSessionAppendSql,
     "events_session_conversion" -> sessionConversionSql,
     "stream_sliding" -> slidingSql,
     "events_gapfill" -> gapfillSql,
