@@ -74,7 +74,7 @@ object ScaleProbe {
     "dedup_minhash_pairs", "dedup_minhash_losers", "dedup_minhash_clusters",
     "dedup_simhash_pairs", "dedup_containment", "dedup_ngram_jaccard",
     "emb_cosine_topk_fast", "emb_ann_ivf", "emb_pq_topk", "emb_ann_ivfpq",
-    "emb_kmeans", "events_pareto", "docs_freq_sketch")
+    "emb_ann_ivfpq_res", "emb_kmeans", "events_pareto", "docs_freq_sketch")
 
   /** 1-task stages moving less than this are bounded-relation machinery
     * (offset/codebook/centroid aggregates, broadcast builds) — by design.
