@@ -382,6 +382,70 @@ object TextOps extends QueryModule {
       |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin
 
   // ------------------------------------------------------------------
+  // Lexical retrieval: TF-IDF top-K for a fixed query term set — the
+  // inverted-index probe expressed relationally (the engine's vector
+  // search gets a keyword-search sibling). Postings for ONLY the query
+  // terms survive the explode filter, so what shuffles is linear in the
+  // matching postings, never the corpus token stream; document length
+  // rides the same single tokenize pass; idf joins broadcast (bounded by
+  // |terms|); the top-K is a TakeOrdered. Scoring is deliberately
+  // LOG-FREE — tf/len * N/df as pure integer ratios — because ln() is
+  // not guaranteed bit-identical across libm implementations, while
+  // single double divisions/multiplications in a fixed left-assoc order
+  // are; per-term contributions are pivoted to columns and added in
+  // literal term order, mirrored exactly in the oracle.
+  // ------------------------------------------------------------------
+  private val TFIDF_TERMS = Seq("join", "vector", "stream")
+  private val TFIDF_K = 10
+
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val post = docs(s, dir)
+      .select(col("doc_id"), size(toks).as("len"), explode(toks).as("token"))
+      .filter(col("token").isin(TFIDF_TERMS: _*))
+    val tf = post.groupBy(col("doc_id"), col("len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val contrib = tf.join(broadcast(dfs), Seq("token")).crossJoin(broadcast(n))
+      .withColumn("c",
+        (col("tf").cast("double") / col("len").cast("double")) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+    val pivoted = contrib.groupBy(col("doc_id"))
+      .pivot("token", TFIDF_TERMS).agg(first(col("c")))
+    val score = TFIDF_TERMS.map(t => coalesce(col(t), lit(0.0))).reduceLeft(_ + _)
+    pivoted.withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TFIDF_K)
+  }
+
+  val tfidfTopKSql: String = {
+    val cases = TFIDF_TERMS.map(t =>
+      s"COALESCE(MAX(CASE WHEN token = '$t' THEN c END), 0.0)").mkString(" +\n      |         ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      |  FROM documents),
+      |post AS (SELECT doc_id, len(tk) AS len, unnest(tk) AS token FROM tk),
+      |tf AS (
+      |  SELECT doc_id, len, token, CAST(COUNT(*) AS BIGINT) AS tf FROM post
+      |  WHERE token IN (${TFIDF_TERMS.map(t => s"'$t'").mkString(", ")})
+      |  GROUP BY doc_id, len, token),
+      |dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |c AS (
+      |  SELECT doc_id, token,
+      |    (CAST(tf AS DOUBLE) / CAST(len AS DOUBLE)) *
+      |      (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS c
+      |  FROM tf JOIN dfs USING (token) CROSS JOIN n),
+      |sc AS (
+      |  SELECT doc_id,
+      |         $cases AS score
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, score FROM sc
+      |ORDER BY score DESC, doc_id LIMIT $TFIDF_K""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Frequent items via count-min sketch (the approx_top_k shape): the
   // token stream folds into ONE fixed-size mergeable sketch (map-side
   // partials, the shuffle carries sketches, never tokens), and the
@@ -474,6 +538,7 @@ object TextOps extends QueryModule {
     "docs_repetition" -> (repetition _),
     "docs_vocab_topk" -> (vocabTopK _),
     "docs_freq_sketch" -> (freqSketch _),
+    "docs_tfidf_topk" -> (tfidfTopK _),
     "docs_oov_rate" -> (oovRate _),
     "docs_pii_scrub" -> (piiScrub _),
     "docs_rolling_fp" -> (rollingFingerprint _),
@@ -488,6 +553,7 @@ object TextOps extends QueryModule {
     "docs_repetition" -> repetitionSql,
     "docs_vocab_topk" -> vocabTopKSql,
     "docs_freq_sketch" -> freqSketchSql,
+    "docs_tfidf_topk" -> tfidfTopKSql,
     "docs_oov_rate" -> oovRateSql,
     "docs_pii_scrub" -> piiScrubSql,
     "docs_rolling_fp" -> rollingFingerprintSql,

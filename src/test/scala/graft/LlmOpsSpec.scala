@@ -257,6 +257,20 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("tfidf top-k: positive non-increasing scores; every hit contains a query term") {
+    val out = TextOps.tfidfTopK(spark, sfDir).collect()
+    assert(out.length <= 10 && out.nonEmpty)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0), "a scored doc must match at least one term")
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "output is rank order")
+    val ids = out.map(_.getLong(0))
+    val withTerm = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(lower(col("text")).rlike("\\b(join|vector|stream)\\b"))
+      .count()
+    assert(withTerm == ids.length, "every returned doc must contain a query term")
+  }
+
   test("cosine top-k: 10 ranked neighbors per query, cos in [-1,1], descending") {
     val rows = VectorOps.cosineTopK(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
