@@ -313,6 +313,72 @@ object StreamShapes extends QueryModule {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // ST5 outer: the LEFT OUTER stream-stream interval join — same state
+  // bounds as the inner form, plus the semantics that define outer
+  // streaming joins: an unmatched left row emits its null-extended result
+  // only when the watermark proves no future match can arrive (its join
+  // window a_ts + 2h has passed the global watermark = min over both
+  // sides of max(ts) - delay). The final emitted set is therefore
+  // matches + unmatched lefts with a_ts + 2h < watermark — tail rows
+  // whose window is still open are withheld, and the oracle encodes
+  // exactly that rule (verified empirically at sf0.001/0.01), making the
+  // eviction/null-emission contract DuckDB-hash-checkable. Null ordering
+  // is pinned NULLS FIRST on both sides.
+  // ------------------------------------------------------------------
+  def streamStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    val (landA, landB) = joinLandings.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val (a, b) = (graft.Scratch.dir("graft_stream_join_a"), graft.Scratch.dir("graft_stream_join_b"))
+      val evs = ev(s, dir).select(cols: _*).filter(col("event_id") < 20000)
+      evs.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(a)
+      evs.filter(pmod(col("event_id"), lit(2)) === 1).write.parquet(b)
+      (a, b)
+    })
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.events.filterNot(_.name == "props"))
+    val a = s.readStream.schema(schema).parquet(landA)
+      .withWatermark("ts", "4 hours")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"), col("user_id"))
+    val b = s.readStream.schema(schema).parquet(landB)
+      .withWatermark("ts", "4 hours")
+      .select(col("event_id").as("b_id"), col("ts").as("b_ts"), col("user_id").as("b_user"))
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 2 hours"),
+      "leftOuter")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val result =
+      try graft.streaming.Streams.runToCompletion(joined,
+        s"ssjoino_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    result
+      .select(col("a_id"), col("b_id"), col("user_id"))
+      .orderBy(col("a_id"), col("b_id").asc_nulls_first)
+  }
+
+  val streamStreamJoinOuterSql: String =
+    """WITH sl AS (SELECT event_id, ts, user_id FROM events WHERE event_id < 20000),
+      |a AS (SELECT event_id AS a_id, ts AS a_ts, user_id FROM sl WHERE event_id % 2 = 0),
+      |b AS (SELECT event_id AS b_id, ts AS b_ts, user_id AS b_user FROM sl
+      |      WHERE event_id % 2 = 1),
+      |wm AS (SELECT least((SELECT max(a_ts) FROM a), (SELECT max(b_ts) FROM b))
+      |         - INTERVAL '4 hours' AS w),
+      |m AS (
+      |  SELECT a_id, b_id, user_id FROM a JOIN b ON user_id = b_user
+      |    AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL '2 hours'),
+      |um AS (
+      |  SELECT a_id, CAST(NULL AS BIGINT) AS b_id, user_id FROM a
+      |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b_user = a.user_id
+      |          AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL '2 hours')
+      |    AND a_ts + INTERVAL '2 hours' < (SELECT w FROM wm))
+      |SELECT a_id, b_id, user_id FROM (
+      |  SELECT * FROM m UNION ALL SELECT * FROM um)
+      |ORDER BY a_id, b_id NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
   // Funnel analysis: users progressing view -> click -> purchase, each
   // stage strictly AFTER the previous one's first occurrence. Classic
   // event analytics; expressed as three per-user conditional MIN
@@ -762,6 +828,7 @@ object StreamShapes extends QueryModule {
     "events_funnel" -> (funnel _),
     "events_scd2" -> (scd2Intervals _),
     "stream_join" -> (streamStreamJoin _),
+    "stream_join_outer" -> (streamStreamJoinOuter _),
     "events_tumbling" -> (tumbling _),
     "events_sliding" -> (sliding _),
     "events_session" -> (sessions _),
@@ -783,6 +850,7 @@ object StreamShapes extends QueryModule {
     "events_funnel" -> funnelSql,
     "events_scd2" -> scd2IntervalsSql,
     "stream_join" -> streamStreamJoinSql,
+    "stream_join_outer" -> streamStreamJoinOuterSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionsSql,
