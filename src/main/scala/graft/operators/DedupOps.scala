@@ -284,6 +284,54 @@ object DedupOps extends QueryModule {
       |FROM per GROUP BY csize ORDER BY csize""".stripMargin
 
   // ------------------------------------------------------------------
+  // Triangle count over the near-dup graph — how CLIQUE-LIKE the
+  // duplicate structure is (clusters from transitive chains have few
+  // triangles; clusters of mutual near-copies are dense). The classic
+  // distributed formulation: orient every edge from its lower-(degree,id)
+  // endpoint, enumerate wedges per source, and probe the oriented closing
+  // edge. Orientation is the skew bound: out-degree is O(sqrt(|E|))
+  // regardless of how hot a vertex is, so the wedge join cannot explode
+  // on a celebrity node the way the naive u-joins-u self-join does — at
+  // 100 TB this is the difference between a bounded shuffle and a
+  // quadratic hot key. The oracle counts the same triangles with the
+  // simple u<v<w three-way self-join (exact at fixture scale; both forms
+  // count each triangle exactly once).
+  // ------------------------------------------------------------------
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleCountOf(minhashPairs(s, dir).filter(col("est_jaccard") >= 0.9)
+      .select(col("d1").as("u"), col("d2").as("v")))
+
+  /** Oriented-wedge triangle core over a (u, v) edge relation with u < v —
+    * factored out so specs can drive it with synthetic graphs. */
+  private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val withDeg = edges
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+    // orient src -> dst with (deg, id) ascending: ties on degree break by id
+    val srcFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(srcFirst, col("u")).otherwise(col("v")).as("src"),
+      when(srcFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(srcFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val e1 = oriented.select(col("src"), col("dst").as("d1v"), col("ddst").as("dd1"))
+    val e2 = oriented.select(col("src"), col("dst").as("d2v"), col("ddst").as("dd2"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dd1") < col("dd2") || (col("dd1") === col("dd2") && col("d1v") < col("d2v")))
+    val closing = oriented.select(col("src").as("c_src"), col("dst").as("c_dst"))
+    wedges.join(closing, col("d1v") === col("c_src") && col("d2v") === col("c_dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val triangleCountSql: String =
+    s"""WITH pairs AS ($minhashPairsSql),
+      |e AS (SELECT d1 AS u, d2 AS v FROM pairs WHERE est_jaccard >= 0.9)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
+
+  // ------------------------------------------------------------------
   // Loser set (curation's near-dup removal): per (b, band_key) bucket the
   // bucket-min doc is the canonical representative; every other member is
   // a loser CANDIDATE paired with that representative, then verified by
@@ -580,6 +628,7 @@ object DedupOps extends QueryModule {
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_minhash_clusters" -> (minhashClusters _),
     "dedup_cluster_sizes" -> (clusterSizes _),
+    "dedup_triangles" -> (triangleCount _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
@@ -591,6 +640,7 @@ object DedupOps extends QueryModule {
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_minhash_clusters" -> minhashClustersSql,
     "dedup_cluster_sizes" -> clusterSizesSql,
+    "dedup_triangles" -> triangleCountSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,

@@ -257,6 +257,19 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("triangle count: oriented-wedge core matches known counts on synthetic graphs") {
+    import spark.implicits._
+    // 4-clique on {1,2,3,4} -> C(4,3)=4 triangles; plus a pendant chain
+    // 4-5, 5-6 (no new triangles) and an isolated edge 7-8
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (7L, 8L))).toDF("u", "v")
+    val n = graft.operators.DedupOps.triangleCountOf(edges).head().getLong(0)
+    assert(n == 4, s"expected 4 triangles in the 4-clique graph, got $n")
+    // a path graph has none
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(graft.operators.DedupOps.triangleCountOf(path).head().getLong(0) == 0)
+  }
+
   test("tfidf top-k: positive non-increasing scores; every hit contains a query term") {
     val out = TextOps.tfidfTopK(spark, sfDir).collect()
     assert(out.length <= 10 && out.nonEmpty)
