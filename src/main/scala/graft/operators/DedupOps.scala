@@ -332,6 +332,55 @@ object DedupOps extends QueryModule {
       |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
 
   // ------------------------------------------------------------------
+  // Duplicated-span coverage (ExactSubstr-style telemetry): for every
+  // document, the fraction of its 5-token spans (ALL positions, not the
+  // distinct shingle set) that also occur in at least one OTHER document.
+  // Doc-level near-dup answers "is this document a copy?"; this answers
+  // "how much of this document is copied from somewhere?" — the signal
+  // span-level dedup (Lee et al.'s deduplicating-training-data setup)
+  // thresholds on. Plan: one narrow span-extraction pass, a keyed
+  // document-frequency aggregate on the span hash (two-level exact
+  // distinct: (h, doc) dedup then count — partial aggs both levels), and
+  // an equi-join of the span stream back to the df relation. No self-join
+  // anywhere, so a hot span (boilerplate header shared by 10^6 docs)
+  // costs one shuffled row per occurrence, never a quadratic pair blowup
+  // — the reason this is the metric that SCALES while pairwise span
+  // comparison does not.
+  // ------------------------------------------------------------------
+  def spanCoverage(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.loadParallel(s, dir, "documents")
+      .select(coalesce(col("doc_id"), lit(Long.MinValue)).as("doc_id"),
+        TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-5), i -> md5(concat_ws(' ', slice(toks, i+1, 5))))"))
+        .as("h"))
+    // exact df per span hash: distinct (h, doc) then count — both keyed
+    val df = spans.select(col("h"), col("doc_id").as("d")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    spans.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCoverageSql: String =
+    """WITH spans AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-3),
+      |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS h
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)),
+      |df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
+      |SELECT s.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+      |FROM spans s JOIN df USING (h)
+      |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Loser set (curation's near-dup removal): per (b, band_key) bucket the
   // bucket-min doc is the canonical representative; every other member is
   // a loser CANDIDATE paired with that representative, then verified by
@@ -629,6 +678,7 @@ object DedupOps extends QueryModule {
     "dedup_minhash_clusters" -> (minhashClusters _),
     "dedup_cluster_sizes" -> (clusterSizes _),
     "dedup_triangles" -> (triangleCount _),
+    "dedup_span_coverage" -> (spanCoverage _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
@@ -641,6 +691,7 @@ object DedupOps extends QueryModule {
     "dedup_minhash_clusters" -> minhashClustersSql,
     "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_triangles" -> triangleCountSql,
+    "dedup_span_coverage" -> spanCoverageSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,

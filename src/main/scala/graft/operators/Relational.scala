@@ -1282,10 +1282,127 @@ object Relational extends QueryModule {
       |FROM blamed JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q4 shape (order-priority checking): orders in one quarter that
+  // have at least one LATE lineitem (EXISTS -> left-semi join), counted
+  // per priority. The fixture lacks commit/receipt dates, so "late"
+  // reuses Q21's definition: shipped more than 60 days after the order
+  // date. Scale: the quarter filter prunes orders FIRST (partition-
+  // prunable at scale), the semi-join shuffles each side once on the
+  // order key and emits at most one row per order regardless of how many
+  // lines are late, and the 5-row result needs no sort machinery beyond
+  // the final trivial orderBy.
+  // ------------------------------------------------------------------
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-04-01").cast("date"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val late = o.join(li,
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60),
+      "left_semi")
+    late.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+  // the supplier(s) achieving the GLOBAL maximum — the classic
+  // aggregate-then-join-on-scalar-subquery pattern. Revenue stays in
+  // exact decimal so the max-equality join cannot be broken by float
+  // summation order; the scalar max is a 1-row broadcast, so the "WHERE
+  // total_revenue = (SELECT max ...)" costs no second shuffle of the
+  // revenue relation at any scale.
+  // ------------------------------------------------------------------
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
+      .join(Tables.load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+  // brand whose quantity is below 20% of that PART's average quantity —
+  // the correlated scalar subquery decorrelated into a per-part
+  // aggregate + equi-join. avg(l_quantity) is exact here (integer-valued
+  // quantities sum exactly in doubles far below 2^53, so partial-agg
+  // order cannot change the result) and the 0.2 * avg comparison
+  // multiplies identical operands on both engines. Scale: the brand
+  // filter broadcasts parts; the per-part avg shuffles lineitem once on
+  // l_partkey and the semi-filtered revenue is a single scan-side sum —
+  // no row explosion, no global sort.
+  // ------------------------------------------------------------------
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.load(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17SmallQtyRevenueSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |pavg AS (SELECT l_partkey AS a_partkey, AVG(l_quantity) AS avg_qty
+      |         FROM li GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM li JOIN pavg ON l_partkey = a_partkey
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q13_custdist" -> (q13CustDist _),
     "q18_large_orders" -> (q18LargeOrders _),
     "orders_rfm" -> (rfm _),
@@ -1339,6 +1456,9 @@ object Relational extends QueryModule {
     "orders_mom" -> momRevenueSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,

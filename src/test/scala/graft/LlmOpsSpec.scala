@@ -270,6 +270,20 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(graft.operators.DedupOps.triangleCountOf(path).head().getLong(0) == 0)
   }
 
+  test("span coverage: one row per >=5-token doc, ratio consistent and bounded") {
+    val out = graft.operators.DedupOps.spanCoverage(spark, sfDir).collect()
+    val eligible = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 5).count()
+    assert(out.length.toLong == eligible)
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_spans"); val d = r.getAs[Long]("n_dup_spans")
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(n > 0 && d >= 0 && d <= n)
+      assert(math.abs(ratio - d.toDouble / n) == 0.0)
+    }
+  }
+
   test("tfidf top-k: positive non-increasing scores; every hit contains a query term") {
     val out = TextOps.tfidfTopK(spark, sfDir).collect()
     assert(out.length <= 10 && out.nonEmpty)

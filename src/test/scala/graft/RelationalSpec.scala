@@ -85,4 +85,31 @@ class RelationalSpec extends SparkTestBase {
     assert(bySeg.values.forall(rs => rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length)))
     assert(bySeg.values.forall(_.length <= 3))
   }
+
+  test("q4: priority counts sum to the distinct late orders in the quarter") {
+    import graft.sources.Tables
+    val out = Relational.q4OrderPriority(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-04-01").cast("date"))
+    val expected = o.join(Tables.load(spark, sfDir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60))
+      .select(col("o_orderkey")).distinct().count()
+    assert(out.map(_.getAs[Long]("order_count")).sum == expected)
+  }
+
+  test("q15: every returned supplier shares the single global-max revenue") {
+    val out = Relational.q15TopSupplier(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+  }
+
+  test("q17: avg_yearly is the small-quantity revenue divided by 7") {
+    val row = Relational.q17SmallQtyRevenue(spark, sfDir).head()
+    val n = row.getAs[Long]("n_lines")
+    assert(n > 0, "brand filter left no small-quantity lines at fixture scale")
+    assert(row.getAs[Double]("avg_yearly") > 0)
+  }
 }
