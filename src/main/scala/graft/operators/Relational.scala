@@ -960,6 +960,35 @@ object Relational extends QueryModule {
       |ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // NOT IN with a NULLABLE subquery column — the three-valued-logic corner
+  // that is NOT equivalent to the left-anti join above: one NULL in the
+  // subquery makes every NOT IN predicate UNKNOWN (empty result), so the
+  // engine must track null presence, not just key absence. Spark plans the
+  // single-column case as a null-aware anti join (broadcast hash join with
+  // isNullAware=true) — correct AND cheap while the subquery side fits a
+  // broadcast. The 100 TB contract: NAAJ exists ONLY for broadcastable
+  // build sides; an unbounded NOT IN subquery degenerates to a nested
+  // loop, so at scale the query author (or a rewrite rule) must split it
+  // into the null-existence probe (a 1-row aggregate) + a plain anti join
+  // — which is exactly how the DuckDB twin evaluates it. The fixture
+  // subquery is null-free, so the result equals the anti join and the
+  // semantics corner is pinned by RelationalSpec injecting a NULL.
+  // ------------------------------------------------------------------
+  def joinNotIn(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("cust_ni")
+    t(s, dir, "orders").createOrReplaceTempView("ord_ni")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment FROM cust_ni
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM ord_ni WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val joinNotInSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
   // X1 (higher-order array functions): transform/filter/aggregate/exists
   // over the tokenized part name — all codegen'd lambda expressions, zero
   // UDFs, one WholeStageCodegen span over the scan. Outputs are SCALARS
@@ -1419,6 +1448,7 @@ object Relational extends QueryModule {
     "scalar_arrays" -> (scalarArrays _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
+    "join_not_in" -> (joinNotIn _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsOf _),
     "join_asof2" -> (joinAsOf2 _),
@@ -1466,6 +1496,7 @@ object Relational extends QueryModule {
     "scalar_arrays" -> scalarArraysSql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
+    "join_not_in" -> joinNotInSql,
     "join_range" -> joinRangeSql,
     "join_asof" -> joinAsOfSql,
     "join_asof2" -> joinAsOf2Sql,

@@ -816,7 +816,82 @@ object StreamShapes extends QueryModule {
       |  CAST(SUM(has_p) AS DOUBLE) / COUNT(*) AS conversion
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Streaming upsert sink (foreachBatch MERGE): each micro-batch is
+  // reduced to per-user deltas and MERGED into a keyed parquet state
+  // table — the streaming half of merge_upsert, and the shape every
+  // lakehouse "stream into a table" job takes. The merge is ASSOCIATIVE
+  // and COMMUTATIVE over batches (counts add, decimal sums add, the
+  // latest-event pick is a (ts, event_id) max), so the final state is
+  // independent of micro-batch boundaries and a plain batch GROUP BY
+  // states the oracle. State generations alternate scratch dirs
+  // (write-new-then-swap — the parquet stand-in for a table format's
+  // atomic commit, stated as such); each batch costs one keyed batch agg
+  // plus one keyed union-agg against the state table, both partitioned by
+  // the merge key — no collects, no broadcast of unbounded state. The
+  // landing is written as 8 files and streamed 3-per-trigger so the sink
+  // provably merges across MULTIPLE batches, not one.
+  // ------------------------------------------------------------------
+  def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val landing = graft.Scratch.dir("graft_stream_merge_landing")
+    ev(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .repartition(8).write.mode("overwrite").parquet(landing)
+    val stateBase = graft.Scratch.dir("graft_stream_merge_state")
+    var cur: Option[String] = None
+    var gen = 0
+    val delta = (df: DataFrame) => df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"),
+        max(struct(col("ts"), col("event_id"))).as("last"))
+    val q = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Tables.events.filter(f => Seq("user_id", "ts", "event_id", "value").contains(f.name))))
+      .option("maxFilesPerTrigger", 3)
+      .parquet(landing)
+      .writeStream
+      .option("checkpointLocation", graft.Scratch.dir("graft_stream_merge_ckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = delta(batch)
+        val merged = cur match {
+          case None => d
+          case Some(p) =>
+            batch.sparkSession.read.parquet(p).unionByName(d)
+              .groupBy(col("user_id"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("total_value")).cast("decimal(38,4)").as("total_value"),
+                max(col("last")).as("last"))
+        }
+        gen += 1
+        val next = s"$stateBase/gen_$gen"
+        merged.write.mode("overwrite").parquet(next)
+        cur = Some(next)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(cur.getOrElse(sys.error("stream produced no batches")))
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamMergeUpsertSql: String =
+    """WITH agg AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY user_id),
+      |last AS (
+      |  SELECT user_id, ts AS last_ts, event_id AS last_event_id FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+      |SELECT a.user_id AS user_id, n_events, total_value, last_ts, last_event_id
+      |FROM agg a JOIN last l ON a.user_id = l.user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_merge_upsert" -> (streamMergeUpsert _),
     "stream_tumbling" -> (streamTumbling _),
     "stream_tumbling_append" -> (streamTumblingAppend _),
     "stream_session_append" -> (streamSessionAppend _),
@@ -839,6 +914,7 @@ object StreamShapes extends QueryModule {
     "stream_incremental" -> (streamIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "stream_merge_upsert" -> streamMergeUpsertSql,
     "stream_tumbling" -> tumblingSql,
     "stream_tumbling_append" -> streamTumblingAppendSql,
     "stream_session_append" -> streamSessionAppendSql,

@@ -889,7 +889,103 @@ object VectorOps extends QueryModule {
       |FROM r ORDER BY method, qid""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // MMR diversified top-K (maximal marginal relevance): rerank the top-N
+  // cosine candidates so each successive pick trades relevance against
+  // redundancy with what is already selected —
+  // score_k(d) = 0.5*cos(q,d) - 0.5*max_{s in selected} cos(d,s).
+  // The production shape for retrieval-augmented sampling: ANN gives the
+  // bounded candidate pool, MMR de-duplicates the RESULT LIST. Scale: the
+  // greedy loop runs entirely on the bounded (qid, candidate) relation —
+  // N=20 rows and N^2=400 pair sims per query, never the corpus — so
+  // every stage is a keyed join on qid over K fixed iterations; the
+  // corpus is touched exactly once (the candidate scan). lambda=0.5 is
+  // exactly representable, so both engines compute bit-identical scores
+  // from bit-identical cosines. Oracle: a generated K-stage CTE chain
+  // (sel1..sel5), the same pattern as the PQ oracles.
+  // ------------------------------------------------------------------
+  private val MMR_N = 20
+  private val MMR_K = 5
+
+  def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
+    val cand = e.select(col("vec_id").as("did"), col("embedding").as("de"))
+      .join(broadcast(q), col("did") =!= col("qid"))
+      .select(col("qid"), col("did"), col("de"),
+        VectorFns.cosine(col("qe"), col("de")).as("cos"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= MMR_N)
+    val pairs = cand.select(col("qid"), col("did").as("a"), col("de").as("ae"))
+      .join(cand.select(col("qid").as("qb"), col("did").as("b"), col("de").as("be")),
+        col("qid") === col("qb") && col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"), VectorFns.cosine(col("ae"), col("be")).as("sim"))
+    var sel = cand.filter(col("rn") === 1)
+      .select(col("qid"), lit(1).as("k"), col("did"), col("cos").cast("double").as("score"))
+    for (k <- 2 to MMR_K) {
+      val selD = sel.select(col("qid").as("sq"), col("did").as("sdid"))
+      val maxsim = pairs
+        .join(selD, col("qid") === col("sq") && col("b") === col("sdid"))
+        .groupBy(col("qid").as("mq"), col("a"))
+        .agg(max(col("sim")).as("maxsim"))
+      val wPick = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("did"))
+      val pick = cand
+        .join(selD, col("qid") === col("sq") && col("did") === col("sdid"), "left_anti")
+        .join(maxsim, col("qid") === col("mq") && col("did") === col("a"))
+        .select(col("qid"), col("did"),
+          (lit(0.5) * col("cos") - lit(0.5) * col("maxsim")).as("mmr"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(k).as("k"), col("did"), col("mmr").cast("double").as("score"))
+      sel = sel.unionByName(pick)
+    }
+    sel.orderBy(col("qid"), col("k"))
+  }
+
+  val mmrTopKSql: String = {
+    val cos = "list_dot_product(qe, de) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(de, de)))"
+    val stages = (2 to MMR_K).map { k =>
+      s"""sel$k AS (
+        |  SELECT * FROM sel${k - 1}
+        |  UNION ALL
+        |  SELECT qid, $k AS k, did, score FROM (
+        |    SELECT c.qid, c.did, 0.5 * c.cos - 0.5 * m.maxsim AS score,
+        |      row_number() OVER (PARTITION BY c.qid
+        |        ORDER BY 0.5 * c.cos - 0.5 * m.maxsim DESC, c.did) AS rn
+        |    FROM cand c
+        |    JOIN (SELECT p.qid, p.a, MAX(p.sim) AS maxsim
+        |          FROM pairs p JOIN sel${k - 1} s ON p.qid = s.qid AND p.b = s.did
+        |          GROUP BY p.qid, p.a) m ON c.qid = m.qid AND c.did = m.a
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s2
+        |                      WHERE s2.qid = c.qid AND s2.did = c.did))
+        |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |q AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < $NQUERY),
+      |cand AS (
+      |  SELECT qid, did, de, cos FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rn
+      |    FROM (SELECT q.qid, e.vec_id AS did, e.de AS de, $cos AS cos
+      |          FROM e JOIN q ON e.vec_id <> q.qid))
+      |  WHERE rn <= $MMR_N),
+      |pairs AS (
+      |  SELECT x.qid, x.did AS a, y.did AS b,
+      |    list_dot_product(x.de, y.de)
+      |      / (sqrt(list_dot_product(x.de, x.de)) * sqrt(list_dot_product(y.de, y.de))) AS sim
+      |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.did <> y.did),
+      |sel1 AS (
+      |  SELECT qid, 1 AS k, did, CAST(cos AS DOUBLE) AS score FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rn
+      |    FROM cand)
+      |  WHERE rn = 1),
+      |$stages
+      |SELECT qid, k, did, score FROM sel$MMR_K ORDER BY qid, k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_mmr_topk" -> (mmrTopK _),
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ann_recall" -> (annRecall _),
     "emb_cosine_topk_fast" -> (cosineTopKFast _),
@@ -901,6 +997,7 @@ object VectorOps extends QueryModule {
     "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
+    "emb_mmr_topk" -> mmrTopKSql,
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ann_recall" -> annRecallSql,
     "emb_cosine_topk_fast" -> cosineTopKSql,

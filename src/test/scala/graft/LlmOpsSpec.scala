@@ -270,6 +270,25 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(graft.operators.DedupOps.triangleCountOf(path).head().getLong(0) == 0)
   }
 
+  test("mmr: first pick is the exact top-1, picks distinct, scores sink with k") {
+    val out = VectorOps.mmrTopK(spark, sfDir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 5))
+    val top1 = VectorOps.cosineTopK(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("did")).toMap
+    byQ.foreach { case (qid, rows) =>
+      val ks = rows.map(_.getAs[Int]("k")).sorted
+      assert(ks.sameElements(1 to 5))
+      assert(rows.map(_.getAs[Long]("did")).distinct.length == 5)
+      assert(rows.find(_.getAs[Int]("k") == 1).get.getAs[Long]("did") == top1(qid))
+      // selected-set growth can only raise each candidate's redundancy
+      // penalty, so the achievable MMR score is non-increasing for k >= 2
+      val s = rows.sortBy(_.getAs[Int]("k")).drop(1).map(_.getAs[Double]("score"))
+      assert(s.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
   test("span coverage: one row per >=5-token doc, ratio consistent and bounded") {
     val out = graft.operators.DedupOps.spanCoverage(spark, sfDir).collect()
     val eligible = graft.sources.Tables.load(spark, sfDir, "documents")

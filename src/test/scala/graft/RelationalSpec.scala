@@ -86,6 +86,19 @@ class RelationalSpec extends SparkTestBase {
     assert(bySeg.values.forall(_.length <= 3))
   }
 
+  test("not-in: equals anti join on null-free subquery; one NULL empties it") {
+    import spark.implicits._
+    val notIn = Relational.joinNotIn(spark, sfDir).collect()
+    val anti = Relational.joinAnti(spark, sfDir).select(col("c_custkey")).collect()
+    assert(notIn.map(_.getLong(0)).sameElements(anti.map(_.getLong(0))))
+    // three-valued logic: a single NULL in the subquery makes every
+    // NOT IN predicate UNKNOWN -> empty result, where NOT EXISTS would not
+    Seq(Some(1L), None).toDF("k").createOrReplaceTempView("ni_probe")
+    val poisoned = spark.sql(
+      "SELECT c_custkey FROM cust_ni WHERE c_custkey NOT IN (SELECT k FROM ni_probe)")
+    assert(poisoned.count() == 0)
+  }
+
   test("q4: priority counts sum to the distinct late orders in the quarter") {
     import graft.sources.Tables
     val out = Relational.q4OrderPriority(spark, sfDir).collect()

@@ -211,6 +211,24 @@ class StreamingSpec extends SparkTestBase {
     g.unpersist()
   }
 
+  test("streaming foreachBatch merge sink converges to the batch aggregate") {
+    val out = graft.operators.StreamShapes.streamMergeUpsert(spark, sfDir)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val batch = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .join(ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"), col("event_id").as("last_event_id")),
+        Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        col("last_ts"), col("last_event_id"))
+      .orderBy(col("user_id"))
+    // multi-batch merge (8 landing files, 3 per trigger) == one-shot batch
+    assert(out.collect().sameElements(batch.collect()))
+  }
+
   test("retention triangle: offset-0 row IS the cohort size and bounds every later offset") {
     val ret = graft.operators.StreamShapes.retention(spark, sfDir).cache()
     assert(ret.filter(col("week_offset") < 0).count() == 0)
