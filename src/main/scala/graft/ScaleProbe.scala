@@ -73,8 +73,10 @@ object ScaleProbe {
   private val FAMILY = Seq(
     "dedup_minhash_pairs", "dedup_minhash_losers", "dedup_minhash_clusters",
     "dedup_simhash_pairs", "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_span_coverage", "dedup_triangles",
     "emb_cosine_topk_fast", "emb_ann_ivf", "emb_pq_topk", "emb_ann_ivfpq",
-    "emb_ann_ivfpq_res", "emb_kmeans", "events_pareto", "docs_freq_sketch")
+    "emb_ann_ivfpq_res", "emb_kmeans", "emb_mmr_topk",
+    "events_pareto", "docs_freq_sketch")
 
   /** 1-task stages moving less than this are bounded-relation machinery
     * (offset/codebook/centroid aggregates, broadcast builds) — by design.

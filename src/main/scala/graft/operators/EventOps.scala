@@ -321,6 +321,67 @@ object EventOps extends QueryModule {
       |ORDER BY user_id, dnum""".stripMargin
 
   // ------------------------------------------------------------------
+  // Per-user daily EWMA (alpha = 0.5), truncated at 16 terms: the
+  // canonical activity-trend smoother, WITHOUT the sequential recursion
+  // s_t = a*v_t + (1-a)*s_{t-1} that cannot parallelize. The closed form
+  // s_t = sum_k 0.5^(k+1) * v_{t-k} truncates at k=16 (the dropped tail
+  // is < 2^-17 of any observation — stated, not hidden), which turns the
+  // recursion into a 16-way offset join: each daily total contributes to
+  // its next 16 calendar days, grouped back per (user, day). Scale:
+  // linear in daily rows x 16, all keyed by (user_id, day) — no window
+  // over an unbounded partition, no order-dependence. Exactness: the
+  // kernel is computed in units of 2^-16, where every weight is an
+  // INTEGER — see the weight-table note below. Missing days contribute
+  // nothing on either side (gaps handled by the calendar join, not
+  // imputation).
+  // ------------------------------------------------------------------
+  // Weights in units of 2^-16: wt(k) = 2^(15-k) INTEGERS, so the kernel
+  // sum stays a small-scale decimal and the only non-integer steps are
+  // the final decimal->double cast (exact: |sacc|*10^4 << 2^53) and the
+  // /65536.0 (a power-of-two exponent shift, exact in IEEE). A first cut
+  // used DECIMAL(17,16) weights; the (38,20) accumulator then hit TWO
+  // portability traps — Spark's precision-loss rounding on the product,
+  // and a 1-ulp divergence in DuckDB's int128/10^20 -> double cast (it
+  // double-rounds where Java's BigDecimal.doubleValue single-rounds).
+  // Power-of-two scaling sidesteps both BY CONSTRUCTION.
+  private val EWMA_TERMS = 16
+
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = ev(s, dir)
+      .groupBy(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dnum"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("v"))
+    val wDf = (0 until EWMA_TERMS).map(k => (k, 1L << (EWMA_TERMS - 1 - k))).toDF("k", "wt")
+    val acc = daily.join(broadcast(wDf), lit(true))
+      .select(col("user_id").as("au"), (col("dnum") + col("k")).as("tday"),
+        (col("wt") * col("v")).as("c"))
+      .groupBy(col("au"), col("tday"))
+      .agg(sum(col("c")).as("sacc"))
+    daily.join(acc, col("user_id") === col("au") && col("dnum") === col("tday"))
+      .select(col("user_id"), col("dnum"), col("v").cast("double").as("day_value"),
+        (col("sacc").cast("double") / 65536.0).as("ewma"))
+      .orderBy(col("user_id"), col("dnum"))
+  }
+
+  val ewmaSql: String = {
+    val values = (0 until EWMA_TERMS)
+      .map(k => s"($k, ${1L << (EWMA_TERMS - 1 - k)})").mkString(", ")
+    s"""WITH daily AS (
+      |  SELECT user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dnum,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+      |  FROM events GROUP BY user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))),
+      |w(k, wt) AS (VALUES $values),
+      |acc AS (
+      |  SELECT user_id AS au, dnum + k AS tday, SUM(wt * v) AS sacc
+      |  FROM daily CROSS JOIN w GROUP BY user_id, dnum + k)
+      |SELECT user_id, dnum, CAST(v AS DOUBLE) AS day_value,
+      |  CAST(sacc AS DOUBLE) / 65536.0 AS ewma
+      |FROM daily JOIN acc ON user_id = au AND dnum = tday
+      |ORDER BY user_id, dnum""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Event-type transition matrix (first-order Markov counts): for each
   // user's time-ordered stream, count (current -> next) type pairs, then
   // the per-source transition probability. One user_id window (lead) and
@@ -437,6 +498,7 @@ object EventOps extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_dau_wau" -> (dauWau _),
+    "events_ewma" -> (ewma _),
     "events_pareto" -> (pareto _),
     "events_streaks" -> (streaks _),
     "events_transitions" -> (transitions _),
@@ -448,6 +510,7 @@ object EventOps extends QueryModule {
     "events_value_histogram" -> (valueHistogram _))
 
   def oracles: Map[String, String] = Map(
+    "events_ewma" -> ewmaSql,
     "events_dau_wau" -> dauWauSql,
     "events_pareto" -> paretoSql,
     "events_streaks" -> streaksSql,

@@ -1425,13 +1425,224 @@ object Relational extends QueryModule {
       |FROM li JOIN pavg ON l_partkey = a_partkey
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q6 shape (forecast revenue change): pure scan-side conjunctive
+  // range filter + one global decimal sum — the canonical "does the
+  // filter reach the parquet reader" probe. Every predicate is on scan
+  // columns, so the plan must show PushedFilters and a single partial-agg
+  // exchange of ONE row; any join or window here is a bug.
+  // ------------------------------------------------------------------
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q6ForecastRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q7 shape (volume shipping): bidirectional nation-pair trade —
+  // lineitem x orders x customer x supplier with TWO independent nation
+  // attachments and an OR over the (supplier-nation, customer-nation)
+  // pair, grouped by pair x ship year. The two bounded nation dims
+  // broadcast; the pair OR filters AFTER both attachments (it cannot
+  // push into either side alone — the classic disjunctive-join shape);
+  // fact-side joins shuffle once each on their keys.
+  // ------------------------------------------------------------------
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("sn_key") === 1 && col("cn_key") === 2) ||
+        (col("sn_key") === 2 && col("cn_key") === 1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7VolumeShippingSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      |  AND ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+      |    OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+  // per customer in a quarter, top 20. The returnflag filter shrinks the
+  // fact side at the scan; customer/nation attach after the
+  // orderkey-keyed join; top-20 is a TakeOrdered.
+  // ------------------------------------------------------------------
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-04-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q14 shape (promotion effect): promo share of monthly revenue —
+  // a conditional-aggregate RATIO. Both sums stay exact decimal; the
+  // ratio divides the two DOUBLE casts (identical operands both engines),
+  // never decimal-by-decimal (quotient scale rules differ per engine).
+  // part is broadcast; one l_partkey-keyed fact pass.
+  // ------------------------------------------------------------------
+  def q14PromoEffect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("double").as("promo_revenue"),
+        sum(revenue).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      .orderBy(col("ym"))
+
+  val q14PromoEffectSql: String =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+      |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue,
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+      |                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / CAST(SUM($revenueSql) AS DOUBLE) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY strftime(l_shipdate, '%Y-%m')
+      |ORDER BY ym""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q19 shape (discounted revenue): the three-branch DISJUNCTION of
+  // conjunctive (brand, size-range, quantity-range) predicates spanning
+  // BOTH join sides (p_size is missing p_container in the fixture — size
+  // bands substitute, same shape). The optimizer can push only the
+  // per-side disjunction residue (brand IN / quantity bounds) to the
+  // scans; the cross-side conjunction must evaluate at the join — the
+  // shape that breaks naive single-table pushdown. part broadcasts.
+  // ------------------------------------------------------------------
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+    j.filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  val q19DiscountedRevenueSql: String =
+    s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q22 shape (global sales opportunity): customers with
+  // above-average balance and no 'P'-status order (every fixture customer
+  // has SOME order, so the anti-join keys on the P subset — same
+  // anti-join + scalar-subquery shape), grouped by nation. The
+  // above-average predicate is the division-free multiply-through:
+  // bal * n_pos > sum_pos in exact decimal — an engine-portable scalar
+  // subquery with no avg() rounding anywhere. The 1-row stats relation
+  // broadcasts; the anti join shuffles on custkey.
+  // ------------------------------------------------------------------
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val stats = c.filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(dec2(col("c_acctbal"))).as("sum_pos"))
+    c.join(broadcast(stats), lit(true))
+      .filter(dec2(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q22GlobalSalesSql: String =
+    """WITH stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+      |    SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer CROSS JOIN stats
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q4_order_priority" -> (q4OrderPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_effect" -> (q14PromoEffect _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q22_global_sales" -> (q22GlobalSales _),
     "q13_custdist" -> (q13CustDist _),
     "q18_large_orders" -> (q18LargeOrders _),
     "orders_rfm" -> (rfm _),
@@ -1487,8 +1698,14 @@ object Relational extends QueryModule {
     "q18_large_orders" -> q18LargeOrdersSql,
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "q4_order_priority" -> q4OrderPrioritySql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "q14_promo_effect" -> q14PromoEffectSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
+    "q19_discounted_revenue" -> q19DiscountedRevenueSql,
+    "q22_global_sales" -> q22GlobalSalesSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,

@@ -534,7 +534,64 @@ object TextOps extends QueryModule {
       |FROM tok t LEFT JOIN vocab v ON t.token = v.token
       |GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Collocation mining (document-level lift): which vocabulary-token
+  // PAIRS co-occur in more documents than their individual frequencies
+  // predict — lift = P(a,b)/(P(a)P(b)) = n_ab*N/(n_a*n_b), the log-free
+  // core of PMI (log is monotone, so the top-K by lift IS the top-K by
+  // PMI, and skipping it keeps cross-engine bit parity — the same trick
+  // as docs_tfidf_topk). Scale: the pair space is bounded by a TOP-V
+  // BROADCAST vocabulary (TakeOrdered, V=100), so the per-doc pair
+  // fan-out is <= V²/2 regardless of corpus size and the doc-keyed
+  // self-join is linear in documents; counts are exact integers and the
+  // lift division is the only double op. No corpus-wide token self-join
+  // ever happens — that is the difference between this and the naive
+  // collocation query that explodes on stopword pairs.
+  // ------------------------------------------------------------------
+  private val COLL_V = 100
+  private val COLL_K = 50
+
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadParallel(s, dir, "documents")
+    val tok = d.select(col("doc_id"), explode(array_distinct(toks)).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t")).limit(COLL_V)
+    val vt = tok.join(broadcast(vocab), Seq("t"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val pairs = vt.select(col("doc_id"), col("t").as("tok_a"), col("df").as("n_a"))
+      .join(vt.select(col("doc_id").as("d2"), col("t").as("tok_b"), col("df").as("n_b")),
+        col("doc_id") === col("d2") && col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.join(broadcast(nDocs), lit(true))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_docs")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("tok_a"), col("tok_b"))
+      .limit(COLL_K)
+  }
+
+  val collocationsSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY t
+      |  ORDER BY df DESC, t LIMIT $COLL_V),
+      |vt AS (SELECT doc_id, tok.t AS t, df FROM tok JOIN vocab USING (t)),
+      |pairs AS (
+      |  SELECT a.t AS tok_a, b.t AS tok_b, a.df AS n_a, b.df AS n_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.t < b.t
+      |  GROUP BY a.t, b.t, a.df, b.df)
+      |SELECT tok_a, tok_b, n_ab, n_a, n_b,
+      |  CAST(n_ab * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+      |    / CAST(n_a * n_b AS DOUBLE) AS lift
+      |FROM pairs
+      |ORDER BY lift DESC, tok_a, tok_b LIMIT $COLL_K""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_collocations" -> (collocations _),
     "docs_repetition" -> (repetition _),
     "docs_vocab_topk" -> (vocabTopK _),
     "docs_freq_sketch" -> (freqSketch _),
@@ -550,6 +607,7 @@ object TextOps extends QueryModule {
     "docs_fingerprint" -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "docs_collocations" -> collocationsSql,
     "docs_repetition" -> repetitionSql,
     "docs_vocab_topk" -> vocabTopKSql,
     "docs_freq_sketch" -> freqSketchSql,

@@ -895,14 +895,21 @@ object VectorOps extends QueryModule {
   // redundancy with what is already selected —
   // score_k(d) = 0.5*cos(q,d) - 0.5*max_{s in selected} cos(d,s).
   // The production shape for retrieval-augmented sampling: ANN gives the
-  // bounded candidate pool, MMR de-duplicates the RESULT LIST. Scale: the
-  // greedy loop runs entirely on the bounded (qid, candidate) relation —
-  // N=20 rows and N^2=400 pair sims per query, never the corpus — so
-  // every stage is a keyed join on qid over K fixed iterations; the
-  // corpus is touched exactly once (the candidate scan). lambda=0.5 is
-  // exactly representable, so both engines compute bit-identical scores
-  // from bit-identical cosines. Oracle: a generated K-stage CTE chain
-  // (sel1..sel5), the same pattern as the PQ oracles.
+  // bounded candidate pool, MMR de-duplicates the RESULT LIST. Scale
+  // split: the corpus is touched by exactly TWO distributed jobs — the
+  // exact top-N scoring pass (broadcast queries, corpus streams once)
+  // and one IN-pushdown rehydration of the <= NQUERY*N candidate vectors
+  // for pair sims — while the greedy loop itself runs on the DRIVER over
+  // the collected candidate list (NQUERY*N = 100 rows: the legitimate
+  // bounded-collect pattern, same as the PQ codebooks; reranking is
+  // inherently sequential in K and operates on a list that is bounded BY
+  // CONSTRUCTION at any corpus size). A first cut expressed the K stages
+  // as chained DataFrames; each stage re-derived the candidate lineage
+  // and the ScaleProbe showed ~30x the exact-top-K cost at 10x corpus —
+  // the collect form is one scan. All doubles in the greedy are VALUES
+  // COLLECTED FROM SPARK EXPRESSIONS (cos, pair sims); the driver only
+  // multiplies by the exactly-representable 0.5 and subtracts, the same
+  // IEEE ops the oracle's CTE chain performs on the same operands.
   // ------------------------------------------------------------------
   private val MMR_N = 20
   private val MMR_K = 5
@@ -914,34 +921,38 @@ object VectorOps extends QueryModule {
     val wCand = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
     val cand = e.select(col("vec_id").as("did"), col("embedding").as("de"))
       .join(broadcast(q), col("did") =!= col("qid"))
-      .select(col("qid"), col("did"), col("de"),
+      .select(col("qid"), col("did"),
         VectorFns.cosine(col("qe"), col("de")).as("cos"))
       .withColumn("rn", row_number().over(wCand))
       .filter(col("rn") <= MMR_N)
-    val pairs = cand.select(col("qid"), col("did").as("a"), col("de").as("ae"))
-      .join(cand.select(col("qid").as("qb"), col("did").as("b"), col("de").as("be")),
-        col("qid") === col("qb") && col("a") =!= col("b"))
-      .select(col("qid"), col("a"), col("b"), VectorFns.cosine(col("ae"), col("be")).as("sim"))
-    var sel = cand.filter(col("rn") === 1)
-      .select(col("qid"), lit(1).as("k"), col("did"), col("cos").cast("double").as("score"))
-    for (k <- 2 to MMR_K) {
-      val selD = sel.select(col("qid").as("sq"), col("did").as("sdid"))
-      val maxsim = pairs
-        .join(selD, col("qid") === col("sq") && col("b") === col("sdid"))
-        .groupBy(col("qid").as("mq"), col("a"))
-        .agg(max(col("sim")).as("maxsim"))
-      val wPick = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("did"))
-      val pick = cand
-        .join(selD, col("qid") === col("sq") && col("did") === col("sdid"), "left_anti")
-        .join(maxsim, col("qid") === col("mq") && col("did") === col("a"))
-        .select(col("qid"), col("did"),
-          (lit(0.5) * col("cos") - lit(0.5) * col("maxsim")).as("mmr"))
-        .withColumn("rn", row_number().over(wPick))
-        .filter(col("rn") === 1)
-        .select(col("qid"), lit(k).as("k"), col("did"), col("mmr").cast("double").as("score"))
-      sel = sel.unionByName(pick)
+      .collect()
+    val candIds = cand.map(_.getAs[Long]("did")).distinct.sorted
+    val cvecs = e.filter(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    val sim = cvecs.select(col("vec_id").as("a"), col("embedding").as("ae"))
+      .join(cvecs.select(col("vec_id").as("b"), col("embedding").as("be")), col("a") < col("b"))
+      .select(col("a"), col("b"), VectorFns.cosine(col("ae"), col("be")).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def simOf(x: Long, y: Long): Double = if (x < y) sim((x, y)) else sim((y, x))
+    val rows = cand.groupBy(_.getAs[Long]("qid")).toSeq.flatMap { case (qid, cs) =>
+      val byRn = cs.sortBy(_.getAs[Int]("rn"))
+      val top1 = byRn.head
+      var selected = Vector((top1.getAs[Long]("did"), top1.getAs[Double]("cos")))
+      for (_ <- 2 to MMR_K) {
+        val best = byRn
+          .filter(r => !selected.exists(_._1 == r.getAs[Long]("did")))
+          .map { r =>
+            val d = r.getAs[Long]("did")
+            (d, 0.5 * r.getAs[Double]("cos") - 0.5 * selected.map(p => simOf(d, p._1)).max)
+          }
+          .minBy { case (d, sc) => (-sc, d) } // score DESC, did ASC — the oracle's tiebreak
+        selected :+= best
+      }
+      selected.zipWithIndex.map { case ((d, sc), i) => (qid, i + 1, d, sc) }
     }
-    sel.orderBy(col("qid"), col("k"))
+    import s.implicits._
+    rows.toDF("qid", "k", "did", "score").orderBy(col("qid"), col("k"))
   }
 
   val mmrTopKSql: String = {

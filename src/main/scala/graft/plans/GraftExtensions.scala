@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("l2sq_fast"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2sq_fast"),
+      (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))))
   }
 }

@@ -217,4 +217,23 @@ class EventOpsSpec extends SparkTestBase {
       assert(bad == 0)
     } finally h.unpersist()
   }
+
+  test("ewma: one row per active (user, day); isolated days smooth to exactly v/2") {
+    val out = EventOps.ewma(spark, sfDir).cache()
+    try {
+      val daily = graft.sources.Tables.load(spark, sfDir, "events")
+        .groupBy(col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dnum"))
+        .count()
+      assert(out.count() == daily.count())
+      // a day with no activity in the preceding 15 days gets only its own
+      // 0.5-weighted term; halving a double is exact, so assert equality
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("dnum")
+      val isolated = out.withColumn("prev", lag(col("dnum"), 1).over(w))
+        .filter(col("prev").isNull || col("dnum") - col("prev") > 15)
+      assert(isolated.count() > 0)
+      assert(isolated.filter(col("ewma") =!= col("day_value") * 0.5).count() == 0)
+    } finally out.unpersist()
+  }
 }

@@ -289,6 +289,19 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("collocations: ordered pairs, lift positive, joint count bounded by marginals") {
+    val out = TextOps.collocations(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach { r =>
+      assert(r.getAs[String]("tok_a") < r.getAs[String]("tok_b"))
+      val (ab, a, b) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(ab >= 1 && ab <= math.min(a, b))
+      assert(r.getAs[Double]("lift") > 0)
+    }
+    val lifts = out.map(_.getAs[Double]("lift"))
+    assert(lifts.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+  }
+
   test("span coverage: one row per >=5-token doc, ratio consistent and bounded") {
     val out = graft.operators.DedupOps.spanCoverage(spark, sfDir).collect()
     val eligible = graft.sources.Tables.load(spark, sfDir, "documents")

@@ -311,6 +311,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashEx <= 1, s"expected one user_id exchange, got $hashEx:\n$plan")
   }
 
+  test("q6: every predicate reaches the parquet scan; no join machinery") {
+    val plan = executedPlan(Relational.q6ForecastRevenue(spark, sfDir))
+    val scan = plan.split("\n").find(_.contains("PushedFilters: [")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scan.contains(c), s"$c not in PushedFilters:\n$plan")
+    assert(!plan.contains("Join"), s"q6 must be scan+agg only:\n$plan")
+  }
+
+  test("not-in plans the NULL-AWARE anti join, not a nested loop") {
+    // BroadcastHashJoin's trailing flag is isNullAwareAntiJoin: the engine
+    // must prove/track null-presence in the build side (three-valued NOT
+    // IN), and must do it with a hash join — a regression to
+    // BroadcastNestedLoopJoin would scan build*probe at every scale
+    val plan = executedPlan(Relational.joinNotIn(spark, sfDir))
+    assert(plan.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti") && l.trim.endsWith("true")),
+      s"expected a null-aware (trailing 'true') LeftAnti BroadcastHashJoin in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("span coverage: equi-joins only — no pairwise or nested-loop stage") {
+    val plan = executedPlan(graft.operators.DedupOps.spanCoverage(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span coverage must stay keyed:\n$plan")
+  }
+
+  test("triangle count: wedge join is keyed on src — no cartesian anywhere") {
+    val plan = executedPlan(graft.operators.DedupOps.triangleCount(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle wedge enumeration must stay keyed:\n$plan")
+  }
+
   test("q21 plans real semi + anti self-joins, no cartesian, orderkey co-partition") {
     val plan = executedPlan(Relational.q21WaitingSuppliers(spark, sfDir))
     assert(plan.contains("LeftSemi"), s"expected a left-semi join in:\n$plan")

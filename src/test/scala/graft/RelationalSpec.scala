@@ -119,6 +119,27 @@ class RelationalSpec extends SparkTestBase {
     assert(out.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
   }
 
+  test("q7/q14/q22: pair-year bounds, ratio in [0,100], above-average set nonempty") {
+    // sf0.001 has no (1,2)/(2,1) trade — invariants must hold on whatever
+    // exists; non-triviality is proven by the sf0.01 oracle (4 rows)
+    val q7 = Relational.q7VolumeShipping(spark, sfDir).collect()
+    q7.foreach { r =>
+      assert(Set("supp_nation", "cust_nation").forall(c => r.getAs[String](c) != null))
+      assert(r.getAs[Int]("l_year") >= 1996 && r.getAs[Int]("l_year") <= 1997)
+      assert(r.getAs[Double]("revenue") > 0)
+    }
+    val q14 = Relational.q14PromoEffect(spark, sfDir).collect()
+    assert(q14.nonEmpty)
+    q14.foreach { r =>
+      val share = r.getAs[Double]("promo_share")
+      assert(share >= 0.0 && share <= 100.0)
+      assert(r.getAs[Double]("promo_revenue") <= r.getAs[Double]("total_revenue"))
+    }
+    val q22 = Relational.q22GlobalSales(spark, sfDir).collect()
+    assert(q22.nonEmpty)
+    assert(q22.map(_.getAs[Long]("numcust")).sum > 0)
+  }
+
   test("q17: avg_yearly is the small-quantity revenue divided by 7") {
     val row = Relational.q17SmallQtyRevenue(spark, sfDir).head()
     val n = row.getAs[Long]("n_lines")
