@@ -590,7 +590,42 @@ object TextOps extends QueryModule {
       |FROM pairs
       |ORDER BY lift DESC, tok_a, tok_b LIMIT $COLL_K""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Token Gini impurity: 1 - sum_i (c_i/n)^2 — the frequency-weighted
+  // diversity signal (TTR counts distinct types; Gini also says whether
+  // the mass CONCENTRATES on few of them). It is Shannon entropy's
+  // log-free stand-in: both rank repetitive docs low, but Gini is a sum
+  // of exact integer products with ONE double division at the output —
+  // bit-portable where -sum(p log p) is transcendental-function
+  // territory (engine log implementations differ in ulps). Two keyed
+  // aggs: (doc, token) counts, then per-doc moments; both partial-agg
+  // before their exchange.
+  // ------------------------------------------------------------------
+  def tokenGini(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("sumsq").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("gini"))
+      .orderBy(col("doc_id"))
+
+  val tokenGiniSql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |        FROM documents)
+      |  GROUP BY doc_id, t)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  1.0 - CAST(SUM(c*c) AS DOUBLE) / CAST(SUM(c)*SUM(c) AS DOUBLE) AS gini
+      |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_token_gini" -> (tokenGini _),
     "docs_collocations" -> (collocations _),
     "docs_repetition" -> (repetition _),
     "docs_vocab_topk" -> (vocabTopK _),
@@ -607,6 +642,7 @@ object TextOps extends QueryModule {
     "docs_fingerprint" -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "docs_token_gini" -> tokenGiniSql,
     "docs_collocations" -> collocationsSql,
     "docs_repetition" -> repetitionSql,
     "docs_vocab_topk" -> vocabTopKSql,

@@ -289,6 +289,19 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("token gini: in [0, 1), exactly (d-1)/d at uniform, 0 iff single-type doc") {
+    val out = TextOps.tokenGini(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"))
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0 && d <= n)
+      // gini maximizes at the uniform distribution: g <= 1 - 1/d
+      assert(g <= 1.0 - 1.0 / d + 1e-12)
+      if (d == 1) assert(g == 0.0)
+    }
+  }
+
   test("collocations: ordered pairs, lift positive, joint count bounded by marginals") {
     val out = TextOps.collocations(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 50)
