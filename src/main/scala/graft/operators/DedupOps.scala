@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
+import graft.functions.{TextFns, VectorFns}
 import graft.sources.Tables
 
 /** [EXT] Near-duplicate detection over `documents` (SURVEY.md §2.10 L2x):
@@ -164,20 +164,36 @@ object DedupOps extends QueryModule {
   private val ccLabelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Measurement hook (ScaleProbe): drop the memoized labels so a timed
-    * run rebuilds the full iterative pipeline instead of reading its
-    * cached artifact. */
-  private[graft] def resetClusterCache(): Unit = ccLabelCache.clear()
+  /** Measurement hook (ScaleProbe): drop the memoized labels AND edges so
+    * a timed run rebuilds the full iterative pipeline instead of reading
+    * its cached artifacts. */
+  private[graft] def resetClusterCache(): Unit = { ccLabelCache.clear(); edgeCache.clear() }
 
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The >= 0.9 minhash near-dup edge set (d1 < d2), materialized once per
+    * (app, dir) to scratch parquet. Three graph consumers — the clustering
+    * iteration, the cluster-size histogram, and the triangle count — read
+    * this one artifact instead of each replaying the shingle/signature/band
+    * pipeline; it doubles as the clustering's first lineage cut. */
+  private def edgesParquet(s: SparkSession, dir: String): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + dir
-    val cached = ccLabelCache.get(key)
+    val cached = edgeCache.get(key)
     if (cached != null && new java.io.File(cached).exists()) return s.read.parquet(cached)
     val edgesPath = graft.Scratch.dir("graft_dedup_edges")
     minhashPairs(s, dir).filter(col("est_jaccard") >= 0.9)
       .select(col("d1"), col("d2"))
       .write.parquet(edgesPath)
-    val pairs = s.read.parquet(edgesPath)
+    edgeCache.put(key, edgesPath)
+    s.read.parquet(edgesPath)
+  }
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val cached = ccLabelCache.get(key)
+    if (cached != null && new java.io.File(cached).exists()) return s.read.parquet(cached)
+    val pairs = edgesParquet(s, dir)
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
     var lastPath: String = null
@@ -298,7 +314,7 @@ object DedupOps extends QueryModule {
   // count each triangle exactly once).
   // ------------------------------------------------------------------
   def triangleCount(s: SparkSession, dir: String): DataFrame =
-    triangleCountOf(minhashPairs(s, dir).filter(col("est_jaccard") >= 0.9)
+    triangleCountOf(edgesParquet(s, dir)
       .select(col("d1").as("u"), col("d2").as("v")))
 
   /** Oriented-wedge triangle core over a (u, v) edge relation with u < v —
@@ -330,6 +346,42 @@ object DedupOps extends QueryModule {
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
       |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Ensemble near-dup verdict (the SemDeDup-style two-signal check):
+  // every LEXICAL candidate pair (minhash est >= 0.9) is re-scored by
+  // the pair's EMBEDDING cosine — documents and embeddings share the id
+  // domain, so the attachment is two keyed equi-joins that rehydrate
+  // only the candidate ids, never a semantic all-pairs pass. In a
+  // curation run this is the disagreement audit: lexical-only matches
+  // (templates with swapped entities) versus pairs both signals confirm.
+  // Scale: candidate-bounded — the expensive parts are the minhash
+  // pipeline (shared, df-capped) and two id-keyed joins whose left side
+  // is the (small) pair set.
+  // ------------------------------------------------------------------
+  def ensembleVerdict(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    minhashPairs(s, dir).filter(col("est_jaccard") >= 0.9)
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), Seq("d1"))
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("est_jaccard"),
+        VectorFns.cosine(col("e1"), col("e2")).as("cos"))
+      .withColumn("semantic_agrees", (col("cos") >= 0.5).cast("int"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val ensembleVerdictSql: String =
+    s"""WITH pairs AS ($minhashPairsSql),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |scored AS (
+      |  SELECT d1, d2, est_jaccard,
+      |    list_dot_product(e1.de, e2.de)
+      |      / (sqrt(list_dot_product(e1.de, e1.de)) * sqrt(list_dot_product(e2.de, e2.de))) AS cos
+      |  FROM pairs JOIN e e1 ON e1.vec_id = d1 JOIN e e2 ON e2.vec_id = d2
+      |  WHERE est_jaccard >= 0.9)
+      |SELECT d1, d2, est_jaccard, cos,
+      |  CAST(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS semantic_agrees
+      |FROM scored ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------------------------------
   // Duplicated-span coverage (ExactSubstr-style telemetry): for every
@@ -679,6 +731,7 @@ object DedupOps extends QueryModule {
     "dedup_cluster_sizes" -> (clusterSizes _),
     "dedup_triangles" -> (triangleCount _),
     "dedup_span_coverage" -> (spanCoverage _),
+    "dedup_ensemble" -> (ensembleVerdict _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
@@ -692,6 +745,7 @@ object DedupOps extends QueryModule {
     "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_triangles" -> triangleCountSql,
     "dedup_span_coverage" -> spanCoverageSql,
+    "dedup_ensemble" -> ensembleVerdictSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,

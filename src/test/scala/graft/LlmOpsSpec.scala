@@ -289,6 +289,18 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("ensemble: one verdict per >=0.9 minhash pair, cosine in [-1, 1]") {
+    val pairs = DedupOps.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.9).count()
+    val out = graft.operators.DedupOps.ensembleVerdict(spark, sfDir).collect()
+    assert(out.length.toLong == pairs)
+    out.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+      assert(r.getAs[Int]("semantic_agrees") == (if (c >= 0.5) 1 else 0))
+    }
+  }
+
   test("token gini: in [0, 1), exactly (d-1)/d at uniform, 0 iff single-type doc") {
     val out = TextOps.tokenGini(spark, sfDir).collect()
     assert(out.nonEmpty)
