@@ -348,6 +348,30 @@ object DedupOps extends QueryModule {
       |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
 
   // ------------------------------------------------------------------
+  // Degree histogram of the near-dup graph: how many documents have k
+  // near-duplicates — the first thing to look at before choosing a dedup
+  // strategy (a long tail of degree-1 pairs dedups cheaply; heavy hubs
+  // mean boilerplate needing span-level treatment). Reads the shared
+  // memoized edge parquet; two keyed count aggregates, bounded output.
+  // ------------------------------------------------------------------
+  def degreeHist(s: SparkSession, dir: String): DataFrame =
+    edgesParquet(s, dir)
+      .select(explode(array(col("d1"), col("d2"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+
+  val degreeHistSql: String =
+    s"""WITH pairs AS ($minhashPairsSql),
+      |e AS (SELECT d1, d2 FROM pairs WHERE est_jaccard >= 0.9),
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT d1 AS v FROM e UNION ALL SELECT d2 AS v FROM e)
+      |  GROUP BY v)
+      |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  // ------------------------------------------------------------------
   // Ensemble near-dup verdict (the SemDeDup-style two-signal check):
   // every LEXICAL candidate pair (minhash est >= 0.9) is re-scored by
   // the pair's EMBEDDING cosine — documents and embeddings share the id
@@ -732,6 +756,7 @@ object DedupOps extends QueryModule {
     "dedup_triangles" -> (triangleCount _),
     "dedup_span_coverage" -> (spanCoverage _),
     "dedup_ensemble" -> (ensembleVerdict _),
+    "dedup_degree_hist" -> (degreeHist _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
@@ -746,6 +771,7 @@ object DedupOps extends QueryModule {
     "dedup_triangles" -> triangleCountSql,
     "dedup_span_coverage" -> spanCoverageSql,
     "dedup_ensemble" -> ensembleVerdictSql,
+    "dedup_degree_hist" -> degreeHistSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,

@@ -890,7 +890,47 @@ object StreamShapes extends QueryModule {
       |FROM agg a JOIN last l ON a.user_id = l.user_id
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Stream-static enrichment join: the streaming fact joins a STATIC
+  // dimension (per-user lifetime totals derived from the batch table) —
+  // the remaining join variant after stream-stream (inner/outer). The
+  // planner re-resolves the static side EVERY micro-batch (that is the
+  // stream-static contract — a dimension refresh between batches is
+  // picked up); here it is broadcast, the fixture-scale choice. At 100 TB
+  // the same query holds with a broadcastable dim; a fact-sized dim
+  // instead pre-buckets on the join key so each micro-batch co-locates
+  // without reshuffling the dim. Complete-mode aggregate over the bounded
+  // event_type domain keeps state tiny; ts is never projected, so the
+  // raw nanos fixture streams without conversion.
+  // ------------------------------------------------------------------
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = ev(s, dir).groupBy(col("user_id").as("d_uid"))
+      .agg(count(lit(1)).as("user_total"))
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Tables.events.filter(f => Seq("event_id", "user_id", "event_type").contains(f.name))))
+      .parquet(s"$dir/events.parqu*")
+    val agg = stream.join(broadcast(dim), col("user_id") === col("d_uid"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("user_total") >= 100, 1L).otherwise(0L)).as("n_heavy_user_events"))
+    graft.streaming.Streams.runToCompletion(agg,
+      s"sstatic_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy(col("event_type"))
+  }
+
+  val streamStaticJoinSql: String =
+    """WITH dim AS (
+      |  SELECT user_id AS d_uid, COUNT(*) AS user_total
+      |  FROM events GROUP BY user_id)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN user_total >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_user_events
+      |FROM events JOIN dim ON user_id = d_uid
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_join" -> (streamStaticJoin _),
     "stream_merge_upsert" -> (streamMergeUpsert _),
     "stream_tumbling" -> (streamTumbling _),
     "stream_tumbling_append" -> (streamTumblingAppend _),
@@ -914,6 +954,7 @@ object StreamShapes extends QueryModule {
     "stream_incremental" -> (streamIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "stream_static_join" -> streamStaticJoinSql,
     "stream_merge_upsert" -> streamMergeUpsertSql,
     "stream_tumbling" -> tumblingSql,
     "stream_tumbling_append" -> streamTumblingAppendSql,

@@ -289,6 +289,16 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("degree histogram: doc-count mass equals 2x edges, degrees positive") {
+    val edges = DedupOps.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.9).count()
+    val hist = graft.operators.DedupOps.degreeHist(spark, sfDir).collect()
+    // sum(degree * n_docs) counts each edge at both endpoints
+    val mass = hist.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    assert(mass == 2 * edges)
+    assert(hist.forall(r => r.getAs[Long]("degree") >= 1 && r.getAs[Long]("n_docs") >= 1))
+  }
+
   test("ensemble: one verdict per >=0.9 minhash pair, cosine in [-1, 1]") {
     val pairs = DedupOps.minhashPairs(spark, sfDir)
       .filter(col("est_jaccard") >= 0.9).count()

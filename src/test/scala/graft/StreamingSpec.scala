@@ -211,6 +211,18 @@ class StreamingSpec extends SparkTestBase {
     g.unpersist()
   }
 
+  test("stream-static join: streamed enrichment equals the batch twin") {
+    val out = graft.operators.StreamShapes.streamStaticJoin(spark, sfDir)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val dim = ev.groupBy(col("user_id").as("d_uid")).agg(count(lit(1)).as("user_total"))
+    val batch = ev.join(dim, col("user_id") === col("d_uid"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("user_total") >= 100, 1L).otherwise(0L)).as("n_heavy_user_events"))
+      .orderBy(col("event_type"))
+    assert(out.collect().sameElements(batch.collect()))
+  }
+
   test("streaming foreachBatch merge sink converges to the batch aggregate") {
     val out = graft.operators.StreamShapes.streamMergeUpsert(spark, sfDir)
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
