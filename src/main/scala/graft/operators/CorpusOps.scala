@@ -65,6 +65,51 @@ object CorpusOps extends QueryModule {
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ------------------------------------------------------------------
+  // Overlapping (strided) chunking — the RAG-retrieval variant of the
+  // fixed chunker above: windows of CHUNK tokens starting every STRIDE
+  // (= CHUNK/2), so context spanning a fixed-chunk boundary is preserved
+  // in the straddling window. Same narrow one-pass shape (explode over a
+  // per-row index sequence; no shuffle until the output sort), plus an
+  // overlap_prev telemetry column = tokens shared with the previous
+  // window (min(CHUNK-STRIDE, n - i*STRIDE) for i > 0) — the quantity a
+  // storage planner multiplies against corpus size to price the overlap.
+  // ------------------------------------------------------------------
+  private val STRIDE = CHUNK / 2
+
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    base
+      .select(col("doc_id"), col("lang"), col("toks"), col("n"),
+        explode(sequence(lit(0), floor((col("n") - 1).cast("double") / STRIDE).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
+        least(lit(CHUNK), col("n") - col("chunk_idx") * STRIDE).as("n_tokens"),
+        element_at(col("toks"), col("chunk_idx") * STRIDE + 1).as("first_tok"),
+        element_at(col("toks"),
+          least(col("n"), col("chunk_idx") * STRIDE + CHUNK)).as("last_tok"),
+        when(col("chunk_idx") === 0, lit(0))
+          .otherwise(least(lit(CHUNK - STRIDE), col("n") - col("chunk_idx") * STRIDE))
+          .as("overlap_prev"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkOverlapSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, lang, $toksSql AS toks, len($toksSql) AS n FROM documents),
+      |c AS (SELECT doc_id, lang, toks, n,
+      |    unnest(generate_series(0, (n - 1) // $STRIDE)) AS chunk_idx FROM base)
+      |SELECT doc_id, lang, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  CAST(least($CHUNK, n - chunk_idx * $STRIDE) AS INTEGER) AS n_tokens,
+      |  toks[chunk_idx * $STRIDE + 1] AS first_tok,
+      |  toks[least(n, chunk_idx * $STRIDE + $CHUNK)] AS last_tok,
+      |  CAST(CASE WHEN chunk_idx = 0 THEN 0
+      |            ELSE least(${CHUNK - STRIDE}, n - chunk_idx * $STRIDE) END AS INTEGER)
+      |    AS overlap_prev
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sequence packing: chunks -> ~BIN-token bins by running token count
   // within the (lang, shard) pack domain, in deterministic (doc_id,
   // chunk_idx) order. bin = (running_before_this_chunk) div BIN —
@@ -244,6 +289,7 @@ object CorpusOps extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_chunk" -> (chunk _),
+    "docs_chunk_overlap" -> (chunkOverlap _),
     "docs_pack" -> (pack _),
     "docs_decontaminate" -> (decontaminate _),
     "docs_sample_mix" -> (sampleMix _),
@@ -252,6 +298,7 @@ object CorpusOps extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "docs_chunk" -> chunkSql,
+    "docs_chunk_overlap" -> chunkOverlapSql,
     "docs_pack" -> packSql,
     "docs_decontaminate" -> decontaminateSql,
     "docs_sample_mix" -> sampleMixSql,

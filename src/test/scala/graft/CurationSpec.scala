@@ -29,4 +29,19 @@ class CurationSpec extends SparkTestBase {
       .agg(sum(col("n_docs"))).head.getLong(0)
     assert(survivors.count() == profiled)
   }
+
+  test("overlap chunking: windows tile each doc exactly (sum n_tokens - overlaps = n)") {
+    val out = graft.operators.CorpusOps.chunkOverlap(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tokens")).as("tok_sum"), sum(col("overlap_prev")).as("ov_sum"),
+        count(lit(1)).as("n_chunks"))
+    val n = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n"))
+    // double-counted positions are exactly the declared overlaps, so
+    // coverage closes: sum(window sizes) - sum(overlaps) == token count
+    val bad = out.join(n, Seq("doc_id"))
+      .filter(col("tok_sum") - col("ov_sum") =!= col("n")).count()
+    assert(bad == 0)
+  }
 }
