@@ -11,6 +11,20 @@ import graft.operators.Flagship
   * cross-engine agreement; this pins cross-VERSION stability.) */
 class GoldenSpec extends SparkTestBase {
 
+  private def canonicalRows(df: DataFrame): Array[String] = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"`$c`"): _*).collect().map { r =>
+      cols.indices.map { i =>
+        r.get(i) match {
+          case null => "␀"
+          case t: java.sql.Timestamp => (t.getTime * 1000 + t.getNanos / 1000 % 1000).toString
+          case d: java.math.BigDecimal => d.toPlainString
+          case v => v.toString
+        }
+      }.mkString("|")
+    }.sorted
+  }
+
   private def canonicalHash(df: DataFrame): (Long, String) = {
     val cols = df.columns.sorted
     val rows = df.selectExpr(cols.map(c => s"`$c`"): _*).collect().map { r =>
@@ -37,5 +51,42 @@ class GoldenSpec extends SparkTestBase {
     // parity — see Flagship.moneyColumns.
     assert(n == 3996L)
     assert(h == "d98491487781ab85e9aa747d2ba9836e")
+  }
+
+  test("round-7 LLM-pipeline operators match their pinned golden hashes") {
+    // The oracle gate proves cross-engine agreement per run; these pins
+    // prove cross-ROUND stability for the session-2 additions whose
+    // arithmetic was hand-balanced for parity (exact span counts, the
+    // driver-greedy MMR, the power-of-two EWMA kernel, oriented-wedge
+    // triangles, integer-moment Gini).
+    val pinned = Seq(
+      ("dedup_span_coverage", 500L, "5dcf1613004d0cafa60202f43c08eeb5"),
+      ("emb_mmr_topk", 25L, "d02cebf2de089c0e7e5835d5acd08738"),
+      ("events_ewma", 397L, "f5396a90382cb712f2fb0d9caf856577"),
+      ("dedup_triangles", 1L, "e4da3b7fbbce2345d7772b0674a318d5"),
+      ("docs_token_gini", 500L, "41119483940a8f250575baf62355c235"))
+    pinned.foreach { case (q, rows, hash) =>
+      val (n, h) = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s"OBSERVED $q rows=$n hash=$h")
+      if (h != hash) {
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        val cols = df.columns.sorted
+        val raw = df.selectExpr(cols.map(c => s"`$c`"): _*).collect().map { r =>
+          cols.indices.map { i =>
+            r.get(i) match {
+              case null => "␀"
+              case t: java.sql.Timestamp => (t.getTime * 1000 + t.getNanos / 1000 % 1000).toString
+              case d: java.math.BigDecimal => d.toPlainString
+              case v => v.toString
+            }
+          }.mkString("")
+        }.sorted
+        val out = new java.io.PrintWriter(s"/tmp/golden_nosep_$q.txt")
+        raw.foreach(out.println)
+        out.close()
+      }
+      assert(n == rows, s"$q rows: $n != $rows")
+      assert(h == hash, s"$q hash drifted: $h")
+    }
   }
 }
