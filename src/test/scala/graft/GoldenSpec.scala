@@ -11,6 +11,13 @@ import graft.operators.Flagship
   * cross-engine agreement; this pins cross-VERSION stability.) */
 class GoldenSpec extends SparkTestBase {
 
+  /** Column-name-sorted row rendering with a \u0001 separator — the exact
+    * form the pinned hashes are computed over (and the form the mismatch
+    * debug dump writes, so a dumped file can be re-hashed directly).
+    * The separator is load-bearing: round 7 pinned dedup_span_coverage from
+    * a separator-FREE rendering while the hash check used \u0001, which is
+    * how the suite went red with oracle-green output. Keep hash and dump on
+    * this ONE helper. */
   private def canonicalRows(df: DataFrame): Array[String] = {
     val cols = df.columns.sorted
     df.selectExpr(cols.map(c => s"`$c`"): _*).collect().map { r =>
@@ -21,27 +28,18 @@ class GoldenSpec extends SparkTestBase {
           case d: java.math.BigDecimal => d.toPlainString
           case v => v.toString
         }
-      }.mkString("|")
+      }.mkString("\u0001")
     }.sorted
   }
 
   private def canonicalHash(df: DataFrame): (Long, String) = {
-    val cols = df.columns.sorted
-    val rows = df.selectExpr(cols.map(c => s"`$c`"): _*).collect().map { r =>
-      cols.indices.map { i =>
-        r.get(i) match {
-          case null => "␀"
-          case t: java.sql.Timestamp => (t.getTime * 1000 + t.getNanos / 1000 % 1000).toString
-          case d: java.math.BigDecimal => d.toPlainString
-          case v => v.toString
-        }
-      }.mkString("")
-    }.sorted
+    val rows = canonicalRows(df)
     val md = MessageDigest.getInstance("MD5")
     val h = md.digest(rows.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     (rows.length.toLong, h)
   }
+
 
   test("flagship pipeline on sf0.001 matches the pinned golden hash") {
     val (n, h) = canonicalHash(Flagship.pipeline(spark, sfDir))
@@ -59,30 +57,26 @@ class GoldenSpec extends SparkTestBase {
     // arithmetic was hand-balanced for parity (exact span counts, the
     // driver-greedy MMR, the power-of-two EWMA kernel, oriented-wedge
     // triangles, integer-moment Gini).
+    // All five re-pinned round 8 from this session's driver-oracle-green
+    // runs (fresh sf0.001 + sf0.01 compare.py passes for every query): the
+    // round-7 pins for span/mmr/ewma/gini were captured from a
+    // separator-FREE rendering while the check hashes the \u0001 one — the
+    // query outputs never actually drifted (triangles, a single scalar, is
+    // separator-insensitive and kept its round-7 value). Pin policy (NOTES
+    // .md): capture pins ONLY from an `info(OBSERVED ...)` line of a green
+    // tools/check.sh run, never from a hand-computed rendering.
     val pinned = Seq(
-      ("dedup_span_coverage", 500L, "5dcf1613004d0cafa60202f43c08eeb5"),
-      ("emb_mmr_topk", 25L, "d02cebf2de089c0e7e5835d5acd08738"),
-      ("events_ewma", 397L, "f5396a90382cb712f2fb0d9caf856577"),
+      ("dedup_span_coverage", 500L, "300778895a54cf4f4c7543224076c3f0"),
+      ("emb_mmr_topk", 25L, "638a93702e75b8025a28de6d7a2a02c8"),
+      ("events_ewma", 397L, "75694bb94b5aac6e114db84142d6a613"),
       ("dedup_triangles", 1L, "e4da3b7fbbce2345d7772b0674a318d5"),
-      ("docs_token_gini", 500L, "41119483940a8f250575baf62355c235"))
+      ("docs_token_gini", 500L, "337e0dd94ca867de7fce19144ed5b571"))
     pinned.foreach { case (q, rows, hash) =>
       val (n, h) = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
       info(s"OBSERVED $q rows=$n hash=$h")
       if (h != hash) {
-        val df = SparkEntry.queries(q)(spark, sfDir)
-        val cols = df.columns.sorted
-        val raw = df.selectExpr(cols.map(c => s"`$c`"): _*).collect().map { r =>
-          cols.indices.map { i =>
-            r.get(i) match {
-              case null => "␀"
-              case t: java.sql.Timestamp => (t.getTime * 1000 + t.getNanos / 1000 % 1000).toString
-              case d: java.math.BigDecimal => d.toPlainString
-              case v => v.toString
-            }
-          }.mkString("")
-        }.sorted
-        val out = new java.io.PrintWriter(s"/tmp/golden_nosep_$q.txt")
-        raw.foreach(out.println)
+        val out = new java.io.PrintWriter(s"/tmp/golden_canon_$q.txt")
+        canonicalRows(SparkEntry.queries(q)(spark, sfDir)).foreach(out.println)
         out.close()
       }
       assert(n == rows, s"$q rows: $n != $rows")
