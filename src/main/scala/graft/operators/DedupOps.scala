@@ -447,7 +447,8 @@ object DedupOps extends QueryModule {
     """WITH spans AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-3),
       |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS h
-      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM (SELECT COALESCE(doc_id, -9223372036854775808) AS doc_id,
+      |               string_split_regex(lower(trim(text)), '\s+') AS toks
       |        FROM documents)),
       |df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
       |SELECT s.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,

@@ -56,7 +56,10 @@ object Distributed {
     * column, which is the second sort key. Sub-bucketing by tiebreak range
     * is order-aligned WITHIN a tie class (ties are ordered by the tiebreak
     * alone), so ranks stay exact while the modal class fans out across
-    * `tieSub` tasks. `tieBounds` = precomputed (min, max) of the tiebreak —
+    * `tieSub` tasks. A NULL key maps to the bucket endpoint matching the
+    * engine's null placement for the sort direction (see globalRowNumber),
+    * so nullable keys rank correctly; the tiebreak must be non-null (it is
+    * the unique total-order column). `tieBounds` = precomputed (min, max) of the tiebreak —
     * pass it when the caller already knows the domain (or scores several
     * orderings of one relation and can fetch every boundary in ONE
     * construction job, see Relational.rfm) to skip this call's collect. */
@@ -108,7 +111,14 @@ object Distributed {
         // ((tie-lo)*k)/span in exact long arithmetic -> [0, k)
         val scaled = (col(tie).cast("long") - lit(lo)) * lit(k.toLong)
         val sub = ((scaled - pmod(scaled, lit(span))) / lit(span)).cast("long")
-        (key.cast("long"), coalesce(sub, lit(0L)))
+        // NULL keys: a null b1 would silently drop out of the `__b1o < B1`
+        // offset sums (three-valued logic) and mis-rank every bucket. Map
+        // them to the endpoint matching the engine's null placement for the
+        // leading sort direction (asc = NULLS FIRST -> MinValue, desc =
+        // NULLS LAST -> MaxValue), keeping b1 monotone along the sort.
+        val nullSentinel =
+          if (sort.head._2) Long.MinValue else Long.MaxValue
+        (coalesce(key.cast("long"), lit(nullSentinel)), coalesce(sub, lit(0L)))
       case ByRange(parts0, pre) =>
         val parts = if (parts0 > 0) parts0
           else df.sparkSession.sessionState.conf.numShufflePartitions

@@ -30,6 +30,25 @@ class DistributedSpec extends SparkTestBase {
     }
   }
 
+  test("ByValue rank is exact when the bucket key is nullable (asc+desc)") {
+    // NULL leading keys sort NULLS FIRST asc / NULLS LAST desc in Spark;
+    // the sentinel mapping must agree or null rows get silently mis-ranked
+    // (a null b1 drops out of the `__b1o < b1` offset sums).
+    val withNulls = (1 to 200)
+      .map(i => (if (i % 11 == 0) None else Some(((i * 13) % 7).toLong), i.toLong))
+      .toDF("k", "id")
+    for (asc <- Seq(true, false)) {
+      val sort = if (asc) Seq(col("k").asc, col("id").asc) else Seq(col("k").desc, col("id").asc)
+      val key = if (asc) col("k") else -col("k")
+      val got = Distributed.globalRowNumber(withNulls, Seq("k" -> asc, "id" -> true),
+        "rn", Distributed.ByValue(key, "id", tieSub = 4))
+      val want = withNulls.withColumn("rn_ref", row_number().over(Window.orderBy(sort: _*)))
+      val diff = got.join(want.select(col("id").as("id2"), col("rn_ref")), col("id") === col("id2"))
+        .filter(col("rn") =!= col("rn_ref")).count()
+      assert(diff == 0, s"asc=$asc: $diff ranks differ from the global window with null keys")
+    }
+  }
+
   test("ByRange rank + running sum == global window forms on a continuous key") {
     val df = (1 to 400).map(i => (math.sin(i).abs * 1e6).toLong -> i.toLong).toDF("v", "id")
     val got = Distributed.globalRowNumber(df, Seq("v" -> false, "id" -> true), "rn",
