@@ -1135,38 +1135,59 @@ object Relational extends QueryModule {
   // See Distributed.globalRowNumber for the design.
   // ------------------------------------------------------------------
   def rfm(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.load(s, dir, "orders")
+    // Materialize the per-customer grain ONCE (scratch-parquet lineage cut,
+    // the DedupOps pattern): the three scoring passes and the final
+    // assembly are FOUR consumers of this relation, and globalRowNumber
+    // itself references its input twice (rows + bucket counts) — inline,
+    // the round-7 chained form re-derived the orders aggregation per
+    // consumer (3.0 s at sf0.1, ~3x this form).
+    val perPath = graft.Scratch.dir("graft_rfm_per")
+    Tables.load(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(
         datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")).cast("date"))
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
+      .write.parquet(perPath)
+    val per = s.read.parquet(perPath)
     // ONE construction job fetches every bucket boundary (custkey domain
     // endpoints + monetary quantiles). Fetching them per scoring pass
-    // would re-execute the pass's whole upstream chain per collect — the
-    // chained second and third passes made that compound (5.6 s at sf0.1,
-    // stage-overhead-bound); with literals the query is one DAG plus this
-    // single bounded collect.
+    // would cost a job each; with literals the query is one DAG plus this
+    // single bounded collect. parts <= 1 (e.g. shuffle.partitions=1) must
+    // skip the percentile term: percentile_approx rejects an empty
+    // percentage array (mirrors the ByRange guard in Distributed).
     val parts = s.sessionState.conf.numShufflePartitions
     val levels = (1 until parts).map(_.toDouble / parts)
-    val b = per.agg(
-      min(col("o_custkey")).cast("long"), max(col("o_custkey")).cast("long"),
-      percentile_approx(col("monetary"), array(levels.map(lit): _*), lit(10000))).head()
+    val ckAggs = Seq(
+      min(col("o_custkey")).cast("long"), max(col("o_custkey")).cast("long"))
+    val aggs = if (levels.isEmpty) ckAggs
+      else ckAggs :+ percentile_approx(col("monetary"), array(levels.map(lit): _*), lit(10000))
+    val b = per.agg(aggs.head, aggs.tail: _*).head()
     val ckBounds = if (b.isNullAt(0)) Some((0L, 0L)) else Some((b.getLong(0), b.getLong(1)))
-    val mBnds = if (b.isNullAt(2)) Some(Seq.empty[Any]) else Some(b.getSeq[Any](2))
-    def scored(df: DataFrame, c: String, asc: Boolean, out: String,
-               buckets: Distributed.Buckets): DataFrame =
-      Distributed.globalRowNumber(df, Seq(c -> asc, "o_custkey" -> true), "__rnk",
-          buckets, totalName = Some("__n"))
-        .withColumn(out, Distributed.ntileFromRank(col("__rnk"), col("__n"), 5).cast("int"))
-        .drop("__rnk", "__n")
-    val r = scored(per, "recency_days", asc = true, "r_score",
+    val mBnds = if (levels.isEmpty || b.isNullAt(2)) Some(Seq.empty[Any])
+      else Some(b.getSeq[Any](2))
+    // Each score is an independent (custkey, tile) relation off the SAME
+    // materialized grain — narrow two-column rank pipelines instead of the
+    // chained wide passes — joined back on custkey (all three exchanges
+    // plus the assembly share the custkey hash partitioning).
+    def scoreOf(c: String, asc: Boolean, out: String,
+                buckets: Distributed.Buckets): DataFrame =
+      Distributed.globalRowNumber(per.select(col("o_custkey"), col(c)),
+          Seq(c -> asc, "o_custkey" -> true), "__rnk", buckets, totalName = Some("__n"))
+        .select(col("o_custkey").as(s"__ck_$out"),
+          Distributed.ntileFromRank(col("__rnk"), col("__n"), 5).cast("int").as(out))
+    val r = scoreOf("recency_days", asc = true, "r_score",
       Distributed.ByValue(col("recency_days"), "o_custkey", tieBounds = ckBounds))
-    val rf = scored(r, "frequency", asc = false, "f_score",
+    val f = scoreOf("frequency", asc = false, "f_score",
       Distributed.ByValue(-col("frequency"), "o_custkey", tieBounds = ckBounds))
-    scored(rf, "monetary", asc = false, "m_score",
-        Distributed.ByRange(boundaries = mBnds))
+    val m = scoreOf("monetary", asc = false, "m_score",
+      Distributed.ByRange(boundaries = mBnds))
+    per
+      .join(r, col("o_custkey") === col("__ck_r_score"))
+      .join(f, col("o_custkey") === col("__ck_f_score"))
+      .join(m, col("o_custkey") === col("__ck_m_score"))
+      .drop("__ck_r_score", "__ck_f_score", "__ck_m_score")
       .orderBy(col("o_custkey"))
   }
 
@@ -1630,6 +1651,254 @@ object Relational extends QueryModule {
       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+  // the EUROPE supplier(s) whose cost equals the part's MINIMUM cost
+  // among EUROPE suppliers — the correlated scalar-min subquery
+  // (cost = (SELECT MIN(..) WHERE part = outer.part)) decorrelated into
+  // a per-part min aggregate joined back on (partkey, cost). The fixture
+  // has no partsupp; lineitem is the (part, supplier) cost relation with
+  // cost = MIN(l_extendedprice) per pair — exact decimal, so the
+  // min-equality join-back cannot be broken by float rounding (the same
+  // reason Q15's max-equality join is decimal). Scale: part filter and
+  // the bounded region->nation->supplier dim chain broadcast; the fact
+  // aggregates shuffle once on (partkey, suppkey) and the per-part min
+  // reuses the partkey side; the top-100 is a TakeOrdered, never a
+  // global sort. s_suppkey rides along for a total output order.
+  // ------------------------------------------------------------------
+  def q2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    val euroSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val qualParts = t(s, dir, "part")
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_name"))
+    val cost = t(s, dir, "lineitem")
+      .join(broadcast(qualParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euroSupp.select(col("s_suppkey").as("es_suppkey"))),
+        col("l_suppkey") === col("es_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec2(col("l_extendedprice"))).as("supply_cost"))
+    val minCost = cost.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    cost
+      .join(minCost, col("l_partkey") === col("m_partkey") &&
+        col("supply_cost") === col("min_cost"))
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(qualParts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("supply_cost").cast("double").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  val q2MinCostSuppSql: String =
+    """WITH euro_supp AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |qual_parts AS (
+      |  SELECT p_partkey, p_name FROM part
+      |  WHERE p_size <= 10 AND p_type = 'LARGE'),
+      |cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supply_cost
+      |  FROM lineitem
+      |  JOIN qual_parts ON l_partkey = p_partkey
+      |  JOIN euro_supp ON l_suppkey = s_suppkey
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+      |  CAST(supply_cost AS DOUBLE) AS supply_cost
+      |FROM cost
+      |JOIN euro_supp ON l_suppkey = s_suppkey
+      |JOIN qual_parts ON l_partkey = p_partkey
+      |WHERE supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+      |                     WHERE c2.l_partkey = cost.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q20 shape (potential part promotion): suppliers of one nation
+  // who, for some qualifying part, shipped MORE THAN 20% of that part's
+  // total 1995 volume — the nested-IN (part-name prefix) plus a
+  // correlated scalar aggregate at a DIFFERENT granularity than the
+  // outer aggregate ((part) vs (part, supplier)), decorrelated into two
+  // keyed aggregates joined on the part key, a share filter in exact
+  // decimal (multiply-through, no division), and a semi-join into the
+  // supplier dim. Scale: the name-filtered part list broadcasts into the
+  // fact scan; both aggregates shuffle the SAME filtered fact once on
+  // l_partkey(+suppkey) so AQE co-plans them; the distinct supplier set
+  // is bounded by the dim and semi-joins without row explosion.
+  // ------------------------------------------------------------------
+  def q20PotentialPromo(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = t(s, dir, "part")
+      .filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val li95 = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-01-01").cast("date"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val perSuppPart = li95.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("supp_qty"))
+    val perPart = li95.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("part_qty"))
+    val qualSupp = perSuppPart
+      .join(perPart, col("l_partkey") === col("pp_partkey"))
+      .filter(col("supp_qty") * 5 > col("part_qty"))
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20PotentialPromoSql: String =
+    """WITH li95 AS (
+      |  SELECT l_partkey, l_suppkey, l_quantity
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')),
+      |per_supp_part AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      |  FROM li95 GROUP BY l_partkey, l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM per_supp_part p
+      |    WHERE supp_qty * 5 > (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+      |                          FROM li95 l2 WHERE l2.l_partkey = p.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q11 shape (important stock): per-part value held by ONE
+  // nation's suppliers, kept only where it exceeds a fraction of the
+  // GLOBAL total — the global-scalar-threshold subquery. The threshold
+  // compare is the division-free multiply-through in exact decimal
+  // (value * 10000 > total), so no engine-specific fraction rounding
+  // exists anywhere. Scale: the nation's supplier list broadcasts into
+  // the fact scan; one shuffle on l_partkey; the 1-row global total
+  // broadcasts back over the bounded per-part relation.
+  // ------------------------------------------------------------------
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val supp7 = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = t(s, dir, "lineitem")
+      .join(broadcast(supp7), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("value"))
+    val total = vals.agg(sum(col("value")).as("total_value"))
+    vals.join(broadcast(total), lit(true))
+      .filter(col("value") * 10000 > col("total_value"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  val q11ImportantStockSql: String =
+    """WITH vals AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |    WHERE n_name = 'NATION_7')
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+      |FROM vals
+      |WHERE value * 10000 > (SELECT SUM(value) FROM vals)
+      |ORDER BY value DESC, p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q12 shape (shipping priority by mode): orders x lineitem with
+  // a lateness predicate, counted into high/low priority per category.
+  // The fixture lacks l_shipmode and commit/receipt dates: l_linestatus
+  // stands in as the mode and Q21's lateness (shipped > 60 days after
+  // the order date) as the late-receipt predicate — same join + dual
+  // conditional-count shape. Scale: the year filter prunes the fact
+  // scan; one shuffle each side on the order key; the output is bounded
+  // by the status domain.
+  // ------------------------------------------------------------------
+  def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate") < lit("1997-01-01").cast("date"))
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate").cast("date") >
+        date_add(col("o_orderdate").cast("date"), 60))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q12ShipPrioritySql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q16 shape (supplier count by part attributes): distinct
+  // suppliers per (brand, type, size) over non-excluded parts, minus the
+  // "complaints" suppliers — NOT IN over a subquery. The fixture lacks
+  // s_comment; a negative account balance stands in for the complaints
+  // predicate. s_suppkey is non-null by schema, so the NOT IN is planned
+  // as a plain left-anti join (the scale-safe form — NAAJ-with-broadcast
+  // is demonstrated separately by join_not_in; see NOTES.md). Scale: the
+  // part filter broadcasts; the anti side is a bounded dim subset; one
+  // fact shuffle on the grouping key with partial distinct aggregation.
+  // ------------------------------------------------------------------
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val badSupp = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SupplierCntSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1643,6 +1912,11 @@ object Relational extends QueryModule {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "q22_global_sales" -> (q22GlobalSales _),
+    "q2_min_cost_supp" -> (q2MinCostSupp _),
+    "q20_potential_promo" -> (q20PotentialPromo _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q12_ship_priority" -> (q12ShipPriority _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
     "q13_custdist" -> (q13CustDist _),
     "q18_large_orders" -> (q18LargeOrders _),
     "orders_rfm" -> (rfm _),
@@ -1706,6 +1980,11 @@ object Relational extends QueryModule {
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q19_discounted_revenue" -> q19DiscountedRevenueSql,
     "q22_global_sales" -> q22GlobalSalesSql,
+    "q2_min_cost_supp" -> q2MinCostSuppSql,
+    "q20_potential_promo" -> q20PotentialPromoSql,
+    "q11_important_stock" -> q11ImportantStockSql,
+    "q12_ship_priority" -> q12ShipPrioritySql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,

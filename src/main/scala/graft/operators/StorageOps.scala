@@ -219,10 +219,61 @@ object StorageOps extends QueryModule {
       |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-12'
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // DATE-partitioned layout + window aggregate — the Spark mapping of the
+  // reference's 365-day chunk loop (trading212.py:86-97, SURVEY §4.2
+  // "write data date-partitioned"): events land PARTITIONED BY event
+  // date, and a one-week window query resolves its date predicate
+  // against DIRECTORY METADATA — the scan lists and reads only the 7
+  // matched partitions of the 30 written (PlanShapeSpec asserts the
+  // executed scan's partitionFilters is non-empty AND it selected fewer
+  // files than the layout holds). scan_partition_pruned proves the same
+  // mechanism on a categorical column; this is the time-axis form that
+  // replaces the reference's hand-rolled chunking at 100 TB — a window
+  // query or a day's re-ingest touches a day's directories, never the
+  // table. The aggregate keeps the result bounded (date x type), so the
+  // query also shows pruning COMPOSING with partial aggregation.
+  // ------------------------------------------------------------------
+  private[graft] def writeDatePartitioned(s: SparkSession, dir: String): String = {
+    val landing = scratch("graft_date_part_landing")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("event_type"))
+      .withColumn("event_date", col("ts").cast("date"))
+      .write.partitionBy("event_date").parquet(landing)
+    landing
+  }
+
+  def datePartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val landing = writeDatePartitioned(s, dir)
+    s.read.parquet(landing)
+      .filter(col("event_date") >= lit("2024-01-03").cast("date") &&
+        col("event_date") < lit("2024-01-10").cast("date"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      // date -> string at the output boundary: the driver's two readers
+      // render DATE differently (pandas date vs datetime64 midnight)
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  val datePartitionPruneSql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
+      |  AND CAST(ts AS DATE) < DATE '2024-01-10'
+      |GROUP BY 1, event_type
+      |ORDER BY event_date, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "scan_partition_pruned" -> (partitionPruned _),
+    "storage_partition_prune" -> (datePartitionPrune _),
     "scan_range_clustered" -> (rangeClusteredScan _),
     "scan_zorder" -> (zorderScan _),
     "join_bucketed" -> (bucketedJoin _))
@@ -231,6 +282,7 @@ object StorageOps extends QueryModule {
     "json_roundtrip" -> jsonRoundtripSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "scan_partition_pruned" -> partitionPrunedSql,
+    "storage_partition_prune" -> datePartitionPruneSql,
     "scan_range_clustered" -> rangeClusteredScanSql,
     "scan_zorder" -> zorderScanSql,
     "join_bucketed" -> bucketedJoinSql)

@@ -146,4 +146,64 @@ class RelationalSpec extends SparkTestBase {
     assert(n > 0, "brand filter left no small-quantity lines at fixture scale")
     assert(row.getAs[Double]("avg_yearly") > 0)
   }
+
+  test("q2: one min cost per part; all suppliers are EUROPE members") {
+    import graft.sources.Tables
+    val out = Relational.q2MinCostSupp(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // the correlated-min contract: every row of a part carries the SAME
+    // (minimum) cost — two suppliers tying at the min both appear
+    out.groupBy(_.getAs[Long]("p_partkey")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Double]("supply_cost")).distinct.length == 1)
+    }
+    val euro = Tables.load(spark, sfDir, "supplier")
+      .join(Tables.load(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, sfDir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => euro.contains(r.getAs[Long]("s_suppkey"))))
+  }
+
+  test("q20/q11: qualifying sets restricted to their nation (empty OK at sf0.001)") {
+    import graft.sources.Tables
+    // sf0.001 may have no NATION_3/NATION_7 suppliers — invariants hold on
+    // whatever exists; non-triviality is proven by the sf0.01 oracle
+    // (3 rows / 1574 rows)
+    val n3 = Tables.load(spark, sfDir, "supplier")
+      .join(Tables.load(spark, sfDir, "nation").filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val q20 = Relational.q20PotentialPromo(spark, sfDir).collect()
+    assert(q20.forall(r => n3.contains(r.getAs[Long]("s_suppkey"))))
+    val q11 = Relational.q11ImportantStock(spark, sfDir).collect()
+    // global-threshold contract: value ranks strictly enforced (desc order)
+    val vals = q11.map(_.getAs[Double]("value"))
+    assert(vals.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("q12: high+low counts equal the late lines in the window") {
+    import graft.sources.Tables
+    val out = Relational.q12ShipPriority(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val expected = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate") < lit("1997-01-01").cast("date")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60))
+      .count()
+    val got = out.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    assert(got == expected)
+  }
+
+  test("q16: no excluded attribute survives; counts positive") {
+    val out = Relational.q16SupplierCnt(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("p_brand") != "Brand#5")
+      assert(r.getAs[String]("p_type") != "PROMO")
+      assert(Set(1, 9, 14, 19, 23, 36, 45, 49).contains(r.getAs[Int]("p_size")))
+      assert(r.getAs[Long]("supplier_cnt") > 0)
+    }
+  }
 }

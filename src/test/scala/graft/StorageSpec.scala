@@ -133,4 +133,34 @@ class StorageSpec extends SparkTestBase {
       .orderBy("event_id")
     assert(out.exceptAll(orig).count() == 0 && orig.exceptAll(out).count() == 0)
   }
+
+  test("date-partitioned layout prunes to exactly the queried window's directories") {
+    import scala.jdk.CollectionConverters._
+    val landing = StorageOps.writeDatePartitioned(spark, sfDir)
+    val window = spark.read.parquet(landing)
+      .filter(col("event_date") >= lit("2024-01-03").cast("date") &&
+        col("event_date") < lit("2024-01-10").cast("date"))
+    window.collect()
+    val plan = window.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"no partition filter on event_date in plan:\n$plan")
+    def parquetFiles(d: java.nio.file.Path): Int =
+      java.nio.file.Files.walk(d).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    val root = java.nio.file.Paths.get(landing)
+    val total = parquetFiles(root)
+    val matched = java.nio.file.Files.list(root).iterator().asScala
+      .filter { d =>
+        val n = d.getFileName.toString
+        n >= "event_date=2024-01-03" && n < "event_date=2024-01-10"
+      }
+      .map(parquetFiles).sum
+    val scan = window.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    val read = scan.metrics("numFiles").value
+    // the 100 TB property: the scan reads the 7 matched days' files and
+    // NOTHING else — fewer files than the 30-day layout holds
+    assert(matched > 0 && read == matched, s"read $read files, window holds $matched")
+    assert(read < total, s"no pruning: read $read of $total files")
+  }
 }
