@@ -421,4 +421,43 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(df.count() == graft.sources.Tables.load(spark, sfDir, "documents").count())
     assert(df.filter(!col("ok") || col("width") < 64 || col("width") > 127).count() == 0)
   }
+
+  test("ANN quality floors at sf0.01: ivf recall and PQ band membership do not silently degrade") {
+    // Round-7 gap: emb_ann_recall REPORTS recall but nothing failed if a
+    // probe/codebook change gutted the index. Floors are pinned from
+    // observed sf0.01 values (deterministic queries — these only move when
+    // code changes, so a floor breach is always a reviewable code change):
+    //  - ivf mean recall@10 = 0.32 observed -> floor 0.15 (2x headroom).
+    //  - the PQ variants score 0.0 strict recall@10 on the near-uniform
+    //    random fixture (honest — documented at annRecall), so their guard
+    //    is membership in the exact top-100 band: of 15 candidates,
+    //    chance = 15 * 100/500 = 3; observed ivfpq = 6 (2x chance),
+    //    ivfpq_res = 3. Floors 4 / 2 catch an index that stops carrying
+    //    any signal (a broken join or codebook emits ~0-1).
+    val sf01 = "/root/testdata/sf0.01"
+    val rec = VectorOps.annRecall(spark, sf01)
+      .groupBy(col("method")).agg(avg(col("recall")).as("mean_recall"))
+      .collect().map(r => r.getAs[String]("method") -> r.getAs[Double]("mean_recall")).toMap
+    assert(rec("ivf") >= 0.15, s"ivf mean recall degraded: ${rec("ivf")}")
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val e = graft.sources.Tables.load(spark, sf01, "embeddings")
+    // only the NQUERY=5 query vectors need an exact ranking
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid2"), col("embedding").as("qe"))
+    val d = e.select(col("vec_id").as("did2"), col("embedding").as("de"))
+    val band = q.join(d, col("qid2") =!= col("did2"))
+      .withColumn("cos", expr("cosine_fast(qe, de)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid2"))
+          .orderBy(col("cos").desc, col("did2"))))
+      .filter(col("rk") <= 100)
+      .select(col("qid2"), col("did2"))
+    def bandHits(cand: org.apache.spark.sql.DataFrame): Long =
+      cand.join(band, col("qid") === col("qid2") && col("vec_id") === col("did2"),
+        "left_semi").count()
+    val pqHits = bandHits(VectorOps.annIvfPq(spark, sf01))
+    val resHits = bandHits(VectorOps.annIvfPqResidual(spark, sf01))
+    assert(pqHits >= 4, s"ivfpq top-100 band hits collapsed: $pqHits (chance 3)")
+    assert(resHits >= 2, s"ivfpq_res top-100 band hits collapsed: $resHits")
+  }
 }
