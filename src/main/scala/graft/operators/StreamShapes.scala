@@ -844,7 +844,7 @@ object StreamShapes extends QueryModule {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"),
         max(struct(col("ts"), col("event_id"))).as("last"))
-    val q = s.readStream
+    val writer = s.readStream
       .schema(org.apache.spark.sql.types.StructType(
         Tables.events.filter(f => Seq("user_id", "ts", "event_id", "value").contains(f.name))))
       .option("maxFilesPerTrigger", 3)
@@ -868,9 +868,13 @@ object StreamShapes extends QueryModule {
         cur = Some(next)
         ()
       }
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // scope covers start AND drain: the foreachBatch merge aggregations
+    // are per-batch BATCH jobs that read the conf at batch-planning time
+    graft.streaming.Streams.withStreamShuffle(s) {
+      val q = writer.start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.read.parquet(cur.getOrElse(sys.error("stream produced no batches")))
       .select(col("user_id"), col("n_events"),
         col("total_value").cast("double").as("total_value"),

@@ -9,7 +9,16 @@ import graft.streaming.Streams
 /** ST1-ST4 (SURVEY.md §2.9): replay the events table as a file-source
   * stream, drive to completion, and assert equivalence with the batch
   * window queries over the same closed input. */
-class StreamingSpec extends SparkTestBase {
+class StreamingSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
+
+  /** The session is shared across suites: cached DataFrames left behind
+    * leak into later suites' persistent-RDD checks (LifecycleSpec) and can
+    * be canonicalization-substituted into their plans — same rule as
+    * LlmOpsSpec. */
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 
   /** Events re-materialized as standard µs-timestamp parquet chunks (the
     * fixture file is ns-typed, which the streaming schema reader can't
