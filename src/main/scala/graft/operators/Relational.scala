@@ -1899,6 +1899,157 @@ object Relational extends QueryModule {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H Q8 shape (national market share): one nation's share of the
+  // region's revenue for a part type, per order year — dimensions attach
+  // on BOTH fact sides (supplier nation = the share subject, customer
+  // nation -> region = the market), and the share is a conditional
+  // aggregate ratio per group. Sums stay exact decimal; the one double
+  // division happens at the output boundary with identical operands on
+  // both engines. Scale: part/customer/supplier dims broadcast; lineitem
+  // shuffles once on l_orderkey to meet orders; the per-year rollup is
+  // bounded by the calendar.
+  // ------------------------------------------------------------------
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val americaCust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val stdParts = t(s, dir, "part")
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val vol = t(s, dir, "lineitem")
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1998-01-01").cast("date"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(americaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(year(col("o_orderdate")).as("o_year"), revenue.as("volume"),
+        col("supp_nation"))
+    vol.groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", col("volume"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("nation_volume"),
+        sum(col("volume")).as("total_volume"))
+      .select(col("o_year"),
+        (col("nation_volume").cast("double") / col("total_volume").cast("double"))
+          .as("mkt_share"),
+        col("total_volume").cast("double").as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    s"""WITH vol AS (
+      |  SELECT year(o_orderdate) AS o_year, $revenueSql AS volume,
+      |    (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey) AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE p_type = 'STANDARD'
+      |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+      |    AND o_custkey IN (
+      |      SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'))
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+      |  CAST(SUM(volume) AS DOUBLE) AS total_volume
+      |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q9 shape (product-type profit): per supplier-nation x order
+  // year, the profit over parts matching a name pattern. The fixture has
+  // no partsupp.ps_supplycost; the per-line cost term keeps the shape
+  // (profit = revenue - cost*qty, a second decimal product inside the
+  // same sum) using l_tax as the unit-cost stand-in. Scale: the
+  // name-filtered part list and the supplier-nation dim broadcast; the
+  // fact meets orders on l_orderkey once; output bounded by nation x
+  // year.
+  // ------------------------------------------------------------------
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val widgetParts = t(s, dir, "part")
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("sn_nationkey"))
+      .select(col("s_suppkey"), col("nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenue - dec2(col("l_tax")) * dec2(col("l_quantity")))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  CAST(SUM($revenueSql
+      |    - CAST(l_tax AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+      |    AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TPC-H Q18 shape (large-volume customers): orders whose TOTAL line
+  // quantity exceeds a threshold — the IN-(grouped-HAVING-subquery)
+  // shape, decorrelated to a per-order aggregate semi-joined back, then
+  // customer attachment and a top-100 by order value. Scale: the
+  // per-order aggregate shuffles lineitem once on l_orderkey (partial
+  // aggs map-side); the qualifying-order set is small and semi-joins
+  // orders without expansion; TakeOrdered caps the output — no global
+  // sort of the join.
+  // ------------------------------------------------------------------
+  def q18LargeVolumeCust(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .filter(col("sum_qty") > 280)
+    t(s, dir, "orders")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice").cast("double").as("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeVolumeCustSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(sum_qty AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 280) big
+      |  ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
   // Registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1917,6 +2068,9 @@ object Relational extends QueryModule {
     "q11_important_stock" -> (q11ImportantStock _),
     "q12_ship_priority" -> (q12ShipPriority _),
     "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q18_large_volume_cust" -> (q18LargeVolumeCust _),
     "q13_custdist" -> (q13CustDist _),
     "q18_large_orders" -> (q18LargeOrders _),
     "orders_rfm" -> (rfm _),
@@ -1985,6 +2139,9 @@ object Relational extends QueryModule {
     "q11_important_stock" -> q11ImportantStockSql,
     "q12_ship_priority" -> q12ShipPrioritySql,
     "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_product_profit" -> q9ProductProfitSql,
+    "q18_large_volume_cust" -> q18LargeVolumeCustSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_salted" -> joinSaltedSql,

@@ -206,4 +206,24 @@ class RelationalSpec extends SparkTestBase {
       assert(r.getAs[Long]("supplier_cnt") > 0)
     }
   }
+
+  test("q8: market share in [0,1]; q9: every nation-year group is real; q18: threshold respected") {
+    val q8 = Relational.q8MarketShare(spark, sfDir).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("total_volume") > 0)
+      assert(r.getAs[Int]("o_year") >= 1996 && r.getAs[Int]("o_year") <= 1997)
+    }
+    val q9 = Relational.q9ProductProfit(spark, sfDir).collect()
+    assert(q9.nonEmpty)
+    assert(q9.map(r => (r.getAs[String]("nation"), r.getAs[Int]("o_year"))).distinct.length == q9.length)
+    val q18 = Relational.q18LargeVolumeCust(spark, sfDir).collect()
+    assert(q18.nonEmpty)
+    assert(q18.forall(_.getAs[Double]("sum_qty") > 280.0))
+    // top-100 by value: descending order holds
+    val prices = q18.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
 }
