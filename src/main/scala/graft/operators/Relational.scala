@@ -234,6 +234,61 @@ object Relational extends QueryModule {
       |GROUP BY lo ORDER BY lo""".stripMargin
 
   // ------------------------------------------------------------------
+  // J4 (overlap): interval overlap join via BUCKET DECOMPOSITION — the
+  // 100 TB shape for temporal overlap when NEITHER side broadcasts.
+  // join_range's broadcast-nested-loop works only while one side is tiny;
+  // here both interval relations explode into fixed-width day buckets
+  // (width 128 >= the longest interval, so each side emits at most 2 rows
+  // per interval), the join is a plain EQUI join on the bucket id, and
+  // the true overlap predicate filters the bucket collisions. Duplicate
+  // pairs (intervals sharing 2 buckets) are eliminated WITHOUT a distinct:
+  // a pair is kept only in the bucket containing the overlap's start
+  // (greatest of the two starts) — exactly one bucket qualifies by
+  // construction, so the join output is exact and the plan has no
+  // dedup exchange and no nested loop. All temporal math is in epoch-day
+  // INTEGERS (datediff from 1970-01-01) — no date/timestamp parity risk.
+  // Intervals: order fulfillment windows [o_orderdate, +5..64 days]
+  // (duration keyed off o_orderkey, deterministic); probe side: 28
+  // generated 90-day audit windows covering the o_orderdate domain.
+  // ------------------------------------------------------------------
+  private val IVL_W = 128 // bucket width (days); > max interval span (90)
+
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders")
+      .withColumn("s1", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .withColumn("e1", col("s1") + lit(5) + pmod(col("o_orderkey"), lit(60)).cast("int"))
+      .withColumn("b", explode(sequence(expr(s"s1 div $IVL_W"), expr(s"e1 div $IVL_W"))))
+    val win = s.range(0, 28)
+      .select(col("id").cast("int").as("wid"),
+        (lit(9131) + col("id").cast("int") * 90).as("ws"))
+      .withColumn("we", col("ws") + 89)
+      .withColumn("b", explode(sequence(expr(s"ws div $IVL_W"), expr(s"we div $IVL_W"))))
+    iv.join(win, Seq("b"))
+      .filter(col("s1") <= col("we") && col("ws") <= col("e1") &&
+        col("b") === expr(s"greatest(s1, ws) div $IVL_W"))
+      .groupBy(col("wid"), col("ws"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("win_value"))
+      .orderBy(col("wid"))
+  }
+
+  val joinIntervalOverlapSql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s1,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      + 5 + o_orderkey % 60 AS e1
+      |  FROM orders),
+      |win AS (SELECT CAST(wid AS INTEGER) AS wid,
+      |               CAST(9131 + wid*90 AS INTEGER) AS ws,
+      |               CAST(9131 + wid*90 + 89 AS INTEGER) AS we
+      |        FROM range(0, 28) t(wid))
+      |SELECT wid, ws, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS win_value
+      |FROM iv JOIN win ON s1 <= we AND ws <= e1
+      |GROUP BY wid, ws ORDER BY wid""".stripMargin
+
+  // ------------------------------------------------------------------
   // J5: as-of join — for every event, the latest 'purchase' event of the
   // same user at-or-before it. Implemented the Spark-native way (SURVEY.md
   // §2.10 J5): NOT as a range join + filter (quadratic) but as a single
@@ -901,6 +956,44 @@ object Relational extends QueryModule {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
       |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Recursive CTE through the SQL surface (Spark 4's WITH RECURSIVE,
+  // planned as UnionLoop): a 90-day date spine generated by the recursion,
+  // left-joined to daily order totals with zero-fill — the reference's
+  // day-window generator (S6) as pure SQL, and the gap-fill twin of
+  // events_gapfill (which composes sequence()+explode instead). Scale: the
+  // recursion produces 90 rows driver-side-cheap and broadcasts to the
+  // date-bounded orders slice; depth is calendar-bounded, far under
+  // spark.sql.cteRecursionLevelLimit (100 per step default). All outputs
+  // are exact (count, decimal-sum cast at the boundary).
+  // ------------------------------------------------------------------
+  def sqlRecursiveSpine(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("ord_rcte")
+    s.sql(
+      """WITH RECURSIVE spine(day) AS (
+        |  SELECT DATE'1996-01-01'
+        |  UNION ALL
+        |  SELECT date_add(day, 1) FROM spine WHERE day < DATE'1996-03-30'
+        |)
+        |SELECT date_format(day, 'yyyy-MM-dd') AS day, COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))),
+        |                CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+        |FROM spine LEFT JOIN ord_rcte ON CAST(o_orderdate AS DATE) = day
+        |GROUP BY day ORDER BY day""".stripMargin)
+  }
+
+  val sqlRecursiveSpineSql: String =
+    """WITH RECURSIVE spine(day) AS (
+      |  SELECT DATE '1996-01-01'
+      |  UNION ALL
+      |  SELECT day + 1 FROM spine WHERE day < DATE '1996-03-30'
+      |)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))),
+      |                CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+      |FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = day
+      |GROUP BY day ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
   // J1 (full outer): per-nation counts of a filtered customer slice vs a
@@ -2112,7 +2205,9 @@ object Relational extends QueryModule {
     "scalar_funcs" -> (scalarFuncs _),
     "scalar_dates" -> (scalarDates _),
     "scalar_maps" -> (scalarMaps _),
-    "sql_grouping_sets" -> (sqlGroupingSets _))
+    "sql_grouping_sets" -> (sqlGroupingSets _),
+    "sql_recursive_spine" -> (sqlRecursiveSpine _),
+    "join_interval_overlap" -> (joinIntervalOverlap _))
 
   def oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
@@ -2174,5 +2269,7 @@ object Relational extends QueryModule {
     "scalar_funcs" -> scalarFuncsSql,
     "scalar_dates" -> scalarDatesSql,
     "scalar_maps" -> scalarMapsSql,
-    "sql_grouping_sets" -> sqlGroupingSetsSql)
+    "sql_grouping_sets" -> sqlGroupingSetsSql,
+    "sql_recursive_spine" -> sqlRecursiveSpineSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql)
 }

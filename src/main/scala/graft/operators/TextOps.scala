@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
+import graft.functions.{TextFns, VectorFns}
 import graft.sources.Tables
 
 /** [EXT] L4x text analysis over the `documents` table (SURVEY.md §2.10):
@@ -398,7 +398,11 @@ object TextOps extends QueryModule {
   private val TFIDF_TERMS = Seq("join", "vector", "stream")
   private val TFIDF_K = 10
 
-  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, score) relation shared by docs_tfidf_topk and
+    * docs_rrf_fusion: scores exist only for documents matching at least
+    * one query term (the postings explode filters everything else), so
+    * downstream consumers take a partial top-K, never a global sort. */
+  private def tfidfScored(s: SparkSession, dir: String): DataFrame = {
     val post = docs(s, dir)
       .select(col("doc_id"), size(toks).as("len"), explode(toks).as("token"))
       .filter(col("token").isin(TFIDF_TERMS: _*))
@@ -415,11 +419,16 @@ object TextOps extends QueryModule {
     val score = TFIDF_TERMS.map(t => coalesce(col(t), lit(0.0))).reduceLeft(_ + _)
     pivoted.withColumn("score", score)
       .select(col("doc_id"), col("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(TFIDF_K)
   }
 
-  val tfidfTopKSql: String = {
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame =
+    tfidfScored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TFIDF_K)
+
+  /** The oracle CTE chain producing the same (doc_id, score) relation
+    * (`sc`), shared by the tfidf and rrf oracles. */
+  private val tfidfScoredCtes: String = {
     val cases = TFIDF_TERMS.map(t =>
       s"COALESCE(MAX(CASE WHEN token = '$t' THEN c END), 0.0)").mkString(" +\n      |         ")
     s"""WITH tk AS (
@@ -440,10 +449,83 @@ object TextOps extends QueryModule {
       |sc AS (
       |  SELECT doc_id,
       |         $cases AS score
-      |  FROM c GROUP BY doc_id)
+      |  FROM c GROUP BY doc_id)""".stripMargin
+  }
+
+  val tfidfTopKSql: String =
+    s"""$tfidfScoredCtes
       |SELECT doc_id, score FROM sc
       |ORDER BY score DESC, doc_id LIMIT $TFIDF_K""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical TF-IDF
+  // ranking and the dense cosine ranking for one query vector (vec_id 0),
+  // aligned on doc_id = vec_id. The production hybrid-search shape: each
+  // retriever independently produces a BOUNDED candidate pool (lexical
+  // pool via TakeOrdered over the postings-matched docs; dense pool via
+  // the exact scorer here, an ANN probe at corpus scale — both partial
+  // top-K, no global sort or single-partition window anywhere), and the
+  // fusion itself runs on the driver over the two collected 50-row lists
+  // — the MMR/codebook bounded-collect pattern; rank positions come from
+  // Spark-ordered collects, so no float ever crosses engines. Fusion
+  // scores are INTEGER-SCALED: contribution = 1e12 div (60 + rank) in
+  // exact integer division on both engines (the standard RRF k=60), so
+  // the fused key is a BIGINT and hash parity is structural.
+  // ------------------------------------------------------------------
+  private val RRF_POOL = 50
+  private val RRF_K = 10
+  private val RRF_C = 60            // the canonical RRF damping constant
+  private val RRF_SCALE = 1000000000000L
+
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lexIds = tfidfScored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(RRF_POOL)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val vecIds = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("did"), col("embedding").as("de"))
+      .crossJoin(broadcast(q))
+      .select(col("did"), VectorFns.cosine(col("qe"), col("de")).as("cos"))
+      .orderBy(col("cos").desc, col("did"))
+      .limit(RRF_POOL)
+      .select(col("did")).collect().map(_.getLong(0))
+    val lexRank = lexIds.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val vecRank = vecIds.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    def contrib(r: Option[Int]): Long = r.fold(0L)(x => RRF_SCALE / (RRF_C + x))
+    val fused = (lexRank.keySet ++ vecRank.keySet).toSeq.map { d =>
+      (d, contrib(lexRank.get(d)) + contrib(vecRank.get(d)),
+        lexRank.get(d), vecRank.get(d))
+    }.sortBy { case (d, f, _, _) => (-f, d) }.take(RRF_K)
+    import s.implicits._
+    fused.toDF("doc_id", "fused", "lex_rank", "vec_rank")
+      .orderBy(col("fused").desc, col("doc_id"))
   }
+
+  val rrfFusionSql: String =
+    s"""$tfidfScoredCtes,
+      |lex AS (
+      |  SELECT doc_id, lr FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+      |    FROM sc) WHERE lr <= $RRF_POOL),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+      |vs AS (
+      |  SELECT vec_id AS did,
+      |    list_dot_product(qe, de) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(de, de))) AS cos
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+      |        FROM embeddings WHERE vec_id <> 0) CROSS JOIN q),
+      |vec AS (
+      |  SELECT did, vr FROM (
+      |    SELECT did, row_number() OVER (ORDER BY cos DESC, did) AS vr
+      |    FROM vs) WHERE vr <= $RRF_POOL)
+      |SELECT COALESCE(doc_id, did) AS doc_id,
+      |  COALESCE($RRF_SCALE // ($RRF_C + lr), 0) +
+      |    COALESCE($RRF_SCALE // ($RRF_C + vr), 0) AS fused,
+      |  CAST(lr AS INTEGER) AS lex_rank, CAST(vr AS INTEGER) AS vec_rank
+      |FROM lex FULL JOIN vec ON doc_id = did
+      |ORDER BY fused DESC, doc_id LIMIT $RRF_K""".stripMargin
 
   // ------------------------------------------------------------------
   // Frequent items via count-min sketch (the approx_top_k shape): the
@@ -631,6 +713,7 @@ object TextOps extends QueryModule {
     "docs_vocab_topk" -> (vocabTopK _),
     "docs_freq_sketch" -> (freqSketch _),
     "docs_tfidf_topk" -> (tfidfTopK _),
+    "docs_rrf_fusion" -> (rrfFusion _),
     "docs_oov_rate" -> (oovRate _),
     "docs_pii_scrub" -> (piiScrub _),
     "docs_rolling_fp" -> (rollingFingerprint _),
@@ -648,6 +731,7 @@ object TextOps extends QueryModule {
     "docs_vocab_topk" -> vocabTopKSql,
     "docs_freq_sketch" -> freqSketchSql,
     "docs_tfidf_topk" -> tfidfTopKSql,
+    "docs_rrf_fusion" -> rrfFusionSql,
     "docs_oov_rate" -> oovRateSql,
     "docs_pii_scrub" -> piiScrubSql,
     "docs_rolling_fp" -> rollingFingerprintSql,

@@ -365,6 +365,23 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(withTerm == ids.length, "every returned doc must contain a query term")
   }
 
+  test("rrf fusion: fused score is exactly the integer RRF of the row's own ranks") {
+    val out = TextOps.rrfFusion(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    def contrib(r: Option[Int]): Long = r.fold(0L)(x => 1000000000000L / (60 + x))
+    out.foreach { r =>
+      val lex = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val vec = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      assert(lex.isDefined || vec.isDefined, "a fused doc must come from some pool")
+      (lex ++ vec).foreach(x => assert(x >= 1 && x <= 50, "ranks are pool positions"))
+      assert(r.getLong(1) == contrib(lex) + contrib(vec),
+        "fused must be recomputable from the row's ranks alone")
+    }
+    val fused = out.map(r => (r.getLong(1), r.getLong(0)))
+    assert(fused.zip(fused.tail).forall { case ((f1, d1), (f2, d2)) =>
+      f1 > f2 || (f1 == f2 && d1 < d2) }, "output is (fused DESC, doc_id) order")
+  }
+
   test("cosine top-k: 10 ranked neighbors per query, cos in [-1,1], descending") {
     val rows = VectorOps.cosineTopK(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))

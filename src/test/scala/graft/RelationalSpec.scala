@@ -226,4 +226,47 @@ class RelationalSpec extends SparkTestBase {
     val prices = q18.map(_.getAs[Double]("o_totalprice"))
     assert(prices.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
+
+  test("interval overlap: bucket decomposition matches the direct theta join, equi-join plan") {
+    val df = Relational.joinIntervalOverlap(spark, sfDir)
+    // the whole point of the bucket form: an EQUI join, never a nested loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"bucketized overlap must plan an equi join, got:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 28)
+    rows.foreach(r => assert(r.getAs[Int]("ws") == 9131 + r.getAs[Int]("wid") * 90))
+    // ground truth: the direct (broadcastable-at-test-scale) theta join —
+    // proves the first-overlap-bucket trick drops no pair and dups none
+    val iv = graft.sources.Tables.load(spark, sfDir, "orders")
+      .withColumn("s1", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .withColumn("e1", col("s1") + lit(5) + pmod(col("o_orderkey"), lit(60)).cast("int"))
+    val win = spark.range(0, 28)
+      .select(col("id").cast("int").as("wid"),
+        (lit(9131) + col("id").cast("int") * 90).as("ws"))
+      .withColumn("we", col("ws") + 89)
+    val direct = iv.join(win, col("s1") <= col("we") && col("ws") <= col("e1"))
+      .groupBy(col("wid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("wid") -> r.getAs[Long]("n")).toMap
+    assert(rows.map(r => r.getAs[Int]("wid") -> r.getAs[Long]("n_overlap")).toMap == direct)
+  }
+
+  test("sql_recursive_spine: native recursion, full 90-day spine, zero-filled gaps") {
+    val df = Relational.sqlRecursiveSpine(spark, sfDir)
+    // native WITH RECURSIVE plans as UnionLoop — not a rewrite to explode/sequence
+    assert(df.queryExecution.analyzed.toString.contains("UnionLoop"),
+      "recursive CTE should plan through UnionLoop")
+    val rows = df.collect()
+    assert(rows.length == 90) // Jan 1 .. Mar 30 1996 inclusive
+    assert(rows.head.getAs[String]("day") == "1996-01-01")
+    assert(rows.last.getAs[String]("day") == "1996-03-30")
+    // zero-fill: empty days carry n_orders=0 and day_value=0.0, never null
+    rows.filter(_.getAs[Long]("n_orders") == 0L)
+      .foreach(r => assert(r.getAs[Double]("day_value") == 0.0))
+    // spine total equals a direct count over the same window
+    val direct = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-03-31").cast("date")).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == direct)
+  }
 }
