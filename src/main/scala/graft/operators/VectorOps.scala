@@ -995,7 +995,93 @@ object VectorOps extends QueryModule {
       |SELECT qid, k, did, score FROM sel$MMR_K ORDER BY qid, k""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // [EXT] SQ8 scalar quantization — the third member of the compression
+  // family (IVF bounds WHAT is scanned, PQ compresses via codebooks, SQ8
+  // compresses via per-dimension affine ranges). Train: one 64-row
+  // aggregate finds each dimension's [min, max] over the corpus (assembled
+  // into two broadcast arrays, the centroid-assembly idiom). Encode: the
+  // corpus maps to integer codes round((v-mn)/(mx-mn)*255) in 0..255 —
+  // 1 byte/dim at rest, a 4x cut vs float32. Search is the ASYMMETRIC
+  // distance (the FAISS SQ shape): the RAW query vector dots the
+  // DEQUANTIZED corpus vector mn + code*(mx-mn)/255 — a symmetric
+  // code-times-code product would rank in the shifted-and-scaled space,
+  // which diverges arbitrarily from raw-dot ranking (measured: recall 0
+  // at sf0.01), while ADC keeps recall@5 = 1.0 there. Parity: encode and
+  // decode are single-rounded double ops written in the same order on
+  // both engines (round ties can't diverge — every rounded operand is
+  // non-negative), and the dot is the proven ordered-fold kernel
+  // (VectorFns.dot == DuckDB list_dot_product). Scale: ranges are ONE
+  // tiny broadcast; encode is a narrow map; the corpus streams once with
+  // no shuffle before the per-qid top-K; codes compose with IVF probing
+  // exactly like PQ does.
+  // ------------------------------------------------------------------
+  private val SQ_NQ = 3
+  private val SQ_TOPK = 5
+
+  /** Quantize a double-array column to 0..255 integer codes given
+    * broadcast per-dim min (`mna`) / max (`mxa`) arrays. */
+  private def sq8Codes(v: Column): Column = {
+    val dif = zip_with(v, col("mna"), (x, m) => x - m)
+    val rngs = zip_with(col("mxa"), col("mna"), (a, b) => a - b)
+    zip_with(dif, rngs, (d, r) =>
+      when(r === 0.0, lit(0.0)).otherwise(round(d / r * 255))).cast("array<long>")
+  }
+
+  /** Dequantize codes back to doubles: mn + code * ((mx-mn)/255), the
+    * same op order the oracle writes. */
+  private def sq8Dequant(c: Column): Column = {
+    val step = zip_with(col("mxa"), col("mna"), (a, b) => (a - b) / lit(255.0))
+    zip_with(zip_with(c.cast("array<double>"), step, (cc, st) => cc * st),
+      col("mna"), (x, m) => x + m)
+  }
+
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+    val rng = e
+      .select(posexplode(col("de")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        x => x.getField("mn")).as("mna"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          x => x.getField("mx")).as("mxa"))
+    val codes = e.crossJoin(broadcast(rng))
+      .select(col("vec_id"), sq8Codes(col("de")).as("c"))
+    val q = e.filter(col("vec_id") < SQ_NQ)
+      .select(col("vec_id").as("qid"), col("de").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("did"))
+    codes.crossJoin(broadcast(rng))
+      .select(col("vec_id").as("did"), sq8Dequant(col("c")).as("dv"))
+      .join(broadcast(q), col("did") =!= col("qid"))
+      .select(col("qid"), col("did"), VectorFns.dot(col("qe"), col("dv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SQ_TOPK)
+      .select(col("qid"), col("rank"), col("did"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annSq8Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |x AS (SELECT vec_id, g.i AS pos, de[g.i] AS v FROM e CROSS JOIN range(1, 65) g(i)),
+      |rng AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY pos),
+      |dq AS (
+      |  SELECT vec_id,
+      |    list((CAST(CASE WHEN mx = mn THEN 0.0
+      |                    ELSE round((v - mn) / (mx - mn) * 255) END AS BIGINT)
+      |          * ((mx - mn) / 255.0)) + mn ORDER BY pos) AS dv
+      |  FROM x JOIN rng USING (pos) GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < $SQ_NQ),
+      |scored AS (
+      |  SELECT qid, vec_id AS did, list_dot_product(qe, dv) AS score
+      |  FROM dq JOIN q ON vec_id <> qid)
+      |SELECT qid, rank, did, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+      |  FROM scored)
+      |WHERE rank <= $SQ_TOPK ORDER BY qid, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_ann_sq8" -> (annSq8 _),
     "emb_mmr_topk" -> (mmrTopK _),
     "emb_cosine_topk" -> (cosineTopK _),
     "emb_ann_recall" -> (annRecall _),
@@ -1008,6 +1094,7 @@ object VectorOps extends QueryModule {
     "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
+    "emb_ann_sq8" -> annSq8Sql,
     "emb_mmr_topk" -> mmrTopKSql,
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ann_recall" -> annRecallSql,

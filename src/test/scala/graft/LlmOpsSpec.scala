@@ -477,4 +477,32 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(pqHits >= 4, s"ivfpq top-100 band hits collapsed: $pqHits (chance 3)")
     assert(resHits >= 2, s"ivfpq_res top-100 band hits collapsed: $resHits")
   }
+
+  test("sq8: asymmetric ADC ranking recalls the exact dot-product top-5") {
+    // Observed at sf0.01: recall@5 = 1.0 for all 3 queries (the symmetric
+    // code-times-code variant scored 0.0 — that regression is exactly what
+    // this floor exists to catch). Floor 12/15 leaves headroom for fixture
+    // evolution, not for a broken quantizer (which emits ~0).
+    val sf01 = "/root/testdata/sf0.01"
+    val sq = VectorOps.annSq8(spark, sf01)
+    val rows = sq.collect()
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+      val sc = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, "scores descend with rank")
+    }
+    val e = graft.sources.Tables.load(spark, sf01, "embeddings")
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid2"), col("embedding").as("qe"))
+    val exact = e.select(col("vec_id").as("did2"), col("embedding").as("de"))
+      .join(q, col("did2") =!= col("qid2"))
+      .withColumn("dot", graft.functions.VectorFns.dot(col("qe"), col("de")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid2"))
+          .orderBy(col("dot").desc, col("did2"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid2"), col("did2"))
+    val hits = sq.join(exact,
+      col("qid") === col("qid2") && col("did") === col("did2"), "left_semi").count()
+    assert(hits >= 12, s"sq8 recall vs exact dot collapsed: $hits/15 band hits")
+  }
 }
