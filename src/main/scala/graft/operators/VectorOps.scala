@@ -1080,7 +1080,98 @@ object VectorOps extends QueryModule {
       |  FROM scored)
       |WHERE rank <= $SQ_TOPK ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // [EXT] Binary (1-bit) quantization ANN — the fourth and most extreme
+  // member of the compression family: 1 bit/dim (a 32x cut vs float32).
+  // Train: each dimension's threshold is its range MIDPOINT (mn+mx)/2 —
+  // min/max are fold-order-independent and the midpoint is one double op,
+  // so the stat is bit-exact on both engines (a MEAN threshold would be a
+  // fold-order-dependent double sum and is banned by the parity rules).
+  // Encode: bit i = (v_i > thr_i), packed into two 32-bit words carried
+  // as BIGINTs (packing into one 64-bit word would set the sign bit and
+  // overflow the ANSI-mode integer sum). Search is two-stage, the
+  // standard binary-ANN shape: Hamming distance on the packed words
+  // (codegen'd bit_count(xor)) prunes the corpus to BQ_CAND candidates
+  // per query, then the RAW-vector exact dot reranks the survivors —
+  // Hamming is the cheap sieve, never the final score. Parity: bit
+  // packing is an exact integer sum of distinct powers of two; Hamming
+  // is integer; the rerank dot is the proven ordered-fold kernel. Scale:
+  // thresholds are ONE 64-row broadcast; encode is a narrow map; the
+  // Hamming sieve streams the corpus once with only BQ_CAND survivors
+  // per query reaching the rerank — and at rest the index is 16 bytes
+  // per vector, so a 100 TB float corpus sieves from a 3 TB bit index.
+  // ------------------------------------------------------------------
+  private val BQ_NQ = 3
+  private val BQ_CAND = 50
+  private val BQ_TOPK = 5
+  /** Literal 2^i weight arrays: packing = sum(bit_i * 2^i), an exact
+    * integer dot with distinct powers of two (max 2^32-1, no overflow). */
+  private val POW2_32: Column = array((0 until 32).map(i => lit(1L << i)): _*)
+
+  /** Pack a 64-bit sign pattern (vs broadcast `thra` thresholds) into two
+    * 32-bit words `(w0, w1)`; bits [0,32) -> w0, [32,64) -> w1. */
+  private def packWords(v: Column): (Column, Column) = {
+    val bits = zip_with(v, col("thra"), (x, t) => when(x > t, lit(1L)).otherwise(lit(0L)))
+    def word(lo: Int) = aggregate(
+      zip_with(slice(bits, lo, 32), POW2_32, (b, w) => b * w), lit(0L), (a, x) => a + x)
+    (word(1), word(33))
+  }
+
+  def annBinary(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+    val thr = e
+      .select(posexplode(col("de")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(((min(col("v")) + max(col("v"))) / 2).as("t"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")).as("thra"))
+    val packed = packWords(col("de"))
+    val codes = e.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("de"), packed._1.as("w0"), packed._2.as("w1"))
+    val q = codes.filter(col("vec_id") < BQ_NQ)
+      .select(col("vec_id").as("qid"), col("de").as("qe"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val sieve = Window.partitionBy(col("qid")).orderBy(col("hd"), col("did"))
+    val rerank = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("did"))
+    codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("did"), col("qe"), col("de"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).as("hd"))
+      .withColumn("r1", row_number().over(sieve))
+      .filter(col("r1") <= BQ_CAND)
+      .select(col("qid"), col("did"), VectorFns.dot(col("qe"), col("de")).as("score"))
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= BQ_TOPK)
+      .select(col("qid"), col("rank"), col("did"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annBinarySql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |x AS (SELECT vec_id, g.i - 1 AS pos, de[g.i] AS v FROM e CROSS JOIN range(1, 65) g(i)),
+      |thr AS (SELECT pos, (MIN(v) + MAX(v)) / 2 AS t FROM x GROUP BY pos),
+      |wd AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN pos < 32 AND v > t THEN 1::BIGINT << pos ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(SUM(CASE WHEN pos >= 32 AND v > t THEN 1::BIGINT << (pos - 32) ELSE 0 END) AS BIGINT) AS w1
+      |  FROM x JOIN thr USING (pos) GROUP BY vec_id),
+      |c AS (SELECT wd.vec_id, w0, w1, de FROM wd JOIN e USING (vec_id)),
+      |q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1, de AS qe FROM c WHERE vec_id < $BQ_NQ),
+      |ham AS (
+      |  SELECT qid, vec_id AS did, qe, de,
+      |    bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS hd
+      |  FROM c JOIN q ON vec_id <> qid),
+      |cand AS (SELECT qid, did, qe, de FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hd, did) AS r1 FROM ham)
+      |  WHERE r1 <= $BQ_CAND),
+      |sc AS (SELECT qid, did, list_dot_product(qe, de) AS score FROM cand)
+      |SELECT qid, rank, did, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+      |  FROM sc)
+      |WHERE rank <= $BQ_TOPK ORDER BY qid, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_ann_binary" -> (annBinary _),
     "emb_ann_sq8" -> (annSq8 _),
     "emb_mmr_topk" -> (mmrTopK _),
     "emb_cosine_topk" -> (cosineTopK _),
@@ -1094,6 +1185,7 @@ object VectorOps extends QueryModule {
     "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
+    "emb_ann_binary" -> annBinarySql,
     "emb_ann_sq8" -> annSq8Sql,
     "emb_mmr_topk" -> mmrTopKSql,
     "emb_cosine_topk" -> cosineTopKSql,

@@ -505,4 +505,31 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
       col("qid") === col("qid2") && col("did") === col("did2"), "left_semi").count()
     assert(hits >= 12, s"sq8 recall vs exact dot collapsed: $hits/15 band hits")
   }
+
+  test("binary ANN: Hamming sieve + exact rerank beats chance recall") {
+    // Observed at sf0.01: recall@5 = 10/15 with a 50-of-499 Hamming sieve
+    // (chance for a broken sieve is ~1.5/15). Floor 7 catches a collapsed
+    // quantizer (threshold or packing bug) while leaving fixture headroom.
+    val sf01 = "/root/testdata/sf0.01"
+    val bq = VectorOps.annBinary(spark, sf01)
+    val rows = bq.collect()
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+      val sc = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, "scores descend with rank")
+    }
+    val e = graft.sources.Tables.load(spark, sf01, "embeddings")
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid2"), col("embedding").as("qe"))
+    val exact = e.select(col("vec_id").as("did2"), col("embedding").as("de"))
+      .join(q, col("did2") =!= col("qid2"))
+      .withColumn("dot", graft.functions.VectorFns.dot(col("qe"), col("de")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid2"))
+          .orderBy(col("dot").desc, col("did2"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid2"), col("did2"))
+    val hits = bq.join(exact,
+      col("qid") === col("qid2") && col("did") === col("did2"), "left_semi").count()
+    assert(hits >= 7, s"binary ANN recall vs exact dot collapsed: $hits/15")
+  }
 }
