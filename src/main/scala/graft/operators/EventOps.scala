@@ -496,7 +496,78 @@ object EventOps extends QueryModule {
       |WINDOW w AS (ORDER BY cents DESC, user_id)
       |ORDER BY rnk""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Forward-fill over a dense hourly grid (EV4's sibling: events_gapfill
+  // zero-fills COUNTS; this carries the LAST OBSERVED value forward — the
+  // shape sensor/price/feature pipelines want, where absence means "no new
+  // reading", not zero). Per (user, hour) the observation is the
+  // order-defined last raw value (ts, event_id tiebreak — the OHLC close
+  // rule); the dense grid comes from the user's own span (sequence +
+  // explode, never a global calendar product); the fill is
+  // last(ignoreNulls) over ROWS UNBOUNDED PRECEDING — Spark's IGNORE
+  // NULLS navigation maps 1:1 to DuckDB's LAST_VALUE(x IGNORE NULLS).
+  // gap_age (hours since the carried observation) rides the same window
+  // pass. Parity: the filled value is a RAW fixture double carried
+  // verbatim (no arithmetic), gap_age is an integer date_diff; the first
+  // grid hour per user always holds a real observation (the span starts
+  // at the min OBSERVED hour), so no leading nulls survive. Scale: every
+  // stage shuffles once on user_id and the two windows share that one
+  // exchange; grid size is bounded by genuine activity spans.
+  // ------------------------------------------------------------------
+  def ffill(s: SparkSession, dir: String): DataFrame = {
+    val wObs = Window.partitionBy(col("user_id"), col("hour"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev(s, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wObs))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour"), col("value").as("obs"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("v_ffill", last(col("obs"), ignoreNulls = true).over(wFill))
+      .withColumn("obs_hour",
+        last(when(col("obs").isNotNull, col("hour")), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), col("hour"), col("v_ffill"),
+        expr("timestampdiff(HOUR, obs_hour, hour)").cast("int").as("gap_age"),
+        col("obs").isNull.cast("int").as("filled"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val ffillSql: String =
+    """WITH obs AS (
+      |  SELECT user_id, hour, value AS obs FROM (
+      |    SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE user_id < 40)
+      |  WHERE rn = 1),
+      |spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM obs GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+      |  FROM spans),
+      |joined AS (
+      |  SELECT g.user_id, g.hour, o.obs
+      |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour)
+      |SELECT user_id, hour,
+      |  LAST_VALUE(obs IGNORE NULLS) OVER w AS v_ffill,
+      |  CAST(date_diff('hour',
+      |    LAST_VALUE(CASE WHEN obs IS NOT NULL THEN hour END IGNORE NULLS) OVER w,
+      |    hour) AS INTEGER) AS gap_age,
+      |  CASE WHEN obs IS NULL THEN 1 ELSE 0 END AS filled
+      |FROM joined
+      |WINDOW w AS (PARTITION BY user_id ORDER BY hour
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ffill" -> (ffill _),
     "events_dau_wau" -> (dauWau _),
     "events_ewma" -> (ewma _),
     "events_pareto" -> (pareto _),
@@ -510,6 +581,7 @@ object EventOps extends QueryModule {
     "events_value_histogram" -> (valueHistogram _))
 
   def oracles: Map[String, String] = Map(
+    "events_ffill" -> ffillSql,
     "events_ewma" -> ewmaSql,
     "events_dau_wau" -> dauWauSql,
     "events_pareto" -> paretoSql,

@@ -236,4 +236,27 @@ class EventOpsSpec extends SparkTestBase {
       assert(isolated.filter(col("ewma") =!= col("day_value") * 0.5).count() == 0)
     } finally out.unpersist()
   }
+
+  test("ffill: dense per-user grid, observed rows age 0, fill carries the last value") {
+    val out = EventOps.ffill(spark, sfDir).cache()
+    try {
+      // grid density: per user, rows == hours in [min, max] span, hours consecutive
+      val span = out.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .filter(col("n") =!= expr("timestampdiff(HOUR, h0, h1)") + 1)
+      assert(span.count() == 0, "grid must be dense over each user's span")
+      // observed rows carry themselves: gap_age 0; filled rows age >= 1
+      assert(out.filter(col("filled") === 0 && col("gap_age") =!= 0).count() == 0)
+      assert(out.filter(col("filled") === 1 && col("gap_age") < 1).count() == 0)
+      // no nulls survive the fill (first grid hour is always observed)
+      assert(out.filter(col("v_ffill").isNull || col("gap_age").isNull).count() == 0)
+      // the carried value equals the observation gap_age hours back
+      val obs = out.filter(col("filled") === 0)
+        .select(col("user_id").as("u2"), col("hour").as("h2"), col("v_ffill").as("v2"))
+      val carried = out.filter(col("filled") === 1)
+        .join(obs, col("user_id") === col("u2") &&
+          col("hour") === col("h2") + expr("make_interval(0,0,0,0,gap_age,0,0)"))
+      assert(carried.filter(col("v_ffill") =!= col("v2")).count() == 0)
+    } finally out.unpersist()
+  }
 }
