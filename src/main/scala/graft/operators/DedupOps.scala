@@ -372,6 +372,82 @@ object DedupOps extends QueryModule {
       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
   // ------------------------------------------------------------------
+  // PageRank centrality over the near-dup graph — which documents sit at
+  // the CENTER of duplication structure (the canonical copy a whole
+  // template family orbits) versus the periphery (one-off partial
+  // copies). Degree says how many neighbors; PageRank says how important
+  // the neighbors themselves are — the rep-pick signal when clusters
+  // chain instead of forming stars. INTEGER FIXED-POINT arithmetic
+  // throughout (ranks are BIGINT units of 1e-12): every operation is an
+  // integer div / multiply / sum, so the result is bit-exact across
+  // engines, partitionings, and summation orders — no float drift, no
+  // hash-hostile decimals. Power iteration, damping 0.85 expressed as
+  // (15*base + 85*sum(contrib)) div 100, fixed 5 rounds.
+  // Scale: per round one keyed equi-join (ranks to edge sources) + one
+  // keyed sum (contributions to destinations) — the standard Pregel
+  // shuffle pair, linear in |E|; ranks/degree relations are |V|-sized.
+  // Each round is parquet-cut (same rationale as the clustering loop:
+  // bounded lineage, fault-tolerant artifact, shared-scan reuse). A hub
+  // vertex is a hot REDUCE key but its contribution rows are degree-
+  // bounded per neighbor, so AQE skew split applies cleanly.
+  // ------------------------------------------------------------------
+  private val PR_SCALE = 1000000000000L // 1e-12 fixed-point units
+  private val PR_ITERS = 5
+
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = edgesParquet(s, dir)
+    val e = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    // |V| is a single scalar of a tiny vertex relation — bounded driver
+    // fetch by construction (same policy as PQ codebooks). max(_,1)
+    // mirrors the oracle's GREATEST guard for the empty-graph edge.
+    val nv = math.max(deg.count(), 1L)
+    val base = PR_SCALE / nv
+    val ewd = e.join(deg, Seq("u")) // (u, v, du) — degree folded in once
+    def cut(df: DataFrame): DataFrame = {
+      val p = graft.Scratch.dir("graft_pr_ranks")
+      df.write.parquet(p)
+      s.read.parquet(p)
+    }
+    var ranks = cut(deg.select(col("u").as("vtx"), lit(base).as("r")))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = ewd
+        .join(ranks.select(col("vtx").as("u"), col("r")), Seq("u"))
+        .groupBy(col("v")).agg(sum(expr("r div du")).as("sm"))
+      ranks = cut(deg.select(col("u").as("vtx"))
+        .join(contrib.select(col("v").as("vtx"), col("sm")), Seq("vtx"), "left")
+        .withColumn("num", lit(15L * base) + lit(85L) * coalesce(col("sm"), lit(0L)))
+        .select(col("vtx"), expr("num div 100").as("r")))
+    }
+    ranks.select(col("vtx").as("doc_id"), col("r").as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: identical integer fixed-point power iteration, unrolled
+    * PR_ITERS times as chained CTEs (`//` is floor division — equal to
+    * Spark's `div` truncation on the all-nonnegative operands here). */
+  val pageRankSql: String = {
+    val iters = (1 to PR_ITERS).map { k =>
+      s"""it$k AS (
+        |  SELECT d.u AS vtx,
+        |    CAST((15 * (SELECT b FROM base) + 85 * COALESCE(s.sm, 0)) // 100 AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN (
+        |    SELECT e.v AS vtx, CAST(SUM(p.r // ed.du) AS BIGINT) AS sm
+        |    FROM e JOIN it${k - 1} p ON p.vtx = e.u JOIN deg ed ON ed.u = e.u
+        |    GROUP BY e.v) s ON s.vtx = d.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($minhashPairsSql),
+      |e0 AS (SELECT d1 AS u, d2 AS v FROM pairs WHERE est_jaccard >= 0.9),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS du FROM e GROUP BY u),
+      |base AS (SELECT CAST($PR_SCALE // GREATEST(COUNT(*), 1) AS BIGINT) AS b FROM deg),
+      |it0 AS (SELECT u AS vtx, (SELECT b FROM base) AS r FROM deg),
+      |$iters
+      |SELECT vtx AS doc_id, r AS pr FROM it$PR_ITERS ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Ensemble near-dup verdict (the SemDeDup-style two-signal check):
   // every LEXICAL candidate pair (minhash est >= 0.9) is re-scored by
   // the pair's EMBEDDING cosine — documents and embeddings share the id
@@ -758,6 +834,7 @@ object DedupOps extends QueryModule {
     "dedup_span_coverage" -> (spanCoverage _),
     "dedup_ensemble" -> (ensembleVerdict _),
     "dedup_degree_hist" -> (degreeHist _),
+    "dedup_pagerank" -> (pageRank _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
@@ -773,6 +850,7 @@ object DedupOps extends QueryModule {
     "dedup_span_coverage" -> spanCoverageSql,
     "dedup_ensemble" -> ensembleVerdictSql,
     "dedup_degree_hist" -> degreeHistSql,
+    "dedup_pagerank" -> pageRankSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,

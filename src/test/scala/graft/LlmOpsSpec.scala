@@ -299,6 +299,22 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(hist.forall(r => r.getAs[Long]("degree") >= 1 && r.getAs[Long]("n_docs") >= 1))
   }
 
+  test("pagerank: one rank per graph vertex, mass conserved within truncation loss") {
+    val edges = DedupOps.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.9)
+    val nv = edges.select(explode(array(col("d1"), col("d2"))).as("v"))
+      .distinct().count()
+    val ranks = DedupOps.pageRank(spark, sfDir).collect()
+    assert(ranks.length == nv)
+    assert(ranks.forall(_.getAs[Long]("pr") > 0L))
+    // every iteration redistributes the full 1e12 mass; each vertex loses
+    // < 100 units to the two integer divisions (div deg, div 100) per
+    // round, so total mass stays within iters * |V| * 100 of the start
+    val mass = ranks.map(_.getAs[Long]("pr")).sum
+    val scale = 1000000000000L
+    assert(mass <= scale && mass >= scale - 5 * nv * 100)
+  }
+
   test("ensemble: one verdict per >=0.9 minhash pair, cosine in [-1, 1]") {
     val pairs = DedupOps.minhashPairs(spark, sfDir)
       .filter(col("est_jaccard") >= 0.9).count()
