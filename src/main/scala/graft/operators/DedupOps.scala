@@ -448,6 +448,78 @@ object DedupOps extends QueryModule {
   }
 
   // ------------------------------------------------------------------
+  // 2-core of the near-dup graph — the subgraph left after iteratively
+  // peeling degree-<2 vertices. Pendant vertices (one near-dup partner)
+  // are the cheap case: keep either endpoint. What survives peeling is
+  // the DENSE duplication structure — template families and boilerplate
+  // rings where rep-picking needs the cluster/span machinery. Output is
+  // each surviving vertex with its degree INSIDE the core (its support
+  // among other core members), i.e. the "how entangled" signal.
+  // Fixed PEEL_ROUNDS rounds, unrolled identically in the oracle: a
+  // round that has already converged is a no-op, so a fixed unroll at or
+  // above the convergence depth equals the fixpoint; peeling on
+  // near-dup graphs converges in a handful of rounds (star-shaped
+  // clusters lose all their leaves in round 1).
+  // Scale: each round is one degree aggregate (keyed count) plus two
+  // semi-joins of the edge relation against the surviving-vertex set —
+  // all hash-partitioned on vertex id, linear in |E|, no quadratic
+  // stage; rounds are parquet-cut like the clustering loop.
+  // ------------------------------------------------------------------
+  private val PEEL_ROUNDS = 6
+
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreOf(edgesParquet(s, dir)
+      .select(col("d1").as("u"), col("d2").as("v")))
+
+  /** Peeling core over a (u, v) edge relation — factored out so specs can
+    * drive it with synthetic graphs of known core structure. */
+  private[graft] def kcoreOf(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    def cut(df: DataFrame): DataFrame = {
+      val p = graft.Scratch.dir("graft_kcore")
+      df.write.parquet(p)
+      s.read.parquet(p)
+    }
+    var e = edges
+    for (_ <- 1 to PEEL_ROUNDS) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= 2).select(col("x"))
+      e = cut(e
+        .join(keep.select(col("x").as("u")), Seq("u"), "semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "semi")
+        .select(col("u"), col("v")))
+    }
+    e.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: the same PEEL_ROUNDS-round peel, unrolled as chained
+    * CTEs (degree -> keep -> edge semi-filter per round). The per-round
+    * CTEs are MATERIALIZED: each round references its predecessor three
+    * times, so default CTE inlining would expand the upstream minhash
+    * pipeline 3^PEEL_ROUNDS times (observed as a too-many-open-files
+    * parquet-scan explosion); materialization makes the unroll linear —
+    * the same role the scratch-parquet cuts play on the Spark side. */
+  val kcoreSql: String = {
+    val rounds = (1 to PEEL_ROUNDS).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT x, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |    SELECT u AS x FROM e${k - 1} UNION ALL SELECT v AS x FROM e${k - 1})
+        |  GROUP BY x),
+        |k$k AS MATERIALIZED (SELECT x FROM d$k WHERE dg >= 2),
+        |e$k AS MATERIALIZED (SELECT u, v FROM e${k - 1}
+        |  WHERE u IN (SELECT x FROM k$k) AND v IN (SELECT x FROM k$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($minhashPairsSql),
+      |e0 AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM pairs WHERE est_jaccard >= 0.9),
+      |$rounds
+      |SELECT x AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+      |  SELECT u AS x FROM e$PEEL_ROUNDS UNION ALL SELECT v AS x FROM e$PEEL_ROUNDS)
+      |GROUP BY x ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Ensemble near-dup verdict (the SemDeDup-style two-signal check):
   // every LEXICAL candidate pair (minhash est >= 0.9) is re-scored by
   // the pair's EMBEDDING cosine — documents and embeddings share the id
@@ -835,6 +907,7 @@ object DedupOps extends QueryModule {
     "dedup_ensemble" -> (ensembleVerdict _),
     "dedup_degree_hist" -> (degreeHist _),
     "dedup_pagerank" -> (pageRank _),
+    "dedup_kcore" -> (kcore _),
     "dedup_minhash_losers" -> ((s, dir) => minhashLosers(s, dir, 0.9).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
@@ -851,6 +924,7 @@ object DedupOps extends QueryModule {
     "dedup_ensemble" -> ensembleVerdictSql,
     "dedup_degree_hist" -> degreeHistSql,
     "dedup_pagerank" -> pageRankSql,
+    "dedup_kcore" -> kcoreSql,
     "dedup_minhash_losers" -> (minhashLosersSql(0.9) + "\nORDER BY doc_id"),
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,

@@ -315,6 +315,23 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(mass <= scale && mass >= scale - 5 * nv * 100)
   }
 
+  test("kcore: triangle survives peeling, pendant and chain vertices do not") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 4 off vertex 1, isolated chain 5-6-7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("u", "v")
+    val core = DedupOps.kcoreOf(edges).collect()
+    assert(core.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    assert(core.forall(_.getAs[Long]("core_degree") == 2L))
+  }
+
+  test("kcore: fixture core vertices all have core degree >= 2") {
+    val core = DedupOps.kcore(spark, sfDir).collect()
+    // 6 peel rounds exceed the fixture graph's convergence depth, so the
+    // fixpoint property holds: everyone left has >= 2 core neighbors
+    assert(core.forall(_.getAs[Long]("core_degree") >= 2L))
+  }
+
   test("ensemble: one verdict per >=0.9 minhash pair, cosine in [-1, 1]") {
     val pairs = DedupOps.minhashPairs(spark, sfDir)
       .filter(col("est_jaccard") >= 0.9).count()
