@@ -74,9 +74,12 @@ object ScaleProbe {
     "dedup_minhash_pairs", "dedup_minhash_losers", "dedup_minhash_clusters",
     "dedup_simhash_pairs", "dedup_containment", "dedup_ngram_jaccard",
     "dedup_span_coverage", "dedup_triangles",
+    "dedup_pagerank", "dedup_kcore",
     "emb_cosine_topk_fast", "emb_ann_ivf", "emb_pq_topk", "emb_ann_ivfpq",
     "emb_ann_ivfpq_res", "emb_kmeans", "emb_mmr_topk",
-    "events_pareto", "docs_freq_sketch")
+    "emb_ann_sq8", "emb_ann_binary",
+    "events_pareto", "docs_freq_sketch",
+    "docs_rrf_fusion", "events_ffill", "events_gapfill")
 
   /** 1-task stages moving less than this are bounded-relation machinery
     * (offset/codebook/centroid aggregates, broadcast builds) — by design.
