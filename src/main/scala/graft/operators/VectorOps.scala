@@ -1170,7 +1170,75 @@ object VectorOps extends QueryModule {
       |  FROM sc)
       |WHERE rank <= $BQ_TOPK ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // kNN majority-vote classification: predict each held-out query
+  // vector's label from its K nearest corpus neighbors (exact cosine),
+  // majority vote with (votes DESC, label ASC) tie-break, and report
+  // per-query correctness — the label-propagation / weak-supervision
+  // step a training-data pipeline runs to fill missing labels.
+  //
+  // Plan shape = the proven cosineTopK skeleton: the KNN_NQ query
+  // vectors are BROADCAST, the corpus streams once partition-local, and
+  // only K survivors per query reach the vote aggregation (bounded:
+  // KNN_NQ x K rows). Cosines order the rank window but never appear in
+  // the output — every output column is an exact integer, so the oracle
+  // hash cannot drift on float rendering. At 100 TB the corpus scan
+  // dominates and parallelizes per-partition; the vote/argmax stages
+  // move KBs.
+  // ------------------------------------------------------------------
+  private val KNN_NQ = 20
+  private val KNN_K = 10
+
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < KNN_NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+    val d = e.filter(col("vec_id") >= KNN_NQ)
+      .select(col("vec_id").as("did"), col("embedding").as("de"),
+        col("label").as("nlabel"))
+    val wNn = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
+    val wVote = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    d.join(broadcast(q), lit(true))
+      .select(col("qid"), col("true_label"), col("nlabel"), col("did"),
+        VectorFns.cosine(col("qe"), col("de")).as("cos"))
+      .withColumn("rnk", row_number().over(wNn))
+      .filter(col("rnk") <= KNN_K)
+      .groupBy(col("qid"), col("true_label"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("nlabel").as("pred_label"), col("votes"),
+        col("true_label"),
+        when(col("nlabel") === col("true_label"), 1).otherwise(0).as("correct"))
+      .orderBy(col("qid"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+      |           label AS true_label FROM embeddings WHERE vec_id < $KNN_NQ),
+      |d AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS de, label AS nlabel
+      |      FROM embeddings WHERE vec_id >= $KNN_NQ),
+      |sc AS (
+      |  SELECT qid, true_label, nlabel, did,
+      |    list_dot_product(qe, de) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(de, de))) AS cos
+      |  FROM d CROSS JOIN q),
+      |nn AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rnk
+      |    FROM sc)
+      |  WHERE rnk <= $KNN_K),
+      |v AS (SELECT qid, true_label, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+      |      FROM nn GROUP BY qid, true_label, nlabel)
+      |SELECT qid, nlabel AS pred_label, votes, true_label,
+      |  CAST(CASE WHEN nlabel = true_label THEN 1 ELSE 0 END AS INTEGER) AS correct
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS vr
+      |  FROM v)
+      |WHERE vr = 1 ORDER BY qid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_knn_classify" -> (knnClassify _),
     "emb_ann_binary" -> (annBinary _),
     "emb_ann_sq8" -> (annSq8 _),
     "emb_mmr_topk" -> (mmrTopK _),
@@ -1185,6 +1253,7 @@ object VectorOps extends QueryModule {
     "dedup_embedding_cosine" -> (embeddingNearDupBlocked _))
 
   def oracles: Map[String, String] = Map(
+    "emb_knn_classify" -> knnClassifySql,
     "emb_ann_binary" -> annBinarySql,
     "emb_ann_sq8" -> annSq8Sql,
     "emb_mmr_topk" -> mmrTopKSql,

@@ -565,4 +565,40 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
       col("qid") === col("qid2") && col("did") === col("did2"), "left_semi").count()
     assert(hits >= 7, s"binary ANN recall vs exact dot collapsed: $hits/15")
   }
+
+  test("knn classify: one verdict per query; the vote is the top-10 label mode") {
+    // Label signal in the fixture is weak (acc ~0.15-0.2 vs 0.1 chance),
+    // so no accuracy floor — the pinned property is the MECHANISM: the
+    // predicted label must be exactly the (votes DESC, label ASC) argmax
+    // of the true neighbor labels, recomputed here from the exact top-10.
+    val df = VectorOps.knnClassify(spark, sfDir).collect()
+    assert(df.length == 20, "one row per query vector")
+    assert(df.map(_.getAs[Long]("qid")).distinct.length == 20)
+    df.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1 && v <= 10, s"votes out of range: $v")
+      val ok = r.getAs[Int]("correct")
+      assert((ok == 1) == (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")))
+    }
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid2"), col("embedding").as("qe"))
+    val nn = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("did2"), col("embedding").as("de"), col("label").as("nl"))
+      .join(broadcast(q), lit(true))
+      .withColumn("cos", graft.functions.VectorFns.cosine(col("qe"), col("de")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid2"))
+          .orderBy(col("cos").desc, col("did2"))))
+      .filter(col("rk") <= 10)
+      .groupBy(col("qid2"), col("nl")).agg(count(lit(1)).as("v2"))
+      .collect().groupBy(_.getAs[Long]("qid2"))
+    df.foreach { r =>
+      val votes = nn(r.getAs[Long]("qid")).map(x =>
+        (x.getAs[Long]("v2"), x.getAs[Int]("nl")))
+      val best = votes.minBy { case (v, l) => (-v, l) }
+      assert(r.getAs[Int]("pred_label") == best._2 && r.getAs[Long]("votes") == best._1,
+        s"qid ${r.getAs[Long]("qid")}: registered argmax disagrees with recomputation")
+    }
+  }
 }
