@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -178,13 +179,71 @@ object Multimodal extends QueryModule {
       |FROM frames f LEFT JOIN agg a USING (doc_id, frame_idx)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Perceptual fingerprint (average-hash): the media-dedup primitive.
+  // Real aHash downscales an image to 8x8 grayscale and emits one bit
+  // per cell (pixel > mean); the payload here is opaque bytes, so the
+  // "downscale" is a 32-point stride sample over the byte stream — the
+  // arithmetic (stride sample -> mean threshold -> packed bit fingerprint)
+  // is the real algorithm, byte-for-byte reproducible in the oracle.
+  // Output: per-doc 32-bit fingerprint + collision-group stats
+  // (group_n > 1 = perceptual-duplicate candidates).
+  //
+  // Scale: one narrow projection computes the fingerprint per row (HOF
+  // fold, codegen'd, no explode — the 32 samples never materialize as
+  // rows); collision stats are one window over the fp key (high-cardinality
+  // domain, no hot partition). At 100 TB this is a single scan + one
+  // keyed exchange of (doc_id, fp) pairs — bytes never shuffle.
+  // ------------------------------------------------------------------
+  def ahash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("n_chars") >= 32)
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text").cast("binary")).as("n"))
+    // sample byte i of 32 at 1-based offset 1 + floor(i*n/32); payload is
+    // verified-ASCII so ascii(substr(text,...)) IS the byte value (the
+    // pattern every mm_* stub uses — a real image would sample pixels).
+    val sampled = d.withColumn("bytes",
+      transform(sequence(lit(0), lit(31)),
+        i => ascii(col("text").substr(
+          lit(1) + ((i * col("n")) / lit(32)).cast("int"), lit(1)))))
+      .withColumn("bsum", aggregate(col("bytes"), lit(0L), (a, v) => a + v))
+      // MSB-first fold: acc*2 + (32*byte > sum of 32 bytes) per sample
+      .withColumn("fp", aggregate(col("bytes"), lit(0L),
+        (a, v) => a * 2 + when(v * lit(32) > col("bsum"), 1L).otherwise(0L)))
+    val wFp = Window.partitionBy(col("fp"))
+    sampled
+      .select(col("doc_id"), col("fp"))
+      .withColumn("group_n", count(lit(1)).over(wFp))
+      .withColumn("rep_doc", min(col("doc_id")).over(wFp))
+      .orderBy(col("doc_id"))
+  }
+
+  val ahashSql: String =
+    """WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+      |           FROM documents WHERE n_chars >= 32),
+      |b AS (SELECT doc_id, i,
+      |    ascii(substring(text, CAST(1 + (i*n)//32 AS INTEGER), 1)) AS byte
+      |  FROM d CROSS JOIN range(0, 32) r(i)),
+      |t AS (SELECT doc_id, CAST(SUM(byte) AS BIGINT) AS bsum FROM b GROUP BY doc_id),
+      |f AS (SELECT b.doc_id,
+      |    CAST(SUM(CASE WHEN 32*b.byte > t.bsum
+      |      THEN 1::BIGINT << CAST(31 - b.i AS INTEGER) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM b JOIN t USING (doc_id) GROUP BY b.doc_id)
+      |SELECT doc_id, fp,
+      |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_n,
+      |  MIN(doc_id) OVER (PARTITION BY fp) AS rep_doc
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ahash" -> (ahash _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_stub" -> (decodeBatch _),
     "mm_frame_sample" -> (frameSample _),
     "mm_feature_extract" -> (featureExtract _))
 
   def oracles: Map[String, String] = Map(
+    "mm_ahash" -> ahashSql,
     "mm_binary_meta" -> binaryMetaSql,
     "mm_decode_stub" -> decodeBatchSql,
     "mm_frame_sample" -> frameSampleSql,

@@ -566,6 +566,32 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(hits >= 7, s"binary ANN recall vs exact dot collapsed: $hits/15")
   }
 
+  test("ahash: 32-bit fingerprint, group stats consistent, identical payloads collide") {
+    val df = Multimodal.ahash(spark, sfDir).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val fp = r.getAs[Long]("fp")
+      assert(fp >= 0L && fp < (1L << 32), s"fp out of 32-bit range: $fp")
+      assert(r.getAs[Long]("rep_doc") <= r.getAs[Long]("doc_id"))
+    }
+    // group_n is exactly the fp collision count
+    val byFp = df.groupBy(_.getAs[Long]("fp"))
+    df.foreach { r =>
+      assert(r.getAs[Long]("group_n") == byFp(r.getAs[Long]("fp")).length)
+    }
+    // determinism + collision semantics: identical payloads MUST collide
+    // (fingerprint is a pure function of bytes) — check by fingerprinting
+    // a two-copy corpus via the same code path on a temp dir.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ahash_dup").toString
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents").limit(5)
+    docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dup = Multimodal.ahash(spark, tmp).collect()
+    assert(dup.forall(_.getAs[Long]("group_n") >= 2),
+      "identical payloads got different fingerprints")
+  }
+
   test("knn classify: one verdict per query; the vote is the top-10 label mode") {
     // Label signal in the fixture is weak (acc ~0.15-0.2 vs 0.1 chance),
     // so no accuracy floor — the pinned property is the MECHANISM: the
