@@ -152,6 +152,49 @@ object Relational extends QueryModule {
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
   // ------------------------------------------------------------------
+  // J-bloom: runtime bloom-filter join pruning — the shuffle-join analog
+  // of broadcast pruning, and the mechanism that matters when BOTH sides
+  // are too big to broadcast. Catalyst's InjectRuntimeFilter sees the
+  // selective dim-side predicate (p_brand/p_size), builds a bloom filter
+  // over the surviving p_partkey set as a tiny aggregate, and stuffs
+  // might_contain(xxhash64(l_partkey)) into the FACT-side scan filter —
+  // at 100 TB that drops most lineitem rows before they are shuffled,
+  // turning a full-fact exchange into a ~selectivity-sized one.
+  //
+  // The fixture is far below the production thresholds (the application
+  // side must look scan-heavy: default 10 GB), so the query runs on a
+  // child session (`newSession` — shared SparkContext, isolated conf)
+  // with the scan-size threshold floored and auto-broadcast off to force
+  // the shuffle-join shape the rule targets. The CONF IS THE DEMO; at
+  // real scale the defaults fire by themselves. A child session (not a
+  // scoped set/restore) because the returned DataFrame optimizes lazily —
+  // restoring the conf before the driver executes it would silently
+  // disable the rule. PlanShapeSpec asserts might_contain lands in the
+  // final plan; the oracle checks the join result is unchanged by it.
+  // ------------------------------------------------------------------
+  def joinBloomRuntime(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val p = t(s2, dir, "part")
+      .filter(col("p_size") < 10 && col("p_brand") === "Brand#1")
+    t(s2, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val joinBloomRuntimeSql: String =
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size < 10 AND p_brand = 'Brand#1'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
   // J1 (left outer): customers with their order count/spend, 0 for none.
   // Scale: orders pre-aggregates per custkey BEFORE the join (shrinks the
   // shuffle to one row per customer), then joins — never the raw fact table.
@@ -2181,6 +2224,7 @@ object Relational extends QueryModule {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_not_in" -> (joinNotIn _),
+    "join_bloom_runtime" -> (joinBloomRuntime _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsOf _),
     "join_asof2" -> (joinAsOf2 _),
@@ -2245,6 +2289,7 @@ object Relational extends QueryModule {
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "join_not_in" -> joinNotInSql,
+    "join_bloom_runtime" -> joinBloomRuntimeSql,
     "join_range" -> joinRangeSql,
     "join_asof" -> joinAsOfSql,
     "join_asof2" -> joinAsOf2Sql,

@@ -27,9 +27,9 @@ class ContractSpec extends SparkTestBase {
     // (127/125 documented vs 128/126 actual). This pin makes the drift a
     // test failure: update SURVEY.md §2 and README.md alongside any
     // change to these numbers.
-    assert(SparkEntry.queries.size == 176,
+    assert(SparkEntry.queries.size == 177,
       s"queries registered: ${SparkEntry.queries.size}; update docs + this pin together")
-    assert(SparkEntry.oracleSql.size == 174,
+    assert(SparkEntry.oracleSql.size == 175,
       s"oracle-checked: ${SparkEntry.oracleSql.size}; update docs + this pin together")
   }
 

@@ -399,6 +399,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(unused.isEmpty, s"allowlist entries with no global window: $unused")
   }
 
+  test("runtime bloom filter lands on the fact-side scan of join_bloom_runtime") {
+    // The query's whole point is the injected filter: a bloom built from
+    // the selective part-side predicate, applied as might_contain(...) on
+    // the lineitem side BEFORE its shuffle. If a conf/rule change stops
+    // the injection, the query silently degrades to a plain shuffle join —
+    // this guard makes that a test failure.
+    val df = Relational.joinBloomRuntime(spark, sfDir)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"no runtime bloom filter in plan:\n$plan")
+    // the bloom must sit on the lineitem (application) side, i.e. the plan
+    // filters l_partkey through it; and the join must be a shuffle join
+    // (broadcast would make the bloom pointless)
+    assert(plan.split("\n").exists(l =>
+      l.toLowerCase.contains("might_contain") && l.contains("l_partkey")),
+      s"bloom not applied to the fact-side key:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"join degraded to broadcast — bloom demo requires the shuffle shape:\n$plan")
+  }
+
   test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {
     val plan = executedPlan(graft.operators.VectorOps.pqTopK(spark, sfDir))
       .split("== Initial Plan ==")(0)
