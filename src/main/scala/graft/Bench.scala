@@ -37,6 +37,10 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // between-queries hygiene: drop finished streaming memory sinks so
+      // driver memory stays flat across the 180-query session (round-8
+      // lesson: in-session accumulation degraded run2 broadly)
+      graft.streaming.Streams.purgeMemorySinks(spark)
       name -> runs
     }
     // Locale.ROOT: a default-locale format on e.g. a German JVM prints

@@ -30,6 +30,21 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Long many-query sessions (Bench runs 180 queries x 3 executions;
+      // a production driver is resident for days): the app-status stores
+      // retain 1000 jobs/stages/SQL executions by default even with the UI
+      // off, so tracking-store bookkeeping grows all session and every
+      // listener-bus event pays for it — round 8's bench showed broad
+      // run2 > run1 degradation from exactly this accumulation. Clamp
+      // retention to what post-hoc debugging actually uses.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "50")
+      // ContextCleaner is GC-driven; a 128 GiB driver heap may not GC for
+      // the whole bench, so shuffle files / broadcasts of finished queries
+      // pile up. Force the periodic sweep down from the 30min default.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.GraftFunctions.ensureRegistered(spark)

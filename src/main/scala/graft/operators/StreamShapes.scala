@@ -620,17 +620,10 @@ object StreamShapes extends QueryModule {
   // is exercised by stream_dedup/stream_sessions).
   // ------------------------------------------------------------------
   def streamTumbling(s: SparkSession, dir: String): DataFrame = {
-    // the raw fixture is TIMESTAMP(NANOS): stream it as nanos-since-epoch
-    // and truncate to micros, the same read Tables.load performs (the
-    // other event streams never materialize ts, so only this query needs
-    // the conversion on the streaming path)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schemaNs = org.apache.spark.sql.types.StructType(Tables.events.map(f =>
-      if (f.name == "ts")
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-      else f))
-    val stream = s.readStream.schema(schemaNs).parquet(s"$dir/events.parqu*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Tables.eventsStream mirrors the file's physical ts type into the
+    // stream schema and normalizes to canonical TimestampType — the
+    // fixture has shipped both TIMESTAMP(NANOS) and NTZ generations.
+    val stream = Tables.eventsStream(s, dir)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -647,13 +640,7 @@ object StreamShapes extends QueryModule {
     * streamTumbling (state = bounded (window x type) domain, 2x windows
     * for the 30-minute slide). */
   def streamSliding(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schemaNs = org.apache.spark.sql.types.StructType(Tables.events.map(f =>
-      if (f.name == "ts")
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-      else f))
-    val stream = s.readStream.schema(schemaNs).parquet(s"$dir/events.parqu*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.eventsStream(s, dir)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -675,13 +662,7 @@ object StreamShapes extends QueryModule {
   // eviction semantics themselves DuckDB-hash-checkable.
   // ------------------------------------------------------------------
   def streamTumblingAppend(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schemaNs = org.apache.spark.sql.types.StructType(Tables.events.map(f =>
-      if (f.name == "ts")
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-      else f))
-    val stream = s.readStream.schema(schemaNs).parquet(s"$dir/events.parqu*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.eventsStream(s, dir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -720,13 +701,7 @@ object StreamShapes extends QueryModule {
   // length or user count — the unbounded-key production shape.
   // ------------------------------------------------------------------
   def streamSessionAppend(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schemaNs = org.apache.spark.sql.types.StructType(Tables.events.map(f =>
-      if (f.name == "ts")
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)
-      else f))
-    val stream = s.readStream.schema(schemaNs).parquet(s"$dir/events.parqu*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.eventsStream(s, dir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))

@@ -93,25 +93,60 @@ object Tables {
   def loadParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
     load(spark, sfDir, name).repartition(spark.sparkContext.defaultParallelism)
 
-  /** Load a fixture table. Fails fast if a declared column is missing.
+  /** Normalize a physically-varying timestamp column to session-local
+    * TimestampType (the engine's canonical time type; the session runs UTC so
+    * wall-clock is preserved in every branch).
     *
-    * `events.ts` is physically Parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses outright (PARQUET_TYPE_ILLEGAL). We read it as nanos-since-epoch
-    * (legacy conf) and truncate to microseconds — the same ns->us truncation
-    * DuckDB applies when it surfaces the column as TIMESTAMP, so the oracle
-    * sees identical values. */
+    * A 100 TB lake accumulates files from multiple writer generations, and
+    * the physical type of a "timestamp" column drifts across them — the
+    * driver fixtures themselves have shipped `ts` as Parquet TIMESTAMP(NANOS)
+    * (which Spark 4 only reads as nanos-since-epoch long under the legacy
+    * conf), as TIMESTAMP(isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ),
+    * and could ship instant-semantics TIMESTAMP next. The reader, not every
+    * downstream query, owns absorbing that drift:
+    *   - LongType (nanos-as-long)  -> truncate to micros, the same ns->us
+    *     truncation DuckDB applies, so the oracle sees identical values;
+    *   - TIMESTAMP_NTZ             -> reinterpret the wall-clock as UTC
+    *     (cast under the UTC session), identical rendered values to DuckDB's
+    *     naive TIMESTAMP read of the same file;
+    *   - TimestampType             -> already canonical. */
+  private[graft] def normalizeTs(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(colName, df.col(colName).cast(TimestampType))
+      case _ => df
+    }
+
+  /** Load a fixture table. Fails fast if a declared column is missing.
+    * `events.ts` is normalized to canonical TimestampType whatever its
+    * physical parquet type (see [[normalizeTs]]). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    val df =
-      if (name == "events" && raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val df = if (name == "events") normalizeTs(raw, "ts") else raw
     expected.get(name).foreach { schema =>
       val missing = schema.fieldNames.toSet -- df.columns.toSet
       require(missing.isEmpty, s"table $name missing columns: $missing")
     }
     df
+  }
+
+  /** Events as a file STREAM with the same type-adaptive `ts` handling as
+    * the batch [[load]]. Structured Streaming requires an explicit schema,
+    * so this peeks the parquet footer via a batch read (metadata-only),
+    * mirrors the physical `ts` type into the stream schema, then normalizes
+    * to canonical TimestampType — the four real-streaming queries share this
+    * instead of hard-coding a physical type that the next fixture
+    * regeneration invalidates. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamSchema = StructType(events.map(f =>
+      if (f.name == "ts") StructField("ts", physical("ts").dataType) else f))
+    val raw = spark.readStream.schema(streamSchema).parquet(s"$sfDir/events.parqu*")
+    normalizeTs(raw, "ts")
   }
 }

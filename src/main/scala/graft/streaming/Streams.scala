@@ -216,6 +216,22 @@ object Streams {
       q.processAllAvailable()
       q.stop()
     }
+    sinkNames.synchronized { sinkNames += queryName }
     df.sparkSession.table(queryName)
   }
+
+  // Memory-sink views are named per-run (UUID) and hold their full result
+  // in driver memory; without an explicit drop a long session (Bench: 14
+  // streaming queries x 3 executions) accumulates them forever. Callers
+  // purge BETWEEN queries — after the sink's lazy table() has been
+  // consumed, never mid-query.
+  private val sinkNames = scala.collection.mutable.Set.empty[String]
+
+  /** Drop every memory-sink temp view registered by [[runToCompletion]]
+    * whose query has finished. Safe between top-level queries. */
+  def purgeMemorySinks(s: org.apache.spark.sql.SparkSession): Unit =
+    sinkNames.synchronized {
+      sinkNames.foreach(n => s.catalog.dropTempView(n))
+      sinkNames.clear()
+    }
 }

@@ -24,13 +24,28 @@ class ContractSpec extends SparkTestBase {
 
   test("registry size matches the counts documented in SURVEY §2 / README") {
     // The round-6 verdict caught the docs drifting from the registry
-    // (127/125 documented vs 128/126 actual). This pin makes the drift a
-    // test failure: update SURVEY.md §2 and README.md alongside any
-    // change to these numbers.
+    // (127/125 documented vs 128/126 actual), and round 8 caught this pin
+    // guarding only itself while SURVEY.md drifted anyway. The counts are
+    // now GREPPED out of the docs, so doc drift is itself a test failure.
     assert(SparkEntry.queries.size == 177,
       s"queries registered: ${SparkEntry.queries.size}; update docs + this pin together")
     assert(SparkEntry.oracleSql.size == 175,
       s"oracle-checked: ${SparkEntry.oracleSql.size}; update docs + this pin together")
+    def documented(path: String): (Int, Int) = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val reg = """(\d+) queries (?:are )?registered""".r
+        .findFirstMatchIn(text).map(_.group(1).toInt)
+      val ora = """(\d+)\s+(?:DuckDB-)?oracle-checked""".r
+        .findFirstMatchIn(text).map(_.group(1).toInt)
+      (reg.getOrElse(fail(s"$path: no 'N queries registered' sentence")),
+        ora.getOrElse(fail(s"$path: no 'N oracle-checked' sentence")))
+    }
+    for (doc <- Seq("SURVEY.md", "README.md")) {
+      val (reg, ora) = documented(doc)
+      assert(reg == SparkEntry.queries.size, s"$doc documents $reg registered")
+      assert(ora == SparkEntry.oracleSql.size, s"$doc documents $ora oracle-checked")
+    }
   }
 
   test("every oracle key has a query") {

@@ -56,6 +56,47 @@ class LshSpec extends SparkTestBase {
     assert(lshPairs.size == exact1.size)
   }
 
+  // ------------------------------------------------------------------
+  // Recall floors (round-9): the two rows-only driver queries carry a
+  // correctness signal beyond row count — their candidate sets must
+  // contain the exact siblings' answers. Floor 0.9 mirrors the IVF/PQ
+  // recall floors in VectorSpec; with 2 hash tables and fixture pair
+  // similarity >= 0.87, expected MinHash miss rate is < 2% per pair.
+  // ------------------------------------------------------------------
+  test("MinHashLSH recall >= 0.9 against exact high-similarity pairs") {
+    val exact = DedupOps.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no exact near-dup pairs to recall")
+    val got = LshOps.minhashMl(spark, sfDir).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got).toDouble / exact.size
+    assert(recall >= 0.9, s"MinHashLSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("BRP-LSH recall >= 0.9 against exact euclidean top-5") {
+    val rows = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val queries = rows.filter(_._1 < 5)
+    val exact = queries.map { case (qid, qv) =>
+      qid -> rows.filter(_._1 != qid)
+        .map { case (did, dv) => (did, d2(qv, dv)) }
+        .sortBy { case (did, d) => (d, did) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = LshOps.annBrpLsh(spark, sfDir).select("qid", "did").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.toSeq.map { case (q, ex) => ex.count(got.getOrElse(q, Set.empty)).toDouble / ex.size }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.9, s"BRP-LSH mean recall@5 $recall across ${exact.size} queries")
+  }
+
   test("hand-rolled minhash est_jaccard tracks exact jaccard on shared pairs") {
     val est = DedupOps.minhashPairs(spark, sfDir).withColumnRenamed("est_jaccard", "est")
     val exact = DedupOps.ngramJaccard(spark, sfDir)

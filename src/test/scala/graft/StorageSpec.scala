@@ -9,6 +9,52 @@ import graft.sources.Tables
   * exchange — result-correctness alone (the oracle) can't see either. */
 class StorageSpec extends SparkTestBase {
 
+  // ------------------------------------------------------------------
+  // Round-9 hardening: the driver regenerated events.parquet from
+  // TIMESTAMP(NANOS) to micros-NTZ between rounds 7 and 8 and broke every
+  // query that hard-wired a physical ts type. Tables.load/normalizeTs now
+  // own absorbing that drift; this test proves all three format roundtrips
+  // produce IDENTICAL canonical-LTZ results whether the fixture ships ts
+  // as NTZ or as instant-semantics LTZ — so the next writer-generation
+  // change cannot crash a sink query again.
+  // ------------------------------------------------------------------
+  test("format roundtrips absorb fixture timestamp-type drift (NTZ vs LTZ)") {
+    def mkFixture(ntz: Boolean): String = {
+      val dir = Scratch.dir(s"graft_tsdrift_${if (ntz) "ntz" else "ltz"}")
+      val base = spark.range(0, 3000).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 61000000L).as("ts"),
+        (col("id") % 97).as("user_id"),
+        concat(lit("t"), col("id") % 5).as("event_type"),
+        (col("id") * 1.5 + 0.25).as("value"),
+        lit("{}").as("props"))
+      val df = if (ntz) base.withColumn("ts", col("ts").cast("timestamp_ntz")) else base
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val ntzDir = mkFixture(ntz = true)
+    val ltzDir = mkFixture(ntz = false)
+    val roundtrips = Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "csv" -> (graft.operators.ReferenceOps.csvRoundtrip _),
+      "json" -> (StorageOps.jsonRoundtrip _),
+      "orc" -> (StorageOps.orcRoundtrip _))
+    for ((fmt, fn) <- roundtrips) {
+      val a = fn(spark, ntzDir)
+      val b = fn(spark, ltzDir)
+      assert(a.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+        s"$fmt roundtrip must emit canonical TimestampType from an NTZ fixture")
+      val ra = a.collect().map(_.toSeq).toSeq
+      val rb = b.collect().map(_.toSeq).toSeq
+      assert(ra.nonEmpty && ra == rb,
+        s"$fmt roundtrip differs between NTZ and LTZ fixtures (${ra.take(2)} vs ${rb.take(2)})")
+    }
+    // streaming reader: same adaptivity (schema peek mirrors physical type)
+    assert(Tables.eventsStream(spark, ntzDir).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(Tables.eventsStream(spark, ltzDir).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("partition-pruned scan reads only the matching partition") {
     // registered scratch: deleted by the Scratch shutdown hook when the
     // test JVM exits (a bare createTempDirectory would accumulate forever)

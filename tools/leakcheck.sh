@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# Reproducible leak scan: greps src/ + docs for internal/proprietary markers
+# and writes LEAKCHECK.json stamped with the scanned commit SHA, so the
+# artifact proves which tree the scan actually ran over (ADVICE round 8:
+# a hand-edited round number with no generator is not evidence).
+# Usage: tools/leakcheck.sh [round]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python3 tools/leakcheck.py "${1:-0}"
