@@ -287,6 +287,70 @@ object CorpusOps extends QueryModule {
       |  FROM documents)
       |WHERE rn <= 16 ORDER BY source, rn""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Token-BUDGET mixture sampling: data mixtures are specified in tokens,
+  // not document ratios — "take the first B tokens of each language in
+  // deterministic hash order". Kept set = docs whose running token total
+  // (cumsum over md5(doc_id) order within lang) stays <= BUDGET.
+  //
+  // The cumsum is computed as a TWO-PHASE DISTRIBUTED PREFIX-SUM, not one
+  // per-lang window: the ordering key is the md5 hex string, so its first
+  // hex char partitions the lang into 16 ORDER-RESPECTING shards (every
+  // doc in shard '0' precedes every doc in shard '1', ...). Phase 1 runs
+  // the cumsum within (lang, shard) — 16x the parallelism of a per-lang
+  // window and shard width shrinks geometrically with more prefix chars;
+  // phase 2 broadcasts the 16-row-per-lang shard totals back as offsets.
+  // At 100 TB a per-lang window funnels the whole language through one
+  // task; the sharded form never materializes a partition wider than
+  // 1/16th of it (use 2 hex chars for 1/256th, etc.). The DuckDB oracle
+  // is the NAIVE single-window cumsum — the hash proves the two-phase
+  // decomposition is semantically identical to it.
+  // ------------------------------------------------------------------
+  private[graft] val TOKEN_BUDGET = 2000L
+
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("ord"))
+      .withColumn("shard", substring(col("ord"), 1, 1))
+    val wShard = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    val withLocal = base.withColumn("local_cum",
+      sum(col("n_tokens")).over(
+        wShard.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val shardTotals = base.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+    // offsets: exclusive prefix over the <=16 shard totals per lang — a
+    // bounded relation (langs x 16), broadcast back to the data
+    val wOffset = Window.partitionBy(col("lang")).orderBy(col("shard"))
+    val offsets = shardTotals.withColumn("offset",
+      coalesce(sum(col("shard_total")).over(
+        wOffset.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("shard"), col("offset"))
+    withLocal.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("cum_tokens", col("local_cum") + col("offset"))
+      .filter(col("cum_tokens") <= TOKEN_BUDGET)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM base)
+      |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
+      |WHERE cum_tokens <= $TOKEN_BUDGET
+      |ORDER BY lang, cum_tokens, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_chunk" -> (chunk _),
     "docs_chunk_overlap" -> (chunkOverlap _),
@@ -294,6 +358,7 @@ object CorpusOps extends QueryModule {
     "docs_decontaminate" -> (decontaminate _),
     "docs_sample_mix" -> (sampleMix _),
     "docs_sample_stratified" -> (sampleStratified _),
+    "docs_token_budget" -> (tokenBudget _),
     "docs_split" -> (split _))
 
   def oracles: Map[String, String] = Map(
@@ -303,5 +368,6 @@ object CorpusOps extends QueryModule {
     "docs_decontaminate" -> decontaminateSql,
     "docs_sample_mix" -> sampleMixSql,
     "docs_sample_stratified" -> sampleStratifiedSql,
+    "docs_token_budget" -> tokenBudgetSql,
     "docs_split" -> splitSql)
 }

@@ -897,6 +897,64 @@ object DedupOps extends QueryModule {
       |    / COUNT(*) AS dup_rate
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Incremental corpus dedup: a production curation run rarely re-dedups
+  // the whole lake — it dedups the INCOMING batch against the standing
+  // corpus. Historical = doc_id % 5 != 0 (a deterministic stand-in for
+  // "already ingested"); batch = doc_id % 5 == 0. A batch doc is flagged
+  // on an exact text-hash match against the historical side, and/or on
+  // sharing any LSH band bucket with a historical doc (the same
+  // md5-portable minhash machinery as dedup_minhash_pairs, so the whole
+  // decision is DuckDB-hash-checkable). Scale: in production both
+  // historical probes are PRECOMPUTED stores (an exact-hash set and a
+  // band index, each maintained incrementally as batches are accepted);
+  // the per-batch cost here is two key-only semi-joins — linear in the
+  // batch, never corpus-quadratic, and the batch side is broadcast-able
+  // when small relative to the store.
+  // ------------------------------------------------------------------
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val hashes = graft.sources.Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val bands = bandsOf(signature(s, dir))
+    val exact = hashes.filter(isNew)
+      .join(hashes.filter(!isNew).select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("e", lit(true))
+    val near = bands.filter(isNew)
+      .join(bands.filter(!isNew).select(col("b"), col("band_key")).distinct(),
+        Seq("b", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("nd", lit(true))
+    hashes.filter(isNew).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_dup"),
+        coalesce(col("nd"), lit(false)).as("near_dup"))
+      .withColumn("kept", !col("exact_dup") && !col("near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalSql: String =
+    s"""WITH sig AS ($signatureSql),
+      |bands AS ($bandsSql),
+      |hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |exact AS (
+      |  SELECT DISTINCT n.doc_id FROM hashes n
+      |  WHERE n.doc_id % 5 = 0
+      |    AND n.h IN (SELECT h FROM hashes WHERE doc_id % 5 <> 0)),
+      |near AS (
+      |  SELECT DISTINCT n.doc_id FROM bands n
+      |  WHERE n.doc_id % 5 = 0
+      |    AND EXISTS (SELECT 1 FROM bands o
+      |                WHERE o.doc_id % 5 <> 0
+      |                  AND o.b = n.b AND o.band_key = n.band_key))
+      |SELECT d.doc_id,
+      |  d.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+      |  d.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+      |  NOT (d.doc_id IN (SELECT doc_id FROM exact)
+      |    OR d.doc_id IN (SELECT doc_id FROM near)) AS kept
+      |FROM documents d WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_rate_by_lang" -> (dupRateByLang _),
     "dedup_minhash_pairs" -> (minhashPairs _),
@@ -912,7 +970,8 @@ object DedupOps extends QueryModule {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
     "dedup_simhash" -> (simhash _),
-    "dedup_simhash_pairs" -> (simhashPairs _))
+    "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_incremental" -> (incremental _))
 
   def oracles: Map[String, String] = Map(
     "dedup_rate_by_lang" -> dupRateByLangSql,
@@ -929,5 +988,6 @@ object DedupOps extends QueryModule {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_simhash_pairs" -> simhashPairsSql)
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_incremental" -> incrementalSql)
 }

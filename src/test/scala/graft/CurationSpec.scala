@@ -30,6 +30,44 @@ class CurationSpec extends SparkTestBase {
     assert(survivors.count() == profiled)
   }
 
+  test("incremental dedup: exact dups are a subset of near dups, flags partition the batch") {
+    val out = DedupOps.incremental(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // identical text -> identical shingles -> identical band keys, so an
+    // exact-hash dup MUST also be a band-bucket near-dup; a violation
+    // means the band pipeline lost information the hash kept
+    val exactButNotNear = out.count(r =>
+      r.getAs[Boolean]("exact_dup") && !r.getAs[Boolean]("near_dup"))
+    assert(exactButNotNear == 0, s"$exactButNotNear exact dups missed by bands")
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("kept") ==
+        (!r.getAs[Boolean]("exact_dup") && !r.getAs[Boolean]("near_dup")))
+    }
+    // the batch is exactly the mod-5 slice of the corpus
+    val batch = Tables.load(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0).count()
+    assert(out.length.toLong == batch)
+  }
+
+  test("token budget: two-phase sharded prefix-sum equals the naive per-lang cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("ord"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    val got = graft.operators.CorpusOps.tokenBudget(spark, sfDir)
+    val budgetNaive = naive.filter(
+      col("cum_tokens") <= graft.operators.CorpusOps.TOKEN_BUDGET)
+    assert(got.count() > 0)
+    assert(got.join(budgetNaive,
+      Seq("doc_id", "lang", "n_tokens", "cum_tokens")).count() == got.count())
+    assert(got.count() == budgetNaive.count())
+  }
+
   test("overlap chunking: windows tile each doc exactly (sum n_tokens - overlaps = n)") {
     val out = graft.operators.CorpusOps.chunkOverlap(spark, sfDir)
       .groupBy(col("doc_id"))
