@@ -79,7 +79,8 @@ object ScaleProbe {
     "emb_ann_ivfpq_res", "emb_kmeans", "emb_mmr_topk",
     "emb_ann_sq8", "emb_ann_binary",
     "events_pareto", "docs_freq_sketch",
-    "docs_rrf_fusion", "events_ffill", "events_gapfill")
+    "docs_rrf_fusion", "events_ffill", "events_gapfill",
+    "dedup_incremental", "docs_token_budget")
 
   /** 1-task stages moving less than this are bounded-relation machinery
     * (offset/codebook/centroid aggregates, broadcast builds) — by design.
