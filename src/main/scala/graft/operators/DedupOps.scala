@@ -955,6 +955,47 @@ object DedupOps extends QueryModule {
       |    OR d.doc_id IN (SELECT doc_id FROM near)) AS kept
       |FROM documents d WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Split-leakage audit: near-dup pairs that STRADDLE the train/val/test
+  // boundary — the eval-hygiene number every training pipeline must
+  // report (a test doc with a train near-twin inflates eval). Composes
+  // two independently oracle-proven pipelines: the banded minhash pair
+  // stream (est_jaccard >= 0.9, the cluster threshold) and docs_split's
+  // md5-prefix assignment. Scale: pair volume is the already-bounded
+  // band-join output; the split column is a per-row hash expression, so
+  // the audit adds two id-keyed joins over pair-sized (not corpus-sized)
+  // data. In production this runs as the acceptance gate right after
+  // split assignment, before anything is trained on.
+  // ------------------------------------------------------------------
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val prefix = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val splits = graft.sources.Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        when(prefix < "e6", "train").when(prefix < "f3", "val")
+          .otherwise("test").as("split"))
+    minhashPairs(s, dir).filter(col("est_jaccard") >= 0.9)
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split1")), Seq("d1"))
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split2")), Seq("d2"))
+      .filter(col("split1") =!= col("split2"))
+      .select(col("d1"), col("d2"), col("split1"), col("split2"), col("est_jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH pairs AS ($minhashPairsSql),
+      |splits AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT p.d1, p.d2, s1.split AS split1, s2.split AS split2, p.est_jaccard
+      |FROM pairs p
+      |JOIN splits s1 ON p.d1 = s1.doc_id
+      |JOIN splits s2 ON p.d2 = s2.doc_id
+      |WHERE p.est_jaccard >= 0.9 AND s1.split <> s2.split
+      |ORDER BY d1, d2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_rate_by_lang" -> (dupRateByLang _),
     "dedup_minhash_pairs" -> (minhashPairs _),
@@ -971,7 +1012,8 @@ object DedupOps extends QueryModule {
     "dedup_containment" -> (containment _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
-    "dedup_incremental" -> (incremental _))
+    "dedup_incremental" -> (incremental _),
+    "dedup_split_leakage" -> (splitLeakage _))
 
   def oracles: Map[String, String] = Map(
     "dedup_rate_by_lang" -> dupRateByLangSql,
@@ -989,5 +1031,6 @@ object DedupOps extends QueryModule {
     "dedup_containment" -> containmentSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
-    "dedup_incremental" -> incrementalSql)
+    "dedup_incremental" -> incrementalSql,
+    "dedup_split_leakage" -> splitLeakageSql)
 }
