@@ -120,13 +120,18 @@ object Tables {
     }
 
   /** Load a fixture table. Fails fast if a declared column is missing.
-    * `events.ts` is normalized to canonical TimestampType whatever its
-    * physical parquet type (see [[normalizeTs]]). */
+    * EVERY declared-timestamp column (events.ts, orders.o_orderdate,
+    * lineitem.l_shipdate) is normalized to canonical TimestampType
+    * whatever its physical parquet type (see [[normalizeTs]]) — round 8
+    * proved the fixture's physical time type changes across writer
+    * generations, and only events happened to be hit that time. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    val df = if (name == "events") normalizeTs(raw, "ts") else raw
+    val tsCols = expected.get(name).toSeq.flatMap(_.fields)
+      .collect { case f if f.dataType == TimestampType && raw.columns.contains(f.name) => f.name }
+    val df = tsCols.foldLeft(raw)((d, c) => normalizeTs(d, c))
     expected.get(name).foreach { schema =>
       val missing = schema.fieldNames.toSet -- df.columns.toSet
       require(missing.isEmpty, s"table $name missing columns: $missing")
