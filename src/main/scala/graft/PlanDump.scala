@@ -1,0 +1,20 @@
+package graft
+
+/** Dev aid: print the executed plan of a registered query (pushdown /
+  * exchange inspection). Not part of the driver contract.
+  *
+  * {{{ sbt "runMain graft.PlanDump q4_order_priority /root/testdata/sf0.001" }}}
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    println("PLANDUMP-BEGIN " + name)
+    println(df.queryExecution.executedPlan.toString)
+    println("PLANDUMP-END")
+    spark.stop()
+  }
+}

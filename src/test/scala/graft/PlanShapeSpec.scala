@@ -419,6 +419,34 @@ class PlanShapeSpec extends SparkTestBase {
       s"join degraded to broadcast — bloom demo requires the shuffle shape:\n$plan")
   }
 
+  test("incremental dedup probes are semi-joins; nothing cartesian, nothing pairwise") {
+    // The batch-vs-corpus probes must stay LeftSemi (one output row per
+    // batch doc, regardless of how many historical matches exist) — an
+    // inner join here would re-introduce the pair blowup the operator
+    // exists to avoid, and a cartesian means a probe lost its key.
+    val plan = executedPlan(graft.operators.DedupOps.incremental(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"expected semi-join probes in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("token budget: shard offsets join as a broadcast; no per-lang global window") {
+    // Phase-2's offsets relation is langs x 16 rows — it must reach the
+    // data as a broadcast (a shuffle join would reshuffle the corpus on
+    // (lang, shard) a second time), and no window in the plan may
+    // partition on lang alone (the whole point of the hash-prefix shards
+    // is that the widest window partition is 1/16th of a language).
+    val plan = executedPlan(graft.operators.CorpusOps.tokenBudget(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // phase 1 (the corpus-sized cumsum) must run on the SHARDED window —
+    // (lang, shard) partitioning visible in the plan. (The offsets window
+    // also partitions by lang alone, but over the bounded langs x 16
+    // shard-totals relation; the corpus never meets a lang-wide window.)
+    val windows = plan.split("\n").filter(_.contains("Window"))
+    assert(windows.exists(w => w.contains("lang") && w.contains("shard")),
+      s"no (lang, shard)-sharded corpus window in:\n${windows.mkString("\n")}")
+  }
+
   test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {
     val plan = executedPlan(graft.operators.VectorOps.pqTopK(spark, sfDir))
       .split("== Initial Plan ==")(0)
