@@ -320,8 +320,13 @@ object CorpusOps extends QueryModule {
     val withLocal = base.withColumn("local_cum",
       sum(col("n_tokens")).over(
         wShard.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val shardTotals = base.groupBy(col("lang"), col("shard"))
-      .agg(sum(col("n_tokens")).as("shard_total"))
+    // shard totals come from phase 1's OWN output (total = max running
+    // sum), not from a second aggregate over `base`: the two consumers
+    // would sit under different exchanges, so ReuseExchange couldn't share
+    // the tokenize+md5 projection and the corpus would be tokenized twice
+    // per query (round-9 review finding)
+    val shardTotals = withLocal.groupBy(col("lang"), col("shard"))
+      .agg(max(col("local_cum")).as("shard_total"))
     // offsets: exclusive prefix over the <=16 shard totals per lang — a
     // bounded relation (langs x 16), broadcast back to the data
     val wOffset = Window.partitionBy(col("lang")).orderBy(col("shard"))

@@ -126,7 +126,12 @@ object Tables {
     * proved the fixture's physical time type changes across writer
     * generations, and only events happened to be hit that time. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
+    // the legacy conf must be on BEFORE the read for any table whose
+    // declared schema carries a timestamp — a NANOS-generation file throws
+    // PARQUET_TYPE_ILLEGAL at scan time otherwise, before normalizeTs can
+    // see it (gating this on events-only was the round-9 review's catch:
+    // a NANOS o_orderdate would have crashed every orders query)
+    if (expected.get(name).exists(_.fields.exists(_.dataType == TimestampType)))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val tsCols = expected.get(name).toSeq.flatMap(_.fields)

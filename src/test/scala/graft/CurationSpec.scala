@@ -34,10 +34,19 @@ class CurationSpec extends SparkTestBase {
     val out = DedupOps.incremental(spark, sfDir).collect()
     assert(out.nonEmpty)
     // identical text -> identical shingles -> identical band keys, so an
-    // exact-hash dup MUST also be a band-bucket near-dup; a violation
-    // means the band pipeline lost information the hash kept
+    // exact-hash dup MUST also be a band-bucket near-dup — PROVIDED the
+    // doc is long enough to shingle at all (shingles() emits nothing
+    // under 5 tokens, so a short exact dup legitimately has no bands;
+    // restrict the invariant to shingle-able docs rather than silently
+    // depending on the fixture containing no short duplicates)
+    val shingleable = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n"))
+      .filter(col("n") >= 5)
+      .collect().map(_.getLong(0)).toSet
     val exactButNotNear = out.count(r =>
-      r.getAs[Boolean]("exact_dup") && !r.getAs[Boolean]("near_dup"))
+      shingleable(r.getAs[Long]("doc_id")) &&
+        r.getAs[Boolean]("exact_dup") && !r.getAs[Boolean]("near_dup"))
     assert(exactButNotNear == 0, s"$exactButNotNear exact dups missed by bands")
     out.foreach { r =>
       assert(r.getAs[Boolean]("kept") ==

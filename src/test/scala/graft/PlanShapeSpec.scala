@@ -438,13 +438,16 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = executedPlan(graft.operators.CorpusOps.tokenBudget(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
-    // phase 1 (the corpus-sized cumsum) must run on the SHARDED window —
-    // (lang, shard) partitioning visible in the plan. (The offsets window
-    // also partitions by lang alone, but over the bounded langs x 16
-    // shard-totals relation; the corpus never meets a lang-wide window.)
-    val windows = plan.split("\n").filter(_.contains("Window"))
-    assert(windows.exists(w => w.contains("lang") && w.contains("shard")),
-      s"no (lang, shard)-sharded corpus window in:\n${windows.mkString("\n")}")
+    // phase 1 (the corpus-sized cumsum) must run on the SHARDED window:
+    // parse each Window operator's PARTITION spec (the second bracket
+    // group — substring matching over the whole line would be satisfied
+    // by the offsets window, whose ORDER BY mentions shard) and require
+    // one that partitions by BOTH lang and shard.
+    val partSpecs = """Window \[.*?\], \[([^\]]*)\], \[""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(partSpecs.nonEmpty, s"no parseable Window partition specs in:\n$plan")
+    assert(partSpecs.exists(p => p.contains("lang") && p.contains("shard")),
+      s"no window PARTITIONED BY (lang, shard); partition specs: ${partSpecs.mkString(" | ")}")
   }
 
   test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {
