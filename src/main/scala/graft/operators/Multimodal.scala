@@ -195,7 +195,9 @@ object Multimodal extends QueryModule {
   // domain, no hot partition). At 100 TB this is a single scan + one
   // keyed exchange of (doc_id, fp) pairs — bytes never shuffle.
   // ------------------------------------------------------------------
-  def ahash(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, fp) average-hash fingerprints — shared by mm_ahash and the
+    * perceptual near-dup pair query below. */
+  private def ahashFp(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
       .filter(col("n_chars") >= 32)
       .select(col("doc_id"), col("text"),
@@ -203,7 +205,7 @@ object Multimodal extends QueryModule {
     // sample byte i of 32 at 1-based offset 1 + floor(i*n/32); payload is
     // verified-ASCII so ascii(substr(text,...)) IS the byte value (the
     // pattern every mm_* stub uses — a real image would sample pixels).
-    val sampled = d.withColumn("bytes",
+    d.withColumn("bytes",
       transform(sequence(lit(0), lit(31)),
         i => ascii(col("text").substr(
           lit(1) + ((i * col("n")) / lit(32)).cast("int"), lit(1)))))
@@ -211,12 +213,31 @@ object Multimodal extends QueryModule {
       // MSB-first fold: acc*2 + (32*byte > sum of 32 bytes) per sample
       .withColumn("fp", aggregate(col("bytes"), lit(0L),
         (a, v) => a * 2 + when(v * lit(32) > col("bsum"), 1L).otherwise(0L)))
-    val wFp = Window.partitionBy(col("fp"))
-    sampled
       .select(col("doc_id"), col("fp"))
+  }
+
+  def ahash(s: SparkSession, dir: String): DataFrame = {
+    val wFp = Window.partitionBy(col("fp"))
+    ahashFp(s, dir)
       .withColumn("group_n", count(lit(1)).over(wFp))
       .withColumn("rep_doc", min(col("doc_id")).over(wFp))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Perceptual near-dup pairs — IMAGE DEDUP as a training pipeline runs
+  // it: items whose perceptual hashes differ in <= 3 of 32 bits are
+  // near-duplicate payloads (re-encodes, crops, brightness shifts — here
+  // the deterministic byte-sampling stub stands in for real pixels).
+  // Candidate generation is the same banded Hamming blocking as
+  // dedup_simhash_pairs (4 x 8-bit bands, hot-bucket cap, codegen
+  // hamming_dist rerank) — the operator composes the multimodal
+  // fingerprint with the proven pairwise core, so nothing here is
+  // all-pairs and the oracle covers the whole decision.
+  // ------------------------------------------------------------------
+  def dedupPhash(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    DedupOps.simhashPairsOf(ahashFp(s, dir).withColumnRenamed("fp", "simhash"))
   }
 
   val ahashSql: String =
@@ -235,8 +256,36 @@ object Multimodal extends QueryModule {
       |  MIN(doc_id) OVER (PARTITION BY fp) AS rep_doc
       |FROM f ORDER BY doc_id""".stripMargin
 
+  val dedupPhashSql: String =
+    s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+      |           FROM documents WHERE n_chars >= 32),
+      |b AS (SELECT doc_id, i,
+      |    ascii(substring(text, CAST(1 + (i*n)//32 AS INTEGER), 1)) AS byte
+      |  FROM d CROSS JOIN range(0, 32) r(i)),
+      |t AS (SELECT doc_id, CAST(SUM(byte) AS BIGINT) AS bsum FROM b GROUP BY doc_id),
+      |fp AS (SELECT b.doc_id,
+      |    CAST(SUM(CASE WHEN 32*b.byte > t.bsum
+      |      THEN 1::BIGINT << CAST(31 - b.i AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM b JOIN t USING (doc_id) GROUP BY b.doc_id),
+      |banded0 AS (
+      |  SELECT doc_id, simhash, bb, (simhash // CAST(pow(256, bb) AS BIGINT)) % 256 AS bk
+      |  FROM fp CROSS JOIN range(0, 4) q(bb)),
+      |banded AS (SELECT doc_id, simhash, bb, bk FROM banded0
+      |           QUALIFY COUNT(*) OVER (PARTITION BY bb, bk) <= ${DedupOps.MAX_BAND_BUCKET}),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM banded x JOIN banded y
+      |    ON x.bb = y.bb AND x.bk = y.bk AND x.doc_id < y.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hamming
+      |FROM cand
+      |JOIN fp s1 ON d1 = s1.doc_id
+      |JOIN fp s2 ON d2 = s2.doc_id
+      |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash" -> (ahash _),
+    "mm_dedup_phash" -> (dedupPhash _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_stub" -> (decodeBatch _),
     "mm_frame_sample" -> (frameSample _),
@@ -244,6 +293,7 @@ object Multimodal extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "mm_ahash" -> ahashSql,
+    "mm_dedup_phash" -> dedupPhashSql,
     "mm_binary_meta" -> binaryMetaSql,
     "mm_decode_stub" -> decodeBatchSql,
     "mm_frame_sample" -> frameSampleSql,
