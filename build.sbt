@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark's ContextCleaner periodic sweep (cleaner.periodicGC.interval,
+  // set to 60s in Sessions.local) calls System.gc(); by default that is a
+  // stop-the-world FULL collection every minute of a bench/production
+  // session — on a large heap a multi-second (worst case tens of seconds)
+  // stall that lands on whatever query is running. Make explicit GC
+  // trigger a CONCURRENT G1 cycle instead: reference processing still
+  // runs (so shuffle-file/broadcast cleanup still happens), without the
+  // periodic STW cliff.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -1,5 +1,20 @@
 package graft
 object Bench {
+
+  /** Cumulative stop-the-world GC time of this JVM, ms. */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Cumulative CPU time consumed by this process, ns (-1 if unsupported). */
+  private def cpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,12 +31,22 @@ object Bench {
     // whole-stage-codegen compilation + file listing, both cached by Spark),
     // then time TIMED_RUNS further executions and report the MIN — the
     // figure that scales with data volume rather than with plan complexity
-    // or host noise (round 2's headline number was a 10x in-session noise
-    // artifact; the per-run array makes any such outlier adjudicable from
-    // the JSON alone). JVM warmup is covered by the warm pass itself.
+    // or host noise. JVM warmup is covered by the warm pass itself.
     // A throwing query records -1 (NOT its elapsed time) so broken queries
     // are visible in the bench JSON instead of polluting the total.
+    //
+    // Round-10 hardening (BENCH_r09's 9.8s->79.6s run2 outlier): the two
+    // timed runs grow adaptively up to MAX_RUNS while the two FASTEST runs
+    // disagree by >2x (and >0.2s absolute) — a transient host stall then
+    // costs one extra cheap run instead of poisoning the reported best,
+    // and the full run array stays in the JSON so the stall is still
+    // visible. Each run also records its stop-the-world GC delta (ms) and
+    // process-CPU delta (s): a run whose wall-clock far exceeds cpu/cores
+    // with ~zero GC was starved by the HOST (co-tenant load, I/O stall),
+    // not by anything in the session — the artifact adjudicates
+    // session-health vs environment by itself.
     val TIMED_RUNS = 2
+    val MAX_RUNS = 4
     // Per-query pre-run hooks: dedup_minhash_clusters memoizes its labels
     // parquet per (session, dir) — without a reset its timed runs measure
     // a file read, not the iterative pipeline (and r7 would look 20x
@@ -31,33 +56,46 @@ object Bench {
       "dedup_minhash_clusters" -> (() => graft.operators.DedupOps.resetClusterCache()))
     val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val runs = (1 to TIMED_RUNS).map { _ =>
+      val wall = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val gcMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val cpuS = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def timedRun(): Unit = {
         preRun.get(name).foreach(_.apply())
-        val t0 = System.nanoTime()
+        val g0 = gcMillis; val c0 = cpuNanos; val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        wall += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        gcMs += gcMillis - g0
+        cpuS += (if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9)
       }
+      (1 to TIMED_RUNS).foreach(_ => timedRun())
+      def unstable: Boolean = {
+        val ok = wall.filter(_ >= 0).sorted
+        ok.length >= 2 && ok(1) > 2 * ok(0) && ok(1) - ok(0) > 0.2
+      }
+      while (wall.size < MAX_RUNS && wall.forall(_ >= 0) && unstable) timedRun()
       // between-queries hygiene: drop finished streaming memory sinks so
       // driver memory stays flat across the 180-query session (round-8
       // lesson: in-session accumulation degraded run2 broadly)
       graft.streaming.Streams.purgeMemorySinks(spark)
-      name -> runs
+      name -> ((wall.toSeq, gcMs.toSeq, cpuS.toSeq))
     }
     // Locale.ROOT: a default-locale format on e.g. a German JVM prints
     // '0,1234' and corrupts the JSON.
     def fmt(v: Double) =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", v)
-    val best = results.map { case (k, rs) =>
-      k -> (if (rs.forall(_ >= 0)) rs.min else -1.0)
+    val best = results.map { case (k, (rs, _, _)) =>
+      k -> (if (rs.exists(_ >= 0)) rs.filter(_ >= 0).min else -1.0)
     }
+    def jmap[T](f: ((String, (Seq[Double], Seq[Long], Seq[Double]))) => String) =
+      results.map(kv => s"\"" + kv._1 + "\":" + f(kv)).mkString("{", ",", "}")
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rs = results.map { case (k, runs) =>
-      s"\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    val rs = jmap { case (_, (w, _, _)) => w.map(fmt).mkString("[", ",", "]") }
+    val gs = jmap { case (_, (_, g, _)) => g.mkString("[", ",", "]") }
+    val cs = jmap { case (_, (_, _, c)) => c.map(fmt).mkString("[", ",", "]") }
     val total = best.values.filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"sf":"$sfDir"}"""
     println(full)
     // Self-contained artifact: the full per-query JSON also lands in
     // bench_out.json next to the repo, so post-hoc analysis never depends

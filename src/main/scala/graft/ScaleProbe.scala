@@ -80,7 +80,11 @@ object ScaleProbe {
     "emb_ann_sq8", "emb_ann_binary",
     "events_pareto", "docs_freq_sketch",
     "docs_rrf_fusion", "events_ffill", "events_gapfill",
-    "dedup_incremental", "docs_token_budget")
+    // _store probes the PERSISTED corpus index (built on the warm pass,
+    // deliberately NOT reset): inline-vs-store at both scales is the
+    // measured evidence that the probe cost is independent of rebuilding
+    // the historical index (round-9 verdict item 4)
+    "dedup_incremental", "dedup_incremental_store", "docs_token_budget")
 
   /** 1-task stages moving less than this are bounded-relation machinery
     * (offset/codebook/centroid aggregates, broadcast builds) — by design.

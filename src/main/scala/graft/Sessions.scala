@@ -44,7 +44,16 @@ object Sessions {
       // ContextCleaner is GC-driven; a 128 GiB driver heap may not GC for
       // the whole bench, so shuffle files / broadcasts of finished queries
       // pile up. Force the periodic sweep down from the 30min default.
+      // (ExplicitGCInvokesConcurrent in build.sbt keeps this sweep from
+      // being a stop-the-world full GC every 60s.)
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // SESSION CONTRACT: TIMESTAMP(NANOS) parquet (one of the fixture's
+      // writer generations) is only readable under this legacy conf, and
+      // it must be on BEFORE any such scan. It is session-wide and STICKY
+      // by design — Tables.load/normalizeTs own turning the surfaced
+      // nanos-long back into canonical timestamps; ad-hoc parquet reads
+      // outside Tables.load will surface NANOS columns as raw longs.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.GraftFunctions.ensureRegistered(spark)
@@ -60,4 +69,6 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // same sticky session contract as local() — see the note there
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

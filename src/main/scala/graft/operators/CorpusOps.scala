@@ -310,9 +310,13 @@ object CorpusOps extends QueryModule {
 
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // greatest(..., 0): size() yields -1/null on a null text, and the
+    // phase-1 "shard total = max(local running sum)" identity only holds
+    // when every addend is non-negative — a negative token count would
+    // silently skew every later shard's offset (round-9 advice)
     val base = docs(s, dir)
       .select(col("doc_id"), col("lang"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        greatest(size(TextFns.tokens(col("text"))).cast("long"), lit(0L)).as("n_tokens"),
         md5(col("doc_id").cast("string").cast("binary")).as("ord"))
       .withColumn("shard", substring(col("ord"), 1, 1))
     val wShard = Window.partitionBy(col("lang"), col("shard"))
@@ -344,7 +348,7 @@ object CorpusOps extends QueryModule {
   val tokenBudgetSql: String =
     s"""WITH base AS (
       |  SELECT doc_id, lang,
-      |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+      |    greatest(CAST(coalesce(len($toksSql), 0) AS BIGINT), 0) AS n_tokens,
       |    md5(CAST(doc_id AS VARCHAR)) AS ord
       |  FROM documents),
       |cum AS (

@@ -289,11 +289,12 @@ object StreamShapes extends QueryModule {
     // A stream-stream join opens FOUR state stores per shuffle partition
     // (left/right x key-index layouts); at the default partition count the
     // store setup dwarfs the actual matching on any bounded batch. Scope
-    // the stateful operator to few partitions for this run — on a real
+    // the stateful operator to few partitions for this run (2 partitions
+    // = 8 stores; the bounded 20k-row batch needs no more) — on a real
     // cluster this knob is sized to state volume, not cores. The conf is
     // read at start(), so restore right after the drain.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val result =
       try graft.streaming.Streams.runToCompletion(joined,
         s"ssjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}",
@@ -348,7 +349,7 @@ object StreamShapes extends QueryModule {
         col("b_ts") <= col("a_ts") + expr("interval 2 hours"),
       "leftOuter")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val result =
       try graft.streaming.Streams.runToCompletion(joined,
         s"ssjoino_${java.util.UUID.randomUUID().toString.replace("-", "")}",
@@ -804,13 +805,24 @@ object StreamShapes extends QueryModule {
   // atomic commit, stated as such); each batch costs one keyed batch agg
   // plus one keyed union-agg against the state table, both partitioned by
   // the merge key — no collects, no broadcast of unbounded state. The
-  // landing is written as 8 files and streamed 3-per-trigger so the sink
-  // provably merges across MULTIPLE batches, not one.
+  // landing is written as 6 files and streamed 3-per-trigger so the sink
+  // provably merges across MULTIPLE batches (2), not one — the minimum
+  // that still exercises cross-batch merging (round-10: was 8 files / 3
+  // batches; one state-generation write/read cycle was pure ballast).
+  // The landing is memoized per (session, dir) like every other stream
+  // landing; checkpoint + state generations stay per-call (a reused
+  // checkpoint would see no new files and merge nothing).
   // ------------------------------------------------------------------
+  private val mergeLandings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  graft.Scratch.onPurge(() => mergeLandings.clear())
+
   def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val landing = graft.Scratch.dir("graft_stream_merge_landing")
-    ev(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .repartition(8).write.mode("overwrite").parquet(landing)
+    val landing = mergeLandings.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val p = graft.Scratch.dir("graft_stream_merge_landing")
+      ev(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .repartition(6).write.mode("overwrite").parquet(p)
+      p
+    })
     val stateBase = graft.Scratch.dir("graft_stream_merge_state")
     var cur: Option[String] = None
     var gen = 0

@@ -130,7 +130,12 @@ object Tables {
     // declared schema carries a timestamp — a NANOS-generation file throws
     // PARQUET_TYPE_ILLEGAL at scan time otherwise, before normalizeTs can
     // see it (gating this on events-only was the round-9 review's catch:
-    // a NANOS o_orderdate would have crashed every orders query)
+    // a NANOS o_orderdate would have crashed every orders query).
+    // The conf is deliberately STICKY (not set/restored): the plan built
+    // here is lazy, and the scan re-reads the conf when it executes — a
+    // try/finally restore would race the action. It is therefore part of
+    // the documented session contract (Sessions sets it at build time);
+    // this set is the belt for sessions built elsewhere.
     if (expected.get(name).exists(_.fields.exists(_.dataType == TimestampType)))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -151,12 +156,38 @@ object Tables {
     * to canonical TimestampType — the four real-streaming queries share this
     * instead of hard-coding a physical type that the next fixture
     * regeneration invalidates. */
+  /** Physical ts type per (app, glob): the footer peek + per-file agreement
+    * check below costs a driver-side listing and one footer read per file;
+    * the physical layout of a fixture dir cannot change within a session,
+    * so pay it once, not once per streaming query execution. */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // Peek the schema over the SAME glob the stream reads (round-9 advice:
+    // peeking events.parquet alone while streaming events.parqu* mirrors
+    // the wrong physical type if the glob ever matches files from a
+    // different writer generation), and assert the matched files agree on
+    // one physical ts type — mixed generations under ONE stream schema
+    // would silently misread some files, which is exactly the drift
+    // normalizeTs exists to absorb, so fail loudly instead.
+    val glob = s"$sfDir/events.parqu*"
+    val physicalTs = tsTypeCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + glob, _ => {
+        val peek = spark.read.parquet(glob)
+        val top = peek.schema("ts").dataType
+        val perFile = peek.inputFiles.toSeq
+          .map(p => spark.read.parquet(p).schema("ts").dataType).distinct
+        require(perFile.forall(_ == top),
+          s"events stream glob $glob matches files with mixed physical ts types " +
+            s"(${perFile.mkString(", ")}); one stream schema cannot read them all — " +
+            "split the landing by writer generation")
+        top
+      })
     val streamSchema = StructType(events.map(f =>
-      if (f.name == "ts") StructField("ts", physical("ts").dataType) else f))
-    val raw = spark.readStream.schema(streamSchema).parquet(s"$sfDir/events.parqu*")
+      if (f.name == "ts") StructField("ts", physicalTs) else f))
+    val raw = spark.readStream.schema(streamSchema).parquet(glob)
     normalizeTs(raw, "ts")
   }
 }

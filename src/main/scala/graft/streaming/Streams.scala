@@ -188,8 +188,10 @@ object Streams {
     * cluster, size this to state volume / desired state-store
     * parallelism, not to the batch shuffle width — the two defaults serve
     * different masters. (Results are partition-count-independent; the
-    * DuckDB oracles prove it per run.) */
-  val streamShufflePartitions = 8
+    * DuckDB oracles prove it per run.) Round 10: 8 -> 4 — the bench's 14
+    * stream queries spend a fifth of the whole run on this fixed
+    * machinery, and fixture-scale state fits 4 stores with headroom. */
+  val streamShufflePartitions = 4
 
   /** Run `body` with spark.sql.shuffle.partitions scoped to
     * [[streamShufflePartitions]] — the streaming query must START inside
@@ -216,22 +218,27 @@ object Streams {
       q.processAllAvailable()
       q.stop()
     }
-    sinkNames.synchronized { sinkNames += queryName }
-    df.sparkSession.table(queryName)
+    // Eagerly copy the finished sink into a SELF-CONTAINED local relation
+    // and drop the UUID-named temp view immediately. Round-9 advice: the
+    // old lazy `table(queryName)` handle depended on a caller convention
+    // ("purge only between top-level queries") — a composition holding the
+    // handle across a purge failed at runtime with a missing-view error.
+    // The result is already fully resident in driver memory inside the
+    // memory sink, so the copy adds no memory class, removes the view
+    // accumulation hazard entirely, and the returned DataFrame is valid
+    // for the rest of the session. (Memory sinks are a test/bench surface;
+    // production streams write real sinks — see streamIncremental.)
+    val s = df.sparkSession
+    val sink = s.table(queryName)
+    val rows = sink.collect()
+    val schema = sink.schema
+    s.catalog.dropTempView(queryName)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  // Memory-sink views are named per-run (UUID) and hold their full result
-  // in driver memory; without an explicit drop a long session (Bench: 14
-  // streaming queries x 3 executions) accumulates them forever. Callers
-  // purge BETWEEN queries — after the sink's lazy table() has been
-  // consumed, never mid-query.
-  private val sinkNames = scala.collection.mutable.Set.empty[String]
-
-  /** Drop every memory-sink temp view registered by [[runToCompletion]]
-    * whose query has finished. Safe between top-level queries. */
-  def purgeMemorySinks(s: org.apache.spark.sql.SparkSession): Unit =
-    sinkNames.synchronized {
-      sinkNames.foreach(n => s.catalog.dropTempView(n))
-      sinkNames.clear()
-    }
+  /** Historical hook: [[runToCompletion]] now drops each memory-sink view
+    * eagerly, so there is nothing left to purge between queries. Kept as a
+    * no-op because Bench/Verify call it as their between-queries hygiene
+    * point. */
+  def purgeMemorySinks(s: org.apache.spark.sql.SparkSession): Unit = ()
 }

@@ -42,6 +42,15 @@ def files():
 
 def main():
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # Scan the repo the stamped SHA belongs to, not whatever directory the
+    # caller happens to be in (round-9 advice: a direct invocation outside
+    # the repo root produced a misleading 'clean' artifact stamped with the
+    # repo's HEAD).
+    try:
+        os.chdir(subprocess.check_output(
+            ["git", "rev-parse", "--show-toplevel"], text=True).strip())
+    except Exception:
+        pass  # not in a git checkout: scan cwd, stamp 'unknown' below
     try:
         sha = subprocess.check_output(
             ["git", "rev-parse", "HEAD"], text=True).strip()
