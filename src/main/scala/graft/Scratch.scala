@@ -31,6 +31,24 @@ object Scratch {
     p
   }
 
+  /** Fresh run-unique STREAMING-CHECKPOINT dir path, on tmpfs (/dev/shm)
+    * when available. Micro-batch progress (offset/commit WAL) and state
+    * store deltas fsync into the checkpoint every batch — measured ~180ms
+    * of a ~1.3s fixture-scale micro-batch (StreamProfile). For the
+    * memory-sink bench/verify streams the checkpoint is EPHEMERAL BY
+    * SEMANTICS (the query dies with the run), so a RAM-backed dir is the
+    * honest medium; production streams pass a durable checkpointLocation
+    * and never come through here. Registered for deletion like any
+    * scratch dir. */
+  def streamCkptDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val p = s"$base/${prefix}_${java.util.UUID.randomUUID()}"
+    paths.add(p)
+    p
+  }
+
   /** Fresh run-unique managed-table name, registered for DROP at purge;
     * its warehouse dir is registered for the shutdown-hook fallback. */
   def table(s: SparkSession, prefix: String): String = {

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Phase-level profile of the streaming fixed cost (round-10 verdict task:
+  * the 14 stream_* bench queries carry ~1-2.5s each of machinery). Runs one
+  * representative memory-sink stream twice and prints, per run: plan-build,
+  * start(), drain (processAllAvailable), stop() wall, plus Spark's own
+  * per-batch durationMs breakdown — so "cut batches" vs "cut start cost" is
+  * decided from data, not guesses.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamProfile"
+  */
+object StreamProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // warm the session: codegen, reader init, file listing
+    operators.StreamShapes.queries("stream_tumbling")(spark, dir).count()
+    def profile(tag: String, mkDf: () => org.apache.spark.sql.DataFrame,
+        mode: String): Unit =
+      for (round <- 1 to 2) {
+        val name = s"profile_${tag}_$round"
+        val t0 = System.nanoTime()
+        val df = mkDf()
+        val t1 = System.nanoTime()
+        val q = streaming.Streams.withStreamShuffle(spark) {
+          df.writeStream.format("memory").queryName(name)
+            .outputMode(mode).start()
+        }
+        val t2 = System.nanoTime()
+        q.processAllAvailable()
+        val t3 = System.nanoTime()
+        q.stop()
+        val t4 = System.nanoTime()
+        def ms(a: Long, b: Long) = f"${(b - a) / 1e6}%.0f"
+        println(s"STREAMPROFILE $tag round=$round build=${ms(t0, t1)}ms start=${ms(t1, t2)}ms " +
+          s"drain=${ms(t2, t3)}ms stop=${ms(t3, t4)}ms")
+        q.recentProgress.foreach(p =>
+          println(s"STREAMPROFILE   batch=${p.batchId} rows=${p.numInputRows} duration=${p.durationMs}"))
+        spark.catalog.dropTempView(name)
+      }
+    def ev() = sources.Tables.eventsStream(spark, dir)
+    // stateless passthrough: source + sink + machinery, no state store
+    profile("passthrough", () => ev().select(col("event_id"), col("event_type")), "append")
+    // stateful complete-mode agg (the stream_tumbling shape)
+    profile("agg", () => ev().groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n")), "complete")
+    // same agg, pre-spread scan: is the 1-task single-row-group scan the cost?
+    profile("agg_spread", () => ev().repartition(32)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n")), "complete")
+    spark.stop()
+  }
+}

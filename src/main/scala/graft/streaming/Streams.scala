@@ -214,26 +214,29 @@ object Streams {
         .format("memory")
         .queryName(queryName)
         .outputMode(outputMode)
+        // tmpfs checkpoint: this query's checkpoint is ephemeral by
+        // construction (memory sink, drained to completion, then stopped);
+        // see Scratch.streamCkptDir for the measured fsync tax it removes
+        .option("checkpointLocation", graft.Scratch.streamCkptDir("graft_ckpt"))
       val q = trigger.fold(writer)(writer.trigger).start()
       q.processAllAvailable()
       q.stop()
     }
-    // Eagerly copy the finished sink into a SELF-CONTAINED local relation
-    // and drop the UUID-named temp view immediately. Round-9 advice: the
-    // old lazy `table(queryName)` handle depended on a caller convention
-    // ("purge only between top-level queries") — a composition holding the
-    // handle across a purge failed at runtime with a missing-view error.
-    // The result is already fully resident in driver memory inside the
-    // memory sink, so the copy adds no memory class, removes the view
-    // accumulation hazard entirely, and the returned DataFrame is valid
-    // for the rest of the session. (Memory sinks are a test/bench surface;
-    // production streams write real sinks — see streamIncremental.)
+    // Return a SELF-CONTAINED handle and drop the UUID-named temp view
+    // immediately. Round-9 advice: the old lazy `table(queryName)` handle
+    // depended on a caller convention ("purge only between top-level
+    // queries") — a composition holding the handle across a purge failed
+    // at runtime with a missing-view error. `table()` analyzes EAGERLY,
+    // so the returned Dataset's plan already contains the resolved memory
+    // sink relation (not the view name): dropping the view right here
+    // costs nothing, copies nothing, and the handle stays valid for the
+    // rest of the session while the view-accumulation hazard is gone.
+    // (Memory sinks are a test/bench surface; production streams write
+    // real sinks — see streamIncremental.)
     val s = df.sparkSession
-    val sink = s.table(queryName)
-    val rows = sink.collect()
-    val schema = sink.schema
+    val out = s.table(queryName)
     s.catalog.dropTempView(queryName)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    out
   }
 
   /** Historical hook: [[runToCompletion]] now drops each memory-sink view
