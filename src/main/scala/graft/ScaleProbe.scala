@@ -94,13 +94,15 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
+    // optional 3rd+ args: probe only these FAMILY queries (local iteration)
+    val only = args.drop(2).toSet
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val big = s"/tmp/graft_scale/${new java.io.File(base).getName}_x$factor"
     replicate(spark, base, big, factor)
     val stats = new StageStats
     spark.sparkContext.addSparkListener(stats)
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
-    for (dir <- Seq(base, big); name <- FAMILY) {
+    for (dir <- Seq(base, big); name <- FAMILY if only.isEmpty || only(name)) {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm: codegen + listing cached
       // clusters memoizes its labels parquet per (session, dir) — reset so
