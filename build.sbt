@@ -36,4 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // runs (so shuffle-file/broadcast cleanup still happens), without the
   // periodic STW cliff.
   "-XX:+ExplicitGCInvokesConcurrent",
+  // A 185-query bench session compiles thousands of whole-stage-codegen
+  // classes; at the JVM's 240m default the code cache sweeps/flushes hot
+  // methods under churn and intermittent executions fall back to the
+  // interpreter — the measured CPU-balloon signature (same stages, zero
+  // spill, flat GC, 5-10x process CPU). Standard Spark-driver tuning.
+  "-XX:ReservedCodeCacheSize=512m",
 )

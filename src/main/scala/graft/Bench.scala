@@ -1,6 +1,24 @@
 package graft
 object Bench {
 
+  /** Per-run stage/task/spill counters (async listener; per-run attribution
+    * can lag a batch behind the run boundary — fine for the balloon-vs-
+    * normal contrast these numbers exist for: a ballooned execution either
+    * completes MORE stages (a reuse miss recomputing a shared exchange) or
+    * SPILLS (hash-agg falling back to sort under memory pressure) or
+    * neither (external theft). Round-10 forensics.) */
+  private class RunStats extends org.apache.spark.scheduler.SparkListener {
+    var stages = 0; var tasks = 0; var spilled = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = synchronized {
+      stages += 1
+      tasks += sc.stageInfo.numTasks
+      val m = sc.stageInfo.taskMetrics
+      spilled += m.memoryBytesSpilled + m.diskBytesSpilled
+    }
+    def reset(): Unit = synchronized { stages = 0; tasks = 0; spilled = 0L }
+  }
+
   /** Cumulative stop-the-world GC time of this JVM, ms. */
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
@@ -14,6 +32,16 @@ object Bench {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
     }
+
+  /** Cumulative JIT compilation time, ms. A ballooned run (same stages,
+    * zero spill, flat GC, 5-10x CPU) with a large jit delta is a
+    * recompilation/deopt storm — code-cache churn from the session's
+    * thousands of generated classes forcing hot methods back through the
+    * interpreter. */
+  private def jitMillis: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,18 +82,27 @@ object Bench {
     // is NOT reset: composing on the shared artifact is its design.
     val preRun: Map[String, () => Unit] = Map(
       "dedup_minhash_clusters" -> (() => graft.operators.DedupOps.resetClusterCache()))
+    val stats = new RunStats
+    spark.sparkContext.addSparkListener(stats)
     val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val wall = scala.collection.mutable.ArrayBuffer.empty[Double]
       val gcMs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val cpuS = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val stg = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val spl = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val jit = scala.collection.mutable.ArrayBuffer.empty[Long]
       def timedRun(): Unit = {
         preRun.get(name).foreach(_.apply())
-        val g0 = gcMillis; val c0 = cpuNanos; val t0 = System.nanoTime()
+        stats.reset()
+        val j0 = jitMillis; val g0 = gcMillis; val c0 = cpuNanos; val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         wall += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         gcMs += gcMillis - g0
         cpuS += (if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9)
+        stg += stats.stages
+        spl += stats.spilled / (1024 * 1024)
+        jit += (if (j0 < 0) -1L else jitMillis - j0)
       }
       (1 to TIMED_RUNS).foreach(_ => timedRun())
       def unstable: Boolean = {
@@ -77,25 +114,29 @@ object Bench {
       // driver memory stays flat across the 180-query session (round-8
       // lesson: in-session accumulation degraded run2 broadly)
       graft.streaming.Streams.purgeMemorySinks(spark)
-      name -> ((wall.toSeq, gcMs.toSeq, cpuS.toSeq))
+      name -> ((wall.toSeq, gcMs.toSeq, cpuS.toSeq, stg.toSeq, spl.toSeq, jit.toSeq))
     }
     // Locale.ROOT: a default-locale format on e.g. a German JVM prints
     // '0,1234' and corrupts the JSON.
     def fmt(v: Double) =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", v)
-    val best = results.map { case (k, (rs, _, _)) =>
+    val best = results.map { case (k, (rs, _, _, _, _, _)) =>
       k -> (if (rs.exists(_ >= 0)) rs.filter(_ >= 0).min else -1.0)
     }
-    def jmap[T](f: ((String, (Seq[Double], Seq[Long], Seq[Double]))) => String) =
+    type R = (Seq[Double], Seq[Long], Seq[Double], Seq[Int], Seq[Long], Seq[Long])
+    def jmap(f: ((String, R)) => String) =
       results.map(kv => s"\"" + kv._1 + "\":" + f(kv)).mkString("{", ",", "}")
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rs = jmap { case (_, (w, _, _)) => w.map(fmt).mkString("[", ",", "]") }
-    val gs = jmap { case (_, (_, g, _)) => g.mkString("[", ",", "]") }
-    val cs = jmap { case (_, (_, _, c)) => c.map(fmt).mkString("[", ",", "]") }
+    val rs = jmap { case (_, (w, _, _, _, _, _)) => w.map(fmt).mkString("[", ",", "]") }
+    val gs = jmap { case (_, (_, g, _, _, _, _)) => g.mkString("[", ",", "]") }
+    val cs = jmap { case (_, (_, _, c, _, _, _)) => c.map(fmt).mkString("[", ",", "]") }
+    val ss = jmap { case (_, (_, _, _, s, _, _)) => s.mkString("[", ",", "]") }
+    val ps = jmap { case (_, (_, _, _, _, p, _)) => p.mkString("[", ",", "]") }
+    val js = jmap { case (_, (_, _, _, _, _, j)) => j.mkString("[", ",", "]") }
     val total = best.values.filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"stages":$ss,"spill_mb":$ps,"jit_ms":$js,"sf":"$sfDir"}"""
     println(full)
     // Self-contained artifact: the full per-query JSON also lands in
     // bench_out.json next to the repo, so post-hoc analysis never depends

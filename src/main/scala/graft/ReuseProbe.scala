@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Confirmatory experiment for the round-10 bench forensics: ballooned
+  * executions (wall and process-CPU 5-10x their neighbors, GC flat) are
+  * hypothesized to be shared-subtree REUSE MISSES — the canonical exchange
+  * feeding 2-3 consumers recomputing once per consumer. If true, a
+  * ballooned run must complete MORE STAGES and MORE TASKS than a normal
+  * run of the identical plan; if stages are equal, the extra CPU is
+  * something else (JIT, GC churn, speculative work).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ReuseProbe <query> [n]"
+  * Prints one line per execution: wall, stage count, task count, input MB.
+  */
+object ReuseProbe {
+
+  private class Stages extends SparkListener {
+    var stages = 0; var tasks = 0; var bytes = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+      stages += 1
+      tasks += sc.stageInfo.numTasks
+      val m = sc.stageInfo.taskMetrics
+      bytes += m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
+    }
+    def reset(): Unit = synchronized { stages = 0; tasks = 0; bytes = 0L }
+  }
+
+  private def cpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("dedup_minhash_pairs")
+    val n = if (args.length > 1) args(1).toInt else 8
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val fn = SparkEntry.queries(name)
+    val st = new Stages
+    spark.sparkContext.addSparkListener(st)
+    fn(spark, dir).count() // warm
+    for (i <- 1 to n) {
+      Thread.sleep(900); st.reset()
+      val c0 = cpuNanos; val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (cpuNanos - c0) / 1e9
+      Thread.sleep(900) // listener bus drain
+      println(f"REUSEPROBE $name run=$i wall=$wall%.2fs cpu=$cpu%.1fs " +
+        f"stages=${st.stages} tasks=${st.tasks} inputMB=${st.bytes / 1024 / 1024}")
+    }
+    Scratch.purge(spark)
+    spark.stop()
+  }
+}
