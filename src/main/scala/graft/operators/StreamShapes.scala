@@ -986,7 +986,7 @@ object StreamShapes extends QueryModule {
   // at-or-after that batch. Oracle = the same aggregate over range().
   // ------------------------------------------------------------------
   private val RATE_ROWS = 1000L
-  private val RATE_BATCHES = 5L
+  private val RATE_BATCHES = 3L  // minimum that still proves multi-batch unbounded consumption
 
   def streamRateSource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger

@@ -1,0 +1,21 @@
+package graft
+
+import graft.operators.StreamShapes
+
+/** stream_rate_source contract: the drain stops at-or-after the bounded
+  * value domain is committed, so the final snapshot must be IDENTICAL
+  * across executions regardless of how many extra batches the unbounded
+  * source produced before stop() landed. */
+class RateSourceSpec extends SparkTestBase {
+
+  test("rate-source query is deterministic across executions") {
+    val a = StreamShapes.queries("stream_rate_source")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val b = StreamShapes.queries("stream_rate_source")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.size == 10)
+    // bucket counts: 3000 gapless values 0..2999 -> 300 per residue class
+    assert(a.forall(r => r(1) == 300L))
+  }
+}
