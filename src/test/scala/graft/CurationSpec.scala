@@ -58,6 +58,21 @@ class CurationSpec extends SparkTestBase {
     assert(out.length.toLong == batch)
   }
 
+  test("persisted-store incremental dedup equals the inline form, and reuses its store") {
+    // round-10: dedup_incremental_store must return exactly what the
+    // inline recomputation returns (same oracle proves it vs SQL; this
+    // proves it API-to-API), and a second call must hit the memoized
+    // parquet store rather than rebuilding the historical index.
+    val inline0 = graft.operators.DedupOps.incremental(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stored1 = graft.operators.DedupOps.incrementalStored(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stored2 = graft.operators.DedupOps.incrementalStored(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored1 == inline0, "store-probe result diverges from inline recomputation")
+    assert(stored2 == stored1, "second probe (warm store) diverges")
+  }
+
   test("token budget: two-phase sharded prefix-sum equals the naive per-lang cumsum") {
     import org.apache.spark.sql.expressions.Window
     val naive = Tables.load(spark, sfDir, "documents")
