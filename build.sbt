@@ -28,13 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Spark's ContextCleaner periodic sweep (cleaner.periodicGC.interval,
-  // set to 60s in Sessions.local) calls System.gc(); by default that is a
-  // stop-the-world FULL collection every minute of a bench/production
-  // session — on a large heap a multi-second (worst case tens of seconds)
-  // stall that lands on whatever query is running. Make explicit GC
-  // trigger a CONCURRENT G1 cycle instead: reference processing still
-  // runs (so shuffle-file/broadcast cleanup still happens), without the
-  // periodic STW cliff.
+  // set in Sessions.local — 300s default, env-tunable) calls System.gc();
+  // by default that is a stop-the-world FULL collection on every sweep —
+  // on a large heap a multi-second (worst case tens of seconds) stall
+  // that lands on whatever query is running. Make explicit GC trigger a
+  // CONCURRENT G1 cycle instead: reference processing still runs (so
+  // shuffle-file/broadcast cleanup still happens), without the periodic
+  // STW cliff.
   "-XX:+ExplicitGCInvokesConcurrent",
   // A 185-query bench session compiles thousands of whole-stage-codegen
   // classes; at the JVM's 240m default the code cache sweeps/flushes hot

@@ -121,7 +121,9 @@ object Bench {
     def fmt(v: Double) =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", v)
     val best = results.map { case (k, (rs, _, _, _, _, _)) =>
-      k -> (if (rs.exists(_ >= 0)) rs.filter(_ >= 0).min else -1.0)
+      // ANY failed run -> -1: an intermittently-broken query must show up
+      // in nfailed, not contribute its fastest lucky run to the total
+      k -> (if (rs.nonEmpty && rs.forall(_ >= 0)) rs.min else -1.0)
     }
     type R = (Seq[Double], Seq[Long], Seq[Double], Seq[Int], Seq[Long], Seq[Long])
     def jmap(f: ((String, R)) => String) =

@@ -973,10 +973,6 @@ object DedupOps extends QueryModule {
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  /** Measurement hook (ScaleProbe): drop the memoized store so a timed run
-    * measures store BUILD + probe instead of probe-only. */
-  private[graft] def resetStoreCache(): Unit = storeCache.clear()
-
   private def isNewDoc = pmod(col("doc_id"), lit(5)) === 0
 
   /** (exact-hash store, band-index store) of the historical corpus side,

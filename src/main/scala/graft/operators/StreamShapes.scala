@@ -342,19 +342,16 @@ object StreamShapes extends QueryModule {
         col("b_ts") <= col("a_ts") + expr("interval 2 hours"))
     // A stream-stream join opens FOUR state stores per shuffle partition
     // (left/right x key-index layouts); at the default partition count the
-    // store setup dwarfs the actual matching on any bounded batch. Scope
-    // the stateful operator to few partitions for this run (2 partitions
-    // = 8 stores; the bounded 20k-row batch needs no more) — on a real
-    // cluster this knob is sized to state volume, not cores. The conf is
-    // read at start(), so restore right after the drain.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    val result =
-      try graft.streaming.Streams.runToCompletion(joined,
-        s"ssjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}",
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    result
+    // store setup dwarfs the actual matching on any bounded batch. The
+    // stateful width comes from Streams.streamShufflePartitions (4), set
+    // by runToCompletion at start(); on a real cluster this knob is
+    // sized to state volume, not cores.
+    // stateful width is governed by Streams.streamShufflePartitions via
+    // runToCompletion's withStreamShuffle scope (a local conf set here
+    // would be overridden by it before start() — round-10 review)
+    graft.streaming.Streams.runToCompletion(joined,
+      s"ssjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
       .select(col("a_id"), col("b_id"), col("user_id"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -402,14 +399,12 @@ object StreamShapes extends QueryModule {
         col("b_ts") >= col("a_ts") &&
         col("b_ts") <= col("a_ts") + expr("interval 2 hours"),
       "leftOuter")
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    val result =
-      try graft.streaming.Streams.runToCompletion(joined,
-        s"ssjoino_${java.util.UUID.randomUUID().toString.replace("-", "")}",
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    result
+    // stateful width is governed by Streams.streamShufflePartitions via
+    // runToCompletion's withStreamShuffle scope (a local conf set here
+    // would be overridden by it before start() — round-10 review)
+    graft.streaming.Streams.runToCompletion(joined,
+      s"ssjoino_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
       .select(col("a_id"), col("b_id"), col("user_id"))
       .orderBy(col("a_id"), col("b_id").asc_nulls_first)
   }
@@ -1007,9 +1002,18 @@ object StreamShapes extends QueryModule {
         .trigger(Trigger.ProcessingTime("50 milliseconds"))
         .start()
       // unbounded source: stop once the bounded value domain is fully
-      // committed (progress for batch b means b is done; batches 0..4
-      // carry values < 5000, later batches are filtered out entirely)
-      while (q.lastProgress == null || q.lastProgress.batchId < RATE_BATCHES) Thread.sleep(20)
+      // committed — progress for batch b means b is done, and batches
+      // 0..RATE_BATCHES-1 carry exactly the values < RATE_ROWS*RATE_BATCHES
+      // that the filter keeps; later batches contribute nothing. Guard on
+      // query liveness + a deadline so a failed query surfaces its error
+      // instead of spinning this loop forever (round-10 review).
+      val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+      while (q.isActive && System.nanoTime() < deadline &&
+          (q.lastProgress == null || q.lastProgress.batchId < RATE_BATCHES))
+        Thread.sleep(20)
+      q.exception.foreach(throw _)
+      require(q.lastProgress != null && q.lastProgress.batchId >= RATE_BATCHES,
+        s"rate-source drain did not reach batch $RATE_BATCHES within the deadline")
       q.stop()
     }
     val out = s.table(name)
