@@ -17,6 +17,11 @@ object Bench {
       spilled += m.memoryBytesSpilled + m.diskBytesSpilled
     }
     def reset(): Unit = synchronized { stages = 0; tasks = 0; spilled = 0L }
+    /** Synchronized read (round-11 advice): the listener thread writes
+      * under this lock, so an unsynchronized read from the bench thread
+      * has no happens-before edge and may see stale counters beyond the
+      * documented async-lag caveat. */
+    def snap(): (Int, Long) = synchronized { (stages, spilled) }
   }
 
   /** Cumulative stop-the-world GC time of this JVM, ms. */
@@ -100,8 +105,9 @@ object Bench {
         wall += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         gcMs += gcMillis - g0
         cpuS += (if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9)
-        stg += stats.stages
-        spl += stats.spilled / (1024 * 1024)
+        val (sg, sp) = stats.snap()
+        stg += sg
+        spl += sp / (1024 * 1024)
         jit += (if (j0 < 0) -1L else jitMillis - j0)
       }
       (1 to TIMED_RUNS).foreach(_ => timedRun())
@@ -120,14 +126,19 @@ object Bench {
     // '0,1234' and corrupts the JSON.
     def fmt(v: Double) =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", v)
-    val best = results.map { case (k, (rs, _, _, _, _, _)) =>
+    // Emission is SORTED BY NAME (execution order above stays the registry
+    // map order): the compact final line below carries per-query seconds
+    // POSITIONALLY, so the name order must be reconstructible from the
+    // registry alone — "sorted ascending" is the one order that is.
+    val ordered = results.toSeq.sortBy(_._1)
+    val best = ordered.map { case (k, (rs, _, _, _, _, _)) =>
       // ANY failed run -> -1: an intermittently-broken query must show up
       // in nfailed, not contribute its fastest lucky run to the total
       k -> (if (rs.nonEmpty && rs.forall(_ >= 0)) rs.min else -1.0)
     }
     type R = (Seq[Double], Seq[Long], Seq[Double], Seq[Int], Seq[Long], Seq[Long])
     def jmap(f: ((String, R)) => String) =
-      results.map(kv => s"\"" + kv._1 + "\":" + f(kv)).mkString("{", ",", "}")
+      ordered.map(kv => s"\"" + kv._1 + "\":" + f(kv)).mkString("{", ",", "}")
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rs = jmap { case (_, (w, _, _, _, _, _)) => w.map(fmt).mkString("[", ",", "]") }
@@ -136,7 +147,7 @@ object Bench {
     val ss = jmap { case (_, (_, _, _, s, _, _)) => s.mkString("[", ",", "]") }
     val ps = jmap { case (_, (_, _, _, _, p, _)) => p.mkString("[", ",", "]") }
     val js = jmap { case (_, (_, _, _, _, _, j)) => j.mkString("[", ",", "]") }
-    val total = best.values.filter(_ >= 0).sum
+    val total = best.collect { case (_, v) if v >= 0 => v }.sum
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"stages":$ss,"spill_mb":$ps,"jit_ms":$js,"sf":"$sfDir"}"""
     println(full)
@@ -145,11 +156,18 @@ object Bench {
     // on how much of the stdout line a log capture kept.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case _: Throwable => () } // a read-only CWD must not fail the bench
-    // Compact summary LAST: tail-truncated captures of the big line above
-    // lost the leading "metric":"total" in rounds 3-4, costing a judge
-    // re-run to adjudicate a phantom regression. Whatever survives a tail
-    // capture now always includes the parseable total.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${best.size},"nfailed":${best.values.count(_ < 0)},"sf":"$sfDir"}""")
+    // Compact summary LAST — it must fit entirely inside a 2000-char
+    // stdout TAIL capture (the driver's bench record), which rounds 9-10
+    // proved truncates the big line above mid-telemetry. A NAMED per-query
+    // map cannot fit (186 query names alone are ~2.8k chars), so the
+    // seconds ride along POSITIONALLY: q_cs[i] = best wall of the i-th
+    // registry query in ascending name order, in centiseconds (-1 =
+    // failed). ~1.3k chars total for 186 queries, so the tail always
+    // retains the full per-query record plus the parseable total.
+    val qcs = best.map { case (_, v) =>
+      if (v < 0) "-1" else math.round(v * 100).toString
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${best.size},"nfailed":${best.count(_._2 < 0)},"q_cs":$qcs,"q_cs_doc":"best wall per query, centiseconds, queries sorted by name asc (names: bench_out.json or SparkEntry.queries++BenchOnly.queries)","sf":"$sfDir"}""")
     Scratch.purge(spark)
     spark.stop()
   }

@@ -24,6 +24,8 @@ object ReuseProbe {
       bytes += m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
     }
     def reset(): Unit = synchronized { stages = 0; tasks = 0; bytes = 0L }
+    // synchronized read: same happens-before reasoning as Bench.RunStats.snap
+    def snap(): (Int, Int, Long) = synchronized { (stages, tasks, bytes) }
   }
 
   private def cpuNanos: Long =
@@ -48,8 +50,9 @@ object ReuseProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = (cpuNanos - c0) / 1e9
       Thread.sleep(900) // listener bus drain
+      val (sg, tk, by) = st.snap()
       println(f"REUSEPROBE $name run=$i wall=$wall%.2fs cpu=$cpu%.1fs " +
-        f"stages=${st.stages} tasks=${st.tasks} inputMB=${st.bytes / 1024 / 1024}")
+        f"stages=$sg tasks=$tk inputMB=${by / 1024 / 1024}")
     }
     Scratch.purge(spark)
     spark.stop()
