@@ -100,9 +100,11 @@ object StreamShapes extends QueryModule {
   // batch-vs-stream spec is unchanged there — written once per session
   // as 4 canonical files (parallel scan; the fixture's single-row-group
   // layout caps a direct scan at 1 task). Each oracle applies the
-  // IDENTICAL bound. stream_user_state deliberately stays on the raw
-  // fixture glob so the type-adaptive Tables.eventsStream path keeps
-  // registry coverage.
+  // IDENTICAL bound. Three queries deliberately stay on the raw fixture
+  // glob via the type-adaptive Tables.eventsStream, so every stateful
+  // shape keeps one full-volume representative (round-11 verdict #5):
+  // stream_user_state (arbitrary state), stream_tumbling_full
+  // (aggregation state), stream_join_full (join state).
   // ------------------------------------------------------------------
   private[operators] val STREAM_BOUND = 20000L
 
@@ -132,7 +134,16 @@ object StreamShapes extends QueryModule {
     * exactly the semantics of the bounded landing. */
   private def boundedSql(sql: String): String = {
     val cte = s"events_b AS (SELECT * FROM events WHERE event_id < $STREAM_BOUND)"
-    val body = sql.replace("FROM events", "FROM events_b")
+    // Word-boundary rewrite (round-11 advice): a raw substring replace
+    // would corrupt a hypothetical events_<x> table into events_b_<x>, and
+    // silently skip a comma-join or JOIN events form. Assert both that the
+    // rewrite fired and that no bare `events` reference survives, so a new
+    // wrapped oracle that reads events any other way fails loudly here
+    // instead of shipping an unbounded oracle.
+    val body = sql.replaceAll("\\bFROM events\\b", "FROM events_b")
+    require(body != sql, s"boundedSql: no 'FROM events' to rewrite in: $sql")
+    require("""\bevents\b""".r.findFirstIn(body).isEmpty,
+      s"boundedSql: unrewritten bare 'events' reference remains in: $body")
     if (body.startsWith("WITH ")) s"WITH $cte,\n" + body.stripPrefix("WITH ")
     else s"WITH $cte\n" + body
   }
@@ -213,7 +224,12 @@ object StreamShapes extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     // file stream source wants a directory or a GLOB (a bare file path is
     // rejected as basePath); this glob matches exactly the events file
-    val stream = graft.streaming.Streams.eventsStream(s, s"$dir/events.parqu*")
+    // Tables.eventsStream (NOT Streams.eventsStream): the type-adaptive
+    // footer-peek path keeps registry coverage — a NANOS/NTZ fixture
+    // regeneration is absorbed here instead of breaking at runtime
+    // (round-11 advice; the fixed-schema Streams.eventsStream remains
+    // spec-covered via StreamingSpec's canonical-schema landings).
+    val stream = graft.sources.Tables.eventsStream(s, dir)
     val snapshots = graft.streaming.Streams.runToCompletion(
       graft.streaming.Streams.runningUserState(stream).toDF(),
       s"ustate_${java.util.UUID.randomUUID().toString.replace("-", "")}",
@@ -361,6 +377,43 @@ object StreamShapes extends QueryModule {
       |FROM events a JOIN events b ON a.user_id = b.user_id
       |  AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
       |  AND a.event_id < 20000 AND b.event_id < 20000
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ST5 FULL-VOLUME (round 11, verdict #5): the same watermarked interval
+  // join, but both sides consume the RAW fixture glob through
+  // Tables.eventsStream with STREAM-SIDE parity filters — no landing
+  // writes, full sf volume through the four join state stores. Inner-join
+  // matches emit as both sides arrive, so draining the closed input is
+  // deterministic; output stays small (4.7k pairs at sf0.1) because the
+  // 2-hour event-time bound is what also bounds the state. Oracle: the
+  // unbounded batch self-join.
+  // ------------------------------------------------------------------
+  def streamStreamJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.eventsStream(s, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 0)
+      .withWatermark("ts", "4 hours")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"), col("user_id"))
+    val b = Tables.eventsStream(s, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 1)
+      .withWatermark("ts", "4 hours")
+      .select(col("event_id").as("b_id"), col("ts").as("b_ts"), col("user_id").as("b_user"))
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 2 hours"))
+    graft.streaming.Streams.runToCompletion(joined,
+      s"ssjoinf_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(col("a_id"), col("b_id"), col("user_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val streamStreamJoinFullSql: String =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
       |ORDER BY a_id, b_id""".stripMargin
 
@@ -679,6 +732,31 @@ object StreamShapes extends QueryModule {
         col("event_type"), col("n"), col("total_value"))
     graft.streaming.Streams.runToCompletion(agg,
       s"tumb_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // ------------------------------------------------------------------
+  // ST1 FULL-VOLUME (round 11, verdict #5): the same complete-mode
+  // tumbling aggregate, but consuming the RAW fixture glob through the
+  // type-adaptive Tables.eventsStream — the deliberate full-volume
+  // exception to the bounded landings above, so the bench keeps one
+  // AGGREGATION-STATE query that pushes the entire sf data volume through
+  // the real streaming path (alongside stream_user_state for arbitrary
+  // state and stream_join_full for join state). Aggregation state stays
+  // bounded by the (window x event_type) domain regardless of volume.
+  // Oracle: the unbounded batch-twin SQL (same as events_tumbling).
+  // ------------------------------------------------------------------
+  def streamTumblingFull(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables.eventsStream(s, dir)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+    graft.streaming.Streams.runToCompletion(agg,
+      s"tumbf_${java.util.UUID.randomUUID().toString.replace("-", "")}",
       org.apache.spark.sql.streaming.OutputMode.Complete())
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -1007,14 +1085,19 @@ object StreamShapes extends QueryModule {
       // that the filter keeps; later batches contribute nothing. Guard on
       // query liveness + a deadline so a failed query surfaces its error
       // instead of spinning this loop forever (round-10 review).
-      val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-      while (q.isActive && System.nanoTime() < deadline &&
-          (q.lastProgress == null || q.lastProgress.batchId < RATE_BATCHES))
-        Thread.sleep(20)
-      q.exception.foreach(throw _)
-      require(q.lastProgress != null && q.lastProgress.batchId >= RATE_BATCHES,
-        s"rate-source drain did not reach batch $RATE_BATCHES within the deadline")
-      q.stop()
+      // try/finally (round-11 advice): if the deadline expires or the
+      // require fails while the query is still live, the 50ms-trigger
+      // UNBOUNDED rate stream must not keep running for the rest of the
+      // bench/verify session as a CPU-noise source.
+      try {
+        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+        while (q.isActive && System.nanoTime() < deadline &&
+            (q.lastProgress == null || q.lastProgress.batchId < RATE_BATCHES))
+          Thread.sleep(20)
+        q.exception.foreach(throw _)
+        require(q.lastProgress != null && q.lastProgress.batchId >= RATE_BATCHES,
+          s"rate-source drain did not reach batch $RATE_BATCHES within the deadline")
+      } finally if (q.isActive) q.stop()
     }
     val out = s.table(name)
     s.catalog.dropTempView(name)
@@ -1042,7 +1125,9 @@ object StreamShapes extends QueryModule {
     "events_funnel" -> (funnel _),
     "events_scd2" -> (scd2Intervals _),
     "stream_join" -> (streamStreamJoin _),
+    "stream_join_full" -> (streamStreamJoinFull _),
     "stream_join_outer" -> (streamStreamJoinOuter _),
+    "stream_tumbling_full" -> (streamTumblingFull _),
     "events_tumbling" -> (tumbling _),
     "events_sliding" -> (sliding _),
     "events_session" -> (sessions _),
@@ -1070,7 +1155,9 @@ object StreamShapes extends QueryModule {
     "events_funnel" -> funnelSql,
     "events_scd2" -> scd2IntervalsSql,
     "stream_join" -> streamStreamJoinSql,
+    "stream_join_full" -> streamStreamJoinFullSql,
     "stream_join_outer" -> streamStreamJoinOuterSql,
+    "stream_tumbling_full" -> tumblingSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionsSql,

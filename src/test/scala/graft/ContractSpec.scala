@@ -5,14 +5,16 @@ package graft
   * loudly here first. */
 class ContractSpec extends SparkTestBase {
 
-  /** Queries intentionally WITHOUT oracle SQL — each needs a reason. */
-  private val rowsOnlyAllowlist = Map(
-    "dedup_minhash_ml" -> "MLlib hash family not reproducible in SQL",
-    "emb_ann_brp_lsh" -> "MLlib hash family not reproducible in SQL")
-  // (round 2: the multimodal stub queries moved OFF this list — the stub is
-  // byte arithmetic over verified-ASCII text, so DuckDB reproduces it.
-  // round 3: the approx sketches moved off — they emit exact values plus
-  // a within-bound verdict the oracle reproduces as literal TRUE.)
+  /** Queries intentionally WITHOUT oracle SQL — each needs a reason.
+    * EMPTY as of round 11: the last two entries (dedup_minhash_ml,
+    * emb_ann_brp_lsh — "MLlib hash family not reproducible in SQL") came
+    * off when LshOps started generating DuckDB oracles with the
+    * seed-deterministic hash coefficients inlined as literals.
+    * (round 2: the multimodal stub queries moved off — the stub is byte
+    * arithmetic over verified-ASCII text, so DuckDB reproduces it.
+    * round 3: the approx sketches moved off — they emit exact values plus
+    * a within-bound verdict the oracle reproduces as literal TRUE.) */
+  private val rowsOnlyAllowlist = Map.empty[String, String]
 
   test("every query has oracle SQL or a documented rows-only reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -27,9 +29,9 @@ class ContractSpec extends SparkTestBase {
     // (127/125 documented vs 128/126 actual), and round 8 caught this pin
     // guarding only itself while SURVEY.md drifted anyway. The counts are
     // now GREPPED out of the docs, so doc drift is itself a test failure.
-    assert(SparkEntry.queries.size == 183,
+    assert(SparkEntry.queries.size == 185,
       s"queries registered: ${SparkEntry.queries.size}; update docs + this pin together")
-    assert(SparkEntry.oracleSql.size == 181,
+    assert(SparkEntry.oracleSql.size == 185,
       s"oracle-checked: ${SparkEntry.oracleSql.size}; update docs + this pin together")
     def documented(path: String): (Int, Int) = {
       val text = new String(java.nio.file.Files.readAllBytes(

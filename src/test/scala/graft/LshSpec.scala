@@ -97,6 +97,78 @@ class LshSpec extends SparkTestBase {
     assert(recall >= 0.9, s"BRP-LSH mean recall@5 $recall across ${exact.size} queries")
   }
 
+  // ------------------------------------------------------------------
+  // Oracle-replica pins (round 11): the two MLlib queries now carry
+  // generated DuckDB oracles whose randomness is a seed-deterministic
+  // replica of createRawLSHModel. These tests re-read the FITTED models'
+  // actual coefficients through the public-bytecode accessors (the fields
+  // are private[ml] to scalac only) and assert the replicas are
+  // bit-identical, so an MLlib upgrade that changes a draw or a hash
+  // formula fails here loudly instead of silently rotting the oracles.
+  // ------------------------------------------------------------------
+  test("minhash coefficient replica is bit-identical to the fitted model's") {
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    val df = Seq(Tuple1(Vectors.sparse(1024, Array(1), Array(1.0)))).toDF("features")
+    val model = new org.apache.spark.ml.feature.MinHashLSH()
+      .setNumHashTables(LshOps.MH_TABLES).setSeed(LshOps.MH_SEED)
+      .setInputCol("features").setOutputCol("hashes").fit(df)
+    val fitted = model.getClass.getMethod("randCoefficients").invoke(model)
+      .asInstanceOf[Array[(Int, Int)]].toSeq
+    assert(fitted == LshOps.minhashCoefs,
+      s"fitted=$fitted replica=${LshOps.minhashCoefs}")
+    val cls = Class.forName("org.apache.spark.ml.feature.MinHashLSH$")
+    val module = cls.getField("MODULE$").get(null)
+    val prime = cls.getMethod("HASH_PRIME").invoke(module).asInstanceOf[Int]
+    assert(prime.toLong == LshOps.HASH_PRIME, s"MLlib HASH_PRIME drifted to $prime")
+  }
+
+  test("BRP unit-vector replica is bit-identical to the fitted model's") {
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import spark.implicits._
+    val df = Seq(Tuple1(Vectors.dense(Array.fill(LshOps.EMB_DIM)(0.1)))).toDF("features")
+    val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setBucketLength(LshOps.BRP_BUCKET_LEN).setNumHashTables(LshOps.BRP_TABLES)
+      .setSeed(LshOps.BRP_SEED)
+      .setInputCol("features").setOutputCol("hashes").fit(df)
+    val fitted = model.getClass.getMethod("randUnitVectors").invoke(model)
+      .asInstanceOf[Array[Vector]]
+    val replica = LshOps.brpUnitVectors
+    assert(fitted.length == replica.length)
+    fitted.zip(replica).foreach { case (f, r) =>
+      assert(java.util.Arrays.equals(f.toArray, r),
+        "BRP unit vector replica diverged from fitted randMatrix row")
+    }
+  }
+
+  test("SQL bucket formula floor(0.5*dot) reproduces model buckets on every fixture vector") {
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray): Vector)
+    val fdf = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
+    val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setBucketLength(LshOps.BRP_BUCKET_LEN).setNumHashTables(LshOps.BRP_TABLES)
+      .setSeed(LshOps.BRP_SEED)
+      .setInputCol("features").setOutputCol("hashes").fit(fdf)
+    val uv = LshOps.brpUnitVectors
+    val rows = model.transform(fdf)
+      .select("vec_id", "embedding", "hashes").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getSeq[Float](1).length == LshOps.EMB_DIM,
+      "fixture embedding dim drifted; regenerate the BRP oracle constants")
+    rows.foreach { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble)
+      val hs = r.getSeq[Vector](2)
+      uv.zipWithIndex.foreach { case (u, t) =>
+        var acc = 0.0; var i = 0
+        while (i < u.length) { acc += u(i) * x(i); i += 1 }
+        assert(math.floor(0.5 * acc) == hs(t)(0),
+          s"bucket mismatch vec_id=${r.getLong(0)} table=$t: " +
+            s"sql-formula=${math.floor(0.5 * acc)} mllib=${hs(t)(0)}")
+      }
+    }
+  }
+
   test("hand-rolled minhash est_jaccard tracks exact jaccard on shared pairs") {
     val est = DedupOps.minhashPairs(spark, sfDir).withColumnRenamed("est_jaccard", "est")
     val exact = DedupOps.ngramJaccard(spark, sfDir)
