@@ -43,7 +43,9 @@ object ScaleProbe {
     def snapshot(): Seq[(Int, Long)] = synchronized(buf.toSeq)
   }
 
-  private def replicate(s: SparkSession, base: String, out: String, factor: Int): Unit = {
+  /** private[graft]: ScaleGateSpec reuses the character-preserving replica
+    * to gate the no-serial-funnel property inside `sbt test`. */
+  private[graft] def replicate(s: SparkSession, base: String, out: String, factor: Int): Unit = {
     if (new java.io.File(out, "_DONE").exists()) return
     new java.io.File(out).mkdirs()
     def copies(name: String, f: (DataFrame, Int) => DataFrame): Unit = {

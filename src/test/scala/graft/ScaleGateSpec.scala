@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Round-11 gate for SCALING.md's central claim: NO SERIAL FUNNEL — no
+  * stage that moves real corpus data through one task. The 10x probes in
+  * SCALING.md are rerun by hand (ScaleProbe); this spec wires a scaled-
+  * down version into `sbt test` so a future funnel regression (a lost
+  * repartition, a nullable join key splitting an exchange, a collect-and-
+  * rebroadcast creeping into a hot path) fails the suite automatically.
+  *
+  * The sf0.001 spec fixture is far too small to distinguish a funnel
+  * from a bounded-relation aggregate (codebooks, offsets — 1-task by
+  * design), so the spec replicates sf0.01 FACTOR-fold with ScaleProbe's
+  * character-preserving replica and asserts, over a 3-query sample with
+  * distinct shuffle spines (shingle self-join / signature agg+band join /
+  * sharded prefix-sum):
+  *  - no 1-task stage moved more than HEAVY bytes (input + shuffle read);
+  *  - at least one stage moved more than HEAVY bytes across MANY tasks —
+  *    the non-vacuity guard: if the probe corpus ever shrinks below the
+  *    threshold, the spec fails loudly instead of passing emptily.
+  */
+class ScaleGateSpec extends SparkTestBase {
+
+  /** Spec-scale analog of ScaleProbe's 16 MB threshold, calibrated to the
+    * x12 sf0.01 replica (measured: widest multi-task stage 9 MB on the
+    * ngram shingle self-join; bounded-relation 1-task stages are KB-scale
+    * here) — 4 MB separates funnel from machinery by >3 orders of
+    * magnitude at this corpus size. */
+  private val HEAVY = 4L * 1024 * 1024
+  private val FACTOR = 12
+
+  private class StageStats extends SparkListener {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+      val m = sc.stageInfo.taskMetrics
+      buf += ((sc.stageInfo.numTasks,
+        m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead))
+    }
+    def reset(): Unit = synchronized(buf.clear())
+    def snapshot(): Seq[(Int, Long)] = synchronized(buf.toSeq)
+  }
+
+  // ngram_jaccard carries the guaranteed-heavy md5-keyed shingle
+  // self-join; minhash_pairs is the signature-exchange shape whose reuse
+  // regressions round 5 chased; token_budget is the two-phase sharded
+  // prefix sum that replaced the round-9 serial clamp.
+  private val SAMPLE = Seq("dedup_ngram_jaccard", "dedup_minhash_pairs", "docs_token_budget")
+
+  test("no serial funnel: 1-task stages move no real data on a replicated corpus") {
+    // Same path ScaleProbe would build for this (base, factor): one
+    // replica serves both the manual probes and this gate (memoized by
+    // the _DONE marker).
+    val out = s"/tmp/graft_scale/sf0.01_x$FACTOR"
+    ScaleProbe.replicate(spark, "/root/testdata/sf0.01", out, FACTOR)
+    val stats = new StageStats
+    spark.sparkContext.addSparkListener(stats)
+    try {
+      var sawWideHeavy = false
+      SAMPLE.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        fn(spark, out).count() // warm: codegen + file listing
+        stats.reset()
+        fn(spark, out).count()
+        Thread.sleep(800) // async listener bus drain
+        val st = stats.snapshot()
+        val funnels = st.filter { case (n, b) => n == 1 && b > HEAVY }
+        assert(funnels.isEmpty,
+          s"$name: serial funnel — 1-task stage(s) moved " +
+            s"${funnels.map(_._2 / 1024 / 1024).mkString(", ")} MB")
+        if (st.exists { case (n, b) => n > 1 && b > HEAVY }) sawWideHeavy = true
+      }
+      assert(sawWideHeavy,
+        s"probe corpus never crossed the ${HEAVY / 1024 / 1024} MB stage " +
+          "threshold — raise FACTOR so the funnel assert stays non-vacuous")
+    } finally spark.sparkContext.removeSparkListener(stats)
+  }
+}
