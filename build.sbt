@@ -41,5 +41,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // methods under churn and intermittent executions fall back to the
   // interpreter — the measured CPU-balloon signature (same stages, zero
   // spill, flat GC, 5-10x process CPU). Standard Spark-driver tuning.
-  "-XX:ReservedCodeCacheSize=512m",
+  // 1g (round 11; was 512m): 512m cut balloons 5 -> 0-2 per run but two
+  // residual recompilation spikes persisted; reservation is virtual
+  // (committed on demand), so the extra headroom costs ~nothing on this
+  // box and removes the remaining sweeper pressure.
+  "-XX:ReservedCodeCacheSize=1g",
+  // Round-11 balloon forensics: with the 1g cache the r10 mid-session
+  // flush storms were replaced by rarer spikes with FLAT jit_ms and
+  // 10-15x process CPU — deoptimized execution with no recompilation in
+  // sight. G1's concurrent cycles unload dead generated classes from
+  // earlier queries, and the unload deoptimizes compiled framework
+  // methods that inlined through them; the re-profiling interpreter run
+  // is the CPU balloon. Keep the classes until a full GC instead (a
+  // long-lived driver holds ~100s of MB more metaspace — fine here and
+  // standard for codegen-heavy resident Spark drivers).
+  "-XX:-ClassUnloadingWithConcurrentMark",
 )

@@ -87,10 +87,42 @@ object Bench {
     // is NOT reset: composing on the shared artifact is its design.
     val preRun: Map[String, () => Unit] = Map(
       "dedup_minhash_clusters" -> (() => graft.operators.DedupOps.resetClusterCache()))
+    // CPU-bound codegen inner loops only cross the C2 invocation
+    // thresholds during their SECOND execution (round-11 forensics:
+    // dedup_embedding_cosine's exact-cosine loop ran run 0 at ~3x its
+    // best in 3 of 4 instrumented runs, 190 CPU-s vs 28, elevated
+    // jit_ms — tiered-compilation warmup, not a regression). One extra
+    // warm execution costs ~3 s and removes a 6-9 s run-0 spike plus the
+    // adaptive extra run it used to trigger. JMH warms multiple
+    // iterations for exactly this reason; we warm twice only where the
+    // single-warm floor measurably bites.
+    val warmTwice = Set("dedup_embedding_cosine")
     val stats = new RunStats
     spark.sparkContext.addSparkListener(stats)
     val results = selected.map { case (name, fn) =>
+      val warmJit0 = jitMillis
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      if (warmTwice(name)) {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+      // JIT-drain barrier (round 11): the warm pass queues C2 compilation
+      // of the plan's freshly generated classes, and a first timed run
+      // that starts while the queue drains executes deoptimized code — the
+      // measured first-timed-run balloon signature (2-5x wall, elevated
+      // jit_ms, absorbed only by the adaptive extra runs). When the warm
+      // pass compiled enough to matter (>300ms), wait until compilation
+      // time stops advancing (<=20ms over 200ms) before timing, 3s cap.
+      if (jitMillis - warmJit0 > 300) {
+        val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+        var last = jitMillis
+        var stable = false
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          val now = jitMillis
+          stable = now - last <= 20
+          last = now
+        }
+      }
       val wall = scala.collection.mutable.ArrayBuffer.empty[Double]
       val gcMs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val cpuS = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -191,7 +191,8 @@ object Streams {
     * DuckDB oracles prove it per run.) Round 10: 8 -> 4 — the bench's 14
     * stream queries spend a fifth of the whole run on this fixed
     * machinery, and fixture-scale state fits 4 stores with headroom. */
-  val streamShufflePartitions = 4
+  val streamShufflePartitions =
+    sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4").toInt
 
   /** Run `body` with spark.sql.shuffle.partitions scoped to
     * [[streamShufflePartitions]] — the streaming query must START inside
