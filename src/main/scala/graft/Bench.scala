@@ -87,24 +87,20 @@ object Bench {
     // is NOT reset: composing on the shared artifact is its design.
     val preRun: Map[String, () => Unit] = Map(
       "dedup_minhash_clusters" -> (() => graft.operators.DedupOps.resetClusterCache()))
-    // CPU-bound codegen inner loops only cross the C2 invocation
-    // thresholds during their SECOND execution (round-11 forensics:
-    // dedup_embedding_cosine's exact-cosine loop ran run 0 at ~3x its
-    // best in 3 of 4 instrumented runs, 190 CPU-s vs 28, elevated
-    // jit_ms — tiered-compilation warmup, not a regression). One extra
-    // warm execution costs ~3 s and removes a 6-9 s run-0 spike plus the
-    // adaptive extra run it used to trigger. JMH warms multiple
-    // iterations for exactly this reason; we warm twice only where the
-    // single-warm floor measurably bites.
-    val warmTwice = Set("dedup_embedding_cosine")
+    // (Round-11 negative result, kept for the record: warming
+    // dedup_embedding_cosine TWICE did not remove its recurring
+    // first-timed-run spike — the episode persists after three prior
+    // executions, and ReuseProbe shows the query perfectly stable in an
+    // isolated JVM (2.4-3.8 s every run). The spike is a session-context
+    // JVM effect on this query's large generated classes, not an
+    // invocation-threshold warmup, so the extra warm was removed; the
+    // adaptive extra runs below remain the mechanism that keeps it out
+    // of the reported best.)
     val stats = new RunStats
     spark.sparkContext.addSparkListener(stats)
     val results = selected.map { case (name, fn) =>
       val warmJit0 = jitMillis
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      if (warmTwice(name)) {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
       // JIT-drain barrier (round 11): the warm pass queues C2 compilation
       // of the plan's freshly generated classes, and a first timed run
       // that starts while the queue drains executes deoptimized code — the
