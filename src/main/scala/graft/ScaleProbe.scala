@@ -86,7 +86,10 @@ object ScaleProbe {
     // deliberately NOT reset): inline-vs-store at both scales is the
     // measured evidence that the probe cost is independent of rebuilding
     // the historical index (round-9 verdict item 4)
-    "dedup_incremental", "dedup_incremental_store", "docs_token_budget")
+    "dedup_incremental", "dedup_incremental_store", "docs_token_budget",
+    // round 11: the MLlib LSH path (now oracle-checked) gets the same
+    // measured no-serial-funnel evidence as the hand-rolled families
+    "dedup_minhash_ml", "emb_ann_brp_lsh")
 
   /** 1-task stages moving less than this are bounded-relation machinery
     * (offset/codebook/centroid aggregates, broadcast builds) — by design.

@@ -32,8 +32,19 @@ import graft.sources.Tables
   */
 object LshOps extends QueryModule {
 
-  /** Hashed-vocabulary dimension for the MinHash binary vectors. */
-  private val DIM = 1 << 10
+  /** Hashed-vocabulary dimension for the MinHash binary vectors.
+    *
+    * 2^20 (round 11; was 2^10): with a 1K vocab each table's minhash can
+    * take at most 1024 DISTINCT values (the per-table map i -> (1+i)a+b
+    * mod P is injective over the index domain), so two documents share a
+    * bucket whenever they share an argmin INDEX — bucket sizes, and the
+    * candidate-pair join output, grow quadratically with corpus size.
+    * The round-11 ScaleProbe caught it: 1.8 s at sf0.1 -> 36 s at x10
+    * (20x wall at 10x data). At 2^20 the minhash domain is ~10^6 values,
+    * buckets track TRUE similarity, and the probe is back to near-linear.
+    * Per-row cost is unchanged: the sparse vector still has one entry
+    * per distinct shingle (~50-500), whatever the nominal dimension. */
+  private val DIM = 1 << 20
 
   /** MinHashLSH.HASH_PRIME (Spark source constant; LshSpec re-reads it
     * from the MLlib object via reflection and asserts equality). */
@@ -55,10 +66,10 @@ object LshOps extends QueryModule {
   private val TOPK = 5
 
   /** documents -> (doc_id, binary token-presence vector over a hashed
-    * vocabulary) for MinHash (which requires binary vectors).
-    * dim 1024 (was 4096 in round 1): the shingle sets are ~50-500 elements,
-    * so a 1K hashed vocab keeps collisions rare while shrinking every sparse
-    * vector and every pair-distance computation in approxSimilarityJoin.
+    * vocabulary) for MinHash (which requires binary vectors). See DIM for
+    * the round-11 dimensioning rationale (the earlier "1K keeps vectors
+    * small" reasoning was wrong about the cost model — sparse size is the
+    * shingle count, not the dimension — and 1K capped the minhash domain).
     *
     * The vocabulary index is the PORTABLE md5 prefix (round 11; was Java
     * String.hashCode, which no SQL engine reproduces): first 4 md5 bytes
@@ -126,9 +137,10 @@ object LshOps extends QueryModule {
     val docs = docVectors(s, dir)
     // 2 hash tables (was 4): every emitted pair in the fixture has jaccard
     // similarity >= 0.87, so P(candidate missed) = (1-s)^2 < 2% and the
-    // FIXED seed makes the outcome deterministic (verified: same 25 pairs
-    // at sf0.01, same set at sf0.1). Halves the explode + join volume —
-    // this query was the round-1 bench outlier (12.3 s of a 40.6 s total).
+    // FIXED seed makes the outcome deterministic (re-verified at the 2^20
+    // vocab: 25 pairs at sf0.01, 255 at sf0.1, both oracle-hash-green).
+    // Halves the explode + join volume — this query was the round-1 bench
+    // outlier (12.3 s of a 40.6 s total).
     val model = new MinHashLSH()
       .setNumHashTables(MH_TABLES).setSeed(MH_SEED)
       .setInputCol("features").setOutputCol("hashes")
