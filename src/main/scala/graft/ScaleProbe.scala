@@ -88,8 +88,11 @@ object ScaleProbe {
     // the historical index (round-9 verdict item 4)
     "dedup_incremental", "dedup_incremental_store", "docs_token_budget",
     // round 11: the MLlib LSH path (now oracle-checked) gets the same
-    // measured no-serial-funnel evidence as the hand-rolled families
-    "dedup_minhash_ml", "emb_ann_brp_lsh")
+    // measured no-serial-funnel evidence as the hand-rolled families —
+    // and immediately caught a quadratic (see SCALING.md). The phash
+    // banded join rides along: its 8-bit band domain is small, so the
+    // hot-bucket cap is what bounds it — worth measuring, not assuming.
+    "dedup_minhash_ml", "emb_ann_brp_lsh", "mm_dedup_phash")
 
   /** 1-task stages moving less than this are bounded-relation machinery
     * (offset/codebook/centroid aggregates, broadcast builds) — by design.

@@ -198,7 +198,11 @@ object Multimodal extends QueryModule {
   /** (doc_id, fp) average-hash fingerprints — shared by mm_ahash and the
     * perceptual near-dup pair query below. */
   private def ahashFp(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
+    // loadParallel (round 11): the 32-point byte-sampling chain below is
+    // compute-heavy and narrow, and the fixture's single-row-group file
+    // caps a plain scan at 1 task — the ScaleProbe showed this query
+    // running its whole fingerprint stage serially at base scale.
+    val d = Tables.loadParallel(s, dir, "documents")
       .filter(col("n_chars") >= 32)
       .select(col("doc_id"), col("text"),
         octet_length(col("text").cast("binary")).as("n"))
