@@ -56,4 +56,26 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // long-lived driver holds ~100s of MB more metaspace — fine here and
   // standard for codegen-heavy resident Spark drivers).
   "-XX:-ClassUnloadingWithConcurrentMark",
+  // Round-12 heap-ergonomics pins (r11 verdict #3: the driver session's
+  // GC-heavy storm signature — flat jit_ms, 9-20s GC/run, 50-60x CPU,
+  // identical stages — matches neither fixed in-JVM mechanism; pin the
+  // two ergonomic knobs that could differ between sessions so they are
+  // excluded as variables). G1HeapRegionSize: the default is heap/2048
+  // (4m at the 8g default -Xmx, so a no-op there), but an SPARK_DRIVER_MEM
+  // override would silently change region size and with it humongous-
+  // allocation behavior for large shuffle/broadcast buffers — pin it.
+  "-XX:G1HeapRegionSize=4m",
+  // MetaspaceSize: with concurrent-mark class unloading disabled (above),
+  // metaspace-threshold-triggered concurrent cycles can never reclaim
+  // metaspace — each one is pure GC cost that re-raises the high-water
+  // mark anyway. Starting the mark at 512m skips the whole ladder of
+  // futile cycles while ~180 queries' codegen classes accumulate.
+  "-XX:MetaspaceSize=512m",
 )
+// Round-12 (verdict #3): GC logs for every forked `run` (Bench included)
+// so a GC-heavy storm can be adjudicated from phase/cause detail rather
+// than inferred from the per-run gc_ms totals. Rotating 2x20m caps the
+// footprint; the files are gitignored (Bench's per-run gc_ms/cpu_s arrays
+// remain the committed record).
+run / javaOptions +=
+  "-Xlog:gc*:file=gc_bench.log:time,uptime,level,tags:filecount=2,filesize=20m"

@@ -48,6 +48,88 @@ object Bench {
     if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
   }
 
+  /** Host-memory telemetry (round 12, verdict #3): the r11 driver session
+    * carried a GC-heavy storm signature (flat jit, 9-20 s GC, 50-60x CPU,
+    * identical stages) that matches neither fixed in-JVM mechanism and is
+    * plausibly host memory pressure during that window. Sample the host's
+    * view once per timed run so the artifact can adjudicate: a storm with
+    * collapsing MemAvailable / rising memory-PSI is the host, not the
+    * session. -1 where the proc file is absent (non-Linux / no PSI). */
+  private def memAvailableMb: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("MemAvailable:") => l.trim.split("\\s+")(1).toLong / 1024
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  private def memPsiSome10: Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/pressure/memory")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("some") =>
+          l.split("\\s+").collectFirst {
+            case kv if kv.startsWith("avg10=") => kv.drop(6).toDouble
+          }.getOrElse(-1.0)
+      }.getOrElse(-1.0)
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** The positional basis of the q_cs tail line: benchable registry names
+    * in ascending order. ContractSpec pins the artifact contract against
+    * this (round-12 verdict #5) so a registry insertion cannot silently
+    * shift the positional map. */
+  def registryNamesSorted: Seq[String] =
+    (SparkEntry.queries.keySet ++ BenchOnly.queries.keySet).toSeq.sorted
+
+  private def fmt(v: Double) =
+    if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", v)
+
+  /** q_cs encoder, factored out so ContractSpec can round-trip it:
+    * q_cs[i] = best wall of the i-th name-sorted query, centiseconds,
+    * -1 = failed. */
+  def qcsJson(best: Seq[(String, Double)]): String =
+    best.map { case (_, v) =>
+      if (v < 0) "-1" else math.round(v * 100).toString
+    }.mkString("[", ",", "]")
+
+  /** Storm-detector anchor (round-12 verdict #1): per-query best seconds
+    * from a committed clean full-registry local run (bench_reference.json,
+    * regenerated from each round's cleanest BENCH_LOCAL). Parsed with a
+    * regex so the bench stays dependency-free; the file is a flat
+    * {"name":seconds} map. Missing file or entry => detection disabled for
+    * that query (new queries simply aren't deferred until the reference is
+    * regenerated). */
+  private def loadReference(path: String): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** Mutable per-query record; retry runs at session end append to the
+    * same arrays, so the artifact keeps every sample (a storm run stays
+    * visible even after a clean retry replaces it as the best). */
+  private final class Rec {
+    var warmS = -1.0
+    var warmCpuS = -1.0
+    val wall = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val gcMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cpuS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val stg = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val spl = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val jit = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val memMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val psi = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var retries = 0
+    def bestWall: Double = {
+      val ok = wall.filter(_ >= 0)
+      if (ok.isEmpty || wall.exists(_ < 0)) -1.0 else ok.min
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,9 +139,28 @@ object Bench {
     // variants ride along: they measure the sketch-path plan shape that
     // the oracle-checkable registered forms no longer exercise.
     val benchable = SparkEntry.queries ++ BenchOnly.queries
-    val selected =
-      if (args.isEmpty) benchable
-      else benchable.view.filterKeys(args.toSet).toMap
+    val selected0: Seq[String] =
+      if (args.isEmpty) benchable.keys.toSeq
+      else benchable.keys.filter(args.toSet).toSeq
+    // GRAFT_BENCH_FIRST=<name>: probe knob — execute the named query first
+    // in the session (round-11 close hypothesis for the
+    // dedup_embedding_cosine session-context episode: profile pollution at
+    // megamorphic callsites after ~180 prior queries; running it FIRST
+    // removes the priors, so a vanished episode supports the hypothesis
+    // and a persisting one refutes it).
+    val selected: Seq[String] = sys.env.get("GRAFT_BENCH_FIRST") match {
+      case Some(n) =>
+        val (f, rest) = selected0.partition(_ == n); f ++ rest
+      case None => selected0
+    }
+    // GRAFT_BENCH_AQE_OFF=name,name: probe knob — run the listed queries
+    // with AQE disabled (second round-11 hypothesis: per-execution AQE
+    // re-planning generates fresh classes each run, so the episode is
+    // class-churn; AQE off pins one physical plan across runs). Scoped per
+    // query and restored after, so the rest of the session is untouched.
+    val aqeOff: Set[String] =
+      sys.env.get("GRAFT_BENCH_AQE_OFF").map(_.split(",").map(_.trim).toSet)
+        .getOrElse(Set.empty)
     // Steady-state measurement: run each query once untimed (pays one-off
     // whole-stage-codegen compilation + file listing, both cached by Spark),
     // then time TIMED_RUNS further executions and report the MIN — the
@@ -71,15 +172,26 @@ object Bench {
     // Round-10 hardening (BENCH_r09's 9.8s->79.6s run2 outlier): the two
     // timed runs grow adaptively up to MAX_RUNS while the two FASTEST runs
     // disagree by >2x (and >0.2s absolute) — a transient host stall then
-    // costs one extra cheap run instead of poisoning the reported best,
-    // and the full run array stays in the JSON so the stall is still
-    // visible. Each run also records its stop-the-world GC delta (ms) and
-    // process-CPU delta (s): a run whose wall-clock far exceeds cpu/cores
-    // with ~zero GC was starved by the HOST (co-tenant load, I/O stall),
-    // not by anything in the session — the artifact adjudicates
-    // session-health vs environment by itself.
+    // costs one extra cheap run instead of poisoning the reported best.
+    //
+    // Round-12 hardening (BENCH_r11's four sustained storms, 215.8 s of a
+    // 391 s total for ~6 s of real work): the adaptive loop keys on
+    // run-to-run VARIANCE, so a storm that spans BOTH timed runs looks
+    // stable and is reported as the query's honest cost. The new deferral
+    // layer compares the best against a committed clean local band
+    // (bench_reference.json) and, when best > STORM_RATIO x reference
+    // (+2 s absolute), RE-RUNS the query at session end — minutes later,
+    // typically outside the storm window. All samples stay in the arrays;
+    // a query still slow after two retry passes is reported at its slow
+    // value AND listed in "storm_suspect", so a genuine regression is
+    // never hidden (adjudicate those with an isolated-JVM ReuseProbe run —
+    // protocol in NOTES.md).
     val TIMED_RUNS = 2
     val MAX_RUNS = 4
+    val STORM_RATIO = 5.0
+    val STORM_ABS_S = 2.0
+    val reference = loadReference(
+      sys.env.getOrElse("GRAFT_BENCH_REF", "bench_reference.json"))
     // Per-query pre-run hooks: dedup_minhash_clusters memoizes its labels
     // parquet per (session, dir) — without a reset its timed runs measure
     // a file read, not the iterative pipeline (and r7 would look 20x
@@ -94,96 +206,173 @@ object Bench {
     // isolated JVM (2.4-3.8 s every run). The spike is a session-context
     // JVM effect on this query's large generated classes, not an
     // invocation-threshold warmup, so the extra warm was removed; the
-    // adaptive extra runs below remain the mechanism that keeps it out
-    // of the reported best.)
+    // adaptive extra runs remain the mechanism that keeps it out of the
+    // reported best.)
     val stats = new RunStats
     spark.sparkContext.addSparkListener(stats)
-    val results = selected.map { case (name, fn) =>
-      val warmJit0 = jitMillis
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      // JIT-drain barrier (round 11): the warm pass queues C2 compilation
-      // of the plan's freshly generated classes, and a first timed run
-      // that starts while the queue drains executes deoptimized code — the
-      // measured first-timed-run balloon signature (2-5x wall, elevated
-      // jit_ms, absorbed only by the adaptive extra runs). When the warm
-      // pass compiled enough to matter (>300ms), wait until compilation
-      // time stops advancing (<=20ms over 200ms) before timing, 3s cap.
-      if (jitMillis - warmJit0 > 300) {
-        val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
-        var last = jitMillis
-        var stable = false
-        while (!stable && System.nanoTime() < deadline) {
-          Thread.sleep(200)
-          val now = jitMillis
-          stable = now - last <= 20
-          last = now
+
+    val recs = scala.collection.mutable.LinkedHashMap.empty[String, Rec]
+
+    def withAqeScope[A](name: String)(body: => A): A =
+      if (!aqeOff(name)) body
+      else {
+        val prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+
+    def timedRun(name: String, rec: Rec): Unit = {
+      val fn = benchable(name)
+      preRun.get(name).foreach(_.apply())
+      rec.memMb += memAvailableMb
+      rec.psi += memPsiSome10
+      stats.reset()
+      val j0 = jitMillis; val g0 = gcMillis; val c0 = cpuNanos; val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      rec.wall += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      rec.gcMs += gcMillis - g0
+      rec.cpuS += (if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9)
+      val (sg, sp) = stats.snap()
+      rec.stg += sg
+      rec.spl += sp / (1024 * 1024)
+      rec.jit += (if (j0 < 0) -1L else jitMillis - j0)
+    }
+
+    def stormSuspect(name: String, rec: Rec): Boolean =
+      reference.get(name).exists { r =>
+        val b = rec.bestWall
+        b >= 0 && b > STORM_RATIO * r && b - r > STORM_ABS_S
+      }
+
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[String]
+    selected.foreach { name =>
+      val rec = new Rec
+      recs(name) = rec
+      withAqeScope(name) {
+        val warmJit0 = jitMillis; val warmCpu0 = cpuNanos; val warmT0 = System.nanoTime()
+        try { benchable(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+        rec.warmS = (System.nanoTime() - warmT0) / 1e9
+        rec.warmCpuS = if (warmCpu0 < 0) -1.0 else (cpuNanos - warmCpu0) / 1e9
+        // JIT-drain barrier (round 11): the warm pass queues C2 compilation
+        // of the plan's freshly generated classes, and a first timed run
+        // that starts while the queue drains executes deoptimized code — the
+        // measured first-timed-run balloon signature (2-5x wall, elevated
+        // jit_ms, absorbed only by the adaptive extra runs). When the warm
+        // pass compiled enough to matter (>300ms), wait until compilation
+        // time stops advancing (<=20ms over 200ms) before timing, 3s cap.
+        if (jitMillis - warmJit0 > 300) {
+          val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+          var last = jitMillis
+          var stable = false
+          while (!stable && System.nanoTime() < deadline) {
+            Thread.sleep(200)
+            val now = jitMillis
+            stable = now - last <= 20
+            last = now
+          }
         }
+        (1 to TIMED_RUNS).foreach(_ => timedRun(name, rec))
+        def unstable: Boolean = {
+          val ok = rec.wall.filter(_ >= 0).sorted
+          ok.length >= 2 && ok(1) > 2 * ok(0) && ok(1) - ok(0) > 0.2
+        }
+        while (rec.wall.size < MAX_RUNS && rec.wall.forall(_ >= 0) && unstable)
+          timedRun(name, rec)
       }
-      val wall = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val gcMs = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val cpuS = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val stg = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val spl = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val jit = scala.collection.mutable.ArrayBuffer.empty[Long]
-      def timedRun(): Unit = {
-        preRun.get(name).foreach(_.apply())
-        stats.reset()
-        val j0 = jitMillis; val g0 = gcMillis; val c0 = cpuNanos; val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        wall += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-        gcMs += gcMillis - g0
-        cpuS += (if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9)
-        val (sg, sp) = stats.snap()
-        stg += sg
-        spl += sp / (1024 * 1024)
-        jit += (if (j0 < 0) -1L else jitMillis - j0)
+      if (stormSuspect(name, rec)) {
+        deferred += name
+        System.err.println(s"[bench] $name best ${fmt(rec.bestWall)}s > " +
+          s"${STORM_RATIO}x reference ${fmt(reference(name))}s - deferring re-run to session end")
       }
-      (1 to TIMED_RUNS).foreach(_ => timedRun())
-      def unstable: Boolean = {
-        val ok = wall.filter(_ >= 0).sorted
-        ok.length >= 2 && ok(1) > 2 * ok(0) && ok(1) - ok(0) > 0.2
-      }
-      while (wall.size < MAX_RUNS && wall.forall(_ >= 0) && unstable) timedRun()
       // between-queries hygiene: drop finished streaming memory sinks so
       // driver memory stays flat across the 180-query session (round-8
       // lesson: in-session accumulation degraded run2 broadly)
       graft.streaming.Streams.purgeMemorySinks(spark)
-      name -> ((wall.toSeq, gcMs.toSeq, cpuS.toSeq, stg.toSeq, spl.toSeq, jit.toSeq))
     }
-    // Locale.ROOT: a default-locale format on e.g. a German JVM prints
-    // '0,1234' and corrupts the JSON.
-    def fmt(v: Double) =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", v)
-    // Emission is SORTED BY NAME (execution order above stays the registry
-    // map order): the compact final line below carries per-query seconds
-    // POSITIONALLY, so the name order must be reconstructible from the
-    // registry alone — "sorted ascending" is the one order that is.
-    val ordered = results.toSeq.sortBy(_._1)
-    val best = ordered.map { case (k, (rs, _, _, _, _, _)) =>
+
+    // Deferred retry passes: pass 1 gives each storm-suspect query two more
+    // runs minutes after its contaminated window; anything STILL suspect
+    // gets one further run in pass 2 (the storm may outlast pass 1). The
+    // final best is min over ALL runs, so a retry can only heal, never
+    // hide: a genuinely-regressed query stays slow and stays listed.
+    var pending = deferred.toList
+    var pass = 0
+    while (pending.nonEmpty && pass < 2) {
+      pass += 1
+      val runsThisPass = if (pass == 1) 2 else 1
+      pending = pending.filter { name =>
+        val rec = recs(name)
+        withAqeScope(name) {
+          (1 to runsThisPass).foreach(_ => timedRun(name, rec))
+        }
+        rec.retries += runsThisPass
+        graft.streaming.Streams.purgeMemorySinks(spark)
+        val still = stormSuspect(name, rec)
+        System.err.println(s"[bench] retry pass $pass: $name best now " +
+          s"${fmt(rec.bestWall)}s${if (still) " - STILL suspect" else " - healed"}")
+        still
+      }
+    }
+    val stillSuspect = pending
+
+    // Emission is SORTED BY NAME (execution order above is registry order,
+    // modulo GRAFT_BENCH_FIRST): the compact final line below carries
+    // per-query seconds POSITIONALLY, so the name order must be
+    // reconstructible from the registry alone — "sorted ascending" is the
+    // one order that is.
+    val ordered = recs.toSeq.sortBy(_._1)
+    val best = ordered.map { case (k, r) =>
       // ANY failed run -> -1: an intermittently-broken query must show up
       // in nfailed, not contribute its fastest lucky run to the total
-      k -> (if (rs.nonEmpty && rs.forall(_ >= 0)) rs.min else -1.0)
+      k -> r.bestWall
     }
-    type R = (Seq[Double], Seq[Long], Seq[Double], Seq[Int], Seq[Long], Seq[Long])
-    def jmap(f: ((String, R)) => String) =
+    // Artifact-contract guard (round-12 verdict #5): on a full-registry run
+    // the emitted name order must BE the name-sorted registry, or every
+    // positional consumer of q_cs silently misattributes.
+    if (args.isEmpty)
+      require(best.map(_._1) == registryNamesSorted,
+        "emission order diverged from the name-sorted registry")
+    def jmap(f: ((String, Rec)) => String) =
       ordered.map(kv => s"\"" + kv._1 + "\":" + f(kv)).mkString("{", ",", "}")
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rs = jmap { case (_, (w, _, _, _, _, _)) => w.map(fmt).mkString("[", ",", "]") }
-    val gs = jmap { case (_, (_, g, _, _, _, _)) => g.mkString("[", ",", "]") }
-    val cs = jmap { case (_, (_, _, c, _, _, _)) => c.map(fmt).mkString("[", ",", "]") }
-    val ss = jmap { case (_, (_, _, _, s, _, _)) => s.mkString("[", ",", "]") }
-    val ps = jmap { case (_, (_, _, _, _, p, _)) => p.mkString("[", ",", "]") }
-    val js = jmap { case (_, (_, _, _, _, _, j)) => j.mkString("[", ",", "]") }
+    val rs = jmap { case (_, r) => r.wall.map(fmt).mkString("[", ",", "]") }
+    val gs = jmap { case (_, r) => r.gcMs.mkString("[", ",", "]") }
+    val cs = jmap { case (_, r) => r.cpuS.map(fmt).mkString("[", ",", "]") }
+    val ss = jmap { case (_, r) => r.stg.mkString("[", ",", "]") }
+    val ps = jmap { case (_, r) => r.spl.mkString("[", ",", "]") }
+    val js = jmap { case (_, r) => r.jit.mkString("[", ",", "]") }
+    val ws = jmap { case (_, r) => fmt(r.warmS) }
+    val wc = jmap { case (_, r) => fmt(r.warmCpuS) }
+    val hm = jmap { case (_, r) => r.memMb.mkString("[", ",", "]") }
+    val hp = jmap { case (_, r) => r.psi.map(fmt).mkString("[", ",", "]") }
+    val defJson = deferred.map(n => s"\"" + n + "\":" + recs(n).retries)
+      .mkString("{", ",", "}")
+    val suspectJson = stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = best.collect { case (_, v) if v >= 0 => v }.sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"stages":$ss,"spill_mb":$ps,"jit_ms":$js,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"stages":$ss,"spill_mb":$ps,"jit_ms":$js,"warm_s":$ws,"warm_cpu_s":$wc,"host_mem_mb":$hm,"psi_some10":$hp,"deferred":$defJson,"storm_suspect":$suspectJson,"written_at_ms":${System.currentTimeMillis()},"sf":"$sfDir"}"""
     println(full)
     // Self-contained artifact: the full per-query JSON also lands in
     // bench_out.json next to the repo, so post-hoc analysis never depends
-    // on how much of the stdout line a log capture kept.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
-    catch { case _: Throwable => () } // a read-only CWD must not fail the bench
+    // on how much of the stdout line a log capture kept. Full-registry runs
+    // ALSO land in BENCH_DRIVER_r<N>.json (N = 1 + highest committed
+    // BENCH_r*.json round): bench_out.json is gitignored, so the driver
+    // session's telemetry previously survived only if the next builder
+    // copied it by hand (round-12 verdict #2); the round-stamped twin is
+    // picked up by the driver's end-of-round commit. Successive runs
+    // overwrite it, so the file at round close is the LAST full run of the
+    // session — the driver's; written_at_ms disambiguates.
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
+      if (args.isEmpty) {
+        val round = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
+          .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .foldLeft(0)(math.max) + 1
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f"BENCH_DRIVER_r$round%02d.json"), full + "\n")
+      }
+    } catch { case _: Throwable => () } // a read-only CWD must not fail the bench
     // Compact summary LAST — it must fit entirely inside a 2000-char
     // stdout TAIL capture (the driver's bench record), which rounds 9-10
     // proved truncates the big line above mid-telemetry. A NAMED per-query
@@ -192,10 +381,16 @@ object Bench {
     // registry query in ascending name order, in centiseconds (-1 =
     // failed). ~1.3k chars total for 186 queries, so the tail always
     // retains the full per-query record plus the parseable total.
-    val qcs = best.map { case (_, v) =>
-      if (v < 0) "-1" else math.round(v * 100).toString
-    }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${best.size},"nfailed":${best.count(_._2 < 0)},"q_cs":$qcs,"q_cs_doc":"best wall per query, centiseconds, queries sorted by name asc (names: bench_out.json or SparkEntry.queries++BenchOnly.queries)","sf":"$sfDir"}""")
+    // Round-12 advice fix: on a SUBSET run (explicit args) the positions
+    // would map to the selection, not the registry — a consumer decoding
+    // against the full registry would silently misattribute. Subset runs
+    // are small, so they emit a NAMED map instead.
+    val tail =
+      if (args.isEmpty)
+        s""""q_cs":${qcsJson(best)},"q_cs_doc":"best wall per query, centiseconds, queries sorted by name asc (names: bench_out.json or SparkEntry.queries++BenchOnly.queries)""""
+      else
+        s""""subset":true,"q_named":$qs"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${best.size},"nfailed":${best.count(_._2 < 0)},"ndeferred":${deferred.size},"nsuspect":${stillSuspect.size},$tail,"sf":"$sfDir"}""")
     Scratch.purge(spark)
     spark.stop()
   }

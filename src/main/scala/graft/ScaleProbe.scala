@@ -110,6 +110,13 @@ object ScaleProbe {
     val stats = new StageStats
     spark.sparkContext.addSparkListener(stats)
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // Round-12 verdict #7: accumulate per-(dir, query) walls so the run
+    // also lands as ONE machine-checkable JSON (scale_out.json: query ->
+    // {base_s, big_s, ratio, factor}) — SCALING.md's linearity claims then
+    // have a committed artifact (SCALE_r<N>.json) like correctness and
+    // bench already do, instead of prose transcribed from stdout.
+    val walls = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.Map[String, Double]]
     for (dir <- Seq(base, big); name <- FAMILY if only.isEmpty || only(name)) {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm: codegen + listing cached
@@ -128,7 +135,20 @@ object ScaleProbe {
       println(s"""SCALEPROBE {"dir":"$dir","query":"$name","secs":${fmt(secs)},""" +
         s""""stages":${st.size},"max_tasks":$maxTasks,"one_task_heavy":$heavy1,""" +
         s""""max_stage_mb":${maxBytes / 1024 / 1024}}""")
+      walls.getOrElseUpdate(name, scala.collection.mutable.Map.empty)(
+        if (dir == base) "base_s" else "big_s") = secs
     }
+    val entries = walls.toSeq.sortBy(_._1).map { case (name, w) =>
+      val b = w.getOrElse("base_s", -1.0)
+      val g = w.getOrElse("big_s", -1.0)
+      val ratio = if (b > 0 && g > 0) g / b else -1.0
+      s"""\"$name\":{"base_s":${fmt(b)},"big_s":${fmt(g)},"ratio":${fmt(ratio)}}"""
+    }
+    val json = s"""{"base":"$base","factor":$factor,"queries":${
+      entries.mkString("{", ",", "}")}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_out.json"), json + "\n")
+    catch { case _: Throwable => () }
     Scratch.purge(spark)
     spark.stop()
   }

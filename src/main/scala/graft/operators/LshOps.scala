@@ -229,7 +229,17 @@ object LshOps extends QueryModule {
     * at the end: floor(0.5 * dot(u_t, x)). LshSpec asserts this formula
     * reproduces model.transform's buckets on every fixture vector (the
     * formula is fp-order-sensitive in principle; a floor flip needs the
-    * dot within ~1e-13 of an integer, and the spec would catch it). */
+    * dot within ~1e-13 of an integer, and the spec would catch it).
+    *
+    * DuckDB-side order assumption (round-12 advice, for diagnosability):
+    * the oracle additionally relies on DuckDB's list_dot_product folding
+    * its doubles SEQUENTIALLY in list order — the same order as the netlib
+    * dgemv loop — for both the bucket floor here and the unrounded dist
+    * column below. LshSpec pins only the Spark side, so a DuckDB upgrade
+    * that vectorizes/reassociates the reduction would flip hash_match to a
+    * LOUD oracle failure on this query. That failure mode is the oracle's
+    * fp-order assumption breaking, not an engine bug: re-derive the
+    * oracle's fold order before touching the Spark side. */
   private def annBrpLshSql: String = {
     val vecRows = brpUnitVectors.zipWithIndex.map { case (u, t) =>
       s"($t, [${u.map(java.lang.Double.toString).mkString(", ")}]::DOUBLE[])"

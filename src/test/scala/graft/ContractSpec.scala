@@ -50,6 +50,29 @@ class ContractSpec extends SparkTestBase {
     }
   }
 
+  test("q_cs positional contract: tail array aligns with the name-sorted registry") {
+    // Round-12 verdict #5: the driver's 2000-char bench tail carries
+    // per-query centiseconds POSITIONALLY (q_cs[i] = i-th registry query in
+    // ascending name order). r11 verified the 188-entry alignment by hand;
+    // this pins it so a registry insertion cannot silently shift the map.
+    val names = Bench.registryNamesSorted
+    val registry = SparkEntry.queries ++ BenchOnly.queries
+    assert(names.length == registry.size,
+      s"q_cs basis has ${names.length} entries for ${registry.size} benchable queries")
+    assert(names == names.sorted, "q_cs basis is not name-sorted")
+    assert(names.distinct.length == names.length, "duplicate names in q_cs basis")
+    // Round-trip one entry: name -> position -> centiseconds. Encode a
+    // synthetic best map where query i costs i/100 s, so decoded(i) == i
+    // proves position i carries query i's value.
+    val qcs = Bench.qcsJson(names.zipWithIndex.map { case (n, i) => n -> i / 100.0 })
+    val decoded = qcs.stripPrefix("[").stripSuffix("]").split(",").map(_.toInt)
+    assert(decoded.length == names.length)
+    val probe = names.indexOf("q1_agg")
+    assert(probe >= 0 && decoded(probe) == probe,
+      s"q_cs round-trip failed: q1_agg at position $probe decoded ${decoded(probe)}")
+    assert(decoded.last == names.length - 1)
+  }
+
   test("every oracle key has a query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")

@@ -48,11 +48,21 @@ class ScaleGateSpec extends SparkTestBase {
   private val SAMPLE = Seq("dedup_ngram_jaccard", "dedup_minhash_pairs", "docs_token_budget")
 
   test("no serial funnel: 1-task stages move no real data on a replicated corpus") {
+    // Round-12 advice hardening: the fixture root comes from the shared
+    // test config, and an environment without the sf0.01 fixture cancels
+    // LOUDLY (scalatest reports the cancellation + reason) instead of
+    // failing the suite for a non-funnel reason.
+    val base = s"$testDataRoot/sf0.01"
+    assume(new java.io.File(base, "documents.parquet").exists(),
+      s"sf0.01 fixture absent at $base — scale gate not runnable here")
     // Same path ScaleProbe would build for this (base, factor): one
     // replica serves both the manual probes and this gate (memoized by
-    // the _DONE marker).
+    // the _DONE marker — deliberately NOT cleaned up, so repeated `sbt
+    // test` runs and hand-run ScaleProbe share one build. Footprint is
+    // bounded and small: the x12 sf0.01 replica measures ~5 MB of parquet
+    // under /tmp/graft_scale, rebuilt only after a /tmp wipe).
     val out = s"/tmp/graft_scale/sf0.01_x$FACTOR"
-    ScaleProbe.replicate(spark, "/root/testdata/sf0.01", out, FACTOR)
+    ScaleProbe.replicate(spark, base, out, FACTOR)
     val stats = new StageStats
     spark.sparkContext.addSparkListener(stats)
     try {

@@ -13,5 +13,8 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  val sfDir = "/root/testdata/sf0.001"
+  /** Single source of truth for fixture locations (round-12 advice:
+    * ScaleGateSpec previously hardcoded its own copy of the root). */
+  val testDataRoot = "/root/testdata"
+  val sfDir = s"$testDataRoot/sf0.001"
 }
