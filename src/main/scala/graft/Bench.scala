@@ -94,6 +94,17 @@ object Bench {
       if (v < 0) "-1" else math.round(v * 100).toString
     }.mkString("[", ",", "]")
 
+  /** Storm-suspect predicate, factored out so ContractSpec can pin
+    * the thresholds: a measurement is deferred when its best wall exceeds
+    * STORM_RATIO x the clean reference AND sits more than STORM_ABS_S
+    * above it (the absolute floor keeps sub-second queries, where 5x is
+    * noise, out of the retry loop; r11's real storms were 20-60x over
+    * band). No reference => detection disabled for that query. */
+  private[graft] val STORM_RATIO = 5.0
+  private[graft] val STORM_ABS_S = 2.0
+  private[graft] def isStormSuspect(best: Double, ref: Option[Double]): Boolean =
+    ref.exists(r => best >= 0 && best > STORM_RATIO * r && best - r > STORM_ABS_S)
+
   /** Storm-detector anchor (round-12 verdict #1): per-query best seconds
     * from a committed clean full-registry local run (bench_reference.json,
     * regenerated from each round's cleanest BENCH_LOCAL). Parsed with a
@@ -101,7 +112,7 @@ object Bench {
     * {"name":seconds} map. Missing file or entry => detection disabled for
     * that query (new queries simply aren't deferred until the reference is
     * regenerated). */
-  private def loadReference(path: String): Map[String, Double] =
+  private[graft] def loadReference(path: String): Map[String, Double] =
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
@@ -188,8 +199,6 @@ object Bench {
     // protocol in NOTES.md).
     val TIMED_RUNS = 2
     val MAX_RUNS = 4
-    val STORM_RATIO = 5.0
-    val STORM_ABS_S = 2.0
     val reference = loadReference(
       sys.env.getOrElse("GRAFT_BENCH_REF", "bench_reference.json"))
     // Per-query pre-run hooks: dedup_minhash_clusters memoizes its labels
@@ -239,10 +248,7 @@ object Bench {
     }
 
     def stormSuspect(name: String, rec: Rec): Boolean =
-      reference.get(name).exists { r =>
-        val b = rec.bestWall
-        b >= 0 && b > STORM_RATIO * r && b - r > STORM_ABS_S
-      }
+      isStormSuspect(rec.bestWall, reference.get(name))
 
     val deferred = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { name =>

@@ -73,6 +73,31 @@ class ContractSpec extends SparkTestBase {
     assert(decoded.last == names.length - 1)
   }
 
+  test("storm-deferral contract: predicate thresholds and reference hygiene") {
+    // Round-12: the deferral layer re-runs storm-contaminated measurements
+    // at session end. Pin the predicate semantics (both conditions must
+    // hold; no reference disables detection) so a threshold edit is a
+    // deliberate act, and pin the committed reference file against the
+    // registry so a renamed/removed query cannot leave a stale anchor.
+    assert(Bench.isStormSuspect(12.0, Some(2.0)),
+      "6x + 10s over band must defer")
+    assert(!Bench.isStormSuspect(0.49, Some(0.001)),
+      "absolute floor: 490x on a sub-second query must NOT defer")
+    assert(!Bench.isStormSuspect(8.0, Some(2.0)),
+      "4x is inside the allowed band (ratio condition)")
+    assert(!Bench.isStormSuspect(5.0, None),
+      "no reference entry disables detection")
+    assert(!Bench.isStormSuspect(-1.0, Some(2.0)),
+      "failed queries are reported as failures, not deferred")
+    val ref = Bench.loadReference("bench_reference.json")
+    assert(ref.nonEmpty, "committed bench_reference.json failed to parse")
+    val registry = (SparkEntry.queries ++ BenchOnly.queries).keySet
+    val stale = ref.keySet -- registry
+    assert(stale.isEmpty, s"reference entries with no registry query: $stale")
+    assert(ref.values.forall(v => v > 0 && v < 120),
+      "reference seconds outside sane bounds — regenerated from a bad run?")
+  }
+
   test("every oracle key has a query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
