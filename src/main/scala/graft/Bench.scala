@@ -105,6 +105,52 @@ object Bench {
   private[graft] def isStormSuspect(best: Double, ref: Option[Double]): Boolean =
     ref.exists(r => best >= 0 && best > STORM_RATIO * r && best - r > STORM_ABS_S)
 
+  /** Session-drift factor (round-13, r12 verdict #3): the median
+    * best/reference ratio across every query with a clean-band anchor and
+    * a successful best. The host drifts uniformly (~1.45x in the r12
+    * driver session vs local clean runs), so per-query ratios read raw
+    * overstate regressions; dividing by this median lets the artifact's
+    * reader see per-query ratios net of the session-wide slowdown. -1 when
+    * no reference is loaded. Median (not mean) so a handful of genuine
+    * storms cannot move the normalizer. */
+  private[graft] def sessionDrift(
+      best: Seq[(String, Double)], ref: Map[String, Double]): Double = {
+    val ratios = best.collect {
+      case (n, v) if v > 0 && ref.get(n).exists(_ > 0) => v / ref(n)
+    }.sorted
+    if (ratios.isEmpty) -1.0
+    else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+    else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+  }
+
+  /** Non-deferring drift outliers (round-13, closes r12 "What's wrong" #1):
+    * queries whose best exceeds DRIFT_OUTLIER_RATIO x reference NET OF the
+    * session drift factor, with NO absolute floor — the deferral loop's
+    * 2 s floor deliberately ignores sub-second queries (5x there is noise
+    * worth zero retry churn), but a genuine 5x regression on a 0.2 s query
+    * should still be visible in the artifact. These are LISTED, never
+    * deferred; adjudicate with ReuseProbe. */
+  private[graft] val DRIFT_OUTLIER_RATIO = 5.0
+  private[graft] def driftOutliers(
+      best: Seq[(String, Double)], ref: Map[String, Double], drift: Double): Seq[String] =
+    if (drift <= 0) Seq.empty
+    else best.collect {
+      case (n, v) if v > 0 && ref.get(n).exists(r => r > 0 && v > DRIFT_OUTLIER_RATIO * r * drift) => n
+    }
+
+  /** Stale-anchor detector (round-13, r12 verdict #5): a reference entry
+    * more than STORM_RATIO x ABOVE the session best (same absolute floor
+    * as the storm predicate, mirrored) means the committed clean band is
+    * slower than reality — a legitimate >5x plan-cost improvement whose
+    * author forgot to regenerate bench_reference.json in the same commit.
+    * The symptom of a too-SLOW anchor elsewhere is wasted retry runs and a
+    * spurious suspect flag, so the bench tail nags to regenerate. */
+  private[graft] def staleRefs(
+      best: Seq[(String, Double)], ref: Map[String, Double]): Seq[String] =
+    best.collect {
+      case (n, v) if v > 0 && ref.get(n).exists(r => r > STORM_RATIO * v && r - v > STORM_ABS_S) => n
+    }
+
   /** Storm-detector anchor (round-12 verdict #1): per-query best seconds
     * from a committed clean full-registry local run (bench_reference.json,
     * regenerated from each round's cleanest BENCH_LOCAL). Parsed with a
@@ -112,13 +158,23 @@ object Bench {
     * {"name":seconds} map. Missing file or entry => detection disabled for
     * that query (new queries simply aren't deferred until the reference is
     * regenerated). */
-  private[graft] def loadReference(path: String): Map[String, Double] =
-    try {
-      val text = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
-        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+  private[graft] def loadReference(path: String): Map[String, Double] = {
+    val m =
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+          .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    // r13 ADVICE fix: a typo'd GRAFT_BENCH_REF or malformed file used to
+    // silently disable storm detection for the whole session. An empty
+    // load now warns loudly, and the emitted JSON carries reference_n so
+    // the artifact itself records whether detection was armed.
+    if (m.isEmpty)
+      System.err.println(s"[bench] WARNING: reference '$path' yielded 0 entries - " +
+        "storm detection and drift normalization are DISABLED for this session")
+    m
+  }
 
   /** Mutable per-query record; retry runs at session end append to the
     * same arrays, so the artifact keeps every sample (a storm run stays
@@ -135,10 +191,28 @@ object Bench {
     val memMb = scala.collection.mutable.ArrayBuffer.empty[Long]
     val psi = scala.collection.mutable.ArrayBuffer.empty[Double]
     var retries = 0
+    /** Count of runs BEFORE the first deferred retry (-1 = no retries yet,
+      * all runs are primary). Set once when a retry pass first touches this
+      * record, so the primary/retry split survives both passes. */
+    var primaryRuns = -1
+    private def primary = if (primaryRuns < 0) wall else wall.take(primaryRuns)
+    private def retriesOnly =
+      if (primaryRuns < 0) Seq.empty[Double] else wall.drop(primaryRuns).toSeq
+    /** r13 ADVICE fix: ANY failed PRIMARY run -> -1 (an intermittently-
+      * broken query must show up in nfailed, not contribute its fastest
+      * lucky run) — but a failure during a DEFERRED RETRY pass must not
+      * hide a query whose primary runs all succeeded: retries exist to
+      * heal storm-window measurements and add failure exposure precisely
+      * for queries already in a storm window. Retry failures are excluded
+      * from the rule and surfaced separately via retryFailures. */
     def bestWall: Double = {
-      val ok = wall.filter(_ >= 0)
-      if (ok.isEmpty || wall.exists(_ < 0)) -1.0 else ok.min
+      if (primary.exists(_ < 0)) -1.0
+      else {
+        val ok = primary ++ retriesOnly.filter(_ >= 0)
+        if (ok.isEmpty) -1.0 else ok.min
+      }
     }
+    def retryFailures: Int = retriesOnly.count(_ < 0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -308,6 +382,7 @@ object Bench {
       val runsThisPass = if (pass == 1) 2 else 1
       pending = pending.filter { name =>
         val rec = recs(name)
+        if (rec.primaryRuns < 0) rec.primaryRuns = rec.wall.size
         withAqeScope(name) {
           (1 to runsThisPass).foreach(_ => timedRun(name, rec))
         }
@@ -356,8 +431,38 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJson = stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = best.collect { case (_, v) if v >= 0 => v }.sum
+    // Session-drift normalization + outliers (round 13): recorded in the
+    // artifact so per-query ratios are readable net of uniform host drift.
+    val drift = sessionDrift(best, reference)
+    val outliers = driftOutliers(best, reference, drift)
+    val stale = staleRefs(best, reference)
+    // Retry-pass failures (round-13 ADVICE): excluded from bestWall's
+    // any-primary-failure->-1 rule, surfaced here instead so a flaky
+    // retry is visible without hiding the query from the total.
+    val retryFailJson = ordered.collect {
+      case (k, r) if r.retryFailures > 0 => s"\"" + k + "\":" + r.retryFailures
+    }.mkString("{", ",", "}")
+    // Probe-knob stamp (round-13 ADVICE): a GRAFT_BENCH_FIRST / AQE_OFF
+    // probe session writes an artifact self-identified as a probe, so it
+    // can never be mistaken for (or silently overwrite the meaning of) a
+    // clean run's BENCH_DRIVER file.
+    val probeJson = {
+      val first = sys.env.get("GRAFT_BENCH_FIRST").map(n => s"\"first\":\"" + n + "\"")
+      val aqe = if (aqeOff.isEmpty) None
+        else Some(aqeOff.toSeq.sorted.map("\"" + _ + "\"").mkString("\"aqe_off\":[", ",", "]"))
+      val parts = first.toSeq ++ aqe.toSeq
+      if (parts.isEmpty) "" else parts.mkString(""","probe":{""", ",", "}")
+    }
+    if (stale.nonEmpty)
+      System.err.println(s"[bench] STALE REFERENCE for ${stale.mkString(", ")}: " +
+        s"best is >${STORM_RATIO}x UNDER the committed band - regenerate bench_reference.json " +
+        "from this round's cleanest full local run")
+    if (stillSuspect.nonEmpty)
+      System.err.println("[bench] storm_suspect nonempty at session end: adjudicate with " +
+        "ReuseProbe; if the isolated-JVM band matches the session best, the anchor is stale - " +
+        "regenerate bench_reference.json")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"stages":$ss,"spill_mb":$ps,"jit_ms":$js,"warm_s":$ws,"warm_cpu_s":$wc,"host_mem_mb":$hm,"psi_some10":$hp,"deferred":$defJson,"storm_suspect":$suspectJson,"written_at_ms":${System.currentTimeMillis()},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"stages":$ss,"spill_mb":$ps,"jit_ms":$js,"warm_s":$ws,"warm_cpu_s":$wc,"host_mem_mb":$hm,"psi_some10":$hp,"deferred":$defJson,"storm_suspect":$suspectJson,"retry_failed":$retryFailJson,"reference_n":${reference.size},"session_drift":${fmt(drift)},"drift_outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")},"ref_stale":${stale.map("\"" + _ + "\"").mkString("[", ",", "]")}$probeJson,"written_at_ms":${System.currentTimeMillis()},"sf":"$sfDir"}"""
     println(full)
     // Self-contained artifact: the full per-query JSON also lands in
     // bench_out.json next to the repo, so post-hoc analysis never depends
@@ -372,8 +477,22 @@ object Bench {
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
       if (args.isEmpty) {
-        val round = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
-          .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        // r13 ADVICE fix: derive the round from GIT-TRACKED BENCH_r*.json
+        // only — an uncommitted local copy in CWD used to bump the round
+        // off by one. Fall back to the directory listing when git is
+        // unavailable (the stamp is then best-effort, as before).
+        val trackedNames: Seq[String] =
+          try {
+            import scala.sys.process._
+            Seq("git", "ls-files", "BENCH_r*.json", "artifacts/BENCH_r*.json")
+              .!!(ProcessLogger(_ => ())).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+              .map(p => p.substring(p.lastIndexOf('/') + 1))
+          } catch { case _: Throwable =>
+            Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
+              .map(_.getName).toSeq
+          }
+        val round = trackedNames
+          .flatMap(n => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n).map(_.group(1).toInt))
           .foldLeft(0)(math.max) + 1
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(f"BENCH_DRIVER_r$round%02d.json"), full + "\n")
@@ -396,7 +515,7 @@ object Bench {
         s""""q_cs":${qcsJson(best)},"q_cs_doc":"best wall per query, centiseconds, queries sorted by name asc (names: bench_out.json or SparkEntry.queries++BenchOnly.queries)""""
       else
         s""""subset":true,"q_named":$qs"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${best.size},"nfailed":${best.count(_._2 < 0)},"ndeferred":${deferred.size},"nsuspect":${stillSuspect.size},$tail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${best.size},"nfailed":${best.count(_._2 < 0)},"ndeferred":${deferred.size},"nsuspect":${stillSuspect.size},"session_drift":${fmt(drift)},"ndrift_outliers":${outliers.size},"nref_stale":${stale.size},$tail,"sf":"$sfDir"}""")
     Scratch.purge(spark)
     spark.stop()
   }

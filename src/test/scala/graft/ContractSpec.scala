@@ -98,6 +98,38 @@ class ContractSpec extends SparkTestBase {
       "reference seconds outside sane bounds — regenerated from a bad run?")
   }
 
+  test("drift normalization contract: session_drift, outliers, stale anchors") {
+    // Round-13 (r12 verdict #3/#5 + "What's wrong" #1): the bench artifact
+    // records a session-drift factor (median best/reference ratio) plus a
+    // NON-deferring outlier list with no absolute floor, and nags when an
+    // anchor is >5x slower than reality. Pin the semantics so a formula
+    // edit is deliberate.
+    val ref = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
+    // Uniform 1.5x drift -> median ratio is exactly 1.5.
+    val uniform = Seq("a" -> 1.5, "b" -> 3.0, "c" -> 6.0)
+    assert(math.abs(Bench.sessionDrift(uniform, ref) - 1.5) < 1e-9)
+    // Median, not mean: one 100x storm cannot move the normalizer.
+    val stormy = Seq("a" -> 1.5, "b" -> 6.0, "c" -> 400.0)
+    assert(math.abs(Bench.sessionDrift(stormy, ref) - 3.0) < 1e-9)
+    // No reference -> -1 (disabled), and outliers empty in that case.
+    assert(Bench.sessionDrift(uniform, Map.empty) == -1.0)
+    assert(Bench.driftOutliers(uniform, Map.empty, -1.0).isEmpty)
+    // Outliers: >5x net of drift, NO absolute floor — a 5.1x-regressed
+    // 0.2s-band query is listed even though the deferral loop ignores it.
+    val drift = 1.0
+    val subSecRef = Map("tiny" -> 0.04, "ok" -> 0.04)
+    assert(Bench.driftOutliers(Seq("tiny" -> 0.21, "ok" -> 0.15), subSecRef, drift) == Seq("tiny"))
+    // Net-of-drift: a 6x raw ratio under 1.5x session drift is 4x net -> clean.
+    assert(Bench.driftOutliers(Seq("a" -> 6.0), ref, 1.5).isEmpty)
+    assert(Bench.driftOutliers(Seq("a" -> 8.0), ref, 1.5) == Seq("a"))
+    // Stale anchors mirror the storm predicate: >5x UNDER + 2s absolute.
+    assert(Bench.staleRefs(Seq("a" -> 1.0), Map("a" -> 8.0)) == Seq("a"))
+    assert(Bench.staleRefs(Seq("a" -> 0.1), Map("a" -> 0.6)).isEmpty,
+      "sub-second anchor gap is noise, not staleness")
+    assert(Bench.staleRefs(Seq("a" -> 2.0), Map("a" -> 8.0)).isEmpty,
+      "4x under is inside the band")
+  }
+
   test("every oracle key has a query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
