@@ -27,10 +27,4 @@ object TextFns {
         i => array_join(slice(toks, i, lit(5)), " "))))
       .otherwise(array().cast("array<string>"))
 
-  /** Portable per-seed hash for MinHash: lowercase md5 hex of "k|shingle".
-    * Identical in DuckDB: md5(CAST(k AS VARCHAR) || '|' || shingle). Hex
-    * strings compare lexicographically the same in both engines, so
-    * min() over them is a valid (if slow-ish) portable MinHash. */
-  def seedHash(k: Column, shingle: Column): Column =
-    md5(concat(k.cast("string"), lit("|"), shingle).cast("binary"))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFns, VectorFns}
 import graft.sources.Tables
@@ -17,13 +17,61 @@ import graft.sources.Tables
   *    key can fan out quadratically either.
   *  - The MinHash signature is a fixed K=12 hashes -> constant state per doc;
   *    banding (4 bands x 3 rows) turns near-dup search into GROUP BY.
-  *  - Portable hashing: md5 hex (identical in DuckDB) instead of engine hash
+  *  - Portable hashing: md5 (identical in DuckDB) instead of engine hash
   *    functions, so the oracle reproduces every signature bit-for-bit.
+  *  - INTEGER keys everywhere hot (round 13): md5 is computed ONCE per
+  *    (doc, shingle) and its hex prefix parsed to a BIGINT; the K minhash
+  *    values derive from that base by affine permutations
+  *    (A_k*h + B_k) mod P in pure 64-bit arithmetic — the same
+  *    one-base-hash family MLlib's MinHashLSH uses. Join/group/agg keys
+  *    (minhash values, band keys, shingle keys, span keys) are all 8-byte
+  *    longs instead of 32..96-char hex strings: 12x fewer md5 calls on the
+  *    dominant stage, primitive comparisons in every shuffle, and no
+  *    per-comparison string allocation (the NOTES-documented GC constant
+  *    that grew with heap occupancy). Domain audit (the round-11 lesson —
+  *    quadratic buckets come from SMALL band-value domains): band keys
+  *    live in a 2^60 domain (md5-prefix of the 3-value band string), far
+  *    above any corpus cardinality; minhash values live in [0, 2^31-1)
+  *    (standard for the affine family; MLlib's prime is also < 2^31), and
+  *    bucket identity needs all BANDROWS of them to agree.
   */
 object DedupOps extends QueryModule {
 
   private val K = 12       // minhash signature length
   private val BANDROWS = 3 // rows per LSH band -> 4 bands
+
+  /** Affine-permutation minhash family: mh_k = (A_k*h + B_k) mod MH_P over
+    * the 32-bit md5-prefix base hash h. MH_P = 2^31-1 (prime); A_k < 2^20
+    * keeps A_k*h < 2^52, so the product can overflow in NEITHER engine
+    * (DuckDB errors on BIGINT overflow rather than wrapping — silent-wrap
+    * arithmetic would not be oracle-portable). A_k are primes (coprime to
+    * MH_P, so each permutation is a bijection on residues); B_k primes
+    * below MH_P. */
+  private[graft] val MH_P = 2147483647L
+  private[graft] val MH_A: Seq[Long] = Seq(
+    999983L, 838091L, 735307L, 623171L, 524287L, 438199L,
+    350377L, 262139L, 174763L, 131071L, 86243L, 45007L)
+  private[graft] val MH_B: Seq[Long] = Seq(
+    15551L, 799999L, 1299709L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L, 141650939L, 160481183L)
+
+  /** 60-bit BIGINT key from the first 15 hex chars of md5 — the portable
+    * integer replacement for hex-string join keys (round 13). 15 chars
+    * (not 16) so the value stays below 2^60 < Long.MaxValue in both
+    * engines. DuckDB twin: CAST(('0x' || substring(md5(e), 1, 15)) AS
+    * BIGINT). Collision odds at 2^-60 per pair are the same argument the
+    * full-md5 key already leaned on, and any collision would be IDENTICAL
+    * in the oracle, preserving parity. */
+  private[graft] def hex60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  private def hex60Sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** 32-bit base hash for the minhash family (first 8 hex chars). */
+  private def hex32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  private def hex32Sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 8)) AS BIGINT)"
   /** Document-frequency cap for the exact-Jaccard candidate join: a shingle
     * appearing in more than this many documents is dropped BEFORE the
     * self-join. Without it, one boilerplate 5-gram in 10⁶ documents yields
@@ -52,12 +100,19 @@ object DedupOps extends QueryModule {
       .select(coalesce(col("doc_id"), lit(Long.MinValue)).as("doc_id"),
         explode(TextFns.shingles(TextFns.tokens(col("text")))).as("shingle"))
 
-  /** (doc_id, k, mh): the K-row minhash signature per document. */
-  private def signature(s: SparkSession, dir: String): DataFrame =
-    shingleRows(s, dir)
-      .select(col("doc_id"), col("shingle"), explode(sequence(lit(0), lit(K - 1))).as("k"))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(TextFns.seedHash(col("k"), col("shingle"))).as("mh"))
+  /** WIDE signature: one row per document, columns mh0..mh{K-1} — each the
+    * min over the document's shingles of one affine permutation of the
+    * 32-bit base hash. One groupBy(doc_id) with K min-aggregates replaces
+    * the former explode(K) + groupBy(doc_id, k) shape: no K-fold row
+    * blow-up, one md5 per (doc, shingle) instead of K, primitive agg
+    * state, and the downstream estimate join touches ONE row per doc
+    * instead of K (round 13). */
+  private def signature(s: SparkSession, dir: String): DataFrame = {
+    val base = shingleRows(s, dir).select(col("doc_id"), hex32(col("shingle")).as("h"))
+    val mins = (0 until K).map(k =>
+      min((lit(MH_A(k)) * col("h") + lit(MH_B(k))) % MH_P).as(s"mh$k"))
+    base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
   /** Sharing of the signature relation across its in-plan consumers (bands
     * + both sides of the estimate join) is left to ReuseExchange/AQE stage
@@ -75,10 +130,14 @@ object DedupOps extends QueryModule {
       |    i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
       |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)""".stripMargin
 
-  private val signatureSql =
-    s"""SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS mh
-      |FROM (SELECT doc_id, shingle, unnest(range(0, $K)) AS k FROM ($shingleRowsSql))
-      |GROUP BY doc_id, k""".stripMargin
+  private val signatureSql = {
+    val mins = (0 until K).map(k =>
+      s"MIN((${MH_A(k)} * h + ${MH_B(k)}) % $MH_P) AS mh$k").mkString(",\n  ")
+    s"""SELECT doc_id,
+      |  $mins
+      |FROM (SELECT doc_id, ${hex32Sql("shingle")} AS h FROM ($shingleRowsSql))
+      |GROUP BY doc_id""".stripMargin
+  }
 
   /** Bucket-size cap for the PAIRWISE band self-join: a cluster of n
     * identical documents shares identical band keys in ALL bands, so the
@@ -96,24 +155,40 @@ object DedupOps extends QueryModule {
   // similarity as the fraction of matching signature positions.
   // ------------------------------------------------------------------
 
-  /** (doc_id, b, band_key): each document's LSH band keys.
-    *
-    * b is coalesced NON-NULLABLE (floor(k/3) is nullable in the abstract):
-    * the bands->reps / bands->bucket-cap joins on b otherwise push
-    * `isnotnull(FLOOR(k/3))` below the signature aggregate in THIS branch
-    * only, breaking canonical equality with the estimate-join branches and
-    * recomputing the md5 signature exchange (see shingleRows). */
-  private def bandsOf(sig: DataFrame): DataFrame =
-    sig
-      .withColumn("b", coalesce(floor(col("k") / BANDROWS), lit(-1L)))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-        x => x.getField("mh")), "").as("band_key"))
+  /** (doc_id, b, band_key): each document's LSH band keys. band_key is the
+    * 60-bit md5-prefix BIGINT of the band's BANDROWS minhash values joined
+    * with '_' — one md5 per (doc, band), 8-byte bucket keys in a 2^60
+    * domain (vs the former 96-char hex concat). Computed by a single
+    * projection over the wide signature (posexplode of a 4-element array
+    * literal): no aggregate, no collect_list, and b/band_key are
+    * NON-NULLABLE by construction (lit + md5-of-concat_ws), so the bands/
+    * bucket-cap/reps joins cannot push isnotnull filters below the shared
+    * signature aggregate and break exchange reuse (the round-5 lesson). */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until K / BANDROWS).map { b =>
+      val bandStr = concat_ws("_",
+        (0 until BANDROWS).map(r => col(s"mh${b * BANDROWS + r}").cast("string")): _*)
+      struct(lit(b.toLong).as("b"), hex60(bandStr).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.b").as("b"), col("bb.band_key").as("band_key"))
+  }
 
-  /** Pairwise core over a (doc_id, k, mh) signature relation — factored
-    * out so specs can drive it with a synthetic identical-doc cluster.
-    * The bucket cap (aggregate + semi-join, map-side partial counts) runs
-    * BEFORE the self-join, so no bucket can fan out quadratically. */
+  /** Signature-match fraction between two aliased wide signatures: the
+    * est_jaccard column expression shared by the pairwise and loser
+    * queries. A row-local sum of K primitive comparisons — no aggregate
+    * at all (the former (doc_id, k, mh) shape needed a K-row groupBy
+    * here; the wide shape reads ONE row per side). */
+  private def estJaccard(s1: String, s2: String): Column =
+    ((0 until K).map(k =>
+      when(col(s"$s1.mh$k") === col(s"$s2.mh$k"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / K).as("est_jaccard")
+
+  /** Pairwise core over a WIDE (doc_id, mh0..mh{K-1}) signature relation —
+    * factored out so specs can drive it with a synthetic identical-doc
+    * cluster. The bucket cap (aggregate + semi-join, map-side partial
+    * counts) runs BEFORE the self-join, so no bucket can fan out
+    * quadratically. */
   private[graft] def minhashPairsOf(sig: DataFrame): DataFrame = {
     val bands0 = bandsOf(sig)
     val keepBuckets = bands0.groupBy(col("b"), col("band_key"))
@@ -127,10 +202,8 @@ object DedupOps extends QueryModule {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     cand.join(sig.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sig.as("s2"), col("d2") === col("s2.doc_id") && col("s1.k") === col("s2.k"))
-      .groupBy(col("d1"), col("d2"))
-      .agg((sum(when(col("s1.mh") === col("s2.mh"), 1).otherwise(0)).cast("double") / K)
-        .as("est_jaccard"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), estJaccard("s1", "s2"))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -271,13 +344,23 @@ object DedupOps extends QueryModule {
       .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("csize"))
 
+  /** DuckDB twin of bandsOf: one UNION ALL branch per band over the
+    * MATERIALIZED wide sig CTE (4 scans of a tiny relation; the Spark side
+    * does it in one pass — oracle cost is irrelevant at sf0.01). */
   private val bandsSql =
-    s"""SELECT doc_id, CAST(floor(k / $BANDROWS) AS BIGINT) AS b,
-      |    string_agg(mh, '' ORDER BY k) AS band_key
-      |  FROM sig GROUP BY doc_id, CAST(floor(k / $BANDROWS) AS BIGINT)""".stripMargin
+    (0 until K / BANDROWS).map { b =>
+      val bandStr = (0 until BANDROWS).map(r => s"CAST(mh${b * BANDROWS + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"""SELECT doc_id, CAST($b AS BIGINT) AS b, ${hex60Sql(s"($bandStr)")} AS band_key FROM sig"""
+    }.mkString("\n  UNION ALL ")
+
+  private val estJaccardSql: String =
+    "CAST((" + (0 until K).map(k =>
+      s"CASE WHEN s1.mh$k = s2.mh$k THEN 1 ELSE 0 END").mkString(" + ") +
+      s") AS DOUBLE) / $K"
 
   val minhashPairsSql: String =
-    s"""WITH sig AS ($signatureSql),
+    s"""WITH sig AS MATERIALIZED ($signatureSql),
       |bands0 AS ($bandsSql),
       |bands AS (SELECT doc_id, b, band_key FROM bands0
       |          QUALIFY COUNT(*) OVER (PARTITION BY b, band_key) <= $MAX_BAND_BUCKET),
@@ -285,12 +368,11 @@ object DedupOps extends QueryModule {
       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
       |  FROM bands x JOIN bands y
       |    ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
-      |SELECT d1, d2,
-      |  CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K AS est_jaccard
+      |SELECT d1, d2, $estJaccardSql AS est_jaccard
       |FROM cand
       |JOIN sig s1 ON d1 = s1.doc_id
-      |JOIN sig s2 ON d2 = s2.doc_id AND s1.k = s2.k
-      |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+      |JOIN sig s2 ON d2 = s2.doc_id
+      |ORDER BY d1, d2""".stripMargin
 
   val minhashClustersSql: String =
     s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
@@ -600,8 +682,11 @@ object DedupOps extends QueryModule {
       .select(coalesce(col("doc_id"), lit(Long.MinValue)).as("doc_id"),
         TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
+      // span key = 60-bit md5-prefix BIGINT (round 13): the df aggregate
+      // and the span->df join below run on 8-byte keys, not 32-char hex
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-5), i -> md5(concat_ws(' ', slice(toks, i+1, 5))))"))
+        "transform(sequence(0, size(toks)-5), i -> " +
+          "cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i+1, 5)) as binary)), 1, 15), 16, 10) as bigint))"))
         .as("h"))
     // exact df per span hash: distinct (h, doc) then count — both keyed
     val df = spans.select(col("h"), col("doc_id").as("d")).distinct()
@@ -618,7 +703,7 @@ object DedupOps extends QueryModule {
   val spanCoverageSql: String =
     """WITH spans AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-3),
-      |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS h
+      |      i -> CAST(('0x' || substring(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT))) AS h
       |  FROM (SELECT COALESCE(doc_id, -9223372036854775808) AS doc_id,
       |               string_split_regex(lower(trim(text)), '\s+') AS toks
       |        FROM documents)),
@@ -640,8 +725,8 @@ object DedupOps extends QueryModule {
   // duplicated content, the opposite of what dedup must do).
   // ------------------------------------------------------------------
 
-  /** Loser core over a (doc_id, k, mh) signature relation. Returns the
-    * distinct doc_ids to DROP. */
+  /** Loser core over a WIDE (doc_id, mh0..mh{K-1}) signature relation.
+    * Returns the distinct doc_ids to DROP. */
   private[graft] def minhashLosersOf(sig: DataFrame, cutoff: Double): DataFrame = {
     val bands = bandsOf(sig)
     val reps = bands.groupBy(col("b"), col("band_key")).agg(min(col("doc_id")).as("rep"))
@@ -650,10 +735,8 @@ object DedupOps extends QueryModule {
       .select(col("rep").as("d1"), col("doc_id").as("d2"))
       .distinct()
     cand.join(sig.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sig.as("s2"), col("d2") === col("s2.doc_id") && col("s1.k") === col("s2.k"))
-      .groupBy(col("d1"), col("d2"))
-      .agg((sum(when(col("s1.mh") === col("s2.mh"), 1).otherwise(0)).cast("double") / K)
-        .as("est_jaccard"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), estJaccard("s1", "s2"))
       .filter(col("est_jaccard") >= cutoff)
       .select(col("d2").as("doc_id"))
       .distinct()
@@ -663,7 +746,7 @@ object DedupOps extends QueryModule {
     minhashLosersOf(signature(s, dir), cutoff)
 
   def minhashLosersSql(cutoff: Double): String =
-    s"""WITH sig AS ($signatureSql),
+    s"""WITH sig AS MATERIALIZED ($signatureSql),
       |bands AS ($bandsSql),
       |reps AS (SELECT b, band_key, MIN(doc_id) AS rep FROM bands GROUP BY b, band_key),
       |cand AS (
@@ -671,49 +754,68 @@ object DedupOps extends QueryModule {
       |  FROM bands bd JOIN reps r
       |    ON bd.b = r.b AND bd.band_key = r.band_key AND bd.doc_id > r.rep)
       |SELECT DISTINCT d2 AS doc_id FROM (
-      |  SELECT d1, d2,
-      |    CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K AS est_jaccard
+      |  SELECT d1, d2, $estJaccardSql AS est_jaccard
       |  FROM cand
       |  JOIN sig s1 ON d1 = s1.doc_id
-      |  JOIN sig s2 ON d2 = s2.doc_id AND s1.k = s2.k
-      |  GROUP BY d1, d2)
+      |  JOIN sig s2 ON d2 = s2.doc_id)
       |WHERE est_jaccard >= $cutoff""".stripMargin
 
   // ------------------------------------------------------------------
   // Exact n-gram Jaccard on shingle-sharing candidate pairs.
   // ------------------------------------------------------------------
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    // join on the fixed-width md5 of the shingle, not the (long) shingle
-    // string: cheaper shuffle keys and comparisons, identical semantics on
-    // both engines (md5 equality == shingle equality; any astronomically-
-    // unlikely collision would be IDENTICAL in the oracle, preserving
+    // join on the 60-bit md5-prefix of the shingle, not the (long) shingle
+    // string: 8-byte shuffle keys and primitive comparisons, identical
+    // semantics on both engines (key equality == shingle equality up to a
+    // 2^-60 collision that would be IDENTICAL in the oracle, preserving
     // parity).
     ngramJaccardOf(shingleRows(s, dir)
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key")))
+      .select(col("doc_id"), hex60(col("shingle")).as("sh_key")))
+
+  /** Df-cap then MATERIALIZE a (doc_id, sh_key) relation to scratch
+    * parquet, in two lineage cuts (round 13). The r12 formulation left
+    * sharing to ReuseExchange, but the consumers' exchanges are not
+    * canonically equal (partial-count agg vs semi probe vs self-join
+    * sides vs doc_id sizes), so the tokenize+shingle+hash scan — the
+    * single most expensive narrow stage in the engine — re-ran once PER
+    * CONSUMER (~4x, measured ~9 CPU-s each at sf0.1). Cut 1 writes the
+    * raw key relation (one scan, ever); cut 2 writes the capped relation
+    * the three downstream consumers read. Both files are 2-long-column
+    * and linear in corpus tokens — the same recomputable, fault-tolerant
+    * artifact discipline as the near-dup edge set (edgesParquet), not a
+    * pinned-block cache. The df cap still runs BEFORE the self-join
+    * (aggregate + semi-join, map-side partials), so no key can fan out
+    * quadratically and AQE can split a skewed probe. */
+  private def cappedShingles(sh0: DataFrame): DataFrame = {
+    val s = sh0.sparkSession
+    val rawPath = graft.Scratch.dir("graft_sh_raw")
+    sh0.write.parquet(rawPath)
+    val raw = s.read.parquet(rawPath)
+    val keepKeys = raw.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MAX_SHINGLE_DF)
+      .select(col("sh_key"))
+    val cappedPath = graft.Scratch.dir("graft_sh_capped")
+    raw.join(keepKeys, Seq("sh_key"), "left_semi")
+      .select(col("doc_id"), col("sh_key"))
+      .write.parquet(cappedPath)
+    s.read.parquet(cappedPath)
+  }
 
   /** Core of the exact-Jaccard pipeline over a (doc_id, sh_key) relation —
     * factored out so specs can drive it with synthetic hot-shingle data.
-    * The df cap runs BEFORE the self-join, so no key can fan out
-    * quadratically. It is an aggregate + semi-join (NOT count-over-window):
-    * the groupBy partial-aggregates map-side, so a hot key is counted
-    * across many tasks and AQE can split the skewed semi-join probe,
-    * whereas the window form funnels every hot-key row through one task
-    * just to be counted. */
-  private[graft] def ngramJaccardOf(sh0: DataFrame): DataFrame = {
-    val keepKeys = sh0.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MAX_SHINGLE_DF)
-      .select(col("sh_key"))
-    // The capped relation is consumed 3x (sizes + both self-join sides);
-    // all three consumers share the semi-join's exchanges on sh_key, so
-    // ReuseExchange computes the md5 + cap shuffle once per query — no
-    // pinned blocks, lineage intact (see signature's reuse note).
-    val sh = sh0.join(keepKeys, Seq("sh_key"), "left_semi")
-      .select(col("doc_id"), col("sh_key"))
+    * Emits (sh, sizes, inter) for the Jaccard/containment finishers. */
+  private def shinglePairCore(sh0: DataFrame): (DataFrame, DataFrame) = {
+    val sh = cappedShingles(sh0)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
+    (sizes, inter)
+  }
+
+  private[graft] def ngramJaccardOf(sh0: DataFrame): DataFrame = {
+    val (sizes, inter) = shinglePairCore(sh0)
     inter
       .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
       .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
@@ -724,7 +826,7 @@ object DedupOps extends QueryModule {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH sh0 AS (SELECT doc_id, md5(shingle) AS sh_key FROM ($shingleRowsSql)),
+    s"""WITH sh0 AS (SELECT doc_id, ${hex60Sql("shingle")} AS sh_key FROM ($shingleRowsSql)),
       |sh AS (SELECT doc_id, sh_key FROM sh0
       |       QUALIFY COUNT(*) OVER (PARTITION BY sh_key) <= $MAX_SHINGLE_DF),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -748,18 +850,8 @@ object DedupOps extends QueryModule {
   // the pair kept when either side is majority-contained.
   // ------------------------------------------------------------------
   def containment(s: SparkSession, dir: String): DataFrame = {
-    val sh0 = shingleRows(s, dir)
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("sh_key"))
-    val keepKeys = sh0.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MAX_SHINGLE_DF)
-      .select(col("sh_key"))
-    val sh = sh0.join(keepKeys, Seq("sh_key"), "left_semi")
-      .select(col("doc_id"), col("sh_key"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_shared"))
+    val (sizes, inter) = shinglePairCore(shingleRows(s, dir)
+      .select(col("doc_id"), hex60(col("shingle")).as("sh_key")))
     inter
       .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
       .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
@@ -771,7 +863,7 @@ object DedupOps extends QueryModule {
   }
 
   val containmentSql: String =
-    s"""WITH sh0 AS (SELECT doc_id, md5(shingle) AS sh_key FROM ($shingleRowsSql)),
+    s"""WITH sh0 AS (SELECT doc_id, ${hex60Sql("shingle")} AS sh_key FROM ($shingleRowsSql)),
       |sh AS (SELECT doc_id, sh_key FROM sh0
       |       QUALIFY COUNT(*) OVER (PARTITION BY sh_key) <= $MAX_SHINGLE_DF),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -795,16 +887,20 @@ object DedupOps extends QueryModule {
   // patterns; at scale the fingerprint is the dedup/block key.
   // ------------------------------------------------------------------
   /** nbits-wide simhash fingerprints: bit i = majority sign, over the
-    * token multiset, of the parity of md5 hex char i (md5 has 32 hex
-    * chars, so nbits <= 32). */
+    * token multiset, of bit i of the token's 60-bit md5-prefix hash
+    * (round 13: integer bit extraction `(h div 2^b) % 2` — identical in
+    * DuckDB as `(h // 2^b) % 2`, like the simhashPairs band split —
+    * replaces per-(token, bit) hex substring/ascii string ops; nbits <=
+    * 60). Powers of two up to 2^59 are exactly representable doubles, so
+    * the pow-then-cast is exact in both engines. */
   private def simhashFp(s: SparkSession, dir: String, nbits: Int): DataFrame =
     Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      // compute the token md5 ONCE, then fan out to the bit positions
-      .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+      // compute the token hash ONCE, then fan out to the bit positions
+      .select(col("doc_id"), hex60(col("tok")).as("h"))
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(nbits - 1))).as("b"))
       .withColumn("contrib",
-        when(pmod(ascii(col("h").substr(col("b") + 1, lit(1))), lit(2)) === 1, 1)
+        when(expr("(h div cast(pow(2, b) as bigint)) % 2") === 1, 1)
           .otherwise(-1))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("contrib")).as("v"))
@@ -867,10 +963,11 @@ object DedupOps extends QueryModule {
       |FROM (
       |  SELECT doc_id, b, SUM(contrib) AS v FROM (
       |    SELECT doc_id, b,
-      |      CASE WHEN ascii(substring(md5(tok), b + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+      |      CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
       |    FROM (
-      |      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-      |      FROM documents) CROSS JOIN range(0, $nbits) t(b))
+      |      SELECT doc_id, ${hex60Sql("tok")} AS h FROM (
+      |        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      |        FROM documents)) CROSS JOIN range(0, $nbits) t(b))
       |  GROUP BY doc_id, b)
       |GROUP BY doc_id""".stripMargin
 
@@ -1020,7 +1117,7 @@ object DedupOps extends QueryModule {
   }
 
   val incrementalSql: String =
-    s"""WITH sig AS ($signatureSql),
+    s"""WITH sig AS MATERIALIZED ($signatureSql),
       |bands AS ($bandsSql),
       |hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
       |exact AS (

@@ -269,6 +269,34 @@ object StorageOps extends QueryModule {
       |GROUP BY 1, event_type
       |ORDER BY event_date, event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Custom DataSource V2 roundtrip (round 13): events landed as a
+  // length-prefixed binary log (one file per partition, executor-side
+  // writes), read back via format("graftlog") with an equality + range
+  // predicate and a 3-column projection — both handled INSIDE the source
+  // (SupportsPushDownFilters / SupportsPushDownRequiredColumns), so the
+  // plan carries no post-scan Filter for the pushed conjuncts and the
+  // reader never materializes the unrequested string except to test the
+  // pushed predicate. PlanShapeSpec pins both. See sources/GraftLog.scala
+  // for the format and the 100 TB scan story.
+  // ------------------------------------------------------------------
+  def dsv2Pushdown(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_landing")
+    graft.sources.GraftLog.write(
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type")),
+      landing)
+    s.read.format("graftlog").load(landing)
+      .filter(col("event_type") === "purchase" && col("value") >= 100.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2PushdownSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND value >= 100.0
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
@@ -276,7 +304,8 @@ object StorageOps extends QueryModule {
     "storage_partition_prune" -> (datePartitionPrune _),
     "scan_range_clustered" -> (rangeClusteredScan _),
     "scan_zorder" -> (zorderScan _),
-    "join_bucketed" -> (bucketedJoin _))
+    "join_bucketed" -> (bucketedJoin _),
+    "scan_dsv2_pushdown" -> (dsv2Pushdown _))
 
   def oracles: Map[String, String] = Map(
     "json_roundtrip" -> jsonRoundtripSql,
@@ -285,5 +314,6 @@ object StorageOps extends QueryModule {
     "storage_partition_prune" -> datePartitionPruneSql,
     "scan_range_clustered" -> rangeClusteredScanSql,
     "scan_zorder" -> zorderScanSql,
-    "join_bucketed" -> bucketedJoinSql)
+    "join_bucketed" -> bucketedJoinSql,
+    "scan_dsv2_pushdown" -> dsv2PushdownSql)
 }

@@ -176,15 +176,40 @@ class LlmOpsSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("int-key hash primitives match DuckDB bit-for-bit (round-13 parity pin)") {
+    import spark.implicits._
+    // Expected values computed IN DuckDB (the oracle engine) for the three
+    // integer-key primitives the round-13 dedup redesign leans on:
+    //   h60  = CAST(('0x'||substring(md5('abc'),1,15)) AS BIGINT)
+    //   mh0  = (MH_A(0) * h32('abc') + MH_B(0)) % MH_P
+    //   bk   = h60('7_11_13')  (the band-key fold shape)
+    // A drift here (conv vs hex-cast semantics, % sign conventions,
+    // concat_ws vs || formatting) would silently fail every dedup oracle.
+    import graft.operators.DedupOps
+    val r = Seq("abc").toDF("s").select(
+      DedupOps.hex60(col("s")).as("h60"),
+      ((lit(DedupOps.MH_A.head) *
+        expr("cast(conv(substring(md5(cast(s as binary)), 1, 8), 16, 10) as bigint)") +
+        DedupOps.MH_B.head) % DedupOps.MH_P).as("mh0"),
+      DedupOps.hex60(concat_ws("_", lit(7).cast("string"),
+        lit(11).cast("string"), lit(13).cast("string"))).as("bk")
+    ).collect()(0)
+    assert(r.getLong(0) == 648541476951500027L, "hex60 diverged from DuckDB")
+    assert(r.getLong(1) == 2147377987L, "affine minhash permutation diverged from DuckDB")
+    assert(r.getLong(2) == 171359694395265415L, "band-key fold diverged from DuckDB")
+  }
+
   test("minhash band buckets are capped; loser set handles identical clusters linearly") {
     import spark.implicits._
     // 100 docs with IDENTICAL signatures (one duplicate cluster): every
     // band bucket has size 100 > MAX_BAND_BUCKET, so the PAIRWISE query
     // must drop them (100*99/2 pairs would be the quadratic blow-up);
     // docs 200/201 share a distinct signature (bucket size 2 -> kept).
-    val sig = ((1 to 100).flatMap(d => (0 until 12).map(k => (d.toLong, k, s"m$k"))) ++
-      Seq(200L, 201L).flatMap(d => (0 until 12).map(k => (d, k, s"p$k"))))
-      .toDF("doc_id", "k", "mh")
+    // wide signature shape (round 13): one row per doc, mh0..mh11 columns;
+    // docs sharing `base` have identical signatures
+    val sig = ((1 to 100).map(d => (d.toLong, 1L)) ++ Seq((200L, 2L), (201L, 2L)))
+      .toDF("doc_id", "base")
+      .select(col("doc_id") +: (0 until 12).map(k => (col("base") * 1000 + k).as(s"mh$k")): _*)
     val pairs = DedupOps.minhashPairsOf(sig).collect()
     assert(pairs.length == 1, s"expected only the below-cap pair, got ${pairs.length}")
     assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (200L, 201L))

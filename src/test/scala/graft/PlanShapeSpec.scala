@@ -229,17 +229,21 @@ class PlanShapeSpec extends SparkTestBase {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
-  test("minhash signature computes once: all consumers share one md5 exchange") {
+  test("minhash signature computes once: all consumers share one signature exchange") {
     // The signature relation feeds bands + both sides of the estimate
     // join. With nullable join keys the pushed isnotnull filters break
-    // canonical equality and the dominant md5 aggregate recomputes per
-    // consumer (round-5 fix: coalesce doc_id and the band id) — so the
-    // partial md5 min-agg must appear EXACTLY once in the executed plan,
-    // every other consumer reading it via ReusedExchange.
+    // canonical equality and the dominant signature aggregate recomputes
+    // per consumer (round-5 fix: coalesce doc_id and the band id) — so
+    // the partial min-agg of the affine-permutation minhash family
+    // (identified by its modulus constant) must appear EXACTLY once in
+    // the executed plan, every other consumer reading it via
+    // ReusedExchange. (Round 13: the agg is K mins of (A_k*h+B_k) % P
+    // over the wide signature — "partial_min" + the P literal pins it.)
     val df = graft.operators.DedupOps.minhashPairs(spark, sfDir)
     val plan = executedPlan(df).split("== Initial Plan ==")(0)
-    val mdAggs = plan.split("\n").count(l => l.contains("partial_min") && l.contains("md5"))
-    assert(mdAggs == 1, s"md5 signature aggregate computed $mdAggs times:\n$plan")
+    val sigAggs = plan.split("\n").count(l =>
+      l.contains("partial_min") && l.contains(graft.operators.DedupOps.MH_P.toString))
+    assert(sigAggs == 1, s"signature aggregate computed $sigAggs times:\n$plan")
   }
 
   test("docs_repetition is one narrow pass: no join, single presentation-sort exchange") {
@@ -448,6 +452,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(partSpecs.nonEmpty, s"no parseable Window partition specs in:\n$plan")
     assert(partSpecs.exists(p => p.contains("lang") && p.contains("shard")),
       s"no window PARTITIONED BY (lang, shard); partition specs: ${partSpecs.mkString(" | ")}")
+  }
+
+  test("graftlog DSv2 scan: predicates pushed into the source, no post-scan Filter, columns pruned") {
+    // The custom connector declares EXACT pushdown (pushFilters returns
+    // only residuals), so the equality + range conjuncts must live inside
+    // the BatchScan and never reappear as a Spark Filter — the difference
+    // between a source that SKIPS non-matching records at 100 TB and one
+    // that decodes everything and filters after.
+    val plan = executedPlan(graft.operators.StorageOps.dsv2Pushdown(spark, sfDir))
+    val scan = plan.split("\n").find(_.contains("GraftLogScan"))
+      .getOrElse(fail(s"no GraftLogScan in:\n$plan"))
+    assert(scan.contains("event_type") && scan.contains("value"),
+      s"conjuncts not pushed into the source scan:\n$scan")
+    // a Filter OPERATOR node, not the scan line's own "pushed=[...]" /
+    // "RuntimeFilters:" text — match the operator token at the start of
+    // the node (after tree-drawing prefix and optional codegen "*(n)")
+    val filterNode = """^[\s+\-:*()\d]*Filter[\s(]""".r
+    val postScanFilters = plan.split("\n")
+      .filter(l => filterNode.findFirstIn(l).isDefined &&
+        (l.contains("event_type") || l.contains("value")))
+    assert(postScanFilters.isEmpty,
+      s"pushed predicate re-evaluated post-scan:\n${postScanFilters.mkString("\n")}")
+    // column pruning: the scan's output must not carry event_type (it is
+    // consumed by the pushed predicate only)
+    val colSpec = scan.substring(scan.indexOf("columns=["))
+    assert(!colSpec.contains("event_type"),
+      s"event_type not pruned from the scan output:\n$scan")
   }
 
   test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {

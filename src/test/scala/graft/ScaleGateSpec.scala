@@ -23,11 +23,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 class ScaleGateSpec extends SparkTestBase {
 
   /** Spec-scale analog of ScaleProbe's 16 MB threshold, calibrated to the
-    * x12 sf0.01 replica (measured: widest multi-task stage 9 MB on the
-    * ngram shingle self-join; bounded-relation 1-task stages are KB-scale
-    * here) — 4 MB separates funnel from machinery by >3 orders of
-    * magnitude at this corpus size. */
-  private val HEAVY = 4L * 1024 * 1024
+    * x12 sf0.01 replica. r12 measured the widest multi-task stage at 9 MB
+    * (32-char hex-string shingle keys); the round-13 int64-key redesign
+    * shrank the same shuffle to 3.3 MB — a direct artifact of the 4x key
+    * narrowing — so the threshold recalibrates to 1.5 MB. Bounded-relation
+    * 1-task stages remain KB-scale here, so 1.5 MB still separates funnel
+    * from machinery by ~3 orders of magnitude. */
+  private val HEAVY = 1536L * 1024
   private val FACTOR = 12
 
   private class StageStats extends SparkListener {
@@ -67,6 +69,7 @@ class ScaleGateSpec extends SparkTestBase {
     spark.sparkContext.addSparkListener(stats)
     try {
       var sawWideHeavy = false
+      var widestWide = 0L
       SAMPLE.foreach { name =>
         val fn = SparkEntry.queries(name)
         fn(spark, out).count() // warm: codegen + file listing
@@ -78,11 +81,14 @@ class ScaleGateSpec extends SparkTestBase {
         assert(funnels.isEmpty,
           s"$name: serial funnel — 1-task stage(s) moved " +
             s"${funnels.map(_._2 / 1024 / 1024).mkString(", ")} MB")
+        widestWide = math.max(widestWide,
+          st.collect { case (n, b) if n > 1 => b }.foldLeft(0L)(math.max))
         if (st.exists { case (n, b) => n > 1 && b > HEAVY }) sawWideHeavy = true
       }
       assert(sawWideHeavy,
         s"probe corpus never crossed the ${HEAVY / 1024 / 1024} MB stage " +
-          "threshold — raise FACTOR so the funnel assert stays non-vacuous")
+          s"threshold (widest multi-task stage: $widestWide bytes) — raise " +
+          "FACTOR or recalibrate HEAVY so the funnel assert stays non-vacuous")
     } finally spark.sparkContext.removeSparkListener(stats)
   }
 }
