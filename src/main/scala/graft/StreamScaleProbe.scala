@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming analog of [[ScaleProbe]] (round 13, r12 verdict #4): the
+  * 30-query batch family has committed linearity evidence, but no streaming
+  * query does — and the streaming scale risk is different in kind: STATE
+  * STORE growth. A stream whose state grows with stream LENGTH dies at
+  * 100 TB no matter how linear its wall time looks; the property to prove
+  * is that peak state tracks the WATERMARK HORIZON (join, session window)
+  * or the KEY DOMAIN (per-user state), both of which are
+  * history-independent.
+  *
+  * Method — the replica must scale TIME, not density: [[ScaleProbe]]'s
+  * batch replica multiplies rows at fixed time range (10x density), which
+  * would legitimately grow horizon-bounded state 10x and prove nothing.
+  * Here copy c of the bounded event slice shifts ts by c*7 days (the slice
+  * spans ~6), keeping user_id (the state key domain) and per-interval
+  * density CONSTANT while the stream gets factor-times LONGER — the
+  * production axis for a long-running pipeline. The fixture is written as
+  * time-ordered files (modtime-stamped per copy) and each run is chunked
+  * into real micro-batches via GRAFT_STREAM_MAX_FILES (set by THIS probe's
+  * JVM; unset in bench/verify), because eviction only happens when the
+  * watermark advances BETWEEN batches — an unchunked drain holds
+  * everything in state at once and measures nothing. The landing layout
+  * keeps a constant volume per file (StreamShapes.boundedLanding derives
+  * file count from row count), so batch count scales with history and
+  * per-batch volume stays fixed — exactly how the same pipeline behaves
+  * when fed by a real unbounded source.
+  *
+  * Measured per (scale, query), from the query's own progress feed
+  * (Streams.lastRunTelemetry): wall, batch count, input rows, PEAK state
+  * rows, watermark drops. Asserted loudly:
+  *   - droppedByWatermark == 0 (time-ordered chunks mean no late data; a
+  *     violation says the probe measured loss, not eviction — invalid run)
+  *   - peak state at x{factor} <= STATE_SLACK x peak state at x1 (state is
+  *     horizon/key-bounded, NOT history-bounded: the factor-times-longer
+  *     stream must NOT show factor-times state)
+  *   - wall at x{factor} <= factor * WALL_SLACK x wall at x1 (linear in
+  *     history; per-batch fixed machinery dominates at fixture scale, and
+  *     batches scale with factor, so "linear" is the ceiling not the
+  *     expectation)
+  *
+  * Usage: GRAFT_STREAM_MAX_FILES=2 SPARK_GRAFT_CPUS=32 \
+  *          sbt "runMain graft.StreamScaleProbe [baseDir] [factor]"
+  * Writes stream_scale_out.json (merged into SCALE_r<N>.json per round).
+  */
+object StreamScaleProbe {
+
+  private val FAMILY = Seq(
+    "stream_join_full",      // stream-stream interval join: join-row state
+    "stream_session_append", // native session windows: aggregation state
+    "stream_user_state_tws") // transformWithState: per-key ValueState
+
+  private val STATE_SLACK = 2.0
+  private val WALL_SLACK = 1.8
+
+  private def buildFixture(s: SparkSession, base: String, factor: Int): String = {
+    val out = s"/tmp/graft_scale/stream_${new java.io.File(base).getName}_x$factor"
+    val dir = new java.io.File(out)
+    if (new java.io.File(dir, "_DONE").exists()) return out
+    new java.io.File(dir, "events.parquet").mkdirs()
+    val slice = sources.Tables.load(s, base, "events")
+      .filter(col("event_id") < operators.StreamShapes.STREAM_BOUND)
+    var stamp = (System.currentTimeMillis() / 60000) * 60000
+    val evDir = new java.io.File(dir, "events.parquet")
+    for (c <- 0 until factor) {
+      // same ids/users/values, ts shifted a whole week per copy: constant
+      // density, disjoint time ranges (the slice spans ~6 days)
+      slice.select(col("event_id"),
+          (col("ts") + expr(s"interval ${c * 7} days")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .repartitionByRange(4, col("ts"), col("event_id"))
+        .write.mode("append").parquet(evDir.getAbsolutePath)
+      // stamp THIS copy's files (the not-yet-stamped ones) in range order,
+      // so FileStreamSource's (modTime, path) ordering is time order even
+      // across append jobs with unordered uuid file names
+      val fresh = evDir.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.lastModified() > stamp)
+        .sortBy(_.getName)
+      fresh.foreach { f => stamp += 1000; f.setLastModified(stamp) }
+    }
+    new java.io.File(dir, "_DONE").createNewFile()
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(sys.env.contains("GRAFT_STREAM_MAX_FILES"),
+      "set GRAFT_STREAM_MAX_FILES (e.g. 2) — an unchunked drain holds all " +
+        "state at once and the probe would measure nothing")
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val dirs = Seq(1, factor).map(f => f -> buildFixture(spark, base, f)).toMap
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val cells = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, streaming.Streams.RunTelemetry)]
+    for (f <- Seq(1, factor); name <- FAMILY) {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dirs(f)).count() // warm: landing build, codegen, listing
+      val t0 = System.nanoTime()
+      fn(spark, dirs(f)).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val t = streaming.Streams.lastRunTelemetry.getOrElse(
+        sys.error(s"$name left no stream telemetry — not a runToCompletion query?"))
+      println(s"""STREAMSCALE {"query":"$name","factor":$f,"secs":${fmt(secs)},""" +
+        s""""batches":${t.batches},"input_rows":${t.inputRows},""" +
+        s""""peak_state_rows":${t.peakStateRows},"dropped":${t.droppedByWatermark}}""")
+      require(t.droppedByWatermark == 0,
+        s"$name x$f dropped ${t.droppedByWatermark} rows behind the watermark — " +
+          "fixture not time-ordered; run invalid")
+      require(t.batches > 1,
+        s"$name x$f drained in ${t.batches} batch(es) — no watermark advance " +
+          "between batches, state eviction unmeasured; raise chunking")
+      cells((name, f)) = (secs, t)
+    }
+    val entries = FAMILY.map { name =>
+      val (b, tb) = cells((name, 1))
+      val (g, tg) = cells((name, factor))
+      val stateRatio = if (tb.peakStateRows > 0)
+        tg.peakStateRows.toDouble / tb.peakStateRows else -1.0
+      require(stateRatio <= STATE_SLACK,
+        s"$name: peak state grew ${fmt(stateRatio)}x at x$factor history " +
+          s"(${tb.peakStateRows} -> ${tg.peakStateRows}) — state is scaling " +
+          "with stream LENGTH, not the watermark horizon / key domain")
+      require(g <= factor * WALL_SLACK * b,
+        s"$name: wall ${fmt(g)}s at x$factor vs ${fmt(b)}s — superlinear in history")
+      s""""$name":{"base_s":${fmt(b)},"big_s":${fmt(g)},"wall_ratio":${fmt(g / b)},""" +
+        s""""batches":[${tb.batches},${tg.batches}],"input_rows":[${tb.inputRows},${tg.inputRows}],""" +
+        s""""peak_state_rows":[${tb.peakStateRows},${tg.peakStateRows}],""" +
+        s""""state_ratio":${fmt(stateRatio)}}"""
+    }
+    val json = s"""{"base":"$base","factor":$factor,"axis":"time-shifted history, constant density",""" +
+      s""""max_files_per_trigger":${streaming.Streams.streamMaxFilesPerTrigger.get},""" +
+      s""""stream_queries":${entries.mkString("{", ",", "}")}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("stream_scale_out.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(s"STREAMSCALE_SUMMARY $json")
+    Scratch.purge(spark)
+    spark.stop()
+  }
+}

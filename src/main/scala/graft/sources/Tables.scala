@@ -187,7 +187,11 @@ object Tables {
       })
     val streamSchema = StructType(events.map(f =>
       if (f.name == "ts") StructField("ts", physicalTs) else f))
-    val raw = spark.readStream.schema(streamSchema).parquet(glob)
+    // maxFilesPerTrigger knob (unset in normal runs): the streaming scale
+    // probe chunks full-volume streams into real micro-batches — see
+    // Streams.streamMaxFilesPerTrigger
+    val raw = graft.streaming.Streams.withMaxFiles(
+      spark.readStream.schema(streamSchema)).parquet(glob)
     normalizeTs(raw, "ts")
   }
 }

@@ -204,6 +204,39 @@ object Streams {
     n
   }
 
+  /** Optional maxFilesPerTrigger for the file-source streams
+    * (GRAFT_STREAM_MAX_FILES). Unset in normal runs — every stream drains
+    * its closed landing in one (or few) batches, which is the cheapest
+    * path for the bench and changes nothing semantically. The streaming
+    * SCALE probe sets it so a run has real micro-batch structure: state
+    * eviction by watermark only shows up when the watermark ADVANCES
+    * BETWEEN batches, and the bounded-state property (peak state tracks
+    * the watermark horizon, not stream length) is only measurable across
+    * many batches. Validated here like GRAFT_STREAM_SHUFFLE. */
+  val streamMaxFilesPerTrigger: Option[Int] = sys.env.get("GRAFT_STREAM_MAX_FILES").map { raw =>
+    val n = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"GRAFT_STREAM_MAX_FILES must be a positive integer, got '$raw'")
+    }
+    require(n > 0, s"GRAFT_STREAM_MAX_FILES must be > 0, got $raw")
+    n
+  }
+
+  /** Apply [[streamMaxFilesPerTrigger]] to a file-source reader (no-op
+    * when the knob is unset). */
+  def withMaxFiles(r: org.apache.spark.sql.streaming.DataStreamReader)
+      : org.apache.spark.sql.streaming.DataStreamReader =
+    streamMaxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+
+  /** Progress telemetry of the most recent [[runToCompletion]] stream, for
+    * the streaming scale probe (wall time alone can't show whether state
+    * stayed bounded). Captured from the query's own progress feed just
+    * before stop(); volatile single-slot because runs are sequential
+    * within a session (Bench/Verify/probe all serialize queries). */
+  final case class RunTelemetry(batches: Int, inputRows: Long,
+      peakStateRows: Long, droppedByWatermark: Long)
+  @volatile var lastRunTelemetry: Option[RunTelemetry] = None
+
   /** Run `body` with spark.sql.shuffle.partitions scoped to
     * [[streamShufflePartitions]] — the streaming query must START inside
     * the scope (the state-store layout is fixed at query start). */
@@ -231,6 +264,17 @@ object Streams {
         .option("checkpointLocation", graft.Scratch.streamCkptDir("graft_ckpt"))
       val q = trigger.fold(writer)(writer.trigger).start()
       q.processAllAvailable()
+      // snapshot progress BEFORE stop() (stop clears the feed); spark's
+      // default retains the last 100 progress entries — more than any
+      // drained landing produces, probe runs included
+      val prog = q.recentProgress
+      lastRunTelemetry = Some(RunTelemetry(
+        batches = prog.length,
+        inputRows = prog.map(_.numInputRows).sum,
+        peakStateRows = if (prog.isEmpty) 0L
+          else prog.map(p => p.stateOperators.map(_.numRowsTotal).sum).max,
+        droppedByWatermark =
+          prog.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum))
       q.stop()
     }
     // Return a SELF-CONTAINED handle and drop the UUID-named temp view
