@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,7 +64,8 @@ private class GraftLogTable(path: String) extends Table with SupportsRead {
 }
 
 private class GraftLogScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftLog.schema
@@ -79,16 +80,27 @@ private class GraftLogScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftLogScan(path, pushed, required)
+  // LIMIT pushdown, PARTIALLY: each partition reader early-stops after
+  // `limit` matching records (at 100 TB a LIMIT-k probe query stops
+  // decoding after k matches per file instead of streaming every file to
+  // the end), while isPartiallyPushed=true makes Spark keep its global
+  // Limit over the <= k*files surviving rows — the source must not claim
+  // a global property one task per file cannot enforce.
+  private var limit: Int = -1
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = new GraftLogScan(path, pushed, required, limit)
 }
 
 private class GraftLogScan(path: String, filters: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftLogScan path=$path pushed=[${filters.mkString(", ")}] " +
-      s"columns=[${required.fieldNames.mkString(", ")}]"
+      s"columns=[${required.fieldNames.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new java.io.File(path).listFiles())
@@ -98,15 +110,15 @@ private class GraftLogScan(path: String, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(filters, required.fieldNames)
+    new GraftLogReaderFactory(filters, required.fieldNames, limit)
 }
 
 private case class GraftLogPartition(file: String) extends InputPartition
 
 private class GraftLogReaderFactory(filters: Array[Filter],
-    columns: Array[String]) extends PartitionReaderFactory {
+    columns: Array[String], limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftLogReader(partition.asInstanceOf[GraftLogPartition].file, filters, columns)
+    new GraftLogReader(partition.asInstanceOf[GraftLogPartition].file, filters, columns, limit)
 }
 
 /** Streaming decoder for one log file: reads records sequentially,
@@ -114,16 +126,18 @@ private class GraftLogReaderFactory(filters: Array[Filter],
   * pruned columns. The string field is materialized ONLY when a predicate
   * or the projection needs it. */
 private class GraftLogReader(file: String, filters: Array[Filter],
-    columns: Array[String]) extends PartitionReader[InternalRow] {
+    columns: Array[String], limit: Int) extends PartitionReader[InternalRow] {
 
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file), 1 << 16))
   private var row: InternalRow = _
+  private var emitted = 0L
 
   private val needType = columns.contains("event_type") ||
     filters.exists(_.references.contains("event_type"))
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // partial limit: per-partition early stop
     while (true) {
       val len = try in.readInt() catch { case _: EOFException => return false }
       val eventId = in.readLong()
@@ -145,6 +159,7 @@ private class GraftLogReader(file: String, filters: Array[Filter],
           case "event_type" => etype
         }
         row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        emitted += 1
         return true
       }
     }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** Unit coverage for the graftlog DataSource V2 connector beyond what the
+  * oracle query (`scan_dsv2_pushdown`) and PlanShapeSpec's pushdown pin
+  * can reach: the residual-filter contract, limit pushdown semantics,
+  * corrupt-input loudness, and the empty/degenerate landings a production
+  * source must survive. The connector's value claim is that pushdown is
+  * EXACT — so the spec's job is the boundary: what is NOT pushed must
+  * still be answered correctly by Spark above the scan. */
+class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
+  import graft.sources.GraftLog
+
+  private var landing: String = _
+  private lazy val events = sources.Tables.load(spark, sfDir, "events")
+    .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    landing = Scratch.dir("graftlog_spec")
+    // 3 input partitions -> 3 log files: the one-task-per-file claim needs
+    // a multi-file landing (sf0.001 events is a single partition raw)
+    GraftLog.write(events.repartition(3), landing)
+  }
+
+  private def scan(): DataFrame = spark.read.format("graftlog").load(landing)
+
+  test("roundtrip: the log reproduces the source rows exactly") {
+    val back = scan().orderBy("event_id").collect()
+    val src = events.orderBy("event_id").collect()
+    assert(back.length == src.length && back.sameElements(src))
+  }
+
+  test("a residual (unsupported) filter is NOT pushed and Spark evaluates it post-scan") {
+    // endsWith has no Filter case in supportedFilter -> must come back as
+    // residual; the pushed one (value bound) stays in the scan. The answer
+    // must equal the batch-parquet truth either way - the residual
+    // contract is "correct, just not source-evaluated".
+    val df = scan().filter(col("event_type").endsWith("se") && col("value") < 50.0)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("GraftLogScan")).get
+    assert(scanLine.contains("LessThan(value,50.0)"), s"value bound not pushed:\n$scanLine")
+    assert(!scanLine.contains("EndsWith"), s"unsupported filter wrongly claimed pushed:\n$scanLine")
+    val expect = events.filter(col("event_type").endsWith("se") && col("value") < 50.0).count()
+    assert(expect > 0 && df.count() == expect)
+  }
+
+  test("limit pushdown is PARTIAL: per-file early stop, Spark keeps the global limit") {
+    val df = scan().filter(col("event_type") === "purchase").limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("GraftLogScan")).get
+    assert(scanLine.contains("limit=7"), s"limit not pushed into the scan:\n$scanLine")
+    // isPartiallyPushed=true => the global limit OPERATOR must survive
+    // (the source's per-partition k rows are a superset, not the answer)
+    assert(plan.contains("Limit") || plan.contains("limit=7,"),
+      s"global limit operator missing above a partially-pushed scan:\n$plan")
+    assert(df.count() == 7)
+    assert(df.collect().forall(_.getString(3) == "purchase"))
+  }
+
+  test("limit composes with pruning and yields only requested columns") {
+    val rows = scan().select("event_id").limit(3).collect()
+    assert(rows.length == 3 && rows.head.length == 1)
+  }
+
+  test("IsNotNull on the non-nullable schema is eliminated BEFORE the source (no filter at all)") {
+    // The format encodes no nulls and the schema says so (nullable=false
+    // on every field), so Catalyst constant-folds isNotNull away upstream:
+    // the scan sees pushed=[] and no Filter survives anywhere. (The
+    // supportedFilter IsNotNull case still matters for engines/sessions
+    // that hand the source a nullable view of the schema.)
+    val df = scan().filter(col("user_id").isNotNull)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("GraftLogScan")).get
+    assert(scanLine.contains("pushed=[]"), s"expected the vacuous predicate folded away:\n$scanLine")
+    // Filter OPERATOR nodes only — the scan line's own "RuntimeFilters:"
+    // text also contains the substring
+    val filterNode = """^[\s+\-:*()\d]*Filter[\s(]""".r
+    assert(!plan.split("\n").exists(l =>
+      filterNode.findFirstIn(l).isDefined && l.contains("user_id")),
+      s"vacuous isNotNull survived as a Filter:\n$plan")
+    assert(df.count() == events.count())
+  }
+
+  test("an empty landing reads as zero rows, not an error") {
+    val empty = Scratch.dir("graftlog_spec_empty")
+    new java.io.File(empty).mkdirs()
+    assert(spark.read.format("graftlog").load(empty).count() == 0)
+  }
+
+  test("a corrupt record fails LOUDLY with the offending file named") {
+    val bad = Scratch.dir("graftlog_spec_bad")
+    new java.io.File(bad).mkdirs()
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(s"$bad/part-0.graftlog"))
+    // declared len disagrees with the encoded fields: a truncated/shifted
+    // write must surface as an error, never as silently skipped rows
+    out.writeInt(999); out.writeLong(1L); out.writeLong(2L)
+    out.writeDouble(3.0); out.writeShort(2); out.write("ab".getBytes)
+    out.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graftlog").load(bad).count()
+    }
+    assert(e.getCause != null &&
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(t => String.valueOf(t.getMessage).contains("corrupt record")),
+      s"expected a 'corrupt record' failure, got: $e")
+  }
+
+  test("one InputPartition per log file (the distributed-scan shape)") {
+    val nFiles = new java.io.File(landing).listFiles()
+      .count(_.getName.endsWith(".graftlog"))
+    assert(nFiles > 1, s"fixture landed as $nFiles file(s); spec needs >1 for the claim")
+    assert(scan().rdd.getNumPartitions == nFiles)
+  }
+}
