@@ -124,7 +124,11 @@ private class GraftLogReaderFactory(filters: Array[Filter],
 /** Streaming decoder for one log file: reads records sequentially,
   * evaluates pushed predicates on the decoded fields, emits only the
   * pruned columns. The string field is materialized ONLY when a predicate
-  * or the projection needs it. */
+  * or the projection needs it. Predicates and the projection are COMPILED
+  * ONCE at reader construction — the per-record loop runs closures over
+  * primitives (and UTF8String byte comparisons, never toString), not a
+  * re-interpretation of the Filter ADT per row; at 100 TB the per-record
+  * constant IS the scan cost. */
 private class GraftLogReader(file: String, filters: Array[Filter],
     columns: Array[String], limit: Int) extends PartitionReader[InternalRow] {
 
@@ -135,6 +139,12 @@ private class GraftLogReader(file: String, filters: Array[Filter],
 
   private val needType = columns.contains("event_type") ||
     filters.exists(_.references.contains("event_type"))
+
+  private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
+  // column -> field ordinal, resolved once (schema is fixed and tiny)
+  private val proj: Array[Int] = columns.map {
+    case "event_id" => 0; case "user_id" => 1; case "value" => 2; case "event_type" => 3
+  }
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false // partial limit: per-partition early stop
@@ -151,14 +161,21 @@ private class GraftLogReader(file: String, filters: Array[Filter],
           UTF8String.fromBytes(b)
         } else { in.skipNBytes(etypeLen); null }
       require(len == 8 + 8 + 8 + 2 + etypeLen, s"corrupt record in $file")
-      if (GraftLog.matches(filters, eventId, userId, value, etype)) {
-        val vals = columns.map {
-          case "event_id" => eventId
-          case "user_id" => userId
-          case "value" => value
-          case "event_type" => etype
+      var ok = true
+      var i = 0
+      while (ok && i < preds.length) {
+        ok = preds(i)(eventId, userId, value, etype); i += 1
+      }
+      if (ok) {
+        val vals = new Array[Any](proj.length)
+        var j = 0
+        while (j < proj.length) {
+          vals(j) = proj(j) match {
+            case 0 => eventId; case 1 => userId; case 2 => value; case 3 => etype
+          }
+          j += 1
         }
-        row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        row = new GenericInternalRow(vals)
         emitted += 1
         return true
       }
@@ -191,29 +208,36 @@ object GraftLog {
     case _ => false
   }
 
-  /** Exact per-record predicate evaluation for the pushed subset. */
-  private[sources] def matches(filters: Array[Filter], eventId: Long,
-      userId: Long, value: Double, etype: UTF8String): Boolean = {
-    def fieldAny(a: String): Any = a match {
-      case "event_id" => eventId
-      case "user_id" => userId
-      case "value" => value
-      case "event_type" => if (etype == null) null else etype.toString
+  /** Compiled per-record predicate over the decoded fields. */
+  private[sources] type Pred = (Long, Long, Double, UTF8String) => Boolean
+
+  /** Compile one pushed Filter to a primitive-comparison closure (constants
+    * converted — numeric widening, String -> UTF8String — exactly once). */
+  private[sources] def compile(f: Filter): Pred = {
+    type Cmp = (Long, Long, Double, UTF8String) => Int
+    def cmp(attr: String, v: Any): Cmp = attr match {
+      case "event_id" =>
+        val x = v.asInstanceOf[Number].longValue()
+        (e, _, _, _) => java.lang.Long.compare(e, x)
+      case "user_id" =>
+        val x = v.asInstanceOf[Number].longValue()
+        (_, u, _, _) => java.lang.Long.compare(u, x)
+      case "value" =>
+        val x = v.asInstanceOf[Number].doubleValue()
+        (_, _, d, _) => java.lang.Double.compare(d, x)
+      case "event_type" =>
+        val x = UTF8String.fromString(v.asInstanceOf[String])
+        (_, _, _, t) => t.compareTo(x)
+      case a => throw new IllegalArgumentException(s"unpushable comparison on $a")
     }
-    def cmp(a: String, v: Any): Int = (fieldAny(a), v) match {
-      case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
-      case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
-      case (x: String, y: String) => x.compareTo(y)
-      case _ => throw new IllegalArgumentException(s"unpushable comparison on $a")
-    }
-    filters.forall {
-      case EqualTo(a, v) => cmp(a, v) == 0
-      case GreaterThan(a, v) => cmp(a, v) > 0
-      case GreaterThanOrEqual(a, v) => cmp(a, v) >= 0
-      case LessThan(a, v) => cmp(a, v) < 0
-      case LessThanOrEqual(a, v) => cmp(a, v) <= 0
-      case IsNotNull(_) => true
-      case f => throw new IllegalArgumentException(s"unexpected pushed filter $f")
+    f match {
+      case EqualTo(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) == 0
+      case GreaterThan(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) > 0
+      case GreaterThanOrEqual(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) >= 0
+      case LessThan(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) < 0
+      case LessThanOrEqual(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) <= 0
+      case IsNotNull(_) => (_, _, _, _) => true // format encodes no nulls
+      case other => throw new IllegalArgumentException(s"unexpected pushed filter $other")
     }
   }
 
