@@ -63,7 +63,15 @@ object StreamScaleProbe {
     new java.io.File(dir, "events.parquet").mkdirs()
     val slice = sources.Tables.load(s, base, "events")
       .filter(col("event_id") < operators.StreamShapes.STREAM_BOUND)
-    var stamp = (System.currentTimeMillis() / 60000) * 60000
+    // Stamp base is a FIXED PAST epoch and freshness is tracked by file
+    // NAME, not by comparing modtimes against the advancing counter: the
+    // first x20 build proved the naive version wrong — the counter (+1 s
+    // per file) outran the wall clock mid-build, later copies' real
+    // modtimes fell BELOW it, were never re-stamped, and sorted behind
+    // earlier copies; the probe's droppedByWatermark==0 guard caught the
+    // 45k-row late-data loss and invalidated the run, exactly as designed.
+    var stamp = 1000000000000L // 2001-09-09; any fixed past epoch works
+    val stamped = scala.collection.mutable.Set.empty[String]
     val evDir = new java.io.File(dir, "events.parquet")
     for (c <- 0 until factor) {
       // same ids/users/values, ts shifted a whole week per copy: constant
@@ -73,13 +81,17 @@ object StreamScaleProbe {
           col("user_id"), col("event_type"), col("value"), col("props"))
         .repartitionByRange(4, col("ts"), col("event_id"))
         .write.mode("append").parquet(evDir.getAbsolutePath)
-      // stamp THIS copy's files (the not-yet-stamped ones) in range order,
+      // stamp THIS copy's files (by-name not-yet-stamped) in range order,
       // so FileStreamSource's (modTime, path) ordering is time order even
       // across append jobs with unordered uuid file names
       val fresh = evDir.listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.lastModified() > stamp)
+        .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
         .sortBy(_.getName)
-      fresh.foreach { f => stamp += 1000; f.setLastModified(stamp) }
+      fresh.foreach { f =>
+        stamp += 1000
+        require(f.setLastModified(stamp), s"cannot stamp modtime on $f")
+        stamped += f.getName
+      }
     }
     new java.io.File(dir, "_DONE").createNewFile()
     out
