@@ -271,8 +271,9 @@ object StorageOps extends QueryModule {
 
   // ------------------------------------------------------------------
   // Custom DataSource V2 roundtrip (round 13): events landed as a
-  // length-prefixed binary log (one file per partition, executor-side
-  // writes), read back via format("graftlog") with an equality + range
+  // length-prefixed binary log through the V2 WRITE protocol (one file
+  // per partition, executor-side DataWriters, tmp-file + driver-commit
+  // rename), read back via format("graftlog") with an equality + range
   // predicate and a 3-column projection — both handled INSIDE the source
   // (SupportsPushDownFilters / SupportsPushDownRequiredColumns), so the
   // plan carries no post-scan Filter for the pushed conjuncts and the
@@ -282,10 +283,9 @@ object StorageOps extends QueryModule {
   // ------------------------------------------------------------------
   def dsv2Pushdown(s: SparkSession, dir: String): DataFrame = {
     val landing = scratch("graft_log_landing")
-    graft.sources.GraftLog.write(
-      Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("value"), col("event_type")),
-      landing)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.format("graftlog").mode("append").save(landing)
     s.read.format("graftlog").load(landing)
       .filter(col("event_type") === "purchase" && col("value") >= 100.0)
       .select(col("event_id"), col("user_id"), col("value"))

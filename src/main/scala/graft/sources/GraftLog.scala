@@ -6,9 +6,10 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,6 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * PlanShapeSpec pins that. At 100 TB this is the scan-volume lever: the
   * source skips record-building for non-matching rows while streaming
   * sequentially through each file.
+  *
+  * The WRITE half is the V2 sink protocol (SupportsWrite / WriteBuilder /
+  * BatchWrite / DataWriter — see [[GraftLogWriteBuilder]]): per-task
+  * `.tmp` files published by the driver's commit() rename pass, truncate
+  * on Overwrite, abort cleanup, Spark-side by-name column resolution.
   */
 class GraftLogSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -54,13 +60,100 @@ class GraftLogSource extends TableProvider
     new GraftLogTable(properties.get("path"))
 }
 
-private class GraftLogTable(path: String) extends Table with SupportsRead {
+private class GraftLogTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graftlog($path)"
   override def schema(): StructType = GraftLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLogWriteBuilder(path, info)
+}
+
+/** V2 write path (`df.write.format("graftlog").mode(...)`): the real sink
+  * protocol, not a foreachPartition helper — each task streams its rows to
+  * a UUID-named `.tmp` file (speculative/retried attempts cannot collide
+  * and the reader ignores non-`.graftlog` names, so a failed job leaves NO
+  * visible partial data), the driver's commit() renames the committed
+  * attempts' files into visibility in one pass (truncating first for
+  * Overwrite), and abort() deletes the orphans. Local-fs rename is the
+  * parquet-style commit stand-in, stated as such; a cluster deployment
+  * swaps in the Hadoop FileSystem API, same protocol. */
+private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    // positional writes would silently swap misordered columns into the
+    // wrong fixed-offset fields — require the exact table schema up front
+    val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+    val want = GraftLog.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"graftlog write schema must be exactly $want (in order); got $got — " +
+        "select the columns in table order before writing")
+    new Write {
+      override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate)
+    }
+  }
+}
+
+private case class GraftLogCommit(tmp: String, dest: String) extends WriterCommitMessage
+
+private class GraftLogBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new GraftLogWriterFactory(path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    if (truncate)
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".graftlog"))
+        .foreach(f => require(f.delete(), s"truncate failed to delete $f"))
+    messages.foreach { case GraftLogCommit(tmp, dest) =>
+      val t = new java.io.File(tmp)
+      require(t.renameTo(new java.io.File(dest)),
+        s"commit failed to publish $tmp -> $dest")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case _ => ()
+    }
+}
+
+private class GraftLogWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLogWriter(path, partitionId, taskId)
+}
+
+private class GraftLogWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val attempt = java.util.UUID.randomUUID().toString.take(8)
+  private val dest = f"$path/part-$partitionId%05d-$attempt.graftlog"
+  private val tmp = s"$dest.tmp"
+  private val out = new DataOutputStream(new BufferedOutputStream(
+    new FileOutputStream(tmp), 1 << 16))
+
+  override def write(r: InternalRow): Unit = {
+    val etype = r.getUTF8String(3).getBytes
+    out.writeInt(8 + 8 + 8 + 2 + etype.length)
+    out.writeLong(r.getLong(0))
+    out.writeLong(r.getLong(1))
+    out.writeDouble(r.getDouble(2))
+    out.writeShort(etype.length)
+    out.write(etype)
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftLogCommit(tmp, dest) // publish happens in the driver's commit()
+  }
+  override def abort(): Unit = { out.close(); new java.io.File(tmp).delete(); () }
+  override def close(): Unit = out.close()
 }
 
 private class GraftLogScanBuilder(path: String) extends ScanBuilder
@@ -241,27 +334,4 @@ object GraftLog {
     }
   }
 
-  /** Land a (event_id, user_id, value, event_type) DataFrame as a
-    * length-prefixed binary log: one file per input partition, written
-    * executor-side (foreachPartition — no driver collect). Local-fs
-    * paths suffice in local[32]; a cluster deployment would swap the
-    * FileOutputStream for the Hadoop FileSystem API, same record codec. */
-  def write(df: DataFrame, landing: String): Unit = {
-    new java.io.File(landing).mkdirs()
-    df.select("event_id", "user_id", "value", "event_type")
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val out = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(s"$landing/part-$pid.graftlog"), 1 << 16))
-        try rows.foreach { r =>
-          val etype = r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          out.writeInt(8 + 8 + 8 + 2 + etype.length)
-          out.writeLong(r.getLong(0))
-          out.writeLong(r.getLong(1))
-          out.writeDouble(r.getDouble(2))
-          out.writeShort(etype.length)
-          out.write(etype)
-        } finally out.close()
-      }
-  }
 }

@@ -23,7 +23,7 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     landing = Scratch.dir("graftlog_spec")
     // 3 input partitions -> 3 log files: the one-task-per-file claim needs
     // a multi-file landing (sf0.001 events is a single partition raw)
-    GraftLog.write(events.repartition(3), landing)
+    events.repartition(3).write.format("graftlog").mode("append").save(landing)
   }
 
   private def scan(): DataFrame = spark.read.format("graftlog").load(landing)
@@ -108,6 +108,40 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
       Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
         .exists(t => String.valueOf(t.getMessage).contains("corrupt record")),
       s"expected a 'corrupt record' failure, got: $e")
+  }
+
+  test("V2 write commit publishes atomically: no .tmp leftovers, append adds, overwrite truncates") {
+    val dir = Scratch.dir("graftlog_spec_write")
+    val five = events.orderBy("event_id").limit(5)
+    five.write.format("graftlog").mode("append").save(dir)
+    five.write.format("graftlog").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!files.exists(_.endsWith(".tmp")), s"uncommitted tmp survived commit: ${files.mkString(",")}")
+    assert(spark.read.format("graftlog").load(dir).count() == 10, "append lost rows")
+    val three = events.orderBy("event_id").limit(3)
+    three.write.format("graftlog").mode("overwrite").save(dir)
+    assert(spark.read.format("graftlog").load(dir).count() == 3, "overwrite did not truncate")
+  }
+
+  test("V2 write resolves columns BY NAME (misordered select lands correctly); wrong names fail analysis") {
+    // The V2 append path reorders the query's output to the table schema
+    // by NAME (ResolveOutputRelation) — a positionally type-compatible but
+    // swapped select therefore lands CORRECT data, and the writer-side
+    // exact-schema require (the defense for any non-Spark caller of the
+    // protocol) never fires because Spark hands it table-ordered rows.
+    val dir = Scratch.dir("graftlog_spec_byname")
+    val one = events.orderBy("event_id").limit(1)
+    one.select(col("user_id"), col("event_id"), col("value"), col("event_type"))
+      .write.format("graftlog").mode("append").save(dir)
+    val back = spark.read.format("graftlog").load(dir).collect()(0)
+    val src = one.collect()(0)
+    assert(back.getLong(0) == src.getLong(0) && back.getLong(1) == src.getLong(1),
+      s"by-name resolution failed: wrote $back from $src")
+    // a column the table does not have fails in analysis, before any file
+    intercept[org.apache.spark.sql.AnalysisException] {
+      one.withColumnRenamed("value", "v")
+        .write.format("graftlog").mode("append").save(Scratch.dir("graftlog_spec_badname"))
+    }
   }
 
   test("one InputPartition per log file (the distributed-scan shape)") {
