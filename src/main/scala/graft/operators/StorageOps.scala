@@ -297,6 +297,38 @@ object StorageOps extends QueryModule {
       |WHERE event_type = 'purchase' AND value >= 100.0
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Custom source, STREAMING half (round 13): the same graftlog landing
+  // drained as a micro-batch stream — offsets are the discovered file-name
+  // set (the Kafka-shaped contract: named positions in an append-only log,
+  // checkpoint-resumable exactly-once; GraftLogSpec proves the restart) —
+  // through a stateful keyed aggregation to the memory sink. Bounded slice
+  // (event_id < 20000) like every streamed landing, identical bound in the
+  // oracle; decimal-accumulate / double-render house discipline.
+  // ------------------------------------------------------------------
+  def dsv2StreamSource(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_stream")
+    Tables.load(s, dir, "events")
+      .filter(col("event_id") < 20000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(4)
+      .write.format("graftlog").mode("append").save(landing)
+    val agg = s.readStream.format("graftlog").load(landing)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+    graft.streaming.Streams.runToCompletion(agg,
+      s"dsv2src_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy(col("event_type"))
+  }
+
+  val dsv2StreamSourceSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_id < 20000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
@@ -305,7 +337,8 @@ object StorageOps extends QueryModule {
     "scan_range_clustered" -> (rangeClusteredScan _),
     "scan_zorder" -> (zorderScan _),
     "join_bucketed" -> (bucketedJoin _),
-    "scan_dsv2_pushdown" -> (dsv2Pushdown _))
+    "scan_dsv2_pushdown" -> (dsv2Pushdown _),
+    "stream_dsv2_source" -> (dsv2StreamSource _))
 
   def oracles: Map[String, String] = Map(
     "json_roundtrip" -> jsonRoundtripSql,
@@ -315,5 +348,6 @@ object StorageOps extends QueryModule {
     "scan_range_clustered" -> rangeClusteredScanSql,
     "scan_zorder" -> zorderScanSql,
     "join_bucketed" -> bucketedJoinSql,
-    "scan_dsv2_pushdown" -> dsv2PushdownSql)
+    "scan_dsv2_pushdown" -> dsv2PushdownSql,
+    "stream_dsv2_source" -> dsv2StreamSourceSql)
 }

@@ -144,6 +144,49 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("streaming read resumes from its checkpoint and processes appended files EXACTLY ONCE") {
+    // The Kafka-shaped contract, on the offline log: offsets are the
+    // discovered file-name set; a restarted query replays its committed
+    // offset from the checkpoint and plans only the difference. Chunk A
+    // drains to a parquet sink and stops; chunk B lands; a SECOND query
+    // against the SAME checkpoint must emit chunk B's rows only — a
+    // re-emit of chunk A (duplicates) or a miss of chunk B both fail the
+    // final count/sum.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Scratch.dir("graftlog_spec_resume")
+    val out = Scratch.dir("graftlog_spec_resume_out")
+    val ckpt = Scratch.streamCkptDir("graftlog_spec_resume_ckpt")
+    val all = events.orderBy("event_id").limit(40)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    all.filter(col("event_id") % 2 === 0).write.format("graftlog").mode("append").save(dir)
+    drain()
+    val afterA = spark.read.parquet(out).count()
+    all.filter(col("event_id") % 2 === 1).write.format("graftlog").mode("append").save(dir)
+    drain()
+    val fin = spark.read.parquet(out)
+    assert(afterA == 20 && fin.count() == 40,
+      s"expected 20 then 40 rows, got $afterA then ${fin.count()}")
+    assert(fin.select(countDistinct(col("event_id"))).collect()(0).getLong(0) == 40,
+      "a row was emitted twice across the restart")
+  }
+
+  test("streaming offset JSON round-trips and rejects malformed input") {
+    // reflection-free access via the public source surface is not exposed,
+    // so pin the serde through the package-private companion
+    val off = graft.sources.GraftLogOffsetTestHook.make(Seq("part-00001-ab.graftlog", "part-00000-zz.graftlog"))
+    val back = graft.sources.GraftLogOffsetTestHook.parse(off)
+    assert(back == Seq("part-00001-ab.graftlog", "part-00000-zz.graftlog"))
+    assert(graft.sources.GraftLogOffsetTestHook.parse("[]") == Nil)
+    intercept[IllegalArgumentException] { graft.sources.GraftLogOffsetTestHook.parse("{bad}") }
+    intercept[IllegalArgumentException] { graft.sources.GraftLogOffsetTestHook.parse("[noquotes]") }
+  }
+
   test("one InputPartition per log file (the distributed-scan shape)") {
     val nFiles = new java.io.File(landing).listFiles()
       .count(_.getName.endsWith(".graftlog"))
