@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
@@ -70,7 +70,15 @@ private class GraftLogTable(path: String) extends Table
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(path)
+    new GraftLogScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map { raw =>
+        val n = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graftlog maxFilesPerTrigger must be a positive integer, got '$raw'")
+        }
+        require(n > 0, s"graftlog maxFilesPerTrigger must be > 0, got $raw")
+        n
+      })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLogWriteBuilder(path, info)
 }
@@ -158,7 +166,8 @@ private class GraftLogWriter(path: String, partitionId: Int, taskId: Long)
   override def close(): Unit = out.close()
 }
 
-private class GraftLogScanBuilder(path: String) extends ScanBuilder
+private class GraftLogScanBuilder(path: String, maxFiles: Option[Int])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -185,15 +194,37 @@ private class GraftLogScanBuilder(path: String) extends ScanBuilder
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new GraftLogScan(path, pushed, required, limit)
+  override def build(): Scan = new GraftLogScan(path, pushed, required, limit, maxFiles)
 }
 
 private class GraftLogScan(path: String, filters: Array[Filter],
-    required: StructType, limit: Int) extends Scan with Batch {
+    required: StructType, limit: Int, maxFiles: Option[Int]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path, filters, required.fieldNames)
+    new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles)
+
+  /** Size statistics from the log files themselves — without this a V2
+    * scan reports "unknown", Catalyst assumes it is huge, and a small
+    * graftlog dimension can never be broadcast: the optimizer integration
+    * that makes a custom source a first-class join citizen, not just
+    * readable. Sizes are on-disk bytes (compression-free format, so
+    * in-memory ~= on-disk); row count is estimated from an average-record
+    * floor rather than decoded — statistics must stay O(files), never
+    * O(records). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".graftlog")).map(_.length()).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        // len(4) + fixed(26) + short etype: ~34 bytes/record floor
+        java.util.OptionalLong.of(bytes / 34)
+    }
+  }
   override def description(): String =
     s"GraftLogScan path=$path pushed=[${filters.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]" +
@@ -226,7 +257,8 @@ private case class GraftLogPartition(file: String) extends InputPartition
   * position) pairs; the protocol is identical. Pushed filters and pruned
   * columns ride into each micro-batch reader unchanged. */
 private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
-    columns: Array[String]) extends MicroBatchStream {
+    columns: Array[String], maxFiles: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def listNames(): Array[String] =
     Option(new java.io.File(path).listFiles())
@@ -237,6 +269,25 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
   override def latestOffset(): Offset = GraftLogOffset(listNames().toSeq)
   override def deserializeOffset(json: String): Offset = GraftLogOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // progress lives in the checkpoint log
+
+  // Admission control (maxFilesPerTrigger option): cap how many NEW files
+  // one micro-batch admits, so a drain has real batch structure and a
+  // restarted query facing a large backlog catches up in bounded bites
+  // instead of one giant batch — the same throttle the built-in file
+  // source and Kafka's maxOffsetsPerTrigger provide.
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val done = start.asInstanceOf[GraftLogOffset].files
+    val fresh = listNames().filterNot(done.toSet)
+    val admitted = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(r.maxFiles())
+      case _ => fresh
+    }
+    GraftLogOffset(done ++ admitted)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val done = start.asInstanceOf[GraftLogOffset].files.toSet

@@ -187,6 +187,41 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { graft.sources.GraftLogOffsetTestHook.parse("[noquotes]") }
   }
 
+  test("reported statistics let Catalyst BROADCAST a small graftlog dimension") {
+    // Without SupportsReportStatistics a V2 scan reports unknown size,
+    // Catalyst assumes huge, and a kilobyte-scale log could never be the
+    // build side — the stats are what make the custom source a
+    // first-class join citizen, not just readable.
+    val dim = Scratch.dir("graftlog_spec_dim")
+    events.orderBy("event_id").limit(50)
+      .write.format("graftlog").mode("append").save(dim)
+    val joined = events.join(
+      spark.read.format("graftlog").load(dim).select(col("event_id"), col("value").as("dim_value")),
+      "event_id")
+    val plan = { joined.collect(); joined.queryExecution.executedPlan.toString }
+    assert(plan.contains("BroadcastHashJoin"), s"small graftlog side not broadcast:\n$plan")
+    assert(joined.count() == 50)
+  }
+
+  test("streaming maxFilesPerTrigger caps admission: one batch per file at 1") {
+    val dir = Scratch.dir("graftlog_spec_admit")
+    events.limit(30).repartition(3).write.format("graftlog").mode("append").save(dir)
+    val name = s"gl_admit_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = graft.streaming.Streams.withStreamShuffle(spark) {
+      spark.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", Scratch.streamCkptDir("gl_admit_ckpt"))
+        .start()
+    }
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches == 3, s"expected 3 one-file batches, got $batches")
+    assert(spark.table(name).count() == 30)
+    spark.catalog.dropTempView(name)
+  }
+
   test("one InputPartition per log file (the distributed-scan shape)") {
     val nFiles = new java.io.File(landing).listFiles()
       .count(_.getName.endsWith(".graftlog"))
