@@ -235,6 +235,13 @@ object Bench {
     // and a persisting one refutes it).
     val selected: Seq[String] = sys.env.get("GRAFT_BENCH_FIRST") match {
       case Some(n) =>
+        // Validate against the registry (round-13 review): a typo'd name
+        // would silently run a NORMAL session yet stamp probe:{first:...}
+        // into the artifact — a clean run masquerading as a probe, the
+        // exact confusion the stamp exists to prevent. (Registry names are
+        // [A-Za-z0-9_], so a validated name is also JSON-safe to embed.)
+        require(selected0.contains(n),
+          s"GRAFT_BENCH_FIRST '$n' is not a registered query")
         val (f, rest) = selected0.partition(_ == n); f ++ rest
       case None => selected0
     }
@@ -246,6 +253,9 @@ object Bench {
     val aqeOff: Set[String] =
       sys.env.get("GRAFT_BENCH_AQE_OFF").map(_.split(",").map(_.trim).toSet)
         .getOrElse(Set.empty)
+    // same validation rationale as GRAFT_BENCH_FIRST above
+    aqeOff.foreach(n => require(selected0.contains(n),
+      s"GRAFT_BENCH_AQE_OFF '$n' is not a registered query"))
     // Steady-state measurement: run each query once untimed (pays one-off
     // whole-stage-codegen compilation + file listing, both cached by Spark),
     // then time TIMED_RUNS further executions and report the MIN — the
@@ -436,6 +446,13 @@ object Bench {
     val drift = sessionDrift(best, reference)
     val outliers = driftOutliers(best, reference, drift)
     val stale = staleRefs(best, reference)
+    // drift_n = ratios behind the median (round-13 review): on a small
+    // subset run the drift SELF-normalizes — a lone 10x-regressed query
+    // defines the median, reads as "host drift", and can never be its own
+    // outlier — so the artifact must carry the sample size for the reader
+    // to discount it (full-registry runs have ~190; treat n < ~20 drift
+    // values as descriptive, not normalizing).
+    val driftN = best.count { case (n, v) => v > 0 && reference.get(n).exists(_ > 0) }
     // Retry-pass failures (round-13 ADVICE): excluded from bestWall's
     // any-primary-failure->-1 rule, surfaced here instead so a flaky
     // retry is visible without hiding the query from the total.
@@ -462,7 +479,7 @@ object Bench {
         "ReuseProbe; if the isolated-JVM band matches the session best, the anchor is stale - " +
         "regenerate bench_reference.json")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"stages":$ss,"spill_mb":$ps,"jit_ms":$js,"warm_s":$ws,"warm_cpu_s":$wc,"host_mem_mb":$hm,"psi_some10":$hp,"deferred":$defJson,"storm_suspect":$suspectJson,"retry_failed":$retryFailJson,"reference_n":${reference.size},"session_drift":${fmt(drift)},"drift_outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")},"ref_stale":${stale.map("\"" + _ + "\"").mkString("[", ",", "]")}$probeJson,"written_at_ms":${System.currentTimeMillis()},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"cpu_s":$cs,"stages":$ss,"spill_mb":$ps,"jit_ms":$js,"warm_s":$ws,"warm_cpu_s":$wc,"host_mem_mb":$hm,"psi_some10":$hp,"deferred":$defJson,"storm_suspect":$suspectJson,"retry_failed":$retryFailJson,"reference_n":${reference.size},"session_drift":${fmt(drift)},"drift_n":$driftN,"drift_outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")},"ref_stale":${stale.map("\"" + _ + "\"").mkString("[", ",", "]")}$probeJson,"written_at_ms":${System.currentTimeMillis()},"sf":"$sfDir"}"""
     println(full)
     // Self-contained artifact: the full per-query JSON also lands in
     // bench_out.json next to the repo, so post-hoc analysis never depends
@@ -515,7 +532,7 @@ object Bench {
         s""""q_cs":${qcsJson(best)},"q_cs_doc":"best wall per query, centiseconds, queries sorted by name asc (names: bench_out.json or SparkEntry.queries++BenchOnly.queries)""""
       else
         s""""subset":true,"q_named":$qs"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${best.size},"nfailed":${best.count(_._2 < 0)},"ndeferred":${deferred.size},"nsuspect":${stillSuspect.size},"session_drift":${fmt(drift)},"ndrift_outliers":${outliers.size},"nref_stale":${stale.size},$tail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${best.size},"nfailed":${best.count(_._2 < 0)},"ndeferred":${deferred.size},"nsuspect":${stillSuspect.size},"session_drift":${fmt(drift)},"drift_n":$driftN,"ndrift_outliers":${outliers.size},"nref_stale":${stale.size},$tail,"sf":"$sfDir"}""")
     Scratch.purge(spark)
     spark.stop()
   }

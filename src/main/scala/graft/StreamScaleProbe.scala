@@ -60,6 +60,15 @@ object StreamScaleProbe {
     val out = s"/tmp/graft_scale/stream_${new java.io.File(base).getName}_x$factor"
     val dir = new java.io.File(out)
     if (new java.io.File(dir, "_DONE").exists()) return out
+    // no _DONE but the dir exists = a crashed partial build; appending on
+    // top of its orphans would duplicate copies and scramble the modtime
+    // order, so rebuild from scratch (r13 review)
+    if (dir.exists()) {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(p => Files.delete(p))
+    }
     new java.io.File(dir, "events.parquet").mkdirs()
     val slice = sources.Tables.load(s, base, "events")
       .filter(col("event_id") < operators.StreamShapes.STREAM_BOUND)
@@ -104,6 +113,11 @@ object StreamScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // telemetry reads the query's recentProgress feed, which Spark caps at
+    // 100 entries by default — a large factor with tight chunking exceeds
+    // that and would silently truncate batches/inputRows and possibly miss
+    // the true state peak (r13 review); raise it far above any probe size
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val dirs = Seq(1, factor).map(f => f -> buildFixture(spark, base, f)).toMap
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val cells = scala.collection.mutable.LinkedHashMap
@@ -122,16 +136,22 @@ object StreamScaleProbe {
       require(t.droppedByWatermark == 0,
         s"$name x$f dropped ${t.droppedByWatermark} rows behind the watermark — " +
           "fixture not time-ordered; run invalid")
-      require(t.batches > 1,
-        s"$name x$f drained in ${t.batches} batch(es) — no watermark advance " +
-          "between batches, state eviction unmeasured; raise chunking")
+      // DATA batches, not total: stateful queries run a trailing no-data
+      // watermark-finalization batch, so total-count > 1 would pass on an
+      // unchunked drain that held all state at once (r13 review)
+      require(t.dataBatches > 1,
+        s"$name x$f drained in ${t.dataBatches} data batch(es) — no watermark " +
+          "advance between batches, state eviction unmeasured; raise chunking")
       cells((name, f)) = (secs, t)
     }
     val entries = FAMILY.map { name =>
       val (b, tb) = cells((name, 1))
       val (g, tg) = cells((name, factor))
-      val stateRatio = if (tb.peakStateRows > 0)
-        tg.peakStateRows.toDouble / tb.peakStateRows else -1.0
+      // a zero baseline is a degenerate run, not a pass — -1 sneaking
+      // through the slack compare would emit a vacuous bounded-state claim
+      require(tb.peakStateRows > 0,
+        s"$name x1 reported zero peak state rows — telemetry degenerate, run invalid")
+      val stateRatio = tg.peakStateRows.toDouble / tb.peakStateRows
       require(stateRatio <= STATE_SLACK,
         s"$name: peak state grew ${fmt(stateRatio)}x at x$factor history " +
           s"(${tb.peakStateRows} -> ${tg.peakStateRows}) — state is scaling " +

@@ -798,6 +798,18 @@ object DedupOps extends QueryModule {
     raw.join(keepKeys, Seq("sh_key"), "left_semi")
       .select(col("doc_id"), col("sh_key"))
       .write.parquet(cappedPath)
+    // the raw cut is consumed entirely by the capped write above; deleting
+    // it NOW (rather than at session-end purge) halves the scratch
+    // footprint these queries hold through the rest of a bench session
+    // (r13 review) — Scratch.purge tolerates already-deleted paths
+    locally {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(rawPath)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(f => Files.delete(f))
+    }
     s.read.parquet(cappedPath)
   }
 

@@ -151,6 +151,11 @@ private class GraftLogWriter(path: String, partitionId: Int, taskId: Long)
 
   override def write(r: InternalRow): Unit = {
     val etype = r.getUTF8String(3).getBytes
+    // int16 length field: a >32767-byte string would wrap silently here
+    // and only surface as a corrupt record at READ time, after commit —
+    // fail the task before publishing instead (r13 review)
+    require(etype.length <= Short.MaxValue,
+      s"event_type exceeds the format's int16 length field (${etype.length} bytes)")
     out.writeInt(8 + 8 + 8 + 2 + etype.length)
     out.writeLong(r.getLong(0))
     out.writeLong(r.getLong(1))

@@ -233,7 +233,7 @@ object Streams {
     * stayed bounded). Captured from the query's own progress feed just
     * before stop(); volatile single-slot because runs are sequential
     * within a session (Bench/Verify/probe all serialize queries). */
-  final case class RunTelemetry(batches: Int, inputRows: Long,
+  final case class RunTelemetry(batches: Int, dataBatches: Int, inputRows: Long,
       peakStateRows: Long, droppedByWatermark: Long)
   @volatile var lastRunTelemetry: Option[RunTelemetry] = None
 
@@ -270,6 +270,10 @@ object Streams {
       val prog = q.recentProgress
       lastRunTelemetry = Some(RunTelemetry(
         batches = prog.length,
+        // data batches exclude the no-data watermark-finalization batches
+        // stateful queries run after the last input — a chunking guard
+        // that counted those would pass on an unchunked drain (r13 review)
+        dataBatches = prog.count(_.numInputRows > 0),
         inputRows = prog.map(_.numInputRows).sum,
         peakStateRows = if (prog.isEmpty) 0L
           else prog.map(p => p.stateOperators.map(_.numRowsTotal).sum).max,
