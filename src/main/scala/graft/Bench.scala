@@ -235,14 +235,21 @@ object Bench {
     // and a persisting one refutes it).
     val selected: Seq[String] = sys.env.get("GRAFT_BENCH_FIRST") match {
       case Some(n) =>
-        // Validate against the registry (round-13 review): a typo'd name
-        // would silently run a NORMAL session yet stamp probe:{first:...}
-        // into the artifact — a clean run masquerading as a probe, the
-        // exact confusion the stamp exists to prevent. (Registry names are
-        // [A-Za-z0-9_], so a validated name is also JSON-safe to embed.)
-        require(selected0.contains(n),
+        // Validate against the FULL registry (round-13 review, narrowed by
+        // the r13 advice): a typo'd name would silently run a NORMAL
+        // session yet stamp probe:{first:...} into the artifact — a clean
+        // run masquerading as a probe. But a REGISTERED name outside an
+        // args-filtered subset is a session-scoped env var riding along on
+        // a local iteration run, not a typo — warn and ignore instead of
+        // hard-crashing the subset bench. (Registry names are [A-Za-z0-9_],
+        // so a validated name is also JSON-safe to embed.)
+        require(benchable.contains(n),
           s"GRAFT_BENCH_FIRST '$n' is not a registered query")
-        val (f, rest) = selected0.partition(_ == n); f ++ rest
+        if (!selected0.contains(n)) {
+          System.err.println(s"[bench] GRAFT_BENCH_FIRST '$n' is registered " +
+            "but outside the selected subset; ignoring the reorder")
+          selected0
+        } else { val (f, rest) = selected0.partition(_ == n); f ++ rest }
       case None => selected0
     }
     // GRAFT_BENCH_AQE_OFF=name,name: probe knob — run the listed queries
@@ -253,9 +260,16 @@ object Bench {
     val aqeOff: Set[String] =
       sys.env.get("GRAFT_BENCH_AQE_OFF").map(_.split(",").map(_.trim).toSet)
         .getOrElse(Set.empty)
-    // same validation rationale as GRAFT_BENCH_FIRST above
-    aqeOff.foreach(n => require(selected0.contains(n),
-      s"GRAFT_BENCH_AQE_OFF '$n' is not a registered query"))
+    // same validation rationale as GRAFT_BENCH_FIRST above: unknown name =
+    // hard error, registered-but-outside-subset = warn (the pin simply has
+    // nothing to pin in this run)
+    aqeOff.foreach { n =>
+      require(benchable.contains(n),
+        s"GRAFT_BENCH_AQE_OFF '$n' is not a registered query")
+      if (!selected0.contains(n))
+        System.err.println(s"[bench] GRAFT_BENCH_AQE_OFF '$n' is registered " +
+          "but outside the selected subset; no effect this run")
+    }
     // Steady-state measurement: run each query once untimed (pays one-off
     // whole-stage-codegen compilation + file listing, both cached by Spark),
     // then time TIMED_RUNS further executions and report the MIN — the

@@ -39,7 +39,14 @@ object ReuseProbe {
     val n = if (args.length > 1) args(1).toInt else 8
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val fn = SparkEntry.queries(name)
+    // Resolve from the SAME union Bench times (r13 verdict #1): the three
+    // bench_* sketch variants live only in BenchOnly, and they are exactly
+    // the queries with no oracle — the ones whose only adjudication anchor
+    // is an isolated-JVM band from this probe. Restricting resolution to
+    // SparkEntry.queries made them unprobeable (NoSuchElementException).
+    val probeable = SparkEntry.queries ++ BenchOnly.queries
+    val fn = probeable.getOrElse(name, sys.error(
+      s"'$name' is not a benchable query (SparkEntry.queries ++ BenchOnly.queries)"))
     val st = new Stages
     spark.sparkContext.addSparkListener(st)
     fn(spark, dir).count() // warm

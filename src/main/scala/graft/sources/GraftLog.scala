@@ -57,8 +57,13 @@ class GraftLogSource extends TableProvider
     GraftLog.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new GraftLogTable(properties.get("path"))
+      properties: JMap[String, String]): Table = {
+    // fail with a usable message, not a downstream NPE from java.io.File
+    // when the load() call omitted the path (r13 advice)
+    val path = properties.get("path")
+    require(path != null, "graftlog requires a path: .load(<dir>) / .save(<dir>)")
+    new GraftLogTable(path)
+  }
 }
 
 private class GraftLogTable(path: String) extends Table
@@ -448,8 +453,14 @@ object GraftLog {
         val x = v.asInstanceOf[Number].longValue()
         (_, u, _, _) => java.lang.Long.compare(u, x)
       case "value" =>
-        val x = v.asInstanceOf[Number].doubleValue()
-        (_, _, d, _) => java.lang.Double.compare(d, x)
+        // normalize signed zero on BOTH sides (r13 advice): Double.compare
+        // orders -0.0 below 0.0, but Spark SQL treats them as equal — and
+        // these conjuncts are claimed as EXACTLY pushed (no residual
+        // post-scan Filter), so a stored -0.0 row must match `value = 0.0`
+        // here or nothing re-checks it. IEEE: -0.0 + 0.0 == +0.0, other
+        // values (incl. NaN) unchanged.
+        val x = v.asInstanceOf[Number].doubleValue() + 0.0
+        (_, _, d, _) => java.lang.Double.compare(d + 0.0, x)
       case "event_type" =>
         val x = UTF8String.fromString(v.asInstanceOf[String])
         (_, _, _, t) => t.compareTo(x)
