@@ -43,7 +43,10 @@ import org.apache.spark.sql.functions._
   *     expectation)
   *
   * Usage: GRAFT_STREAM_MAX_FILES=2 SPARK_GRAFT_CPUS=32 \
-  *          sbt "runMain graft.StreamScaleProbe [baseDir] [factor]"
+  *          sbt "runMain graft.StreamScaleProbe [baseDir] [factor] [q,q,...]"
+  * The optional third arg restricts the family — the big-decade probes
+  * (x50 on the RocksDB-backed transformWithState representative, round
+  * 14) stretch ONE query a decade further without paying three fixtures.
   * Writes stream_scale_out.json (merged into SCALE_r<N>.json per round).
   */
 object StreamScaleProbe {
@@ -112,6 +115,13 @@ object StreamScaleProbe {
         "state at once and the probe would measure nothing")
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
+    val family: Seq[String] =
+      if (args.length > 2) {
+        val picked = args(2).split(",").map(_.trim).toSeq
+        val unknown = picked.filterNot(FAMILY.contains)
+        require(unknown.isEmpty, s"not in the probe family: ${unknown.mkString(", ")}")
+        picked
+      } else FAMILY
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // telemetry reads the query's recentProgress feed, which Spark caps at
     // 100 entries by default — a large factor with tight chunking exceeds
@@ -122,7 +132,7 @@ object StreamScaleProbe {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val cells = scala.collection.mutable.LinkedHashMap
       .empty[(String, Int), (Double, streaming.Streams.RunTelemetry)]
-    for (f <- Seq(1, factor); name <- FAMILY) {
+    for (f <- Seq(1, factor); name <- family) {
       val fn = SparkEntry.queries(name)
       fn(spark, dirs(f)).count() // warm: landing build, codegen, listing
       val t0 = System.nanoTime()
@@ -144,7 +154,7 @@ object StreamScaleProbe {
           "advance between batches, state eviction unmeasured; raise chunking")
       cells((name, f)) = (secs, t)
     }
-    val entries = FAMILY.map { name =>
+    val entries = family.map { name =>
       val (b, tb) = cells((name, 1))
       val (g, tg) = cells((name, factor))
       // a zero baseline is a degenerate run, not a pass — -1 sneaking

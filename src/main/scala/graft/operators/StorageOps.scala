@@ -298,6 +298,136 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Custom source, TopN pushdown (round 14): ORDER BY ... LIMIT k handled
+  // INSIDE the source as a size-k bounded heap per file — the plan carries
+  // NO full Sort over the scan, only Spark's global TakeOrdered over the
+  // <= k*files per-file survivors (partial push: one task per file cannot
+  // claim the global order). At 100 TB this is the difference between a
+  // top-k probe that decodes-and-heaps in one sequential pass per file
+  // and one that materializes + sorts every matching record. Pinned in
+  // PlanShapeSpec; per-file heap honesty pinned in GraftLogSpec.
+  // ------------------------------------------------------------------
+  def dsv2TopN(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_topn")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(4)
+      .write.format("graftlog").mode("append").save(landing)
+    s.read.format("graftlog").load(landing)
+      .filter(col("event_type") === "purchase")
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(25)
+  }
+
+  val dsv2TopNSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_type = 'purchase'
+      |ORDER BY value DESC, event_id LIMIT 25""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Custom source, aggregate pushdown (round 14): COUNT(*)/MIN/MAX with a
+  // simple GROUP BY are computed per file inside the source's sequential
+  // read (supportCompletePushDown=false — one task per file yields
+  // partials), so Spark's merge aggregate receives O(files x groups)
+  // partial rows instead of O(records): the map-side combine pushed all
+  // the way into the scan. A telemetry rollup over a 100 TB landing then
+  // ships kilobytes per file to the exchange. SUM is deliberately NOT
+  // pushed (double addition order stays under Spark's decimal
+  // discipline). Plan + scan-output-row-count pinned in the specs.
+  // ------------------------------------------------------------------
+  def dsv2Agg(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_agg")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(4)
+      .write.format("graftlog").mode("append").save(landing)
+    s.read.format("graftlog").load(landing)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        min(col("event_id")).as("first_event"))
+      .orderBy(col("event_type"))
+  }
+
+  val dsv2AggSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(value) AS vmin, MAX(value) AS vmax,
+      |  MIN(event_id) AS first_event
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Custom source, runtime filtering (round 14): the selective broadcast
+  // dim side hands the graftlog scan its IN-set at execution time
+  // (SupportsRuntimeFiltering — the BatchScan line shows RuntimeFilters:
+  // [dynamicpruningexpression(user_id IN ...)]) and the reader drops
+  // non-matching records during the decode, before the join ever probes
+  // them — the join_bloom_runtime story extended from parquet to the
+  // custom source. At 100 TB: scan output shrinks from every event to
+  // only the filtered segment's events, for free, reusing the join's own
+  // broadcast. Reduction only — the join above still applies the
+  // condition, so a dropped filter can never change the answer.
+  // ------------------------------------------------------------------
+  def dsv2RuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_rtf")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(4)
+      .write.format("graftlog").mode("append").save(landing)
+    val dim = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    s.read.format("graftlog").load(landing)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val dsv2RuntimeFilterSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Custom sink, STREAMING half (round 14): the same bounded events slice
+  // drained from a graftlog landing THROUGH the V2 StreamingWrite protocol
+  // into a second landing — epoch-committed, replay-idempotent (a re-run
+  // micro-batch replaces its epoch's files instead of duplicating them;
+  // GraftLogSpec proves the restart + replay) — then read back in batch
+  // and rolled up for the oracle. This closes the last unexercised V2
+  // protocol corner from r13 (the write half was batch-only).
+  // ------------------------------------------------------------------
+  def dsv2StreamSink(s: SparkSession, dir: String): DataFrame = {
+    val in = scratch("graft_log_sink_in")
+    val out = scratch("graft_log_sink_out")
+    Tables.load(s, dir, "events")
+      .filter(col("event_id") < 20000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(4)
+      .write.format("graftlog").mode("append").save(in)
+    val q = s.readStream.format("graftlog").load(in)
+      .writeStream.format("graftlog")
+      .option("checkpointLocation", graft.Scratch.streamCkptDir("gl_sink_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    s.read.format("graftlog").load(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val dsv2StreamSinkSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_id < 20000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, STREAMING half (round 13): the same graftlog landing
   // drained as a micro-batch stream — offsets are the discovered file-name
   // set (the Kafka-shaped contract: named positions in an append-only log,
@@ -338,7 +468,11 @@ object StorageOps extends QueryModule {
     "scan_zorder" -> (zorderScan _),
     "join_bucketed" -> (bucketedJoin _),
     "scan_dsv2_pushdown" -> (dsv2Pushdown _),
-    "stream_dsv2_source" -> (dsv2StreamSource _))
+    "scan_dsv2_topn" -> (dsv2TopN _),
+    "scan_dsv2_agg" -> (dsv2Agg _),
+    "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
+    "stream_dsv2_source" -> (dsv2StreamSource _),
+    "stream_dsv2_sink" -> (dsv2StreamSink _))
 
   def oracles: Map[String, String] = Map(
     "json_roundtrip" -> jsonRoundtripSql,
@@ -349,5 +483,9 @@ object StorageOps extends QueryModule {
     "scan_zorder" -> zorderScanSql,
     "join_bucketed" -> bucketedJoinSql,
     "scan_dsv2_pushdown" -> dsv2PushdownSql,
-    "stream_dsv2_source" -> dsv2StreamSourceSql)
+    "scan_dsv2_topn" -> dsv2TopNSql,
+    "scan_dsv2_agg" -> dsv2AggSql,
+    "join_dsv2_runtime" -> dsv2RuntimeFilterSql,
+    "stream_dsv2_source" -> dsv2StreamSourceSql,
+    "stream_dsv2_sink" -> dsv2StreamSinkSql)
 }

@@ -7,22 +7,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Count => V2Count, Max => V2Max, Min => V2Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** [EXT] Custom DataSource V2 connector over a length-prefixed binary log
-  * (round 13, r12 verdict "Next round" #2): the engine consumed external
-  * data only through built-in sources; this closes the SOURCE-API surface
-  * offline — the same TableProvider / ScanBuilder / Batch machinery a
-  * Kafka- or lake-format connector registers through, exercised end to end
-  * with a DuckDB oracle (the zero-egress sandbox cannot host a broker, so
-  * the unbounded half of that residual stays documented in SURVEY §6).
+  * (round 13, extended round 14): the engine consumed external data only
+  * through built-in sources; this closes the SOURCE-API surface offline —
+  * the same TableProvider / ScanBuilder / Batch machinery a Kafka- or
+  * lake-format connector registers through, exercised end to end with a
+  * DuckDB oracle (the zero-egress sandbox cannot host a broker, so the
+  * unbounded half of that residual stays documented in SURVEY §6).
   *
   * Format, chosen to make pushdown REAL rather than cosmetic:
   *   file   := record*
@@ -35,18 +37,61 @@ import org.apache.spark.unsafe.types.UTF8String
   * file — the distributed-scan shape (a 1000-executor cluster gets one
   * task per file, no driver-side row handling anywhere).
   *
-  * Pushdown contract: pushFilters keeps every conjunct it can evaluate
-  * exactly (=, <, <=, >, >= on the four columns; IsNotNull is vacuous —
-  * the format has no null encoding) and returns only genuinely-unsupported
-  * residuals, so Spark plans NO post-scan Filter for the pushed ones —
-  * PlanShapeSpec pins that. At 100 TB this is the scan-volume lever: the
-  * source skips record-building for non-matching rows while streaming
-  * sequentially through each file.
+  * Optimizer surfaces implemented (each the real Spark SPI, each with an
+  * oracle-green registered query and a plan pin — see StorageOps):
+  *  - SupportsPushDownFilters: exact =, <, <=, >, >=, IN on all columns;
+  *    residuals (and only residuals) returned to Spark. At 100 TB this is
+  *    the scan-volume lever: the source skips record-building for
+  *    non-matching rows while streaming sequentially through each file.
+  *  - SupportsPushDownRequiredColumns: decode only requested fields.
+  *  - SupportsPushDownLimit (partial): per-file early stop, Spark keeps
+  *    the global Limit.
+  *  - SupportsPushDownTopN (partial, round 14): ORDER BY k LIMIT n keeps
+  *    only a size-n heap per file instead of every decoded record; Spark
+  *    keeps the global TakeOrdered over the <= n*files survivors — the
+  *    same partial contract as the limit (one task per file cannot claim
+  *    a global property).
+  *  - SupportsPushDownAggregates (partial, round 14): COUNT(*)/COUNT/
+  *    MIN/MAX with simple-column GROUP BY are computed per file inside
+  *    the sequential read, so a telemetry rollup ships O(files x groups)
+  *    partial rows to Spark's merge aggregate instead of O(records) —
+  *    the map-side combine pushed all the way into the source.
+  *  - SupportsRuntimeFiltering (round 14): a selective broadcast-join dim
+  *    side hands the scan its IN-set at execution time and the reader
+  *    drops non-matching records before Spark ever sees them — the DPP /
+  *    runtime-filter story extended from parquet (join_bloom_runtime) to
+  *    the custom source. Unsupported runtime filters are dropped (they
+  *    are a reduction, never a correctness surface — the join above still
+  *    applies the condition).
+  *  - SupportsReportStatistics: real on-disk sizes so a small graftlog
+  *    dimension is broadcastable.
   *
-  * The WRITE half is the V2 sink protocol (SupportsWrite / WriteBuilder /
-  * BatchWrite / DataWriter — see [[GraftLogWriteBuilder]]): per-task
-  * `.tmp` files published by the driver's commit() rename pass, truncate
-  * on Overwrite, abort cleanup, Spark-side by-name column resolution.
+  * The WRITE half is the V2 sink protocol, both batch and streaming
+  * (round 14): per-task `.tmp` files published by the driver's commit()
+  * rename pass (truncate on Overwrite, abort cleanup, by-name column
+  * resolution), and a [[StreamingWrite]] whose epoch commit is IDEMPOTENT
+  * — a replayed micro-batch first deletes the epoch's previously-published
+  * files, so exactly-once visible state survives a restart that lost the
+  * checkpoint's commit marker. Local-fs rename is the parquet-style commit
+  * stand-in, stated as such; a cluster deployment swaps in the Hadoop
+  * FileSystem API, same protocol.
+  *
+  * PUBLISH-STAMPED NAMES AND THE COMPACTED OFFSET (round 14, closing the
+  * r13 "offset grows without bound" residual): commit() names every
+  * published file `pub-<millis13>-<seq>-<tag>.graftlog`, stamped AT RENAME
+  * TIME — so lexicographic name order IS publish order (13-digit
+  * zero-padded millis). A streaming offset is then (high-water name +
+  * boundary tail) instead of the full name list: any stamped name older
+  * than the high-water stamp minus a lag window is implicitly seen, and
+  * the tail holds only (a) seen stamped names inside the lag window and
+  * (b) seen UNSTAMPED (legacy/foreign) names, which never compact and are
+  * bounded by the landing's pre-existing file count. Correctness
+  * assumption, stated: a file becomes VISIBLE within `publishLagMs`
+  * (default 10 s) of its stamp — true by construction here, where the
+  * stamp is taken in the same driver commit pass that renames, and the
+  * visibility delay is one rename loop. Checkpoint offset size is thereby
+  * bounded by the publish rate inside one lag window, not by the
+  * landing's lifetime file count (GraftLogSpec pins the compaction).
   */
 class GraftLogSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -73,7 +118,8 @@ private class GraftLogTable(path: String) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path,
       Option(options.get("maxFilesPerTrigger")).map { raw =>
@@ -83,20 +129,37 @@ private class GraftLogTable(path: String) extends Table
         }
         require(n > 0, s"graftlog maxFilesPerTrigger must be > 0, got $raw")
         n
-      })
+      },
+      Option(options.get("publishLagMs")).map { raw =>
+        val n = try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graftlog publishLagMs must be a non-negative integer, got '$raw'")
+        }
+        require(n >= 0, s"graftlog publishLagMs must be >= 0, got $raw")
+        n
+      }.getOrElse(GraftLogNames.DEFAULT_LAG_MS))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLogWriteBuilder(path, info)
 }
 
-/** V2 write path (`df.write.format("graftlog").mode(...)`): the real sink
-  * protocol, not a foreachPartition helper — each task streams its rows to
-  * a UUID-named `.tmp` file (speculative/retried attempts cannot collide
-  * and the reader ignores non-`.graftlog` names, so a failed job leaves NO
-  * visible partial data), the driver's commit() renames the committed
-  * attempts' files into visibility in one pass (truncating first for
-  * Overwrite), and abort() deletes the orphans. Local-fs rename is the
-  * parquet-style commit stand-in, stated as such; a cluster deployment
-  * swaps in the Hadoop FileSystem API, same protocol. */
+// ---------------------------------------------------------------------------
+// Write path (batch + streaming)
+// ---------------------------------------------------------------------------
+
+/** V2 write path (`df.write.format("graftlog")` and
+  * `df.writeStream.format("graftlog")`): each task streams its rows to a
+  * UUID-named `.tmp` file (speculative/retried attempts cannot collide and
+  * the reader ignores non-`.graftlog` names, so a failed job leaves NO
+  * visible partial data); the driver's commit() assigns publish-stamped
+  * names and renames the committed attempts' files into visibility in one
+  * pass (truncating first for Overwrite). The STREAMING commit is keyed by
+  * epoch: file names embed `-e<epochId>-`, and a re-commit of the same
+  * epoch (micro-batch replay after a restart that lost the commit marker)
+  * deletes the epoch's earlier files before publishing — idempotent,
+  * exactly-once visible state. One streaming writer per landing (epoch ids
+  * are query-scoped; two concurrent streaming queries appending to the
+  * same directory would collide on replay cleanup — same single-writer
+  * contract as Spark's own file sink). */
 private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -111,11 +174,12 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo)
         "select the columns in table order before writing")
     new Write {
       override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate)
+      override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(path)
     }
   }
 }
 
-private case class GraftLogCommit(tmp: String, dest: String) extends WriterCommitMessage
+private case class GraftLogCommit(tmp: String, partitionId: Int) extends WriterCommitMessage
 
 private class GraftLogBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -128,11 +192,7 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean) extends BatchW
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".graftlog"))
         .foreach(f => require(f.delete(), s"truncate failed to delete $f"))
-    messages.foreach { case GraftLogCommit(tmp, dest) =>
-      val t = new java.io.File(tmp)
-      require(t.renameTo(new java.io.File(dest)),
-        s"commit failed to publish $tmp -> $dest")
-    }
+    GraftLogNames.publishAll(path, messages, pid => f"b$pid%05d")
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -141,16 +201,49 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean) extends BatchW
     }
 }
 
-private class GraftLogWriterFactory(path: String) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftLogWriter(path, partitionId, taskId)
+/** Epoch-committed streaming write: the one V2 protocol corner the batch
+  * path cannot exercise. Spark re-runs an uncommitted micro-batch with the
+  * SAME epoch id after a restart, so commit(epoch, _) must be idempotent —
+  * delete-then-publish keyed on the `-e<epoch>-` name token makes the
+  * replayed epoch REPLACE its earlier attempt instead of duplicating it
+  * (GraftLogSpec deletes the checkpoint's commit marker and re-drains to
+  * prove it). */
+private class GraftLogStreamingWrite(path: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new GraftLogWriterFactory(path)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val marker = s"-e$epochId-"
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".graftlog") && f.getName.contains(marker))
+      .foreach(f => require(f.delete(), s"epoch replay failed to delete $f"))
+    GraftLogNames.publishAll(path, messages, pid => s"e$epochId-" + f"p$pid%05d")
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case _ => ()
+    }
 }
 
-private class GraftLogWriter(path: String, partitionId: Int, taskId: Long)
+private class GraftLogWriterFactory(path: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLogWriter(path, partitionId)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftLogWriter(path, partitionId)
+}
+
+private class GraftLogWriter(path: String, partitionId: Int)
     extends DataWriter[InternalRow] {
-  private val attempt = java.util.UUID.randomUUID().toString.take(8)
-  private val dest = f"$path/part-$partitionId%05d-$attempt.graftlog"
-  private val tmp = s"$dest.tmp"
+  // invisible to readers twice over: hidden dot-prefix AND a non-.graftlog
+  // suffix; the publish name (with its rename-time stamp) is assigned by
+  // the driver's commit pass, never here — an executor clock must not
+  // decide publish order
+  private val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
+  new java.io.File(path).mkdirs() // defensive: factory mkdirs ran on the driver
   private val out = new DataOutputStream(new BufferedOutputStream(
     new FileOutputStream(tmp), 1 << 16))
 
@@ -170,16 +263,21 @@ private class GraftLogWriter(path: String, partitionId: Int, taskId: Long)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftLogCommit(tmp, dest) // publish happens in the driver's commit()
+    GraftLogCommit(tmp, partitionId) // publish happens in the driver's commit()
   }
   override def abort(): Unit = { out.close(); new java.io.File(tmp).delete(); () }
   override def close(): Unit = out.close()
 }
 
-private class GraftLogScanBuilder(path: String, maxFiles: Option[Int])
+// ---------------------------------------------------------------------------
+// Read path
+// ---------------------------------------------------------------------------
+
+private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftLog.schema
@@ -192,7 +290,10 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // with an aggregation pushed, the scan's output IS the aggregate
+    // schema — the pushed agg already names the minimal column set, so
+    // later pruning (phrased in post-agg names) has nothing to prune
+    if (agg.isEmpty) required = requiredSchema
 
   // LIMIT pushdown, PARTIALLY: each partition reader early-stops after
   // `limit` matching records (at 100 TB a LIMIT-k probe query stops
@@ -201,19 +302,144 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int])
   // Limit over the <= k*files surviving rows — the source must not claim
   // a global property one task per file cannot enforce.
   private var limit: Int = -1
-  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def pushLimit(l: Int): Boolean =
+    if (agg.isDefined) false else { limit = l; true }
+  // one override serves BOTH SupportsPushDownLimit and SupportsPushDownTopN
+  // — the contract is identical: per-partition reduction, global op kept
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new GraftLogScan(path, pushed, required, limit, maxFiles)
+  // TopN pushdown (ORDER BY ... LIMIT k), PARTIALLY: the reader keeps a
+  // size-k bounded heap per file — O(k) memory against an arbitrarily
+  // large file — and Spark's global TakeOrdered merges the per-file
+  // candidates. Only simple column sort keys are claimable; anything else
+  // (expressions, unknown columns) is declined and Spark plans the full
+  // Sort+Limit itself.
+  private var topN: Option[GraftLogTopN] = None
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (agg.isDefined) return false
+    val keys = orders.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            GraftLog.ordinal(nr.fieldNames()(0)) >= 0 =>
+          (GraftLog.ordinal(nr.fieldNames()(0)),
+            so.direction() == SortDirection.DESCENDING)
+        case _ => return false
+      }
+    }
+    topN = Some(GraftLogTopN(keys, l)); true
+  }
+
+  // Aggregate pushdown, PARTIALLY (supportCompletePushDown stays false —
+  // one task per file yields per-file partials, never the global answer):
+  // COUNT(*), COUNT(col), MIN(col), MAX(col) over simple columns, grouped
+  // by simple columns. Spark plans its merge aggregate (SUM of counts,
+  // MIN of mins, MAX of maxes) over the scan's O(files x groups) partial
+  // rows; the positional contract is readSchema = groupBy columns ++ one
+  // column per aggregate, in push order. SUM is deliberately NOT claimed:
+  // the format's value column is a double, and a source-side partial sum
+  // would commit to an addition order — the engine keeps floating-point
+  // aggregation in Spark where its decimal-accumulate discipline applies.
+  private var agg: Option[GraftLogAgg] = None
+  override def supportCompletePushDown(a: Aggregation): Boolean = false
+  override def pushAggregation(a: Aggregation): Boolean = {
+    def simpleCol(e: org.apache.spark.sql.connector.expressions.Expression): Int = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => GraftLog.ordinal(nr.fieldNames()(0))
+      case _ => -1
+    }
+    val groupBy = a.groupByExpressions().map(simpleCol)
+    if (groupBy.exists(_ < 0)) return false
+    val fns = a.aggregateExpressions().map {
+      case _: CountStar => GraftLogAggFn(GraftLogAggFn.COUNT_STAR, -1)
+      case c: V2Count if !c.isDistinct && simpleCol(c.column()) >= 0 =>
+        GraftLogAggFn(GraftLogAggFn.COUNT, simpleCol(c.column()))
+      case m: V2Min if simpleCol(m.column()) >= 0 =>
+        GraftLogAggFn(GraftLogAggFn.MIN, simpleCol(m.column()))
+      case m: V2Max if simpleCol(m.column()) >= 0 =>
+        GraftLogAggFn(GraftLogAggFn.MAX, simpleCol(m.column()))
+      case _ => return false
+    }
+    agg = Some(GraftLogAgg(groupBy, fns)); true
+  }
+
+  override def build(): Scan =
+    new GraftLogScan(path, pushed, required, limit, topN, agg, maxFiles, lagMs)
+}
+
+/** Pushed ORDER BY keys as (column ordinal, descending) plus the limit. */
+private case class GraftLogTopN(keys: Array[(Int, Boolean)], k: Int) {
+  override def toString: String = keys.map { case (ord, desc) =>
+    GraftLog.colName(ord) + (if (desc) " DESC" else " ASC")
+  }.mkString("[", ", ", s"] limit=$k")
+}
+
+/** One pushed aggregate function: kind x column ordinal (-1 for COUNT(*)). */
+private case class GraftLogAggFn(kind: Int, ord: Int) {
+  import GraftLogAggFn._
+  def resultField: StructField = kind match {
+    case COUNT_STAR => StructField("count(*)", LongType, nullable = false)
+    case COUNT => StructField(s"count(${GraftLog.colName(ord)})", LongType, nullable = false)
+    case MIN => StructField(s"min(${GraftLog.colName(ord)})", GraftLog.colType(ord), nullable = true)
+    case MAX => StructField(s"max(${GraftLog.colName(ord)})", GraftLog.colType(ord), nullable = true)
+  }
+  override def toString: String = kind match {
+    case COUNT_STAR => "count(*)"
+    case COUNT => s"count(${GraftLog.colName(ord)})"
+    case MIN => s"min(${GraftLog.colName(ord)})"
+    case MAX => s"max(${GraftLog.colName(ord)})"
+  }
+}
+private object GraftLogAggFn {
+  val COUNT_STAR = 0; val COUNT = 1; val MIN = 2; val MAX = 3
+}
+
+/** Pushed aggregation: group-by column ordinals + functions, in push
+  * order. The schema is the positional contract with Spark's merge agg. */
+private case class GraftLogAgg(groupBy: Array[Int], fns: Array[GraftLogAggFn]) {
+  def schema: StructType = StructType(
+    groupBy.map(ord => StructField(GraftLog.colName(ord), GraftLog.colType(ord), nullable = false)).toSeq ++
+      fns.map(_.resultField).toSeq)
+  override def toString: String =
+    fns.mkString("[", ", ", "]") +
+      (if (groupBy.nonEmpty) groupBy.map(GraftLog.colName).mkString(" groupBy=[", ", ", "]") else "")
 }
 
 private class GraftLogScan(path: String, filters: Array[Filter],
-    required: StructType, limit: Int, maxFiles: Option[Int]) extends Scan with Batch
-    with SupportsReportStatistics {
-  override def readSchema(): StructType = required
+    required: StructType, limit: Int, topN: Option[GraftLogTopN],
+    agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering with Serializable {
+
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles)
+    new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles, lagMs)
+
+  // Runtime filtering (round 14): at execution time Spark derives an
+  // IN-set from the other (filtered, broadcast) side of a join and hands
+  // it here BEFORE planInputPartitions/createReaderFactory run for the
+  // batch — the reader then drops non-matching records during the
+  // sequential decode, so join probe rows never materialize. This is the
+  // row-level analog of parquet DPP: a reduction, not a correctness
+  // surface (the join above still applies its condition), which is why
+  // unsupported runtime filters are silently dropped.
+  private var runtime: Array[Filter] = Array.empty
+  // Only columns present in THIS scan's (pruned) output are offerable:
+  // Spark resolves the references against the scan output and fails hard
+  // on a miss. And none at all once a limit/topN/agg is pushed — a
+  // runtime row filter under those would change WHICH rows the pushed
+  // operator keeps, not just drop join-dead rows (Spark's own pruning
+  // rule never matches through a Limit, but the source must not rely on
+  // the caller for its own correctness envelope).
+  override def filterAttributes(): Array[NamedReference] =
+    if (agg.isDefined || topN.isDefined || limit >= 0) Array.empty
+    else {
+      val out = readSchema().fieldNames.toSet
+      Array("event_id", "user_id", "event_type")
+        .filter(out.contains).map(Expressions.column)
+    }
+  override def filter(fs: Array[Filter]): Unit =
+    runtime = fs.filter(GraftLog.supportedFilter)
+  private[sources] def allFilters: Array[Filter] = filters ++ runtime
 
   /** Size statistics from the log files themselves — without this a V2
     * scan reports "unknown", Catalyst assumes it is huge, and a small
@@ -237,8 +463,10 @@ private class GraftLogScan(path: String, filters: Array[Filter],
   }
   override def description(): String =
     s"GraftLogScan path=$path pushed=[${filters.mkString(", ")}] " +
-      s"columns=[${required.fieldNames.mkString(", ")}]" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      s"columns=[${readSchema().fieldNames.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "") +
+      topN.map(t => s" topn=$t").getOrElse("") +
+      agg.map(a => s" agg=$a").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new java.io.File(path).listFiles())
@@ -247,27 +475,35 @@ private class GraftLogScan(path: String, filters: Array[Filter],
     files.map(f => GraftLogPartition(f): InputPartition)
   }
 
+  // the factory carries the scan itself: runtime filters arrive via
+  // filter() after planning, and the scan's state is snapshotted at TASK
+  // serialization time (post-filter) — so the readers see them regardless
+  // of when Spark first touched the (lazily cached) factory
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(filters, required.fieldNames, limit)
+    new GraftLogReaderFactory(() => allFilters,
+      required.fieldNames, limit, topN, agg)
 }
 
 private case class GraftLogPartition(file: String) extends InputPartition
 
+// ---------------------------------------------------------------------------
+// Streaming source
+// ---------------------------------------------------------------------------
+
 /** Micro-batch (streaming) read of the log directory — the Kafka-shaped
   * half of the connector, offline: an OFFSET names the exact set of files
-  * already visible (a sorted name list, the file-source analog of a
-  * topic's partition offsets), `latestOffset` discovers newly-appended
-  * files, and `planInputPartitions(start, end)` plans precisely the
-  * difference — so a checkpointed query that restarts resumes from its
-  * committed offset and processes every appended record EXACTLY ONCE
-  * (GraftLogSpec proves the resume). Offsets are set arithmetic on names,
-  * not counts: the V2 writer's uuid file names do not sort append-ordered,
-  * and a count-based offset would silently slice the wrong files. A
-  * production implementation would compact the name list into (segment,
-  * position) pairs; the protocol is identical. Pushed filters and pruned
-  * columns ride into each micro-batch reader unchanged. */
+  * already visible, `latestOffset(start, limit)` discovers newly-published
+  * files (optionally throttled by maxFilesPerTrigger — the same admission
+  * control as Kafka's maxOffsetsPerTrigger), and
+  * `planInputPartitions(start, end)` plans precisely the difference — so a
+  * checkpointed query that restarts resumes from its committed offset and
+  * processes every appended record EXACTLY ONCE (GraftLogSpec proves the
+  * resume). Offsets are COMPACTED set arithmetic on publish-stamped names
+  * (see the header): high-water + lag-window tail, never the lifetime
+  * file list. Pushed filters and pruned columns ride into each
+  * micro-batch reader unchanged. */
 private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
-    columns: Array[String], maxFiles: Option[Int])
+    columns: Array[String], maxFiles: Option[Int], lagMs: Long)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def listNames(): Array[String] =
@@ -275,116 +511,228 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".graftlog")).map(_.getName).sorted
 
-  override def initialOffset(): Offset = GraftLogOffset(Nil)
-  override def latestOffset(): Offset = GraftLogOffset(listNames().toSeq)
+  override def initialOffset(): Offset = GraftLogOffset("", Nil)
+  // SupportsAdmissionControl routes all discovery through the 2-arg form;
+  // the 0-arg form must not be silently different, so it refuses
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
   override def deserializeOffset(json: String): Offset = GraftLogOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // progress lives in the checkpoint log
 
-  // Admission control (maxFilesPerTrigger option): cap how many NEW files
-  // one micro-batch admits, so a drain has real batch structure and a
-  // restarted query facing a large backlog catches up in bounded bites
-  // instead of one giant batch — the same throttle the built-in file
-  // source and Kafka's maxOffsetsPerTrigger provide.
   override def getDefaultReadLimit: ReadLimit =
     maxFiles.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val done = start.asInstanceOf[GraftLogOffset].files
-    val fresh = listNames().filterNot(done.toSet)
+    val cur = start.asInstanceOf[GraftLogOffset]
+    // sorted = publish order for stamped names: admission drains the
+    // backlog oldest-first, which is what keeps the high-water honest
+    // (everything still unadmitted sorts at or above the new high-water)
+    val fresh = listNames().filterNot(cur.seen(_, lagMs))
     val admitted = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(r.maxFiles())
       case _ => fresh
     }
-    GraftLogOffset(done ++ admitted)
+    cur.admit(admitted.toSeq, lagMs)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val done = start.asInstanceOf[GraftLogOffset].files.toSet
-    end.asInstanceOf[GraftLogOffset].files
-      .filterNot(done)
+    val from = start.asInstanceOf[GraftLogOffset]
+    // every name this batch admitted is retained verbatim in end's tail
+    // (admit() never compacts the batch it is admitting), so the
+    // difference is enumerable from the two offsets alone — including
+    // across a restart, where both come back from checkpoint JSON
+    end.asInstanceOf[GraftLogOffset].tail
+      .filterNot(from.seen(_, lagMs)).sorted
       .map(n => GraftLogPartition(s"$path/$n"): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(filters, columns, -1) // no limit in streaming
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fs = filters // no runtime filtering in streaming; snapshot, no scan capture
+    new GraftLogReaderFactory(() => fs, columns, -1, None, None)
+  }
 
   override def stop(): Unit = ()
 }
 
-/** Streaming offset: the sorted set of visible log-file names, serialized
-  * as a JSON string array (file names are uuid/part tokens — no escaping
-  * beyond quotes is ever needed, and fromJson rejects any name that would
-  * require it rather than parse wrongly). */
-private case class GraftLogOffset(files: Seq[String]) extends Offset {
-  require(files.forall(f => !f.contains("\"") && !f.contains("\\")),
-    s"unserializable file name among: $files")
-  override def json(): String = files.map(f => s""""$f"""").mkString("[", ",", "]")
+/** Publish-name scheme shared by the write commits and the offsets. */
+private[sources] object GraftLogNames {
+  /** Max tolerated publish-to-visibility skew: a file whose name stamp is
+    * older than (high-water stamp - lag) may be compacted out of an offset
+    * tail, so it must already be visible by then. The stamp is assigned in
+    * the same driver pass that renames the file visible — the real skew is
+    * one rename loop, and 10 s is ~4 orders of magnitude of headroom. */
+  val DEFAULT_LAG_MS = 10000L
+
+  /** `pub-<millis13>-<seq>-<tag>.graftlog`; 13-digit zero-padded millis
+    * makes lexicographic name order publish order through year 2286. */
+  def publish(millis: Long, seq: Int, tag: String): String =
+    f"pub-$millis%013d-$seq%04d-$tag.graftlog"
+
+  /** Publish stamp of a name, or -1 for unstamped (legacy/foreign) names,
+    * which never take part in watermark arithmetic. */
+  def stamp(name: String): Long =
+    if (name.length >= 17 && name.startsWith("pub-") &&
+        name.substring(4, 17).forall(c => c >= '0' && c <= '9'))
+      name.substring(4, 17).toLong
+    else -1L
+
+  /** Driver-side publish pass shared by the batch and epoch commits: one
+    * stamp per commit, a sequence number plus fresh uuid per file (unique
+    * even across two commits inside the same millisecond). */
+  def publishAll(path: String, messages: Array[WriterCommitMessage],
+      tag: Int => String): Unit = {
+    val stampNow = System.currentTimeMillis()
+    messages.zipWithIndex.foreach {
+      case (GraftLogCommit(tmp, pid), i) =>
+        val uuid = java.util.UUID.randomUUID().toString.take(8)
+        val dest = s"$path/${publish(stampNow, i, s"${tag(pid)}-$uuid")}"
+        val t = new java.io.File(tmp)
+        require(t.renameTo(new java.io.File(dest)),
+          s"commit failed to publish $tmp -> $dest")
+      case (other, _) =>
+        throw new IllegalStateException(s"unexpected commit message $other")
+    }
+  }
 }
 
-/** Spec hook: GraftLogOffset is private to the connector; the serde is a
-  * correctness surface (a mis-parsed offset silently re-reads or skips
-  * files across restarts), so GraftLogSpec pins it through this door. */
+/** Compacted streaming offset: `hw` is the highest publish-stamped name
+  * ever admitted ("" before any), `tail` the seen names not implied by it
+  * — stamped names inside the lag window plus all unstamped (legacy)
+  * names. A stamped name below (hw's stamp - lag) is implicitly seen; see
+  * the connector header for why that is sound. Serialized as a flat JSON
+  * object; names are uuid/stamp tokens, so no escaping beyond quotes is
+  * ever needed, and fromJson rejects any name that would require it
+  * rather than parse wrongly. */
+private case class GraftLogOffset(hw: String, tail: Seq[String]) extends Offset {
+  require((tail :+ hw).forall(f => !f.contains("\"") && !f.contains("\\")),
+    s"unserializable file name among: hw=$hw tail=$tail")
+  require(hw.isEmpty || GraftLogNames.stamp(hw) >= 0,
+    s"offset high-water must be a publish-stamped name, got '$hw'")
+
+  @transient private lazy val tailSet = tail.toSet
+  private def boundary(lagMs: Long): Long =
+    if (hw.isEmpty) Long.MinValue else GraftLogNames.stamp(hw) - lagMs
+
+  /** Has `name` already been processed under this offset? */
+  def seen(name: String, lagMs: Long): Boolean = {
+    val s = GraftLogNames.stamp(name)
+    (s >= 0 && s < boundary(lagMs)) || tailSet.contains(name)
+  }
+
+  /** The offset after additionally processing `admitted`. Every admitted
+    * name is retained verbatim in the new tail (planInputPartitions
+    * enumerates the batch from it); previously-retained names compact out
+    * once they age past the new high-water's lag window. */
+  def admit(admitted: Seq[String], lagMs: Long): GraftLogOffset = {
+    if (admitted.isEmpty) return this // identical offset => no empty batch
+    val adm = admitted.toSet
+    val newHw = (Seq(hw).filter(_.nonEmpty) ++ admitted.filter(GraftLogNames.stamp(_) >= 0))
+      .maxOption.getOrElse("")
+    val bnd = if (newHw.isEmpty) Long.MinValue else GraftLogNames.stamp(newHw) - lagMs
+    val keep = (tail ++ admitted).distinct.filter { n =>
+      val s = GraftLogNames.stamp(n)
+      s < 0 || s >= bnd || adm.contains(n)
+    }
+    GraftLogOffset(newHw, keep.sorted)
+  }
+
+  override def json(): String =
+    s"""{"hw":"$hw","tail":${tail.map(f => s""""$f"""").mkString("[", ",", "]")}}"""
+}
+
+/** Spec hook: GraftLogOffset is private to the connector; the serde and
+  * the compaction arithmetic are correctness surfaces (a mis-parsed or
+  * mis-compacted offset silently re-reads or skips files across
+  * restarts), so GraftLogSpec pins them through this door. */
 private[graft] object GraftLogOffsetTestHook {
-  def make(files: Seq[String]): String = GraftLogOffset(files).json()
-  def parse(json: String): Seq[String] = GraftLogOffset.fromJson(json).files
+  def make(hw: String, tail: Seq[String]): String = GraftLogOffset(hw, tail).json()
+  def parse(json: String): (String, Seq[String]) = {
+    val o = GraftLogOffset.fromJson(json); (o.hw, o.tail)
+  }
+  def seen(json: String, name: String, lagMs: Long): Boolean =
+    GraftLogOffset.fromJson(json).seen(name, lagMs)
+  def admit(json: String, admitted: Seq[String], lagMs: Long): String =
+    GraftLogOffset.fromJson(json).admit(admitted, lagMs).json()
+  def publishName(millis: Long, seq: Int, tag: String): String =
+    GraftLogNames.publish(millis, seq, tag)
 }
 
 private object GraftLogOffset {
   def fromJson(json: String): GraftLogOffset = {
     val t = json.trim
-    require(t.startsWith("[") && t.endsWith("]"), s"bad graftlog offset: $json")
-    val body = t.substring(1, t.length - 1).trim
-    if (body.isEmpty) GraftLogOffset(Nil)
-    else GraftLogOffset(body.split(",").toSeq.map { s =>
-      val q = s.trim
-      require(q.length >= 2 && q.startsWith("\"") && q.endsWith("\""),
-        s"bad graftlog offset element: $s")
-      q.substring(1, q.length - 1)
-    })
+    require(t.startsWith("""{"hw":"""") && t.endsWith("]}"),
+      s"bad graftlog offset: $json")
+    val afterHw = t.stripPrefix("""{"hw":"""")
+    val hwEnd = afterHw.indexOf('"')
+    require(hwEnd >= 0, s"bad graftlog offset: $json")
+    val hw = afterHw.substring(0, hwEnd)
+    val rest = afterHw.substring(hwEnd + 1)
+    require(rest.startsWith(""","tail":[""") , s"bad graftlog offset: $json")
+    val body = rest.stripPrefix(""","tail":[""").stripSuffix("]}").trim
+    val tail =
+      if (body.isEmpty) Nil
+      else body.split(",").toSeq.map { s =>
+        val q = s.trim
+        require(q.length >= 2 && q.startsWith("\"") && q.endsWith("\""),
+          s"bad graftlog offset element: $s")
+        q.substring(1, q.length - 1)
+      }
+    GraftLogOffset(hw, tail)
   }
 }
 
-private class GraftLogReaderFactory(filters: Array[Filter],
-    columns: Array[String], limit: Int) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftLogReader(partition.asInstanceOf[GraftLogPartition].file, filters, columns, limit)
+// ---------------------------------------------------------------------------
+// Readers
+// ---------------------------------------------------------------------------
+
+private class GraftLogReaderFactory(filterSource: () => Array[Filter],
+    columns: Array[String], limit: Int, topN: Option[GraftLogTopN],
+    agg: Option[GraftLogAgg]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftLogPartition].file
+    val preds = filterSource()
+    agg match {
+      case Some(a) => new GraftLogAggReader(file, preds, a)
+      case None => topN match {
+        case Some(t) => new GraftLogTopNReader(file, preds, columns, t)
+        case None => new GraftLogRowReader(file, preds, columns, limit)
+      }
+    }
+  }
 }
 
-/** Streaming decoder for one log file: reads records sequentially,
-  * evaluates pushed predicates on the decoded fields, emits only the
-  * pruned columns. The string field is materialized ONLY when a predicate
-  * or the projection needs it. Predicates and the projection are COMPILED
-  * ONCE at reader construction — the per-record loop runs closures over
-  * primitives (and UTF8String byte comparisons, never toString), not a
-  * re-interpretation of the Filter ADT per row; at 100 TB the per-record
-  * constant IS the scan cost. */
-private class GraftLogReader(file: String, filters: Array[Filter],
-    columns: Array[String], limit: Int) extends PartitionReader[InternalRow] {
-
+/** Streaming decoder for one log file, shared by the three reader modes:
+  * reads records sequentially, evaluates pushed (and runtime) predicates
+  * on the decoded fields, exposes the current record in its four fields.
+  * The string field is materialized ONLY when a predicate or the consumer
+  * needs it. Predicates are COMPILED ONCE at cursor construction — the
+  * per-record loop runs closures over primitives (and UTF8String byte
+  * comparisons, never toString), not a re-interpretation of the Filter
+  * ADT per row; at 100 TB the per-record constant IS the scan cost. */
+private final class GraftLogCursor(file: String, filters: Array[Filter],
+    needTypeHint: Boolean) {
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file), 1 << 16))
-  private var row: InternalRow = _
-  private var emitted = 0L
-
-  private val needType = columns.contains("event_type") ||
+  private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
+  private val needType = needTypeHint ||
     filters.exists(_.references.contains("event_type"))
 
-  private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
-  // column -> field ordinal, resolved once (schema is fixed and tiny)
-  private val proj: Array[Int] = columns.map {
-    case "event_id" => 0; case "user_id" => 1; case "value" => 2; case "event_type" => 3
-  }
+  var eventId: Long = 0L
+  var userId: Long = 0L
+  var value: Double = 0.0
+  var etype: UTF8String = _
 
-  override def next(): Boolean = {
-    if (limit >= 0 && emitted >= limit) return false // partial limit: per-partition early stop
+  /** Advance to the next record passing all predicates; false at EOF. */
+  def advance(): Boolean = {
     while (true) {
       val len = try in.readInt() catch { case _: EOFException => return false }
-      val eventId = in.readLong()
-      val userId = in.readLong()
-      val value = in.readDouble()
+      eventId = in.readLong()
+      userId = in.readLong()
+      value = in.readDouble()
       val etypeLen = in.readShort()
-      val etype: UTF8String =
+      etype =
         if (needType) {
           val b = new Array[Byte](etypeLen)
           in.readFully(b)
@@ -396,25 +744,181 @@ private class GraftLogReader(file: String, filters: Array[Filter],
       while (ok && i < preds.length) {
         ok = preds(i)(eventId, userId, value, etype); i += 1
       }
-      if (ok) {
-        val vals = new Array[Any](proj.length)
-        var j = 0
-        while (j < proj.length) {
-          vals(j) = proj(j) match {
-            case 0 => eventId; case 1 => userId; case 2 => value; case 3 => etype
-          }
-          j += 1
-        }
-        row = new GenericInternalRow(vals)
-        emitted += 1
-        return true
-      }
+      if (ok) return true
     }
     false
   }
 
+  def field(ord: Int): Any = ord match {
+    case 0 => eventId; case 1 => userId; case 2 => value; case 3 => etype
+  }
+
+  def close(): Unit = in.close()
+}
+
+/** Plain row mode: emit each passing record's pruned columns, with the
+  * partially-pushed LIMIT as a per-file early stop. */
+private class GraftLogRowReader(file: String, filters: Array[Filter],
+    columns: Array[String], limit: Int) extends PartitionReader[InternalRow] {
+
+  private val proj: Array[Int] = columns.map(GraftLog.ordinal)
+  private val cursor = new GraftLogCursor(file, filters, proj.contains(3))
+  private var row: InternalRow = _
+  private var emitted = 0L
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // partial limit: per-partition early stop
+    if (!cursor.advance()) return false
+    val vals = new Array[Any](proj.length)
+    var j = 0
+    while (j < proj.length) { vals(j) = cursor.field(proj(j)); j += 1 }
+    row = new GenericInternalRow(vals)
+    emitted += 1
+    true
+  }
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = cursor.close()
+}
+
+/** TopN mode: drain the file through a size-k bounded heap ordered by the
+  * pushed keys (heap root = current worst candidate, evicted on a better
+  * record), then emit the k survivors. O(k) memory, O(records * log k)
+  * compares per file; Spark's global TakeOrdered does the final merge, so
+  * emission order here is irrelevant. */
+private class GraftLogTopNReader(file: String, filters: Array[Filter],
+    columns: Array[String], topN: GraftLogTopN) extends PartitionReader[InternalRow] {
+
+  private val proj: Array[Int] = columns.map(GraftLog.ordinal)
+  private val needType = proj.contains(3) || topN.keys.exists(_._1 == 3)
+  private val cursor = new GraftLogCursor(file, filters, needType)
+
+  // heap over full decoded records (4 fields): the projection may exclude
+  // a sort key, and the fixed-width format decodes them all anyway
+  private val cmp: java.util.Comparator[Array[Any]] = (a, b) => {
+    var i = 0
+    var c = 0
+    while (c == 0 && i < topN.keys.length) {
+      val (ord, desc) = topN.keys(i)
+      val x = ord match {
+        case 0 | 1 => java.lang.Long.compare(a(ord).asInstanceOf[Long], b(ord).asInstanceOf[Long])
+        case 2 => java.lang.Double.compare(a(2).asInstanceOf[Double] + 0.0, b(2).asInstanceOf[Double] + 0.0)
+        case 3 => a(3).asInstanceOf[UTF8String].compareTo(b(3).asInstanceOf[UTF8String])
+      }
+      c = if (desc) -x else x
+      i += 1
+    }
+    c
+  }
+
+  private var out: java.util.Iterator[Array[Any]] = _
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (out == null) {
+      // reversed comparator: the heap root is the WORST retained candidate
+      val heap = new java.util.PriorityQueue[Array[Any]](
+        math.max(1, topN.k), cmp.reversed())
+      while (cursor.advance()) {
+        val rec = Array[Any](cursor.eventId, cursor.userId, cursor.value, cursor.etype)
+        if (heap.size < topN.k) heap.offer(rec)
+        else if (cmp.compare(rec, heap.peek()) < 0) { heap.poll(); heap.offer(rec) }
+      }
+      out = heap.iterator()
+    }
+    if (!out.hasNext) return false
+    val rec = out.next()
+    val vals = new Array[Any](proj.length)
+    var j = 0
+    while (j < proj.length) { vals(j) = rec(proj(j)); j += 1 }
+    row = new GenericInternalRow(vals)
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = cursor.close()
+}
+
+/** Aggregate mode: one sequential pass accumulating per-group partials
+  * (count as long, min/max as typed values), then emit one row per group
+  * — O(groups) memory, zero row materialization. A no-group-by (global)
+  * aggregation emits exactly one row even over an empty file: COUNT 0 and
+  * null MIN/MAX are real partial states Spark's merge agg expects. */
+private class GraftLogAggReader(file: String, filters: Array[Filter],
+    agg: GraftLogAgg) extends PartitionReader[InternalRow] {
+
+  private val needType = agg.groupBy.contains(3) || agg.fns.exists(_.ord == 3)
+  private val cursor = new GraftLogCursor(file, filters, needType)
+  private var out: Iterator[InternalRow] = _
+  private var row: InternalRow = _
+
+  // per-group accumulator: counts at fn index i in longs(i); min/max as
+  // boxed values (null = empty) in refs(i)
+  private final class Accs {
+    val longs = new Array[Long](agg.fns.length)
+    val refs = new Array[Any](agg.fns.length)
+  }
+
+  private def update(a: Accs): Unit = {
+    var i = 0
+    while (i < agg.fns.length) {
+      val fn = agg.fns(i)
+      fn.kind match {
+        case GraftLogAggFn.COUNT_STAR | GraftLogAggFn.COUNT =>
+          a.longs(i) += 1L // the format encodes no nulls: COUNT(col) = COUNT(*)
+        case GraftLogAggFn.MIN | GraftLogAggFn.MAX =>
+          val v = cursor.field(fn.ord)
+          val cur = a.refs(i)
+          val take =
+            if (cur == null) true
+            else {
+              val c = fn.ord match {
+                case 0 | 1 => java.lang.Long.compare(v.asInstanceOf[Long], cur.asInstanceOf[Long])
+                case 2 => java.lang.Double.compare(v.asInstanceOf[Double] + 0.0, cur.asInstanceOf[Double] + 0.0)
+                case 3 => v.asInstanceOf[UTF8String].compareTo(cur.asInstanceOf[UTF8String])
+              }
+              if (fn.kind == GraftLogAggFn.MIN) c < 0 else c > 0
+            }
+          if (take) a.refs(i) = v
+      }
+      i += 1
+    }
+  }
+
+  private def emit(key: Seq[Any], a: Accs): InternalRow = {
+    val vals = new Array[Any](agg.groupBy.length + agg.fns.length)
+    var i = 0
+    while (i < agg.groupBy.length) { vals(i) = key(i); i += 1 }
+    var j = 0
+    while (j < agg.fns.length) {
+      val fn = agg.fns(j)
+      vals(agg.groupBy.length + j) =
+        if (fn.kind == GraftLogAggFn.COUNT_STAR || fn.kind == GraftLogAggFn.COUNT) a.longs(j)
+        else a.refs(j)
+      j += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def next(): Boolean = {
+    if (out == null) {
+      if (agg.groupBy.isEmpty) {
+        val a = new Accs
+        while (cursor.advance()) update(a)
+        out = Iterator(emit(Nil, a))
+      } else {
+        val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Accs]
+        while (cursor.advance()) {
+          val key: Seq[Any] = agg.groupBy.toSeq.map(cursor.field)
+          update(groups.getOrElseUpdate(key, new Accs))
+        }
+        out = groups.iterator.map { case (k, a) => emit(k, a) }
+      }
+    }
+    if (!out.hasNext) return false
+    row = out.next()
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = cursor.close()
 }
 
 object GraftLog {
@@ -426,12 +930,20 @@ object GraftLog {
 
   private val cols = Set("event_id", "user_id", "value", "event_type")
 
+  private[sources] def ordinal(name: String): Int = name match {
+    case "event_id" => 0; case "user_id" => 1; case "value" => 2
+    case "event_type" => 3; case _ => -1
+  }
+  private[sources] def colName(ord: Int): String = schema.fields(ord).name
+  private[sources] def colType(ord: Int) = schema.fields(ord).dataType
+
   private[sources] def supportedFilter(f: Filter): Boolean = f match {
     case EqualTo(a, _) => cols(a)
     case GreaterThan(a, _) => cols(a)
     case GreaterThanOrEqual(a, _) => cols(a)
     case LessThan(a, _) => cols(a)
     case LessThanOrEqual(a, _) => cols(a)
+    case In(a, _) => cols(a)
     // the format encodes no nulls, so IsNotNull is vacuously true — accept
     // it as pushed (evaluating it per row is a constant `true`)
     case IsNotNull(a) => cols(a)
@@ -442,7 +954,11 @@ object GraftLog {
   private[sources] type Pred = (Long, Long, Double, UTF8String) => Boolean
 
   /** Compile one pushed Filter to a primitive-comparison closure (constants
-    * converted — numeric widening, String -> UTF8String — exactly once). */
+    * converted — numeric widening, String -> UTF8String — exactly once).
+    * IN-sets (planning-time IN lists and runtime join filters alike)
+    * compile to a sorted-array binary search for the numeric columns and a
+    * hash set for the string column — O(log n) / O(1) per record, no
+    * boxing in the probe. */
   private[sources] def compile(f: Filter): Pred = {
     type Cmp = (Long, Long, Double, UTF8String) => Int
     def cmp(attr: String, v: Any): Cmp = attr match {
@@ -466,12 +982,35 @@ object GraftLog {
         (_, _, _, t) => t.compareTo(x)
       case a => throw new IllegalArgumentException(s"unpushable comparison on $a")
     }
+    def inSet(attr: String, values: Array[Any]): Pred = {
+      // a null in the IN list can never match a row (the format encodes no
+      // nulls, and SQL null-IN semantics resolve to not-matched for
+      // filtering) — drop them before compiling
+      val vs = values.filter(_ != null)
+      attr match {
+        case "event_id" | "user_id" =>
+          val xs = vs.map(_.asInstanceOf[Number].longValue()).sorted
+          if (attr == "event_id") (e, _, _, _) => java.util.Arrays.binarySearch(xs, e) >= 0
+          else (_, u, _, _) => java.util.Arrays.binarySearch(xs, u) >= 0
+        case "value" =>
+          // Double.compare ordering (same as the scalar branch): -0.0
+          // normalized in, NaN sorts last and IS matchable — Spark's
+          // EqualTo/In treat NaN = NaN as true
+          val xs = vs.map(_.asInstanceOf[Number].doubleValue() + 0.0).sorted
+          (_, _, d, _) => java.util.Arrays.binarySearch(xs, d + 0.0) >= 0
+        case "event_type" =>
+          val xs = vs.map(v => UTF8String.fromString(v.asInstanceOf[String])).toSet
+          (_, _, _, t) => xs.contains(t)
+        case a => throw new IllegalArgumentException(s"unpushable IN on $a")
+      }
+    }
     f match {
       case EqualTo(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) == 0
       case GreaterThan(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) > 0
       case GreaterThanOrEqual(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) >= 0
       case LessThan(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) < 0
       case LessThanOrEqual(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) <= 0
+      case In(a, vs) => inSet(a, vs)
       case IsNotNull(_) => (_, _, _, _) => true // format encodes no nulls
       case other => throw new IllegalArgumentException(s"unexpected pushed filter $other")
     }

@@ -28,6 +28,27 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
 
   private def scan(): DataFrame = spark.read.format("graftlog").load(landing)
 
+  /** Executes the frame and returns the graftlog BatchScan's emitted-row
+    * metric — the honesty pin for pushed aggregates (partials, not
+    * records) and runtime filters (join-live rows, not everything). AQE
+    * hides scans inside materialized query stages, which are leaf nodes
+    * to `collect` — recurse through them explicitly. */
+  private def batchScanOutputRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect()
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "no BatchScanExec in the executed plan")
+    found.map(_.metrics("numOutputRows").value).sum
+  }
+
   test("roundtrip: the log reproduces the source rows exactly") {
     val back = scan().orderBy("event_id").collect()
     val src = events.orderBy("event_id").collect()
@@ -178,13 +199,216 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
 
   test("streaming offset JSON round-trips and rejects malformed input") {
     // reflection-free access via the public source surface is not exposed,
-    // so pin the serde through the package-private companion
-    val off = graft.sources.GraftLogOffsetTestHook.make(Seq("part-00001-ab.graftlog", "part-00000-zz.graftlog"))
-    val back = graft.sources.GraftLogOffsetTestHook.parse(off)
-    assert(back == Seq("part-00001-ab.graftlog", "part-00000-zz.graftlog"))
-    assert(graft.sources.GraftLogOffsetTestHook.parse("[]") == Nil)
-    intercept[IllegalArgumentException] { graft.sources.GraftLogOffsetTestHook.parse("{bad}") }
-    intercept[IllegalArgumentException] { graft.sources.GraftLogOffsetTestHook.parse("[noquotes]") }
+    // so pin the serde through the package-private companion. The offset
+    // is (high-water + tail), not a name list — a mis-parse silently
+    // re-reads or skips files across restarts.
+    import graft.sources.GraftLogOffsetTestHook._
+    val hw = publishName(1700000000123L, 2, "b00002-aabbccdd")
+    val t1 = publishName(1700000000123L, 0, "b00000-11223344")
+    val off = make(hw, Seq(t1, hw, "legacy-name.graftlog"))
+    assert(parse(off) == ((hw, Seq(t1, hw, "legacy-name.graftlog"))))
+    assert(parse(make("", Nil)) == (("", Nil)))
+    intercept[IllegalArgumentException] { parse("{bad}") }
+    intercept[IllegalArgumentException] { parse("""["old","v1","list"]""") }
+    intercept[IllegalArgumentException] { parse("""{"hw":"x","tail":[noquotes]}""") }
+    // the high-water must be publish-stamped: watermark arithmetic on an
+    // unstamped name would compare garbage
+    intercept[IllegalArgumentException] { parse("""{"hw":"legacy.graftlog","tail":[]}""") }
+  }
+
+  test("offset compaction: seen-set arithmetic, lag-window tail, legacy names never compact") {
+    import graft.sources.GraftLogOffsetTestHook._
+    val base = 1700000000000L
+    def n(ms: Long, seq: Int) = publishName(ms, seq, s"t$seq-deadbeef")
+    val lag = 1000L
+    // admit three old files + one legacy name, then a much newer file:
+    // the old stamped names must compact out (implicitly seen), the
+    // legacy name must stay in the tail forever
+    val o1 = admit(make("", Nil), Seq(n(base, 0), n(base, 1), n(base, 2), "legacy.graftlog"), lag)
+    val (hw1, tail1) = parse(o1)
+    assert(hw1 == n(base, 2) && tail1.toSet ==
+      Set(n(base, 0), n(base, 1), n(base, 2), "legacy.graftlog"))
+    val o2 = admit(o1, Seq(n(base + 60000, 0)), lag)
+    val (hw2, tail2) = parse(o2)
+    assert(hw2 == n(base + 60000, 0), "high-water did not advance")
+    assert(tail2.toSet == Set(n(base + 60000, 0), "legacy.graftlog"),
+      s"expected old stamped names compacted out and legacy retained, got $tail2")
+    // compacted-out names are still SEEN (implicitly, below the lag
+    // boundary); names inside the lag window are seen only via the tail
+    assert(seen(o2, n(base, 1), lag), "compacted name no longer seen")
+    assert(seen(o2, "legacy.graftlog", lag))
+    assert(!seen(o2, "other-legacy.graftlog", lag),
+      "an unseen unstamped name must never be implicitly seen")
+    assert(!seen(o2, n(base + 59500, 0), lag),
+      "an unseen name inside the lag window must not be implicitly seen")
+    assert(seen(o2, n(base + 1000, 0), lag),
+      "names below the lag boundary are implicitly seen (the documented " +
+        "publish-to-visibility assumption)")
+    // admitting nothing returns the identical offset (no empty batches)
+    assert(admit(o2, Nil, lag) == o2)
+  }
+
+  test("TopN pushdown is PARTIAL: per-file heap in the scan, global TakeOrdered kept, exact results") {
+    val df = scan().filter(col("event_type") === "purchase")
+      .orderBy(col("value").desc, col("event_id")).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("GraftLogScan")).get
+    assert(scanLine.contains("topn=[value DESC, event_id ASC] limit=5"),
+      s"topN not pushed into the scan:\n$scanLine")
+    // no full Sort OPERATOR anywhere — the global merge is TakeOrdered
+    val sortNode = """^[\s+\-:*()\d]*Sort[\s(]""".r
+    assert(!plan.split("\n").exists(l => sortNode.findFirstIn(l).isDefined),
+      s"a full Sort survived above a pushed topN:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global TakeOrdered missing above a partially-pushed topN:\n$plan")
+    val got = df.collect()
+    val want = events.filter(col("event_type") === "purchase")
+      .orderBy(col("value").desc, col("event_id")).limit(5).collect()
+    assert(got.sameElements(want), "pushed topN changed the answer")
+  }
+
+  test("aggregate pushdown ships per-file partials: scan emits O(files x groups) rows, exact results") {
+    val df = scan().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy(col("event_type"))
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("GraftLogScan")).get
+    assert(scanLine.contains("agg=[count(*), min(value), max(value)] groupBy=[event_type]"),
+      s"aggregation not pushed into the scan:\n$scanLine")
+    val want = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy(col("event_type")).collect()
+    assert(df.collect().sameElements(want), "pushed aggregation changed the answer")
+    // the honesty pin: the scan must emit partial rows, never records —
+    // bounded by files x groups (the metric counts reader-emitted rows)
+    val nFiles = new java.io.File(landing).listFiles().count(_.getName.endsWith(".graftlog"))
+    val nGroups = want.length
+    val emitted = batchScanOutputRows(df)
+    assert(emitted <= nFiles.toLong * nGroups && emitted > 0,
+      s"scan emitted $emitted rows; expected <= files($nFiles) x groups($nGroups) partials")
+  }
+
+  test("global aggregate over an empty landing yields COUNT 0 (one partial row per file, nulls merge)") {
+    val empty = Scratch.dir("graftlog_spec_agg_empty")
+    new java.io.File(empty).mkdirs()
+    // an empty DIRECTORY has no files -> no partials -> Spark's global agg
+    // still answers from zero partials
+    val r0 = spark.read.format("graftlog").load(empty)
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin")).collect()(0)
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1))
+    // a landing with files but no matching rows: each file emits one
+    // (0, null) partial and the merge keeps COUNT 0 / null MIN
+    val r1 = scan().filter(col("value") < -1.0)
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin")).collect()(0)
+    assert(r1.getLong(0) == 0L && r1.isNullAt(1))
+  }
+
+  test("runtime filtering reaches the READER: scan emits only join-live rows") {
+    // a selective dim (one customer segment): without
+    // SupportsRuntimeFiltering the scan emits every record and the join
+    // drops the rest; with it the BatchScan line carries the dynamic IN
+    // and the reader's emitted-row metric collapses to just the matching
+    // users' rows. The dim MUST carry a selective predicate — Spark's
+    // pruning rule only spends a runtime filter where the build side was
+    // itself filtered (a bare distinct-and-limit dim is declined).
+    val dim = sources.Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val joined = scan().join(broadcast(dim), col("user_id") === col("c_custkey"))
+    val matching = joined.count()
+    val total = events.count()
+    assert(matching > 0 && matching < total, s"fixture degenerate: $matching of $total")
+    val plan = joined.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("GraftLogScan")).get
+    assert(scanLine.contains("RuntimeFilters: [dynamicpruningexpression"),
+      s"no runtime filter injected on the graftlog scan:\n$plan")
+    val emitted = batchScanOutputRows(joined)
+    assert(emitted == matching,
+      s"reader ignored the runtime IN-set: emitted $emitted rows, join keeps $matching of $total")
+  }
+
+  test("streaming V2 write resumes from its checkpoint and a replayed epoch does not duplicate") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Scratch.dir("graftlog_spec_sink_in")
+    val out = Scratch.dir("graftlog_spec_sink_out")
+    val ckpt = Scratch.streamCkptDir("graftlog_spec_sink_ckpt")
+    val all = events.orderBy("event_id").limit(40)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(in)
+        .writeStream.format("graftlog")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(out)
+      q.awaitTermination()
+    }
+    def distinctIds(): Long = spark.read.format("graftlog").load(out)
+      .select(countDistinct(col("event_id"))).collect()(0).getLong(0)
+    // phase 1: evens; phase 2 (same checkpoint): odds — the write-side
+    // twin of the read-resume test: a re-emit of phase 1 (duplicate rows)
+    // or a miss of phase 2 both fail the final counts
+    all.filter(col("event_id") % 2 === 0).write.format("graftlog").mode("append").save(in)
+    drain()
+    val afterA = spark.read.format("graftlog").load(out).count()
+    all.filter(col("event_id") % 2 === 1).write.format("graftlog").mode("append").save(in)
+    drain()
+    val afterB = spark.read.format("graftlog").load(out).count()
+    assert(afterA == 20 && afterB == 40 && distinctIds() == 40,
+      s"expected 20 then 40 distinct rows, got $afterA then $afterB (${distinctIds()} distinct)")
+    // phase 3: simulate a crash AFTER the sink published but BEFORE the
+    // checkpoint recorded the commit — delete the last commit marker and
+    // re-drain: Spark replays the batch with the SAME epoch id, and the
+    // epoch-keyed delete-then-publish must REPLACE, not duplicate
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "no commit markers written")
+    // the local checkpoint FS writes a .N.crc sidecar per marker — leave
+    // it behind and the replay's rewrite fails as a spurious
+    // "concurrent queries" error instead of replaying
+    val sidecar = new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc")
+    if (sidecar.exists()) assert(sidecar.delete(), "could not delete the commit crc sidecar")
+    assert(commits.last.delete(), "could not delete the last commit marker")
+    drain()
+    assert(spark.read.format("graftlog").load(out).count() == 40 && distinctIds() == 40,
+      "an epoch replay duplicated its rows instead of replacing them")
+  }
+
+  test("published names are stamped at commit time and streaming offsets stay compacted") {
+    // every file the connector publishes (batch and epoch commits alike)
+    // must carry a publish stamp — the compaction arithmetic depends on it
+    val names = new java.io.File(landing).listFiles()
+      .map(_.getName).filter(_.endsWith(".graftlog"))
+    assert(names.nonEmpty && names.forall(_.startsWith("pub-")),
+      s"unstamped published names: ${names.mkString(", ")}")
+    // drive a stream over MANY single-file batches with a tiny lag and
+    // sleeps longer than it: the committed offsets' tails must compact
+    // (stay well under the total file count) while every row still
+    // arrives exactly once
+    val dir = Scratch.dir("graftlog_spec_compact")
+    val name = s"gl_compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ckpt = Scratch.streamCkptDir("gl_compact_ckpt")
+    val slice = events.orderBy("event_id").limit(60)
+    val q = graft.streaming.Streams.withStreamShuffle(spark) {
+      spark.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", "1").option("publishLagMs", "40").load(dir)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    try {
+      for (b <- 0 until 6) {
+        slice.filter(col("event_id") % 6 === b).coalesce(1)
+          .write.format("graftlog").mode("append").save(dir)
+        Thread.sleep(120) // > publishLagMs: earlier batches age past the boundary
+        q.processAllAvailable()
+      }
+      assert(spark.table(name).count() == 60, "compaction lost or duplicated rows")
+      val last = new java.io.File(s"$ckpt/offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+      val offLine = scala.io.Source.fromFile(last).getLines().toSeq.last
+      val (hw, tailNames) = graft.sources.GraftLogOffsetTestHook.parse(offLine)
+      assert(hw.startsWith("pub-"), s"no high-water in the final offset: $offLine")
+      assert(tailNames.length < 6,
+        s"offset tail did not compact: ${tailNames.length} names for 6 files ($offLine)")
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
   }
 
   test("reported statistics let Catalyst BROADCAST a small graftlog dimension") {

@@ -481,6 +481,52 @@ class PlanShapeSpec extends SparkTestBase {
       s"event_type not pruned from the scan output:\n$scan")
   }
 
+  test("graftlog DSv2 topN: ORDER BY + LIMIT pushed as a per-file heap, no full Sort planned") {
+    // SupportsPushDownTopN (round 14): the scan keeps a size-k heap per
+    // file and Spark's global TakeOrdered merges the survivors — a full
+    // Sort operator anywhere means the pushdown silently regressed to
+    // materialize-and-sort, the exact shape the surface exists to avoid.
+    val plan = executedPlan(graft.operators.StorageOps.dsv2TopN(spark, sfDir))
+    val scan = plan.split("\n").find(_.contains("GraftLogScan"))
+      .getOrElse(fail(s"no GraftLogScan in:\n$plan"))
+    assert(scan.contains("topn=[value DESC, event_id ASC] limit=25"),
+      s"topN not pushed into the scan:\n$scan")
+    val sortNode = """^[\s+\-:*()\d]*Sort[\s(]""".r
+    assert(!plan.split("\n").exists(l => sortNode.findFirstIn(l).isDefined),
+      s"full Sort planned above a pushed topN:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global TakeOrdered missing (partial push must keep it):\n$plan")
+  }
+
+  test("graftlog DSv2 aggregate: COUNT/MIN/MAX absorbed into the scan as per-file partials") {
+    // SupportsPushDownAggregates (round 14): the scan's output IS the
+    // partial-aggregate schema (groupBy cols + one col per function), so
+    // the exchange carries O(files x groups) rows. GraftLogSpec pins the
+    // emitted-row metric; here the plan shape: pushed agg on the scan
+    // line, and Spark's aggregate above MERGES partials (sum of counts)
+    // instead of re-counting records.
+    val plan = executedPlan(graft.operators.StorageOps.dsv2Agg(spark, sfDir))
+    val scan = plan.split("\n").find(_.contains("GraftLogScan"))
+      .getOrElse(fail(s"no GraftLogScan in:\n$plan"))
+    assert(scan.contains("agg=[count(*), min(value), max(value), min(event_id)] groupBy=[event_type]"),
+      s"aggregation not pushed into the scan:\n$scan")
+    assert(plan.contains("sum(") && !plan.contains("count(1)"),
+      s"merge aggregate missing / records re-counted above the pushed agg:\n$plan")
+  }
+
+  test("graftlog DSv2 runtime filter: the broadcast dim's IN-set lands on the BatchScan") {
+    // SupportsRuntimeFiltering (round 14): the join's build side feeds a
+    // dynamic IN back into the scan, which drops non-matching records in
+    // the reader (GraftLogSpec pins the emitted-row collapse); here the
+    // injection itself, reusing the join's own broadcast.
+    val plan = executedPlan(graft.operators.StorageOps.dsv2RuntimeFilter(spark, sfDir))
+    val scan = plan.split("\n").find(_.contains("GraftLogScan"))
+      .getOrElse(fail(s"no GraftLogScan in:\n$plan"))
+    assert(scan.contains("RuntimeFilters: [dynamicpruningexpression"),
+      s"no runtime filter on the graftlog scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+  }
+
   test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {
     val plan = executedPlan(graft.operators.VectorOps.pqTopK(spark, sfDir))
       .split("== Initial Plan ==")(0)
