@@ -174,7 +174,13 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo)
         "select the columns in table order before writing")
     new Write {
       override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate)
-      override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(path)
+      override def toStreaming: StreamingWrite =
+        // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
+        // through SupportsTruncate.truncate() — ignoring the flag here
+        // would silently APPEND a full snapshot every epoch); queryId keys
+        // the replay cleanup so a new query's epoch 0 cannot delete a
+        // previous query's epoch-0 files in a shared landing (r14 review)
+        new GraftLogStreamingWrite(path, doTruncate, info.queryId())
     }
   }
 }
@@ -204,22 +210,32 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean) extends BatchW
 /** Epoch-committed streaming write: the one V2 protocol corner the batch
   * path cannot exercise. Spark re-runs an uncommitted micro-batch with the
   * SAME epoch id after a restart, so commit(epoch, _) must be idempotent —
-  * delete-then-publish keyed on the `-e<epoch>-` name token makes the
-  * replayed epoch REPLACE its earlier attempt instead of duplicating it
-  * (GraftLogSpec deletes the checkpoint's commit marker and re-drains to
-  * prove it). */
-private class GraftLogStreamingWrite(path: String) extends StreamingWrite {
+  * delete-then-publish keyed on the `-q<queryId>-e<epoch>-` name token
+  * makes the replayed epoch REPLACE its earlier attempt instead of
+  * duplicating it (GraftLogSpec deletes the checkpoint's commit marker and
+  * re-drains to prove it). The queryId (stable across restarts of one
+  * query — it is exactly Spark's idempotence key for V2 sinks) scopes the
+  * cleanup: epoch ids restart at 0 for every NEW query, so without it a
+  * fresh query appending to a landing would delete a previous query's
+  * epoch-0 files at its own first commit (r14 review). In COMPLETE output
+  * mode (truncate=true) every epoch replaces the whole landing — the
+  * snapshot semantics Spark requested via SupportsTruncate. */
+private class GraftLogStreamingWrite(path: String, truncate: Boolean,
+    queryId: String) extends StreamingWrite {
+  require(!queryId.contains("\"") && !queryId.contains(",") && !queryId.contains("\\"),
+    s"unusable queryId for file naming: $queryId")
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     new java.io.File(path).mkdirs()
     new GraftLogWriterFactory(path)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val marker = s"-e$epochId-"
-    Option(new java.io.File(path).listFiles())
+    val marker = s"-q$queryId-e$epochId-"
+    val victims = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.endsWith(".graftlog") && f.getName.contains(marker))
-      .foreach(f => require(f.delete(), s"epoch replay failed to delete $f"))
-    GraftLogNames.publishAll(path, messages, pid => s"e$epochId-" + f"p$pid%05d")
+      .filter(f => f.getName.endsWith(".graftlog") &&
+        (truncate || f.getName.contains(marker)))
+    victims.foreach(f => require(f.delete(), s"epoch commit failed to delete $f"))
+    GraftLogNames.publishAll(path, messages, pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -511,7 +527,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".graftlog")).map(_.getName).sorted
 
-  override def initialOffset(): Offset = GraftLogOffset("", Nil)
+  override def initialOffset(): Offset = GraftLogOffset("", lagMs, Nil)
   // SupportsAdmissionControl routes all discovery through the 2-arg form;
   // the 0-arg form must not be silently different, so it refuses
   override def latestOffset(): Offset =
@@ -528,7 +544,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // sorted = publish order for stamped names: admission drains the
     // backlog oldest-first, which is what keeps the high-water honest
     // (everything still unadmitted sorts at or above the new high-water)
-    val fresh = listNames().filterNot(cur.seen(_, lagMs))
+    val fresh = listNames().filterNot(cur.seen)
     val admitted = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(r.maxFiles())
@@ -544,7 +560,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // difference is enumerable from the two offsets alone — including
     // across a restart, where both come back from checkpoint JSON
     end.asInstanceOf[GraftLogOffset].tail
-      .filterNot(from.seen(_, lagMs)).sorted
+      .filterNot(from.seen).sorted
       .map(n => GraftLogPartition(s"$path/$n"): InputPartition).toArray
   }
 
@@ -571,23 +587,35 @@ private[sources] object GraftLogNames {
     f"pub-$millis%013d-$seq%04d-$tag.graftlog"
 
   /** Publish stamp of a name, or -1 for unstamped (legacy/foreign) names,
-    * which never take part in watermark arithmetic. */
-  def stamp(name: String): Long =
-    if (name.length >= 17 && name.startsWith("pub-") &&
-        name.substring(4, 17).forall(c => c >= '0' && c <= '9'))
-      name.substring(4, 17).toLong
-    else -1L
+    * which never take part in watermark arithmetic. The FULL scheme shape
+    * is required — `pub-<13 digits>-<digits>-` — not just the prefix: a
+    * plausible foreign name like `pub-1690000000000.graftlog` must ride
+    * the never-compacts legacy path, not be silently classified as seen
+    * by the boundary (r14 review). */
+  def stamp(name: String): Long = {
+    if (name.length < 20 || !name.startsWith("pub-") ||
+        !name.substring(4, 17).forall(c => c >= '0' && c <= '9') ||
+        name.charAt(17) != '-') return -1L
+    val seqEnd = name.indexOf('-', 18)
+    if (seqEnd <= 18 ||
+        !name.substring(18, seqEnd).forall(c => c >= '0' && c <= '9')) return -1L
+    name.substring(4, 17).toLong
+  }
 
-  /** Driver-side publish pass shared by the batch and epoch commits: one
-    * stamp per commit, a sequence number plus fresh uuid per file (unique
-    * even across two commits inside the same millisecond). */
+  /** Driver-side publish pass shared by the batch and epoch commits: the
+    * stamp is taken PER FILE, immediately before its own rename — the
+    * stamp-to-visibility window is one syscall, so a GC pause or slow fs
+    * mid-loop cannot strand a stale-stamped file below another writer's
+    * advancing lag boundary (r14 review; a commit-wide stamp left the
+    * whole rename loop inside the window). The sequence number plus a
+    * fresh uuid keep names unique even across two commits inside the same
+    * millisecond. */
   def publishAll(path: String, messages: Array[WriterCommitMessage],
       tag: Int => String): Unit = {
-    val stampNow = System.currentTimeMillis()
     messages.zipWithIndex.foreach {
       case (GraftLogCommit(tmp, pid), i) =>
         val uuid = java.util.UUID.randomUUID().toString.take(8)
-        val dest = s"$path/${publish(stampNow, i, s"${tag(pid)}-$uuid")}"
+        val dest = s"$path/${publish(System.currentTimeMillis(), i, s"${tag(pid)}-$uuid")}"
         val t = new java.io.File(tmp)
         require(t.renameTo(new java.io.File(dest)),
           s"commit failed to publish $tmp -> $dest")
@@ -601,45 +629,67 @@ private[sources] object GraftLogNames {
   * ever admitted ("" before any), `tail` the seen names not implied by it
   * — stamped names inside the lag window plus all unstamped (legacy)
   * names. A stamped name below (hw's stamp - lag) is implicitly seen; see
-  * the connector header for why that is sound. Serialized as a flat JSON
+  * the connector header for why that is sound. The lag the tail was
+  * COMPACTED under rides in the offset itself: seen() must use it, not
+  * the session's current `publishLagMs` — a restart with a raised lag
+  * would otherwise re-classify already-compacted (implicitly seen) names
+  * as fresh and re-process them (r14 review). Serialized as a flat JSON
   * object; names are uuid/stamp tokens, so no escaping beyond quotes is
   * ever needed, and fromJson rejects any name that would require it
   * rather than parse wrongly. */
-private case class GraftLogOffset(hw: String, tail: Seq[String]) extends Offset {
-  require((tail :+ hw).forall(f => !f.contains("\"") && !f.contains("\\")),
+private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) extends Offset {
+  // commas are forbidden alongside quotes/backslashes: the tail parser
+  // splits elements on commas, so a comma-bearing (foreign) file name
+  // must fail HERE, loudly, not round-trip into a corrupted offset that
+  // silently re-reads or skips files
+  require((tail :+ hw).forall(f =>
+      !f.contains("\"") && !f.contains("\\") && !f.contains(",")),
     s"unserializable file name among: hw=$hw tail=$tail")
   require(hw.isEmpty || GraftLogNames.stamp(hw) >= 0,
     s"offset high-water must be a publish-stamped name, got '$hw'")
+  require(lagMs >= 0, s"offset lag must be >= 0, got $lagMs")
 
   @transient private lazy val tailSet = tail.toSet
-  private def boundary(lagMs: Long): Long =
+  private def boundary: Long =
     if (hw.isEmpty) Long.MinValue else GraftLogNames.stamp(hw) - lagMs
 
-  /** Has `name` already been processed under this offset? */
-  def seen(name: String, lagMs: Long): Boolean = {
+  /** Has `name` already been processed under this offset? Uses the
+    * offset's OWN compaction lag — the only basis consistent with what
+    * its tail retained. */
+  def seen(name: String): Boolean = {
     val s = GraftLogNames.stamp(name)
-    (s >= 0 && s < boundary(lagMs)) || tailSet.contains(name)
+    (s >= 0 && s < boundary) || tailSet.contains(name)
   }
 
-  /** The offset after additionally processing `admitted`. Every admitted
-    * name is retained verbatim in the new tail (planInputPartitions
-    * enumerates the batch from it); previously-retained names compact out
-    * once they age past the new high-water's lag window. */
-  def admit(admitted: Seq[String], lagMs: Long): GraftLogOffset = {
+  /** The offset after additionally processing `admitted`, compacted under
+    * the session's lag (which the new offset then carries). Every
+    * admitted name is retained verbatim in the new tail
+    * (planInputPartitions enumerates the batch from it);
+    * previously-retained names compact out once they age past the new
+    * high-water's lag window. */
+  def admit(admitted: Seq[String], sessionLagMs: Long): GraftLogOffset = {
     if (admitted.isEmpty) return this // identical offset => no empty batch
     val adm = admitted.toSet
     val newHw = (Seq(hw).filter(_.nonEmpty) ++ admitted.filter(GraftLogNames.stamp(_) >= 0))
       .maxOption.getOrElse("")
-    val bnd = if (newHw.isEmpty) Long.MinValue else GraftLogNames.stamp(newHw) - lagMs
+    // the implicit-seen boundary is MONOTONE: names below the old boundary
+    // were compacted out of the tail, so a new boundary below it (a raised
+    // session lag on a barely-advanced high-water) would re-classify them
+    // as fresh and duplicate their rows — clamp the carried lag so the new
+    // boundary is max(old boundary, newHw - sessionLag)
+    val newLag =
+      if (newHw.isEmpty || hw.isEmpty) sessionLagMs
+      else math.min(sessionLagMs, GraftLogNames.stamp(newHw) - boundary)
+    val bnd = if (newHw.isEmpty) Long.MinValue else GraftLogNames.stamp(newHw) - newLag
     val keep = (tail ++ admitted).distinct.filter { n =>
       val s = GraftLogNames.stamp(n)
       s < 0 || s >= bnd || adm.contains(n)
     }
-    GraftLogOffset(newHw, keep.sorted)
+    GraftLogOffset(newHw, newLag, keep.sorted)
   }
 
   override def json(): String =
-    s"""{"hw":"$hw","tail":${tail.map(f => s""""$f"""").mkString("[", ",", "]")}}"""
+    s"""{"hw":"$hw","lag":$lagMs,"tail":${tail.map(f => s""""$f"""").mkString("[", ",", "]")}}"""
 }
 
 /** Spec hook: GraftLogOffset is private to the connector; the serde and
@@ -647,14 +697,15 @@ private case class GraftLogOffset(hw: String, tail: Seq[String]) extends Offset 
   * mis-compacted offset silently re-reads or skips files across
   * restarts), so GraftLogSpec pins them through this door. */
 private[graft] object GraftLogOffsetTestHook {
-  def make(hw: String, tail: Seq[String]): String = GraftLogOffset(hw, tail).json()
-  def parse(json: String): (String, Seq[String]) = {
-    val o = GraftLogOffset.fromJson(json); (o.hw, o.tail)
+  def make(hw: String, lagMs: Long, tail: Seq[String]): String =
+    GraftLogOffset(hw, lagMs, tail).json()
+  def parse(json: String): (String, Long, Seq[String]) = {
+    val o = GraftLogOffset.fromJson(json); (o.hw, o.lagMs, o.tail)
   }
-  def seen(json: String, name: String, lagMs: Long): Boolean =
-    GraftLogOffset.fromJson(json).seen(name, lagMs)
-  def admit(json: String, admitted: Seq[String], lagMs: Long): String =
-    GraftLogOffset.fromJson(json).admit(admitted, lagMs).json()
+  def seen(json: String, name: String): Boolean =
+    GraftLogOffset.fromJson(json).seen(name)
+  def admit(json: String, admitted: Seq[String], sessionLagMs: Long): String =
+    GraftLogOffset.fromJson(json).admit(admitted, sessionLagMs).json()
   def publishName(millis: Long, seq: Int, tag: String): String =
     GraftLogNames.publish(millis, seq, tag)
 }
@@ -669,8 +720,15 @@ private object GraftLogOffset {
     require(hwEnd >= 0, s"bad graftlog offset: $json")
     val hw = afterHw.substring(0, hwEnd)
     val rest = afterHw.substring(hwEnd + 1)
-    require(rest.startsWith(""","tail":[""") , s"bad graftlog offset: $json")
-    val body = rest.stripPrefix(""","tail":[""").stripSuffix("]}").trim
+    require(rest.startsWith(""","lag":"""), s"bad graftlog offset: $json")
+    val lagBody = rest.stripPrefix(""","lag":""")
+    val lagEnd = lagBody.indexOf(',')
+    require(lagEnd > 0 && lagBody.substring(0, lagEnd).forall(_.isDigit),
+      s"bad graftlog offset lag: $json")
+    val lagMs = lagBody.substring(0, lagEnd).toLong
+    val restTail = lagBody.substring(lagEnd)
+    require(restTail.startsWith(""","tail":["""), s"bad graftlog offset: $json")
+    val body = restTail.stripPrefix(""","tail":[""").stripSuffix("]}").trim
     val tail =
       if (body.isEmpty) Nil
       else body.split(",").toSeq.map { s =>
@@ -679,7 +737,7 @@ private object GraftLogOffset {
           s"bad graftlog offset element: $s")
         q.substring(1, q.length - 1)
       }
-    GraftLogOffset(hw, tail)
+    GraftLogOffset(hw, lagMs, tail)
   }
 }
 
@@ -904,10 +962,22 @@ private class GraftLogAggReader(file: String, filters: Array[Filter],
         val a = new Accs
         while (cursor.advance()) update(a)
         out = Iterator(emit(Nil, a))
+      } else if (agg.groupBy.length == 1) {
+        // the common telemetry shape gets the cheap probe: one boxed field
+        // per record (UTF8String is already a ref), no per-record Seq —
+        // the per-record constant IS the scan cost at 100 TB
+        val ord = agg.groupBy(0)
+        val groups = scala.collection.mutable.LinkedHashMap.empty[Any, Accs]
+        while (cursor.advance())
+          update(groups.getOrElseUpdate(cursor.field(ord), new Accs))
+        out = groups.iterator.map { case (k, a) => emit(k :: Nil, a) }
       } else {
-        val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Accs]
+        val ords = agg.groupBy
+        val groups = scala.collection.mutable.LinkedHashMap.empty[List[Any], Accs]
         while (cursor.advance()) {
-          val key: Seq[Any] = agg.groupBy.toSeq.map(cursor.field)
+          var key: List[Any] = Nil
+          var i = ords.length - 1
+          while (i >= 0) { key = cursor.field(ords(i)) :: key; i -= 1 }
           update(groups.getOrElseUpdate(key, new Accs))
         }
         out = groups.iterator.map { case (k, a) => emit(k, a) }

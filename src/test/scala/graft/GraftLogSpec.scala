@@ -205,15 +205,26 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     import graft.sources.GraftLogOffsetTestHook._
     val hw = publishName(1700000000123L, 2, "b00002-aabbccdd")
     val t1 = publishName(1700000000123L, 0, "b00000-11223344")
-    val off = make(hw, Seq(t1, hw, "legacy-name.graftlog"))
-    assert(parse(off) == ((hw, Seq(t1, hw, "legacy-name.graftlog"))))
-    assert(parse(make("", Nil)) == (("", Nil)))
+    val off = make(hw, 10000L, Seq(t1, hw, "legacy-name.graftlog"))
+    assert(parse(off) == ((hw, 10000L, Seq(t1, hw, "legacy-name.graftlog"))))
+    assert(parse(make("", 10000L, Nil)) == (("", 10000L, Nil)))
     intercept[IllegalArgumentException] { parse("{bad}") }
     intercept[IllegalArgumentException] { parse("""["old","v1","list"]""") }
-    intercept[IllegalArgumentException] { parse("""{"hw":"x","tail":[noquotes]}""") }
+    // the r13 lag-less format must be rejected, not parsed with a guessed
+    // lag (the lag IS the compaction basis — see the lag-carry test below)
+    intercept[IllegalArgumentException] { parse(s"""{"hw":"$hw","tail":[]}""") }
+    intercept[IllegalArgumentException] { parse(s"""{"hw":"$hw","lag":10,"tail":[noquotes]}""") }
     // the high-water must be publish-stamped: watermark arithmetic on an
     // unstamped name would compare garbage
-    intercept[IllegalArgumentException] { parse("""{"hw":"legacy.graftlog","tail":[]}""") }
+    intercept[IllegalArgumentException] { parse("""{"hw":"legacy.graftlog","lag":10,"tail":[]}""") }
+    // a comma-bearing foreign name must fail at construction, loudly —
+    // the tail parser splits on commas and would otherwise round-trip it
+    // into a corrupted offset
+    intercept[IllegalArgumentException] { make(hw, 10000L, Seq("a,b.graftlog")) }
+    // a PARTIAL scheme match is a foreign name, not a stamped one: pulled
+    // into watermark arithmetic it would be silently classified seen
+    assert(!seen(make(hw, 0L, Nil), "pub-1690000000000.graftlog"),
+      "a prefix-only foreign name was treated as publish-stamped")
   }
 
   test("offset compaction: seen-set arithmetic, lag-window tail, legacy names never compact") {
@@ -224,28 +235,41 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     // admit three old files + one legacy name, then a much newer file:
     // the old stamped names must compact out (implicitly seen), the
     // legacy name must stay in the tail forever
-    val o1 = admit(make("", Nil), Seq(n(base, 0), n(base, 1), n(base, 2), "legacy.graftlog"), lag)
-    val (hw1, tail1) = parse(o1)
+    val o1 = admit(make("", lag, Nil), Seq(n(base, 0), n(base, 1), n(base, 2), "legacy.graftlog"), lag)
+    val (hw1, _, tail1) = parse(o1)
     assert(hw1 == n(base, 2) && tail1.toSet ==
       Set(n(base, 0), n(base, 1), n(base, 2), "legacy.graftlog"))
     val o2 = admit(o1, Seq(n(base + 60000, 0)), lag)
-    val (hw2, tail2) = parse(o2)
+    val (hw2, _, tail2) = parse(o2)
     assert(hw2 == n(base + 60000, 0), "high-water did not advance")
     assert(tail2.toSet == Set(n(base + 60000, 0), "legacy.graftlog"),
       s"expected old stamped names compacted out and legacy retained, got $tail2")
     // compacted-out names are still SEEN (implicitly, below the lag
     // boundary); names inside the lag window are seen only via the tail
-    assert(seen(o2, n(base, 1), lag), "compacted name no longer seen")
-    assert(seen(o2, "legacy.graftlog", lag))
-    assert(!seen(o2, "other-legacy.graftlog", lag),
+    assert(seen(o2, n(base, 1)), "compacted name no longer seen")
+    assert(seen(o2, "legacy.graftlog"))
+    assert(!seen(o2, "other-legacy.graftlog"),
       "an unseen unstamped name must never be implicitly seen")
-    assert(!seen(o2, n(base + 59500, 0), lag),
+    assert(!seen(o2, n(base + 59500, 0)),
       "an unseen name inside the lag window must not be implicitly seen")
-    assert(seen(o2, n(base + 1000, 0), lag),
+    assert(seen(o2, n(base + 1000, 0)),
       "names below the lag boundary are implicitly seen (the documented " +
         "publish-to-visibility assumption)")
     // admitting nothing returns the identical offset (no empty batches)
     assert(admit(o2, Nil, lag) == o2)
+    // LAG CARRY + MONOTONE BOUNDARY (r14 review): the offset's own lag is
+    // the seen() basis, and a RAISED session lag must not move the
+    // boundary down — o2's boundary sits at (base+60000)-1000; a restart
+    // with sessionLag=50000 admits a file at base+61000, whose unclamped
+    // boundary (base+11000) would re-expose names compacted under o2
+    // (e.g. n(base+30000, _) if it had been processed). The clamp keeps
+    // every previously-implicit name implicitly seen.
+    val o3 = admit(o2, Seq(n(base + 61000, 0)), 50000L)
+    assert(seen(o3, n(base, 1)), "raised lag re-exposed a compacted name")
+    assert(seen(o3, n(base + 50000, 0)),
+      "raised lag moved the implicit-seen boundary DOWN across a restart")
+    assert(!seen(o3, n(base + 60500, 0)),
+      "an unseen name inside the (clamped) window must not be implicitly seen")
   }
 
   test("TopN pushdown is PARTIAL: per-file heap in the scan, global TakeOrdered kept, exact results") {
@@ -371,6 +395,58 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
       "an epoch replay duplicated its rows instead of replacing them")
   }
 
+  test("COMPLETE-mode streaming write replaces the landing with each epoch's snapshot") {
+    // Spark routes Complete output mode through SupportsTruncate, so the
+    // streaming write MUST honor the flag: each epoch clears the landing
+    // and publishes the full snapshot. Ignoring it (the r14 review catch)
+    // would append a whole snapshot per micro-batch — silently multiplied
+    // groups on read-back. The aggregate is projected into the table
+    // schema (the writer requires it exactly).
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Scratch.dir("graftlog_spec_complete_in")
+    val out = Scratch.dir("graftlog_spec_complete_out")
+    events.limit(30).repartition(3).write.format("graftlog").mode("append").save(in)
+    val q = spark.readStream.format("graftlog")
+      .option("maxFilesPerTrigger", "1").load(in)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("event_id"), min(col("user_id")).as("user_id"),
+        max(col("value")).as("value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .writeStream.format("graftlog")
+      .option("checkpointLocation", Scratch.streamCkptDir("graftlog_spec_complete_ckpt"))
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start(out)
+    q.awaitTermination()
+    val snapshot = spark.read.format("graftlog").load(out)
+    val nGroups = events.limit(30).select("event_type").distinct().count()
+    assert(snapshot.count() == nGroups,
+      s"expected one row per group ($nGroups) in the final snapshot, got " +
+        s"${snapshot.count()} — Complete mode appended instead of replacing")
+  }
+
+  test("a NEW streaming query's epoch 0 does not delete a previous query's files") {
+    // epoch ids restart at 0 for every new query, so the replay cleanup
+    // must be scoped by queryId (r14 review): two sequential queries
+    // appending into the same landing must coexist.
+    import org.apache.spark.sql.streaming.Trigger
+    val out = Scratch.dir("graftlog_spec_twoq_out")
+    def drainInto(rows: DataFrame, tag: String): Unit = {
+      val in = Scratch.dir(s"graftlog_spec_twoq_$tag")
+      rows.write.format("graftlog").mode("append").save(in)
+      val q = spark.readStream.format("graftlog").load(in)
+        .writeStream.format("graftlog")
+        .option("checkpointLocation", Scratch.streamCkptDir(s"graftlog_spec_twoq_ckpt_$tag"))
+        .trigger(Trigger.AvailableNow()).start(out)
+      q.awaitTermination()
+    }
+    val all = events.orderBy("event_id").limit(20)
+    drainInto(all.filter(col("event_id") % 2 === 0), "a")
+    drainInto(all.filter(col("event_id") % 2 === 1), "b")
+    val got = spark.read.format("graftlog").load(out).count()
+    assert(got == 20,
+      s"expected both queries' 20 rows, got $got — an epoch-0 collision deleted the first query's data")
+  }
+
   test("published names are stamped at commit time and streaming offsets stay compacted") {
     // every file the connector publishes (batch and epoch commits alike)
     // must carry a publish stamp — the compaction arithmetic depends on it
@@ -404,7 +480,7 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
       val last = new java.io.File(s"$ckpt/offsets").listFiles()
         .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
       val offLine = scala.io.Source.fromFile(last).getLines().toSeq.last
-      val (hw, tailNames) = graft.sources.GraftLogOffsetTestHook.parse(offLine)
+      val (hw, _, tailNames) = graft.sources.GraftLogOffsetTestHook.parse(offLine)
       assert(hw.startsWith("pub-"), s"no high-water in the final offset: $offLine")
       assert(tailNames.length < 6,
         s"offset tail did not compact: ${tailNames.length} names for 6 files ($offLine)")
