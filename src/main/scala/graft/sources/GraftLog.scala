@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Count => V2Count, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -520,12 +520,24 @@ private case class GraftLogPartition(file: String) extends InputPartition
   * micro-batch reader unchanged. */
 private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     columns: Array[String], maxFiles: Option[Int], lagMs: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private def listNames(): Array[String] =
     Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".graftlog")).map(_.getName).sorted
+
+  // Trigger.AvailableNow, natively (round 14; previously Spark's
+  // compatibility wrapper supplied the semantics): prepare() snapshots the
+  // visible file set, and every subsequent admission is clipped to it —
+  // the query drains exactly the data that existed at start (in
+  // maxFilesPerTrigger-sized batches) and terminates, files landing
+  // mid-drain left for the next run. The snapshot is names, not an
+  // offset: admission still goes through the same seen/admit arithmetic.
+  @volatile private var availableNowCutoff: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCutoff = Some(listNames().toSet)
 
   override def initialOffset(): Offset = GraftLogOffset("", lagMs, Nil)
   // SupportsAdmissionControl routes all discovery through the 2-arg form;
@@ -544,13 +556,37 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // sorted = publish order for stamped names: admission drains the
     // backlog oldest-first, which is what keeps the high-water honest
     // (everything still unadmitted sorts at or above the new high-water)
-    val fresh = listNames().filterNot(cur.seen)
+    val visible = availableNowCutoff match {
+      case Some(cut) => listNames().filter(cut.contains)
+      case None => listNames()
+    }
+    val fresh = visible.filterNot(cur.seen)
     val admitted = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(r.maxFiles())
       case _ => fresh
     }
     cur.admit(admitted.toSeq, lagMs)
+  }
+
+  /** Backlog visibility in every StreamingQueryProgress: how many visible
+    * files the latest committed offset has not consumed — the file-source
+    * analog of Kafka's offsets-behind-latest, and the number an operator
+    * alarms on. The committed offset arrives as whatever Offset impl the
+    * engine holds (possibly a SerializedOffset read back from the
+    * checkpoint log), so it is re-parsed through the one serde. */
+  override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val consumed: Option[GraftLogOffset] =
+      if (latestConsumed.isPresent)
+        Some(GraftLogOffset.fromJson(latestConsumed.get.json()))
+      else None
+    val names = listNames()
+    val pending = consumed match {
+      case Some(off) => names.count(n => !off.seen(n))
+      case None => names.length
+    }
+    java.util.Map.of("visibleFiles", names.length.toString,
+      "pendingFiles", pending.toString)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

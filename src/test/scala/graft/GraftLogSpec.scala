@@ -522,6 +522,32 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     spark.catalog.dropTempView(name)
   }
 
+  test("native Trigger.AvailableNow drains the whole start-time backlog in admission-sized batches, then terminates") {
+    // SupportsTriggerAvailableNow (round 14): prepare() snapshots the
+    // visible set; the drain must still respect maxFilesPerTrigger (three
+    // one-file batches, not one giant batch) AND terminate on its own —
+    // chunked eviction semantics with batch-job lifecycle.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Scratch.dir("graftlog_spec_availnow")
+    events.limit(30).repartition(3).write.format("graftlog").mode("append").save(dir)
+    val out = Scratch.dir("graftlog_spec_availnow_out")
+    val q = spark.readStream.format("graftlog")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", Scratch.streamCkptDir("graftlog_spec_availnow_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow drain did not terminate")
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 3, s"expected 3 one-file batches, got $dataBatches")
+    assert(spark.read.parquet(out).count() == 30)
+    // source metrics (ReportsSourceMetrics): the last progress entry must
+    // report the drained state — all visible files consumed
+    val m = q.recentProgress.last.sources.head.metrics
+    assert(m.get("visibleFiles") == "3" && m.get("pendingFiles") == "0",
+      s"source metrics wrong after a full drain: $m")
+  }
+
   test("one InputPartition per log file (the distributed-scan shape)") {
     val nFiles = new java.io.File(landing).listFiles()
       .count(_.getName.endsWith(".graftlog"))
