@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Count => V2Count, Max => V2Max, Min => V2Min}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -498,9 +499,22 @@ private class GraftLogScan(path: String, filters: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(() => allFilters,
       required.fieldNames, limit, topN, agg)
+
+  // Observability (round 14): the records the readers DROPPED via pushed
+  // and runtime predicates, surfaced as a first-class SQL metric on the
+  // BatchScan node — pushdown savings become a number in the UI/plan
+  // metrics instead of an inference from row counts. Sum across tasks.
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new GraftLogSkippedMetric)
 }
 
 private case class GraftLogPartition(file: String) extends InputPartition
+
+private class GraftLogSkippedMetric extends CustomSumMetric {
+  override def name(): String = "recordsSkipped"
+  override def description(): String =
+    "records dropped inside the source by pushed/runtime predicates"
+}
 
 // ---------------------------------------------------------------------------
 // Streaming source
@@ -817,6 +831,9 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
   var userId: Long = 0L
   var value: Double = 0.0
   var etype: UTF8String = _
+  /** Records decoded but dropped by the predicate chain — the pushdown
+    * saving, fed to the scan's `recordsSkipped` SQL metric. */
+  var skipped: Long = 0L
 
   /** Advance to the next record passing all predicates; false at EOF. */
   def advance(): Boolean = {
@@ -839,8 +856,17 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
         ok = preds(i)(eventId, userId, value, etype); i += 1
       }
       if (ok) return true
+      skipped += 1
     }
     false
+  }
+
+  def metricsValues(): Array[CustomTaskMetric] = {
+    val n = skipped
+    Array(new CustomTaskMetric {
+      override def name(): String = "recordsSkipped"
+      override def value(): Long = n
+    })
   }
 
   def field(ord: Int): Any = ord match {
@@ -871,6 +897,7 @@ private class GraftLogRowReader(file: String, filters: Array[Filter],
     true
   }
   override def get(): InternalRow = row
+  override def currentMetricsValues(): Array[CustomTaskMetric] = cursor.metricsValues()
   override def close(): Unit = cursor.close()
 }
 
@@ -928,6 +955,7 @@ private class GraftLogTopNReader(file: String, filters: Array[Filter],
     true
   }
   override def get(): InternalRow = row
+  override def currentMetricsValues(): Array[CustomTaskMetric] = cursor.metricsValues()
   override def close(): Unit = cursor.close()
 }
 
@@ -1024,6 +1052,7 @@ private class GraftLogAggReader(file: String, filters: Array[Filter],
     true
   }
   override def get(): InternalRow = row
+  override def currentMetricsValues(): Array[CustomTaskMetric] = cursor.metricsValues()
   override def close(): Unit = cursor.close()
 }
 

@@ -33,7 +33,7 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     * records) and runtime filters (join-live rows, not everything). AQE
     * hides scans inside materialized query stages, which are leaf nodes
     * to `collect` — recurse through them explicitly. */
-  private def batchScanOutputRows(df: DataFrame): Long = {
+  private def batchScanMetric(df: DataFrame, metric: String): Long = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
@@ -46,8 +46,10 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     }
     val found = scans(df.queryExecution.executedPlan)
     assert(found.nonEmpty, "no BatchScanExec in the executed plan")
-    found.map(_.metrics("numOutputRows").value).sum
+    found.map(_.metrics(metric).value).sum
   }
+  private def batchScanOutputRows(df: DataFrame): Long =
+    batchScanMetric(df, "numOutputRows")
 
   test("roundtrip: the log reproduces the source rows exactly") {
     val back = scan().orderBy("event_id").collect()
@@ -546,6 +548,19 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     val m = q.recentProgress.last.sources.head.metrics
     assert(m.get("visibleFiles") == "3" && m.get("pendingFiles") == "0",
       s"source metrics wrong after a full drain: $m")
+  }
+
+  test("recordsSkipped SQL metric surfaces the pushdown saving on the scan node") {
+    // the observability twin of the exact-pushdown contract: records the
+    // readers dropped via pushed predicates become a first-class metric
+    // on the BatchScan — kept + skipped must account for every record
+    val df = scan().filter(col("value") < 50.0)
+    val kept = events.filter(col("value") < 50.0).count()
+    val total = events.count()
+    assert(kept > 0 && kept < total, s"fixture degenerate: $kept of $total")
+    val skipped = batchScanMetric(df, "recordsSkipped")
+    assert(skipped == total - kept,
+      s"recordsSkipped=$skipped; expected ${total - kept} (total $total - kept $kept)")
   }
 
   test("one InputPartition per log file (the distributed-scan shape)") {
