@@ -428,6 +428,57 @@ object StorageOps extends QueryModule {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // Custom sink, COMPLETE output mode (round 14): a streaming aggregation
+  // written through the V2 StreamingWrite with truncate-per-epoch
+  // snapshot semantics (Spark routes Complete through SupportsTruncate).
+  // maxFilesPerTrigger=1 forces multiple epochs, so the read-back equals
+  // the oracle ONLY if every epoch actually REPLACED the landing — an
+  // append-instead-of-replace regression multiplies the snapshot rows and
+  // fails the row-count compare. The aggregate is projected into the
+  // log's fixed schema (count -> event_id slot etc.) and renamed on
+  // read-back.
+  // ------------------------------------------------------------------
+  def dsv2StreamComplete(s: SparkSession, dir: String): DataFrame = {
+    val in = scratch("graft_log_complete_in")
+    val out = scratch("graft_log_complete_out")
+    // two input files x one-file triggers = two data epochs: the minimum
+    // that PROVES replacement (epoch 2's snapshot must replace epoch 1's)
+    // without paying fixture-scale per-epoch machinery twice more
+    Tables.load(s, dir, "events")
+      .filter(col("event_id") < 20000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(2)
+      .write.format("graftlog").mode("append").save(in)
+    // stateful stream: the house low-shuffle-partition discipline (every
+    // epoch pays one state-store fsync per shuffle partition; 32 of them
+    // per micro-batch is pure checkpoint tax at fixture scale)
+    val q = graft.streaming.Streams.withStreamShuffle(s) {
+      s.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", "1").load(in)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("event_id"), min(col("user_id")).as("user_id"),
+          max(col("value")).as("value"))
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .writeStream.format("graftlog")
+        .option("checkpointLocation", graft.Scratch.streamCkptDir("gl_complete_ckpt"))
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+    }
+    q.awaitTermination()
+    s.read.format("graftlog").load(out)
+      .select(col("event_type"), col("event_id").as("n"),
+        col("user_id").as("min_user"), col("value").as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val dsv2StreamCompleteSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(user_id) AS min_user, MAX(value) AS max_value
+      |FROM events WHERE event_id < 20000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, STREAMING half (round 13): the same graftlog landing
   // drained as a micro-batch stream — offsets are the discovered file-name
   // set (the Kafka-shaped contract: named positions in an append-only log,
@@ -472,7 +523,8 @@ object StorageOps extends QueryModule {
     "scan_dsv2_agg" -> (dsv2Agg _),
     "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
     "stream_dsv2_source" -> (dsv2StreamSource _),
-    "stream_dsv2_sink" -> (dsv2StreamSink _))
+    "stream_dsv2_sink" -> (dsv2StreamSink _),
+    "stream_dsv2_complete" -> (dsv2StreamComplete _))
 
   def oracles: Map[String, String] = Map(
     "json_roundtrip" -> jsonRoundtripSql,
@@ -487,5 +539,6 @@ object StorageOps extends QueryModule {
     "scan_dsv2_agg" -> dsv2AggSql,
     "join_dsv2_runtime" -> dsv2RuntimeFilterSql,
     "stream_dsv2_source" -> dsv2StreamSourceSql,
-    "stream_dsv2_sink" -> dsv2StreamSinkSql)
+    "stream_dsv2_sink" -> dsv2StreamSinkSql,
+    "stream_dsv2_complete" -> dsv2StreamCompleteSql)
 }
