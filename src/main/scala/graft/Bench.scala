@@ -233,43 +233,54 @@ object Bench {
     // megamorphic callsites after ~180 prior queries; running it FIRST
     // removes the priors, so a vanished episode supports the hypothesis
     // and a persisting one refutes it).
-    val selected: Seq[String] = sys.env.get("GRAFT_BENCH_FIRST") match {
-      case Some(n) =>
-        // Validate against the FULL registry (round-13 review, narrowed by
-        // the r13 advice): a typo'd name would silently run a NORMAL
-        // session yet stamp probe:{first:...} into the artifact — a clean
-        // run masquerading as a probe. But a REGISTERED name outside an
-        // args-filtered subset is a session-scoped env var riding along on
-        // a local iteration run, not a typo — warn and ignore instead of
-        // hard-crashing the subset bench. (Registry names are [A-Za-z0-9_],
-        // so a validated name is also JSON-safe to embed.)
-        require(benchable.contains(n),
-          s"GRAFT_BENCH_FIRST '$n' is not a registered query")
-        if (!selected0.contains(n)) {
-          System.err.println(s"[bench] GRAFT_BENCH_FIRST '$n' is registered " +
-            "but outside the selected subset; ignoring the reorder")
-          selected0
-        } else { val (f, rest) = selected0.partition(_ == n); f ++ rest }
-      case None => selected0
-    }
+    // effectiveFirst carries the knob ONLY when the reorder actually took
+    // effect: the probe stamp in the artifact is derived from it, so an
+    // ignored (outside-the-subset) knob can no longer self-label a normal
+    // subset run as a probe (r14 advice — the label/behavior mismatch the
+    // r13 validation existed to prevent, inverted).
+    val (selected: Seq[String], effectiveFirst: Option[String]) =
+      sys.env.get("GRAFT_BENCH_FIRST") match {
+        case Some(n) =>
+          // Validate against the FULL registry (round-13 review, narrowed by
+          // the r13 advice): a typo'd name would silently run a NORMAL
+          // session yet stamp probe:{first:...} into the artifact — a clean
+          // run masquerading as a probe. But a REGISTERED name outside an
+          // args-filtered subset is a session-scoped env var riding along on
+          // a local iteration run, not a typo — warn and ignore instead of
+          // hard-crashing the subset bench. (Registry names are [A-Za-z0-9_],
+          // so a validated name is also JSON-safe to embed.)
+          require(benchable.contains(n),
+            s"GRAFT_BENCH_FIRST '$n' is not a registered query")
+          if (!selected0.contains(n)) {
+            System.err.println(s"[bench] GRAFT_BENCH_FIRST '$n' is registered " +
+              "but outside the selected subset; ignoring the reorder")
+            (selected0, None)
+          } else {
+            val (f, rest) = selected0.partition(_ == n); (f ++ rest, Some(n))
+          }
+        case None => (selected0, None)
+      }
     // GRAFT_BENCH_AQE_OFF=name,name: probe knob — run the listed queries
     // with AQE disabled (second round-11 hypothesis: per-execution AQE
     // re-planning generates fresh classes each run, so the episode is
     // class-churn; AQE off pins one physical plan across runs). Scoped per
     // query and restored after, so the rest of the session is untouched.
-    val aqeOff: Set[String] =
+    val aqeOffRaw: Set[String] =
       sys.env.get("GRAFT_BENCH_AQE_OFF").map(_.split(",").map(_.trim).toSet)
         .getOrElse(Set.empty)
     // same validation rationale as GRAFT_BENCH_FIRST above: unknown name =
     // hard error, registered-but-outside-subset = warn (the pin simply has
-    // nothing to pin in this run)
-    aqeOff.foreach { n =>
+    // nothing to pin in this run). Only names that will actually RUN with
+    // AQE off make it into the effective set — the probe stamp is derived
+    // from that set, not the raw env var (r14 advice).
+    aqeOffRaw.foreach { n =>
       require(benchable.contains(n),
         s"GRAFT_BENCH_AQE_OFF '$n' is not a registered query")
       if (!selected0.contains(n))
         System.err.println(s"[bench] GRAFT_BENCH_AQE_OFF '$n' is registered " +
           "but outside the selected subset; no effect this run")
     }
+    val aqeOff: Set[String] = aqeOffRaw.filter(selected0.contains)
     // Steady-state measurement: run each query once untimed (pays one-off
     // whole-stage-codegen compilation + file listing, both cached by Spark),
     // then time TIMED_RUNS further executions and report the MIN — the
@@ -478,7 +489,10 @@ object Bench {
     // can never be mistaken for (or silently overwrite the meaning of) a
     // clean run's BENCH_DRIVER file.
     val probeJson = {
-      val first = sys.env.get("GRAFT_BENCH_FIRST").map(n => s"\"first\":\"" + n + "\"")
+      // derived from the knobs that TOOK EFFECT (effectiveFirst / the
+      // subset-filtered aqeOff), not the raw env vars: an ignored knob
+      // must not make a normal subset run self-label as a probe
+      val first = effectiveFirst.map(n => s"\"first\":\"" + n + "\"")
       val aqe = if (aqeOff.isEmpty) None
         else Some(aqeOff.toSeq.sorted.map("\"" + _ + "\"").mkString("\"aqe_off\":[", ",", "]"))
       val parts = first.toSeq ++ aqe.toSeq

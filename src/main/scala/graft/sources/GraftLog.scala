@@ -660,12 +660,23 @@ private[sources] object GraftLogNames {
     * whole rename loop inside the window). The sequence number plus a
     * fresh uuid keep names unique even across two commits inside the same
     * millisecond. */
+  /** Monotone per-writer publish stamps (r14 advice): the wall clock is
+    * not monotone — a backwards step larger than the lag window between
+    * commits would stamp new files BELOW an already-advanced offset
+    * boundary and a streaming reader would silently skip them. Each stamp
+    * is max(lastStamp + 1, now), so within this driver JVM stamps only
+    * ever advance (multi-writer skew across JVMs remains covered by the
+    * lag window, as before). */
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[sources] def nextStamp(): Long =
+    lastStamp.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
   def publishAll(path: String, messages: Array[WriterCommitMessage],
       tag: Int => String): Unit = {
     messages.zipWithIndex.foreach {
       case (GraftLogCommit(tmp, pid), i) =>
         val uuid = java.util.UUID.randomUUID().toString.take(8)
-        val dest = s"$path/${publish(System.currentTimeMillis(), i, s"${tag(pid)}-$uuid")}"
+        val dest = s"$path/${publish(nextStamp(), i, s"${tag(pid)}-$uuid")}"
         val t = new java.io.File(tmp)
         require(t.renameTo(new java.io.File(dest)),
           s"commit failed to publish $tmp -> $dest")
@@ -722,14 +733,31 @@ private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) ex
     val adm = admitted.toSet
     val newHw = (Seq(hw).filter(_.nonEmpty) ++ admitted.filter(GraftLogNames.stamp(_) >= 0))
       .maxOption.getOrElse("")
-    // the implicit-seen boundary is MONOTONE: names below the old boundary
-    // were compacted out of the tail, so a new boundary below it (a raised
-    // session lag on a barely-advanced high-water) would re-classify them
-    // as fresh and duplicate their rows — clamp the carried lag so the new
-    // boundary is max(old boundary, newHw - sessionLag)
+    // the implicit-seen boundary is clamped on BOTH sides of the carried
+    // lag (r14 review + r14 advice):
+    //  - it must be MONOTONE: names below the old boundary were compacted
+    //    out of the tail, so a new boundary below it (a RAISED session lag
+    //    on a barely-advanced high-water) would re-classify them as fresh
+    //    and duplicate their rows — the carried lag is capped at
+    //    stamp(newHw) - oldBoundary;
+    //  - it must advance NO FASTER than the high-water: a LOWERED session
+    //    lag would otherwise jump the boundary up to stamp(newHw) -
+    //    sessionLag in one admit, silently classifying fresh-but-unadmitted
+    //    stamped names below the high-water (late-visible files under
+    //    multi-writer clock skew, held back by maxFilesPerTrigger) as
+    //    already seen — row LOSS, the other half of exactly-once. The
+    //    carried lag therefore never shrinks: newLag >= lagMs, so
+    //    newBoundary - oldBoundary <= stamp(newHw) - stamp(oldHw).
+    // Both clamps compose as min(max(sessionLag, lagMs), stamp(newHw) -
+    // oldBoundary); the cap is >= lagMs whenever hw is nonEmpty (newHw >=
+    // hw lexicographically and the 13-digit stamp orders with the name),
+    // so the result is well-defined and >= lagMs. Cost of never-shrinking:
+    // a landing that once ran with a huge lag keeps tails sized to it —
+    // bounded by publish rate inside that window, same contract as before.
     val newLag =
       if (newHw.isEmpty || hw.isEmpty) sessionLagMs
-      else math.min(sessionLagMs, GraftLogNames.stamp(newHw) - boundary)
+      else math.min(math.max(sessionLagMs, lagMs),
+        GraftLogNames.stamp(newHw) - boundary)
     val bnd = if (newHw.isEmpty) Long.MinValue else GraftLogNames.stamp(newHw) - newLag
     val keep = (tail ++ admitted).distinct.filter { n =>
       val s = GraftLogNames.stamp(n)
@@ -758,6 +786,7 @@ private[graft] object GraftLogOffsetTestHook {
     GraftLogOffset.fromJson(json).admit(admitted, sessionLagMs).json()
   def publishName(millis: Long, seq: Int, tag: String): String =
     GraftLogNames.publish(millis, seq, tag)
+  def nextStamp(): Long = GraftLogNames.nextStamp()
 }
 
 private object GraftLogOffset {

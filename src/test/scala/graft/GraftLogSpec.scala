@@ -272,6 +272,36 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
       "raised lag moved the implicit-seen boundary DOWN across a restart")
     assert(!seen(o3, n(base + 60500, 0)),
       "an unseen name inside the (clamped) window must not be implicitly seen")
+    // LOWERED-LAG TWIN (r14 advice, the other half of exactly-once): a
+    // restart with a SMALLER publishLagMs must not jump the boundary up
+    // faster than the high-water advances. o2 (lag=1000, hw=base+60000)
+    // restarted under sessionLag=10: admitting a file at base+60100 would,
+    // unclamped, put the boundary at base+60090 — silently classifying a
+    // fresh-but-unadmitted stamped file at base+59500 (late-visible under
+    // multi-writer clock skew, or held back by maxFilesPerTrigger) as
+    // already seen → ROW LOSS. The carried lag never shrinks, so the
+    // boundary advances by exactly the high-water delta.
+    val o4 = admit(o2, Seq(n(base + 60100, 0)), 10L)
+    assert(!seen(o4, n(base + 59500, 0)),
+      "lowered session lag jumped the implicit-seen boundary over a " +
+        "fresh-but-unadmitted stamped name — rows lost")
+    val (_, lag4, _) = parse(o4)
+    assert(lag4 == lag, s"carried lag must never shrink (got $lag4, had $lag)")
+    // and the name it DID admit is seen, via the tail
+    assert(seen(o4, n(base + 60100, 0)))
+  }
+
+  test("publish stamps are monotone per writer (backwards wall-clock step cannot strand files)") {
+    import graft.sources.GraftLogOffsetTestHook._
+    // nextStamp() = max(lastStamp + 1, now): strictly increasing within
+    // the driver JVM even if the wall clock steps backwards between
+    // commits — a stamp below an already-advanced offset boundary would
+    // be silently skipped by a streaming reader (r14 advice).
+    val stamps = (1 to 100).map(_ => nextStamp())
+    assert(stamps.zip(stamps.tail).forall { case (a, b) => a < b },
+      s"publish stamps not strictly increasing: $stamps")
+    assert(stamps.last >= System.currentTimeMillis() - 60000L,
+      "stamps should track the wall clock when it is sane")
   }
 
   test("TopN pushdown is PARTIAL: per-file heap in the scan, global TakeOrdered kept, exact results") {
