@@ -298,6 +298,35 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Custom source, V2 Predicate pushdown (round 15): a whole DISJUNCTION
+  // of conjuncts — (type='purchase' AND value>=300) OR (type LIKE 'sig%'
+  // AND value<50) — pushed into the source as ONE exact predicate tree
+  // through SupportsPushDownV2Filters. The v1 Filter ADT could only push
+  // top-level conjuncts, so this exact shape used to decode every record
+  // and re-filter above the scan; now the reader evaluates the OR (with
+  // the STARTS_WITH prefix byte-compare) during the sequential decode and
+  // non-matching records are never materialized. PlanShapeSpec pins the
+  // pushed tree and the absence of a post-scan Filter.
+  // ------------------------------------------------------------------
+  def dsv2OrPushdown(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_or")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(4)
+      .write.format("graftlog").mode("append").save(landing)
+    s.read.format("graftlog").load(landing)
+      .filter((col("event_type") === "purchase" && col("value") >= 300.0) ||
+        (col("event_type").startsWith("sig") && col("value") < 50.0))
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2OrPushdownSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE (event_type = 'purchase' AND value >= 300.0)
+      |   OR (event_type LIKE 'sig%' AND value < 50.0)
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, TopN pushdown (round 14): ORDER BY ... LIMIT k handled
   // INSIDE the source as a size-k bounded heap per file — the plan carries
   // NO full Sort over the scan, only Spark's global TakeOrdered over the
@@ -519,6 +548,7 @@ object StorageOps extends QueryModule {
     "scan_zorder" -> (zorderScan _),
     "join_bucketed" -> (bucketedJoin _),
     "scan_dsv2_pushdown" -> (dsv2Pushdown _),
+    "scan_dsv2_or" -> (dsv2OrPushdown _),
     "scan_dsv2_topn" -> (dsv2TopN _),
     "scan_dsv2_agg" -> (dsv2Agg _),
     "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
@@ -535,6 +565,7 @@ object StorageOps extends QueryModule {
     "scan_zorder" -> zorderScanSql,
     "join_bucketed" -> bucketedJoinSql,
     "scan_dsv2_pushdown" -> dsv2PushdownSql,
+    "scan_dsv2_or" -> dsv2OrPushdownSql,
     "scan_dsv2_topn" -> dsv2TopNSql,
     "scan_dsv2_agg" -> dsv2AggSql,
     "join_dsv2_runtime" -> dsv2RuntimeFilterSql,

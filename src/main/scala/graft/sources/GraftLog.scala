@@ -10,11 +10,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Count => V2Count, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -40,10 +41,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Optimizer surfaces implemented (each the real Spark SPI, each with an
   * oracle-green registered query and a plan pin — see StorageOps):
-  *  - SupportsPushDownFilters: exact =, <, <=, >, >=, IN on all columns;
-  *    residuals (and only residuals) returned to Spark. At 100 TB this is
-  *    the scan-volume lever: the source skips record-building for
-  *    non-matching rows while streaming sequentially through each file.
+  *  - SupportsPushDownV2Filters (round 15; the modern Predicate API,
+  *    upgraded from the v1 Filter ADT): exact =, <>, <, <=, >, >=, IN,
+  *    IS [NOT] NULL on all columns, STARTS_WITH/ENDS_WITH/CONTAINS on the
+  *    string column, composed recursively through AND/OR/NOT — a whole
+  *    disjunction is pushed as one exact predicate where v1 could only
+  *    push top-level conjuncts. Residuals (and only residuals) returned
+  *    to Spark. At 100 TB this is the scan-volume lever: the source skips
+  *    record-building for non-matching rows while streaming sequentially
+  *    through each file.
   *  - SupportsPushDownRequiredColumns: decode only requested fields.
   *  - SupportsPushDownLimit (partial): per-file early stop, Spark keeps
   *    the global Limit.
@@ -292,19 +298,32 @@ private class GraftLogWriter(path: String, partitionId: Int)
 
 private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Long)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
+  private var pushedV2: Array[V2Predicate] = Array.empty
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftLog.schema
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, residual) = filters.partition(GraftLog.supportedFilter)
-    pushed = supported
-    residual
+  // V2 Predicate pushdown (round 15; replaces the v1 Filter ADT — the
+  // modern DSv2 contract): each conjunct arrives as a connector Predicate
+  // tree and is translated to the reader's internal (v1-shaped) filter
+  // form, recursively through AND/OR/NOT — so a whole disjunction like
+  // (type='a' AND v>x) OR (type='b' AND v<y) is pushed as ONE exact
+  // predicate the reader evaluates during the sequential decode, where
+  // the v1 interface could only push top-level conjuncts. STARTS_WITH /
+  // ENDS_WITH / CONTAINS on the string column ride along (binary UTF8
+  // comparison, matching Spark's default collation). Untranslatable
+  // predicates (and only those) are returned as residuals for Spark's
+  // post-scan Filter — the claim stays EXACT.
+  override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
+    val trans = predicates.map(p => p -> GraftLog.v2ToV1(p))
+    pushedV2 = trans.collect { case (p, Some(_)) => p }
+    pushed = trans.collect { case (_, Some(f)) => f }
+    trans.collect { case (p, None) => p }
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[V2Predicate] = pushedV2
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // with an aggregation pushed, the scan's output IS the aggregate
@@ -1108,10 +1127,88 @@ object GraftLog {
     case LessThan(a, _) => cols(a)
     case LessThanOrEqual(a, _) => cols(a)
     case In(a, _) => cols(a)
-    // the format encodes no nulls, so IsNotNull is vacuously true — accept
-    // it as pushed (evaluating it per row is a constant `true`)
+    // the format encodes no nulls, so IsNotNull is vacuously true (and
+    // IsNull vacuously false) — accept both as pushed constants
     case IsNotNull(a) => cols(a)
+    case IsNull(a) => cols(a)
+    // boolean composition recurses: with no nulls anywhere, two-valued
+    // logic applies and &&/||/! are exact over exact children
+    case And(l, r) => supportedFilter(l) && supportedFilter(r)
+    case Or(l, r) => supportedFilter(l) && supportedFilter(r)
+    case Not(c) => supportedFilter(c)
+    // string predicates on the one string column: byte-wise UTF8String
+    // prefix/suffix/substring, identical to Spark's binary collation
+    case StringStartsWith(a, _) => a == "event_type"
+    case StringEndsWith(a, _) => a == "event_type"
+    case StringContains(a, _) => a == "event_type"
     case _ => false
+  }
+
+  /** Translate a connector V2 [[V2Predicate]] tree to the reader's
+    * internal (v1-shaped) filter form — None = untranslatable, returned
+    * to Spark as a residual. Literal values arrive Catalyst-internal
+    * (UTF8String for strings) and are converted to the external form the
+    * compile() constants expect, exactly once, here. Comparisons accept
+    * the literal on either side (flipped operator). Only translations the
+    * reader evaluates EXACTLY are claimed. */
+  private[sources] def v2ToV1(p: V2Predicate): Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
+    def colOf(e: V2Expr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 && cols(nr.fieldNames()(0)) =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def litOf(e: V2Expr): Option[Any] = e match {
+      case l: V2Lit[_] =>
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def binary(mk: (String, Any) => Filter, flipped: (String, Any) => Filter): Option[Filter] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else colOf(c(0)).zip(litOf(c(1))).map { case (a, v) => mk(a, v) }
+        .orElse(colOf(c(1)).zip(litOf(c(0))).map { case (a, v) => flipped(a, v) })
+    }
+    def stringPred(mk: (String, String) => Filter): Option[Filter] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else colOf(c(0)).zip(litOf(c(1))).collect {
+        case (a, v: String) if a == "event_type" => mk(a, v)
+      }
+    }
+    p.name() match {
+      case "AND" =>
+        val a = p.asInstanceOf[V2And]
+        v2ToV1(a.left()).zip(v2ToV1(a.right())).map { case (l, r) => And(l, r) }
+      case "OR" =>
+        val o = p.asInstanceOf[V2Or]
+        v2ToV1(o.left()).zip(v2ToV1(o.right())).map { case (l, r) => Or(l, r) }
+      case "NOT" =>
+        v2ToV1(p.asInstanceOf[V2Not].child()).map(Not)
+      // `<=>` (null-safe equality) degenerates to `=` in a null-free format
+      case "=" | "<=>" => binary(EqualTo, EqualTo)
+      case "<>" => binary((a, v) => Not(EqualTo(a, v)), (a, v) => Not(EqualTo(a, v)))
+      case ">" => binary(GreaterThan, LessThan)
+      case ">=" => binary(GreaterThanOrEqual, LessThanOrEqual)
+      case "<" => binary(LessThan, GreaterThan)
+      case "<=" => binary(LessThanOrEqual, GreaterThanOrEqual)
+      case "IN" =>
+        val c = p.children()
+        if (c.length < 2) None
+        else colOf(c(0)).flatMap { a =>
+          val vals = c.drop(1).map(litOf)
+          if (vals.exists(_.isEmpty)) None else Some(In(a, vals.map(_.get)))
+        }
+      case "IS_NULL" =>
+        p.children() match { case Array(e) => colOf(e).map(IsNull); case _ => None }
+      case "IS_NOT_NULL" =>
+        p.children() match { case Array(e) => colOf(e).map(IsNotNull); case _ => None }
+      case "STARTS_WITH" => stringPred(StringStartsWith)
+      case "ENDS_WITH" => stringPred(StringEndsWith)
+      case "CONTAINS" => stringPred(StringContains)
+      case _ => None
+    }
   }
 
   /** Compiled per-record predicate over the decoded fields. */
@@ -1176,6 +1273,26 @@ object GraftLog {
       case LessThanOrEqual(a, v) => val c = cmp(a, v); (e, u, d, t) => c(e, u, d, t) <= 0
       case In(a, vs) => inSet(a, vs)
       case IsNotNull(_) => (_, _, _, _) => true // format encodes no nulls
+      case IsNull(_) => (_, _, _, _) => false   // dito: can never match
+      // two-valued boolean composition (sound because the format encodes
+      // no nulls — no three-valued-logic corner exists to get wrong);
+      // children compiled once, the per-record path is closure calls only
+      case And(l, r) =>
+        val a = compile(l); val b = compile(r)
+        (e, u, d, t) => a(e, u, d, t) && b(e, u, d, t)
+      case Or(l, r) =>
+        val a = compile(l); val b = compile(r)
+        (e, u, d, t) => a(e, u, d, t) || b(e, u, d, t)
+      case Not(c) =>
+        val a = compile(c)
+        (e, u, d, t) => !a(e, u, d, t)
+      // byte-wise UTF8String match — identical to Spark's binary collation
+      case StringStartsWith(_, v) =>
+        val x = UTF8String.fromString(v); (_, _, _, t) => t.startsWith(x)
+      case StringEndsWith(_, v) =>
+        val x = UTF8String.fromString(v); (_, _, _, t) => t.endsWith(x)
+      case StringContains(_, v) =>
+        val x = UTF8String.fromString(v); (_, _, _, t) => t.contains(x)
       case other => throw new IllegalArgumentException(s"unexpected pushed filter $other")
     }
   }

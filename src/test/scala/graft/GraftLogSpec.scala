@@ -58,16 +58,19 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
   }
 
   test("a residual (unsupported) filter is NOT pushed and Spark evaluates it post-scan") {
-    // endsWith has no Filter case in supportedFilter -> must come back as
-    // residual; the pushed one (value bound) stays in the scan. The answer
+    // A function call over a column (UPPER) has no v2ToV1 translation ->
+    // must come back as residual; the pushed one (value bound) stays in
+    // the scan. (endsWith was this test's residual example through r14 —
+    // round 15's V2 Predicate pushdown promoted it to pushed, so the
+    // example moved one rung up the untranslatable ladder.) The answer
     // must equal the batch-parquet truth either way - the residual
     // contract is "correct, just not source-evaluated".
-    val df = scan().filter(col("event_type").endsWith("se") && col("value") < 50.0)
+    val df = scan().filter(upper(col("event_type")) === "PURCHASE" && col("value") < 50.0)
     val plan = df.queryExecution.executedPlan.toString
     val scanLine = plan.split("\n").find(_.contains("GraftLogScan")).get
     assert(scanLine.contains("LessThan(value,50.0)"), s"value bound not pushed:\n$scanLine")
-    assert(!scanLine.contains("EndsWith"), s"unsupported filter wrongly claimed pushed:\n$scanLine")
-    val expect = events.filter(col("event_type").endsWith("se") && col("value") < 50.0).count()
+    assert(!scanLine.toUpperCase.contains("UPPER"), s"unsupported filter wrongly claimed pushed:\n$scanLine")
+    val expect = events.filter(upper(col("event_type")) === "PURCHASE" && col("value") < 50.0).count()
     assert(expect > 0 && df.count() == expect)
   }
 

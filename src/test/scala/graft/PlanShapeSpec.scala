@@ -481,6 +481,27 @@ class PlanShapeSpec extends SparkTestBase {
       s"event_type not pruned from the scan output:\n$scan")
   }
 
+  test("graftlog DSv2 V2-predicate pushdown: a whole disjunction (OR of conjuncts + STARTS_WITH) lands in the scan") {
+    // SupportsPushDownV2Filters (round 15): the v1 Filter ADT could only
+    // push top-level conjuncts, so an OR-of-conjuncts used to decode every
+    // record and re-filter above the scan. The V2 Predicate tree pushes
+    // the whole disjunction — including the LIKE-'sig%' prefix — as one
+    // exact predicate, and no post-scan Filter may reappear.
+    val plan = executedPlan(graft.operators.StorageOps.dsv2OrPushdown(spark, sfDir))
+    val scan = plan.split("\n").find(_.contains("GraftLogScan"))
+      .getOrElse(fail(s"no GraftLogScan in:\n$plan"))
+    assert(scan.contains("Or(And("),
+      s"disjunction not pushed as one predicate tree:\n$scan")
+    assert(scan.contains("StringStartsWith(event_type,sig)"),
+      s"STARTS_WITH not pushed into the source:\n$scan")
+    val filterNode = """^[\s+\-:*()\d]*Filter[\s(]""".r
+    val postScanFilters = plan.split("\n")
+      .filter(l => filterNode.findFirstIn(l).isDefined &&
+        (l.contains("event_type") || l.contains("value")))
+    assert(postScanFilters.isEmpty,
+      s"pushed disjunction re-evaluated post-scan:\n${postScanFilters.mkString("\n")}")
+  }
+
   test("graftlog DSv2 topN: ORDER BY + LIMIT pushed as a per-file heap, no full Sort planned") {
     // SupportsPushDownTopN (round 14): the scan keeps a size-k heap per
     // file and Spark's global TakeOrdered merges the survivors — a full
