@@ -502,6 +502,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"pushed disjunction re-evaluated post-scan:\n${postScanFilters.mkString("\n")}")
   }
 
+  test("graftlog DSv2 columnar: plain scans feed codegen via ColumnarToRow; TopN scans stay row-based") {
+    // Columnar read path (round 15, r14 verdict top item): the plain scan
+    // mode decodes into reused 4K-row ColumnarBatches, so the executed
+    // plan must carry a (codegen'd) ColumnarToRow above the BatchScan —
+    // the same shape parquet scans plan. The pushed-TopN scan emits O(k)
+    // rows per file and deliberately stays row-at-a-time: no ColumnarToRow.
+    val plain = executedPlan(graft.operators.StorageOps.dsv2Pushdown(spark, sfDir))
+    assert(plain.contains("GraftLogScan"), s"no GraftLogScan in:\n$plain")
+    assert(plain.contains("ColumnarToRow"),
+      s"plain graftlog scan is not feeding codegen columnar:\n$plain")
+    val topn = executedPlan(graft.operators.StorageOps.dsv2TopN(spark, sfDir))
+    assert(topn.contains("GraftLogScan"), s"no GraftLogScan in:\n$topn")
+    assert(!topn.contains("ColumnarToRow"),
+      s"pushed-TopN scan unexpectedly planned columnar:\n$topn")
+  }
+
   test("graftlog DSv2 topN: ORDER BY + LIMIT pushed as a per-file heap, no full Sort planned") {
     // SupportsPushDownTopN (round 14): the scan keeps a size-k heap per
     // file and Spark's global TakeOrdered merges the survivors — a full
