@@ -327,6 +327,35 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Custom source, OFFSET pushdown (round 15): the SPI has no partial
+  // variant, so the source claims OFFSET fully by collapsing the scan to
+  // ONE sequential partition chaining files in publish order and skipping
+  // the first k passing records before any row is built. The landing is
+  // written range-partitioned + sorted by event_id, so publish order ==
+  // event_id order and "skip the first 40" is oracle-expressible as
+  // ORDER BY event_id OFFSET 40 in DuckDB. GraftLogSpec pins the
+  // element-exact drop semantics; PlanShapeSpec pins offset-in-scan.
+  // ------------------------------------------------------------------
+  def dsv2Offset(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_offset")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartitionByRange(3, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.format("graftlog").mode("append").save(landing)
+    s.read.format("graftlog").load(landing)
+      .filter(col("event_type") === "purchase")
+      .offset(40)
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2OffsetSql: String =
+    """SELECT * FROM (
+      |  SELECT event_id, user_id, value, event_type FROM events
+      |  WHERE event_type = 'purchase' ORDER BY event_id OFFSET 40
+      |) ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, TopN pushdown (round 14): ORDER BY ... LIMIT k handled
   // INSIDE the source as a size-k bounded heap per file — the plan carries
   // NO full Sort over the scan, only Spark's global TakeOrdered over the
@@ -549,6 +578,7 @@ object StorageOps extends QueryModule {
     "join_bucketed" -> (bucketedJoin _),
     "scan_dsv2_pushdown" -> (dsv2Pushdown _),
     "scan_dsv2_or" -> (dsv2OrPushdown _),
+    "scan_dsv2_offset" -> (dsv2Offset _),
     "scan_dsv2_topn" -> (dsv2TopN _),
     "scan_dsv2_agg" -> (dsv2Agg _),
     "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
@@ -566,6 +596,7 @@ object StorageOps extends QueryModule {
     "join_bucketed" -> bucketedJoinSql,
     "scan_dsv2_pushdown" -> dsv2PushdownSql,
     "scan_dsv2_or" -> dsv2OrPushdownSql,
+    "scan_dsv2_offset" -> dsv2OffsetSql,
     "scan_dsv2_topn" -> dsv2TopNSql,
     "scan_dsv2_agg" -> dsv2AggSql,
     "join_dsv2_runtime" -> dsv2RuntimeFilterSql,

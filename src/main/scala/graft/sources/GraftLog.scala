@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Count => V2Count, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -62,6 +62,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    rows, nothing to amortize.
   *  - SupportsPushDownLimit (partial): per-file early stop, Spark keeps
   *    the global Limit.
+  *  - SupportsPushDownOffset (round 15, FULL — the SPI has no partial
+  *    variant): the scan collapses to one sequential partition chaining
+  *    files in publish-name order (the format's deterministic global row
+  *    order) and skips the first k passing records without building rows.
   *  - SupportsPushDownTopN (partial, round 14): ORDER BY k LIMIT n keeps
   *    only a size-n heap per file instead of every decoded record; Spark
   *    keeps the global TakeOrdered over the <= n*files survivors — the
@@ -308,8 +312,8 @@ private class GraftLogWriter(path: String, partitionId: Int)
 private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Long)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownOffset
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var pushedV2: Array[V2Predicate] = Array.empty
   private var pushed: Array[Filter] = Array.empty
@@ -353,6 +357,22 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Lo
   // — the contract is identical: per-partition reduction, global op kept
   override def isPartiallyPushed(): Boolean = true
 
+  // OFFSET pushdown (round 15), FULLY — the SPI has no partial variant,
+  // and a per-file skip is NOT a global skip, so claiming this forces an
+  // execution-model decision: a pushed-offset scan collapses to ONE
+  // sequential InputPartition chaining the files in publish-name order
+  // (stamped names sort in publish order by construction — the format
+  // HAS a deterministic global row order, unlike a generic file source)
+  // and skips the first k PASSING records of that stream. OFFSET is an
+  // inherently sequential prefix operation — Spark's own alternative is
+  // a single-partition global skip above the scan, after shipping every
+  // row; here the skipped prefix never materializes rows at all. Declined
+  // under TopN/agg (their per-file reductions change what "first k rows"
+  // means before the offset could apply).
+  private var offset: Int = -1
+  override def pushOffset(o: Int): Boolean =
+    if (agg.isDefined || topN.isDefined) false else { offset = o; true }
+
   // TopN pushdown (ORDER BY ... LIMIT k), PARTIALLY: the reader keeps a
   // size-k bounded heap per file — O(k) memory against an arbitrarily
   // large file — and Spark's global TakeOrdered merges the per-file
@@ -361,7 +381,7 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Lo
   // Sort+Limit itself.
   private var topN: Option[GraftLogTopN] = None
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
-    if (agg.isDefined) return false
+    if (agg.isDefined || offset >= 0) return false
     val keys = orders.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames.length == 1 &&
@@ -387,6 +407,7 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Lo
   private var agg: Option[GraftLogAgg] = None
   override def supportCompletePushDown(a: Aggregation): Boolean = false
   override def pushAggregation(a: Aggregation): Boolean = {
+    if (offset >= 0) return false
     def simpleCol(e: org.apache.spark.sql.connector.expressions.Expression): Int = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 => GraftLog.ordinal(nr.fieldNames()(0))
       case _ => -1
@@ -407,7 +428,7 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Lo
   }
 
   override def build(): Scan =
-    new GraftLogScan(path, pushed, required, limit, topN, agg, maxFiles, lagMs)
+    new GraftLogScan(path, pushed, required, limit, offset, topN, agg, maxFiles, lagMs)
 }
 
 /** Pushed ORDER BY keys as (column ordinal, descending) plus the limit. */
@@ -449,7 +470,7 @@ private case class GraftLogAgg(groupBy: Array[Int], fns: Array[GraftLogAggFn]) {
 }
 
 private class GraftLogScan(path: String, filters: Array[Filter],
-    required: StructType, limit: Int, topN: Option[GraftLogTopN],
+    required: StructType, limit: Int, offset: Int, topN: Option[GraftLogTopN],
     agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering with Serializable {
@@ -476,7 +497,10 @@ private class GraftLogScan(path: String, filters: Array[Filter],
   // rule never matches through a Limit, but the source must not rely on
   // the caller for its own correctness envelope).
   override def filterAttributes(): Array[NamedReference] =
-    if (agg.isDefined || topN.isDefined || limit >= 0) Array.empty
+    // offset joins the exclusion list (round 15): a runtime row filter
+    // under a pushed offset would change WHICH rows the skip drops —
+    // same correctness envelope as limit/TopN/agg
+    if (agg.isDefined || topN.isDefined || limit >= 0 || offset >= 0) Array.empty
     else {
       val out = readSchema().fieldNames.toSet
       Array("event_id", "user_id", "event_type")
@@ -510,6 +534,7 @@ private class GraftLogScan(path: String, filters: Array[Filter],
     s"GraftLogScan path=$path pushed=[${filters.mkString(", ")}] " +
       s"columns=[${readSchema().fieldNames.mkString(", ")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
+      (if (offset >= 0) s" offset=$offset" else "") +
       topN.map(t => s" topn=$t").getOrElse("") +
       agg.map(a => s" agg=$a").getOrElse("")
 
@@ -517,7 +542,11 @@ private class GraftLogScan(path: String, filters: Array[Filter],
     val files = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".graftlog")).map(_.getAbsolutePath).sorted
-    files.map(f => GraftLogPartition(f): InputPartition)
+    // pushed OFFSET = one sequential partition over all files in publish
+    // order: the only plan under which "skip the first k rows" is a global
+    // statement a task can enforce (see pushOffset)
+    if (offset >= 0) Array(GraftLogFilesPartition(files.toSeq))
+    else files.map(f => GraftLogPartition(f): InputPartition)
   }
 
   // the factory carries the scan itself: runtime filters arrive via
@@ -526,7 +555,7 @@ private class GraftLogScan(path: String, filters: Array[Filter],
   // of when Spark first touched the (lazily cached) factory
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(() => allFilters,
-      required.fieldNames, limit, topN, agg)
+      required.fieldNames, limit, offset, topN, agg)
 
   // Observability (round 14): the records the readers DROPPED via pushed
   // and runtime predicates, surfaced as a first-class SQL metric on the
@@ -537,6 +566,10 @@ private class GraftLogScan(path: String, filters: Array[Filter],
 }
 
 private case class GraftLogPartition(file: String) extends InputPartition
+
+/** Single sequential partition chaining `files` in publish order — the
+  * pushed-OFFSET execution shape (see GraftLogScanBuilder.pushOffset). */
+private case class GraftLogFilesPartition(files: Seq[String]) extends InputPartition
 
 private class GraftLogSkippedMetric extends CustomSumMetric {
   override def name(): String = "recordsSkipped"
@@ -644,7 +677,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fs = filters // no runtime filtering in streaming; snapshot, no scan capture
-    new GraftLogReaderFactory(() => fs, columns, -1, None, None)
+    new GraftLogReaderFactory(() => fs, columns, -1, -1, None, None)
   }
 
   override def stop(): Unit = ()
@@ -853,17 +886,22 @@ private object GraftLogOffset {
 // ---------------------------------------------------------------------------
 
 private class GraftLogReaderFactory(filterSource: () => Array[Filter],
-    columns: Array[String], limit: Int, topN: Option[GraftLogTopN],
+    columns: Array[String], limit: Int, offset: Int, topN: Option[GraftLogTopN],
     agg: Option[GraftLogAgg]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftLogPartition].file
     val preds = filterSource()
-    agg match {
-      case Some(a) => new GraftLogAggReader(file, preds, a)
-      case None => topN match {
-        case Some(t) => new GraftLogTopNReader(file, preds, columns, t)
-        case None => new GraftLogRowReader(file, preds, columns, limit)
-      }
+    partition match {
+      case GraftLogFilesPartition(files) => // pushed offset: sequential chain
+        new GraftLogOffsetReader(files, preds, columns, offset, limit)
+      case GraftLogPartition(file) =>
+        agg match {
+          case Some(a) => new GraftLogAggReader(file, preds, a)
+          case None => topN match {
+            case Some(t) => new GraftLogTopNReader(file, preds, columns, t)
+            case None => new GraftLogRowReader(file, preds, columns, limit)
+          }
+        }
+      case other => throw new IllegalStateException(s"unexpected partition $other")
     }
   }
 
@@ -877,10 +915,10 @@ private class GraftLogReaderFactory(filterSource: () => Array[Filter],
   // O(k)/O(groups) rows per file, so there is no per-row cost to amortize
   // and a heap/hash over vectors would complicate them for nothing.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    agg.isEmpty && topN.isEmpty
+    agg.isEmpty && topN.isEmpty && offset < 0
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    require(agg.isEmpty && topN.isEmpty,
-      "columnar read requested for a pushed-TopN/agg scan — supportColumnarReads said no")
+    require(agg.isEmpty && topN.isEmpty && offset < 0,
+      "columnar read requested for a pushed-TopN/agg/offset scan — supportColumnarReads said no")
     new GraftLogColumnarReader(partition.asInstanceOf[GraftLogPartition].file,
       filterSource(), columns, limit)
   }
@@ -974,6 +1012,64 @@ private class GraftLogRowReader(file: String, filters: Array[Filter],
   override def get(): InternalRow = row
   override def currentMetricsValues(): Array[CustomTaskMetric] = cursor.metricsValues()
   override def close(): Unit = cursor.close()
+}
+
+/** Pushed-OFFSET mode (round 15): the single sequential partition over
+  * ALL files in publish-name order. Skips the first `offset` PASSING
+  * records of the global stream (predicates run during the skip, so the
+  * skipped prefix never builds a row), then emits like the plain reader,
+  * honoring a pushed LIMIT as rows-after-offset — exact in this
+  * single-stream plan, so Spark's retained global Limit just re-confirms
+  * it. O(1) memory; per-record cost identical to the plain reader. */
+private class GraftLogOffsetReader(files: Seq[String], filters: Array[Filter],
+    columns: Array[String], offset: Int, limit: Int) extends PartitionReader[InternalRow] {
+
+  private val proj: Array[Int] = columns.map(GraftLog.ordinal)
+  private val it = files.iterator
+  private var cursor: GraftLogCursor = _
+  private var skippedPast = 0L // records dropped by predicates, summed over closed cursors
+  private var toSkip = math.max(offset, 0)
+  private var emitted = 0L
+  private var row: InternalRow = _
+
+  /** Advance across the file chain; false at end of the LAST file. */
+  private def advanceChained(): Boolean = {
+    while (true) {
+      if (cursor == null) {
+        if (!it.hasNext) return false
+        cursor = new GraftLogCursor(it.next(), filters, proj.contains(3))
+      }
+      if (cursor.advance()) return true
+      skippedPast += cursor.skipped
+      cursor.close()
+      cursor = null
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (toSkip > 0) {
+      if (!advanceChained()) return false
+      toSkip -= 1
+    }
+    if (!advanceChained()) return false
+    val vals = new Array[Any](proj.length)
+    var j = 0
+    while (j < proj.length) { vals(j) = cursor.field(proj(j)); j += 1 }
+    row = new GenericInternalRow(vals)
+    emitted += 1
+    true
+  }
+  override def get(): InternalRow = row
+  override def currentMetricsValues(): Array[CustomTaskMetric] = {
+    val n = skippedPast + (if (cursor != null) cursor.skipped else 0L)
+    Array(new CustomTaskMetric {
+      override def name(): String = "recordsSkipped"
+      override def value(): Long = n
+    })
+  }
+  override def close(): Unit = if (cursor != null) cursor.close()
 }
 
 /** Columnar mode (round 15): the plain scan decoded into 4K-row

@@ -74,6 +74,26 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(expect > 0 && df.count() == expect)
   }
 
+  test("OFFSET pushdown is FULL: one sequential partition in publish order, skip applied in the source") {
+    // the SPI has no partial variant, so a pushed offset must be a global
+    // skip: the scan collapses to ONE partition chaining files in publish
+    // order. The plain scan's collect IS the same global stream (partition
+    // order = sorted file names = publish order, rows in append order), so
+    // the identity to pin is offset(40) == plain.drop(40), element order
+    // included.
+    val df = scan().filter(col("event_type") === "purchase").offset(40)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("GraftLogScan")).get
+    assert(scanLine.contains("offset=40"), s"offset not pushed into the scan:\n$scanLine")
+    assert(df.rdd.getNumPartitions == 1,
+      "pushed-offset scan must plan exactly one sequential partition")
+    val stream = scan().filter(col("event_type") === "purchase").collect()
+    val got = df.collect()
+    assert(got.length == stream.length - 40)
+    assert(got.sameElements(stream.drop(40)),
+      "pushed offset did not drop exactly the first 40 rows of the publish-order stream")
+  }
+
   test("limit pushdown is PARTIAL: per-file early stop, Spark keeps the global limit") {
     val df = scan().filter(col("event_type") === "purchase").limit(7)
     val plan = df.queryExecution.executedPlan.toString

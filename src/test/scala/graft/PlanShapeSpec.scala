@@ -502,6 +502,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"pushed disjunction re-evaluated post-scan:\n${postScanFilters.mkString("\n")}")
   }
 
+  test("graftlog DSv2 offset: OFFSET pushed fully into a single sequential scan partition") {
+    // SupportsPushDownOffset (round 15): no partial variant exists, so the
+    // scan claims the skip globally — one partition chaining files in
+    // publish order, offset applied during the sequential decode. The plan
+    // must carry offset in the scan and no separate Offset operator.
+    val df = graft.operators.StorageOps.dsv2Offset(spark, sfDir)
+    val plan = executedPlan(df)
+    val scan = plan.split("\n").find(_.contains("GraftLogScan"))
+      .getOrElse(fail(s"no GraftLogScan in:\n$plan"))
+    assert(scan.contains("offset=40"), s"offset not pushed into the scan:\n$scan")
+    assert(!plan.contains("GlobalLimitAndOffset") && !plan.contains("Offset("),
+      s"offset operator survived above a fully-pushed offset:\n$plan")
+  }
+
   test("graftlog DSv2 columnar: plain scans feed codegen via ColumnarToRow; TopN scans stay row-based") {
     // Columnar read path (round 15, r14 verdict top item): the plain scan
     // mode decodes into reused 4K-row ColumnarBatches, so the executed
