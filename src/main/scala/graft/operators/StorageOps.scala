@@ -327,6 +327,77 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Flagship-over-connector composition (round 15, r14 verdict #6): the
+  // §3.3 flagship OPERATOR CHAIN run end-to-end with graftlog as BOTH
+  // source and sink — proof the connector carries the engine's own
+  // flagship semantics, not just probe queries. The 19-column trading
+  // schema cannot transit the format's fixed 4-column layout, so the
+  // chain itself is what composes: two overlapping ingest chunks land in
+  // two graftlog directories (the reference's per-chunk CSV exports,
+  // U1 union-accumulate), the event_type carries raw decorations the
+  // flagship's OWN StringFns.normalizeAction must clean (P1 substring
+  // strip incl. leading whitespace survival, P2 whole-cell replace ->
+  // 'Div', P3 trim+capitalize), then F2 IN-filter, D1 full-row dedup
+  // (real work: the chunks overlap on event_id%3==2), O1 global sort,
+  // V2 write to a third graftlog landing, and the oracle reads THAT
+  // back through the connector. Every stage is DuckDB-reproducible, so
+  // the hash gate covers the whole composition including both V2 write
+  // paths and the columnar read path.
+  // ------------------------------------------------------------------
+  def dsv2Flagship(s: SparkSession, dir: String): DataFrame = {
+    val chunkA = scratch("graft_log_fsA")
+    val chunkB = scratch("graft_log_fsB")
+    val sink = scratch("graft_log_fs_out")
+    val raw = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_type") === "error", lit("Dividend (Ordinary)"))
+          .when(pmod(col("event_id"), lit(3)) === 0, concat(lit("Market "), col("event_type")))
+          .when(pmod(col("event_id"), lit(3)) === 1, concat(lit("  Limit "), col("event_type")))
+          .otherwise(col("event_type")).as("event_type"))
+    raw.filter(pmod(col("event_id"), lit(3)) =!= 1)
+      .write.format("graftlog").mode("append").save(chunkA)
+    raw.filter(pmod(col("event_id"), lit(3)) =!= 0)
+      .write.format("graftlog").mode("append").save(chunkB)
+    val unioned = s.read.format("graftlog").load(chunkA)
+      .unionByName(s.read.format("graftlog").load(chunkB))
+    unioned
+      .withColumn("event_type", graft.functions.StringFns.normalizeAction(col("event_type")))
+      .filter(col("event_type").isin("Purchase", "Signup", "Click", "Div"))
+      .dropDuplicates()
+      .orderBy(col("event_id"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.format("graftlog").mode("append").save(sink)
+    s.read.format("graftlog").load(sink).orderBy(col("event_id"))
+  }
+
+  val dsv2FlagshipSql: String =
+    """WITH raw AS (
+      |  SELECT event_id, user_id, value,
+      |    CASE WHEN event_type = 'error' THEN 'Dividend (Ordinary)'
+      |         WHEN event_id % 3 = 0 THEN 'Market ' || event_type
+      |         WHEN event_id % 3 = 1 THEN '  Limit ' || event_type
+      |         ELSE event_type END AS event_type
+      |  FROM events),
+      |unioned AS (
+      |  SELECT * FROM raw WHERE event_id % 3 <> 1
+      |  UNION ALL
+      |  SELECT * FROM raw WHERE event_id % 3 <> 0),
+      |normalized AS (
+      |  SELECT event_id, user_id, value,
+      |    upper(substr(t, 1, 1)) || lower(substr(t, 2)) AS event_type
+      |  FROM (
+      |    SELECT event_id, user_id, value,
+      |      trim(CASE WHEN st = 'Dividend (Ordinary)' THEN 'Div' ELSE st END) AS t
+      |    FROM (
+      |      SELECT event_id, user_id, value,
+      |        regexp_replace(event_type, 'Market |Limit |Stop ', '', 'g') AS st
+      |      FROM unioned) x) y)
+      |SELECT DISTINCT event_id, user_id, value, event_type
+      |FROM normalized
+      |WHERE event_type IN ('Purchase', 'Signup', 'Click', 'Div')
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, OFFSET pushdown (round 15): the SPI has no partial
   // variant, so the source claims OFFSET fully by collapsing the scan to
   // ONE sequential partition chaining files in publish order and skipping
@@ -579,6 +650,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_pushdown" -> (dsv2Pushdown _),
     "scan_dsv2_or" -> (dsv2OrPushdown _),
     "scan_dsv2_offset" -> (dsv2Offset _),
+    "pipeline_dsv2_flagship" -> (dsv2Flagship _),
     "scan_dsv2_topn" -> (dsv2TopN _),
     "scan_dsv2_agg" -> (dsv2Agg _),
     "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
@@ -597,6 +669,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_pushdown" -> dsv2PushdownSql,
     "scan_dsv2_or" -> dsv2OrPushdownSql,
     "scan_dsv2_offset" -> dsv2OffsetSql,
+    "pipeline_dsv2_flagship" -> dsv2FlagshipSql,
     "scan_dsv2_topn" -> dsv2TopNSql,
     "scan_dsv2_agg" -> dsv2AggSql,
     "join_dsv2_runtime" -> dsv2RuntimeFilterSql,
