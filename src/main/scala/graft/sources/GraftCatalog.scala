@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin for graftlog landings (round 15) — the missing half of
+  * the storage-partitioned-join story. `spark.read.format("graftlog")`
+  * produces a relation with NO catalog attached, and Spark resolves the
+  * `bucket(n, col)` transform behind a scan's KeyGroupedPartitioning
+  * against the relation's FUNCTION CATALOG — without one, the reported
+  * partitioning silently degrades to unknown and every join shuffles. So
+  * the bucketed layout is a catalog table surface:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/graft")
+  *   spark.sql("CREATE TABLE graft.ev (event_id BIGINT, user_id BIGINT, " +
+  *     "value DOUBLE, event_type STRING) USING graftlog " +
+  *     "PARTITIONED BY (bucket(8, user_id))")
+  *   df.writeTo("graft.ev").append()     // clustered write, k-tagged files
+  *   spark.table("graft.ev")             // scan reports KeyGroupedPartitioning
+  * }}}
+  *
+  * Design notes, scale first:
+  *  - A table is a warehouse subdirectory holding the log files plus one
+  *    `_graft_table.json` metadata file (bucket column + count). Listing
+  *    a table is O(1) metadata + O(files); no central state.
+  *  - The ONE function served, `bucket`, is floorMod over the long key —
+  *    deliberately the same arithmetic the writer applies
+  *    ([[GraftLogBucketSpec.bucketOf]]) and STABLE: if this function ever
+  *    changed, every existing bucketed landing would silently
+  *    mis-co-partition, so the modulo is part of the on-disk format
+  *    contract, documented at the write path.
+  *  - `canonicalName` is the SPJ identity: Spark treats two sides'
+  *    transforms as the same partitioning iff their bound functions agree
+  *    on it. One catalog class -> one canonical name -> compatible scans.
+  *
+  * At 100 TB: two bucketed graftlog facts joined on their bucket column
+  * plan ZERO exchanges (the fact-fact join is the single largest shuffle
+  * in the engine's TPC-H-shaped workloads); the bucket count is chosen at
+  * CREATE TABLE time and should target ~(cluster cores x a small factor)
+  * so each bucket-partition is one task's worth of data.
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"spark.sql.catalog.$name.warehouse must point at a directory")
+  }
+  override def name(): String = catName
+
+  // single-level namespaces only: a table lives at <warehouse>/<ns...>/<name>
+  private def tableDir(ident: Identifier): java.io.File =
+    new java.io.File((ident.namespace() :+ ident.name())
+      .foldLeft(new java.io.File(warehouse))((d, p) => new java.io.File(d, p)).getPath)
+  private def metaFile(dir: java.io.File): java.io.File =
+    new java.io.File(dir, "_graft_table.json")
+
+  private def writeMeta(dir: java.io.File, bucket: Option[GraftLogBucketSpec]): Unit = {
+    val json = bucket match {
+      case Some(b) => s"""{"bucket_col":"${b.col}","num_buckets":${b.n}}"""
+      case None => "{}"
+    }
+    java.nio.file.Files.writeString(metaFile(dir).toPath, json + "\n")
+  }
+  private def readMeta(dir: java.io.File): Option[GraftLogBucketSpec] = {
+    val text = java.nio.file.Files.readString(metaFile(dir).toPath).trim
+    // two known shapes, written only by writeMeta — a strict match keeps
+    // foreign/corrupt metadata loud instead of silently unbucketed
+    val re = """\{"bucket_col":"(event_id|user_id)","num_buckets":(\d+)\}""".r
+    text match {
+      case "{}" => None
+      case re(col, n) => Some(GraftLogBucketSpec(GraftLog.ordinal(col), n.toInt))
+      case other => throw new IllegalStateException(
+        s"unreadable graft table metadata in $dir: $other")
+    }
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = namespace.foldLeft(new java.io.File(warehouse))((d, p) => new java.io.File(d, p))
+    if (!base.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && metaFile(d).isFile)
+      .map(d => Identifier.of(namespace, d.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    metaFile(tableDir(ident)).isFile
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
+    new GraftLogTable(dir.getPath, readMeta(dir))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // the format's schema is fixed; CREATE TABLE must state it exactly (or
+    // omit it) — silently accepting a different shape would corrupt writes
+    require(schema.isEmpty ||
+        schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          GraftLog.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graftlog tables have the fixed schema ${GraftLog.schema.simpleString}; got ${schema.simpleString}")
+    val bucket = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "bucket" =>
+        // Expressions.bucket(n, col) carries (Literal n, FieldReference col)
+        val args = t.arguments()
+        val n = args.collectFirst { case l: Literal[_] if l.dataType() == IntegerType =>
+          l.value().asInstanceOf[Int] }
+        val col = args.collectFirst { case r: NamedReference if r.fieldNames().length == 1 =>
+          r.fieldNames()(0) }
+        (n, col) match {
+          case (Some(nb), Some(c)) if GraftLog.ordinal(c) >= 0 =>
+            Some(GraftLogBucketSpec(GraftLog.ordinal(c), nb))
+          case _ => throw new IllegalArgumentException(
+            s"unsupported bucket transform ${t.describe()}")
+        }
+      case other => throw new IllegalArgumentException(
+        "graftlog tables support PARTITIONED BY (bucket(n, event_id|user_id)) " +
+          s"only; got ${other.map(_.describe()).mkString(", ")}")
+    }
+    val dir = tableDir(ident)
+    require(dir.mkdirs() || dir.isDirectory, s"cannot create table directory $dir")
+    writeMeta(dir, bucket)
+    new GraftLogTable(dir.getPath, bucket)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft tables are immutable metadata")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!metaFile(dir).isFile) return false
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir.toPath)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!metaFile(from).isFile) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val to = tableDir(newIdent)
+    require(from.renameTo(to), s"rename failed: $from -> $to")
+  }
+
+  // ---- FunctionCatalog: the bucket transform, resolvable ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The `bucket(n, col)` V2 function backing bucketed graftlog landings:
+  * floorMod(col, n) — EXACTLY [[GraftLogBucketSpec.bucketOf]], the
+  * arithmetic the writer used to tag files. Served by [[GraftCatalog]] so
+  * Catalyst can resolve a scan's reported KeyGroupedPartitioning transform
+  * into a bound TransformExpression; its `canonicalName` is the identity
+  * under which two scans' partitionings compare equal for a
+  * storage-partitioned join. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): floorMod(col, n) over the graftlog long key columns"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == LongType,
+      s"bucket binds as (numBuckets INT, key BIGINT); got ${inputType.simpleString}")
+    new ScalarFunction[java.lang.Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isDeterministic: Boolean = true
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): java.lang.Integer =
+        java.lang.Math.floorMod(input.getLong(1), input.getInt(0).toLong).toInt
+    }
+  }
+}

@@ -11,7 +11,8 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Count => V2Count, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -131,17 +132,34 @@ class GraftLogSource extends TableProvider
   }
 }
 
-private class GraftLogTable(path: String) extends Table
+/** Bucket layout of a graftlog landing (round 15, catalog tables only):
+  * every record lands in file(s) tagged `-k<bucket>-` where bucket =
+  * floorMod(<long column ord>, n) — the SAME function [[GraftCatalog]]
+  * serves as its V2 `bucket` ScalarFunction, so the scan's reported
+  * KeyGroupedPartitioning is backed by a catalog-resolvable transform and
+  * two bucketed graftlog scans join storage-partitioned with ZERO
+  * exchange. */
+private[sources] case class GraftLogBucketSpec(ord: Int, n: Int) {
+  require(ord == 0 || ord == 1, "bucketing supports the long columns (event_id, user_id)")
+  require(n > 0, s"numBuckets must be > 0, got $n")
+  def col: String = GraftLog.colName(ord)
+  def bucketOf(v: Long): Int = java.lang.Math.floorMod(v, n.toLong).toInt
+}
+
+private[sources] class GraftLogTable(path: String,
+    bucket: Option[GraftLogBucketSpec] = None) extends Table
     with SupportsRead with SupportsWrite {
   override def name(): String = s"graftlog($path)"
   override def schema(): StructType = GraftLog.schema
+  override def partitioning(): Array[Transform] =
+    bucket.map(b => Expressions.bucket(b.n, b.col): Transform).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(path,
+    new GraftLogScanBuilder(path, bucket,
       Option(options.get("maxFilesPerTrigger")).map { raw =>
         val n = try raw.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -159,7 +177,7 @@ private class GraftLogTable(path: String) extends Table
         n
       }.getOrElse(GraftLogNames.DEFAULT_LAG_MS))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftLogWriteBuilder(path, info)
+    new GraftLogWriteBuilder(path, info, bucket)
 }
 
 // ---------------------------------------------------------------------------
@@ -180,8 +198,8 @@ private class GraftLogTable(path: String) extends Table
   * are query-scoped; two concurrent streaming queries appending to the
   * same directory would collide on replay cleanup — same single-writer
   * contract as Spark's own file sink). */
-private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
+    bucket: Option[GraftLogBucketSpec]) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
@@ -192,25 +210,53 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo)
     require(got == want,
       s"graftlog write schema must be exactly $want (in order); got $got — " +
         "select the columns in table order before writing")
-    new Write {
-      override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate)
-      override def toStreaming: StreamingWrite =
-        // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
-        // through SupportsTruncate.truncate() — ignoring the flag here
-        // would silently APPEND a full snapshot every epoch); queryId keys
-        // the replay cleanup so a new query's epoch 0 cannot delete a
-        // previous query's epoch-0 files in a shared landing (r14 review)
-        new GraftLogStreamingWrite(path, doTruncate, info.queryId())
+    // Bucketed writes additionally implement RequiresDistributionAndOrdering
+    // (round 15): Spark clusters the incoming rows by the bucket column
+    // BEFORE the tasks run, so each task sees a hash-disjoint slice of the
+    // key domain and the landing's total file count stays
+    // O(tasks_touching_each_bucket), not O(tasks x buckets) — the same
+    // reason Spark's own bucketBy shuffles first. Identity clustering (not
+    // the bucket transform) keeps the requirement resolvable without the
+    // function catalog on the write path.
+    bucket match {
+      case Some(b) =>
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+        new Write with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(Expressions.column(b.col)))
+          override def requiredOrdering(): Array[SortOrder] = Array.empty
+          override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate, Some(b))
+          override def toStreaming: StreamingWrite =
+            throw new UnsupportedOperationException(
+              "bucketed graftlog tables are a batch-join layout; stream into a plain landing")
+        }
+      case None =>
+        new Write {
+          override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate, None)
+          override def toStreaming: StreamingWrite =
+            // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
+            // through SupportsTruncate.truncate() — ignoring the flag here
+            // would silently APPEND a full snapshot every epoch); queryId keys
+            // the replay cleanup so a new query's epoch 0 cannot delete a
+            // previous query's epoch-0 files in a shared landing (r14 review)
+            new GraftLogStreamingWrite(path, doTruncate, info.queryId())
+        }
     }
   }
 }
 
 private case class GraftLogCommit(tmp: String, partitionId: Int) extends WriterCommitMessage
 
-private class GraftLogBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+/** Bucketed task commit: one tmp file per bucket the task saw. */
+private case class GraftLogBucketedCommit(parts: Seq[(Int, String)],
+    partitionId: Int) extends WriterCommitMessage
+
+private class GraftLogBatchWrite(path: String, truncate: Boolean,
+    bucket: Option[GraftLogBucketSpec]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new GraftLogWriterFactory(path)
+    new GraftLogWriterFactory(path, bucket)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -223,6 +269,8 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean) extends BatchW
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftLogCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case GraftLogBucketedCommit(parts, _) =>
+        parts.foreach { case (_, tmp) => new java.io.File(tmp).delete() }
       case _ => ()
     }
 }
@@ -264,10 +312,14 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     }
 }
 
-private class GraftLogWriterFactory(path: String)
+private class GraftLogWriterFactory(path: String,
+    bucket: Option[GraftLogBucketSpec] = None)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftLogWriter(path, partitionId)
+    bucket match {
+      case Some(b) => new GraftLogBucketedWriter(path, partitionId, b)
+      case None => new GraftLogWriter(path, partitionId)
+    }
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new GraftLogWriter(path, partitionId)
 }
@@ -305,11 +357,60 @@ private class GraftLogWriter(path: String, partitionId: Int)
   override def close(): Unit = out.close()
 }
 
+/** Bucketed task writer (round 15): routes each row to the tmp file of its
+  * bucket = floorMod(<bucket column>, n), opening a file only for buckets
+  * the task actually sees — with the Write's clustered distribution the
+  * incoming rows are hash-grouped by the bucket column, so a task touches
+  * ~numBuckets/tasks of the domain, not all of it. Same tmp/rename commit
+  * protocol as the plain writer; the commit message carries (bucket, tmp)
+  * pairs and the driver's publish pass tags each name `-k<bucket>-` for
+  * the scan's partition grouping. */
+private class GraftLogBucketedWriter(path: String, partitionId: Int,
+    bucket: GraftLogBucketSpec) extends DataWriter[InternalRow] {
+  private val outs = new java.util.HashMap[Int, (String, DataOutputStream)]()
+  new java.io.File(path).mkdirs()
+
+  private def outFor(b: Int): DataOutputStream = {
+    var e = outs.get(b)
+    if (e == null) {
+      val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
+      e = (tmp, new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(tmp), 1 << 16)))
+      outs.put(b, e)
+    }
+    e._2
+  }
+
+  override def write(r: InternalRow): Unit = {
+    val etype = r.getUTF8String(3).getBytes
+    require(etype.length <= Short.MaxValue,
+      s"event_type exceeds the format's int16 length field (${etype.length} bytes)")
+    val out = outFor(bucket.bucketOf(r.getLong(bucket.ord)))
+    out.writeInt(8 + 8 + 8 + 2 + etype.length)
+    out.writeLong(r.getLong(0))
+    out.writeLong(r.getLong(1))
+    out.writeDouble(r.getDouble(2))
+    out.writeShort(etype.length)
+    out.write(etype)
+  }
+  override def commit(): WriterCommitMessage = {
+    outs.forEach((_, e) => e._2.close())
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    outs.forEach((b, e) => parts += ((b, e._1)))
+    GraftLogBucketedCommit(parts.sortBy(_._1).toSeq, partitionId)
+  }
+  override def abort(): Unit = {
+    outs.forEach((_, e) => { e._2.close(); new java.io.File(e._1).delete(); () })
+  }
+  override def close(): Unit = outs.forEach((_, e) => e._2.close())
+}
+
 // ---------------------------------------------------------------------------
 // Read path
 // ---------------------------------------------------------------------------
 
-private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Long)
+private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpec],
+    maxFiles: Option[Int], lagMs: Long)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
@@ -371,7 +472,10 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Lo
   // means before the offset could apply).
   private var offset: Int = -1
   override def pushOffset(o: Int): Boolean =
-    if (agg.isDefined || topN.isDefined) false else { offset = o; true }
+    // a bucketed scan plans one partition PER BUCKET — a global skip is
+    // not enforceable across them, so the full-push claim must decline
+    if (agg.isDefined || topN.isDefined || bucket.isDefined) false
+    else { offset = o; true }
 
   // TopN pushdown (ORDER BY ... LIMIT k), PARTIALLY: the reader keeps a
   // size-k bounded heap per file — O(k) memory against an arbitrarily
@@ -381,7 +485,10 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Lo
   // Sort+Limit itself.
   private var topN: Option[GraftLogTopN] = None
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
-    if (agg.isDefined || offset >= 0) return false
+    // bucketed scans keep TopN/agg in Spark (scope: the bucketed layout's
+    // win is the zero-exchange join; per-bucket chained heaps/partials are
+    // future work, and declining is always-correct under both contracts)
+    if (agg.isDefined || offset >= 0 || bucket.isDefined) return false
     val keys = orders.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames.length == 1 &&
@@ -407,7 +514,7 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Lo
   private var agg: Option[GraftLogAgg] = None
   override def supportCompletePushDown(a: Aggregation): Boolean = false
   override def pushAggregation(a: Aggregation): Boolean = {
-    if (offset >= 0) return false
+    if (offset >= 0 || bucket.isDefined) return false
     def simpleCol(e: org.apache.spark.sql.connector.expressions.Expression): Int = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 => GraftLog.ordinal(nr.fieldNames()(0))
       case _ => -1
@@ -428,7 +535,7 @@ private class GraftLogScanBuilder(path: String, maxFiles: Option[Int], lagMs: Lo
   }
 
   override def build(): Scan =
-    new GraftLogScan(path, pushed, required, limit, offset, topN, agg, maxFiles, lagMs)
+    new GraftLogScan(path, bucket, pushed, required, limit, offset, topN, agg, maxFiles, lagMs)
 }
 
 /** Pushed ORDER BY keys as (column ordinal, descending) plus the limit. */
@@ -469,11 +576,13 @@ private case class GraftLogAgg(groupBy: Array[Int], fns: Array[GraftLogAggFn]) {
       (if (groupBy.nonEmpty) groupBy.map(GraftLog.colName).mkString(" groupBy=[", ", ", "]") else "")
 }
 
-private class GraftLogScan(path: String, filters: Array[Filter],
+private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
+    filters: Array[Filter],
     required: StructType, limit: Int, offset: Int, topN: Option[GraftLogTopN],
     agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering with Serializable {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsRuntimeFiltering with Serializable {
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
@@ -546,7 +655,38 @@ private class GraftLogScan(path: String, filters: Array[Filter],
     // order: the only plan under which "skip the first k rows" is a global
     // statement a task can enforce (see pushOffset)
     if (offset >= 0) Array(GraftLogFilesPartition(files.toSeq))
-    else files.map(f => GraftLogPartition(f): InputPartition)
+    else bucket match {
+      case Some(b) =>
+        // one partition PER BUCKET (all its files, publish order) keyed by
+        // the bucket number — the HasPartitionKey half of the SPJ contract;
+        // files without a bucket token (foreign appends to a bucketed
+        // landing) would silently break the co-partitioning claim, so they
+        // fail loudly here instead
+        val byBucket = files.groupBy { f =>
+          val k = GraftLogNames.bucketOf(new java.io.File(f).getName)
+          require(k >= 0 && k < b.n,
+            s"non-bucketed or out-of-range file in bucketed landing: $f")
+          k
+        }
+        byBucket.toArray.sortBy(_._1).map { case (k, fs) =>
+          GraftLogBucketPartition(k, fs.toSeq): InputPartition
+        }
+      case None => files.map(f => GraftLogPartition(f): InputPartition)
+    }
+  }
+
+  /** SPJ surface (round 15): a bucketed landing reports
+    * KeyGroupedPartitioning over the SAME `bucket(n, col)` transform the
+    * writer applied and [[GraftCatalog]] serves as a V2 ScalarFunction —
+    * so a join of two such scans on the bucket column plans with ZERO
+    * exchange (storage-partitioned join), the connector twin of
+    * `join_bucketed`. numPartitions must be the count of partitions
+    * actually planned, which is the count of non-empty buckets. */
+  override def outputPartitioning(): Partitioning = bucket match {
+    case Some(b) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(b.n, b.col)), planInputPartitions().length)
+    case None => new UnknownPartitioning(planInputPartitions().length)
   }
 
   // the factory carries the scan itself: runtime filters arrive via
@@ -570,6 +710,15 @@ private case class GraftLogPartition(file: String) extends InputPartition
 /** Single sequential partition chaining `files` in publish order — the
   * pushed-OFFSET execution shape (see GraftLogScanBuilder.pushOffset). */
 private case class GraftLogFilesPartition(files: Seq[String]) extends InputPartition
+
+/** One bucket of a bucketed landing: all its files, keyed by the bucket
+  * number — HasPartitionKey is what lets Spark line partitions up across
+  * the two sides of a storage-partitioned join. */
+private case class GraftLogBucketPartition(bucket: Int, files: Seq[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 private class GraftLogSkippedMetric extends CustomSumMetric {
   override def name(): String = "recordsSkipped"
@@ -734,16 +883,32 @@ private[sources] object GraftLogNames {
 
   def publishAll(path: String, messages: Array[WriterCommitMessage],
       tag: Int => String): Unit = {
+    def rename(tmp: String, seq: Int, t: String): Unit = {
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val dest = s"$path/${publish(nextStamp(), seq, s"$t-$uuid")}"
+      require(new java.io.File(tmp).renameTo(new java.io.File(dest)),
+        s"commit failed to publish $tmp -> $dest")
+    }
     messages.zipWithIndex.foreach {
       case (GraftLogCommit(tmp, pid), i) =>
-        val uuid = java.util.UUID.randomUUID().toString.take(8)
-        val dest = s"$path/${publish(nextStamp(), i, s"${tag(pid)}-$uuid")}"
-        val t = new java.io.File(tmp)
-        require(t.renameTo(new java.io.File(dest)),
-          s"commit failed to publish $tmp -> $dest")
+        rename(tmp, i, tag(pid))
+      case (GraftLogBucketedCommit(parts, pid), i) =>
+        // the `k<bucket>` token leads so bucketOf() can parse it back at
+        // scan-planning time; per-task publish keeps stamps monotone
+        parts.foreach { case (b, tmp) => rename(tmp, i, s"k$b-${tag(pid)}") }
       case (other, _) =>
         throw new IllegalStateException(s"unexpected commit message $other")
     }
+  }
+
+  /** Bucket number of a published bucketed-landing name, or -1: the token
+    * after the stamp/seq prefix is `k<bucket>` exactly. */
+  def bucketOf(name: String): Int = {
+    val parts = name.split('-')
+    if (parts.length < 4 || parts(3).length < 2 || parts(3).charAt(0) != 'k') return -1
+    val digits = parts(3).substring(1)
+    if (!digits.forall(c => c >= '0' && c <= '9')) return -1
+    digits.toInt
   }
 }
 
@@ -893,6 +1058,8 @@ private class GraftLogReaderFactory(filterSource: () => Array[Filter],
     partition match {
       case GraftLogFilesPartition(files) => // pushed offset: sequential chain
         new GraftLogOffsetReader(files, preds, columns, offset, limit)
+      case GraftLogBucketPartition(_, files) => // bucketed: per-bucket chain
+        new GraftLogOffsetReader(files, preds, columns, 0, limit)
       case GraftLogPartition(file) =>
         agg match {
           case Some(a) => new GraftLogAggReader(file, preds, a)
@@ -919,8 +1086,12 @@ private class GraftLogReaderFactory(filterSource: () => Array[Filter],
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     require(agg.isEmpty && topN.isEmpty && offset < 0,
       "columnar read requested for a pushed-TopN/agg/offset scan — supportColumnarReads said no")
-    new GraftLogColumnarReader(partition.asInstanceOf[GraftLogPartition].file,
-      filterSource(), columns, limit)
+    val files = partition match {
+      case GraftLogPartition(file) => Seq(file)
+      case GraftLogBucketPartition(_, fs) => fs // bucketed partitions vectorize too
+      case other => throw new IllegalStateException(s"unexpected partition $other")
+    }
+    new GraftLogColumnarReader(files, filterSource(), columns, limit)
   }
 }
 
@@ -1084,12 +1255,14 @@ private class GraftLogOffsetReader(files: Seq[String], filters: Array[Filter],
   * LIMIT early-stop caps total emitted rows per file, mid-batch. Vectors
   * are reset and reused across batches: allocation is O(1) per file, not
   * O(batches). */
-private class GraftLogColumnarReader(file: String, filters: Array[Filter],
+private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
     columns: Array[String], limit: Int) extends PartitionReader[ColumnarBatch] {
 
   private val BATCH_ROWS = 4096
   private val proj: Array[Int] = columns.map(GraftLog.ordinal)
-  private val cursor = new GraftLogCursor(file, filters, proj.contains(3))
+  private val it = files.iterator
+  private var cursor: GraftLogCursor = _
+  private var skippedPast = 0L
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(BATCH_ROWS, StructType(
       proj.map(o => StructField(GraftLog.colName(o), GraftLog.colType(o),
@@ -1097,6 +1270,23 @@ private class GraftLogColumnarReader(file: String, filters: Array[Filter],
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
   private var emitted = 0L
   private var done = false
+
+  // chained across the partition's files (a plain scan partition is one
+  // file; a bucketed partition is all of its bucket's files): a batch may
+  // span a file boundary — the vectors don't care
+  private def advanceChained(): Boolean = {
+    while (true) {
+      if (cursor == null) {
+        if (!it.hasNext) return false
+        cursor = new GraftLogCursor(it.next(), filters, proj.contains(3))
+      }
+      if (cursor.advance()) return true
+      skippedPast += cursor.skipped
+      cursor.close()
+      cursor = null
+    }
+    false
+  }
 
   override def next(): Boolean = {
     if (done) return false
@@ -1107,7 +1297,7 @@ private class GraftLogColumnarReader(file: String, filters: Array[Filter],
     var i = 0
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
     var n = 0
-    while (n < cap && cursor.advance()) {
+    while (n < cap && advanceChained()) {
       var j = 0
       while (j < proj.length) {
         proj(j) match {
@@ -1123,17 +1313,23 @@ private class GraftLogColumnarReader(file: String, filters: Array[Filter],
       n += 1
     }
     emitted += n
-    // n < cap means the cursor hit EOF; at the limit, stop before a
-    // needless extra advance() on the next call
+    // n < cap means the chain is exhausted; at the limit, stop before a
+    // needless extra advance on the next call
     if (n < cap || (limit >= 0 && emitted >= limit)) done = true
     if (n == 0) return false
     batch.setNumRows(n)
     true
   }
   override def get(): ColumnarBatch = batch
-  override def currentMetricsValues(): Array[CustomTaskMetric] = cursor.metricsValues()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = {
+    val n = skippedPast + (if (cursor != null) cursor.skipped else 0L)
+    Array(new CustomTaskMetric {
+      override def name(): String = "recordsSkipped"
+      override def value(): Long = n
+    })
+  }
   override def close(): Unit = {
-    cursor.close()
+    if (cursor != null) cursor.close()
     batch.close() // frees the vectors
   }
 }
@@ -1308,6 +1504,9 @@ object GraftLog {
   }
   private[sources] def colName(ord: Int): String = schema.fields(ord).name
   private[sources] def colType(ord: Int) = schema.fields(ord).dataType
+
+  /** Test hook: bucket token of a published name (see GraftLogNames). */
+  def testBucketOf(name: String): Int = GraftLogNames.bucketOf(name)
 
   private[sources] def supportedFilter(f: Filter): Boolean = f match {
     case EqualTo(a, _) => cols(a)
