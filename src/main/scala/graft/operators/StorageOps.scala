@@ -327,6 +327,56 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Storage-partitioned join over bucketed graftlog CATALOG tables
+  // (round 15, r14 verdict #3 — the last DSv2 optimizer rung): two tables
+  // created through GraftCatalog with PARTITIONED BY (bucket(16,
+  // user_id)), populated via writeTo (clustered V2 write, k-tagged
+  // files), then joined on the bucket column. Each scan reports
+  // KeyGroupedPartitioning over the catalog-resolvable bucket transform,
+  // so the join plans with ZERO shuffle exchanges — the connector twin of
+  // join_bucketed, and at 100 TB the difference between shuffling two
+  // fact tables and shuffling nothing. The merge-join hint is
+  // plan-embedded (a conf toggle would not survive this function's lazy
+  // return); at fixture scale the optimizer would otherwise broadcast the
+  // small side, which is exactly the plan the pin must exclude. The
+  // catalog name and warehouse are JVM-stable (a catalog binds its
+  // options at first load), with per-run DROP/CREATE for isolation.
+  // ------------------------------------------------------------------
+  private lazy val catalogWarehouse = scratch("graft_catalog_wh")
+  def dsv2PartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val cols = "(event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)"
+    Seq("spj_events", "spj_signups").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS graftq.$t")
+      s.sql(s"CREATE TABLE graftq.$t $cols USING graftlog " +
+        "PARTITIONED BY (bucket(16, user_id))")
+    }
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.writeTo("graftq.spj_events").append()
+    ev.filter(col("event_type") === "signup").writeTo("graftq.spj_signups").append()
+    s.table("graftq.spj_events")
+      .join(s.table("graftq.spj_signups").select(col("user_id")).hint("merge"), "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-accumulate (exact, shuffle-order-stable), double at the
+        // render boundary — the engine-wide money discipline (Relational)
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy(col("user_id"))
+  }
+
+  val dsv2PartitionedJoinSql: String =
+    """SELECT a.user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events a
+      |JOIN (SELECT user_id FROM events WHERE event_type = 'signup') b
+      |  ON a.user_id = b.user_id
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Flagship-over-connector composition (round 15, r14 verdict #6): the
   // §3.3 flagship OPERATOR CHAIN run end-to-end with graftlog as BOTH
   // source and sink — proof the connector carries the engine's own
@@ -651,6 +701,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_or" -> (dsv2OrPushdown _),
     "scan_dsv2_offset" -> (dsv2Offset _),
     "pipeline_dsv2_flagship" -> (dsv2Flagship _),
+    "join_dsv2_partitioned" -> (dsv2PartitionedJoin _),
     "scan_dsv2_topn" -> (dsv2TopN _),
     "scan_dsv2_agg" -> (dsv2Agg _),
     "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
@@ -670,6 +721,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_or" -> dsv2OrPushdownSql,
     "scan_dsv2_offset" -> dsv2OffsetSql,
     "pipeline_dsv2_flagship" -> dsv2FlagshipSql,
+    "join_dsv2_partitioned" -> dsv2PartitionedJoinSql,
     "scan_dsv2_topn" -> dsv2TopNSql,
     "scan_dsv2_agg" -> dsv2AggSql,
     "join_dsv2_runtime" -> dsv2RuntimeFilterSql,

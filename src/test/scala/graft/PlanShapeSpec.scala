@@ -502,6 +502,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"pushed disjunction re-evaluated post-scan:\n${postScanFilters.mkString("\n")}")
   }
 
+  test("graftlog DSv2 storage-partitioned join: no shuffle below the merge join, no hash exchange anywhere") {
+    // SupportsReportPartitioning + GraftCatalog (round 15): both bucketed
+    // catalog scans report KeyGroupedPartitioning over the same resolvable
+    // bucket transform, so the merge join consumes them in place. The ONLY
+    // exchange the whole query may contain is the final ORDER BY's range
+    // exchange — a hash exchange anywhere means the SPJ claim failed.
+    val plan = executedPlan(graft.operators.StorageOps.dsv2PartitionedJoin(spark, sfDir))
+    assert(plan.contains("GraftLogScan"), s"no GraftLogScan in:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"merge join not planned:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"storage-partitioned join shuffled:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"broadcast defeated the SPJ pin:\n$plan")
+  }
+
   test("graftlog DSv2 offset: OFFSET pushed fully into a single sequential scan partition") {
     // SupportsPushDownOffset (round 15): no partial variant exists, so the
     // scan claims the skip globally — one partition chaining files in
