@@ -58,6 +58,13 @@ object StreamScaleProbe {
 
   private val STATE_SLACK = 2.0
   private val WALL_SLACK = 1.8
+  /** Checkpoint-footprint slack for the changelog decade: with changelog
+    * checkpointing + tight retention the checkpoint holds (state snapshot
+    * + a fixed window of changelogs/metadata), so a 100x-longer stream
+    * must NOT show a 100x checkpoint — 8x absorbs snapshot-zip cadence and
+    * maintenance-timing noise while still excluding linear-in-history
+    * growth by an order of magnitude. */
+  private val CKPT_SLACK = 8.0
 
   private def buildFixture(s: SparkSession, base: String, factor: Int): String = {
     val out = s"/tmp/graft_scale/stream_${new java.io.File(base).getName}_x$factor"
@@ -123,6 +130,21 @@ object StreamScaleProbe {
         picked
       } else FAMILY
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // RocksDB changelog-checkpointing decade (round 15, r14 verdict #4):
+    // per-batch CHANGELOGS instead of full snapshot uploads, tight version
+    // retention, and bounded block-cache memory — the production knobs for
+    // a long-running stateful stream at 100 TB. Gated by env so the
+    // standard probe family keeps its committed baseline semantics; when
+    // set, the probe additionally asserts the checkpoint footprint stays
+    // sublinear in history (see CKPT_SLACK).
+    val rocksdbChangelog = sys.env.get("GRAFT_STREAM_ROCKSDB_CHANGELOG").contains("1")
+    if (rocksdbChangelog) {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "1024")
+    }
     // telemetry reads the query's recentProgress feed, which Spark caps at
     // 100 entries by default — a large factor with tight chunking exceeds
     // that and would silently truncate batches/inputRows and possibly miss
@@ -142,7 +164,8 @@ object StreamScaleProbe {
         sys.error(s"$name left no stream telemetry — not a runToCompletion query?"))
       println(s"""STREAMSCALE {"query":"$name","factor":$f,"secs":${fmt(secs)},""" +
         s""""batches":${t.batches},"input_rows":${t.inputRows},""" +
-        s""""peak_state_rows":${t.peakStateRows},"dropped":${t.droppedByWatermark}}""")
+        s""""peak_state_rows":${t.peakStateRows},"dropped":${t.droppedByWatermark},""" +
+        s""""ckpt_bytes":${t.checkpointBytes}}""")
       require(t.droppedByWatermark == 0,
         s"$name x$f dropped ${t.droppedByWatermark} rows behind the watermark — " +
           "fixture not time-ordered; run invalid")
@@ -168,13 +191,27 @@ object StreamScaleProbe {
           "with stream LENGTH, not the watermark horizon / key domain")
       require(g <= factor * WALL_SLACK * b,
         s"$name: wall ${fmt(g)}s at x$factor vs ${fmt(b)}s — superlinear in history")
+      val ckptRatio =
+        if (tb.checkpointBytes > 0 && tg.checkpointBytes > 0)
+          tg.checkpointBytes.toDouble / tb.checkpointBytes
+        else -1.0
+      if (rocksdbChangelog) {
+        require(ckptRatio > 0, s"$name: checkpoint footprint unmeasured in changelog mode")
+        require(ckptRatio <= CKPT_SLACK,
+          s"$name: checkpoint grew ${fmt(ckptRatio)}x at x$factor history " +
+            s"(${tb.checkpointBytes} -> ${tg.checkpointBytes} bytes) — " +
+            "changelog retention is not bounding the footprint")
+      }
       s""""$name":{"base_s":${fmt(b)},"big_s":${fmt(g)},"wall_ratio":${fmt(g / b)},""" +
         s""""batches":[${tb.batches},${tg.batches}],"input_rows":[${tb.inputRows},${tg.inputRows}],""" +
         s""""peak_state_rows":[${tb.peakStateRows},${tg.peakStateRows}],""" +
-        s""""state_ratio":${fmt(stateRatio)}}"""
+        s""""state_ratio":${fmt(stateRatio)},""" +
+        s""""ckpt_bytes":[${tb.checkpointBytes},${tg.checkpointBytes}],""" +
+        s""""ckpt_ratio":${fmt(ckptRatio)}}"""
     }
     val json = s"""{"base":"$base","factor":$factor,"axis":"time-shifted history, constant density",""" +
       s""""max_files_per_trigger":${streaming.Streams.streamMaxFilesPerTrigger.get},""" +
+      s""""rocksdb_changelog":$rocksdbChangelog,""" +
       s""""stream_queries":${entries.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("stream_scale_out.json"), json + "\n")

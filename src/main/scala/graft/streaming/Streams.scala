@@ -234,7 +234,8 @@ object Streams {
     * before stop(); volatile single-slot because runs are sequential
     * within a session (Bench/Verify/probe all serialize queries). */
   final case class RunTelemetry(batches: Int, dataBatches: Int, inputRows: Long,
-      peakStateRows: Long, droppedByWatermark: Long)
+      peakStateRows: Long, droppedByWatermark: Long,
+      checkpointBytes: Long = -1L)
   @volatile var lastRunTelemetry: Option[RunTelemetry] = None
 
   /** Run `body` with spark.sql.shuffle.partitions scoped to
@@ -254,6 +255,7 @@ object Streams {
   def runToCompletion(df: DataFrame, queryName: String, outputMode: OutputMode,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): DataFrame = {
     withStreamShuffle(df.sparkSession) {
+      val ckptDir = graft.Scratch.streamCkptDir("graft_ckpt")
       val writer = df.writeStream
         .format("memory")
         .queryName(queryName)
@@ -261,7 +263,7 @@ object Streams {
         // tmpfs checkpoint: this query's checkpoint is ephemeral by
         // construction (memory sink, drained to completion, then stopped);
         // see Scratch.streamCkptDir for the measured fsync tax it removes
-        .option("checkpointLocation", graft.Scratch.streamCkptDir("graft_ckpt"))
+        .option("checkpointLocation", ckptDir)
       val q = trigger.fold(writer)(writer.trigger).start()
       q.processAllAvailable()
       // snapshot progress BEFORE stop() (stop clears the feed); spark's
@@ -278,7 +280,24 @@ object Streams {
         peakStateRows = if (prog.isEmpty) 0L
           else prog.map(p => p.stateOperators.map(_.numRowsTotal).sum).max,
         droppedByWatermark =
-          prog.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum))
+          prog.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum,
+        // on-disk checkpoint footprint at drain end (state snapshots +
+        // changelogs + offset/commit log after retention cleanup) — the
+        // number the scale probe's bounded-checkpoint claim needs; the
+        // walk is O(checkpoint files), measured before stop() only
+        // because the dir is purged with the scratch space afterwards
+        checkpointBytes = {
+          val root = new java.io.File(ckptDir).toPath
+          if (!java.nio.file.Files.isDirectory(root)) -1L
+          else {
+            val s = java.nio.file.Files.walk(root)
+            try s.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(p => try java.nio.file.Files.size(p) catch {
+                case _: java.io.IOException => 0L // maintenance races are fine
+              }).sum()
+            finally s.close()
+          }
+        }))
       q.stop()
     }
     // Return a SELF-CONTAINED handle and drop the UUID-named temp view
