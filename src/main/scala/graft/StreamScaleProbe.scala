@@ -58,12 +58,19 @@ object StreamScaleProbe {
 
   private val STATE_SLACK = 2.0
   private val WALL_SLACK = 1.8
-  /** Checkpoint-footprint slack for the changelog decade: with changelog
-    * checkpointing + tight retention the checkpoint holds (state snapshot
-    * + a fixed window of changelogs/metadata), so a 100x-longer stream
-    * must NOT show a 100x checkpoint — 8x absorbs snapshot-zip cadence and
+  /** STATE-checkpoint slack for the changelog decade: with changelog
+    * checkpointing + tight retention the `state/` subtree holds (recent
+    * snapshots + a bounded window of changelogs + RocksDB compaction-debt
+    * SSTs), so a 100x-longer stream must NOT show a 100x state
+    * checkpoint — 8x absorbs snapshot cadence, the SST plateau, and
     * maintenance-timing noise while still excluding linear-in-history
-    * growth by an order of magnitude. */
+    * growth by an order of magnitude. Asserted on `state/` ONLY: the
+    * checkpoint TOTAL also carries the file-SOURCE manifest (each
+    * `.compact` under sources/ re-lists every input file ever seen — O(history)
+    * by Spark's own FileStreamSource design, measured 60% of the x100
+    * footprint, and exactly the pathology the graftlog source's
+    * compacted hw+lag-tail offsets exist to avoid); both numbers are
+    * reported so the distinction stays visible. */
   private val CKPT_SLACK = 8.0
 
   private def buildFixture(s: SparkSession, base: String, factor: Int): String = {
@@ -144,6 +151,18 @@ object StreamScaleProbe {
       spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "1024")
+      // Maintenance (snapshot upload + old-version purge) defaults to a
+      // 60 s cadence on ONE thread — longer than the whole compressed
+      // probe drain, so without these the checkpoint accumulates every
+      // changelog ever written and reads linear-in-history (measured: 57x
+      // at x100; with interval alone 15x — one thread could not snapshot
+      // and purge 32 partitions between 0.3 s batches). A long-lived
+      // production stream runs maintenance thousands of times over the
+      // same state; scaling the cadence and concurrency down to the
+      // probe's compressed timescale is what keeps the comparison honest.
+      spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "500")
+      spark.conf.set("spark.sql.streaming.stateStore.numStateStoreMaintenanceThreads", "8")
+      spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "5")
     }
     // telemetry reads the query's recentProgress feed, which Spark caps at
     // 100 entries by default — a large factor with tight chunking exceeds
@@ -165,7 +184,7 @@ object StreamScaleProbe {
       println(s"""STREAMSCALE {"query":"$name","factor":$f,"secs":${fmt(secs)},""" +
         s""""batches":${t.batches},"input_rows":${t.inputRows},""" +
         s""""peak_state_rows":${t.peakStateRows},"dropped":${t.droppedByWatermark},""" +
-        s""""ckpt_bytes":${t.checkpointBytes}}""")
+        s""""ckpt_bytes":${t.checkpointBytes},"state_ckpt_bytes":${t.stateCheckpointBytes}}""")
       require(t.droppedByWatermark == 0,
         s"$name x$f dropped ${t.droppedByWatermark} rows behind the watermark — " +
           "fixture not time-ordered; run invalid")
@@ -191,15 +210,16 @@ object StreamScaleProbe {
           "with stream LENGTH, not the watermark horizon / key domain")
       require(g <= factor * WALL_SLACK * b,
         s"$name: wall ${fmt(g)}s at x$factor vs ${fmt(b)}s — superlinear in history")
-      val ckptRatio =
-        if (tb.checkpointBytes > 0 && tg.checkpointBytes > 0)
-          tg.checkpointBytes.toDouble / tb.checkpointBytes
+      val stateCkptRatio =
+        if (tb.stateCheckpointBytes > 0 && tg.stateCheckpointBytes > 0)
+          tg.stateCheckpointBytes.toDouble / tb.stateCheckpointBytes
         else -1.0
       if (rocksdbChangelog) {
-        require(ckptRatio > 0, s"$name: checkpoint footprint unmeasured in changelog mode")
-        require(ckptRatio <= CKPT_SLACK,
-          s"$name: checkpoint grew ${fmt(ckptRatio)}x at x$factor history " +
-            s"(${tb.checkpointBytes} -> ${tg.checkpointBytes} bytes) — " +
+        require(stateCkptRatio > 0,
+          s"$name: state checkpoint footprint unmeasured in changelog mode")
+        require(stateCkptRatio <= CKPT_SLACK,
+          s"$name: state checkpoint grew ${fmt(stateCkptRatio)}x at x$factor history " +
+            s"(${tb.stateCheckpointBytes} -> ${tg.stateCheckpointBytes} bytes) — " +
             "changelog retention is not bounding the footprint")
       }
       s""""$name":{"base_s":${fmt(b)},"big_s":${fmt(g)},"wall_ratio":${fmt(g / b)},""" +
@@ -207,7 +227,8 @@ object StreamScaleProbe {
         s""""peak_state_rows":[${tb.peakStateRows},${tg.peakStateRows}],""" +
         s""""state_ratio":${fmt(stateRatio)},""" +
         s""""ckpt_bytes":[${tb.checkpointBytes},${tg.checkpointBytes}],""" +
-        s""""ckpt_ratio":${fmt(ckptRatio)}}"""
+        s""""state_ckpt_bytes":[${tb.stateCheckpointBytes},${tg.stateCheckpointBytes}],""" +
+        s""""state_ckpt_ratio":${fmt(stateCkptRatio)}}"""
     }
     val json = s"""{"base":"$base","factor":$factor,"axis":"time-shifted history, constant density",""" +
       s""""max_files_per_trigger":${streaming.Streams.streamMaxFilesPerTrigger.get},""" +

@@ -668,9 +668,20 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
             s"non-bucketed or out-of-range file in bucketed landing: $f")
           k
         }
-        byBucket.toArray.sortBy(_._1).map { case (k, fs) =>
-          GraftLogBucketPartition(k, fs.toSeq): InputPartition
-        }
+        // BUCKET PRUNING (round 15): a pushed =/IN on the bucket column
+        // names the only buckets that can match — the other buckets'
+        // files are never opened, the layout's second scale lever after
+        // the zero-exchange join (a point lookup on a 100 TB landing
+        // touches 1/n of it). PUSHED filters only: runtime filters
+        // arrive after outputPartitioning() has been consulted, and
+        // pruning on them would desync the reported partitioning from
+        // the planned partitions mid-SPJ.
+        val allowed = GraftLog.prunedBuckets(b, filters)
+        byBucket.toArray.sortBy(_._1)
+          .filter { case (k, _) => allowed.forall(_.contains(k)) }
+          .map { case (k, fs) =>
+            GraftLogBucketPartition(k, fs.toSeq): InputPartition
+          }
       case None => files.map(f => GraftLogPartition(f): InputPartition)
     }
   }
@@ -1507,6 +1518,29 @@ object GraftLog {
 
   /** Test hook: bucket token of a published name (see GraftLogNames). */
   def testBucketOf(name: String): Int = GraftLogNames.bucketOf(name)
+
+  /** Buckets a pushed filter tree allows on the bucket column, None = no
+    * constraint. Conjuncts (the array, and And nodes) intersect; Or nodes
+    * union — and an Or branch with no constraint poisons the whole Or to
+    * None (rows could land in any bucket through that branch). Only
+    * =/IN on the bucket column itself constrain; every other predicate is
+    * bucket-agnostic. Soundness: a dropped bucket can only contain rows
+    * every retained filter rejects. */
+  private[sources] def prunedBuckets(b: GraftLogBucketSpec,
+      filters: Array[Filter]): Option[Set[Int]] = {
+    def one(f: Filter): Option[Set[Int]] = f match {
+      case EqualTo(a, v: Long) if a == b.col => Some(Set(b.bucketOf(v)))
+      case In(a, vs) if a == b.col && vs.forall(_.isInstanceOf[Long]) =>
+        Some(vs.map(v => b.bucketOf(v.asInstanceOf[Long])).toSet)
+      case And(l, r) => (one(l), one(r)) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, y) => x.orElse(y)
+      }
+      case Or(l, r) => for { x <- one(l); y <- one(r) } yield x union y
+      case _ => None
+    }
+    filters.flatMap(one).reduceOption(_ intersect _)
+  }
 
   private[sources] def supportedFilter(f: Filter): Boolean = f match {
     case EqualTo(a, _) => cols(a)

@@ -235,7 +235,7 @@ object Streams {
     * within a session (Bench/Verify/probe all serialize queries). */
   final case class RunTelemetry(batches: Int, dataBatches: Int, inputRows: Long,
       peakStateRows: Long, droppedByWatermark: Long,
-      checkpointBytes: Long = -1L)
+      checkpointBytes: Long = -1L, stateCheckpointBytes: Long = -1L)
   @volatile var lastRunTelemetry: Option[RunTelemetry] = None
 
   /** Run `body` with spark.sql.shuffle.partitions scoped to
@@ -245,6 +245,31 @@ object Streams {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Recursive byte total of a checkpoint (sub)tree; -1 if absent. With
+    * GRAFT_CKPT_DUMP=1 and subdir=None, also prints the 30 largest
+    * per-subtree aggregates for probe forensics. */
+  private def ckptBytes(ckptDir: String, subdir: Option[String]): Long = {
+    val root = subdir.foldLeft(new java.io.File(ckptDir))(new java.io.File(_, _)).toPath
+    if (!java.nio.file.Files.isDirectory(root)) return -1L
+    if (subdir.isEmpty && sys.env.contains("GRAFT_CKPT_DUMP")) {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .toSeq.groupBy(p => root.relativize(p).toString.split('/').take(4).mkString("/"))
+          .map { case (k, ps) => (k, ps.map(p => java.nio.file.Files.size(p)).sum, ps.size) }
+          .toSeq.sortBy(-_._2).take(30)
+          .foreach { case (k, b, n) => println(s"CKPTDUMP $b bytes $n files $k") }
+      } finally s.close()
+    }
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(p => try java.nio.file.Files.size(p) catch {
+        case _: java.io.IOException => 0L // maintenance races are fine
+      }).sum()
+    finally s.close()
   }
 
   /** Drive a streaming DataFrame to completion over a static input dir and
@@ -281,23 +306,19 @@ object Streams {
           else prog.map(p => p.stateOperators.map(_.numRowsTotal).sum).max,
         droppedByWatermark =
           prog.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum,
-        // on-disk checkpoint footprint at drain end (state snapshots +
-        // changelogs + offset/commit log after retention cleanup) — the
-        // number the scale probe's bounded-checkpoint claim needs; the
-        // walk is O(checkpoint files), measured before stop() only
-        // because the dir is purged with the scratch space afterwards
-        checkpointBytes = {
-          val root = new java.io.File(ckptDir).toPath
-          if (!java.nio.file.Files.isDirectory(root)) -1L
-          else {
-            val s = java.nio.file.Files.walk(root)
-            try s.filter(java.nio.file.Files.isRegularFile(_))
-              .mapToLong(p => try java.nio.file.Files.size(p) catch {
-                case _: java.io.IOException => 0L // maintenance races are fine
-              }).sum()
-            finally s.close()
-          }
-        }))
+        // On-disk checkpoint footprint at drain end, measured before
+        // stop() because the dir is purged with the scratch space. TWO
+        // numbers, deliberately: `state/` (snapshots + changelogs + SSTs
+        // after retention cleanup — the subtree the RocksDB changelog
+        // claim is about) and the total, which additionally carries the
+        // FILE SOURCE manifest (`sources/*.compact` lists every input
+        // file ever seen — O(history) by Spark's own design, and exactly
+        // the pathology the graftlog streaming source's compacted
+        // hw+lag-tail offsets exist to avoid). Asserting the state claim
+        // on the total would conflate the two. GRAFT_CKPT_DUMP=1 prints
+        // a per-subtree breakdown for probe forensics.
+        checkpointBytes = ckptBytes(ckptDir, None),
+        stateCheckpointBytes = ckptBytes(ckptDir, Some("state"))))
       q.stop()
     }
     // Return a SELF-CONTAINED handle and drop the UUID-named temp view

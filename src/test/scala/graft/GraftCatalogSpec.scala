@@ -69,6 +69,26 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(back.length == src.length && back.sameElements(src))
   }
 
+  test("bucket pruning: =/IN on the bucket column plans only the matching buckets") {
+    // user 42 lives in bucket floorMod(42, 8) = 2: a pushed equality must
+    // collapse the scan to ONE partition; the IN over two users in two
+    // distinct buckets plans exactly those two. Answers come from the
+    // pruned plan, so a wrongly-dropped bucket fails the value checks too.
+    val eq = spark.table("graft.ev_a").filter(col("user_id") === 42L)
+    assert(eq.rdd.getNumPartitions == 1,
+      s"equality on the bucket column planned ${eq.rdd.getNumPartitions} partitions")
+    assert(eq.count() == events.filter(col("user_id") === 42L).count())
+    val in = spark.table("graft.ev_a")
+      .filter(col("user_id").isin(42L, 43L))
+    assert(in.rdd.getNumPartitions == 2,
+      s"IN over two buckets planned ${in.rdd.getNumPartitions} partitions")
+    assert(in.count() == events.filter(col("user_id").isin(42L, 43L)).count())
+    // a value-column predicate must NOT prune (bucket-agnostic)
+    val np = spark.table("graft.ev_a").filter(col("value") > 1e12)
+    assert(np.rdd.getNumPartitions == 8,
+      s"bucket-agnostic filter wrongly pruned to ${np.rdd.getNumPartitions}")
+  }
+
   test("storage-partitioned join: bucketed graftlog x bucketed graftlog, ZERO exchanges") {
     // at fixture scale the optimizer would rightly broadcast the small
     // side; the claim under test is the SHUFFLE-FREE shuffle-join plan, so
