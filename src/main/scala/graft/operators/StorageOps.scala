@@ -377,6 +377,71 @@ object StorageOps extends QueryModule {
       |ORDER BY a.user_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Metadata columns under the oracle gate (round 15): the connector
+  // exposes `_file` / `_bucket` / `_pub_stamp` through
+  // SupportsMetadataColumns the way parquet exposes _metadata. On a
+  // bucketed catalog table `_bucket` IS floorMod(user_id, n) — a
+  // deterministic function of the data — so a GROUP BY _bucket aggregate
+  // is DuckDB-expressible; `_file` and `_pub_stamp` ride the same reader
+  // projection and are exercised via vacuously-true guards (every
+  // published file is stamped), keeping them in the scanned plan while
+  // the compared values stay run-independent (paths and stamps are not).
+  // ------------------------------------------------------------------
+  def dsv2Meta(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.meta_ev")
+    s.sql("CREATE TABLE graftq.meta_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .writeTo("graftq.meta_ev").append()
+    s.table("graftq.meta_ev")
+      .filter(col("_file").isNotNull && col("_pub_stamp") > 0L)
+      .groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"),
+        min(col("event_id")).as("min_eid"), max(col("event_id")).as("max_eid"))
+      .orderBy(col("_bucket"))
+  }
+
+  val dsv2MetaSql: String =
+    """SELECT CAST(user_id % 8 AS INT) AS _bucket, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+      |  MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Row-level DELETE under the oracle gate (round 15): the
+  // takedown/right-to-be-forgotten command over a bucketed graftlog
+  // catalog table — SQL DELETE rewritten by Spark into a group-based
+  // copy-on-write ReplaceData, with runtime group filtering (an IN
+  // subquery over the `_file` metadata column) confining the rewrite to
+  // the files that actually contain matching rows. The oracle is the
+  // read-back: the landing after DELETE must equal the survivor set row
+  // for row. GraftCatalogSpec pins the file-level provenance (untouched
+  // files keep their names); this query pins the end-to-end semantics.
+  // ------------------------------------------------------------------
+  def dsv2Delete(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.del_ev")
+    s.sql("CREATE TABLE graftq.del_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .writeTo("graftq.del_ev").append()
+    s.sql("DELETE FROM graftq.del_ev WHERE event_type = 'click' OR value < 120.0")
+    s.table("graftq.del_ev").orderBy(col("event_id"))
+  }
+
+  val dsv2DeleteSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE NOT (event_type = 'click' OR value < 120.0)
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Flagship-over-connector composition (round 15, r14 verdict #6): the
   // §3.3 flagship OPERATOR CHAIN run end-to-end with graftlog as BOTH
   // source and sink — proof the connector carries the engine's own
@@ -702,6 +767,8 @@ object StorageOps extends QueryModule {
     "scan_dsv2_offset" -> (dsv2Offset _),
     "pipeline_dsv2_flagship" -> (dsv2Flagship _),
     "join_dsv2_partitioned" -> (dsv2PartitionedJoin _),
+    "scan_dsv2_meta" -> (dsv2Meta _),
+    "delete_dsv2_rewrite" -> (dsv2Delete _),
     "scan_dsv2_topn" -> (dsv2TopN _),
     "scan_dsv2_agg" -> (dsv2Agg _),
     "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
@@ -722,6 +789,8 @@ object StorageOps extends QueryModule {
     "scan_dsv2_offset" -> dsv2OffsetSql,
     "pipeline_dsv2_flagship" -> dsv2FlagshipSql,
     "join_dsv2_partitioned" -> dsv2PartitionedJoinSql,
+    "scan_dsv2_meta" -> dsv2MetaSql,
+    "delete_dsv2_rewrite" -> dsv2DeleteSql,
     "scan_dsv2_topn" -> dsv2TopNSql,
     "scan_dsv2_agg" -> dsv2AggSql,
     "join_dsv2_runtime" -> dsv2RuntimeFilterSql,

@@ -6,19 +6,19 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Count => V2Count, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
@@ -148,9 +148,33 @@ private[sources] case class GraftLogBucketSpec(ord: Int, n: Int) {
 
 private[sources] class GraftLogTable(path: String,
     bucket: Option[GraftLogBucketSpec] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with SupportsRowLevelOperations with SupportsDeleteV2 {
   override def name(): String = s"graftlog($path)"
   override def schema(): StructType = GraftLog.schema
+  override def metadataColumns(): Array[MetadataColumn] = GraftLog.metadataColumns
+
+  // Conditional DELETE goes through the group-based rewrite
+  // ([[GraftLogDeleteOperation]]); metadata-only deletes are claimed for
+  // the ALWAYS-TRUE case alone — whole-table truncate by unlinking every
+  // log file, no job. Anything finer would need per-file row statistics
+  // the format doesn't keep, and a wrong canDeleteWhere=true silently
+  // deletes rows the predicate did not cover — the one unrecoverable
+  // failure mode of this SPI — so the claim stays minimal.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(info.command() == RowLevelOperation.Command.DELETE,
+      s"graftlog supports row-level DELETE only, not ${info.command()}")
+    () => new GraftLogDeleteOperation(path, bucket)
+  }
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
+    predicates.forall(_.isInstanceOf[AlwaysTrue])
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    require(canDeleteWhere(predicates),
+      s"metadata-only delete unsupported for [${predicates.mkString(", ")}]")
+    GraftLog.listLogFiles(path).foreach(f =>
+      require(new java.io.File(f).delete(), s"truncate failed to delete $f"))
+  }
   override def partitioning(): Array[Transform] =
     bucket.map(b => Expressions.bucket(b.n, b.col): Transform).toArray
   override def capabilities(): java.util.Set[TableCapability] =
@@ -308,6 +332,161 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftLogCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case _ => ()
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Row-level DELETE (round 15): group-based copy-on-write
+// ---------------------------------------------------------------------------
+
+/** `DELETE FROM <graft catalog table> WHERE <cond>` — the takedown /
+  * right-to-be-forgotten operation a 100 TB training-data landing needs as
+  * a first-class command, via Spark's SupportsRowLevelOperations contract
+  * (GROUP-based, the file is the group):
+  *
+  *  1. The analyzer rewrites the DELETE into ReplaceData(Filter(NOT cond,
+  *     scan)) over this operation's scan, with `_file` (the metadata
+  *     column) as the operation's required metadata attribute — the group
+  *     identity.
+  *  2. The optimizer's runtime group filtering plants a subquery that
+  *     collects `_file` FROM the table WHERE cond — only files that
+  *     actually CONTAIN matching rows — and hands the set to the rewrite
+  *     scan as a V2 runtime filter. At 100 TB a DELETE touching 0.1% of
+  *     files rewrites 0.1% of the landing, not all of it.
+  *  3. The rewrite scan reads the affected files IN FULL (no row-predicate
+  *     pushdown here, deliberately: pushing the survivor filter would be
+  *     sound for the rows, but this scan's FILE SET is the replace set,
+  *     and only group-level pruning may shrink it), Spark applies
+  *     NOT cond, and the write lands the survivors.
+  *  4. commit() publishes the survivor files FIRST, then deletes the
+  *     replaced originals: a crash between the two steps leaves
+  *     re-deletable duplicates, never lost survivors. Atomic only under
+  *     the landing's single-writer contract — same class of guarantee as
+  *     Spark's own file-based sinks, stated rather than implied.
+  *
+  * If runtime group filtering does not fire (conf off, exotic condition),
+  * the scan's file set is the whole landing and the DELETE degrades to a
+  * full rewrite — always correct, never silently wrong. Whole-table
+  * DELETE (no WHERE) never reaches this path: SupportsDeleteV2 serves it
+  * as a metadata-only truncate. */
+private class GraftLogDeleteOperation(path: String,
+    bucket: Option[GraftLogBucketSpec]) extends RowLevelOperation {
+
+  /** Runtime group-filter file set, recorded by the rewrite scan's
+    * filter() (driver-side; the commit re-derives the replace set from
+    * it). None = unfiltered (full rewrite). */
+  @volatile private[sources] var allowedFiles: Option[Set[String]] = None
+
+  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+  override def description(): String = s"GraftLogDelete($path)"
+  // `_file` is the group identity the rewrite plan carries row-by-row;
+  // the runtime group-filter subquery projects exactly this column
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogRewriteScanBuilder(path, this)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = {
+      // positional writers: require the exact data schema, in order (the
+      // rewrite plan projects metadata columns away before the write)
+      val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+      val want = GraftLog.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(got == want,
+        s"replace-data write schema must be exactly $want; got $got")
+      bucket match {
+        case Some(b) =>
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+          new Write with RequiresDistributionAndOrdering {
+            override def requiredDistribution(): Distribution =
+              Distributions.clustered(Array(Expressions.column(b.col)))
+            override def requiredOrdering(): Array[SortOrder] = Array.empty
+            override def toBatch: BatchWrite =
+              new GraftLogReplaceDataBatchWrite(path, bucket, GraftLogDeleteOperation.this)
+          }
+        case None =>
+          new Write {
+            override def toBatch: BatchWrite =
+              new GraftLogReplaceDataBatchWrite(path, None, GraftLogDeleteOperation.this)
+          }
+      }
+    }
+  }
+}
+
+/** Rewrite-side scan: column pruning only — NO row-predicate pushdown
+  * (see [[GraftLogDeleteOperation]] step 3) and no limit/TopN/agg surface
+  * (none can arrive under a ReplaceData plan). Group-level pruning comes
+  * exclusively through the V2 runtime filter on `_file`. */
+private class GraftLogRewriteScanBuilder(path: String, op: GraftLogDeleteOperation)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftLog.schema
+  override def pruneColumns(r: StructType): Unit = required = r
+  override def build(): Scan = new GraftLogRewriteScan(path, required, op)
+}
+
+private class GraftLogRewriteScan(path: String, required: StructType,
+    op: GraftLogDeleteOperation) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
+
+  private var allowed: Option[Set[String]] = None
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLogRewriteScan path=$path columns=[${required.fieldNames.mkString(", ")}]"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    allowed = GraftLog.runtimeFileSet(predicates)
+    op.allowedFiles = allowed // the commit derives the replace set from this
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = GraftLog.listLogFiles(path)
+    val chosen = allowed match {
+      case Some(s) => files.filter(s.contains)
+      case None => files
+    }
+    chosen.map(f => GraftLogPartition(f): InputPartition)
+  }
+  // plain per-file readers, unfiltered; metadata columns (the plan carries
+  // `_file` per row) ride the shared reader projection
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(() => Array.empty, required.fieldNames, -1, -1, None, None)
+}
+
+/** The replace commit. The replace set is derived AT COMMIT TIME as
+  * (files present) ∩ (runtime group-filter set, if one arrived) — listed
+  * BEFORE the survivors publish, so the new files can never enter it.
+  * Deriving from the op's filter() state rather than a planInputPartitions
+  * side-channel keeps it insensitive to how many times Spark re-plans
+  * partitions (stats probes, AQE) and to the matching-rows subquery,
+  * which shares this operation but is never runtime-filtered. */
+private class GraftLogReplaceDataBatchWrite(path: String,
+    bucket: Option[GraftLogBucketSpec], op: GraftLogDeleteOperation)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftLogWriterFactory(path, bucket)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val replaced = {
+      val files = GraftLog.listLogFiles(path)
+      op.allowedFiles match {
+        case Some(s) => files.filter(s.contains)
+        case None => files
+      }
+    }
+    GraftLogNames.publishAll(path, messages, pid => f"d$pid%05d")
+    replaced.foreach(f => require(new java.io.File(f).delete(),
+      s"replace-data commit failed to delete $f"))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case GraftLogBucketedCommit(parts, _) =>
+        parts.foreach { case (_, tmp) => new java.io.File(tmp).delete() }
       case _ => ()
     }
 }
@@ -648,9 +827,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
       agg.map(a => s" agg=$a").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".graftlog")).map(_.getAbsolutePath).sorted
+    val files = GraftLog.listLogFiles(path)
     // pushed OFFSET = one sequential partition over all files in publish
     // order: the only plan under which "skip the first k rows" is a global
     // statement a task can enforce (see pushOffset)
@@ -895,9 +1072,16 @@ private[sources] object GraftLogNames {
   def publishAll(path: String, messages: Array[WriterCommitMessage],
       tag: Int => String): Unit = {
     def rename(tmp: String, seq: Int, t: String): Unit = {
+      val src = new java.io.File(tmp)
+      // A zero-row task's tmp publishes NOTHING: an empty file is
+      // semantically absent in this format (no header/footer), it only
+      // costs listing at scale, and Spark deliberately runs one empty
+      // task over an empty write just to carry a commit message — e.g. a
+      // replace-data rewrite whose runtime group filter matched no files.
+      if (src.length() == 0L) { require(src.delete(), s"failed to drop empty $tmp"); return }
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val dest = s"$path/${publish(nextStamp(), seq, s"$t-$uuid")}"
-      require(new java.io.File(tmp).renameTo(new java.io.File(dest)),
+      require(src.renameTo(new java.io.File(dest)),
         s"commit failed to publish $tmp -> $dest")
     }
     messages.zipWithIndex.foreach {
@@ -1130,6 +1314,20 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     * saving, fed to the scan's `recordsSkipped` SQL metric. */
   var skipped: Long = 0L
 
+  // Metadata-column values — constant per file, computed once at cursor
+  // construction (3 string parses per FILE, invisible next to open+decode)
+  // and handed out by field() like any data column.
+  private val fileName = new java.io.File(file).getName
+  private val metaFile: UTF8String = UTF8String.fromString(file)
+  private val metaBucket: Any = { // boxed Int or null (plain landing)
+    val k = GraftLogNames.bucketOf(fileName)
+    if (k >= 0) Int.box(k) else null
+  }
+  private val metaStamp: Any = { // boxed Long or null (unstamped name)
+    val s = GraftLogNames.stamp(fileName)
+    if (s >= 0) Long.box(s) else null
+  }
+
   /** Advance to the next record passing all predicates; false at EOF. */
   def advance(): Boolean = {
     while (true) {
@@ -1166,6 +1364,9 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
 
   def field(ord: Int): Any = ord match {
     case 0 => eventId; case 1 => userId; case 2 => value; case 3 => etype
+    case GraftLog.META_FILE => metaFile
+    case GraftLog.META_BUCKET => metaBucket
+    case GraftLog.META_STAMP => metaStamp
   }
 
   def close(): Unit = in.close()
@@ -1176,7 +1377,7 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
 private class GraftLogRowReader(file: String, filters: Array[Filter],
     columns: Array[String], limit: Int) extends PartitionReader[InternalRow] {
 
-  private val proj: Array[Int] = columns.map(GraftLog.ordinal)
+  private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
   private val cursor = new GraftLogCursor(file, filters, proj.contains(3))
   private var row: InternalRow = _
   private var emitted = 0L
@@ -1206,7 +1407,7 @@ private class GraftLogRowReader(file: String, filters: Array[Filter],
 private class GraftLogOffsetReader(files: Seq[String], filters: Array[Filter],
     columns: Array[String], offset: Int, limit: Int) extends PartitionReader[InternalRow] {
 
-  private val proj: Array[Int] = columns.map(GraftLog.ordinal)
+  private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
   private val it = files.iterator
   private var cursor: GraftLogCursor = _
   private var skippedPast = 0L // records dropped by predicates, summed over closed cursors
@@ -1270,14 +1471,14 @@ private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
     columns: Array[String], limit: Int) extends PartitionReader[ColumnarBatch] {
 
   private val BATCH_ROWS = 4096
-  private val proj: Array[Int] = columns.map(GraftLog.ordinal)
+  private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
   private val it = files.iterator
   private var cursor: GraftLogCursor = _
   private var skippedPast = 0L
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(BATCH_ROWS, StructType(
-      proj.map(o => StructField(GraftLog.colName(o), GraftLog.colType(o),
-        nullable = false)).toSeq))
+      proj.zipWithIndex.map { case (o, i) => StructField(columns(i),
+        GraftLog.fieldType(o), GraftLog.fieldNullable(o)) }.toSeq))
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
   private var emitted = 0L
   private var done = false
@@ -1318,6 +1519,16 @@ private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
           case 3 =>
             val b = cursor.etype.getBytes // putByteArray copies; sharing safe
             vectors(j).putByteArray(n, b, 0, b.length)
+          // metadata ordinals: per-file constants, written per row because
+          // a batch may span a file boundary in a chained partition
+          case m => cursor.field(m) match {
+            case null => vectors(j).putNull(n)
+            case u: UTF8String =>
+              val b = u.getBytes
+              vectors(j).putByteArray(n, b, 0, b.length)
+            case i: java.lang.Integer => vectors(j).putInt(n, i.intValue())
+            case l: java.lang.Long => vectors(j).putLong(n, l.longValue())
+          }
         }
         j += 1
       }
@@ -1353,7 +1564,7 @@ private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
 private class GraftLogTopNReader(file: String, filters: Array[Filter],
     columns: Array[String], topN: GraftLogTopN) extends PartitionReader[InternalRow] {
 
-  private val proj: Array[Int] = columns.map(GraftLog.ordinal)
+  private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
   private val needType = proj.contains(3) || topN.keys.exists(_._1 == 3)
   private val cursor = new GraftLogCursor(file, filters, needType)
 
@@ -1394,7 +1605,13 @@ private class GraftLogTopNReader(file: String, filters: Array[Filter],
     val rec = out.next()
     val vals = new Array[Any](proj.length)
     var j = 0
-    while (j < proj.length) { vals(j) = rec(proj(j)); j += 1 }
+    while (j < proj.length) {
+      val p = proj(j)
+      // metadata ordinals are file-constant: the (drained) cursor still
+      // serves them; only data ordinals live in the heap records
+      vals(j) = if (p < 4) rec(p) else cursor.field(p)
+      j += 1
+    }
     row = new GenericInternalRow(vals)
     true
   }
@@ -1516,8 +1733,93 @@ object GraftLog {
   private[sources] def colName(ord: Int): String = schema.fields(ord).name
   private[sources] def colType(ord: Int) = schema.fields(ord).dataType
 
+  // ---- metadata columns (round 15) -------------------------------------
+  // File-level provenance, exposed through SupportsMetadataColumns the way
+  // parquet exposes _metadata: `_file` (absolute path), `_bucket` (the
+  // k-token of a bucketed landing file, null on plain landings/foreign
+  // names) and `_pub_stamp` (publish millis from the stamped name, null
+  // for unstamped legacy names). All three are CONSTANT PER FILE — the
+  // readers surface them from the cursor without touching the record
+  // decode loop — and none is claimable by any pushdown surface:
+  // `ordinal()` (the pushdown validator) keeps returning -1 for them, so
+  // TopN/agg/predicate pushdown over metadata names is declined wholesale
+  // and Spark evaluates those above the scan. `_file` is additionally the
+  // GROUP identity of the row-level DELETE rewrite: runtime group
+  // filtering collects matching `_file`s through a subquery scan and the
+  // rewrite replaces exactly those files.
+  val META_FILE = 4; val META_BUCKET = 5; val META_STAMP = 6
+  private[sources] def fieldOrdinal(name: String): Int = name match {
+    case "_file" => META_FILE; case "_bucket" => META_BUCKET
+    case "_pub_stamp" => META_STAMP; case other => ordinal(other)
+  }
+  private[sources] def fieldType(ord: Int): DataType = ord match {
+    case META_FILE => StringType; case META_BUCKET => IntegerType
+    case META_STAMP => LongType; case d => colType(d)
+  }
+  private[sources] def fieldNullable(ord: Int): Boolean = ord >= META_BUCKET
+
+  private def metaCol(colName: String, tpe: DataType, nullable: Boolean,
+      doc: String): MetadataColumn = new MetadataColumn {
+    override def name(): String = colName
+    override def dataType(): DataType = tpe
+    override def isNullable: Boolean = nullable
+    override def comment(): String = doc
+  }
+  private[sources] val metadataColumns: Array[MetadataColumn] = Array(
+    metaCol("_file", StringType, nullable = false,
+      "absolute path of the log file the row came from"),
+    metaCol("_bucket", IntegerType, nullable = true,
+      "bucket token of a bucketed-landing file; null on plain landings"),
+    metaCol("_pub_stamp", LongType, nullable = true,
+      "publish stamp (epoch millis) from the file name; null if unstamped"))
+
   /** Test hook: bucket token of a published name (see GraftLogNames). */
   def testBucketOf(name: String): Int = GraftLogNames.bucketOf(name)
+  /** Test hook: publish stamp of a name, -1 if unstamped (GraftLogNames). */
+  def testStampOf(name: String): Long = GraftLogNames.stamp(name)
+
+  /** The landing's visible log files, sorted (publish-name order). */
+  private[sources] def listLogFiles(path: String): Array[String] =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".graftlog")).map(_.getAbsolutePath).sorted
+
+  /** File set named by runtime V2 group-filter predicates on `_file`:
+    * =/IN constraints intersect across conjuncts; anything else
+    * contributes no constraint. None = unconstrained (sound fallback —
+    * the caller rewrites everything). An IN with zero literal children
+    * is the genuine empty set (no file contains a matching row). */
+  private[sources] def runtimeFileSet(preds: Array[V2Predicate]): Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
+    def isFile(e: V2Expr): Boolean = e match {
+      case nr: NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == "_file"
+      case _ => false
+    }
+    def str(e: V2Expr): Option[String] = e match {
+      case l: V2Lit[_] if l.dataType == StringType && l.value != null =>
+        Some(l.value.toString)
+      case _ => None
+    }
+    val sets = preds.toSeq.flatMap { p =>
+      p.name() match {
+        case "IN" =>
+          val c = p.children()
+          if (c.nonEmpty && isFile(c(0))) {
+            val vs = c.tail.map(str)
+            if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+          } else None
+        case "=" =>
+          val c = p.children()
+          if (c.length != 2) None
+          else if (isFile(c(0))) str(c(1)).map(Set(_))
+          else if (isFile(c(1))) str(c(0)).map(Set(_))
+          else None
+        case _ => None
+      }
+    }
+    sets.reduceOption(_ intersect _)
+  }
 
   /** Buckets a pushed filter tree allows on the bucket column, None = no
     * constraint. Conjuncts (the array, and And nodes) intersect; Or nodes

@@ -89,6 +89,19 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       s"bucket-agnostic filter wrongly pruned to ${np.rdd.getNumPartitions}")
   }
 
+  test("metadata columns on a bucketed table: _bucket = floorMod(user_id, 8) and agrees with the file's k-token") {
+    val rows = spark.table("graft.ev_a")
+      .select(col("user_id"), col("_bucket"), col("_file")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = java.lang.Math.floorMod(r.getLong(0), 8L).toInt
+      assert(!r.isNullAt(1) && r.getInt(1) == want,
+        s"_bucket ${r.get(1)} != floorMod(${r.getLong(0)}, 8) = $want")
+      val tok = graft.sources.GraftLog.testBucketOf(new java.io.File(r.getString(2)).getName)
+      assert(tok == r.getInt(1), s"_file k-token $tok != _bucket ${r.getInt(1)}")
+    }
+  }
+
   test("storage-partitioned join: bucketed graftlog x bucketed graftlog, ZERO exchanges") {
     // at fixture scale the optimizer would rightly broadcast the small
     // side; the claim under test is the SHUFFLE-FREE shuffle-join plan, so
@@ -118,5 +131,62 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .orderBy("user_id").collect()
     assert(got.sameElements(expect))
+  }
+
+  test("row-level DELETE rewrites ONLY the affected bucket's files; the rest stay byte-identical") {
+    spark.sql("DROP TABLE IF EXISTS graft.del_t")
+    spark.sql("CREATE TABLE graft.del_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    events.writeTo("graft.del_t").append()
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "del_t")
+    def names() = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(_.getName).toSet
+    val before = names()
+    assert(before.nonEmpty)
+    // the files that actually CONTAIN user 10 (bucket floorMod(10,8)=2) —
+    // runtime group filtering is row-accurate per file, so these (and
+    // ONLY these) get replaced
+    val affected = spark.table("graft.del_t").filter(col("user_id") === 10L)
+      .select(col("_file")).distinct().collect()
+      .map(r => new java.io.File(r.getString(0)).getName).toSet
+    assert(affected.nonEmpty && affected.size < before.size,
+      s"fixture degenerate: ${affected.size} of ${before.size} files affected")
+    spark.sql("DELETE FROM graft.del_t WHERE user_id = 10")
+    val after = names()
+    val back = spark.table("graft.del_t").orderBy("event_id").collect()
+    val expect = events.filter(col("user_id") =!= 10L).orderBy("event_id").collect()
+    assert(back.length == expect.length && back.sameElements(expect))
+    // group-level provenance: every file WITHOUT a matching row survives
+    // with its NAME (never rewritten); every file with one is gone
+    val untouched = before.diff(affected)
+    assert(untouched.subsetOf(after),
+      s"a file with no matching rows was rewritten: ${untouched.diff(after)}")
+    assert(affected.intersect(after).isEmpty,
+      s"an affected file survived the replace: ${affected.intersect(after)}")
+    // the survivors' replacement files still carry the bucket layout
+    // (user 42 lives in bucket floorMod(42, 8) = 2, so every affected
+    // file was a k2 file and its replacement must be too)
+    assert(after.diff(before).forall(n => graft.sources.GraftLog.testBucketOf(n) == 2))
+  }
+
+  test("DELETE with no matching rows leaves the landing untouched; whole-table DELETE is a metadata truncate") {
+    spark.sql("DROP TABLE IF EXISTS graft.del_u")
+    spark.sql("CREATE TABLE graft.del_u (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    events.writeTo("graft.del_u").append()
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "del_u")
+    def names() = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(_.getName).toSet
+    val before = names()
+    spark.sql("DELETE FROM graft.del_u WHERE user_id = -1") // matches nothing
+    assert(names() == before, "a no-op DELETE rewrote files")
+    assert(spark.table("graft.del_u").count() == events.count())
+    // no WHERE -> SupportsDeleteV2 truncate: all files unlinked, no job
+    spark.sql("DELETE FROM graft.del_u")
+    assert(names().isEmpty, "whole-table DELETE left files behind")
+    assert(spark.table("graft.del_u").count() == 0)
   }
 }

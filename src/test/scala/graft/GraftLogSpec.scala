@@ -622,4 +622,27 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(nFiles > 1, s"fixture landed as $nFiles file(s); spec needs >1 for the claim")
     assert(scan().rdd.getNumPartitions == nFiles)
   }
+
+  test("metadata columns surface file provenance: _file exact, _bucket null on plain landings, _pub_stamp = name stamp") {
+    val files = new java.io.File(landing).listFiles()
+      .filter(_.getName.endsWith(".graftlog")).map(_.getAbsolutePath).toSet
+    val rows = scan()
+      .select(col("event_id"), col("_file"), col("_bucket"), col("_pub_stamp"))
+      .collect()
+    assert(rows.length == events.count())
+    assert(rows.map(_.getString(1)).toSet == files,
+      "_file must cover exactly the landing's published files")
+    assert(rows.forall(_.isNullAt(2)), "plain landing files carry no bucket token")
+    rows.foreach { r =>
+      val expect = GraftLog.testStampOf(new java.io.File(r.getString(1)).getName)
+      assert(expect >= 0 && r.getLong(3) == expect,
+        s"_pub_stamp ${r.getLong(3)} != name stamp $expect for ${r.getString(1)}")
+    }
+    // composes with pushed predicates (metadata never enters the pushdown
+    // surface; the data-column filter still pushes and the meta projection
+    // rides the same reader)
+    val f = scan().filter(col("user_id") === 7L).select(col("user_id"), col("_file"))
+    val got = f.collect()
+    assert(got.nonEmpty && got.forall(r => r.getLong(0) == 7L && files.contains(r.getString(1))))
+  }
 }
