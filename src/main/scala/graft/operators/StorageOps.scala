@@ -442,6 +442,74 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Row-level UPDATE under the oracle gate (round 15): same group-based
+  // copy-on-write machinery as DELETE (one command-agnostic operation),
+  // different rewrite plan — Spark lands If(cond, updated, original) for
+  // every row of the affected files. Doubling is exact in binary
+  // floating point, so the DuckDB CASE twin hashes identically.
+  // ------------------------------------------------------------------
+  def dsv2Update(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.upd_ev")
+    s.sql("CREATE TABLE graftq.upd_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .writeTo("graftq.upd_ev").append()
+    s.sql("UPDATE graftq.upd_ev SET value = value * 2 WHERE event_type = 'error'")
+    s.table("graftq.upd_ev").orderBy(col("event_id"))
+  }
+
+  val dsv2UpdateSql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value,
+      |  event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // MERGE INTO under the oracle gate (round 15): the SQL-native upsert —
+  // matched target rows take the source's correction (signup values
+  // zeroed), unmatched source rows insert (error events re-keyed above
+  // the fixture's event_id domain, tagged 'merged'). The whole command
+  // is one group-based ReplaceData; the oracle reproduces the post-merge
+  // table as a CASE + UNION ALL over the parquet twin.
+  // ------------------------------------------------------------------
+  def dsv2Merge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.mrg_ev")
+    s.sql("CREATE TABLE graftq.mrg_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.writeTo("graftq.mrg_ev").append()
+    ev.filter(col("event_type") === "signup").withColumn("value", lit(0.0))
+      .unionByName(ev.filter(col("event_type") === "error")
+        .withColumn("event_id", col("event_id") + 1000000L)
+        .withColumn("event_type", lit("merged")))
+      .createOrReplaceTempView("graft_mrg_src")
+    s.sql("""MERGE INTO graftq.mrg_ev t USING graft_mrg_src s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET t.value = s.value
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.table("graftq.mrg_ev").orderBy(col("event_id"))
+  }
+
+  val dsv2MergeSql: String =
+    """SELECT * FROM (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_type = 'signup' THEN 0.0 ELSE value END AS value,
+      |    event_type
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id + 1000000, user_id, value, 'merged' FROM events
+      |  WHERE event_type = 'error'
+      |) ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Flagship-over-connector composition (round 15, r14 verdict #6): the
   // §3.3 flagship OPERATOR CHAIN run end-to-end with graftlog as BOTH
   // source and sink — proof the connector carries the engine's own
@@ -769,6 +837,8 @@ object StorageOps extends QueryModule {
     "join_dsv2_partitioned" -> (dsv2PartitionedJoin _),
     "scan_dsv2_meta" -> (dsv2Meta _),
     "delete_dsv2_rewrite" -> (dsv2Delete _),
+    "update_dsv2_rewrite" -> (dsv2Update _),
+    "merge_dsv2_upsert" -> (dsv2Merge _),
     "scan_dsv2_topn" -> (dsv2TopN _),
     "scan_dsv2_agg" -> (dsv2Agg _),
     "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
@@ -791,6 +861,8 @@ object StorageOps extends QueryModule {
     "join_dsv2_partitioned" -> dsv2PartitionedJoinSql,
     "scan_dsv2_meta" -> dsv2MetaSql,
     "delete_dsv2_rewrite" -> dsv2DeleteSql,
+    "update_dsv2_rewrite" -> dsv2UpdateSql,
+    "merge_dsv2_upsert" -> dsv2MergeSql,
     "scan_dsv2_topn" -> dsv2TopNSql,
     "scan_dsv2_agg" -> dsv2AggSql,
     "join_dsv2_runtime" -> dsv2RuntimeFilterSql,

@@ -154,19 +154,18 @@ private[sources] class GraftLogTable(path: String,
   override def schema(): StructType = GraftLog.schema
   override def metadataColumns(): Array[MetadataColumn] = GraftLog.metadataColumns
 
-  // Conditional DELETE goes through the group-based rewrite
-  // ([[GraftLogDeleteOperation]]); metadata-only deletes are claimed for
-  // the ALWAYS-TRUE case alone — whole-table truncate by unlinking every
+  // Conditional DELETE/UPDATE/MERGE go through the group-based rewrite
+  // ([[GraftLogRewriteOperation]] — command-agnostic: the write always
+  // lands the affected files' replacement rows, whatever transform the
+  // rewrite plan applied). Metadata-only deletes are claimed for the
+  // ALWAYS-TRUE case alone — whole-table truncate by unlinking every
   // log file, no job. Anything finer would need per-file row statistics
   // the format doesn't keep, and a wrong canDeleteWhere=true silently
   // deletes rows the predicate did not cover — the one unrecoverable
   // failure mode of this SPI — so the claim stays minimal.
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    require(info.command() == RowLevelOperation.Command.DELETE,
-      s"graftlog supports row-level DELETE only, not ${info.command()}")
-    () => new GraftLogDeleteOperation(path, bucket)
-  }
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftLogRewriteOperation(path, bucket, info.command())
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
     predicates.forall(_.isInstanceOf[AlwaysTrue])
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
@@ -337,13 +336,19 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
 }
 
 // ---------------------------------------------------------------------------
-// Row-level DELETE (round 15): group-based copy-on-write
+// Row-level DELETE / UPDATE / MERGE (round 15): group-based copy-on-write
 // ---------------------------------------------------------------------------
 
-/** `DELETE FROM <graft catalog table> WHERE <cond>` — the takedown /
-  * right-to-be-forgotten operation a 100 TB training-data landing needs as
-  * a first-class command, via Spark's SupportsRowLevelOperations contract
-  * (GROUP-based, the file is the group):
+/** `DELETE FROM / UPDATE / MERGE INTO <graft catalog table>` — the
+  * takedown (right-to-be-forgotten), correction, and upsert operations a
+  * 100 TB training-data landing needs as first-class commands, via
+  * Spark's SupportsRowLevelOperations contract (GROUP-based, the file is
+  * the group). One operation serves all three commands — the analyzer
+  * builds a different ReplaceData query per command (survivors for
+  * DELETE; If(cond, updated, original) for UPDATE; the matched/unmatched
+  * action union for MERGE), but the connector's job is identical: read
+  * the affected files in full, land the replacement rows, swap the
+  * files. The DELETE walkthrough:
   *
   *  1. The analyzer rewrites the DELETE into ReplaceData(Filter(NOT cond,
   *     scan)) over this operation's scan, with `_file` (the metadata
@@ -366,20 +371,23 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   *     Spark's own file-based sinks, stated rather than implied.
   *
   * If runtime group filtering does not fire (conf off, exotic condition),
-  * the scan's file set is the whole landing and the DELETE degrades to a
+  * the scan's file set is the whole landing and the command degrades to a
   * full rewrite — always correct, never silently wrong. Whole-table
   * DELETE (no WHERE) never reaches this path: SupportsDeleteV2 serves it
-  * as a metadata-only truncate. */
-private class GraftLogDeleteOperation(path: String,
-    bucket: Option[GraftLogBucketSpec]) extends RowLevelOperation {
+  * as a metadata-only truncate. MERGE's unmatched-source INSERT rows ride
+  * the same replacement write (they belong to no existing group; the
+  * publish adds them alongside the rewritten files). */
+private class GraftLogRewriteOperation(path: String,
+    bucket: Option[GraftLogBucketSpec],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   /** Runtime group-filter file set, recorded by the rewrite scan's
     * filter() (driver-side; the commit re-derives the replace set from
     * it). None = unfiltered (full rewrite). */
   @volatile private[sources] var allowedFiles: Option[Set[String]] = None
 
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
-  override def description(): String = s"GraftLogDelete($path)"
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftLogRewrite($cmd, $path)"
   // `_file` is the group identity the rewrite plan carries row-by-row;
   // the runtime group-filter subquery projects exactly this column
   override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -403,12 +411,12 @@ private class GraftLogDeleteOperation(path: String,
               Distributions.clustered(Array(Expressions.column(b.col)))
             override def requiredOrdering(): Array[SortOrder] = Array.empty
             override def toBatch: BatchWrite =
-              new GraftLogReplaceDataBatchWrite(path, bucket, GraftLogDeleteOperation.this)
+              new GraftLogReplaceDataBatchWrite(path, bucket, GraftLogRewriteOperation.this)
           }
         case None =>
           new Write {
             override def toBatch: BatchWrite =
-              new GraftLogReplaceDataBatchWrite(path, None, GraftLogDeleteOperation.this)
+              new GraftLogReplaceDataBatchWrite(path, None, GraftLogRewriteOperation.this)
           }
       }
     }
@@ -416,10 +424,10 @@ private class GraftLogDeleteOperation(path: String,
 }
 
 /** Rewrite-side scan: column pruning only — NO row-predicate pushdown
-  * (see [[GraftLogDeleteOperation]] step 3) and no limit/TopN/agg surface
+  * (see [[GraftLogRewriteOperation]] step 3) and no limit/TopN/agg surface
   * (none can arrive under a ReplaceData plan). Group-level pruning comes
   * exclusively through the V2 runtime filter on `_file`. */
-private class GraftLogRewriteScanBuilder(path: String, op: GraftLogDeleteOperation)
+private class GraftLogRewriteScanBuilder(path: String, op: GraftLogRewriteOperation)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftLog.schema
   override def pruneColumns(r: StructType): Unit = required = r
@@ -427,7 +435,7 @@ private class GraftLogRewriteScanBuilder(path: String, op: GraftLogDeleteOperati
 }
 
 private class GraftLogRewriteScan(path: String, required: StructType,
-    op: GraftLogDeleteOperation) extends Scan with Batch
+    op: GraftLogRewriteOperation) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   private var allowed: Option[Set[String]] = None
@@ -466,7 +474,7 @@ private class GraftLogRewriteScan(path: String, required: StructType,
   * partitions (stats probes, AQE) and to the matching-rows subquery,
   * which shares this operation but is never runtime-filtered. */
 private class GraftLogReplaceDataBatchWrite(path: String,
-    bucket: Option[GraftLogBucketSpec], op: GraftLogDeleteOperation)
+    bucket: Option[GraftLogBucketSpec], op: GraftLogRewriteOperation)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftLogWriterFactory(path, bucket)

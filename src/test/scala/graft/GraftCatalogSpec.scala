@@ -171,6 +171,60 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(after.diff(before).forall(n => graft.sources.GraftLog.testBucketOf(n) == 2))
   }
 
+  test("row-level UPDATE rewrites ONLY the files with matching rows, applying the SET in place") {
+    spark.sql("DROP TABLE IF EXISTS graft.upd_t")
+    spark.sql("CREATE TABLE graft.upd_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    events.writeTo("graft.upd_t").append()
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "upd_t")
+    def names() = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(_.getName).toSet
+    val before = names()
+    val affected = spark.table("graft.upd_t").filter(col("user_id") === 10L)
+      .select(col("_file")).distinct().collect()
+      .map(r => new java.io.File(r.getString(0)).getName).toSet
+    assert(affected.nonEmpty && affected.size < before.size)
+    spark.sql("UPDATE graft.upd_t SET value = value * 2 WHERE user_id = 10")
+    val after = names()
+    val back = spark.table("graft.upd_t").orderBy("event_id").collect()
+    val expect = events.withColumn("value",
+        when(col("user_id") === 10L, col("value") * 2).otherwise(col("value")))
+      .orderBy("event_id").collect()
+    assert(back.length == expect.length && back.sameElements(expect))
+    assert(before.diff(affected).subsetOf(after),
+      "a file with no matching rows was rewritten by UPDATE")
+    assert(affected.intersect(after).isEmpty, "an affected file survived the UPDATE replace")
+  }
+
+  test("MERGE INTO upserts: matched rows update, unmatched source rows insert, provenance holds") {
+    spark.sql("DROP TABLE IF EXISTS graft.mrg_t")
+    spark.sql("CREATE TABLE graft.mrg_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    events.writeTo("graft.mrg_t").append()
+    // source: corrections for user 10's events (value zeroed) plus brand-new
+    // events beyond the fixture's event_id domain
+    val src = events.filter(col("user_id") === 10L)
+      .withColumn("value", lit(0.0))
+      .unionByName(events.limit(5)
+        .withColumn("event_id", col("event_id") + 1000000L)
+        .withColumn("event_type", lit("merged")))
+    src.createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO graft.mrg_t t USING mrg_src s ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET t.value = s.value
+      WHEN NOT MATCHED THEN INSERT *""")
+    val back = spark.table("graft.mrg_t").orderBy("event_id").collect()
+    val expect = events
+      .withColumn("value", when(col("user_id") === 10L, lit(0.0)).otherwise(col("value")))
+      .unionByName(events.limit(5)
+        .withColumn("event_id", col("event_id") + 1000000L)
+        .withColumn("event_type", lit("merged")))
+      .orderBy("event_id").collect()
+    assert(back.length == expect.length && back.sameElements(expect))
+  }
+
   test("DELETE with no matching rows leaves the landing untouched; whole-table DELETE is a metadata truncate") {
     spark.sql("DROP TABLE IF EXISTS graft.del_u")
     spark.sql("CREATE TABLE graft.del_u (event_id BIGINT, user_id BIGINT, " +
