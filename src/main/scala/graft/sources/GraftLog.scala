@@ -378,13 +378,37 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   * the same replacement write (they belong to no existing group; the
   * publish adds them alongside the rewritten files). */
 private class GraftLogRewriteOperation(path: String,
-    bucket: Option[GraftLogBucketSpec],
+    private[sources] val bucket: Option[GraftLogBucketSpec],
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   /** Runtime group-filter file set, recorded by the rewrite scan's
     * filter() (driver-side; the commit re-derives the replace set from
     * it). None = unfiltered (full rewrite). */
   @volatile private[sources] var allowedFiles: Option[Set[String]] = None
+  /** The pushed COMMAND condition, recorded by the rewrite scan builder's
+    * pushFilters — the static half of the group-selection formula. The
+    * commit MUST reproduce the scan's exact file-set arithmetic
+    * (static ∩ runtime): a replace set larger than the scanned set
+    * deletes unread rows, a smaller one duplicates rewritten ones.
+    * Written exactly once per command: only the main rewrite scan plans
+    * through [[GraftLogRewriteScanBuilder]] (the matching-rows subquery
+    * scans the ORIGINAL table), so there is no second writer. */
+  @volatile private[sources] var groupFilters: Array[Filter] = Array.empty
+
+  /** The group-selection formula, shared verbatim by the rewrite scan's
+    * planInputPartitions and the replace commit. */
+  private[sources] def selectedFiles(): Array[String] = {
+    val files = GraftLog.listLogFiles(path)
+    val staticSet = bucket.flatMap(b => GraftLog.prunedBuckets(b, groupFilters)) match {
+      case Some(ks) => files.filter(f =>
+        ks.contains(GraftLogNames.bucketOf(new java.io.File(f).getName)))
+      case None => files
+    }
+    allowedFiles match {
+      case Some(s) => staticSet.filter(s.contains)
+      case None => staticSet
+    }
+  }
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftLogRewrite($cmd, $path)"
@@ -428,17 +452,28 @@ private class GraftLogRewriteOperation(path: String,
   * (none can arrive under a ReplaceData plan). Group-level pruning comes
   * exclusively through the V2 runtime filter on `_file`. */
 private class GraftLogRewriteScanBuilder(path: String, op: GraftLogRewriteOperation)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = GraftLog.schema
+  private var groupHint: Array[Filter] = Array.empty
   override def pruneColumns(r: StructType): Unit = required = r
+  // GROUP-SELECTION pushdown: Spark's GroupBasedRowLevelOperationScanPlanning
+  // offers the COMMAND condition here (not the rewrite query's survivor
+  // filter). EVERYTHING is returned as residual — this scan must emit
+  // every row of every affected file — and the recorded copy serves only
+  // group-level pruning in planInputPartitions.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    groupHint = filters
+    op.groupFilters = filters // the commit reproduces the scan's formula
+    filters // all residual: nothing is claimed as row-filtering
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
   override def build(): Scan = new GraftLogRewriteScan(path, required, op)
 }
 
 private class GraftLogRewriteScan(path: String, required: StructType,
     op: GraftLogRewriteOperation) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
-
-  private var allowed: Option[Set[String]] = None
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -447,19 +482,22 @@ private class GraftLogRewriteScan(path: String, required: StructType,
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("_file"))
-  override def filter(predicates: Array[V2Predicate]): Unit = {
-    allowed = GraftLog.runtimeFileSet(predicates)
-    op.allowedFiles = allowed // the commit derives the replace set from this
-  }
+  override def filter(predicates: Array[V2Predicate]): Unit =
+    // recorded on the operation: both this scan's partitions and the
+    // replace commit derive from op.selectedFiles
+    op.allowedFiles = GraftLog.runtimeFileSet(predicates)
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = GraftLog.listLogFiles(path)
-    val chosen = allowed match {
-      case Some(s) => files.filter(s.contains)
-      case None => files
-    }
-    chosen.map(f => GraftLogPartition(f): InputPartition)
-  }
+  // STATIC group pruning from the pushed COMMAND condition (via
+  // op.selectedFiles): on a bucketed landing, =/IN on the bucket column
+  // names the only buckets that can contain matching rows — a file
+  // outside them has no match, the command leaves it untouched, so
+  // excluding it from the replace set is sound (the same argument as
+  // scan-side bucket pruning, lifted to group selection). Coarser than
+  // the runtime filter (bucket vs file granularity) but needs no
+  // subquery pass. The formula lives on the OPERATION so the commit
+  // reproduces it exactly — see op.selectedFiles.
+  override def planInputPartitions(): Array[InputPartition] =
+    op.selectedFiles().map(f => GraftLogPartition(f): InputPartition)
   // plain per-file readers, unfiltered; metadata columns (the plan carries
   // `_file` per row) ride the shared reader projection
   override def createReaderFactory(): PartitionReaderFactory =
@@ -479,13 +517,9 @@ private class GraftLogReplaceDataBatchWrite(path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftLogWriterFactory(path, bucket)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val replaced = {
-      val files = GraftLog.listLogFiles(path)
-      op.allowedFiles match {
-        case Some(s) => files.filter(s.contains)
-        case None => files
-      }
-    }
+    // the scan's exact group-selection formula, evaluated BEFORE the
+    // survivors publish so the new files can never enter the replace set
+    val replaced = op.selectedFiles()
     GraftLogNames.publishAll(path, messages, pid => f"d$pid%05d")
     replaced.foreach(f => require(new java.io.File(f).delete(),
       s"replace-data commit failed to delete $f"))

@@ -225,6 +225,36 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(back.length == expect.length && back.sameElements(expect))
   }
 
+  test("group-selection pushdown: with runtime group filtering OFF, the command condition still prunes the rewrite to the affected bucket") {
+    spark.sql("DROP TABLE IF EXISTS graft.del_s")
+    spark.sql("CREATE TABLE graft.del_s (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    events.writeTo("graft.del_s").append()
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "del_s")
+    def names() = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(_.getName).toSet
+    val before = names()
+    val k2 = before.filter(n => graft.sources.GraftLog.testBucketOf(n) == 2)
+    assert(k2.nonEmpty && k2.size < before.size)
+    val key = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try spark.sql("DELETE FROM graft.del_s WHERE user_id = 10")
+    finally spark.conf.set(key, prev)
+    val after = names()
+    // bucket-granular static pruning: every non-bucket-2 file untouched,
+    // every bucket-2 file replaced (no runtime filter to go file-accurate)
+    assert(before.diff(k2).subsetOf(after),
+      s"static pruning rewrote an unaffected bucket: ${before.diff(k2).diff(after)}")
+    assert(k2.intersect(after).isEmpty,
+      s"an affected-bucket file survived the static-pruned replace: ${k2.intersect(after)}")
+    val back = spark.table("graft.del_s").orderBy("event_id").collect()
+    val expect = events.filter(col("user_id") =!= 10L).orderBy("event_id").collect()
+    assert(back.length == expect.length && back.sameElements(expect))
+  }
+
   test("DELETE with no matching rows leaves the landing untouched; whole-table DELETE is a metadata truncate") {
     spark.sql("DROP TABLE IF EXISTS graft.del_u")
     spark.sql("CREATE TABLE graft.del_u (event_id BIGINT, user_id BIGINT, " +
