@@ -208,7 +208,7 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     // events beyond the fixture's event_id domain
     val src = events.filter(col("user_id") === 10L)
       .withColumn("value", lit(0.0))
-      .unionByName(events.limit(5)
+      .unionByName(events.filter(col("event_id") < 5)
         .withColumn("event_id", col("event_id") + 1000000L)
         .withColumn("event_type", lit("merged")))
     src.createOrReplaceTempView("mrg_src")
@@ -218,7 +218,7 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     val back = spark.table("graft.mrg_t").orderBy("event_id").collect()
     val expect = events
       .withColumn("value", when(col("user_id") === 10L, lit(0.0)).otherwise(col("value")))
-      .unionByName(events.limit(5)
+      .unionByName(events.filter(col("event_id") < 5)
         .withColumn("event_id", col("event_id") + 1000000L)
         .withColumn("event_type", lit("merged")))
       .orderBy("event_id").collect()
