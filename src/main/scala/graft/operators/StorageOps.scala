@@ -377,6 +377,38 @@ object StorageOps extends QueryModule {
       |ORDER BY a.user_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Incremental batch read under the oracle gate (round 15): the
+  // time-travel surface — `_pub_stamp` is constant per file, so a WHERE
+  // on it is claimed as EXACT pushdown and prunes whole FILES (the scan
+  // never opens the old chunk; plan shows stampPruned, no post-scan
+  // Filter — GraftLogSpec pins both). Two ingest chunks land with
+  // monotone publish stamps; the read with `_pub_stamp > t` (t = the
+  // high-water between chunks) must return exactly the second chunk —
+  // the CDC-style "everything published since my last run" batch read a
+  // 100 TB landing needs to avoid rescanning its own history.
+  // ------------------------------------------------------------------
+  def dsv2Since(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_since")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.filter(col("event_id") % 3 === 0)
+      .write.format("graftlog").mode("append").save(landing)
+    val t = new java.io.File(landing).listFiles()
+      .filter(_.getName.endsWith(".graftlog"))
+      .map(f => graft.sources.GraftLog.testStampOf(f.getName)).max
+    ev.filter(col("event_id") % 3 =!= 0)
+      .write.format("graftlog").mode("append").save(landing)
+    s.read.format("graftlog").load(landing)
+      .filter(col("_pub_stamp") > t)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2SinceSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_id % 3 <> 0 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Metadata columns under the oracle gate (round 15): the connector
   // exposes `_file` / `_bucket` / `_pub_stamp` through
   // SupportsMetadataColumns the way parquet exposes _metadata. On a
@@ -836,6 +868,7 @@ object StorageOps extends QueryModule {
     "pipeline_dsv2_flagship" -> (dsv2Flagship _),
     "join_dsv2_partitioned" -> (dsv2PartitionedJoin _),
     "scan_dsv2_meta" -> (dsv2Meta _),
+    "scan_dsv2_since" -> (dsv2Since _),
     "delete_dsv2_rewrite" -> (dsv2Delete _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
@@ -860,6 +893,7 @@ object StorageOps extends QueryModule {
     "pipeline_dsv2_flagship" -> dsv2FlagshipSql,
     "join_dsv2_partitioned" -> dsv2PartitionedJoinSql,
     "scan_dsv2_meta" -> dsv2MetaSql,
+    "scan_dsv2_since" -> dsv2SinceSql,
     "delete_dsv2_rewrite" -> dsv2DeleteSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "merge_dsv2_upsert" -> dsv2MergeSql,

@@ -639,6 +639,7 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
 
   private var pushedV2: Array[V2Predicate] = Array.empty
   private var pushed: Array[Filter] = Array.empty
+  private var stampPushed: Array[Filter] = Array.empty
   private var required: StructType = GraftLog.schema
 
   // V2 Predicate pushdown (round 15; replaces the v1 Filter ADT — the
@@ -652,11 +653,18 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
   // comparison, matching Spark's default collation). Untranslatable
   // predicates (and only those) are returned as residuals for Spark's
   // post-scan Filter — the claim stays EXACT.
+  // `_pub_stamp` predicates take a second translation lane (stampToV1):
+  // the stamp is constant per file, so a pure-stamp tree prunes FILES
+  // exactly and is claimed as pushed — the time-travel / incremental-read
+  // surface. The two lanes are disjoint by construction (v2ToV1 accepts
+  // only data columns, stampToV1 only `_pub_stamp`); mixed trees fall
+  // through both and stay residual.
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
-    val trans = predicates.map(p => p -> GraftLog.v2ToV1(p))
-    pushedV2 = trans.collect { case (p, Some(_)) => p }
-    pushed = trans.collect { case (_, Some(f)) => f }
-    trans.collect { case (p, None) => p }
+    val trans = predicates.map(p => (p, GraftLog.v2ToV1(p), GraftLog.stampToV1(p)))
+    pushedV2 = trans.collect { case (p, d, s) if d.isDefined || s.isDefined => p }
+    pushed = trans.collect { case (_, Some(f), _) => f }
+    stampPushed = trans.collect { case (_, None, Some(f)) => f }
+    trans.collect { case (p, None, None) => p }
   }
   override def pushedPredicates(): Array[V2Predicate] = pushedV2
 
@@ -756,7 +764,7 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
   }
 
   override def build(): Scan =
-    new GraftLogScan(path, bucket, pushed, required, limit, offset, topN, agg, maxFiles, lagMs)
+    new GraftLogScan(path, bucket, pushed, stampPushed, required, limit, offset, topN, agg, maxFiles, lagMs)
 }
 
 /** Pushed ORDER BY keys as (column ordinal, descending) plus the limit. */
@@ -798,7 +806,7 @@ private case class GraftLogAgg(groupBy: Array[Int], fns: Array[GraftLogAggFn]) {
 }
 
 private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
-    filters: Array[Filter],
+    filters: Array[Filter], stampFilters: Array[Filter],
     required: StructType, limit: Int, offset: Int, topN: Option[GraftLogTopN],
     agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long)
     extends Scan with Batch
@@ -808,7 +816,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles, lagMs)
+    new GraftLogMicroBatchStream(path, filters, stampFilters, required.fieldNames, maxFiles, lagMs)
 
   // Runtime filtering (round 14): at execution time Spark derives an
   // IN-set from the other (filtered, broadcast) side of a join and hands
@@ -849,9 +857,11 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     * floor rather than decoded — statistics must stay O(files), never
     * O(records). */
   override def estimateStatistics(): Statistics = {
-    val bytes = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".graftlog")).map(_.length()).sum
+    // stamp-pruned, like the planned partitions: an incremental
+    // `_pub_stamp > t` slice of a huge landing must report the SLICE's
+    // size, or Catalyst can never broadcast it
+    val bytes = GraftLog.stampPrune(GraftLog.listLogFiles(path), stampFilters)
+      .map(new java.io.File(_).length()).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -862,6 +872,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   }
   override def description(): String =
     s"GraftLogScan path=$path pushed=[${filters.mkString(", ")}] " +
+      (if (stampFilters.nonEmpty) s"stampPruned=[${stampFilters.mkString(", ")}] " else "") +
       s"columns=[${readSchema().fieldNames.mkString(", ")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
       (if (offset >= 0) s" offset=$offset" else "") +
@@ -869,7 +880,10 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
       agg.map(a => s" agg=$a").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = GraftLog.listLogFiles(path)
+    // stamp pruning first, uniformly across the three planning shapes:
+    // pushed `_pub_stamp` predicates hold for all of a file's rows or
+    // none, so dropping non-matching files here IS the pushed filter
+    val files = GraftLog.stampPrune(GraftLog.listLogFiles(path), stampFilters)
     // pushed OFFSET = one sequential partition over all files in publish
     // order: the only plan under which "skip the first k rows" is a global
     // statement a task can enforce (see pushOffset)
@@ -973,6 +987,7 @@ private class GraftLogSkippedMetric extends CustomSumMetric {
   * file list. Pushed filters and pruned columns ride into each
   * micro-batch reader unchanged. */
 private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
+    stampFilters: Array[Filter],
     columns: Array[String], maxFiles: Option[Int], lagMs: Long)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
@@ -1049,9 +1064,13 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // (admit() never compacts the batch it is admitting), so the
     // difference is enumerable from the two offsets alone — including
     // across a restart, where both come back from checkpoint JSON
-    end.asInstanceOf[GraftLogOffset].tail
-      .filterNot(from.seen).sorted
-      .map(n => GraftLogPartition(s"$path/$n"): InputPartition).toArray
+    val batch = end.asInstanceOf[GraftLogOffset].tail
+      .filterNot(from.seen).sorted.map(n => s"$path/$n").toArray
+    // pushed `_pub_stamp` predicates prune the BATCH's files exactly as
+    // the batch scan prunes its listing; pruned files still advance the
+    // offset (seen-but-skipped), so exactly-once arithmetic is untouched
+    GraftLog.stampPrune(batch, stampFilters)
+      .map(f => GraftLogPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1976,6 +1995,110 @@ object GraftLog {
       case _ => None
     }
   }
+
+  /** Translate a PURE `_pub_stamp` predicate tree — comparisons/IN
+    * against integer literals, IS [NOT] NULL, and AND/OR/NOT over such —
+    * to a v1-shaped filter the scan evaluates PER FILE. The stamp is
+    * CONSTANT across a file's rows, so file-level pruning is EXACTLY
+    * row-level filtering and the predicate is claimed as pushed: this is
+    * the connector's time-travel / incremental-batch surface —
+    * `.filter($"_pub_stamp" > lastSeenStamp)` reads only files published
+    * since, pruning everything else without opening it. Mixed trees
+    * (stamp AND data columns under one OR) are declined here and by
+    * v2ToV1, so they stay residual and Spark evaluates them row-by-row
+    * against the emitted metadata column — never wrong, just unpruned. */
+  private[sources] def stampToV1(p: V2Predicate): Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
+    def isStamp(e: V2Expr): Boolean = e match {
+      case nr: NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == "_pub_stamp"
+      case _ => false
+    }
+    def lit(e: V2Expr): Option[Long] = e match {
+      case l: V2Lit[_] if l.value != null &&
+          (l.dataType == LongType || l.dataType == IntegerType) =>
+        Some(l.value.asInstanceOf[Number].longValue())
+      case _ => None
+    }
+    def binary(mk: Long => Filter, flipped: Long => Filter): Option[Filter] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else if (isStamp(c(0))) lit(c(1)).map(mk)
+      else if (isStamp(c(1))) lit(c(0)).map(flipped)
+      else None
+    }
+    val A = "_pub_stamp"
+    p.name() match {
+      case "AND" =>
+        val a = p.asInstanceOf[V2And]
+        stampToV1(a.left()).zip(stampToV1(a.right())).map { case (l, r) => And(l, r) }
+      case "OR" =>
+        val o = p.asInstanceOf[V2Or]
+        stampToV1(o.left()).zip(stampToV1(o.right())).map { case (l, r) => Or(l, r) }
+      case "NOT" => stampToV1(p.asInstanceOf[V2Not].child()).map(Not)
+      // <=> against a non-null literal differs from = only on a NULL
+      // stamp, where both evaluate to not-selected under evalStamp's
+      // top-level null collapse — safe to share the translation
+      case "=" | "<=>" => binary(v => EqualTo(A, v), v => EqualTo(A, v))
+      case ">" => binary(v => GreaterThan(A, v), v => LessThan(A, v))
+      case ">=" => binary(v => GreaterThanOrEqual(A, v), v => LessThanOrEqual(A, v))
+      case "<" => binary(v => LessThan(A, v), v => GreaterThan(A, v))
+      case "<=" => binary(v => LessThanOrEqual(A, v), v => GreaterThanOrEqual(A, v))
+      case "IN" =>
+        val c = p.children()
+        if (c.length < 2 || !isStamp(c(0))) None
+        else {
+          val vs = c.drop(1).map(lit)
+          if (vs.exists(_.isEmpty)) None
+          else Some(In(A, vs.map(v => Long.box(v.get): Any)))
+        }
+      case "IS_NULL" =>
+        p.children() match { case Array(e) if isStamp(e) => Some(IsNull(A)); case _ => None }
+      case "IS_NOT_NULL" =>
+        p.children() match { case Array(e) if isStamp(e) => Some(IsNotNull(A)); case _ => None }
+      case _ => None
+    }
+  }
+
+  /** Does a file with publish stamp `s` (-1 = unstamped, i.e. NULL)
+    * satisfy the pushed stamp predicate? SQL three-valued logic, NULL
+    * collapsed to not-selected at the top — exactly WHERE semantics, so
+    * the file-level claim matches what Spark's row filter would keep. */
+  private[sources] def stampAccepts(f: Filter, s: Long): Boolean =
+    evalStamp(f, s).getOrElse(false)
+  private def evalStamp(f: Filter, s: Long): Option[Boolean] = f match {
+    case IsNull(_) => Some(s < 0)
+    case IsNotNull(_) => Some(s >= 0)
+    case EqualTo(_, v) => if (s < 0) None else Some(s == v.asInstanceOf[Number].longValue())
+    case GreaterThan(_, v) => if (s < 0) None else Some(s > v.asInstanceOf[Number].longValue())
+    case GreaterThanOrEqual(_, v) => if (s < 0) None else Some(s >= v.asInstanceOf[Number].longValue())
+    case LessThan(_, v) => if (s < 0) None else Some(s < v.asInstanceOf[Number].longValue())
+    case LessThanOrEqual(_, v) => if (s < 0) None else Some(s <= v.asInstanceOf[Number].longValue())
+    case In(_, vs) => if (s < 0) None else Some(vs.exists(_.asInstanceOf[Number].longValue() == s))
+    case And(l, r) => (evalStamp(l, s), evalStamp(r, s)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (evalStamp(l, s), evalStamp(r, s)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => evalStamp(c, s).map(!_)
+    // stampToV1 is the only constructor of these trees — an unknown shape
+    // here is a code bug, and silence would mean wrong pruning
+    case other => throw new IllegalStateException(s"unexpected stamp filter $other")
+  }
+
+  /** Apply pushed stamp predicates to a file list (conjuncts all hold). */
+  private[sources] def stampPrune(files: Array[String],
+      stampFilters: Array[Filter]): Array[String] =
+    if (stampFilters.isEmpty) files
+    else files.filter { f =>
+      val s = GraftLogNames.stamp(new java.io.File(f).getName)
+      stampFilters.forall(stampAccepts(_, s))
+    }
 
   /** Compiled per-record predicate over the decoded fields. */
   private[sources] type Pred = (Long, Long, Double, UTF8String) => Boolean

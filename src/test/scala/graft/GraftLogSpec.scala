@@ -623,6 +623,42 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(scan().rdd.getNumPartitions == nFiles)
   }
 
+  test("_pub_stamp predicate pushdown prunes FILES: the incremental-batch read surface") {
+    val land = Scratch.dir("graftlog_stamp")
+    val a = events.filter(col("event_id") < 300)
+    val b = events.filter(col("event_id") >= 300)
+    a.repartition(2).write.format("graftlog").mode("append").save(land)
+    def stamps() = new java.io.File(land).listFiles()
+      .filter(_.getName.endsWith(".graftlog"))
+      .map(f => GraftLog.testStampOf(f.getName))
+    val t = stamps().max
+    // monotone per-writer stamps: chunk B's publishes are STRICTLY above t
+    b.repartition(3).write.format("graftlog").mode("append").save(land)
+    def read() = spark.read.format("graftlog").load(land)
+    val inc = read().filter(col("_pub_stamp") > t)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    // file-level pruning: only chunk B's 3 files are planned at all
+    assert(inc.rdd.getNumPartitions == 3,
+      s"stamp pruning planned ${inc.rdd.getNumPartitions} partitions, wanted 3")
+    val got = inc.orderBy("event_id").collect()
+    val want = b.orderBy("event_id").collect()
+    assert(got.length == want.length && got.sameElements(want))
+    // the claim is EXACT (no post-scan Filter NODE; the scan's own
+    // "RuntimeFilters:" label contains the substring, hence the space)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(!plan.contains(" Filter "), s"stamp predicate left a post-scan Filter:\n$plan")
+    assert(plan.contains("stampPruned="), s"scan does not report stamp pruning:\n$plan")
+    // complement bound and 3VL edges: <= t is chunk A; IS NULL matches
+    // nothing on an all-stamped landing; IS NOT NULL keeps everything
+    assert(read().filter(col("_pub_stamp") <= t).count() == a.count())
+    assert(read().filter(col("_pub_stamp").isNull).count() == 0)
+    assert(read().filter(col("_pub_stamp").isNotNull).count() == events.count())
+    // composes with a data predicate (two pushdown lanes, one scan)
+    val both = read().filter(col("_pub_stamp") > t && col("user_id") === 7L)
+    assert(both.rdd.getNumPartitions == 3)
+    assert(both.count() == b.filter(col("user_id") === 7L).count())
+  }
+
   test("metadata columns surface file provenance: _file exact, _bucket null on plain landings, _pub_stamp = name stamp") {
     val files = new java.io.File(landing).listFiles()
       .filter(_.getName.endsWith(".graftlog")).map(_.getAbsolutePath).toSet
