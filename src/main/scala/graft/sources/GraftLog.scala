@@ -816,7 +816,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path, filters, stampFilters, required.fieldNames, maxFiles, lagMs)
+    new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles, lagMs)
 
   // Runtime filtering (round 14): at execution time Spark derives an
   // IN-set from the other (filtered, broadcast) side of a join and hands
@@ -987,7 +987,6 @@ private class GraftLogSkippedMetric extends CustomSumMetric {
   * file list. Pushed filters and pruned columns ride into each
   * micro-batch reader unchanged. */
 private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
-    stampFilters: Array[Filter],
     columns: Array[String], maxFiles: Option[Int], lagMs: Long)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
@@ -1064,13 +1063,9 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // (admit() never compacts the batch it is admitting), so the
     // difference is enumerable from the two offsets alone — including
     // across a restart, where both come back from checkpoint JSON
-    val batch = end.asInstanceOf[GraftLogOffset].tail
-      .filterNot(from.seen).sorted.map(n => s"$path/$n").toArray
-    // pushed `_pub_stamp` predicates prune the BATCH's files exactly as
-    // the batch scan prunes its listing; pruned files still advance the
-    // offset (seen-but-skipped), so exactly-once arithmetic is untouched
-    GraftLog.stampPrune(batch, stampFilters)
-      .map(f => GraftLogPartition(f): InputPartition)
+    end.asInstanceOf[GraftLogOffset].tail
+      .filterNot(from.seen).sorted
+      .map(n => GraftLogPartition(s"$path/$n"): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -222,6 +222,27 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
       "a row was emitted twice across the restart")
   }
 
+  test("metadata columns are a BATCH surface: a streaming reference fails (documented Spark DSv2 gap)") {
+    // Spark resolves metadata columns on the streaming relation (the
+    // table declares SupportsMetadataColumns) but NEVER calls
+    // pruneColumns/pushPredicates for DSv2 streaming scans, so the source
+    // cannot learn which metadata columns were requested and the executed
+    // plan reads an ordinal the 4-field rows don't have. Pinned here so
+    // the boundary is documented behavior, not a surprise: incremental
+    // STREAMING reads are served by the offset mechanism itself (the
+    // checkpoint-resume test above); incremental BATCH reads are served
+    // by `_pub_stamp` predicate pushdown (file-level pruning, next test).
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val dir = Scratch.dir("graftlog_meta_stream")
+    events.limit(20).write.format("graftlog").mode("append").save(dir)
+    intercept[StreamingQueryException] {
+      streaming.Streams.runToCompletion(
+        spark.readStream.format("graftlog").load(dir)
+          .select(col("event_id"), col("_file")),
+        "meta_stream_boundary", org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
+
   test("streaming offset JSON round-trips and rejects malformed input") {
     // reflection-free access via the public source surface is not exposed,
     // so pin the serde through the package-private companion. The offset
