@@ -409,6 +409,37 @@ object StorageOps extends QueryModule {
       |WHERE event_id % 3 <> 0 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Small-file compaction under the oracle gate (round 15): the
+  // maintenance CALL a real landing needs (every append/epoch adds
+  // files; scan task count and listing degrade linearly in file count).
+  // Five small appends build a fragmented bucketed landing; CALL
+  // graftq.system.compact merges each bucket's files by raw byte
+  // concatenation in publish order (headerless length-prefixed format:
+  // concatenation IS the merged file); the oracle is the read-back —
+  // compaction must be invisible to every query. GraftCatalogSpec pins
+  // the file counts, layout survival, order preservation, idempotence.
+  // ------------------------------------------------------------------
+  def dsv2Compact(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.cmp_ev")
+    s.sql("CREATE TABLE graftq.cmp_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    (0 until 5).foreach { i =>
+      ev.filter(col("event_id") % 5 === i).writeTo("graftq.cmp_ev").append()
+    }
+    s.sql("CALL graftq.system.compact(table => 'cmp_ev', target_mb => 64)").collect()
+    s.table("graftq.cmp_ev").orderBy(col("event_id"))
+  }
+
+  val dsv2CompactSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Metadata columns under the oracle gate (round 15): the connector
   // exposes `_file` / `_bucket` / `_pub_stamp` through
   // SupportsMetadataColumns the way parquet exposes _metadata. On a
@@ -869,6 +900,7 @@ object StorageOps extends QueryModule {
     "join_dsv2_partitioned" -> (dsv2PartitionedJoin _),
     "scan_dsv2_meta" -> (dsv2Meta _),
     "scan_dsv2_since" -> (dsv2Since _),
+    "call_dsv2_compact" -> (dsv2Compact _),
     "delete_dsv2_rewrite" -> (dsv2Delete _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
@@ -894,6 +926,7 @@ object StorageOps extends QueryModule {
     "join_dsv2_partitioned" -> dsv2PartitionedJoinSql,
     "scan_dsv2_meta" -> dsv2MetaSql,
     "scan_dsv2_since" -> dsv2SinceSql,
+    "call_dsv2_compact" -> dsv2CompactSql,
     "delete_dsv2_rewrite" -> dsv2DeleteSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "merge_dsv2_upsert" -> dsv2MergeSql,

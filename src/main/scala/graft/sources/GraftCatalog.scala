@@ -4,7 +4,8 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
@@ -48,7 +49,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * CREATE TABLE time and should target ~(cluster cores x a small factor)
   * so each bucket-partition is one task's worth of data.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -168,6 +169,69 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog: table maintenance as SQL CALL ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "compact"))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    if (ident.name() == "compact") new GraftCompactProcedure(this)
+    else throw new IllegalArgumentException(
+      s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+        "in the graft catalog (available: compact)")
+
+  /** Resolve a table name (optionally namespaced with dots) used as a
+    * procedure argument to its landing directory. */
+  private[sources] def resolveTableDir(table: String): String = {
+    val parts = table.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    val dir = tableDir(ident)
+    if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
+    dir.getPath
+  }
+}
+
+/** `CALL <catalog>.system.compact(table => '...', target_mb => 64)` —
+  * small-file maintenance over a graftlog table, the V2 procedure SPI
+  * wrapping [[GraftLog.compact]] (see there for the merge strategy and
+  * the stated swap/stamp contract). Returns one summary row:
+  * (files_before, files_after, bytes_compacted). */
+private class GraftCompactProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "merge a graftlog table's small files per bucket, publish order preserved"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name within this catalog").build(),
+    ProcedureParameter.in("target_mb", IntegerType).defaultValue("64")
+      .comment("target merged-file size in MiB").build())
+  // filesystem side effects: never constant-fold or re-execute freely
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val targetMb = input.getInt(1)
+    require(targetMb > 0, s"target_mb must be positive, got $targetMb")
+    val dir = cat.resolveTableDir(table)
+    val (before, after, bytes) = GraftLog.compact(
+      org.apache.spark.sql.SparkSession.active, dir, targetMb.toLong << 20)
+    val summary: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false),
+        StructField("bytes_compacted", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](before, after, bytes)))
+    }
+    java.util.List.of(summary).iterator()
+  }
 }
 
 /** The `bucket(n, col)` V2 function backing bucketed graftlog landings:

@@ -1834,6 +1834,87 @@ object GraftLog {
   /** Test hook: publish stamp of a name, -1 if unstamped (GraftLogNames). */
   def testStampOf(name: String): Long = GraftLogNames.stamp(name)
 
+  /** Compact a landing's small files — the maintenance operation a
+    * 100 TB landing lives or dies by (every append/epoch adds files;
+    * nothing else ever merges them, and at scale the scan's task count
+    * and the namenode's listing both degrade linearly in file count).
+    * Served as `CALL <catalog>.system.compact(table => ..., target_mb
+    * => ...)` through [[GraftCatalog]]; callable directly on a path for
+    * non-catalog landings.
+    *
+    * Files are grouped by bucket token (plain landings: one group) and
+    * bin-packed IN PUBLISH ORDER up to `targetBytes`; each bin with two
+    * or more files becomes ONE Spark task that merges it by raw BYTE
+    * CONCATENATION — the format is a headerless sequence of
+    * length-prefixed records, so concatenating whole files in publish
+    * order IS the merged file, no decode, no re-encode, and both the
+    * per-bucket key purity and the landing's publish-order row stream
+    * are preserved. The driver then swaps: publish the merged files
+    * (fresh stamps, k-tokens carried over), delete the originals.
+    *
+    * Contract notes, stated not implied: (a) single-writer — compaction
+    * IS a writer; a concurrent reader between publish and delete can see
+    * rows twice, and a crash in that window leaves re-compactable
+    * duplicates, never lost rows (same guarantee class as every other
+    * commit in this source). (b) merged files carry NEW publish stamps:
+    * a `_pub_stamp`-incremental batch consumer will re-see compacted
+    * rows, and an in-flight streaming reader treats them as new files —
+    * re-delivery, not loss; schedule compaction around incremental
+    * consumers or key them idempotently.
+    *
+    * @return (files before, files after, bytes rewritten) */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long): (Int, Int, Long) = {
+    require(targetBytes > 0, s"compact targetBytes must be positive, got $targetBytes")
+    val files = listLogFiles(path)
+    val sized = files.map(f => (f, new java.io.File(f).length()))
+    val bins: Seq[(Int, Seq[String])] = sized
+      .groupBy { case (f, _) => GraftLogNames.bucketOf(new java.io.File(f).getName) }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (tok, fs) =>
+        val out = Seq.newBuilder[Seq[String]]
+        var cur = Vector.empty[String]
+        var curBytes = 0L
+        fs.foreach { case (f, sz) => // fs is in publish order (listing is sorted)
+          if (cur.nonEmpty && curBytes + sz > targetBytes) {
+            out += cur; cur = Vector.empty; curBytes = 0L
+          }
+          cur :+= f; curBytes += sz
+        }
+        if (cur.nonEmpty) out += cur
+        // a bin of one is already compact — rewriting it would be churn
+        out.result().filter(_.length >= 2).map(b => (tok, b))
+      }
+    if (bins.isEmpty) return (files.length, files.length, 0L)
+    // one task per OUTPUT file, each streaming its inputs' bytes into a
+    // uuid tmp (failed/retried attempts cannot collide; readers ignore
+    // non-.graftlog names, so a failed job leaves no visible change)
+    val merged = spark.sparkContext
+      .parallelize(bins, bins.size)
+      .map { case (tok, group) =>
+        val tmp = new java.io.File(path, s"compact-${java.util.UUID.randomUUID()}.tmp")
+        val os = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(tmp), 1 << 16)
+        try group.foreach { f =>
+          java.nio.file.Files.copy(java.nio.file.Paths.get(f), os)
+        } finally os.close()
+        (tok, tmp.getAbsolutePath, group)
+      }.collect()
+    // swap: publish merged files first (monotone fresh stamps, bucket
+    // token carried over so bucketed scans keep parsing the layout),
+    // then delete the originals
+    merged.zipWithIndex.foreach { case ((tok, tmp, _), seq) =>
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val tag = (if (tok >= 0) s"k$tok-" else "") + s"c$seq-$uuid"
+      val dest = new java.io.File(path, GraftLogNames.publish(GraftLogNames.nextStamp(), seq, tag))
+      require(new java.io.File(tmp).renameTo(dest), s"compact failed to publish $tmp -> $dest")
+    }
+    val bytes = merged.flatMap(_._3).map(new java.io.File(_).length()).sum
+    merged.flatMap(_._3).foreach(f =>
+      require(new java.io.File(f).delete(), s"compact failed to delete $f"))
+    (files.length, files.length - merged.map(_._3.size).sum + merged.length, bytes)
+  }
+
   /** The landing's visible log files, sorted (publish-name order). */
   private[sources] def listLogFiles(path: String): Array[String] =
     Option(new java.io.File(path).listFiles())

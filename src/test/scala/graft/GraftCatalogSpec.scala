@@ -255,6 +255,50 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(back.length == expect.length && back.sameElements(expect))
   }
 
+  test("CALL graft.system.compact merges small files per bucket; rows, order and layout survive byte-identically") {
+    spark.sql("DROP TABLE IF EXISTS graft.cmp_t")
+    spark.sql("CREATE TABLE graft.cmp_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(4, user_id))")
+    // five small appends -> ~5 files per touched bucket
+    (0 until 5).foreach { i =>
+      events.filter(col("event_id") % 5 === i).writeTo("graft.cmp_t").append()
+    }
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "cmp_t")
+    def files() = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+    val before = files().length
+    assert(before >= 10, s"fixture degenerate: only $before files before compaction")
+    val preRows = spark.table("graft.cmp_t").orderBy("event_id").collect()
+    // publish-order row stream (no ORDER BY; bucketed partitions chain
+    // their files in publish order): pin it survives compaction
+    val preStream = spark.table("graft.cmp_t").collect()
+    val summary = spark.sql(
+      "CALL graft.system.compact(table => 'cmp_t', target_mb => 64)").collect()
+    assert(summary.length == 1)
+    val after = files()
+    assert(summary(0).getInt(0) == before && summary(0).getInt(1) == after.length)
+    assert(after.length == 4, // one merged file per touched bucket at 64 MiB
+      s"expected 4 compacted files (one per bucket), got ${after.length}")
+    // layout survives: every file still k-tagged, per-bucket key purity
+    after.foreach { f =>
+      val tok = graft.sources.GraftLog.testBucketOf(f.getName)
+      assert(tok >= 0 && tok < 4, s"compacted file lost its bucket token: ${f.getName}")
+    }
+    val back = spark.table("graft.cmp_t")
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.orderBy("event_id").collect().sameElements(preRows))
+    // byte-concatenation in publish order preserves the global stream
+    assert(spark.table("graft.cmp_t").collect().sameElements(preStream),
+      "compaction changed the publish-order row stream")
+    // idempotence: nothing left to merge -> no-op summary
+    val again = spark.sql(
+      "CALL graft.system.compact(table => 'cmp_t', target_mb => 64)").collect()
+    assert(again(0).getInt(0) == 4 && again(0).getInt(1) == 4 && again(0).getLong(2) == 0L)
+    assert(files().map(_.getName).toSet == after.map(_.getName).toSet,
+      "a no-op compaction rewrote files")
+  }
+
   test("DELETE with no matching rows leaves the landing untouched; whole-table DELETE is a metadata truncate") {
     spark.sql("DROP TABLE IF EXISTS graft.del_u")
     spark.sql("CREATE TABLE graft.del_u (event_id BIGINT, user_id BIGINT, " +
