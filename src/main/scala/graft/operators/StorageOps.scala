@@ -440,6 +440,41 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Retention under the oracle gate (round 15): the lifecycle's third
+  // operation (ingest -> compact -> expire). Two monotone-stamped ingest
+  // chunks; CALL graftq.system.expire with the inter-chunk high-water
+  // horizon deletes exactly the first chunk's publishes (file-level
+  // metadata deletes, no bytes moved); the read-back must equal the
+  // second chunk. The inverse selection of scan_dsv2_since, enforced by
+  // DELETION rather than pruning — together they pin that the stamp
+  // arithmetic means the same thing on both sides. GraftCatalogSpec pins
+  // the boundary semantics (legacy unstamped names never expire; orphan
+  // tmps age out behind a grace window).
+  // ------------------------------------------------------------------
+  def dsv2Expire(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_expire")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.filter(col("event_id") % 3 === 0)
+      .write.format("graftlog").mode("append").save(landing)
+    val t = new java.io.File(landing).listFiles()
+      .filter(_.getName.endsWith(".graftlog"))
+      .map(f => graft.sources.GraftLog.testStampOf(f.getName)).max
+    ev.filter(col("event_id") % 3 =!= 0)
+      .write.format("graftlog").mode("append").save(landing)
+    // path landing (no catalog table needed): call the engine entry the
+    // procedure wraps — the procedure surface itself is spec-covered
+    graft.sources.GraftLog.expire(landing, t + 1)
+    s.read.format("graftlog").load(landing)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2ExpireSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_id % 3 <> 0 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Metadata columns under the oracle gate (round 15): the connector
   // exposes `_file` / `_bucket` / `_pub_stamp` through
   // SupportsMetadataColumns the way parquet exposes _metadata. On a
@@ -901,6 +936,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_meta" -> (dsv2Meta _),
     "scan_dsv2_since" -> (dsv2Since _),
     "call_dsv2_compact" -> (dsv2Compact _),
+    "call_dsv2_expire" -> (dsv2Expire _),
     "delete_dsv2_rewrite" -> (dsv2Delete _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
@@ -927,6 +963,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_meta" -> dsv2MetaSql,
     "scan_dsv2_since" -> dsv2SinceSql,
     "call_dsv2_compact" -> dsv2CompactSql,
+    "call_dsv2_expire" -> dsv2ExpireSql,
     "delete_dsv2_rewrite" -> dsv2DeleteSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "merge_dsv2_upsert" -> dsv2MergeSql,

@@ -173,13 +173,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   // ---- ProcedureCatalog: table maintenance as SQL CALL ----
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "compact"))
+    Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "expire"))
 
-  override def loadProcedure(ident: Identifier): UnboundProcedure =
-    if (ident.name() == "compact") new GraftCompactProcedure(this)
-    else throw new IllegalArgumentException(
-      s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
-        "in the graft catalog (available: compact)")
+  override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name() match {
+    case "compact" => new GraftCompactProcedure(this)
+    case "expire" => new GraftExpireProcedure(this)
+    case other => throw new IllegalArgumentException(
+      s"no such procedure ${(ident.namespace() :+ other).mkString(".")} " +
+        "in the graft catalog (available: compact, expire)")
+  }
 
   /** Resolve a table name (optionally namespaced with dots) used as a
     * procedure argument to its landing directory. */
@@ -189,6 +191,49 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val dir = tableDir(ident)
     if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
     dir.getPath
+  }
+}
+
+/** `CALL <catalog>.system.expire(table => '...', before_stamp => <ms>,
+  * tmp_grace_minutes => 60)` — retention over a graftlog table, the V2
+  * procedure SPI wrapping [[GraftLog.expire]] (see there for the horizon
+  * semantics and the stated consumer-coordination contract). Returns one
+  * summary row: (files_deleted, bytes_deleted, tmps_deleted). */
+private class GraftExpireProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  override def name(): String = "expire"
+  override def description(): String =
+    "delete a graftlog table's publishes below a stamp horizon + aged orphan tmps"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name within this catalog").build(),
+    ProcedureParameter.in("before_stamp", LongType)
+      .comment("delete stamped files published before this epoch-millis horizon").build(),
+    ProcedureParameter.in("tmp_grace_minutes", IntegerType).defaultValue("60")
+      .comment("orphan .tmp files older than this are removed").build())
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val beforeStamp = input.getLong(1)
+    val graceMin = input.getInt(2)
+    require(graceMin >= 0, s"tmp_grace_minutes must be >= 0, got $graceMin")
+    val (files, bytes, tmps) = GraftLog.expire(
+      cat.resolveTableDir(table), beforeStamp, graceMin.toLong * 60000L)
+    val summary: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("files_deleted", IntegerType, nullable = false),
+        StructField("bytes_deleted", LongType, nullable = false),
+        StructField("tmps_deleted", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](files, bytes, tmps)))
+    }
+    java.util.List.of(summary).iterator()
   }
 }
 

@@ -1915,6 +1915,43 @@ object GraftLog {
     (files.length, files.length - merged.map(_._3.size).sum + merged.length, bytes)
   }
 
+  /** Retention for a landing (the third lifecycle operation after ingest
+    * and [[compact]]; served as `CALL <catalog>.system.expire`): deletes
+    * every stamped file published BEFORE `beforeStamp` (exclusive) and
+    * every orphan `.tmp` older than `tmpGraceMs` (failed/abandoned write
+    * attempts — a grace window protects in-flight tasks, which hold
+    * their tmp open until the driver commit renames it). Unstamped
+    * legacy `.graftlog` files are NEVER expired: their age is unknown,
+    * and silently deleting data of unknown age is the unrecoverable
+    * failure mode retention must not have. Driver-side O(files)
+    * metadata work — deletion moves no bytes, so there is nothing to
+    * distribute. Single-writer contract: expiring below an in-flight
+    * streaming reader's unprocessed offset loses rows for that reader —
+    * coordinate retention horizons with consumers, exactly as with any
+    * log system's retention.
+    *
+    * @return (log files deleted, bytes deleted, orphan tmps deleted) */
+  def expire(path: String, beforeStamp: Long,
+      tmpGraceMs: Long = 60L * 60 * 1000): (Int, Long, Int) = {
+    require(beforeStamp >= 0, s"expire beforeStamp must be >= 0, got $beforeStamp")
+    require(tmpGraceMs >= 0, s"expire tmpGraceMs must be >= 0, got $tmpGraceMs")
+    val all = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val victims = all.filter { f =>
+      f.getName.endsWith(".graftlog") && {
+        val s = GraftLogNames.stamp(f.getName)
+        s >= 0 && s < beforeStamp
+      }
+    }
+    val bytes = victims.map(_.length()).sum
+    victims.foreach(f => require(f.delete(), s"expire failed to delete $f"))
+    val horizon = System.currentTimeMillis() - tmpGraceMs
+    val orphans = all.filter(f =>
+      f.getName.endsWith(".tmp") && f.lastModified() < horizon)
+    orphans.foreach(f => require(f.delete(), s"expire failed to delete orphan $f"))
+    (victims.length, bytes, orphans.length)
+  }
+
   /** The landing's visible log files, sorted (publish-name order). */
   private[sources] def listLogFiles(path: String): Array[String] =
     Option(new java.io.File(path).listFiles())

@@ -299,6 +299,50 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       "a no-op compaction rewrote files")
   }
 
+  test("CALL graft.system.expire enforces the stamp horizon: old publishes and aged tmps go, legacy names never do") {
+    spark.sql("DROP TABLE IF EXISTS graft.exp_t")
+    spark.sql("CREATE TABLE graft.exp_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "exp_t")
+    val a = events.filter(col("event_id") < 300)
+    val b = events.filter(col("event_id") >= 300)
+    a.writeTo("graft.exp_t").append()
+    val t = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(f => graft.sources.GraftLog.testStampOf(f.getName)).max
+    b.writeTo("graft.exp_t").append()
+    // a legacy (unstamped) file and two orphan tmps: one aged, one fresh
+    val legacy = new java.io.File(dir, "foreign-legacy.graftlog")
+    java.nio.file.Files.copy(
+      dir.listFiles().filter(_.getName.endsWith(".graftlog")).head.toPath, legacy.toPath)
+    val legacyRows = spark.table("graft.exp_t").count() // includes the copy now
+    val aged = new java.io.File(dir, "orphan-aged.tmp")
+    val fresh = new java.io.File(dir, "orphan-fresh.tmp")
+    java.nio.file.Files.writeString(aged.toPath, "x")
+    java.nio.file.Files.writeString(fresh.toPath, "x")
+    assert(aged.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    val summary = spark.sql(
+      s"CALL graft.system.expire(table => 'exp_t', before_stamp => ${t + 1}L)").collect()
+    assert(summary.length == 1)
+    // chunk A's stamped files are gone; chunk B's and the legacy file stay
+    val names = dir.listFiles().map(_.getName).toSet
+    assert(names.contains("foreign-legacy.graftlog"),
+      "retention deleted a file of unknown age (legacy name)")
+    assert(!names.contains("orphan-aged.tmp"), "aged orphan tmp survived")
+    assert(names.contains("orphan-fresh.tmp"),
+      "a tmp inside the grace window was deleted (would break in-flight writes)")
+    names.filter(_.endsWith(".graftlog")).filterNot(_ == "foreign-legacy.graftlog")
+      .foreach { n =>
+        assert(graft.sources.GraftLog.testStampOf(n) > t, s"expired-range file survived: $n")
+      }
+    assert(summary(0).getInt(2) == 1, "tmps_deleted must count only the aged orphan")
+    // read-back: chunk B + the legacy copy's rows (legacy mirrors one A-file)
+    val remaining = spark.table("graft.exp_t").count()
+    assert(remaining == legacyRows - a.count(),
+      s"expected chunk B + legacy rows, got $remaining")
+    fresh.delete() // leave the fixture tidy for other tests
+  }
+
   test("DELETE with no matching rows leaves the landing untouched; whole-table DELETE is a metadata truncate") {
     spark.sql("DROP TABLE IF EXISTS graft.del_u")
     spark.sql("CREATE TABLE graft.del_u (event_id BIGINT, user_id BIGINT, " +
