@@ -680,6 +680,35 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(both.count() == b.filter(col("user_id") === 7L).count())
   }
 
+  test("compact on a PLAIN landing: token-less group merges, order preserved, target size respected, no-op when compact") {
+    val land = Scratch.dir("graftlog_compact_plain")
+    (0 until 4).foreach { i =>
+      events.filter(col("event_id") % 4 === i)
+        .write.format("graftlog").mode("append").save(land)
+    }
+    def files() = new java.io.File(land).listFiles()
+      .filter(_.getName.endsWith(".graftlog"))
+    val before = files()
+    assert(before.length == 4)
+    val preOrdered = spark.read.format("graftlog").load(land).collect() // publish-order stream
+    // a tight target first: files (~equal size) must bin-pack into TWO
+    // merged files of two inputs each, not one giant one
+    val target2 = before.map(_.length()).max * 2 + 8
+    val (b1, a1, bytes1) = GraftLog.compact(spark, land, target2)
+    assert(b1 == 4 && a1 == 2 && bytes1 > 0, s"($b1, $a1, $bytes1)")
+    assert(files().length == 2)
+    assert(files().forall(f => GraftLog.testBucketOf(f.getName) == -1),
+      "a plain landing's compacted file grew a bucket token")
+    // then merge the rest: everything fits one file
+    val (b2, a2, _) = GraftLog.compact(spark, land, Long.MaxValue)
+    assert(b2 == 2 && a2 == 1 && files().length == 1)
+    assert(spark.read.format("graftlog").load(land).collect().sameElements(preOrdered),
+      "compaction changed the publish-order row stream")
+    // already compact: exact no-op
+    val (b3, a3, bytes3) = GraftLog.compact(spark, land, Long.MaxValue)
+    assert(b3 == 1 && a3 == 1 && bytes3 == 0L)
+  }
+
   test("metadata columns surface file provenance: _file exact, _bucket null on plain landings, _pub_stamp = name stamp") {
     val files = new java.io.File(landing).listFiles()
       .filter(_.getName.endsWith(".graftlog")).map(_.getAbsolutePath).toSet
