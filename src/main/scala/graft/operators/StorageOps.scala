@@ -679,6 +679,76 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Merge-on-read DELETE under the oracle gate (round 16, r15 verdict
+  // #2): a `delete.mode = merge-on-read` catalog table serves DELETE
+  // through Spark's SupportsDelta contract — each matching row's
+  // (_file, _pos) identity lands in a position-delete file and the
+  // manifest swap makes it visible; NO data file is rewritten (at 100 TB
+  // a takedown of a handful of rows must not move terabytes — the
+  // copy-on-write twin `delete_dsv2_rewrite` rewrites whole files).
+  // Readers drop the deleted ordinals during the sequential decode, so
+  // the read-back equals the survivor set — same oracle SHAPE as the CoW
+  // twin, different WHERE, so a pushdown confusion between the two paths
+  // cannot cancel out. GraftCatalogSpec pins the mechanics (no data file
+  // moved, one .graftdel published, compaction absorbs).
+  // ------------------------------------------------------------------
+  def dsv2DeleteMor(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.mor_ev")
+    s.sql("CREATE TABLE graftq.mor_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id)) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .writeTo("graftq.mor_ev").append()
+    s.sql("DELETE FROM graftq.mor_ev WHERE event_type = 'signup' OR value >= 450.0")
+    s.table("graftq.mor_ev").orderBy(col("event_id"))
+  }
+
+  val dsv2DeleteMorSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE NOT (event_type = 'signup' OR value >= 450.0)
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Incremental read ACROSS a compaction (round 16, r15 verdict #4):
+  // same contract as scan_dsv2_since — `_pub_stamp > t` returns exactly
+  // what was published after t — but a CALL system.compact merges the
+  // two ingest chunks into one file between the ingests and the read.
+  // The compacted file's manifest segment map preserves each input's
+  // ORIGINAL stamp, the scan keeps the file (one segment matches), and
+  // the cursor byte-skips the pre-t segment wholesale — so the slice is
+  // IDENTICAL to the uncompacted one instead of re-delivering the whole
+  // file (r15's documented gap). The oracle is the second chunk.
+  // ------------------------------------------------------------------
+  def dsv2SinceCompact(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.sincec_ev")
+    s.sql("CREATE TABLE graftq.sincec_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val landing = new java.io.File(catalogWarehouse, "sincec_ev").getPath
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.filter(col("event_id") % 3 === 0).writeTo("graftq.sincec_ev").append()
+    val t = new java.io.File(landing).listFiles()
+      .filter(_.getName.endsWith(".graftlog"))
+      .map(f => graft.sources.GraftLog.testStampOf(f.getName)).max
+    ev.filter(col("event_id") % 3 =!= 0).writeTo("graftq.sincec_ev").append()
+    s.sql("CALL graftq.system.compact(table => 'sincec_ev', target_mb => 64)").collect()
+    s.table("graftq.sincec_ev")
+      .filter(col("_pub_stamp") > t)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2SinceCompactSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_id % 3 <> 0 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, OFFSET pushdown (round 15): the SPI has no partial
   // variant, so the source claims OFFSET fully by collapsing the scan to
   // ONE sequential partition chaining files in publish order and skipping
@@ -938,6 +1008,8 @@ object StorageOps extends QueryModule {
     "call_dsv2_compact" -> (dsv2Compact _),
     "call_dsv2_expire" -> (dsv2Expire _),
     "delete_dsv2_rewrite" -> (dsv2Delete _),
+    "delete_dsv2_mor" -> (dsv2DeleteMor _),
+    "scan_dsv2_since_compact" -> (dsv2SinceCompact _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
     "scan_dsv2_topn" -> (dsv2TopN _),
@@ -965,6 +1037,8 @@ object StorageOps extends QueryModule {
     "call_dsv2_compact" -> dsv2CompactSql,
     "call_dsv2_expire" -> dsv2ExpireSql,
     "delete_dsv2_rewrite" -> dsv2DeleteSql,
+    "delete_dsv2_mor" -> dsv2DeleteMorSql,
+    "scan_dsv2_since_compact" -> dsv2SinceCompactSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "merge_dsv2_upsert" -> dsv2MergeSql,
     "scan_dsv2_topn" -> dsv2TopNSql,

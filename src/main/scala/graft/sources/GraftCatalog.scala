@@ -69,21 +69,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   private def metaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_graft_table.json")
 
-  private def writeMeta(dir: java.io.File, bucket: Option[GraftLogBucketSpec]): Unit = {
-    val json = bucket match {
-      case Some(b) => s"""{"bucket_col":"${b.col}","num_buckets":${b.n}}"""
-      case None => "{}"
-    }
-    java.nio.file.Files.writeString(metaFile(dir).toPath, json + "\n")
+  private def writeMeta(dir: java.io.File, bucket: Option[GraftLogBucketSpec],
+      deleteMode: String): Unit = {
+    val fields = bucket.map(b =>
+        s""""bucket_col":"${b.col}","num_buckets":${b.n}""").toSeq ++
+      (if (deleteMode != GraftLog.COPY_ON_WRITE)
+        Seq(s""""delete_mode":"$deleteMode"""") else Nil)
+    java.nio.file.Files.writeString(metaFile(dir).toPath,
+      fields.mkString("{", ",", "}") + "\n")
   }
-  private def readMeta(dir: java.io.File): Option[GraftLogBucketSpec] = {
+  /** @return (bucket layout, delete mode) — the known shapes only,
+    * written exclusively by writeMeta; a strict match keeps
+    * foreign/corrupt metadata loud instead of silently unbucketed. */
+  private def readMeta(dir: java.io.File): (Option[GraftLogBucketSpec], String) = {
     val text = java.nio.file.Files.readString(metaFile(dir).toPath).trim
-    // two known shapes, written only by writeMeta — a strict match keeps
-    // foreign/corrupt metadata loud instead of silently unbucketed
-    val re = """\{"bucket_col":"(event_id|user_id)","num_buckets":(\d+)\}""".r
+    val re = ("""\{(?:"bucket_col":"(event_id|user_id)","num_buckets":(\d+))?""" +
+      """,?(?:"delete_mode":"(merge-on-read)")?\}""").r
     text match {
-      case "{}" => None
-      case re(col, n) => Some(GraftLogBucketSpec(GraftLog.ordinal(col), n.toInt))
+      case re(col, n, mode) =>
+        val bucket = Option(col).map(c =>
+          GraftLogBucketSpec(GraftLog.ordinal(c), n.toInt))
+        (bucket, Option(mode).getOrElse(GraftLog.COPY_ON_WRITE))
       case other => throw new IllegalStateException(
         s"unreadable graft table metadata in $dir: $other")
     }
@@ -103,7 +109,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
-    new GraftLogTable(dir.getPath, readMeta(dir))
+    val (bucket, deleteMode) = readMeta(dir)
+    new GraftLogTable(dir.getPath, bucket, deleteMode)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -134,10 +141,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         "graftlog tables support PARTITIONED BY (bucket(n, event_id|user_id)) " +
           s"only; got ${other.map(_.describe()).mkString(", ")}")
     }
+    // `delete.mode` table property (round 16): how DELETE executes —
+    // copy-on-write file rewrite (default) or merge-on-read position
+    // deletes; validated here so a typo fails CREATE TABLE, not a DELETE
+    val deleteMode = Option(properties.get("delete.mode"))
+      .getOrElse(GraftLog.COPY_ON_WRITE)
+    require(deleteMode == GraftLog.COPY_ON_WRITE ||
+        deleteMode == GraftLog.MERGE_ON_READ,
+      s"delete.mode must be '${GraftLog.COPY_ON_WRITE}' or " +
+        s"'${GraftLog.MERGE_ON_READ}', got '$deleteMode'")
     val dir = tableDir(ident)
     require(dir.mkdirs() || dir.isDirectory, s"cannot create table directory $dir")
-    writeMeta(dir, bucket)
-    new GraftLogTable(dir.getPath, bucket)
+    writeMeta(dir, bucket, deleteMode)
+    new GraftLogTable(dir.getPath, bucket, deleteMode)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

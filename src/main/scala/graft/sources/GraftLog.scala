@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And => V2A
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -147,7 +147,8 @@ private[sources] case class GraftLogBucketSpec(ord: Int, n: Int) {
 }
 
 private[sources] class GraftLogTable(path: String,
-    bucket: Option[GraftLogBucketSpec] = None) extends Table
+    bucket: Option[GraftLogBucketSpec] = None,
+    deleteMode: String = GraftLog.COPY_ON_WRITE) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with SupportsDeleteV2 {
   override def name(): String = s"graftlog($path)"
@@ -157,22 +158,35 @@ private[sources] class GraftLogTable(path: String,
   // Conditional DELETE/UPDATE/MERGE go through the group-based rewrite
   // ([[GraftLogRewriteOperation]] — command-agnostic: the write always
   // lands the affected files' replacement rows, whatever transform the
-  // rewrite plan applied). Metadata-only deletes are claimed for the
-  // ALWAYS-TRUE case alone — whole-table truncate by unlinking every
-  // log file, no job. Anything finer would need per-file row statistics
-  // the format doesn't keep, and a wrong canDeleteWhere=true silently
-  // deletes rows the predicate did not cover — the one unrecoverable
-  // failure mode of this SPI — so the claim stays minimal.
+  // rewrite plan applied); DELETE on a `delete.mode = merge-on-read`
+  // table goes through position-delete files instead
+  // ([[GraftLogDeltaOperation]] — no data file moves). Metadata-only
+  // deletes are claimed for the ALWAYS-TRUE case alone — whole-table
+  // truncate by unlinking every log file, no job. Anything finer would
+  // need per-file row statistics the format doesn't keep, and a wrong
+  // canDeleteWhere=true silently deletes rows the predicate did not
+  // cover — the one unrecoverable failure mode of this SPI — so the
+  // claim stays minimal.
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new GraftLogRewriteOperation(path, bucket, info.command())
+    () =>
+      if (info.command() == RowLevelOperation.Command.DELETE &&
+          deleteMode == GraftLog.MERGE_ON_READ)
+        new GraftLogDeltaOperation(path, bucket)
+      else new GraftLogRewriteOperation(path, bucket, info.command())
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
     predicates.forall(_.isInstanceOf[AlwaysTrue])
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
     require(canDeleteWhere(predicates),
       s"metadata-only delete unsupported for [${predicates.mkString(", ")}]")
-    GraftLog.listLogFiles(path).foreach(f =>
-      require(new java.io.File(f).delete(), s"truncate failed to delete $f"))
+    // empty manifest FIRST (readers flip atomically to the empty table),
+    // then physical unlink of data + position-delete files, garbage
+    // included (a truncate is the one commit allowed to clear leftovers)
+    GraftSnapshotIO.write(path, GraftSnapshot(Vector.empty, Map.empty))
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".graftlog") || f.getName.endsWith(".graftdel"))
+      .foreach(f => require(f.delete(), s"truncate failed to delete $f"))
   }
   override def partitioning(): Array[Transform] =
     bucket.map(b => Expressions.bucket(b.n, b.col): Transform).toArray
@@ -283,11 +297,23 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
-    if (truncate)
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.endsWith(".graftlog"))
-        .foreach(f => require(f.delete(), s"truncate failed to delete $f"))
-    GraftLogNames.publishAll(path, messages, pid => f"b$pid%05d")
+    // Snapshot-commit protocol (round 16): resolve the pre-commit live
+    // set, publish, then swap ONE manifest — a concurrent reader observes
+    // the old snapshot or the new one atomically; files published before
+    // the swap are stamped-but-unreferenced, i.e. invisible, which is
+    // exactly what makes a mid-commit crash leave no partial state.
+    val base =
+      if (truncate) {
+        // physical truncate clears data + position-delete files, garbage
+        // included (unreferenced crash leftovers have no other owner here)
+        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.endsWith(".graftlog") || f.getName.endsWith(".graftdel"))
+          .foreach(f => require(f.delete(), s"truncate failed to delete $f"))
+        GraftSnapshot(Vector.empty, Map.empty)
+      } else GraftSnapshotIO.resolve(path)
+    val pub = GraftLogNames.publishAll(path, messages, pid => f"b$pid%05d")
+    GraftSnapshotIO.write(path,
+      base.addData(pub.map(GraftLiveFile(_, None)).toVector))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -321,12 +347,22 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = s"-q$queryId-e$epochId-"
+    // victim discovery stays DIRECTORY-based (not manifest-based): a
+    // replayed epoch may have published files and crashed before its
+    // manifest swap — those are invisible garbage, and re-publishing
+    // without unlinking them would strand them forever
     val victims = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.endsWith(".graftlog") &&
         (truncate || f.getName.contains(marker)))
+    val base = GraftSnapshotIO.resolve(path)
     victims.foreach(f => require(f.delete(), s"epoch commit failed to delete $f"))
-    GraftLogNames.publishAll(path, messages, pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
+    val pub = GraftLogNames.publishAll(path, messages,
+      pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
+    val (kept, deadDels) = base.removeData(victims.map(_.getName).toSet)
+    GraftSnapshotIO.write(path,
+      kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    deadDels.foreach(d => new java.io.File(path, d).delete())
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -396,9 +432,13 @@ private class GraftLogRewriteOperation(path: String,
   @volatile private[sources] var groupFilters: Array[Filter] = Array.empty
 
   /** The group-selection formula, shared verbatim by the rewrite scan's
-    * planInputPartitions and the replace commit. */
-  private[sources] def selectedFiles(): Array[String] = {
-    val files = GraftLog.listLogFiles(path)
+    * planInputPartitions and the replace commit — both sides apply it to
+    * a snapshot they resolve themselves (identical under the landing's
+    * single-writer contract; the commit's resolution additionally feeds
+    * its manifest swap). */
+  private[sources] def selectedFilesFrom(snap: GraftSnapshot): Array[String] = {
+    val files = snap.files.map(f =>
+      new java.io.File(path, f.name).getAbsolutePath).toArray
     val staticSet = bucket.flatMap(b => GraftLog.prunedBuckets(b, groupFilters)) match {
       case Some(ks) => files.filter(f =>
         ks.contains(GraftLogNames.bucketOf(new java.io.File(f).getName)))
@@ -409,6 +449,8 @@ private class GraftLogRewriteOperation(path: String,
       case None => staticSet
     }
   }
+  private[sources] def selectedFiles(): Array[String] =
+    selectedFilesFrom(GraftSnapshotIO.resolve(path))
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftLogRewrite($cmd, $path)"
@@ -499,9 +541,12 @@ private class GraftLogRewriteScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     op.selectedFiles().map(f => GraftLogPartition(f): InputPartition)
   // plain per-file readers, unfiltered; metadata columns (the plan carries
-  // `_file` per row) ride the shared reader projection
+  // `_file` per row) ride the shared reader projection. The cursor spec
+  // carries the snapshot's position deletes and segment maps: a rewrite
+  // over a merge-on-read table must NOT resurrect already-deleted rows.
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(() => Array.empty, required.fieldNames, -1, -1, None, None)
+    new GraftLogReaderFactory(() => Array.empty, required.fieldNames, -1, -1, None, None,
+      GraftLogCursorSpec.of(path, GraftSnapshotIO.resolve(path), Array.empty))
 }
 
 /** The replace commit. The replace set is derived AT COMMIT TIME as
@@ -519,10 +564,20 @@ private class GraftLogReplaceDataBatchWrite(path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // the scan's exact group-selection formula, evaluated BEFORE the
     // survivors publish so the new files can never enter the replace set
-    val replaced = op.selectedFiles()
-    GraftLogNames.publishAll(path, messages, pid => f"d$pid%05d")
+    val snap = GraftSnapshotIO.resolve(path)
+    val replaced = op.selectedFilesFrom(snap)
+    val replacedNames = replaced.map(new java.io.File(_).getName).toSet
+    val pub = GraftLogNames.publishAll(path, messages, pid => f"d$pid%05d")
+    // manifest swap FIRST, physical deletes after: readers flip from the
+    // old file set to the new one at the rename; the replaced files (and
+    // any position-delete files now covering nothing) are dead to every
+    // resolver before they are unlinked
+    val (kept, deadDels) = snap.removeData(replacedNames)
+    GraftSnapshotIO.write(path,
+      kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
     replaced.foreach(f => require(new java.io.File(f).delete(),
       s"replace-data commit failed to delete $f"))
+    deadDels.foreach(d => new java.io.File(path, d).delete())
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -531,6 +586,126 @@ private class GraftLogReplaceDataBatchWrite(path: String,
         parts.foreach { case (_, tmp) => new java.io.File(tmp).delete() }
       case _ => ()
     }
+}
+
+// ---------------------------------------------------------------------------
+// Merge-on-read DELETE (round 16): position-delete files via SupportsDelta
+// ---------------------------------------------------------------------------
+
+/** DELETE as a DELTA of row-level changes instead of a file rewrite —
+  * Spark's [[SupportsDelta]] contract, the merge-on-read half of the
+  * row-level story (r15 verdict #2). The copy-on-write path rewrites
+  * every file containing a match; at 100 TB with compacted multi-GB
+  * files, a takedown of a handful of rows must not move terabytes. Here
+  * the analyzer plans WriteDelta over this operation's scan: each
+  * matching row reaches the writer as its ROW ID — (`_file`, `_pos`),
+  * the file name and raw record ordinal — and the writer appends it to a
+  * position-delete file (`pub-...-.graftdel`, text `<file>\t<pos>`
+  * records). The commit publishes the delete files and swaps a manifest
+  * mapping them to the data files they cover; every reader's cursor then
+  * drops those ordinals during the sequential decode (O(1) per record
+  * against a sorted positions array), and `CALL system.compact` absorbs
+  * pending deletes by rewriting only the files that carry them.
+  *
+  * Scope: DELETE only, selected per table via the `delete.mode =
+  * merge-on-read` property ([[GraftCatalog]]); UPDATE/MERGE keep the
+  * group-based copy-on-write path (their replacement rows need data
+  * writes anyway, so the rewrite is not pure overhead as it is for a
+  * point DELETE). The scan is the NORMAL scan builder: the command
+  * condition pushes down as row predicates (only matching rows emit),
+  * and `_pos` stays the raw ordinal because pushed predicates drop rows
+  * inside the cursor without disturbing the record count. */
+private class GraftLogDeltaOperation(path: String,
+    bucket: Option[GraftLogBucketSpec]) extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+  override def description(): String = s"GraftLogPositionDelete($path)"
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(path, bucket, None, GraftLogNames.DEFAULT_LAG_MS)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = new GraftLogDeltaBatchWrite(path)
+      }
+    }
+}
+
+/** One delete file per task: `<dataFileName>\t<pos>` lines, tmp-named
+  * until the driver's commit publishes it (same protocol as data). The
+  * commit message carries the DISTINCT data files the task deleted from —
+  * the manifest's coverage index. */
+private case class GraftLogDeleteCommit(tmp: String, covered: Seq[String],
+    partitionId: Int) extends WriterCommitMessage
+
+/** Ships to executors: must not capture the (driver-only) batch write. */
+private class GraftLogDeltaWriterFactory(path: String) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftLogPositionDeleteWriter(path, partitionId)
+}
+
+private class GraftLogDeltaBatchWrite(path: String) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftLogDeltaWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val snap = GraftSnapshotIO.resolve(path)
+    val published = Seq.newBuilder[(String, Seq[String])]
+    messages.zipWithIndex.foreach {
+      case (GraftLogDeleteCommit(tmp, covered, pid), i) =>
+        val src = new java.io.File(tmp)
+        if (src.length() == 0L) { require(src.delete(), s"failed to drop empty $tmp"); () }
+        else {
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          val name = GraftLogNames.publish(GraftLogNames.nextStamp(), i,
+            f"d$pid%05d-$uuid", ext = ".graftdel")
+          require(src.renameTo(new java.io.File(path, name)),
+            s"delete commit failed to publish $tmp -> $name")
+          published += ((name, covered))
+        }
+      case (other, _) =>
+        throw new IllegalStateException(s"unexpected delete commit message $other")
+    }
+    // manifest swap makes the deletes visible atomically; data files are
+    // untouched — that absence of rewrite IS the merge-on-read property
+    GraftSnapshotIO.write(path, snap.addDeletes(published.result()))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogDeleteCommit(tmp, _, _) => new java.io.File(tmp).delete(); ()
+      case _ => ()
+    }
+}
+
+/** Executor-side delta writer: DELETE rows only (this operation never
+  * serves UPDATE/MERGE — see [[GraftLogDeltaOperation]] scope note). */
+private class GraftLogPositionDeleteWriter(path: String, partitionId: Int)
+    extends DeltaWriter[InternalRow] {
+  private val tmp = s"$path/.gd-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
+  new java.io.File(path).mkdirs()
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+  private val covered = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    // rowId projection order = rowId(): (_file absolute path, _pos)
+    val name = new java.io.File(id.getUTF8String(0).toString).getName
+    out.write(name); out.write('\t')
+    out.write(java.lang.Long.toString(id.getLong(1))); out.write('\n')
+    covered += name
+  }
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException("graftlog delta operation serves DELETE only")
+  override def insert(row: InternalRow): Unit =
+    throw new IllegalStateException("graftlog delta operation serves DELETE only")
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftLogDeleteCommit(tmp, covered.toSeq, partitionId)
+  }
+  override def abort(): Unit = { out.close(); new java.io.File(tmp).delete(); () }
+  override def close(): Unit = out.close()
 }
 
 private class GraftLogWriterFactory(path: String,
@@ -848,6 +1023,17 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     runtime = fs.filter(GraftLog.supportedFilter)
   private[sources] def allFilters: Array[Filter] = filters ++ runtime
 
+  // ---- snapshot, resolved ONCE per Scan (r15 advice #3 + the round-16
+  // manifest protocol): planned partitions, reported partitioning and
+  // statistics all derive from this single resolution, so they can never
+  // observe different landings (the r15-noted SPJ desync window), and a
+  // Scan reads one atomic snapshot end to end.
+  @transient private lazy val snapshot: GraftSnapshot = GraftSnapshotIO.resolve(path)
+  @transient private lazy val prunedFiles: Seq[GraftLiveFile] =
+    GraftLog.stampPrune(snapshot.files, stampFilters)
+  private def pathOf(f: GraftLiveFile): String =
+    new java.io.File(path, f.name).getAbsolutePath
+
   /** Size statistics from the log files themselves — without this a V2
     * scan reports "unknown", Catalyst assumes it is huge, and a small
     * graftlog dimension can never be broadcast: the optimizer integration
@@ -859,9 +1045,20 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   override def estimateStatistics(): Statistics = {
     // stamp-pruned, like the planned partitions: an incremental
     // `_pub_stamp > t` slice of a huge landing must report the SLICE's
-    // size, or Catalyst can never broadcast it
-    val bytes = GraftLog.stampPrune(GraftLog.listLogFiles(path), stampFilters)
-      .map(new java.io.File(_).length()).sum
+    // size, or Catalyst can never broadcast it. For compacted files the
+    // slice is per SEGMENT — the byte spans the cursor will actually emit.
+    val bytes = prunedFiles.map { f =>
+      val len = new java.io.File(path, f.name).length()
+      f.segs match {
+        case None => len
+        case Some(ss) =>
+          val ends = ss.map(_.start).drop(1) :+ len
+          ss.zip(ends).collect {
+            case (seg, end) if stampFilters.forall(GraftLog.stampAccepts(_, seg.stamp)) =>
+              end - seg.start
+          }.sum
+      }
+    }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -879,11 +1076,17 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
       topN.map(t => s" topn=$t").getOrElse("") +
       agg.map(a => s" agg=$a").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // planned ONCE per Scan from the cached snapshot: Spark may consult
+  // partitions repeatedly (stats probes, outputPartitioning, AQE) and
+  // each call re-listing the directory could observe a different landing
+  // mid-publish — the r15-noted numPartitions/SPJ desync (r15 advice #3)
+  @transient private lazy val plannedPartitions: Array[InputPartition] = {
     // stamp pruning first, uniformly across the three planning shapes:
     // pushed `_pub_stamp` predicates hold for all of a file's rows or
-    // none, so dropping non-matching files here IS the pushed filter
-    val files = GraftLog.stampPrune(GraftLog.listLogFiles(path), stampFilters)
+    // none (per segment for compacted files — the cursor finishes the
+    // segment-exact part), so dropping non-matching files here IS the
+    // pushed filter
+    val files = prunedFiles.map(pathOf).toArray
     // pushed OFFSET = one sequential partition over all files in publish
     // order: the only plan under which "skip the first k rows" is a global
     // statement a task can enforce (see pushOffset)
@@ -919,18 +1122,21 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     }
   }
 
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
   /** SPJ surface (round 15): a bucketed landing reports
     * KeyGroupedPartitioning over the SAME `bucket(n, col)` transform the
     * writer applied and [[GraftCatalog]] serves as a V2 ScalarFunction —
     * so a join of two such scans on the bucket column plans with ZERO
     * exchange (storage-partitioned join), the connector twin of
     * `join_bucketed`. numPartitions must be the count of partitions
-    * actually planned, which is the count of non-empty buckets. */
+    * actually planned, which is the count of non-empty buckets — both
+    * derive from the one cached snapshot, so they cannot desync. */
   override def outputPartitioning(): Partitioning = bucket match {
     case Some(b) =>
       new KeyGroupedPartitioning(
-        Array(Expressions.bucket(b.n, b.col)), planInputPartitions().length)
-    case None => new UnknownPartitioning(planInputPartitions().length)
+        Array(Expressions.bucket(b.n, b.col)), plannedPartitions.length)
+    case None => new UnknownPartitioning(plannedPartitions.length)
   }
 
   // the factory carries the scan itself: runtime filters arrive via
@@ -939,7 +1145,8 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   // of when Spark first touched the (lazily cached) factory
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(() => allFilters,
-      required.fieldNames, limit, offset, topN, agg)
+      required.fieldNames, limit, offset, topN, agg,
+      GraftLogCursorSpec.of(path, snapshot, stampFilters))
 
   // Observability (round 14): the records the readers DROPPED via pushed
   // and runtime predicates, surfaced as a first-class SQL metric on the
@@ -991,10 +1198,11 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
+  // snapshot-resolved (round 16): a published-but-uncommitted file (its
+  // commit's manifest swap still pending, or crashed) must not be
+  // admitted — streaming discovery sees exactly the batch-visible set
   private def listNames(): Array[String] =
-    Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".graftlog")).map(_.getName).sorted
+    GraftSnapshotIO.resolve(path).files.map(_.name).sorted.toArray
 
   // Trigger.AvailableNow, natively (round 14; previously Spark's
   // compatibility wrapper supplied the semantics): prepare() snapshots the
@@ -1070,7 +1278,11 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fs = filters // no runtime filtering in streaming; snapshot, no scan capture
-    new GraftLogReaderFactory(() => fs, columns, -1, -1, None, None)
+    // position deletes known NOW apply to the whole drain (a stream of a
+    // merge-on-read landing must not emit taken-down rows); deletes
+    // committed mid-stream take effect from the next factory (restart)
+    new GraftLogReaderFactory(() => fs, columns, -1, -1, None, None,
+      GraftLogCursorSpec.of(path, GraftSnapshotIO.resolve(path), Array.empty))
   }
 
   override def stop(): Unit = ()
@@ -1086,9 +1298,11 @@ private[sources] object GraftLogNames {
   val DEFAULT_LAG_MS = 10000L
 
   /** `pub-<millis13>-<seq>-<tag>.graftlog`; 13-digit zero-padded millis
-    * makes lexicographic name order publish order through year 2286. */
-  def publish(millis: Long, seq: Int, tag: String): String =
-    f"pub-$millis%013d-$seq%04d-$tag.graftlog"
+    * makes lexicographic name order publish order through year 2286.
+    * Position-delete files (merge-on-read DELETE) share the scheme under
+    * the `.graftdel` extension — same stamps, never data-listed. */
+  def publish(millis: Long, seq: Int, tag: String, ext: String = ".graftlog"): String =
+    f"pub-$millis%013d-$seq%04d-$tag$ext"
 
   /** Publish stamp of a name, or -1 for unstamped (legacy/foreign) names,
     * which never take part in watermark arithmetic. The FULL scheme shape
@@ -1125,8 +1339,10 @@ private[sources] object GraftLogNames {
   private[sources] def nextStamp(): Long =
     lastStamp.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
 
+  /** @return the published file NAMES (for the commit's manifest swap). */
   def publishAll(path: String, messages: Array[WriterCommitMessage],
-      tag: Int => String): Unit = {
+      tag: Int => String): Seq[String] = {
+    val published = Seq.newBuilder[String]
     def rename(tmp: String, seq: Int, t: String): Unit = {
       val src = new java.io.File(tmp)
       // A zero-row task's tmp publishes NOTHING: an empty file is
@@ -1136,9 +1352,11 @@ private[sources] object GraftLogNames {
       // replace-data rewrite whose runtime group filter matched no files.
       if (src.length() == 0L) { require(src.delete(), s"failed to drop empty $tmp"); return }
       val uuid = java.util.UUID.randomUUID().toString.take(8)
-      val dest = s"$path/${publish(nextStamp(), seq, s"$t-$uuid")}"
+      val name = publish(nextStamp(), seq, s"$t-$uuid")
+      val dest = s"$path/$name"
       require(src.renameTo(new java.io.File(dest)),
         s"commit failed to publish $tmp -> $dest")
+      published += name
     }
     messages.zipWithIndex.foreach {
       case (GraftLogCommit(tmp, pid), i) =>
@@ -1150,6 +1368,7 @@ private[sources] object GraftLogNames {
       case (other, _) =>
         throw new IllegalStateException(s"unexpected commit message $other")
     }
+    published.result()
   }
 
   /** Bucket number of a published bucketed-landing name, or -1: the token
@@ -1301,22 +1520,61 @@ private object GraftLogOffset {
 // Readers
 // ---------------------------------------------------------------------------
 
+/** Per-task cursor construction context (round 16): the pushed stamp
+  * predicates (evaluated per SEGMENT inside mapped files), the snapshot's
+  * segment maps, and the position-delete coverage — resolved ONCE on the
+  * driver (from the scan's cached snapshot) and shipped to tasks as plain
+  * maps keyed by file name. O(compacted files + delete files) bytes. */
+private case class GraftLogCursorSpec(
+    stampFilters: Array[Filter],
+    segsOf: Map[String, Vector[GraftSegment]],
+    delsOf: Map[String, Seq[String]]) extends Serializable {
+  def cursor(file: String, preds: Array[Filter], needType: Boolean,
+      needPos: Boolean): GraftLogCursor = {
+    val name = new java.io.File(file).getName
+    val dels = delsOf.get(name) match {
+      case Some(paths) => GraftLog.loadDeletePositions(paths, name)
+      case None => Array.emptyLongArray
+    }
+    new GraftLogCursor(file, preds, needType, segsOf.get(name),
+      stampFilters, dels, needPos)
+  }
+}
+private object GraftLogCursorSpec {
+  val plain: GraftLogCursorSpec =
+    GraftLogCursorSpec(Array.empty, Map.empty, Map.empty)
+  /** Driver-side: derive the spec for a resolved snapshot. */
+  def of(path: String, snap: GraftSnapshot,
+      stampFilters: Array[Filter]): GraftLogCursorSpec = {
+    val segsOf = snap.files.collect {
+      case GraftLiveFile(n, Some(ss)) => (n, ss)
+    }.toMap
+    val delsOf: Map[String, Seq[String]] =
+      if (snap.deletes.isEmpty) Map.empty
+      else snap.files.map(f => (f.name, snap.deletesFor(f.name)
+        .map(d => new java.io.File(path, d).getAbsolutePath)))
+        .filter(_._2.nonEmpty).toMap
+    GraftLogCursorSpec(stampFilters, segsOf, delsOf)
+  }
+}
+
 private class GraftLogReaderFactory(filterSource: () => Array[Filter],
     columns: Array[String], limit: Int, offset: Int, topN: Option[GraftLogTopN],
-    agg: Option[GraftLogAgg]) extends PartitionReaderFactory {
+    agg: Option[GraftLogAgg],
+    spec: GraftLogCursorSpec = GraftLogCursorSpec.plain) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val preds = filterSource()
     partition match {
       case GraftLogFilesPartition(files) => // pushed offset: sequential chain
-        new GraftLogOffsetReader(files, preds, columns, offset, limit)
+        new GraftLogOffsetReader(files, preds, columns, offset, limit, spec)
       case GraftLogBucketPartition(_, files) => // bucketed: per-bucket chain
-        new GraftLogOffsetReader(files, preds, columns, 0, limit)
+        new GraftLogOffsetReader(files, preds, columns, 0, limit, spec)
       case GraftLogPartition(file) =>
         agg match {
-          case Some(a) => new GraftLogAggReader(file, preds, a)
+          case Some(a) => new GraftLogAggReader(file, preds, a, spec)
           case None => topN match {
-            case Some(t) => new GraftLogTopNReader(file, preds, columns, t)
-            case None => new GraftLogRowReader(file, preds, columns, limit)
+            case Some(t) => new GraftLogTopNReader(file, preds, columns, t, spec)
+            case None => new GraftLogRowReader(file, preds, columns, limit, spec)
           }
         }
       case other => throw new IllegalStateException(s"unexpected partition $other")
@@ -1342,7 +1600,7 @@ private class GraftLogReaderFactory(filterSource: () => Array[Filter],
       case GraftLogBucketPartition(_, fs) => fs // bucketed partitions vectorize too
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
-    new GraftLogColumnarReader(files, filterSource(), columns, limit)
+    new GraftLogColumnarReader(files, filterSource(), columns, limit, spec)
   }
 }
 
@@ -1355,7 +1613,11 @@ private class GraftLogReaderFactory(filterSource: () => Array[Filter],
   * comparisons, never toString), not a re-interpretation of the Filter
   * ADT per row; at 100 TB the per-record constant IS the scan cost. */
 private final class GraftLogCursor(file: String, filters: Array[Filter],
-    needTypeHint: Boolean) {
+    needTypeHint: Boolean,
+    segs: Option[Vector[GraftSegment]] = None,
+    stampFilters: Array[Filter] = Array.empty,
+    deletePositions: Array[Long] = Array.emptyLongArray,
+    needPos: Boolean = false) {
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file), 1 << 16))
   private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
@@ -1366,27 +1628,72 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
   var userId: Long = 0L
   var value: Double = 0.0
   var etype: UTF8String = _
-  /** Records decoded but dropped by the predicate chain — the pushdown
-    * saving, fed to the scan's `recordsSkipped` SQL metric. */
+  /** Records decoded but dropped by the predicate chain, a dead stamp
+    * segment, or a position delete — the pushdown/MoR saving, fed to the
+    * scan's `recordsSkipped` SQL metric. */
   var skipped: Long = 0L
 
-  // Metadata-column values — constant per file, computed once at cursor
-  // construction (3 string parses per FILE, invisible next to open+decode)
-  // and handed out by field() like any data column.
+  // Metadata-column values. `_file`/`_bucket` are constant per file,
+  // computed once (string parses per FILE, invisible next to open+decode).
+  // `_pub_stamp` is constant per SEGMENT (round 16): a compacted file
+  // carries its merged inputs' ORIGINAL stamps in the manifest's segment
+  // map, so time-travel reads stay exact across compaction; plain files
+  // are one segment stamped by their name. `_pos` is the raw record
+  // ordinal within the file — the merge-on-read row identity.
   private val fileName = new java.io.File(file).getName
   private val metaFile: UTF8String = UTF8String.fromString(file)
   private val metaBucket: Any = { // boxed Int or null (plain landing)
     val k = GraftLogNames.bucketOf(fileName)
     if (k >= 0) Int.box(k) else null
   }
-  private val metaStamp: Any = { // boxed Long or null (unstamped name)
-    val s = GraftLogNames.stamp(fileName)
-    if (s >= 0) Long.box(s) else null
+
+  // ---- segment state ------------------------------------------------
+  // [start, end) byte ranges with the segment's origin stamp; `live` =
+  // the pushed stamp predicates accept it. For plain files this is one
+  // segment covering the whole file — file-level stamp pruning already
+  // removed dead ones, so the hot path stays as before. A dead segment
+  // in a mapped file is SKIPPED WHOLESALE by byte range when nothing
+  // downstream needs raw record ordinals (no position deletes, `_pos`
+  // not projected); otherwise its records are decoded and dropped so the
+  // ordinals stay absolute.
+  private val segments: Vector[GraftSegment] =
+    segs.getOrElse(Vector(GraftSegment(0L, GraftLogNames.stamp(fileName))))
+  private val nSegs = segments.length
+  private val segStarts: Array[Long] = segments.map(_.start).toArray
+  private val segEnds: Array[Long] = {
+    val ends = new Array[Long](nSegs)
+    var i = 0
+    while (i < nSegs - 1) { ends(i) = segStarts(i + 1); i += 1 }
+    ends(nSegs - 1) = new java.io.File(file).length()
+    ends
+  }
+  private val segLive: Array[Boolean] = segments.map(s =>
+    stampFilters.forall(GraftLog.stampAccepts(_, s.stamp))).toArray
+  private val segStampBoxed: Array[Any] = segments.map(s =>
+    if (s.stamp >= 0) Long.box(s.stamp) else null).toArray
+  private val segsActive = nSegs > 1 || !segLive(0)
+  private val byteSkipOk = deletePositions.isEmpty && !needPos
+  private var segIdx = 0
+  private var bytePos = 0L
+  private var recOrd = -1L // ordinal of the CURRENT record, raw
+  private var delIdx = 0
+
+  /** Align segIdx with bytePos; byte-skip over dead segments when sound. */
+  private def syncSegment(): Unit = {
+    while (segIdx + 1 < nSegs && bytePos >= segStarts(segIdx + 1)) segIdx += 1
+    if (byteSkipOk) {
+      while (segIdx < nSegs && !segLive(segIdx) && bytePos < segEnds(segIdx)) {
+        in.skipNBytes(segEnds(segIdx) - bytePos)
+        bytePos = segEnds(segIdx)
+        if (segIdx + 1 < nSegs) segIdx += 1 else return // next read EOFs
+      }
+    }
   }
 
   /** Advance to the next record passing all predicates; false at EOF. */
   def advance(): Boolean = {
     while (true) {
+      if (segsActive) syncSegment()
       val len = try in.readInt() catch { case _: EOFException => return false }
       eventId = in.readLong()
       userId = in.readLong()
@@ -1399,13 +1706,25 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
           UTF8String.fromBytes(b)
         } else { in.skipNBytes(etypeLen); null }
       require(len == 8 + 8 + 8 + 2 + etypeLen, s"corrupt record in $file")
-      var ok = true
-      var i = 0
-      while (ok && i < preds.length) {
-        ok = preds(i)(eventId, userId, value, etype); i += 1
+      bytePos += 4 + len
+      recOrd += 1
+      // dead stamp segment that could not be byte-skipped: drop decoded
+      if (segsActive && !segLive(segIdx)) { skipped += 1 }
+      else if (delIdx < deletePositions.length && {
+        // positions are sorted and recOrd strictly increases; duplicates
+        // (a row deleted twice) collapse here
+        while (delIdx < deletePositions.length && deletePositions(delIdx) < recOrd) delIdx += 1
+        delIdx < deletePositions.length && deletePositions(delIdx) == recOrd
+      }) { delIdx += 1; skipped += 1 }
+      else {
+        var ok = true
+        var i = 0
+        while (ok && i < preds.length) {
+          ok = preds(i)(eventId, userId, value, etype); i += 1
+        }
+        if (ok) return true
+        skipped += 1
       }
-      if (ok) return true
-      skipped += 1
     }
     false
   }
@@ -1422,7 +1741,8 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     case 0 => eventId; case 1 => userId; case 2 => value; case 3 => etype
     case GraftLog.META_FILE => metaFile
     case GraftLog.META_BUCKET => metaBucket
-    case GraftLog.META_STAMP => metaStamp
+    case GraftLog.META_STAMP => segStampBoxed(segIdx)
+    case GraftLog.META_POS => Long.box(recOrd)
   }
 
   def close(): Unit = in.close()
@@ -1431,10 +1751,12 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
 /** Plain row mode: emit each passing record's pruned columns, with the
   * partially-pushed LIMIT as a per-file early stop. */
 private class GraftLogRowReader(file: String, filters: Array[Filter],
-    columns: Array[String], limit: Int) extends PartitionReader[InternalRow] {
+    columns: Array[String], limit: Int,
+    spec: GraftLogCursorSpec) extends PartitionReader[InternalRow] {
 
   private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
-  private val cursor = new GraftLogCursor(file, filters, proj.contains(3))
+  private val cursor = spec.cursor(file, filters, proj.contains(3),
+    proj.contains(GraftLog.META_POS))
   private var row: InternalRow = _
   private var emitted = 0L
 
@@ -1461,7 +1783,8 @@ private class GraftLogRowReader(file: String, filters: Array[Filter],
   * single-stream plan, so Spark's retained global Limit just re-confirms
   * it. O(1) memory; per-record cost identical to the plain reader. */
 private class GraftLogOffsetReader(files: Seq[String], filters: Array[Filter],
-    columns: Array[String], offset: Int, limit: Int) extends PartitionReader[InternalRow] {
+    columns: Array[String], offset: Int, limit: Int,
+    spec: GraftLogCursorSpec) extends PartitionReader[InternalRow] {
 
   private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
   private val it = files.iterator
@@ -1476,7 +1799,8 @@ private class GraftLogOffsetReader(files: Seq[String], filters: Array[Filter],
     while (true) {
       if (cursor == null) {
         if (!it.hasNext) return false
-        cursor = new GraftLogCursor(it.next(), filters, proj.contains(3))
+        cursor = spec.cursor(it.next(), filters, proj.contains(3),
+          proj.contains(GraftLog.META_POS))
       }
       if (cursor.advance()) return true
       skippedPast += cursor.skipped
@@ -1524,7 +1848,8 @@ private class GraftLogOffsetReader(files: Seq[String], filters: Array[Filter],
   * are reset and reused across batches: allocation is O(1) per file, not
   * O(batches). */
 private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
-    columns: Array[String], limit: Int) extends PartitionReader[ColumnarBatch] {
+    columns: Array[String], limit: Int,
+    spec: GraftLogCursorSpec) extends PartitionReader[ColumnarBatch] {
 
   private val BATCH_ROWS = 4096
   private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
@@ -1546,7 +1871,8 @@ private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
     while (true) {
       if (cursor == null) {
         if (!it.hasNext) return false
-        cursor = new GraftLogCursor(it.next(), filters, proj.contains(3))
+        cursor = spec.cursor(it.next(), filters, proj.contains(3),
+          proj.contains(GraftLog.META_POS))
       }
       if (cursor.advance()) return true
       skippedPast += cursor.skipped
@@ -1618,11 +1944,13 @@ private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
   * compares per file; Spark's global TakeOrdered does the final merge, so
   * emission order here is irrelevant. */
 private class GraftLogTopNReader(file: String, filters: Array[Filter],
-    columns: Array[String], topN: GraftLogTopN) extends PartitionReader[InternalRow] {
+    columns: Array[String], topN: GraftLogTopN,
+    spec: GraftLogCursorSpec) extends PartitionReader[InternalRow] {
 
   private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
   private val needType = proj.contains(3) || topN.keys.exists(_._1 == 3)
-  private val cursor = new GraftLogCursor(file, filters, needType)
+  private val cursor = spec.cursor(file, filters, needType,
+    proj.contains(GraftLog.META_POS))
 
   // heap over full decoded records (4 fields): the projection may exclude
   // a sort key, and the fixed-width format decodes them all anyway
@@ -1651,7 +1979,13 @@ private class GraftLogTopNReader(file: String, filters: Array[Filter],
       val heap = new java.util.PriorityQueue[Array[Any]](
         math.max(1, topN.k), cmp.reversed())
       while (cursor.advance()) {
-        val rec = Array[Any](cursor.eventId, cursor.userId, cursor.value, cursor.etype)
+        // data fields + the two NON-file-constant metadata values
+        // (`_pub_stamp` varies per segment in a compacted file, `_pos`
+        // per record) ride the heap record; `_file`/`_bucket` stay
+        // file-constant and the drained cursor serves them at emit time
+        val rec = Array[Any](cursor.eventId, cursor.userId, cursor.value,
+          cursor.etype, cursor.field(GraftLog.META_STAMP),
+          cursor.field(GraftLog.META_POS))
         if (heap.size < topN.k) heap.offer(rec)
         else if (cmp.compare(rec, heap.peek()) < 0) { heap.poll(); heap.offer(rec) }
       }
@@ -1663,9 +1997,11 @@ private class GraftLogTopNReader(file: String, filters: Array[Filter],
     var j = 0
     while (j < proj.length) {
       val p = proj(j)
-      // metadata ordinals are file-constant: the (drained) cursor still
-      // serves them; only data ordinals live in the heap records
-      vals(j) = if (p < 4) rec(p) else cursor.field(p)
+      vals(j) =
+        if (p < 4) rec(p)
+        else if (p == GraftLog.META_STAMP) rec(4)
+        else if (p == GraftLog.META_POS) rec(5)
+        else cursor.field(p)
       j += 1
     }
     row = new GenericInternalRow(vals)
@@ -1682,10 +2018,12 @@ private class GraftLogTopNReader(file: String, filters: Array[Filter],
   * aggregation emits exactly one row even over an empty file: COUNT 0 and
   * null MIN/MAX are real partial states Spark's merge agg expects. */
 private class GraftLogAggReader(file: String, filters: Array[Filter],
-    agg: GraftLogAgg) extends PartitionReader[InternalRow] {
+    agg: GraftLogAgg, spec: GraftLogCursorSpec) extends PartitionReader[InternalRow] {
 
   private val needType = agg.groupBy.contains(3) || agg.fns.exists(_.ord == 3)
-  private val cursor = new GraftLogCursor(file, filters, needType)
+  // metadata ordinals are unclaimable by agg pushdown (ordinal() = -1),
+  // so needPos is structurally false here
+  private val cursor = spec.cursor(file, filters, needType, needPos = false)
   private var out: Iterator[InternalRow] = _
   private var row: InternalRow = _
 
@@ -1774,6 +2112,11 @@ private class GraftLogAggReader(file: String, filters: Array[Filter],
 }
 
 object GraftLog {
+  /** `delete.mode` table-property values ([[GraftCatalog]]): how DELETE
+    * executes — file rewrite vs position-delete files. */
+  val COPY_ON_WRITE = "copy-on-write"
+  val MERGE_ON_READ = "merge-on-read"
+
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("user_id", LongType, nullable = false),
@@ -1803,16 +2146,18 @@ object GraftLog {
   // GROUP identity of the row-level DELETE rewrite: runtime group
   // filtering collects matching `_file`s through a subquery scan and the
   // rewrite replaces exactly those files.
-  val META_FILE = 4; val META_BUCKET = 5; val META_STAMP = 6
+  val META_FILE = 4; val META_BUCKET = 5; val META_STAMP = 6; val META_POS = 7
   private[sources] def fieldOrdinal(name: String): Int = name match {
     case "_file" => META_FILE; case "_bucket" => META_BUCKET
-    case "_pub_stamp" => META_STAMP; case other => ordinal(other)
+    case "_pub_stamp" => META_STAMP; case "_pos" => META_POS
+    case other => ordinal(other)
   }
   private[sources] def fieldType(ord: Int): DataType = ord match {
     case META_FILE => StringType; case META_BUCKET => IntegerType
-    case META_STAMP => LongType; case d => colType(d)
+    case META_STAMP => LongType; case META_POS => LongType; case d => colType(d)
   }
-  private[sources] def fieldNullable(ord: Int): Boolean = ord >= META_BUCKET
+  private[sources] def fieldNullable(ord: Int): Boolean =
+    ord == META_BUCKET || ord == META_STAMP
 
   private def metaCol(colName: String, tpe: DataType, nullable: Boolean,
       doc: String): MetadataColumn = new MetadataColumn {
@@ -1827,7 +2172,9 @@ object GraftLog {
     metaCol("_bucket", IntegerType, nullable = true,
       "bucket token of a bucketed-landing file; null on plain landings"),
     metaCol("_pub_stamp", LongType, nullable = true,
-      "publish stamp (epoch millis) from the file name; null if unstamped"))
+      "publish stamp (epoch millis) from the file name; null if unstamped"),
+    metaCol("_pos", LongType, nullable = false,
+      "raw record ordinal within the file (merge-on-read row identity)"))
 
   /** Test hook: bucket token of a published name (see GraftLogNames). */
   def testBucketOf(name: String): Int = GraftLogNames.bucketOf(name)
@@ -1853,66 +2200,140 @@ object GraftLog {
     * (fresh stamps, k-tokens carried over), delete the originals.
     *
     * Contract notes, stated not implied: (a) single-writer — compaction
-    * IS a writer; a concurrent reader between publish and delete can see
-    * rows twice, and a crash in that window leaves re-compactable
-    * duplicates, never lost rows (same guarantee class as every other
-    * commit in this source). (b) merged files carry NEW publish stamps:
-    * a `_pub_stamp`-incremental batch consumer will re-see compacted
-    * rows, and an in-flight streaming reader treats them as new files —
-    * re-delivery, not loss; schedule compaction around incremental
-    * consumers or key them idempotently.
+    * IS a writer; visibility flips at its MANIFEST swap (round 16), so a
+    * concurrent reader resolves either the old file set or the new one,
+    * never both, and a crash before the swap leaves only invisible
+    * garbage (expired on the stamp horizon), never duplicates.
+    * (b) merged files carry NEW publish NAMES but their manifest segment
+    * map preserves every input's ORIGINAL stamp — `_pub_stamp` values and
+    * incremental `_pub_stamp > t` slices are IDENTICAL across a
+    * compaction (round 16, closing the r15 re-delivery gap for batch
+    * consumers); an in-flight STREAMING reader still sees new names and
+    * re-delivers — offsets are name arithmetic — so schedule compaction
+    * around streaming consumers or key them idempotently.
+    * (c) pending position-delete files are ABSORBED: an input carrying
+    * deletes is record-walked instead of byte-copied, its dead rows
+    * dropped and its delete files retired with it.
     *
     * @return (files before, files after, bytes rewritten) */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long): (Int, Int, Long) = {
     require(targetBytes > 0, s"compact targetBytes must be positive, got $targetBytes")
-    val files = listLogFiles(path)
-    val sized = files.map(f => (f, new java.io.File(f).length()))
-    val bins: Seq[(Int, Seq[String])] = sized
-      .groupBy { case (f, _) => GraftLogNames.bucketOf(new java.io.File(f).getName) }
+    val snap = GraftSnapshotIO.resolve(path)
+    // per-input plan: absolute path, on-disk size, origin-stamp segments,
+    // covering delete files — everything a merge task needs, shippable
+    final case class In(abs: String, name: String, size: Long,
+        segs: Vector[GraftSegment], dels: Seq[String]) extends Serializable
+    val infos = snap.files.map { f =>
+      val abs = new java.io.File(path, f.name).getAbsolutePath
+      In(abs, f.name, new java.io.File(abs).length(), f.stampedSegments,
+        snap.deletesFor(f.name).map(d => new java.io.File(path, d).getAbsolutePath))
+    }
+    val bins: Seq[(Int, Seq[In])] = infos
+      .groupBy(i => GraftLogNames.bucketOf(i.name))
       .toSeq.sortBy(_._1)
       .flatMap { case (tok, fs) =>
-        val out = Seq.newBuilder[Seq[String]]
-        var cur = Vector.empty[String]
+        val out = Seq.newBuilder[Vector[In]]
+        var cur = Vector.empty[In]
         var curBytes = 0L
-        fs.foreach { case (f, sz) => // fs is in publish order (listing is sorted)
-          if (cur.nonEmpty && curBytes + sz > targetBytes) {
+        fs.sortBy(_.name).foreach { i => // name order = publish order
+          if (cur.nonEmpty && curBytes + i.size > targetBytes) {
             out += cur; cur = Vector.empty; curBytes = 0L
           }
-          cur :+= f; curBytes += sz
+          cur :+= i; curBytes += i.size
         }
         if (cur.nonEmpty) out += cur
-        // a bin of one is already compact — rewriting it would be churn
-        out.result().filter(_.length >= 2).map(b => (tok, b))
+        // a bin of one is already compact — UNLESS it carries pending
+        // deletes, which only compaction can absorb
+        out.result().filter(b => b.length >= 2 || b.exists(_.dels.nonEmpty))
+          .map(b => (tok, b))
       }
-    if (bins.isEmpty) return (files.length, files.length, 0L)
+    if (bins.isEmpty) return (snap.files.length, snap.files.length, 0L)
     // one task per OUTPUT file, each streaming its inputs' bytes into a
     // uuid tmp (failed/retried attempts cannot collide; readers ignore
-    // non-.graftlog names, so a failed job leaves no visible change)
+    // non-.graftlog names, so a failed job leaves no visible change).
+    // Delete-free inputs are RAW BYTE COPIES (concatenation IS the merged
+    // file in this headerless format); inputs with deletes are
+    // record-walked, dead ordinals dropped. Both paths track the output
+    // offset at every origin-stamp boundary — the merged file's segment
+    // map, which is what keeps `_pub_stamp` exact across the compaction.
     val merged = spark.sparkContext
       .parallelize(bins, bins.size)
       .map { case (tok, group) =>
         val tmp = new java.io.File(path, s"compact-${java.util.UUID.randomUUID()}.tmp")
         val os = new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(tmp), 1 << 16)
-        try group.foreach { f =>
-          java.nio.file.Files.copy(java.nio.file.Paths.get(f), os)
+        val segsOut = Vector.newBuilder[GraftSegment]
+        var outOff = 0L
+        try group.foreach { in =>
+          if (in.dels.isEmpty) {
+            in.segs.foreach(s => segsOut += GraftSegment(outOff + s.start, s.stamp))
+            java.nio.file.Files.copy(java.nio.file.Paths.get(in.abs), os)
+            outOff += in.size
+          } else {
+            val dels = loadDeletePositions(in.dels, in.name)
+            val segStarts = in.segs.map(_.start).toArray
+            val din = new DataInputStream(new BufferedInputStream(
+              new FileInputStream(in.abs), 1 << 16))
+            val dout = new DataOutputStream(os)
+            try {
+              var inOff = 0L; var ord = -1L; var delIdx = 0; var segIdx = -1
+              var buf = new Array[Byte](256)
+              var done = false
+              while (!done) {
+                while (segIdx + 1 < segStarts.length && inOff >= segStarts(segIdx + 1)) {
+                  segIdx += 1
+                  segsOut += GraftSegment(outOff, in.segs(segIdx).stamp)
+                }
+                val len = try din.readInt() catch { case _: EOFException => done = true; -1 }
+                if (!done) {
+                  if (buf.length < len) buf = new Array[Byte](len)
+                  din.readFully(buf, 0, len)
+                  inOff += 4 + len; ord += 1
+                  while (delIdx < dels.length && dels(delIdx) < ord) delIdx += 1
+                  if (delIdx < dels.length && dels(delIdx) == ord) delIdx += 1 // dropped
+                  else { dout.writeInt(len); dout.write(buf, 0, len); outOff += 4 + len }
+                }
+              }
+              dout.flush()
+            } finally din.close()
+          }
         } finally os.close()
-        (tok, tmp.getAbsolutePath, group)
+        // normalize: drop empty segments (fully-deleted spans), merge
+        // consecutive same-stamp runs
+        val segs = segsOut.result()
+        val ends = segs.map(_.start).drop(1) :+ outOff
+        val nonEmpty = segs.zip(ends).collect { case (s, e) if e > s.start => s }
+        val norm = nonEmpty.foldLeft(Vector.empty[GraftSegment]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last.stamp == s.stamp) acc else acc :+ s
+        }
+        (tok, tmp.getAbsolutePath, group.map(_.name), norm, group.map(_.size).sum)
       }.collect()
-    // swap: publish merged files first (monotone fresh stamps, bucket
-    // token carried over so bucketed scans keep parsing the layout),
-    // then delete the originals
-    merged.zipWithIndex.foreach { case ((tok, tmp, _), seq) =>
-      val uuid = java.util.UUID.randomUUID().toString.take(8)
-      val tag = (if (tok >= 0) s"k$tok-" else "") + s"c$seq-$uuid"
-      val dest = new java.io.File(path, GraftLogNames.publish(GraftLogNames.nextStamp(), seq, tag))
-      require(new java.io.File(tmp).renameTo(dest), s"compact failed to publish $tmp -> $dest")
+    // swap: publish merged files (monotone fresh name stamps, bucket
+    // token carried over so bucketed scans keep parsing the layout), then
+    // flip the manifest, then unlink the originals and absorbed deletes
+    val outFiles = Vector.newBuilder[GraftLiveFile]
+    merged.zipWithIndex.foreach { case ((tok, tmp, _, segs, _), seq) =>
+      val src = new java.io.File(tmp)
+      if (src.length() == 0L) { require(src.delete(), s"failed to drop empty $tmp"); () }
+      else {
+        val uuid = java.util.UUID.randomUUID().toString.take(8)
+        val tag = (if (tok >= 0) s"k$tok-" else "") + s"c$seq-$uuid"
+        val name = GraftLogNames.publish(GraftLogNames.nextStamp(), seq, tag)
+        require(src.renameTo(new java.io.File(path, name)),
+          s"compact failed to publish $tmp -> $name")
+        outFiles += GraftLiveFile(name, Some(segs))
+      }
     }
-    val bytes = merged.flatMap(_._3).map(new java.io.File(_).length()).sum
-    merged.flatMap(_._3).foreach(f =>
-      require(new java.io.File(f).delete(), s"compact failed to delete $f"))
-    (files.length, files.length - merged.map(_._3.size).sum + merged.length, bytes)
+    val outs = outFiles.result()
+    val inputNames = merged.flatMap(_._3).toSet
+    val (kept, deadDels) = snap.removeData(inputNames)
+    GraftSnapshotIO.write(path, kept.addData(outs))
+    inputNames.foreach(n => require(new java.io.File(path, n).delete(),
+      s"compact failed to delete $n"))
+    deadDels.foreach(d => new java.io.File(path, d).delete())
+    val bytes = merged.map(_._5).sum
+    (snap.files.length, snap.files.length - inputNames.size + outs.length, bytes)
   }
 
   /** Retention for a landing (the third lifecycle operation after ingest
@@ -1935,16 +2356,51 @@ object GraftLog {
       tmpGraceMs: Long = 60L * 60 * 1000): (Int, Long, Int) = {
     require(beforeStamp >= 0, s"expire beforeStamp must be >= 0, got $beforeStamp")
     require(tmpGraceMs >= 0, s"expire tmpGraceMs must be >= 0, got $tmpGraceMs")
+    val snap = GraftSnapshotIO.resolve(path)
+    // DATA age, not name age (round 16): a compacted file's name stamp is
+    // fresh, but its manifest segment map carries the merged inputs'
+    // original stamps — retention keys on max(origin stamps), so
+    // compaction does not reset the retention clock, and a file holding
+    // ANY unstamped-origin segment is never expired (unknown age, same
+    // minimal claim as for legacy names).
+    val segsOf = snap.files.collect {
+      case GraftLiveFile(n, Some(ss)) => (n, ss)
+    }.toMap
+    def retireStamp(name: String): Long = segsOf.get(name) match {
+      case Some(ss) => if (ss.exists(_.stamp < 0)) -1L else ss.map(_.stamp).max
+      case None => GraftLogNames.stamp(name)
+    }
     val all = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty[java.io.File])
     val victims = all.filter { f =>
       f.getName.endsWith(".graftlog") && {
-        val s = GraftLogNames.stamp(f.getName)
+        val s = retireStamp(f.getName)
         s >= 0 && s < beforeStamp
       }
     }
     val bytes = victims.map(_.length()).sum
+    // manifest swap BEFORE the unlink pass: readers flip off the expired
+    // files atomically; delete files covering nothing afterwards retire
+    // with them. No-op expires write no manifest (idempotence stays
+    // file-identical).
+    val victimNames = victims.map(_.getName).toSet
+    val liveVictims = victimNames.intersect(snap.fileNames)
+    val deadDels: Seq[String] =
+      if (liveVictims.nonEmpty) {
+        val (kept, dead) = snap.removeData(liveVictims)
+        GraftSnapshotIO.write(path, kept)
+        dead
+      } else Nil
     victims.foreach(f => require(f.delete(), s"expire failed to delete $f"))
+    deadDels.foreach(d => new java.io.File(path, d).delete())
+    // superseded manifests below the horizon retire too (the newest is
+    // the live table state and always survives)
+    val manifests = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(GraftSnapshotIO.EXT)).sortBy(_.getName)
+    manifests.dropRight(1).filter(m =>
+        GraftSnapshotIO.manifestStamp(m.getName) < beforeStamp)
+      .foreach(m => require(m.delete(), s"expire failed to delete manifest $m"))
     val horizon = System.currentTimeMillis() - tmpGraceMs
     val orphans = all.filter(f =>
       f.getName.endsWith(".tmp") && f.lastModified() < horizon)
@@ -1952,11 +2408,13 @@ object GraftLog {
     (victims.length, bytes, orphans.length)
   }
 
-  /** The landing's visible log files, sorted (publish-name order). */
+  /** The landing's visible log files, sorted (publish-name order) —
+    * snapshot-resolved since round 16: the newest manifest's live set
+    * (plus reconciled unstamped foreign files), or the directory listing
+    * for manifest-less legacy landings. */
   private[sources] def listLogFiles(path: String): Array[String] =
-    Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".graftlog")).map(_.getAbsolutePath).sorted
+    GraftSnapshotIO.resolve(path).files
+      .map(f => new java.io.File(path, f.name).getAbsolutePath).sorted.toArray
 
   /** File set named by runtime V2 group-filter predicates on `_file`:
     * =/IN constraints intersect across conjuncts; anything else
@@ -2019,11 +2477,17 @@ object GraftLog {
   }
 
   private[sources] def supportedFilter(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => cols(a)
-    case GreaterThan(a, _) => cols(a)
-    case GreaterThanOrEqual(a, _) => cols(a)
-    case LessThan(a, _) => cols(a)
-    case LessThanOrEqual(a, _) => cols(a)
+    // null comparison values are declined (they would NPE in compile()'s
+    // constant conversion, and their SQL semantics are three-valued —
+    // see litOf); runtime filters are a reduction, so declining is free.
+    // In-lists keep nulls acceptable: compile() drops them, which is the
+    // exact positive-IN semantics, and a Not over the runtime path never
+    // arrives (Spark's runtime filters are bare In/EqualTo).
+    case EqualTo(a, v) => cols(a) && v != null
+    case GreaterThan(a, v) => cols(a) && v != null
+    case GreaterThanOrEqual(a, v) => cols(a) && v != null
+    case LessThan(a, v) => cols(a) && v != null
+    case LessThanOrEqual(a, v) => cols(a) && v != null
     case In(a, _) => cols(a)
     // the format encodes no nulls, so IsNotNull is vacuously true (and
     // IsNull vacuously false) — accept both as pushed constants
@@ -2049,15 +2513,27 @@ object GraftLog {
     * compile() constants expect, exactly once, here. Comparisons accept
     * the literal on either side (flipped operator). Only translations the
     * reader evaluates EXACTLY are claimed. */
-  private[sources] def v2ToV1(p: V2Predicate): Option[Filter] = {
+  private[graft] def v2ToV1(p: V2Predicate): Option[Filter] = {
     import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
     def colOf(e: V2Expr): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 && cols(nr.fieldNames()(0)) =>
         Some(nr.fieldNames()(0))
       case _ => None
     }
+    // NULL literals are NOT translatable (r15 advice, a r15 regression
+    // surface): the reader evaluates pushed trees with two-valued logic
+    // (sound only over non-null values — the format encodes no nulls),
+    // but a null LITERAL reintroduces three-valued semantics ABOVE the
+    // row values: `col NOT IN (1, NULL)` selects zero rows in SQL, while
+    // a two-valued NOT over a null-dropped IN-set keeps every col != 1
+    // row — silent wrong results under an EXACT-pushdown claim (plain
+    // comparisons against NULL would NPE in compile()'s cmp instead).
+    // Catalyst's NullPropagation folds most of these away, but an IN list
+    // with a null survives the optimizer and reaches the source under the
+    // recursive NOT support — so the whole subtree is declined here and
+    // falls back to Spark's residual evaluation.
     def litOf(e: V2Expr): Option[Any] = e match {
-      case l: V2Lit[_] =>
+      case l: V2Lit[_] if l.value != null =>
         Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
           .convertToScala(l.value, l.dataType))
       case _ => None
@@ -2204,14 +2680,40 @@ object GraftLog {
     case other => throw new IllegalStateException(s"unexpected stamp filter $other")
   }
 
-  /** Apply pushed stamp predicates to a file list (conjuncts all hold). */
-  private[sources] def stampPrune(files: Array[String],
-      stampFilters: Array[Filter]): Array[String] =
+  /** Apply pushed stamp predicates to a live-file list (conjuncts all
+    * hold). A plain file is one segment stamped by its name — pruning it
+    * IS the pushed filter, exactly. A compacted file keeps its merged
+    * inputs' ORIGINAL stamps as segments: the file survives if ANY
+    * segment matches, and the cursor then drops the non-matching
+    * segments (byte-skipped wholesale when possible) so the pushed claim
+    * stays exact per ROW — time-travel slices survive compaction. */
+  private[sources] def stampPrune(files: Seq[GraftLiveFile],
+      stampFilters: Array[Filter]): Seq[GraftLiveFile] =
     if (stampFilters.isEmpty) files
-    else files.filter { f =>
-      val s = GraftLogNames.stamp(new java.io.File(f).getName)
-      stampFilters.forall(stampAccepts(_, s))
+    else files.filter(_.stampedSegments.exists(seg =>
+      stampFilters.forall(stampAccepts(_, seg.stamp))))
+
+  /** Sorted positions deleted from `dataName`, read from its covering
+    * position-delete files (text lines `<dataFileName>\t<pos>`). Cost is
+    * O(entries in the covering delete files) per task — the manifest's
+    * coverage index keeps "covering" tight. */
+  private[sources] def loadDeletePositions(delPaths: Seq[String],
+      dataName: String): Array[Long] = {
+    if (delPaths.isEmpty) return Array.emptyLongArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    delPaths.foreach { p =>
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
+      lines.forEach { line =>
+        if (line.nonEmpty) {
+          val i = line.indexOf('\t')
+          require(i > 0, s"corrupt delete record in $p: '$line'")
+          if (line.regionMatches(0, dataName, 0, i) && dataName.length == i)
+            out += line.substring(i + 1).toLong
+        }
+      }
     }
+    out.toArray.sorted
+  }
 
   /** Compiled per-record predicate over the decoded fields. */
   private[sources] type Pred = (Long, Long, Double, UTF8String) => Boolean

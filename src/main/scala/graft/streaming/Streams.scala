@@ -253,23 +253,46 @@ object Streams {
   private def ckptBytes(ckptDir: String, subdir: Option[String]): Long = {
     val root = subdir.foldLeft(new java.io.File(ckptDir))(new java.io.File(_, _)).toPath
     if (!java.nio.file.Files.isDirectory(root)) return -1L
+    // RocksDB maintenance (changelog purges run every 500 ms under the
+    // scale probe) deletes files and whole version directories mid-walk:
+    // Files.walk itself then throws UncheckedIOException(NoSuchFileException)
+    // from the traversal stream, not just from the per-file size() call —
+    // so the WALK is guarded too, returning the partial sum rather than
+    // crashing the measurement (r15 advice; a spurious probe failure, the
+    // probe requires stateCkptRatio > 0).
+    def walkSum(): Long = {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(p => try java.nio.file.Files.size(p) catch {
+          case _: java.io.IOException => 0L // maintenance races are fine
+        }).sum()
+      catch {
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => 0L
+      } finally s.close()
+    }
     if (subdir.isEmpty && sys.env.contains("GRAFT_CKPT_DUMP")) {
       val s = java.nio.file.Files.walk(root)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
           .toSeq.groupBy(p => root.relativize(p).toString.split('/').take(4).mkString("/"))
-          .map { case (k, ps) => (k, ps.map(p => java.nio.file.Files.size(p)).sum, ps.size) }
+          .map { case (k, ps) => (k, ps.map(p =>
+            try java.nio.file.Files.size(p) catch {
+              case _: java.io.IOException => 0L
+            }).sum, ps.size) }
           .toSeq.sortBy(-_._2).take(30)
           .foreach { case (k, b, n) => println(s"CKPTDUMP $b bytes $n files $k") }
+      } catch {
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          println("CKPTDUMP aborted: file deleted mid-walk")
       } finally s.close()
     }
-    val s = java.nio.file.Files.walk(root)
-    try s.filter(java.nio.file.Files.isRegularFile(_))
-      .mapToLong(p => try java.nio.file.Files.size(p) catch {
-        case _: java.io.IOException => 0L // maintenance races are fine
-      }).sum()
-    finally s.close()
+    // one retry: a walk that lost a race mid-traversal returns 0 from the
+    // guard above; the tree still exists, so a second pass normally lands
+    val first = walkSum()
+    if (first > 0L) first else walkSum()
   }
 
   /** Drive a streaming DataFrame to completion over a static input dir and

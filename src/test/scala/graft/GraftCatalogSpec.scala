@@ -361,4 +361,60 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(names().isEmpty, "whole-table DELETE left files behind")
     assert(spark.table("graft.del_u").count() == 0)
   }
+
+  test("merge-on-read DELETE: position-delete file published, NO data file rewritten, compact absorbs") {
+    import graft.sources.GraftSnapshotTestHook
+    spark.sql("DROP TABLE IF EXISTS graft.mor_t")
+    spark.sql("CREATE TABLE graft.mor_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(4, user_id)) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    events.writeTo("graft.mor_t").append()
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "mor_t")
+    def dataNames() = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(_.getName).toSet
+    def delNames() = dir.listFiles().filter(_.getName.endsWith(".graftdel"))
+      .map(_.getName).toSet
+    val before = dataNames()
+    val victimId = events.orderBy("event_id").limit(1)
+      .collect()(0).getLong(0)
+    // 1-row DELETE: the r15 verdict's criterion verbatim — no rewritten
+    // data file, one position-delete file
+    spark.sql(s"DELETE FROM graft.mor_t WHERE event_id = $victimId")
+    assert(dataNames() == before,
+      "a merge-on-read point DELETE moved data files")
+    assert(delNames().size == 1, s"expected 1 delete file, got ${delNames()}")
+    assert(spark.table("graft.mor_t").count() == events.count() - 1)
+    assert(spark.table("graft.mor_t")
+      .filter(col("event_id") === victimId).count() == 0)
+    // a broader second DELETE stacks more position deletes, still no
+    // data-file motion; reads compose both delete files
+    spark.sql("DELETE FROM graft.mor_t WHERE event_type = 'error'")
+    assert(dataNames() == before,
+      "a merge-on-read predicate DELETE moved data files")
+    val expect = events.filter(col("event_id") =!= victimId &&
+      col("event_type") =!= "error")
+    assert(spark.table("graft.mor_t").orderBy("event_id").collect()
+      .sameElements(expect.orderBy("event_id").collect()))
+    // every read path sees the deletes: TopN and agg pushdown modes run
+    // the same cursor
+    assert(spark.table("graft.mor_t")
+      .filter(col("event_type") === "error").count() == 0)
+    val aggBack = spark.table("graft.mor_t")
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(aggBack == expect.count(), "agg pushdown path missed position deletes")
+    // compaction ABSORBS: deletes applied, delete files retired, rows
+    // unchanged, per-bucket layout intact
+    spark.sql("CALL graft.system.compact(table => 'mor_t', target_mb => 64)").collect()
+    assert(delNames().isEmpty, "compaction left absorbed delete files behind")
+    assert(GraftSnapshotTestHook.deleteFiles(dir.getPath).isEmpty)
+    assert(dataNames().size == 4, s"expected 4 compacted files, got ${dataNames()}")
+    assert(spark.table("graft.mor_t").orderBy("event_id").collect()
+      .sameElements(expect.orderBy("event_id").collect()),
+      "compaction with delete absorption changed the row set")
+    // whole-table DELETE still takes the metadata truncate, mode-agnostic
+    spark.sql("DELETE FROM graft.mor_t")
+    assert(dataNames().isEmpty && spark.table("graft.mor_t").count() == 0)
+  }
 }

@@ -731,4 +731,137 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     val got = f.collect()
     assert(got.nonEmpty && got.forall(r => r.getLong(0) == 7L && files.contains(r.getString(1))))
   }
+
+  test("NOT IN with a NULL literal is NOT pushed: three-valued logic stays in Spark and selects zero rows") {
+    // r15 advice (medium): the reader evaluates pushed trees two-valued
+    // (sound — the format encodes no nulls), but a null LITERAL under NOT
+    // reintroduces 3VL: `et NOT IN ('purchase', NULL)` is never true in
+    // SQL, while a null-dropped two-valued NOT keeps every non-purchase
+    // row. The whole subtree must be declined and evaluated by Spark.
+    val df = scan().filter(!col("event_type").isin("purchase", null))
+    assert(df.count() == 0,
+      "NOT IN (..., NULL) must select zero rows (SQL three-valued logic)")
+    // Catalyst usually folds this exact shape away before the source; the
+    // pushdown translator must still decline it for the shapes that
+    // survive — pinned at the unit level, against the translator itself
+    val plan = df.queryExecution.executedPlan.toString
+    plan.split("\n").find(_.contains("GraftLogScan")).foreach { scanLine =>
+      assert(!scanLine.contains("IN ("),
+        s"a NULL-bearing IN list was claimed as pushed:\n$scanLine")
+    }
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions, Literal => VLit}
+    import org.apache.spark.sql.connector.expressions.filter.{Not => V2Not, Predicate => V2Predicate}
+    import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def vlit(v: AnyRef, dt: DataType): VExpr = new VLit[AnyRef] {
+      override def value(): AnyRef = v
+      override def dataType(): DataType = dt
+    }
+    val nullIn = new V2Predicate("IN", Array[VExpr](
+      Expressions.column("event_type"),
+      vlit(UTF8String.fromString("purchase"), StringType),
+      vlit(null, StringType)))
+    assert(GraftLog.v2ToV1(new V2Not(nullIn)).isEmpty,
+      "NOT(IN(col, (..., NULL))) must be untranslatable (residual)")
+    assert(GraftLog.v2ToV1(nullIn).isEmpty,
+      "IN with a NULL literal must be untranslatable (residual)")
+    val nullEq = new V2Predicate("=", Array[VExpr](
+      Expressions.column("value"), vlit(null, DoubleType)))
+    assert(GraftLog.v2ToV1(nullEq).isEmpty,
+      "comparison against a NULL literal must be untranslatable (would NPE in compile)")
+    // the non-null twin of the same tree DOES translate — the decline is
+    // null-specific, not a blanket IN/NOT regression
+    val cleanIn = new V2Predicate("IN", Array[VExpr](
+      Expressions.column("event_type"),
+      vlit(UTF8String.fromString("purchase"), StringType)))
+    assert(GraftLog.v2ToV1(new V2Not(cleanIn)).isDefined)
+    // the POSITIVE case stays fully pushed and exact: a null in the list
+    // can never match a (non-null) row, so IN ('purchase', NULL) = IN
+    // ('purchase') for filtering
+    val pos = scan().filter(col("event_type").isin("purchase", null))
+    assert(pos.count() == events.filter(col("event_type") === "purchase").count())
+  }
+
+  test("snapshot isolation: visibility flips at the manifest swap, not at file publish or delete") {
+    import graft.sources.GraftSnapshotTestHook
+    val dir = Scratch.dir("graftlog_snap_iso")
+    events.limit(30).repartition(2).write.format("graftlog").mode("append").save(dir)
+    def read() = spark.read.format("graftlog").load(dir)
+    val base = read().count()
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graftlog"))
+    // 1. the mid-commit window, reader side: a STAMPED file is published
+    //    (on disk, listable) but its commit's manifest swap is pending —
+    //    the reader must NOT see it (this invisibility is the atomicity:
+    //    pre-r16, a listing here returned rows twice during compaction)
+    val donor = dataFiles.head
+    val donorRows = read().filter(col("_file") === donor.getAbsolutePath).count()
+    assert(donorRows > 0)
+    val stowaway = GraftSnapshotTestHook.publishedName("stowaway")
+    java.nio.file.Files.copy(donor.toPath, new java.io.File(dir, stowaway).toPath)
+    assert(read().count() == base,
+      "a published-but-uncommitted stamped file leaked into a read")
+    assert(!GraftSnapshotTestHook.liveNames(dir).contains(stowaway))
+    // 2. the swap makes it visible — atomically, one rename
+    GraftSnapshotTestHook.addData(dir, stowaway)
+    assert(read().count() == base + donorRows)
+    // 3. the delete window, reader side: a file removed from the manifest
+    //    but still ON DISK (the commit's unlink pass pending) is dead to
+    //    readers — exactly-once across the replace window
+    GraftSnapshotTestHook.removeData(dir, stowaway)
+    assert(new java.io.File(dir, stowaway).isFile, "fixture: file must still exist")
+    assert(read().count() == base,
+      "a manifest-removed file still on disk leaked into a read")
+    // 4. the legacy affordance survives: an UNSTAMPED foreign file has no
+    //    commit protocol, so the listing reconciles it in
+    java.nio.file.Files.copy(donor.toPath, new java.io.File(dir, "foreign.graftlog").toPath)
+    assert(read().count() == base + donorRows)
+    assert(GraftSnapshotTestHook.liveNames(dir).contains("foreign.graftlog"))
+  }
+
+  test("compaction preserves _pub_stamp per segment: incremental slices stay exact, pre-horizon bytes are SKIPPED wholesale") {
+    import graft.sources.GraftSnapshotTestHook
+    val land = Scratch.dir("graftlog_compact_stamp")
+    val a = events.filter(col("event_id") < 300)
+    val b = events.filter(col("event_id") >= 300)
+    a.write.format("graftlog").mode("append").save(land)
+    val t = new java.io.File(land).listFiles()
+      .filter(_.getName.endsWith(".graftlog"))
+      .map(f => GraftLog.testStampOf(f.getName)).max
+    b.write.format("graftlog").mode("append").save(land)
+    def read() = spark.read.format("graftlog").load(land)
+    val preStamps = read().select("event_id", "_pub_stamp")
+      .orderBy("event_id").collect()
+    // merge everything into ONE file
+    val (before, after, _) = GraftLog.compact(spark, land, Long.MaxValue)
+    assert(before == 2 && after == 1)
+    val mergedName = new java.io.File(land).listFiles()
+      .filter(_.getName.endsWith(".graftlog")).map(_.getName).head
+    // the manifest carries the two origin stamps as segments
+    val segs = GraftSnapshotTestHook.segmentsOf(land, mergedName)
+    assert(segs.isDefined && segs.get.length == 2 &&
+      segs.get.head._1 == 0L && segs.get.map(_._2) == segs.get.map(_._2).sorted,
+      s"expected a 2-segment origin-stamp map, got $segs")
+    // `_pub_stamp` values are IDENTICAL across the compaction
+    val postStamps = read().select("event_id", "_pub_stamp")
+      .orderBy("event_id").collect()
+    assert(postStamps.sameElements(preStamps),
+      "compaction changed _pub_stamp values")
+    // the incremental slice is exact — and the pre-t segment is skipped
+    // by BYTE RANGE, not decode-and-drop: recordsSkipped stays 0
+    val inc = read().filter(col("_pub_stamp") > t)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    val got = inc.orderBy("event_id").collect()
+    val want = b.orderBy("event_id").collect()
+    assert(got.length == want.length && got.sameElements(want),
+      "incremental slice re-delivered or lost rows across a compaction")
+    assert(batchScanMetric(inc, "recordsSkipped") == 0L,
+      "pre-horizon segment was decoded instead of byte-skipped")
+    // retention keys on DATA age, not the fresh merged name: the whole
+    // file's newest origin is below t+1... only chunk A's segment is, so
+    // the file survives an expire at t+1 (partial overlap never deletes)
+    val (nDel, _, _) = GraftLog.expire(land, t + 1)
+    assert(nDel == 0, "expire deleted a file whose newest origin stamp is above the horizon")
+    assert(read().count() == a.count() + b.count())
+  }
 }
