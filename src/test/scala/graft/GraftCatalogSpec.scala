@@ -417,4 +417,63 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     spark.sql("DELETE FROM graft.mor_t")
     assert(dataNames().isEmpty && spark.table("graft.mor_t").count() == 0)
   }
+
+  test("schema evolution: ADD COLUMN null-fills old records, carries new ones, declines unsafe changes") {
+    spark.sql("DROP TABLE IF EXISTS graft.evo_t")
+    spark.sql("CREATE TABLE graft.evo_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val oldChunk = events.filter(col("event_id") % 2 === 0)
+    val newChunk = events.filter(col("event_id") % 2 =!= 0)
+    oldChunk.writeTo("graft.evo_t").append()
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "evo_t")
+    val preFiles = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(f => (f.getName, f.length())).toSet
+    spark.sql("ALTER TABLE graft.evo_t ADD COLUMNS (score DOUBLE, tag STRING)")
+    // evolution is METADATA-ONLY: no data file moved or rewritten
+    assert(dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(f => (f.getName, f.length())).toSet == preFiles,
+      "ALTER TABLE touched data files")
+    assert(spark.table("graft.evo_t").schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "value", "event_type", "score", "tag"))
+    // old records read back NULL-FILLED
+    val olds = spark.table("graft.evo_t")
+    assert(olds.count() == oldChunk.count())
+    assert(olds.filter(col("score").isNotNull || col("tag").isNotNull).count() == 0,
+      "pre-evolution records must null-fill added columns")
+    // new-generation records carry values; both generations coexist
+    newChunk.withColumn("score", col("value") * 2)
+      .withColumn("tag", upper(col("event_type")))
+      .writeTo("graft.evo_t").append()
+    val back = spark.table("graft.evo_t")
+    assert(back.count() == events.count())
+    assert(back.filter(col("event_id") % 2 =!= 0 &&
+      (col("score") =!= col("value") * 2 || col("tag") =!= upper(col("event_type"))))
+      .count() == 0, "new-generation rows lost their added-column values")
+    // nulls in the tail round-trip too (present-marker 0, not a crash)
+    spark.sql("INSERT INTO graft.evo_t VALUES (9000001, 1, 1.0, 'probe', NULL, NULL)")
+    val probe = spark.table("graft.evo_t").filter(col("event_id") === 9000001L).collect()
+    assert(probe.length == 1 && probe(0).isNullAt(4) && probe(0).isNullAt(5))
+    // a filter on an added column is NOT pushed (ordinal() declines) but
+    // answers correctly above the scan — including over null-filled rows
+    val hi = spark.table("graft.evo_t").filter(col("score") > 500.0)
+    assert(hi.count() ==
+      newChunk.filter(col("value") * 2 > 500.0).count())
+    // row-level command on an evolved table: the rewrite carries the tail
+    spark.sql("DELETE FROM graft.evo_t WHERE event_type = 'error'")
+    val postDel = spark.table("graft.evo_t")
+    assert(postDel.filter(col("event_type") === "error").count() == 0)
+    assert(postDel.filter(col("event_id") % 2 =!= 0 && col("score").isNull &&
+      col("event_id") < 9000000L).count() == 0,
+      "rewrite dropped added-column values")
+    // unsafe changes are rejected loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo_t ADD COLUMNS (bad TIMESTAMP)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo_t ADD COLUMNS (score DOUBLE)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo_t DROP COLUMN tag") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo_t RENAME COLUMN tag TO tag2") }
+  }
 }
