@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Row-level-command scale probe (round 16, r15 verdict #6): empirical
+  * evidence for the rewrite-CONFINEMENT claim — that a selective DELETE
+  * on a many-file landing rewrites only the files that contain matching
+  * rows (runtime group filtering + static bucket pruning), and that a
+  * merge-on-read DELETE moves NO data files at all. The claim is about
+  * FILE COUNTS, which is what survives a 100x scale-up: a point takedown
+  * on a 100 TB landing must touch O(matching files), never O(landing).
+  *
+  * Builds a bucketed catalog table from `factor` shifted copies of the
+  * fixture's events (one append per copy -> files = appends x buckets),
+  * then measures, via before/after file-name sets:
+  *  1. a POINT DELETE (one event_id): copy-on-write must rewrite exactly
+  *     the files containing that id (expected: 1 of appends*buckets);
+  *  2. a KEY DELETE (one user_id): confined to the key's single bucket
+  *     (expected: <= appends of appends*buckets);
+  *  3. the same point delete on a merge-on-read twin: 0 data files
+  *     moved, 1 position-delete file published.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.RewriteScaleProbe [baseDir] [factor]"
+  * Prints one JSON line (merged into SCALE_r<N>.json per round).
+  */
+object RewriteScaleProbe {
+  private val ID_OFF = 1000000000000L
+  private val BUCKETS = 32
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    try {
+      val wh = Scratch.dir("graft_rwscale_wh")
+      spark.conf.set("spark.sql.catalog.graftsc",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftsc.warehouse", wh)
+      val ev = sources.Tables.load(spark, base, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+
+      def ingest(table: String, props: String): String = {
+        spark.sql(s"DROP TABLE IF EXISTS graftsc.$table")
+        spark.sql(s"CREATE TABLE graftsc.$table (event_id BIGINT, user_id BIGINT, " +
+          s"value DOUBLE, event_type STRING) USING graftlog " +
+          s"PARTITIONED BY (bucket($BUCKETS, user_id))$props")
+        // one append per copy: files = copies x buckets, the many-file
+        // landing shape; user ids unshifted so every bucket fills
+        (0 until factor).foreach { c =>
+          ev.withColumn("event_id", col("event_id") + lit(c * ID_OFF))
+            .writeTo(s"graftsc.$table").append()
+        }
+        s"$wh/$table"
+      }
+
+      def dataFiles(dir: String): Set[String] =
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".graftlog")).map(_.getName).toSet
+      def delFiles(dir: String): Set[String] =
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".graftdel")).map(_.getName).toSet
+      def bytes(dir: String, names: Set[String]): Long =
+        names.toSeq.map(n => new java.io.File(dir, n).length()).sum
+
+      case class Leg(label: String, filesBefore: Int, rewritten: Int,
+          added: Int, bytesTotal: Long, bytesRewritten: Long,
+          deleteFilesAdded: Int, wallS: Double, rowsDeleted: Long)
+      def runLeg(label: String, dir: String, table: String,
+          where: String): Leg = {
+        val before = dataFiles(dir)
+        val delsBefore = delFiles(dir)
+        // sizes snapshotted BEFORE the delete: rewritten files are
+        // unlinked by the commit, so they cannot be measured after
+        val sizeOf = before.map(n =>
+          (n, new java.io.File(dir, n).length())).toMap
+        val total = sizeOf.values.sum
+        val n0 = spark.table(s"graftsc.$table").count()
+        val t0 = System.nanoTime()
+        spark.sql(s"DELETE FROM graftsc.$table WHERE $where")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val after = dataFiles(dir)
+        val rewritten = before -- after
+        Leg(label, before.size, rewritten.size, (after -- before).size,
+          total, rewritten.toSeq.map(sizeOf).sum,
+          (delFiles(dir) -- delsBefore).size, wall,
+          n0 - spark.table(s"graftsc.$table").count())
+      }
+
+      // copy-on-write table: point + key deletes
+      val cowDir = ingest("rw_cow", "")
+      // a point target in copy 7 (exists by construction), key target user 5
+      val pointId = ev.orderBy("event_id").limit(1).collect()(0).getLong(0) + 7 * ID_OFF
+      val legs = Seq(
+        runLeg("cow_point", cowDir, "rw_cow", s"event_id = ${pointId}L"),
+        runLeg("cow_key", cowDir, "rw_cow", "user_id = 5"))
+      // merge-on-read twin: same point delete, zero data movement
+      val morDir = ingest("rw_mor", " TBLPROPERTIES ('delete.mode'='merge-on-read')")
+      val morLegs = Seq(
+        runLeg("mor_point", morDir, "rw_mor", s"event_id = ${pointId}L"))
+
+      def j(l: Leg): String =
+        s""""${l.label}":{"files_before":${l.filesBefore},""" +
+          s""""files_rewritten":${l.rewritten},"files_added":${l.added},""" +
+          s""""bytes_total":${l.bytesTotal},"bytes_rewritten":${l.bytesRewritten},""" +
+          s""""delete_files_added":${l.deleteFilesAdded},""" +
+          f""""wall_s":${l.wallS}%.3f,"rows_deleted":${l.rowsDeleted}}"""
+      val json = s"""{"base":"$base","factor":$factor,"buckets":$BUCKETS,""" +
+        s""""rewrite_legs":{${(legs ++ morLegs).map(j).mkString(",")}}}"""
+      println(json)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("rewrite_scale_out.json"), json + "\n")
+      Scratch.purge(spark)
+    } finally spark.stop()
+  }
+}

@@ -62,12 +62,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
   override def name(): String = catName
 
-  // single-level namespaces only: a table lives at <warehouse>/<ns...>/<name>
-  private def tableDir(ident: Identifier): java.io.File =
-    new java.io.File((ident.namespace() :+ ident.name())
-      .foldLeft(new java.io.File(warehouse))((d, p) => new java.io.File(d, p)).getPath)
-  private def metaFile(dir: java.io.File): java.io.File =
-    new java.io.File(dir, "_graft_table.json")
+  // single-level namespaces only: a table lives at <warehouse>/<ns...>/<name>.
+  // All catalog IO goes through [[GraftFs]] (round 16): the warehouse can
+  // live on HDFS/S3A/local alike.
+  private def tableDir(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).foldLeft(warehouse)(GraftFs.child)
+  private def metaFile(dir: String): String =
+    GraftFs.child(dir, "_graft_table.json")
 
   private def typeName(dt: DataType): String = dt match {
     case LongType => "bigint"
@@ -81,7 +82,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     case "string" => org.apache.spark.sql.types.StringType
   }
 
-  private def writeMeta(dir: java.io.File, bucket: Option[GraftLogBucketSpec],
+  private def writeMeta(dir: String, bucket: Option[GraftLogBucketSpec],
       deleteMode: String,
       extra: Array[org.apache.spark.sql.types.StructField] = Array.empty): Unit = {
     val fields = bucket.map(b =>
@@ -92,16 +93,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         Seq(s""""extra_cols":[${extra.map(f =>
           s"""["${f.name}","${typeName(f.dataType)}"]""").mkString(",")}]""")
       else Nil)
-    java.nio.file.Files.writeString(metaFile(dir).toPath,
-      fields.mkString("{", ",", "}") + "\n")
+    GraftFs.writeString(metaFile(dir), fields.mkString("{", ",", "}") + "\n")
   }
   /** @return (bucket layout, delete mode, appended schema-evolution
     * columns) — the known shapes only, written exclusively by writeMeta;
     * a strict match keeps foreign/corrupt metadata loud instead of
     * silently unbucketed. */
-  private def readMeta(dir: java.io.File): (Option[GraftLogBucketSpec], String,
+  private def readMeta(dir: String): (Option[GraftLogBucketSpec], String,
       Array[org.apache.spark.sql.types.StructField]) = {
-    val text = java.nio.file.Files.readString(metaFile(dir).toPath).trim
+    val text = GraftFs.readString(metaFile(dir)).trim
     val re = ("""\{(?:"bucket_col":"(event_id|user_id)","num_buckets":(\d+))?""" +
       """,?(?:"delete_mode":"(merge-on-read)")?""" +
       """,?(?:"extra_cols":\[((?:\["[A-Za-z0-9_]+","(?:bigint|double|string)"\],?)*)\])?\}""").r
@@ -121,21 +121,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val base = namespace.foldLeft(new java.io.File(warehouse))((d, p) => new java.io.File(d, p))
-    if (!base.isDirectory) throw new NoSuchNamespaceException(namespace)
-    Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(d => d.isDirectory && metaFile(d).isFile)
-      .map(d => Identifier.of(namespace, d.getName))
+    val base = namespace.foldLeft(warehouse)(GraftFs.child)
+    if (!GraftFs.exists(base)) throw new NoSuchNamespaceException(namespace)
+    GraftFs.listNames(base)
+      .filter(d => GraftFs.exists(metaFile(GraftFs.child(base, d))))
+      .map(d => Identifier.of(namespace, d))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    metaFile(tableDir(ident)).isFile
+    GraftFs.exists(metaFile(tableDir(ident)))
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
+    if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     val (bucket, deleteMode, extra) = readMeta(dir)
-    new GraftLogTable(dir.getPath, bucket, deleteMode, extra)
+    new GraftLogTable(dir, bucket, deleteMode, extra)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -176,9 +176,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       s"delete.mode must be '${GraftLog.COPY_ON_WRITE}' or " +
         s"'${GraftLog.MERGE_ON_READ}', got '$deleteMode'")
     val dir = tableDir(ident)
-    require(dir.mkdirs() || dir.isDirectory, s"cannot create table directory $dir")
+    require(GraftFs.mkdirs(dir) || GraftFs.exists(dir),
+      s"cannot create table directory $dir")
     writeMeta(dir, bucket, deleteMode)
-    new GraftLogTable(dir.getPath, bucket, deleteMode)
+    new GraftLogTable(dir, bucket, deleteMode)
   }
 
   /** Schema evolution (round 16, closing `alterTable` throwing — the r15
@@ -196,7 +197,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     * rejected loudly: each would re-interpret bytes already on disk. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
-    if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
+    if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     val (bucket, deleteMode, extra0) = readMeta(dir)
     var extra = extra0
     changes.foreach {
@@ -223,25 +224,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           "(drops/renames/type changes would re-interpret bytes already on disk)")
     }
     writeMeta(dir, bucket, deleteMode, extra)
-    new GraftLogTable(dir.getPath, bucket, deleteMode, extra)
+    new GraftLogTable(dir, bucket, deleteMode, extra)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    if (!metaFile(dir).isFile) return false
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(dir.toPath)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
-    true
+    if (!GraftFs.exists(metaFile(dir))) return false
+    GraftFs.deleteRecursive(dir)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
-    if (!metaFile(from).isFile) throw new NoSuchTableException(oldIdent)
+    if (!GraftFs.exists(metaFile(from))) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val to = tableDir(newIdent)
-    require(from.renameTo(to), s"rename failed: $from -> $to")
+    require(GraftFs.rename(from, to), s"rename failed: $from -> $to")
   }
 
   // ---- FunctionCatalog: the bucket transform, resolvable ----
@@ -272,8 +269,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val parts = table.split('.')
     val ident = Identifier.of(parts.dropRight(1), parts.last)
     val dir = tableDir(ident)
-    if (!metaFile(dir).isFile) throw new NoSuchTableException(ident)
-    dir.getPath
+    if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    dir
   }
 }
 

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** All graftlog landing/warehouse IO behind the Hadoop [[FileSystem]] API
+  * (round 16, r15 verdict #5 — previously raw `java.io.File`, which the
+  * connector header stated as the local-fs stand-in). Every operation
+  * resolves through the path's scheme, so a landing can live on HDFS /
+  * S3A / local alike without touching the commit protocol (task tmp +
+  * driver rename + manifest swap — rename atomicity is the same
+  * same-directory contract Spark's own file sinks rely on; an object
+  * store without atomic rename needs a committer, exactly as it does for
+  * parquet).
+  *
+  * Local paths keep the raw semantics `java.io` gave us: write/verify
+  * checksums are disabled on the (checksummed) LocalFileSystem, because
+  * the specs and maintenance tooling manipulate landing files directly
+  * and a stale `.crc` sidecar would turn that into read failures. The
+  * scheme split matters on executors too — readers/writers run there, so
+  * the conf falls back to the classpath `Configuration` (core-site.xml)
+  * when no SparkSession is active in the JVM.
+  */
+private[sources] object GraftFs {
+  // one conf per JVM: driver resolves through the session (picks up
+  // spark.hadoop.* overrides), executors through the classpath defaults
+  private lazy val hconf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = {
+    val fs = p.getFileSystem(hconf)
+    // idempotent; only affects ChecksumFileSystem wrappers (local)
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    fs
+  }
+
+  /** Last path component (scheme-safe `File.getName`). */
+  def nameOf(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) path else path.substring(i + 1)
+  }
+
+  /** Child-path join (scheme-safe `new File(dir, name)`). */
+  def child(dir: String, name: String): String =
+    if (dir.endsWith("/")) dir + name else s"$dir/$name"
+
+  /** Names of the directory's entries; empty for a missing directory. */
+  def listNames(dir: String): Array[String] = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    try fs.listStatus(p).map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Array.empty }
+  }
+
+  /** (name, byte length, modification time) triples; empty if missing. */
+  def listEntries(dir: String): Array[(String, Long, Long)] = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    try fs.listStatus(p).map(s =>
+      (s.getPath.getName, s.getLen, s.getModificationTime))
+    catch { case _: java.io.FileNotFoundException => Array.empty }
+  }
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path); fsOf(p).exists(p)
+  }
+
+  def length(path: String): Long = {
+    val p = new Path(path); fsOf(p).getFileStatus(p).getLen
+  }
+
+  def mkdirs(dir: String): Boolean = {
+    val p = new Path(dir); fsOf(p).mkdirs(p)
+  }
+
+  def delete(path: String): Boolean = {
+    val p = new Path(path); fsOf(p).delete(p, false)
+  }
+
+  def deleteRecursive(path: String): Boolean = {
+    val p = new Path(path); fsOf(p).delete(p, true)
+  }
+
+  def rename(src: String, dst: String): Boolean = {
+    val p = new Path(src); fsOf(p).rename(p, new Path(dst))
+  }
+
+  /** Buffered record-stream reader (the cursor's hot path). */
+  def openData(path: String): DataInputStream = {
+    val p = new Path(path)
+    new DataInputStream(new BufferedInputStream(fsOf(p).open(p), 1 << 16))
+  }
+
+  /** Buffered record-stream writer; overwrites. */
+  def createData(path: String): DataOutputStream = {
+    val p = new Path(path)
+    new DataOutputStream(new BufferedOutputStream(
+      fsOf(p).create(p, true), 1 << 16))
+  }
+
+  def readString(path: String): String = {
+    val in = openData(path)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeString(path: String, text: String): Unit = {
+    val out = createData(path)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Byte-copy a whole file into an already-open output stream (the
+    * compaction raw-concat path). */
+  def copyInto(src: String, out: java.io.OutputStream): Unit = {
+    val p = new Path(src)
+    val in = fsOf(p).open(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+  }
+}

@@ -193,10 +193,10 @@ private[sources] class GraftLogTable(path: String,
     // then physical unlink of data + position-delete files, garbage
     // included (a truncate is the one commit allowed to clear leftovers)
     GraftSnapshotIO.write(path, GraftSnapshot(Vector.empty, Map.empty))
-    Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.endsWith(".graftlog") || f.getName.endsWith(".graftdel"))
-      .foreach(f => require(f.delete(), s"truncate failed to delete $f"))
+    GraftFs.listNames(path)
+      .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
+      .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+        s"truncate failed to delete $path/$n"))
   }
   override def partitioning(): Array[Transform] =
     bucket.map(b => Expressions.bucket(b.n, b.col): Transform).toArray
@@ -304,11 +304,10 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
     bucket: Option[GraftLogBucketSpec],
     extra: Array[StructField] = Array.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    new java.io.File(path).mkdirs()
+    GraftFs.mkdirs(path)
     new GraftLogWriterFactory(path, bucket, extra)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
     // Snapshot-commit protocol (round 16): resolve the pre-commit live
     // set, publish, then swap ONE manifest — a concurrent reader observes
     // the old snapshot or the new one atomically; files published before
@@ -318,9 +317,10 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
       if (truncate) {
         // physical truncate clears data + position-delete files, garbage
         // included (unreferenced crash leftovers have no other owner here)
-        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.endsWith(".graftlog") || f.getName.endsWith(".graftdel"))
-          .foreach(f => require(f.delete(), s"truncate failed to delete $f"))
+        GraftFs.listNames(path)
+          .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
+          .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+            s"truncate failed to delete $path/$n"))
         GraftSnapshot(Vector.empty, Map.empty)
       } else GraftSnapshotIO.resolve(path)
     val pub = GraftLogNames.publishAll(path, messages, pid => f"b$pid%05d")
@@ -329,9 +329,9 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case GraftLogCommit(tmp, _) => GraftFs.delete(tmp); ()
       case GraftLogBucketedCommit(parts, _) =>
-        parts.foreach { case (_, tmp) => new java.io.File(tmp).delete() }
+        parts.foreach { case (_, tmp) => GraftFs.delete(tmp) }
       case _ => ()
     }
 }
@@ -354,7 +354,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   require(!queryId.contains("\"") && !queryId.contains(",") && !queryId.contains("\\"),
     s"unusable queryId for file naming: $queryId")
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    new java.io.File(path).mkdirs()
+    GraftFs.mkdirs(path)
     new GraftLogWriterFactory(path, None, extra)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -363,22 +363,22 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // replayed epoch may have published files and crashed before its
     // manifest swap — those are invisible garbage, and re-publishing
     // without unlinking them would strand them forever
-    val victims = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.endsWith(".graftlog") &&
-        (truncate || f.getName.contains(marker)))
+    val victims = GraftFs.listNames(path)
+      .filter(n => n.endsWith(".graftlog") &&
+        (truncate || n.contains(marker)))
     val base = GraftSnapshotIO.resolve(path)
-    victims.foreach(f => require(f.delete(), s"epoch commit failed to delete $f"))
+    victims.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+      s"epoch commit failed to delete $path/$n"))
     val pub = GraftLogNames.publishAll(path, messages,
       pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
-    val (kept, deadDels) = base.removeData(victims.map(_.getName).toSet)
+    val (kept, deadDels) = base.removeData(victims.toSet)
     GraftSnapshotIO.write(path,
       kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
-    deadDels.foreach(d => new java.io.File(path, d).delete())
+    deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case GraftLogCommit(tmp, _) => GraftFs.delete(tmp); ()
       case _ => ()
     }
 }
@@ -450,11 +450,10 @@ private class GraftLogRewriteOperation(path: String,
     * single-writer contract; the commit's resolution additionally feeds
     * its manifest swap). */
   private[sources] def selectedFilesFrom(snap: GraftSnapshot): Array[String] = {
-    val files = snap.files.map(f =>
-      new java.io.File(path, f.name).getAbsolutePath).toArray
+    val files = snap.files.map(f => GraftFs.child(path, f.name)).toArray
     val staticSet = bucket.flatMap(b => GraftLog.prunedBuckets(b, groupFilters)) match {
       case Some(ks) => files.filter(f =>
-        ks.contains(GraftLogNames.bucketOf(new java.io.File(f).getName)))
+        ks.contains(GraftLogNames.bucketOf(GraftFs.nameOf(f))))
       case None => files
     }
     allowedFiles match {
@@ -579,7 +578,7 @@ private class GraftLogReplaceDataBatchWrite(path: String,
     // survivors publish so the new files can never enter the replace set
     val snap = GraftSnapshotIO.resolve(path)
     val replaced = op.selectedFilesFrom(snap)
-    val replacedNames = replaced.map(new java.io.File(_).getName).toSet
+    val replacedNames = replaced.map(GraftFs.nameOf).toSet
     val pub = GraftLogNames.publishAll(path, messages, pid => f"d$pid%05d")
     // manifest swap FIRST, physical deletes after: readers flip from the
     // old file set to the new one at the rename; the replaced files (and
@@ -588,15 +587,15 @@ private class GraftLogReplaceDataBatchWrite(path: String,
     val (kept, deadDels) = snap.removeData(replacedNames)
     GraftSnapshotIO.write(path,
       kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
-    replaced.foreach(f => require(new java.io.File(f).delete(),
+    replaced.foreach(f => require(GraftFs.delete(f),
       s"replace-data commit failed to delete $f"))
-    deadDels.foreach(d => new java.io.File(path, d).delete())
+    deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case GraftLogCommit(tmp, _) => GraftFs.delete(tmp); ()
       case GraftLogBucketedCommit(parts, _) =>
-        parts.foreach { case (_, tmp) => new java.io.File(tmp).delete() }
+        parts.foreach { case (_, tmp) => GraftFs.delete(tmp) }
       case _ => ()
     }
 }
@@ -668,13 +667,13 @@ private class GraftLogDeltaBatchWrite(path: String) extends DeltaBatchWrite {
     val published = Seq.newBuilder[(String, Seq[String])]
     messages.zipWithIndex.foreach {
       case (GraftLogDeleteCommit(tmp, covered, pid), i) =>
-        val src = new java.io.File(tmp)
-        if (src.length() == 0L) { require(src.delete(), s"failed to drop empty $tmp"); () }
-        else {
+        if (GraftFs.length(tmp) == 0L) {
+          require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); ()
+        } else {
           val uuid = java.util.UUID.randomUUID().toString.take(8)
           val name = GraftLogNames.publish(GraftLogNames.nextStamp(), i,
             f"d$pid%05d-$uuid", ext = ".graftdel")
-          require(src.renameTo(new java.io.File(path, name)),
+          require(GraftFs.rename(tmp, GraftFs.child(path, name)),
             s"delete commit failed to publish $tmp -> $name")
           published += ((name, covered))
         }
@@ -687,7 +686,7 @@ private class GraftLogDeltaBatchWrite(path: String) extends DeltaBatchWrite {
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogDeleteCommit(tmp, _, _) => new java.io.File(tmp).delete(); ()
+      case GraftLogDeleteCommit(tmp, _, _) => GraftFs.delete(tmp); ()
       case _ => ()
     }
 }
@@ -697,14 +696,14 @@ private class GraftLogDeltaBatchWrite(path: String) extends DeltaBatchWrite {
 private class GraftLogPositionDeleteWriter(path: String, partitionId: Int)
     extends DeltaWriter[InternalRow] {
   private val tmp = s"$path/.gd-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
-  new java.io.File(path).mkdirs()
+  GraftFs.mkdirs(path)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    new FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    GraftFs.createData(tmp), java.nio.charset.StandardCharsets.UTF_8))
   private val covered = scala.collection.mutable.LinkedHashSet.empty[String]
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     // rowId projection order = rowId(): (_file absolute path, _pos)
-    val name = new java.io.File(id.getUTF8String(0).toString).getName
+    val name = GraftFs.nameOf(id.getUTF8String(0).toString)
     out.write(name); out.write('\t')
     out.write(java.lang.Long.toString(id.getLong(1))); out.write('\n')
     covered += name
@@ -718,7 +717,7 @@ private class GraftLogPositionDeleteWriter(path: String, partitionId: Int)
     out.close()
     GraftLogDeleteCommit(tmp, covered.toSeq, partitionId)
   }
-  override def abort(): Unit = { out.close(); new java.io.File(tmp).delete(); () }
+  override def abort(): Unit = { out.close(); GraftFs.delete(tmp); () }
   override def close(): Unit = out.close()
 }
 
@@ -743,16 +742,15 @@ private class GraftLogWriter(path: String, partitionId: Int,
   // the driver's commit pass, never here — an executor clock must not
   // decide publish order
   private val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
-  new java.io.File(path).mkdirs() // defensive: factory mkdirs ran on the driver
-  private val out = new DataOutputStream(new BufferedOutputStream(
-    new FileOutputStream(tmp), 1 << 16))
+  GraftFs.mkdirs(path) // defensive: factory mkdirs ran on the driver
+  private val out = GraftFs.createData(tmp)
 
   override def write(r: InternalRow): Unit = GraftLog.encodeRecord(out, r, extra)
   override def commit(): WriterCommitMessage = {
     out.close()
     GraftLogCommit(tmp, partitionId) // publish happens in the driver's commit()
   }
-  override def abort(): Unit = { out.close(); new java.io.File(tmp).delete(); () }
+  override def abort(): Unit = { out.close(); GraftFs.delete(tmp); () }
   override def close(): Unit = out.close()
 }
 
@@ -768,14 +766,13 @@ private class GraftLogBucketedWriter(path: String, partitionId: Int,
     bucket: GraftLogBucketSpec,
     extra: Array[StructField] = Array.empty) extends DataWriter[InternalRow] {
   private val outs = new java.util.HashMap[Int, (String, DataOutputStream)]()
-  new java.io.File(path).mkdirs()
+  GraftFs.mkdirs(path)
 
   private def outFor(b: Int): DataOutputStream = {
     var e = outs.get(b)
     if (e == null) {
       val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
-      e = (tmp, new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(tmp), 1 << 16)))
+      e = (tmp, GraftFs.createData(tmp))
       outs.put(b, e)
     }
     e._2
@@ -790,7 +787,7 @@ private class GraftLogBucketedWriter(path: String, partitionId: Int,
     GraftLogBucketedCommit(parts.sortBy(_._1).toSeq, partitionId)
   }
   override def abort(): Unit = {
-    outs.forEach((_, e) => { e._2.close(); new java.io.File(e._1).delete(); () })
+    outs.forEach((_, e) => { e._2.close(); GraftFs.delete(e._1); () })
   }
   override def close(): Unit = outs.forEach((_, e) => e._2.close())
 }
@@ -1027,8 +1024,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   @transient private lazy val snapshot: GraftSnapshot = GraftSnapshotIO.resolve(path)
   @transient private lazy val prunedFiles: Seq[GraftLiveFile] =
     GraftLog.stampPrune(snapshot.files, stampFilters)
-  private def pathOf(f: GraftLiveFile): String =
-    new java.io.File(path, f.name).getAbsolutePath
+  private def pathOf(f: GraftLiveFile): String = GraftFs.child(path, f.name)
 
   /** Size statistics from the log files themselves — without this a V2
     * scan reports "unknown", Catalyst assumes it is huge, and a small
@@ -1044,7 +1040,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     // size, or Catalyst can never broadcast it. For compacted files the
     // slice is per SEGMENT — the byte spans the cursor will actually emit.
     val bytes = prunedFiles.map { f =>
-      val len = new java.io.File(path, f.name).length()
+      val len = GraftFs.length(GraftFs.child(path, f.name))
       f.segs match {
         case None => len
         case Some(ss) =>
@@ -1095,7 +1091,7 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
         // landing) would silently break the co-partitioning claim, so they
         // fail loudly here instead
         val byBucket = files.groupBy { f =>
-          val k = GraftLogNames.bucketOf(new java.io.File(f).getName)
+          val k = GraftLogNames.bucketOf(GraftFs.nameOf(f))
           require(k >= 0 && k < b.n,
             s"non-bucketed or out-of-range file in bucketed landing: $f")
           k
@@ -1341,17 +1337,18 @@ private[sources] object GraftLogNames {
       tag: Int => String): Seq[String] = {
     val published = Seq.newBuilder[String]
     def rename(tmp: String, seq: Int, t: String): Unit = {
-      val src = new java.io.File(tmp)
       // A zero-row task's tmp publishes NOTHING: an empty file is
       // semantically absent in this format (no header/footer), it only
       // costs listing at scale, and Spark deliberately runs one empty
       // task over an empty write just to carry a commit message — e.g. a
       // replace-data rewrite whose runtime group filter matched no files.
-      if (src.length() == 0L) { require(src.delete(), s"failed to drop empty $tmp"); return }
+      if (GraftFs.length(tmp) == 0L) {
+        require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); return
+      }
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val name = publish(nextStamp(), seq, s"$t-$uuid")
       val dest = s"$path/$name"
-      require(src.renameTo(new java.io.File(dest)),
+      require(GraftFs.rename(tmp, dest),
         s"commit failed to publish $tmp -> $dest")
       published += name
     }
@@ -1529,7 +1526,7 @@ private case class GraftLogCursorSpec(
     extra: Array[StructField] = Array.empty) extends Serializable {
   def cursor(file: String, preds: Array[Filter], needType: Boolean,
       needPos: Boolean): GraftLogCursor = {
-    val name = new java.io.File(file).getName
+    val name = GraftFs.nameOf(file)
     val dels = delsOf.get(name) match {
       case Some(paths) => GraftLog.loadDeletePositions(paths, name)
       case None => Array.emptyLongArray
@@ -1563,7 +1560,7 @@ private object GraftLogCursorSpec {
     val delsOf: Map[String, Seq[String]] =
       if (snap.deletes.isEmpty) Map.empty
       else snap.files.map(f => (f.name, snap.deletesFor(f.name)
-        .map(d => new java.io.File(path, d).getAbsolutePath)))
+        .map(d => GraftFs.child(path, d))))
         .filter(_._2.nonEmpty).toMap
     GraftLogCursorSpec(stampFilters, segsOf, delsOf, extra)
   }
@@ -1630,8 +1627,7 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     deletePositions: Array[Long] = Array.emptyLongArray,
     needPos: Boolean = false,
     extra: Array[StructField] = Array.empty) {
-  private val in = new DataInputStream(
-    new BufferedInputStream(new FileInputStream(file), 1 << 16))
+  private val in: DataInputStream = GraftFs.openData(file)
   private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
   private val needType = needTypeHint ||
     filters.exists(_.references.contains("event_type"))
@@ -1652,7 +1648,7 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
   // map, so time-travel reads stay exact across compaction; plain files
   // are one segment stamped by their name. `_pos` is the raw record
   // ordinal within the file — the merge-on-read row identity.
-  private val fileName = new java.io.File(file).getName
+  private val fileName = GraftFs.nameOf(file)
   private val metaFile: UTF8String = UTF8String.fromString(file)
   private val metaBucket: Any = { // boxed Int or null (plain landing)
     val k = GraftLogNames.bucketOf(fileName)
@@ -1681,7 +1677,7 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     val ends = new Array[Long](nSegs)
     var i = 0
     while (i < nSegs - 1) { ends(i) = segStarts(i + 1); i += 1 }
-    ends(nSegs - 1) = new java.io.File(file).length()
+    ends(nSegs - 1) = GraftFs.length(file)
     ends
   }
   private val segLive: Array[Boolean] = segments.map(s =>
@@ -2364,9 +2360,9 @@ object GraftLog {
     final case class In(abs: String, name: String, size: Long,
         segs: Vector[GraftSegment], dels: Seq[String]) extends Serializable
     val infos = snap.files.map { f =>
-      val abs = new java.io.File(path, f.name).getAbsolutePath
-      In(abs, f.name, new java.io.File(abs).length(), f.stampedSegments,
-        snap.deletesFor(f.name).map(d => new java.io.File(path, d).getAbsolutePath))
+      val abs = GraftFs.child(path, f.name)
+      In(abs, f.name, GraftFs.length(abs), f.stampedSegments,
+        snap.deletesFor(f.name).map(d => GraftFs.child(path, d)))
     }
     val bins: Seq[(Int, Seq[In])] = infos
       .groupBy(i => GraftLogNames.bucketOf(i.name))
@@ -2399,22 +2395,20 @@ object GraftLog {
     val merged = spark.sparkContext
       .parallelize(bins, bins.size)
       .map { case (tok, group) =>
-        val tmp = new java.io.File(path, s"compact-${java.util.UUID.randomUUID()}.tmp")
-        val os = new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(tmp), 1 << 16)
+        val tmp = GraftFs.child(path, s"compact-${java.util.UUID.randomUUID()}.tmp")
+        val os = GraftFs.createData(tmp)
         val segsOut = Vector.newBuilder[GraftSegment]
         var outOff = 0L
         try group.foreach { in =>
           if (in.dels.isEmpty) {
             in.segs.foreach(s => segsOut += GraftSegment(outOff + s.start, s.stamp))
-            java.nio.file.Files.copy(java.nio.file.Paths.get(in.abs), os)
+            GraftFs.copyInto(in.abs, os)
             outOff += in.size
           } else {
             val dels = loadDeletePositions(in.dels, in.name)
             val segStarts = in.segs.map(_.start).toArray
-            val din = new DataInputStream(new BufferedInputStream(
-              new FileInputStream(in.abs), 1 << 16))
-            val dout = new DataOutputStream(os)
+            val din = GraftFs.openData(in.abs)
+            val dout: DataOutputStream = os
             try {
               var inOff = 0L; var ord = -1L; var delIdx = 0; var segIdx = -1
               var buf = new Array[Byte](256)
@@ -2446,20 +2440,20 @@ object GraftLog {
         val norm = nonEmpty.foldLeft(Vector.empty[GraftSegment]) { (acc, s) =>
           if (acc.nonEmpty && acc.last.stamp == s.stamp) acc else acc :+ s
         }
-        (tok, tmp.getAbsolutePath, group.map(_.name), norm, group.map(_.size).sum)
+        (tok, tmp, group.map(_.name), norm, group.map(_.size).sum)
       }.collect()
     // swap: publish merged files (monotone fresh name stamps, bucket
     // token carried over so bucketed scans keep parsing the layout), then
     // flip the manifest, then unlink the originals and absorbed deletes
     val outFiles = Vector.newBuilder[GraftLiveFile]
     merged.zipWithIndex.foreach { case ((tok, tmp, _, segs, _), seq) =>
-      val src = new java.io.File(tmp)
-      if (src.length() == 0L) { require(src.delete(), s"failed to drop empty $tmp"); () }
-      else {
+      if (GraftFs.length(tmp) == 0L) {
+        require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); ()
+      } else {
         val uuid = java.util.UUID.randomUUID().toString.take(8)
         val tag = (if (tok >= 0) s"k$tok-" else "") + s"c$seq-$uuid"
         val name = GraftLogNames.publish(GraftLogNames.nextStamp(), seq, tag)
-        require(src.renameTo(new java.io.File(path, name)),
+        require(GraftFs.rename(tmp, GraftFs.child(path, name)),
           s"compact failed to publish $tmp -> $name")
         outFiles += GraftLiveFile(name, Some(segs))
       }
@@ -2468,9 +2462,9 @@ object GraftLog {
     val inputNames = merged.flatMap(_._3).toSet
     val (kept, deadDels) = snap.removeData(inputNames)
     GraftSnapshotIO.write(path, kept.addData(outs))
-    inputNames.foreach(n => require(new java.io.File(path, n).delete(),
+    inputNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
       s"compact failed to delete $n"))
-    deadDels.foreach(d => new java.io.File(path, d).delete())
+    deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
     val bytes = merged.map(_._5).sum
     (snap.files.length, snap.files.length - inputNames.size + outs.length, bytes)
   }
@@ -2509,20 +2503,19 @@ object GraftLog {
       case Some(ss) => if (ss.exists(_.stamp < 0)) -1L else ss.map(_.stamp).max
       case None => GraftLogNames.stamp(name)
     }
-    val all = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    val victims = all.filter { f =>
-      f.getName.endsWith(".graftlog") && {
-        val s = retireStamp(f.getName)
+    val all = GraftFs.listEntries(path) // (name, bytes, mtime)
+    val victims = all.filter { case (n, _, _) =>
+      n.endsWith(".graftlog") && {
+        val s = retireStamp(n)
         s >= 0 && s < beforeStamp
       }
     }
-    val bytes = victims.map(_.length()).sum
+    val bytes = victims.map(_._2).sum
     // manifest swap BEFORE the unlink pass: readers flip off the expired
     // files atomically; delete files covering nothing afterwards retire
     // with them. No-op expires write no manifest (idempotence stays
     // file-identical).
-    val victimNames = victims.map(_.getName).toSet
+    val victimNames = victims.map(_._1).toSet
     val liveVictims = victimNames.intersect(snap.fileNames)
     val deadDels: Seq[String] =
       if (liveVictims.nonEmpty) {
@@ -2530,20 +2523,23 @@ object GraftLog {
         GraftSnapshotIO.write(path, kept)
         dead
       } else Nil
-    victims.foreach(f => require(f.delete(), s"expire failed to delete $f"))
-    deadDels.foreach(d => new java.io.File(path, d).delete())
+    victimNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+      s"expire failed to delete $path/$n"))
+    deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
     // superseded manifests below the horizon retire too (the newest is
     // the live table state and always survives)
-    val manifests = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(GraftSnapshotIO.EXT)).sortBy(_.getName)
+    val manifests = all.map(_._1)
+      .filter(_.endsWith(GraftSnapshotIO.EXT)).sorted
     manifests.dropRight(1).filter(m =>
-        GraftSnapshotIO.manifestStamp(m.getName) < beforeStamp)
-      .foreach(m => require(m.delete(), s"expire failed to delete manifest $m"))
+        GraftSnapshotIO.manifestStamp(m) < beforeStamp)
+      .foreach(m => require(GraftFs.delete(GraftFs.child(path, m)),
+        s"expire failed to delete manifest $path/$m"))
     val horizon = System.currentTimeMillis() - tmpGraceMs
-    val orphans = all.filter(f =>
-      f.getName.endsWith(".tmp") && f.lastModified() < horizon)
-    orphans.foreach(f => require(f.delete(), s"expire failed to delete orphan $f"))
+    val orphans = all.filter { case (n, _, mtime) =>
+      n.endsWith(".tmp") && mtime < horizon }
+    orphans.foreach { case (n, _, _) =>
+      require(GraftFs.delete(GraftFs.child(path, n)),
+        s"expire failed to delete orphan $path/$n") }
     (victims.length, bytes, orphans.length)
   }
 
@@ -2553,7 +2549,7 @@ object GraftLog {
     * for manifest-less legacy landings. */
   private[sources] def listLogFiles(path: String): Array[String] =
     GraftSnapshotIO.resolve(path).files
-      .map(f => new java.io.File(path, f.name).getAbsolutePath).sorted.toArray
+      .map(f => GraftFs.child(path, f.name)).sorted.toArray
 
   /** File set named by runtime V2 group-filter predicates on `_file`:
     * =/IN constraints intersect across conjuncts; anything else
@@ -2841,8 +2837,7 @@ object GraftLog {
     if (delPaths.isEmpty) return Array.emptyLongArray
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     delPaths.foreach { p =>
-      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
-      lines.forEach { line =>
+      GraftFs.readString(p).split('\n').foreach { line =>
         if (line.nonEmpty) {
           val i = line.indexOf('\t')
           require(i > 0, s"corrupt delete record in $p: '$line'")

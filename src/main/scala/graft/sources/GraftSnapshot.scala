@@ -112,24 +112,20 @@ private[sources] object GraftSnapshotIO {
     name.nonEmpty && !name.exists(c => c == ' ' || c == ',' || c == ':' ||
       c == '\t' || c == '\n' || c == '\r')
 
-  private def listDir(path: String): Array[java.io.File] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-
   /** The newest manifest name in the landing, if any. Manifests are
     * stamped at rename time like data publishes, so lexicographic max =
     * latest commit. */
   private[sources] def latestManifest(path: String): Option[String] =
-    listDir(path).map(_.getName).filter(_.endsWith(EXT)).sorted.lastOption
+    GraftFs.listNames(path).filter(_.endsWith(EXT)).sorted.lastOption
 
   /** Resolve the landing's current snapshot: newest manifest ∪ unstamped
     * directory files, or the plain listing for manifest-less (legacy)
     * landings. One directory list, O(files). */
   def resolve(path: String): GraftSnapshot = {
-    val names = listDir(path).map(_.getName)
+    val names = GraftFs.listNames(path)
     names.filter(_.endsWith(EXT)).sorted.lastOption match {
       case Some(m) =>
-        val snap = parse(java.nio.file.Files.readString(
-          new java.io.File(path, m).toPath), s"$path/$m")
+        val snap = parse(GraftFs.readString(GraftFs.child(path, m)), s"$path/$m")
         val foreign = names.filter(n => n.endsWith(".graftlog") &&
           GraftLogNames.stamp(n) < 0 && !snap.fileNames.contains(n))
         if (foreign.isEmpty) snap
@@ -166,13 +162,14 @@ private[sources] object GraftSnapshotIO {
         sb.append("D ").append(del).append(' ')
           .append(covered.mkString(",")).append('\n')
     }
-    val tmp = new java.io.File(path, s".snap-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, sb.toString)
+    val tmp = GraftFs.child(path,
+      s".snap-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
+    GraftFs.writeString(tmp, sb.toString)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
-    val dest = new java.io.File(path,
-      f"snap-${GraftLogNames.nextStamp()}%013d-0000-$uuid$EXT")
-    require(tmp.renameTo(dest), s"manifest swap failed: $tmp -> $dest")
-    dest.getName
+    val name = f"snap-${GraftLogNames.nextStamp()}%013d-0000-$uuid$EXT"
+    require(GraftFs.rename(tmp, GraftFs.child(path, name)),
+      s"manifest swap failed: $tmp -> $path/$name")
+    name
   }
 
   /** Strict parser: manifests are written only by [[write]], so an
