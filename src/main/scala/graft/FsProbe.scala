@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe (round 16): isolates graftlog write/read/join wall cost
+  * for A/B adjudication across trees — used to prove the Hadoop
+  * FileSystem port cost ~nothing (the same probe on the r15 java.io tree,
+  * same session, measured within noise of the r16 tree; the bench deltas
+  * vs r15 anchors were session drift). Not part of the driver contract,
+  * same status as PlanDump. */
+object FsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val ev = sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.count() // warm parquet read
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"FSPROBE $label ${(System.nanoTime()-t0)/1e9}%.3f s"); r
+    }
+    (1 to 3).foreach { i =>
+      val landing = Scratch.dir(s"fsprobe_$i")
+      time(s"write$i") {
+        ev.repartition(4).write.format("graftlog").mode("append").save(landing) }
+      time(s"read$i") {
+        println("  rows=" + spark.read.format("graftlog").load(landing).count()) }
+      time(s"filterread$i") {
+        println("  rows=" + spark.read.format("graftlog").load(landing)
+          .filter(col("event_type") === "purchase" && col("value") >= 100.0).count()) }
+    }
+    (1 to 3).foreach { i =>
+      time(s"join_dsv2_runtime$i") {
+        println("  rows=" + operators.StorageOps.dsv2RuntimeFilter(spark, sfDir).count()) }
+    }
+    (1 to 3).foreach { i =>
+      time(s"join_dsv2_partitioned$i") {
+        println("  rows=" + operators.StorageOps.dsv2PartitionedJoin(spark, sfDir).count()) }
+    }
+    Scratch.purge(spark)
+    spark.stop()
+  }
+}

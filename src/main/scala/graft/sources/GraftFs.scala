@@ -32,11 +32,16 @@ private[sources] object GraftFs {
       .getOrElse(new Configuration())
 
   private def fsOf(p: Path): FileSystem = {
-    val fs = p.getFileSystem(hconf)
-    // idempotent; only affects ChecksumFileSystem wrappers (local)
-    fs.setWriteChecksum(false)
-    fs.setVerifyChecksum(false)
-    fs
+    p.getFileSystem(hconf) match {
+      // unwrap the checksum layer on local paths entirely: even with
+      // checksums disabled, ChecksumFileSystem adds per-op bookkeeping
+      // (crc-sidecar stat/delete/rename attempts) to every file
+      // operation, and the graftlog write path is file-op-dense (one tmp
+      // per task/bucket + a rename pass per commit). The raw fs has the
+      // exact semantics the connector's java.io era had.
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case fs => fs
+    }
   }
 
   /** Last path component (scheme-safe `File.getName`). */

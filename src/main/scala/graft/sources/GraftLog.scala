@@ -324,8 +324,12 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
         GraftSnapshot(Vector.empty, Map.empty)
       } else GraftSnapshotIO.resolve(path)
     val pub = GraftLogNames.publishAll(path, messages, pid => f"b$pid%05d")
-    GraftSnapshotIO.write(path,
-      base.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    // no-op appends (zero rows, no truncate) swap no manifest: idempotence
+    // stays file-identical, same discipline as the no-op expire
+    if (truncate || pub.nonEmpty)
+      GraftSnapshotIO.write(path,
+        base.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    ()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -372,8 +376,9 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     val pub = GraftLogNames.publishAll(path, messages,
       pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
     val (kept, deadDels) = base.removeData(victims.toSet)
-    GraftSnapshotIO.write(path,
-      kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    if (victims.nonEmpty || pub.nonEmpty)
+      GraftSnapshotIO.write(path,
+        kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
     deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -585,8 +590,9 @@ private class GraftLogReplaceDataBatchWrite(path: String,
     // any position-delete files now covering nothing) are dead to every
     // resolver before they are unlinked
     val (kept, deadDels) = snap.removeData(replacedNames)
-    GraftSnapshotIO.write(path,
-      kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    if (replaced.nonEmpty || pub.nonEmpty)
+      GraftSnapshotIO.write(path,
+        kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
     replaced.foreach(f => require(GraftFs.delete(f),
       s"replace-data commit failed to delete $f"))
     deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
@@ -681,8 +687,11 @@ private class GraftLogDeltaBatchWrite(path: String) extends DeltaBatchWrite {
         throw new IllegalStateException(s"unexpected delete commit message $other")
     }
     // manifest swap makes the deletes visible atomically; data files are
-    // untouched — that absence of rewrite IS the merge-on-read property
-    GraftSnapshotIO.write(path, snap.addDeletes(published.result()))
+    // untouched — that absence of rewrite IS the merge-on-read property.
+    // A DELETE matching nothing publishes nothing and swaps nothing.
+    val pub = published.result()
+    if (pub.nonEmpty) GraftSnapshotIO.write(path, snap.addDeletes(pub))
+    ()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
