@@ -91,11 +91,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (round 14): per-task `.tmp` files published by the driver's commit()
   * rename pass (truncate on Overwrite, abort cleanup, by-name column
   * resolution), and a [[StreamingWrite]] whose epoch commit is IDEMPOTENT
-  * — a replayed micro-batch first deletes the epoch's previously-published
+  * — a replayed micro-batch retires the epoch's previously-published
   * files, so exactly-once visible state survives a restart that lost the
-  * checkpoint's commit marker. Local-fs rename is the parquet-style commit
-  * stand-in, stated as such; a cluster deployment swaps in the Hadoop
-  * FileSystem API, same protocol.
+  * checkpoint's commit marker. All IO goes through the Hadoop FileSystem
+  * API ([[GraftFs]], round 16), so a landing can live on HDFS/S3A/local;
+  * every commit follows one order — publish, swap the snapshot manifest
+  * ([[GraftSnapshotIO]]), unlink retired files — and visibility flips at
+  * the manifest rename alone.
   *
   * PUBLISH-STAMPED NAMES AND THE COMPACTED OFFSET (round 14, closing the
   * r13 "offset grows without bound" residual): commit() names every
@@ -313,23 +315,25 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
     // the old snapshot or the new one atomically; files published before
     // the swap are stamped-but-unreferenced, i.e. invisible, which is
     // exactly what makes a mid-commit crash leave no partial state.
-    val base =
-      if (truncate) {
-        // physical truncate clears data + position-delete files, garbage
-        // included (unreferenced crash leftovers have no other owner here)
+    // overwrite: victims snapshotted BEFORE the publish pass (the new
+    // files can never enter the set), physically unlinked AFTER the
+    // manifest swap — the uniform swap-first commit discipline
+    val victims =
+      if (truncate)
         GraftFs.listNames(path)
           .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
-          .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-            s"truncate failed to delete $path/$n"))
-        GraftSnapshot(Vector.empty, Map.empty)
-      } else GraftSnapshotIO.resolve(path)
+      else Array.empty[String]
+    val base =
+      if (truncate) GraftSnapshot(Vector.empty, Map.empty)
+      else GraftSnapshotIO.resolve(path)
     val pub = GraftLogNames.publishAll(path, messages, pid => f"b$pid%05d")
     // no-op appends (zero rows, no truncate) swap no manifest: idempotence
     // stays file-identical, same discipline as the no-op expire
     if (truncate || pub.nonEmpty)
       GraftSnapshotIO.write(path,
         base.addData(pub.map(GraftLiveFile(_, None)).toVector))
-    ()
+    victims.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+      s"truncate failed to delete $path/$n"))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -371,14 +375,20 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
       .filter(n => n.endsWith(".graftlog") &&
         (truncate || n.contains(marker)))
     val base = GraftSnapshotIO.resolve(path)
-    victims.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-      s"epoch commit failed to delete $path/$n"))
     val pub = GraftLogNames.publishAll(path, messages,
       pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
+    // swap FIRST, unlink after (the uniform commit discipline): readers
+    // flip atomically, and a crash between swap and unlink leaves only
+    // unreferenced garbage (expired on the stamp horizon), never a
+    // manifest pointing at deleted files. The victim set was computed
+    // BEFORE the publish pass, so the replayed epoch's new files — which
+    // carry the SAME epoch marker — can never enter it.
     val (kept, deadDels) = base.removeData(victims.toSet)
     if (victims.nonEmpty || pub.nonEmpty)
       GraftSnapshotIO.write(path,
         kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    victims.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+      s"epoch commit failed to delete $path/$n"))
     deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -417,11 +427,13 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   *     sound for the rows, but this scan's FILE SET is the replace set,
   *     and only group-level pruning may shrink it), Spark applies
   *     NOT cond, and the write lands the survivors.
-  *  4. commit() publishes the survivor files FIRST, then deletes the
-  *     replaced originals: a crash between the two steps leaves
-  *     re-deletable duplicates, never lost survivors. Atomic only under
-  *     the landing's single-writer contract — same class of guarantee as
-  *     Spark's own file-based sinks, stated rather than implied.
+  *  4. commit() publishes the survivors, swaps the snapshot manifest
+  *     (old files out, survivors in — readers flip atomically at the one
+  *     rename), then unlinks the replaced originals. A crash before the
+  *     swap leaves the survivors as invisible garbage and the table
+  *     unchanged; after it, only unreferenced originals awaiting the
+  *     stamp-horizon GC — never duplicates, never lost survivors
+  *     (round 16; the r15 publish-then-delete window is closed).
   *
   * If runtime group filtering does not fire (conf off, exotic condition),
   * the scan's file set is the whole landing and the command degrades to a
@@ -1566,11 +1578,25 @@ private object GraftLogCursorSpec {
     val segsOf = snap.files.collect {
       case GraftLiveFile(n, Some(ss)) => (n, ss)
     }.toMap
+    // inverted in ONE pass over the coverage index — building it per data
+    // file would be O(files x delete files) driver work, the wrong shape
+    // for a 100 TB landing carrying many small takedowns between compactions
     val delsOf: Map[String, Seq[String]] =
       if (snap.deletes.isEmpty) Map.empty
-      else snap.files.map(f => (f.name, snap.deletesFor(f.name)
-        .map(d => GraftFs.child(path, d))))
-        .filter(_._2.nonEmpty).toMap
+      else {
+        val cov = scala.collection.mutable.Map.empty[String, List[String]]
+        snap.deletes.toSeq.sortBy(_._1).reverse.foreach { case (del, covered) =>
+          val abs = GraftFs.child(path, del)
+          covered.foreach {
+            case "*" => // legacy manifest-less coverage: applies to every file
+              snap.files.foreach(f => cov(f.name) = abs :: cov.getOrElse(f.name, Nil))
+            case c => cov(c) = abs :: cov.getOrElse(c, Nil)
+          }
+        }
+        // prepended in reverse-sorted order => each list ends up name-sorted,
+        // matching the old deletesFor ordering
+        cov.toMap
+      }
     GraftLogCursorSpec(stampFilters, segsOf, delsOf, extra)
   }
 }
