@@ -787,6 +787,37 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Time travel under the oracle gate (round 16): `VERSION AS OF` over
+  // the snapshot-manifest history — every commit leaves an immutable
+  // manifest, so reading the table AS OF the stamp between two ingests
+  // must return exactly the FIRST chunk, while the current read sees
+  // both. This is the lake-format read surface the snapshot protocol
+  // buys beyond isolation: reproducing yesterday's training set is a
+  // stamp, not a restore. The pinned table is read-only (spec-enforced);
+  // TIMESTAMP AS OF and the path-read `.option("asOfStamp", t)` are the
+  // same resolution (GraftCatalogSpec pins all three surfaces).
+  // ------------------------------------------------------------------
+  def dsv2AsOf(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.asof_ev")
+    s.sql("CREATE TABLE graftq.asof_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val landing = new java.io.File(catalogWarehouse, "asof_ev").getPath
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.filter(col("event_id") % 3 === 0).writeTo("graftq.asof_ev").append()
+    val t = graft.sources.GraftLog.testLatestSnapshotStamp(landing)
+    ev.filter(col("event_id") % 3 =!= 0).writeTo("graftq.asof_ev").append()
+    s.sql(s"SELECT event_id, user_id, value, event_type " +
+      s"FROM graftq.asof_ev VERSION AS OF '$t' ORDER BY event_id")
+  }
+
+  val dsv2AsOfSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, OFFSET pushdown (round 15): the SPI has no partial
   // variant, so the source claims OFFSET fully by collapsing the scan to
   // ONE sequential partition chaining files in publish order and skipping
@@ -1049,6 +1080,7 @@ object StorageOps extends QueryModule {
     "delete_dsv2_mor" -> (dsv2DeleteMor _),
     "scan_dsv2_since_compact" -> (dsv2SinceCompact _),
     "scan_dsv2_evolved" -> (dsv2Evolved _),
+    "scan_dsv2_asof" -> (dsv2AsOf _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
     "scan_dsv2_topn" -> (dsv2TopN _),
@@ -1079,6 +1111,7 @@ object StorageOps extends QueryModule {
     "delete_dsv2_mor" -> dsv2DeleteMorSql,
     "scan_dsv2_since_compact" -> dsv2SinceCompactSql,
     "scan_dsv2_evolved" -> dsv2EvolvedSql,
+    "scan_dsv2_asof" -> dsv2AsOfSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "merge_dsv2_upsert" -> dsv2MergeSql,
     "scan_dsv2_topn" -> dsv2TopNSql,

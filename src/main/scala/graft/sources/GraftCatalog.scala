@@ -138,6 +138,33 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     new GraftLogTable(dir, bucket, deleteMode, extra)
   }
 
+  // ---- time travel (round 16): `SELECT ... FROM t VERSION AS OF '<stamp>'`
+  // and `TIMESTAMP AS OF <ts>` — Spark routes both through these
+  // overloads; the version handle is a snapshot-manifest stamp (epoch
+  // millis, the value `GraftLog.testLatestSnapshotStamp` / any manifest
+  // name carries), and a timestamp resolves to the newest snapshot
+  // committed at or before it. The returned table is read-only and
+  // pinned; see GraftLogTable's AS OF notes.
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val stamp =
+      try version.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a snapshot stamp (epoch millis); got '$version'")
+      }
+    loadTableAsOf(ident, stamp)
+  }
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    // Spark hands TIMESTAMP AS OF in MICROseconds since epoch
+    loadTableAsOf(ident, Math.floorDiv(timestampMicros, 1000L))
+  private def loadTableAsOf(ident: Identifier, stamp: Long): Table = {
+    require(stamp >= 0, s"AS OF stamp must be >= 0, got $stamp")
+    val dir = tableDir(ident)
+    if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val (bucket, deleteMode, extra) = readMeta(dir)
+    new GraftLogTable(dir, bucket, deleteMode, extra, Some(stamp))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

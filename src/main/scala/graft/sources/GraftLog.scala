@@ -151,9 +151,19 @@ private[sources] case class GraftLogBucketSpec(ord: Int, n: Int) {
 private[sources] class GraftLogTable(path: String,
     bucket: Option[GraftLogBucketSpec] = None,
     deleteMode: String = GraftLog.COPY_ON_WRITE,
-    extra: Array[StructField] = Array.empty) extends Table
+    extra: Array[StructField] = Array.empty,
+    asOf: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with SupportsDeleteV2 {
+  // Time travel (round 16): a table pinned AS OF a stamp reads the
+  // manifest that was current then ([[GraftSnapshotIO.resolveAsOf]]) and
+  // is read-only — `VERSION AS OF '<stamp>'` / `TIMESTAMP AS OF` through
+  // [[GraftCatalog.loadTable]] overloads, or `.option("asOfStamp", t)`
+  // on a path read. The schema shown is the CURRENT schema (null-filled
+  // where history predates an added column), matching Iceberg's choice.
+  private def requireCurrent(op: String): Unit =
+    require(asOf.isEmpty,
+      s"$op is not allowed on a time-travel (AS OF ${asOf.getOrElse(0L)}) table")
   // Schema evolution (round 16): a catalog table may have APPENDED
   // columns (ALTER TABLE ADD COLUMN — [[GraftCatalog.alterTable]]), each
   // encoded after `event_type` as [present: byte][value]; records written
@@ -162,7 +172,8 @@ private[sources] class GraftLogTable(path: String,
   // old and new records coexist in one file). Added columns are always
   // nullable and never claimable by any pushdown surface (ordinal()
   // returns -1 for them), so the fixed-offset hot path is untouched.
-  override def name(): String = s"graftlog($path)"
+  override def name(): String =
+    s"graftlog($path)" + asOf.map(s => s"@$s").getOrElse("")
   override def schema(): StructType =
     StructType(GraftLog.schema.fields ++ extra)
   override def metadataColumns(): Array[MetadataColumn] = GraftLog.metadataColumns
@@ -180,15 +191,18 @@ private[sources] class GraftLogTable(path: String,
   // cover — the one unrecoverable failure mode of this SPI — so the
   // claim stays minimal.
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireCurrent("a row-level command")
     () =>
       if (info.command() == RowLevelOperation.Command.DELETE &&
           deleteMode == GraftLog.MERGE_ON_READ)
         new GraftLogDeltaOperation(path, bucket, extra)
       else new GraftLogRewriteOperation(path, bucket, info.command(), extra)
+  }
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
     predicates.forall(_.isInstanceOf[AlwaysTrue])
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    requireCurrent("truncate")
     require(canDeleteWhere(predicates),
       s"metadata-only delete unsupported for [${predicates.mkString(", ")}]")
     // empty manifest FIRST (readers flip atomically to the empty table),
@@ -203,7 +217,8 @@ private[sources] class GraftLogTable(path: String,
   override def partitioning(): Array[Transform] =
     bucket.map(b => Expressions.bucket(b.n, b.col): Transform).toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (asOf.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
@@ -224,9 +239,20 @@ private[sources] class GraftLogTable(path: String,
         }
         require(n >= 0, s"graftlog publishLagMs must be >= 0, got $raw")
         n
-      }.getOrElse(GraftLogNames.DEFAULT_LAG_MS), extra)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      }.getOrElse(GraftLogNames.DEFAULT_LAG_MS), extra,
+      // path-read pin: .option("asOfStamp", t); a catalog AS OF pin wins
+      asOf.orElse(Option(options.get("asOfStamp")).map { raw =>
+        val s = try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graftlog asOfStamp must be an epoch-millis long, got '$raw'")
+        }
+        require(s >= 0, s"graftlog asOfStamp must be >= 0, got $raw")
+        s
+      }))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireCurrent("a write")
     new GraftLogWriteBuilder(path, info, bucket, extra)
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -819,7 +845,8 @@ private class GraftLogBucketedWriter(path: String, partitionId: Int,
 
 private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpec],
     maxFiles: Option[Int], lagMs: Long,
-    extra: Array[StructField] = Array.empty)
+    extra: Array[StructField] = Array.empty,
+    asOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
@@ -952,7 +979,7 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
   }
 
   override def build(): Scan =
-    new GraftLogScan(path, bucket, pushed, stampPushed, required, limit, offset, topN, agg, maxFiles, lagMs, extra)
+    new GraftLogScan(path, bucket, pushed, stampPushed, required, limit, offset, topN, agg, maxFiles, lagMs, extra, asOf)
 }
 
 /** Pushed ORDER BY keys as (column ordinal, descending) plus the limit. */
@@ -997,15 +1024,19 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     filters: Array[Filter], stampFilters: Array[Filter],
     required: StructType, limit: Int, offset: Int, topN: Option[GraftLogTopN],
     agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long,
-    extra: Array[StructField] = Array.empty)
+    extra: Array[StructField] = Array.empty,
+    asOf: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering with Serializable {
 
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(asOf.isEmpty, "streaming from a time-travel (AS OF) snapshot " +
+      "is unsupported — a pinned snapshot is a bounded batch; read it as one")
     new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles, lagMs, extra)
+  }
 
   // Runtime filtering (round 14): at execution time Spark derives an
   // IN-set from the other (filtered, broadcast) side of a join and hands
@@ -1042,7 +1073,10 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   // statistics all derive from this single resolution, so they can never
   // observe different landings (the r15-noted SPJ desync window), and a
   // Scan reads one atomic snapshot end to end.
-  @transient private lazy val snapshot: GraftSnapshot = GraftSnapshotIO.resolve(path)
+  @transient private lazy val snapshot: GraftSnapshot = asOf match {
+    case Some(s) => GraftSnapshotIO.resolveAsOf(path, s)
+    case None => GraftSnapshotIO.resolve(path)
+  }
   @transient private lazy val prunedFiles: Seq[GraftLiveFile] =
     GraftLog.stampPrune(snapshot.files, stampFilters)
   private def pathOf(f: GraftLiveFile): String = GraftFs.child(path, f.name)
@@ -2350,6 +2384,11 @@ object GraftLog {
   def testBucketOf(name: String): Int = GraftLogNames.bucketOf(name)
   /** Test hook: publish stamp of a name, -1 if unstamped (GraftLogNames). */
   def testStampOf(name: String): Long = GraftLogNames.stamp(name)
+  /** Test hook: the landing's newest snapshot-manifest stamp, -1 if none
+    * — the version handle `VERSION AS OF` resolves against. */
+  def testLatestSnapshotStamp(path: String): Long =
+    GraftSnapshotIO.latestManifest(path)
+      .map(GraftSnapshotIO.manifestStamp).getOrElse(-1L)
 
   /** Compact a landing's small files — the maintenance operation a
     * 100 TB landing lives or dies by (every append/epoch adds files;

@@ -138,6 +138,31 @@ private[sources] object GraftSnapshotIO {
     }
   }
 
+  /** Time travel (round 16): resolve the snapshot that was current AS OF
+    * `stampCeiling` — the newest manifest stamped at or below it. The
+    * manifest history IS the version history (every commit leaves one;
+    * expire prunes below its horizon), so this is Iceberg's
+    * VERSION/TIMESTAMP AS OF on the same mechanism. Differences from
+    * [[resolve]], both deliberate: no unstamped-file reconciliation
+    * (foreign files have no position on the timeline), and a ceiling
+    * BELOW the first manifest resolves to the empty table (that is what
+    * the table held then). Data files of a historical snapshot may have
+    * been unlinked by a later replace/compact/expire — such a read fails
+    * LOUDLY on open (fail-stop; retaining old snapshots' files behind a
+    * retention grace is the stated production extension). A landing with
+    * no manifest at all has no history to travel. */
+  def resolveAsOf(path: String, stampCeiling: Long): GraftSnapshot = {
+    val manifests = GraftFs.listNames(path).filter(_.endsWith(EXT)).sorted
+    require(manifests.nonEmpty,
+      s"no snapshot history in $path (manifest-less landing): time travel " +
+        "needs at least one committed snapshot")
+    manifests.filter(m => manifestStamp(m) <= stampCeiling).lastOption match {
+      case Some(m) =>
+        parse(GraftFs.readString(GraftFs.child(path, m)), s"$path/$m")
+      case None => GraftSnapshot(Vector.empty, Map.empty)
+    }
+  }
+
   /** Write `snap` as the landing's new manifest: tmp + a rename stamped
     * AFTER every file the commit published (nextStamp is monotone in this
     * JVM) — the swap that makes the commit visible atomically. Old

@@ -476,4 +476,51 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.evo_t RENAME COLUMN tag TO tag2") }
   }
+
+  test("time travel: VERSION/TIMESTAMP AS OF resolve the manifest history; pinned tables are read-only") {
+    spark.sql("DROP TABLE IF EXISTS graft.tt_t")
+    spark.sql("CREATE TABLE graft.tt_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "tt_t").getPath
+    val a = events.filter(col("event_id") < 300)
+    val b = events.filter(col("event_id") >= 300)
+    a.writeTo("graft.tt_t").append()
+    val v1 = graft.sources.GraftLog.testLatestSnapshotStamp(dir)
+    assert(v1 > 0)
+    b.writeTo("graft.tt_t").append()
+    val v2 = graft.sources.GraftLog.testLatestSnapshotStamp(dir)
+    assert(v2 > v1)
+    // current read: both chunks; AS OF v1: chunk A exactly; AS OF v2 = current
+    assert(spark.table("graft.tt_t").count() == a.count() + b.count())
+    val asofA = spark.sql(
+      s"SELECT * FROM graft.tt_t VERSION AS OF '$v1' ORDER BY event_id").collect()
+    assert(asofA.sameElements(a.orderBy("event_id").collect()),
+      "VERSION AS OF v1 must return exactly the first ingest")
+    assert(spark.sql(s"SELECT * FROM graft.tt_t VERSION AS OF '$v2'").count()
+      == a.count() + b.count())
+    // TIMESTAMP AS OF takes a timestamp; Spark hands the catalog MICROS.
+    // v1 millis -> a timestamp strictly between v1 and v2 pins chunk A.
+    val tsLit = new java.sql.Timestamp(v1).toInstant.toString
+    val asofTs = spark.sql(
+      s"SELECT * FROM graft.tt_t TIMESTAMP AS OF '$tsLit' ORDER BY event_id").collect()
+    assert(asofTs.sameElements(asofA), "TIMESTAMP AS OF disagrees with VERSION AS OF")
+    // the path-read option is the same resolution
+    val viaOption = spark.read.format("graftlog")
+      .option("asOfStamp", v1.toString).load(dir).orderBy("event_id").collect()
+    assert(viaOption.sameElements(asofA))
+    // before the first commit: the empty table, not an error
+    assert(spark.sql("SELECT * FROM graft.tt_t VERSION AS OF '1'").count() == 0)
+    // a pinned table rejects writes and row-level commands loudly
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.tt_t VERSION AS OF '$v1' VALUES (1,1,1.0,'x')") }
+    // a manifest-less landing has no history to travel
+    val legacy = Scratch.dir("graft_tt_legacy")
+    events.limit(5).write.format("graftlog").mode("append").save(legacy)
+    new java.io.File(legacy).listFiles()
+      .filter(_.getName.endsWith(".graftsnap")).foreach(_.delete())
+    intercept[Exception] {
+      spark.read.format("graftlog").option("asOfStamp", s"$v1")
+        .load(legacy).collect() }
+  }
 }
