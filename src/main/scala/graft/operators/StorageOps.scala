@@ -787,6 +787,80 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Merge-on-read UPDATE under the oracle gate (round 16): on an
+  // `update.mode = merge-on-read` table the command is a DELTA —
+  // representUpdateAsDeleteAndInsert splits every matched row into a
+  // position delete of its old (_file, _pos) identity plus an appended
+  // replacement record in a NEW file; no original data file is
+  // rewritten (GraftCatalogSpec pins the zero-motion property). The
+  // read composes deletes and replacements; the oracle is the same CASE
+  // twin shape as the copy-on-write update, different predicate/factor
+  // so a path confusion cannot cancel out.
+  // ------------------------------------------------------------------
+  def dsv2UpdateMor(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.updm_ev")
+    s.sql("CREATE TABLE graftq.updm_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id)) " +
+      "TBLPROPERTIES ('update.mode' = 'merge-on-read')")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .writeTo("graftq.updm_ev").append()
+    s.sql("UPDATE graftq.updm_ev SET value = value * 4 WHERE event_type = 'click'")
+    s.table("graftq.updm_ev").orderBy(col("event_id"))
+  }
+
+  val dsv2UpdateMorSql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN event_type = 'click' THEN value * 4 ELSE value END AS value,
+      |  event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Merge-on-read MERGE under the oracle gate (round 16): the upsert as
+  // a delta — matched rows become (position delete + reinserted
+  // correction), unmatched source rows become plain inserts, all in one
+  // commit's manifest swap. Same oracle shape as merge_dsv2_upsert with
+  // different actions (purchase values negated, click events re-keyed),
+  // so the two paths cannot be confused.
+  // ------------------------------------------------------------------
+  def dsv2MergeMor(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.mrgm_ev")
+    s.sql("CREATE TABLE graftq.mrgm_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(8, user_id)) " +
+      "TBLPROPERTIES ('merge.mode' = 'merge-on-read')")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.writeTo("graftq.mrgm_ev").append()
+    ev.filter(col("event_type") === "purchase").withColumn("value", -col("value"))
+      .unionByName(ev.filter(col("event_type") === "click")
+        .withColumn("event_id", col("event_id") + 2000000L)
+        .withColumn("event_type", lit("merged")))
+      .createOrReplaceTempView("graft_mrgm_src")
+    s.sql("""MERGE INTO graftq.mrgm_ev t USING graft_mrgm_src s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET t.value = s.value
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.table("graftq.mrgm_ev").orderBy(col("event_id"))
+  }
+
+  val dsv2MergeMorSql: String =
+    """SELECT * FROM (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_type = 'purchase' THEN -value ELSE value END AS value,
+      |    event_type
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id + 2000000, user_id, value, 'merged' FROM events
+      |  WHERE event_type = 'click'
+      |) ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Time travel under the oracle gate (round 16): `VERSION AS OF` over
   // the snapshot-manifest history — every commit leaves an immutable
   // manifest, so reading the table AS OF the stamp between two ingests
@@ -1082,7 +1156,9 @@ object StorageOps extends QueryModule {
     "scan_dsv2_evolved" -> (dsv2Evolved _),
     "scan_dsv2_asof" -> (dsv2AsOf _),
     "update_dsv2_rewrite" -> (dsv2Update _),
+    "update_dsv2_mor" -> (dsv2UpdateMor _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
+    "merge_dsv2_mor" -> (dsv2MergeMor _),
     "scan_dsv2_topn" -> (dsv2TopN _),
     "scan_dsv2_agg" -> (dsv2Agg _),
     "join_dsv2_runtime" -> (dsv2RuntimeFilter _),
@@ -1113,6 +1189,8 @@ object StorageOps extends QueryModule {
     "scan_dsv2_evolved" -> dsv2EvolvedSql,
     "scan_dsv2_asof" -> dsv2AsOfSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
+    "update_dsv2_mor" -> dsv2UpdateMorSql,
+    "merge_dsv2_mor" -> dsv2MergeMorSql,
     "merge_dsv2_upsert" -> dsv2MergeSql,
     "scan_dsv2_topn" -> dsv2TopNSql,
     "scan_dsv2_agg" -> dsv2AggSql,

@@ -83,38 +83,48 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   private def writeMeta(dir: String, bucket: Option[GraftLogBucketSpec],
-      deleteMode: String,
+      modes: GraftLogModes,
       extra: Array[org.apache.spark.sql.types.StructField] = Array.empty): Unit = {
     val fields = bucket.map(b =>
         s""""bucket_col":"${b.col}","num_buckets":${b.n}""").toSeq ++
-      (if (deleteMode != GraftLog.COPY_ON_WRITE)
-        Seq(s""""delete_mode":"$deleteMode"""") else Nil) ++
+      (if (modes.delete != GraftLog.COPY_ON_WRITE)
+        Seq(s""""delete_mode":"${modes.delete}"""") else Nil) ++
+      (if (modes.update != GraftLog.COPY_ON_WRITE)
+        Seq(s""""update_mode":"${modes.update}"""") else Nil) ++
+      (if (modes.merge != GraftLog.COPY_ON_WRITE)
+        Seq(s""""merge_mode":"${modes.merge}"""") else Nil) ++
       (if (extra.nonEmpty)
         Seq(s""""extra_cols":[${extra.map(f =>
           s"""["${f.name}","${typeName(f.dataType)}"]""").mkString(",")}]""")
       else Nil)
     GraftFs.writeString(metaFile(dir), fields.mkString("{", ",", "}") + "\n")
   }
-  /** @return (bucket layout, delete mode, appended schema-evolution
+  /** @return (bucket layout, row-level modes, appended schema-evolution
     * columns) — the known shapes only, written exclusively by writeMeta;
     * a strict match keeps foreign/corrupt metadata loud instead of
     * silently unbucketed. */
-  private def readMeta(dir: String): (Option[GraftLogBucketSpec], String,
+  private def readMeta(dir: String): (Option[GraftLogBucketSpec], GraftLogModes,
       Array[org.apache.spark.sql.types.StructField]) = {
     val text = GraftFs.readString(metaFile(dir)).trim
     val re = ("""\{(?:"bucket_col":"(event_id|user_id)","num_buckets":(\d+))?""" +
       """,?(?:"delete_mode":"(merge-on-read)")?""" +
+      """,?(?:"update_mode":"(merge-on-read)")?""" +
+      """,?(?:"merge_mode":"(merge-on-read)")?""" +
       """,?(?:"extra_cols":\[((?:\["[A-Za-z0-9_]+","(?:bigint|double|string)"\],?)*)\])?\}""").r
     val colRe = """\["([A-Za-z0-9_]+)","(bigint|double|string)"\]""".r
     text match {
-      case re(col, n, mode, extras) =>
+      case re(col, n, dMode, uMode, mMode, extras) =>
         val bucket = Option(col).map(c =>
           GraftLogBucketSpec(GraftLog.ordinal(c), n.toInt))
         val extra = Option(extras).map(s => colRe.findAllMatchIn(s).map(m =>
           org.apache.spark.sql.types.StructField(m.group(1), typeOf(m.group(2)),
             nullable = true)).toArray)
           .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
-        (bucket, Option(mode).getOrElse(GraftLog.COPY_ON_WRITE), extra)
+        val modes = GraftLogModes(
+          Option(dMode).getOrElse(GraftLog.COPY_ON_WRITE),
+          Option(uMode).getOrElse(GraftLog.COPY_ON_WRITE),
+          Option(mMode).getOrElse(GraftLog.COPY_ON_WRITE))
+        (bucket, modes, extra)
       case other => throw new IllegalStateException(
         s"unreadable graft table metadata in $dir: $other")
     }
@@ -134,8 +144,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, deleteMode, extra) = readMeta(dir)
-    new GraftLogTable(dir, bucket, deleteMode, extra)
+    val (bucket, modes, extra) = readMeta(dir)
+    new GraftLogTable(dir, bucket, modes, extra)
   }
 
   // ---- time travel (round 16): `SELECT ... FROM t VERSION AS OF '<stamp>'`
@@ -161,8 +171,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     require(stamp >= 0, s"AS OF stamp must be >= 0, got $stamp")
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, deleteMode, extra) = readMeta(dir)
-    new GraftLogTable(dir, bucket, deleteMode, extra, Some(stamp))
+    val (bucket, modes, extra) = readMeta(dir)
+    new GraftLogTable(dir, bucket, modes, extra, Some(stamp))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -193,20 +203,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         "graftlog tables support PARTITIONED BY (bucket(n, event_id|user_id)) " +
           s"only; got ${other.map(_.describe()).mkString(", ")}")
     }
-    // `delete.mode` table property (round 16): how DELETE executes —
-    // copy-on-write file rewrite (default) or merge-on-read position
-    // deletes; validated here so a typo fails CREATE TABLE, not a DELETE
-    val deleteMode = Option(properties.get("delete.mode"))
-      .getOrElse(GraftLog.COPY_ON_WRITE)
-    require(deleteMode == GraftLog.COPY_ON_WRITE ||
-        deleteMode == GraftLog.MERGE_ON_READ,
-      s"delete.mode must be '${GraftLog.COPY_ON_WRITE}' or " +
-        s"'${GraftLog.MERGE_ON_READ}', got '$deleteMode'")
+    // `delete.mode` / `update.mode` / `merge.mode` table properties
+    // (round 16): how each row-level command executes — copy-on-write
+    // file rewrite (default) or merge-on-read deltas; validated here so
+    // a typo fails CREATE TABLE, not the first command
+    def mode(key: String): String = {
+      val m = Option(properties.get(key)).getOrElse(GraftLog.COPY_ON_WRITE)
+      require(m == GraftLog.COPY_ON_WRITE || m == GraftLog.MERGE_ON_READ,
+        s"$key must be '${GraftLog.COPY_ON_WRITE}' or " +
+          s"'${GraftLog.MERGE_ON_READ}', got '$m'")
+      m
+    }
+    val modes = GraftLogModes(
+      mode("delete.mode"), mode("update.mode"), mode("merge.mode"))
     val dir = tableDir(ident)
     require(GraftFs.mkdirs(dir) || GraftFs.exists(dir),
       s"cannot create table directory $dir")
-    writeMeta(dir, bucket, deleteMode)
-    new GraftLogTable(dir, bucket, deleteMode)
+    writeMeta(dir, bucket, modes)
+    new GraftLogTable(dir, bucket, modes)
   }
 
   /** Schema evolution (round 16, closing `alterTable` throwing — the r15
@@ -225,7 +239,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, deleteMode, extra0) = readMeta(dir)
+    val (bucket, modes, extra0) = readMeta(dir)
     var extra = extra0
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -250,8 +264,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         s"graft tables support ADD COLUMN only; got $other " +
           "(drops/renames/type changes would re-interpret bytes already on disk)")
     }
-    writeMeta(dir, bucket, deleteMode, extra)
-    new GraftLogTable(dir, bucket, deleteMode, extra)
+    writeMeta(dir, bucket, modes, extra)
+    new GraftLogTable(dir, bucket, modes, extra)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -148,9 +148,23 @@ private[sources] case class GraftLogBucketSpec(ord: Int, n: Int) {
   def bucketOf(v: Long): Int = java.lang.Math.floorMod(v, n.toLong).toInt
 }
 
+/** Per-command row-level execution modes ([[GraftCatalog]] properties
+  * `delete.mode` / `update.mode` / `merge.mode`): copy-on-write file
+  * rewrite (default) or merge-on-read deltas. */
+private[sources] case class GraftLogModes(
+    delete: String = GraftLog.COPY_ON_WRITE,
+    update: String = GraftLog.COPY_ON_WRITE,
+    merge: String = GraftLog.COPY_ON_WRITE) {
+  def of(cmd: RowLevelOperation.Command): String = cmd match {
+    case RowLevelOperation.Command.DELETE => delete
+    case RowLevelOperation.Command.UPDATE => update
+    case RowLevelOperation.Command.MERGE => merge
+  }
+}
+
 private[sources] class GraftLogTable(path: String,
     bucket: Option[GraftLogBucketSpec] = None,
-    deleteMode: String = GraftLog.COPY_ON_WRITE,
+    modes: GraftLogModes = GraftLogModes(),
     extra: Array[StructField] = Array.empty,
     asOf: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
@@ -181,12 +195,13 @@ private[sources] class GraftLogTable(path: String,
   // Conditional DELETE/UPDATE/MERGE go through the group-based rewrite
   // ([[GraftLogRewriteOperation]] — command-agnostic: the write always
   // lands the affected files' replacement rows, whatever transform the
-  // rewrite plan applied); DELETE on a `delete.mode = merge-on-read`
-  // table goes through position-delete files instead
-  // ([[GraftLogDeltaOperation]] — no data file moves). Metadata-only
-  // deletes are claimed for the ALWAYS-TRUE case alone — whole-table
-  // truncate by unlinking every log file, no job. Anything finer would
-  // need per-file row statistics the format doesn't keep, and a wrong
+  // rewrite plan applied) — or, when the command's `<cmd>.mode` table
+  // property says merge-on-read, through row-level deltas
+  // ([[GraftLogDeltaOperation]] — position deletes + appended
+  // replacement rows, no original file moves). Metadata-only deletes
+  // are claimed for the ALWAYS-TRUE case alone — whole-table truncate
+  // by unlinking every log file, no job. Anything finer would need
+  // per-file row statistics the format doesn't keep, and a wrong
   // canDeleteWhere=true silently deletes rows the predicate did not
   // cover — the one unrecoverable failure mode of this SPI — so the
   // claim stays minimal.
@@ -194,9 +209,8 @@ private[sources] class GraftLogTable(path: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireCurrent("a row-level command")
     () =>
-      if (info.command() == RowLevelOperation.Command.DELETE &&
-          deleteMode == GraftLog.MERGE_ON_READ)
-        new GraftLogDeltaOperation(path, bucket, extra)
+      if (modes.of(info.command()) == GraftLog.MERGE_ON_READ)
+        new GraftLogDeltaOperation(path, bucket, extra, info.command())
       else new GraftLogRewriteOperation(path, bucket, info.command(), extra)
   }
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
@@ -645,108 +659,160 @@ private class GraftLogReplaceDataBatchWrite(path: String,
 }
 
 // ---------------------------------------------------------------------------
-// Merge-on-read DELETE (round 16): position-delete files via SupportsDelta
+// Merge-on-read row-level commands (round 16): SupportsDelta
 // ---------------------------------------------------------------------------
 
-/** DELETE as a DELTA of row-level changes instead of a file rewrite —
-  * Spark's [[SupportsDelta]] contract, the merge-on-read half of the
-  * row-level story (r15 verdict #2). The copy-on-write path rewrites
-  * every file containing a match; at 100 TB with compacted multi-GB
-  * files, a takedown of a handful of rows must not move terabytes. Here
-  * the analyzer plans WriteDelta over this operation's scan: each
-  * matching row reaches the writer as its ROW ID — (`_file`, `_pos`),
-  * the file name and raw record ordinal — and the writer appends it to a
-  * position-delete file (`pub-...-.graftdel`, text `<file>\t<pos>`
-  * records). The commit publishes the delete files and swaps a manifest
-  * mapping them to the data files they cover; every reader's cursor then
-  * drops those ordinals during the sequential decode (O(1) per record
-  * against a sorted positions array), and `CALL system.compact` absorbs
-  * pending deletes by rewriting only the files that carry them.
+/** Row-level commands as a DELTA of row changes instead of a file
+  * rewrite — Spark's [[SupportsDelta]] contract, the merge-on-read half
+  * of the row-level story (r15 verdict #2, extended to UPDATE/MERGE).
+  * The copy-on-write path rewrites every file containing a match; at
+  * 100 TB with compacted multi-GB files, a takedown or correction of a
+  * handful of rows must not move terabytes. Here the analyzer plans
+  * WriteDelta over this operation's scan, and each row change reaches
+  * the writer as:
   *
-  * Scope: DELETE only, selected per table via the `delete.mode =
-  * merge-on-read` property ([[GraftCatalog]]); UPDATE/MERGE keep the
-  * group-based copy-on-write path (their replacement rows need data
-  * writes anyway, so the rewrite is not pure overhead as it is for a
-  * point DELETE). The scan is the NORMAL scan builder: the command
-  * condition pushes down as row predicates (only matching rows emit),
-  * and `_pos` stays the raw ordinal because pushed predicates drop rows
-  * inside the cursor without disturbing the record count. */
+  *  - DELETE: the row's identity — (`_file`, `_pos`), file name and raw
+  *    record ordinal — appended to a position-delete file
+  *    (`pub-...-.graftdel`, text `<file>\t<pos>` records);
+  *  - UPDATE: split by `representUpdateAsDeleteAndInsert` into the
+  *    delete of the OLD position plus an insert of the replacement row
+  *    (the format cannot edit a record in place — splitting is the
+  *    honest contract, and it is exactly Iceberg's MoR update shape);
+  *  - INSERT (MERGE's unmatched actions, and the reinsert half of an
+  *    update): encoded into a fresh DATA file — bucket-routed on
+  *    bucketed tables so the layout's key purity survives.
+  *
+  * The commit publishes the delete and data files and swaps ONE
+  * manifest (delete-file coverage + new data files); every reader's
+  * cursor then drops the deleted ordinals during the sequential decode
+  * (O(1) per record against a sorted positions array) while the
+  * replacement rows ride the new files, and `CALL system.compact`
+  * absorbs pending deletes by rewriting only the files that carry them.
+  *
+  * Selected per table and per command via the `delete.mode` /
+  * `update.mode` / `merge.mode = merge-on-read` properties
+  * ([[GraftCatalog]]); each defaults to copy-on-write. The scan is the
+  * NORMAL scan builder: the command condition pushes down as row
+  * predicates, and `_pos` stays the raw ordinal because pushed
+  * predicates drop rows inside the cursor without disturbing the record
+  * count. */
 private class GraftLogDeltaOperation(path: String,
     bucket: Option[GraftLogBucketSpec],
-    extra: Array[StructField] = Array.empty) extends RowLevelOperation with SupportsDelta {
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
-  override def description(): String = s"GraftLogPositionDelete($path)"
+    extra: Array[StructField],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftLogDelta($cmd, $path)"
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
   override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+  // the writer appends; it cannot edit a record in place
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path, bucket, None, GraftLogNames.DEFAULT_LAG_MS, extra)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
-        override def toBatch: DeltaBatchWrite = new GraftLogDeltaBatchWrite(path)
+        override def toBatch: DeltaBatchWrite =
+          new GraftLogDeltaBatchWrite(path, bucket, extra)
       }
     }
 }
 
-/** One delete file per task: `<dataFileName>\t<pos>` lines, tmp-named
-  * until the driver's commit publishes it (same protocol as data). The
-  * commit message carries the DISTINCT data files the task deleted from —
-  * the manifest's coverage index. */
-private case class GraftLogDeleteCommit(tmp: String, covered: Seq[String],
-    partitionId: Int) extends WriterCommitMessage
+/** One task's delta output: the position-delete tmp (empty = no deletes)
+  * with the DISTINCT data files it deleted from (the manifest's coverage
+  * index), plus (bucket, tmp) data parts for inserted/updated rows
+  * (bucket -1 on plain tables). */
+private case class GraftLogDeltaCommit(delTmp: String, covered: Seq[String],
+    dataParts: Seq[(Int, String)], partitionId: Int) extends WriterCommitMessage
 
 /** Ships to executors: must not capture the (driver-only) batch write. */
-private class GraftLogDeltaWriterFactory(path: String) extends DeltaWriterFactory {
+private class GraftLogDeltaWriterFactory(path: String,
+    bucket: Option[GraftLogBucketSpec],
+    extra: Array[StructField]) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftLogPositionDeleteWriter(path, partitionId)
+    new GraftLogDeltaWriter(path, partitionId, bucket, extra)
 }
 
-private class GraftLogDeltaBatchWrite(path: String) extends DeltaBatchWrite {
+private class GraftLogDeltaBatchWrite(path: String,
+    bucket: Option[GraftLogBucketSpec],
+    extra: Array[StructField]) extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftLogDeltaWriterFactory(path)
+    new GraftLogDeltaWriterFactory(path, bucket, extra)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val snap = GraftSnapshotIO.resolve(path)
-    val published = Seq.newBuilder[(String, Seq[String])]
+    val dels = Seq.newBuilder[(String, Seq[String])]
+    val data = Vector.newBuilder[GraftLiveFile]
     messages.zipWithIndex.foreach {
-      case (GraftLogDeleteCommit(tmp, covered, pid), i) =>
-        if (GraftFs.length(tmp) == 0L) {
-          require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); ()
+      case (GraftLogDeltaCommit(delTmp, covered, dataParts, pid), i) =>
+        if (GraftFs.length(delTmp) == 0L) {
+          require(GraftFs.delete(delTmp), s"failed to drop empty $delTmp"); ()
         } else {
           val uuid = java.util.UUID.randomUUID().toString.take(8)
           val name = GraftLogNames.publish(GraftLogNames.nextStamp(), i,
             f"d$pid%05d-$uuid", ext = ".graftdel")
-          require(GraftFs.rename(tmp, GraftFs.child(path, name)),
-            s"delete commit failed to publish $tmp -> $name")
-          published += ((name, covered))
+          require(GraftFs.rename(delTmp, GraftFs.child(path, name)),
+            s"delta commit failed to publish $delTmp -> $name")
+          dels += ((name, covered))
+        }
+        dataParts.foreach { case (b, tmp) =>
+          if (GraftFs.length(tmp) == 0L) {
+            require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); ()
+          } else {
+            val uuid = java.util.UUID.randomUUID().toString.take(8)
+            val tag = (if (b >= 0) s"k$b-" else "") + f"u$pid%05d-$uuid"
+            val name = GraftLogNames.publish(GraftLogNames.nextStamp(), i, tag)
+            require(GraftFs.rename(tmp, GraftFs.child(path, name)),
+              s"delta commit failed to publish $tmp -> $name")
+            data += GraftLiveFile(name, None)
+          }
         }
       case (other, _) =>
-        throw new IllegalStateException(s"unexpected delete commit message $other")
+        throw new IllegalStateException(s"unexpected delta commit message $other")
     }
-    // manifest swap makes the deletes visible atomically; data files are
-    // untouched — that absence of rewrite IS the merge-on-read property.
-    // A DELETE matching nothing publishes nothing and swaps nothing.
-    val pub = published.result()
-    if (pub.nonEmpty) GraftSnapshotIO.write(path, snap.addDeletes(pub))
+    // ONE manifest swap makes the deletes and the replacement rows
+    // visible together — a reader sees the pre-command or post-command
+    // table, never an updated row present twice or absent. Original data
+    // files are untouched: that absence of rewrite IS merge-on-read.
+    // A command matching nothing publishes nothing and swaps nothing.
+    val d = dels.result(); val f = data.result()
+    if (d.nonEmpty || f.nonEmpty)
+      GraftSnapshotIO.write(path, snap.addData(f).addDeletes(d))
     ()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogDeleteCommit(tmp, _, _) => GraftFs.delete(tmp); ()
+      case GraftLogDeltaCommit(delTmp, _, dataParts, _) =>
+        GraftFs.delete(delTmp)
+        dataParts.foreach { case (_, tmp) => GraftFs.delete(tmp) }
       case _ => ()
     }
 }
 
-/** Executor-side delta writer: DELETE rows only (this operation never
-  * serves UPDATE/MERGE — see [[GraftLogDeltaOperation]] scope note). */
-private class GraftLogPositionDeleteWriter(path: String, partitionId: Int)
-    extends DeltaWriter[InternalRow] {
-  private val tmp = s"$path/.gd-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
+/** Executor-side delta writer: position deletes to one text tmp, insert
+  * rows to per-bucket data tmps (the same record codec as the plain
+  * writers, so the layout and schema-evolution tail are uniform).
+  * `update` never arrives — the operation represents updates as
+  * delete + reinsert, and reinsert's default delegates to insert. */
+private class GraftLogDeltaWriter(path: String, partitionId: Int,
+    bucket: Option[GraftLogBucketSpec],
+    extra: Array[StructField]) extends DeltaWriter[InternalRow] {
+  private val delTmp = s"$path/.gd-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
   GraftFs.mkdirs(path)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    GraftFs.createData(tmp), java.nio.charset.StandardCharsets.UTF_8))
+    GraftFs.createData(delTmp), java.nio.charset.StandardCharsets.UTF_8))
   private val covered = scala.collection.mutable.LinkedHashSet.empty[String]
+  // insert-side data tmps, keyed by bucket (-1 = plain), opened lazily
+  private val dataOuts = new java.util.HashMap[Int, (String, DataOutputStream)]()
+  private def dataOut(b: Int): DataOutputStream = {
+    var e = dataOuts.get(b)
+    if (e == null) {
+      val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
+      e = (tmp, GraftFs.createData(tmp))
+      dataOuts.put(b, e)
+    }
+    e._2
+  }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     // rowId projection order = rowId(): (_file absolute path, _pos)
@@ -756,16 +822,28 @@ private class GraftLogPositionDeleteWriter(path: String, partitionId: Int)
     covered += name
   }
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new IllegalStateException("graftlog delta operation serves DELETE only")
-  override def insert(row: InternalRow): Unit =
-    throw new IllegalStateException("graftlog delta operation serves DELETE only")
+    throw new IllegalStateException(
+      "graftlog represents updates as delete+reinsert (representUpdateAsDeleteAndInsert)")
+  override def insert(row: InternalRow): Unit = {
+    val b = bucket.map(bs => bs.bucketOf(row.getLong(bs.ord))).getOrElse(-1)
+    GraftLog.encodeRecord(dataOut(b), row, extra)
+  }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftLogDeleteCommit(tmp, covered.toSeq, partitionId)
+    dataOuts.forEach((_, e) => e._2.close())
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    dataOuts.forEach((b, e) => parts += ((b, e._1)))
+    GraftLogDeltaCommit(delTmp, covered.toSeq, parts.sortBy(_._1).toSeq, partitionId)
   }
-  override def abort(): Unit = { out.close(); GraftFs.delete(tmp); () }
-  override def close(): Unit = out.close()
+  override def abort(): Unit = {
+    out.close(); GraftFs.delete(delTmp)
+    dataOuts.forEach((_, e) => { e._2.close(); GraftFs.delete(e._1); () })
+  }
+  override def close(): Unit = {
+    out.close()
+    dataOuts.forEach((_, e) => e._2.close())
+  }
 }
 
 private class GraftLogWriterFactory(path: String,

@@ -418,6 +418,63 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(dataNames().isEmpty && spark.table("graft.mor_t").count() == 0)
   }
 
+  test("merge-on-read UPDATE/MERGE: originals untouched, replacements appended bucket-routed, one atomic swap") {
+    spark.sql("DROP TABLE IF EXISTS graft.morw_t")
+    spark.sql("CREATE TABLE graft.morw_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "PARTITIONED BY (bucket(4, user_id)) " +
+      "TBLPROPERTIES ('update.mode'='merge-on-read', 'merge.mode'='merge-on-read')")
+    events.writeTo("graft.morw_t").append()
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "morw_t")
+    def dataNames() = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(_.getName).toSet
+    def delNames() = dir.listFiles().filter(_.getName.endsWith(".graftdel"))
+      .map(_.getName).toSet
+    val before = dataNames()
+    // UPDATE: every original file survives byte-identical; replacements
+    // land in NEW files; read-back composes deletes + replacements
+    spark.sql("UPDATE graft.morw_t SET value = value + 1000 WHERE event_type = 'signup'")
+    assert(before.subsetOf(dataNames()),
+      "a merge-on-read UPDATE moved original data files")
+    val added = dataNames() -- before
+    assert(added.nonEmpty && delNames().nonEmpty,
+      s"expected appended replacement files + delete files, got +$added ${delNames()}")
+    // bucket routing: appended files carry k-tokens and key purity holds
+    added.foreach { n =>
+      val tok = graft.sources.GraftLog.testBucketOf(n)
+      assert(tok >= 0 && tok < 4, s"replacement file lost its bucket token: $n")
+    }
+    val expect = events.withColumn("value",
+      when(col("event_type") === "signup", col("value") + 1000).otherwise(col("value")))
+    assert(spark.table("graft.morw_t").orderBy("event_id").collect()
+      .sameElements(expect.orderBy("event_id").collect()))
+    // metadata sanity: per-bucket purity via _bucket over everything
+    assert(spark.table("graft.morw_t")
+      .filter(col("_bucket") =!= pmod(col("user_id"), lit(4)).cast("int"))
+      .count() == 0)
+    // MERGE: matched rows delete+reinsert, unmatched insert; still no
+    // original motion
+    val preMerge = dataNames()
+    events.limit(50).withColumn("event_id", col("event_id") + 5000000L)
+      .withColumn("event_type", lit("upserted"))
+      .createOrReplaceTempView("morw_src")
+    spark.sql("""MERGE INTO graft.morw_t t USING morw_src s
+      ON t.event_id = s.event_id
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(preMerge.subsetOf(dataNames()),
+      "a merge-on-read MERGE moved original data files")
+    assert(spark.table("graft.morw_t")
+      .filter(col("event_type") === "upserted").count() == 50)
+    // compaction absorbs the whole delta state
+    spark.sql("CALL graft.system.compact(table => 'morw_t', target_mb => 64)").collect()
+    assert(delNames().isEmpty, "compaction left absorbed delete files behind")
+    assert(spark.table("graft.morw_t").count() == events.count() + 50)
+    assert(spark.table("graft.morw_t")
+      .filter(col("event_type") === "signup" && col("value") <= 1000).count() == 0,
+      "compaction resurrected pre-update rows")
+  }
+
   test("schema evolution: ADD COLUMN null-fills old records, carries new ones, declines unsafe changes") {
     spark.sql("DROP TABLE IF EXISTS graft.evo_t")
     spark.sql("CREATE TABLE graft.evo_t (event_id BIGINT, user_id BIGINT, " +
