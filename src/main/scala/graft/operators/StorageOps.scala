@@ -892,6 +892,39 @@ object StorageOps extends QueryModule {
       |WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Snapshot retention under the oracle gate (round 16): on a
+  // `snapshot.retain = true` table, rewrites keep the replaced files on
+  // disk (still referenced by the retained manifests), so VERSION AS OF
+  // stays readable ACROSS a row-level DELETE — the full pre-delete table,
+  // deleted rows included, from a stamp. This is the Iceberg
+  // expire_snapshots retention model: history survives until `CALL
+  // system.expire` passes its horizon (GraftCatalogSpec pins the GC and
+  // the post-GC loud failure). The oracle is the whole events table —
+  // the CURRENT read (survivors only) would fail the hash, so the query
+  // proves the historical read really bypasses the delete.
+  // ------------------------------------------------------------------
+  def dsv2AsOfRetained(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.ret_ev")
+    s.sql("CREATE TABLE graftq.ret_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain' = 'true')")
+    val landing = new java.io.File(catalogWarehouse, "ret_ev").getPath
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .writeTo("graftq.ret_ev").append()
+    val t = graft.sources.GraftLog.testLatestSnapshotStamp(landing)
+    s.sql("DELETE FROM graftq.ret_ev WHERE event_type = 'click'")
+    s.sql(s"SELECT event_id, user_id, value, event_type " +
+      s"FROM graftq.ret_ev VERSION AS OF '$t' ORDER BY event_id")
+  }
+
+  val dsv2AsOfRetainedSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, OFFSET pushdown (round 15): the SPI has no partial
   // variant, so the source claims OFFSET fully by collapsing the scan to
   // ONE sequential partition chaining files in publish order and skipping
@@ -1155,6 +1188,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_since_compact" -> (dsv2SinceCompact _),
     "scan_dsv2_evolved" -> (dsv2Evolved _),
     "scan_dsv2_asof" -> (dsv2AsOf _),
+    "scan_dsv2_asof_retained" -> (dsv2AsOfRetained _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "update_dsv2_mor" -> (dsv2UpdateMor _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
@@ -1188,6 +1222,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_since_compact" -> dsv2SinceCompactSql,
     "scan_dsv2_evolved" -> dsv2EvolvedSql,
     "scan_dsv2_asof" -> dsv2AsOfSql,
+    "scan_dsv2_asof_retained" -> dsv2AsOfRetainedSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "update_dsv2_mor" -> dsv2UpdateMorSql,
     "merge_dsv2_mor" -> dsv2MergeMorSql,

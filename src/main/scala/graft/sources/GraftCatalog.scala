@@ -83,7 +83,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   private def writeMeta(dir: String, bucket: Option[GraftLogBucketSpec],
-      modes: GraftLogModes,
+      modes: GraftLogModes, retain: Boolean,
       extra: Array[org.apache.spark.sql.types.StructField] = Array.empty): Unit = {
     val fields = bucket.map(b =>
         s""""bucket_col":"${b.col}","num_buckets":${b.n}""").toSeq ++
@@ -93,6 +93,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         Seq(s""""update_mode":"${modes.update}"""") else Nil) ++
       (if (modes.merge != GraftLog.COPY_ON_WRITE)
         Seq(s""""merge_mode":"${modes.merge}"""") else Nil) ++
+      (if (retain) Seq(""""snapshot_retain":true""") else Nil) ++
       (if (extra.nonEmpty)
         Seq(s""""extra_cols":[${extra.map(f =>
           s"""["${f.name}","${typeName(f.dataType)}"]""").mkString(",")}]""")
@@ -104,16 +105,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     * a strict match keeps foreign/corrupt metadata loud instead of
     * silently unbucketed. */
   private def readMeta(dir: String): (Option[GraftLogBucketSpec], GraftLogModes,
-      Array[org.apache.spark.sql.types.StructField]) = {
+      Boolean, Array[org.apache.spark.sql.types.StructField]) = {
     val text = GraftFs.readString(metaFile(dir)).trim
     val re = ("""\{(?:"bucket_col":"(event_id|user_id)","num_buckets":(\d+))?""" +
       """,?(?:"delete_mode":"(merge-on-read)")?""" +
       """,?(?:"update_mode":"(merge-on-read)")?""" +
       """,?(?:"merge_mode":"(merge-on-read)")?""" +
+      """,?(?:"snapshot_retain":(true))?""" +
       """,?(?:"extra_cols":\[((?:\["[A-Za-z0-9_]+","(?:bigint|double|string)"\],?)*)\])?\}""").r
     val colRe = """\["([A-Za-z0-9_]+)","(bigint|double|string)"\]""".r
     text match {
-      case re(col, n, dMode, uMode, mMode, extras) =>
+      case re(col, n, dMode, uMode, mMode, retain, extras) =>
         val bucket = Option(col).map(c =>
           GraftLogBucketSpec(GraftLog.ordinal(c), n.toInt))
         val extra = Option(extras).map(s => colRe.findAllMatchIn(s).map(m =>
@@ -124,7 +126,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           Option(dMode).getOrElse(GraftLog.COPY_ON_WRITE),
           Option(uMode).getOrElse(GraftLog.COPY_ON_WRITE),
           Option(mMode).getOrElse(GraftLog.COPY_ON_WRITE))
-        (bucket, modes, extra)
+        (bucket, modes, retain != null, extra)
       case other => throw new IllegalStateException(
         s"unreadable graft table metadata in $dir: $other")
     }
@@ -144,8 +146,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, modes, extra) = readMeta(dir)
-    new GraftLogTable(dir, bucket, modes, extra)
+    val (bucket, modes, retain, extra) = readMeta(dir)
+    new GraftLogTable(dir, bucket, modes, extra, None, retain)
   }
 
   // ---- time travel (round 16): `SELECT ... FROM t VERSION AS OF '<stamp>'`
@@ -171,8 +173,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     require(stamp >= 0, s"AS OF stamp must be >= 0, got $stamp")
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, modes, extra) = readMeta(dir)
-    new GraftLogTable(dir, bucket, modes, extra, Some(stamp))
+    val (bucket, modes, retain, extra) = readMeta(dir)
+    new GraftLogTable(dir, bucket, modes, extra, Some(stamp), retain)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -216,11 +218,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     }
     val modes = GraftLogModes(
       mode("delete.mode"), mode("update.mode"), mode("merge.mode"))
+    // `snapshot.retain = true` (round 16): rewrites/compaction/truncate
+    // keep retired files on disk so VERSION AS OF stays readable across
+    // them; expire's stamp horizon is the GC. Default false = eager unlink.
+    val retain = Option(properties.get("snapshot.retain")) match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"snapshot.retain must be true or false, got '$other'")
+    }
     val dir = tableDir(ident)
     require(GraftFs.mkdirs(dir) || GraftFs.exists(dir),
       s"cannot create table directory $dir")
-    writeMeta(dir, bucket, modes)
-    new GraftLogTable(dir, bucket, modes)
+    writeMeta(dir, bucket, modes, retain)
+    new GraftLogTable(dir, bucket, modes, Array.empty, None, retain)
   }
 
   /** Schema evolution (round 16, closing `alterTable` throwing — the r15
@@ -239,7 +251,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, modes, extra0) = readMeta(dir)
+    val (bucket, modes, retain, extra0) = readMeta(dir)
     var extra = extra0
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -264,8 +276,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         s"graft tables support ADD COLUMN only; got $other " +
           "(drops/renames/type changes would re-interpret bytes already on disk)")
     }
-    writeMeta(dir, bucket, modes, extra)
-    new GraftLogTable(dir, bucket, modes, extra)
+    writeMeta(dir, bucket, modes, retain, extra)
+    new GraftLogTable(dir, bucket, modes, extra, None, retain)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -294,18 +306,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   // ---- ProcedureCatalog: table maintenance as SQL CALL ----
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "expire"))
+    Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "expire"),
+      Identifier.of(namespace, "expire_snapshots"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name() match {
     case "compact" => new GraftCompactProcedure(this)
     case "expire" => new GraftExpireProcedure(this)
+    case "expire_snapshots" => new GraftExpireSnapshotsProcedure(this)
     case other => throw new IllegalArgumentException(
       s"no such procedure ${(ident.namespace() :+ other).mkString(".")} " +
-        "in the graft catalog (available: compact, expire)")
+        "in the graft catalog (available: compact, expire, expire_snapshots)")
   }
 
   /** Resolve a table name (optionally namespaced with dots) used as a
     * procedure argument to its landing directory. */
+  /** Whether a resolved landing retains snapshots (compact procedure). */
+  private[sources] def retainOf(dir: String): Boolean = readMeta(dir)._3
+
   private[sources] def resolveTableDir(table: String): String = {
     val parts = table.split('.')
     val ident = Identifier.of(parts.dropRight(1), parts.last)
@@ -358,6 +375,47 @@ private class GraftExpireProcedure(cat: GraftCatalog)
   }
 }
 
+/** `CALL <catalog>.system.expire_snapshots(table => '...', before_stamp
+  * => <ms>)` — snapshot-history GC, the complement of `expire`'s DATA
+  * horizon (see [[GraftLog.expireSnapshots]]): superseded manifests below
+  * the horizon go, then every stamped file referenced by no remaining
+  * manifest. Current data is untouched by construction — the operation a
+  * `snapshot.retain = true` table runs periodically to shed rewrite and
+  * compaction history. Returns one summary row. */
+private class GraftExpireSnapshotsProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "delete a graftlog table's superseded snapshot manifests below a stamp horizon + unreferenced files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name within this catalog").build(),
+    ProcedureParameter.in("before_stamp", LongType)
+      .comment("delete superseded manifests stamped before this epoch-millis horizon").build())
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val beforeStamp = input.getLong(1)
+    val (manifests, files, bytes) = GraftLog.expireSnapshots(
+      cat.resolveTableDir(table), beforeStamp)
+    val summary: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("manifests_deleted", IntegerType, nullable = false),
+        StructField("files_deleted", IntegerType, nullable = false),
+        StructField("bytes_deleted", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](manifests, files, bytes)))
+    }
+    java.util.List.of(summary).iterator()
+  }
+}
+
 /** `CALL <catalog>.system.compact(table => '...', target_mb => 64)` —
   * small-file maintenance over a graftlog table, the V2 procedure SPI
   * wrapping [[GraftLog.compact]] (see there for the merge strategy and
@@ -386,7 +444,8 @@ private class GraftCompactProcedure(cat: GraftCatalog)
     require(targetMb > 0, s"target_mb must be positive, got $targetMb")
     val dir = cat.resolveTableDir(table)
     val (before, after, bytes) = GraftLog.compact(
-      org.apache.spark.sql.SparkSession.active, dir, targetMb.toLong << 20)
+      org.apache.spark.sql.SparkSession.active, dir, targetMb.toLong << 20,
+      cat.retainOf(dir))
     val summary: Scan = new LocalScan {
       override def readSchema(): StructType = StructType(Seq(
         StructField("files_before", IntegerType, nullable = false),

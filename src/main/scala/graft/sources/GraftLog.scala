@@ -166,7 +166,8 @@ private[sources] class GraftLogTable(path: String,
     bucket: Option[GraftLogBucketSpec] = None,
     modes: GraftLogModes = GraftLogModes(),
     extra: Array[StructField] = Array.empty,
-    asOf: Option[Long] = None) extends Table
+    asOf: Option[Long] = None,
+    retain: Boolean = false) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with SupportsDeleteV2 {
   // Time travel (round 16): a table pinned AS OF a stamp reads the
@@ -211,7 +212,7 @@ private[sources] class GraftLogTable(path: String,
     () =>
       if (modes.of(info.command()) == GraftLog.MERGE_ON_READ)
         new GraftLogDeltaOperation(path, bucket, extra, info.command())
-      else new GraftLogRewriteOperation(path, bucket, info.command(), extra)
+      else new GraftLogRewriteOperation(path, bucket, info.command(), extra, retain)
   }
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
     predicates.forall(_.isInstanceOf[AlwaysTrue])
@@ -221,12 +222,15 @@ private[sources] class GraftLogTable(path: String,
       s"metadata-only delete unsupported for [${predicates.mkString(", ")}]")
     // empty manifest FIRST (readers flip atomically to the empty table),
     // then physical unlink of data + position-delete files, garbage
-    // included (a truncate is the one commit allowed to clear leftovers)
+    // included (a truncate is the one commit allowed to clear leftovers).
+    // A snapshot-retaining table keeps the files: the pre-truncate
+    // snapshot stays readable until expire's stamp-horizon GC.
     GraftSnapshotIO.write(path, GraftSnapshot(Vector.empty, Map.empty))
-    GraftFs.listNames(path)
-      .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
-      .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-        s"truncate failed to delete $path/$n"))
+    if (!retain)
+      GraftFs.listNames(path)
+        .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
+        .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+          s"truncate failed to delete $path/$n"))
   }
   override def partitioning(): Array[Transform] =
     bucket.map(b => Expressions.bucket(b.n, b.col): Transform).toArray
@@ -485,7 +489,8 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
 private class GraftLogRewriteOperation(path: String,
     private[sources] val bucket: Option[GraftLogBucketSpec],
     cmd: RowLevelOperation.Command,
-    private[sources] val extra: Array[StructField] = Array.empty) extends RowLevelOperation {
+    private[sources] val extra: Array[StructField] = Array.empty,
+    private[sources] val retain: Boolean = false) extends RowLevelOperation {
 
   /** Runtime group-filter file set, recorded by the rewrite scan's
     * filter() (driver-side; the commit re-derives the replace set from
@@ -645,9 +650,15 @@ private class GraftLogReplaceDataBatchWrite(path: String,
     if (replaced.nonEmpty || pub.nonEmpty)
       GraftSnapshotIO.write(path,
         kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
-    replaced.foreach(f => require(GraftFs.delete(f),
-      s"replace-data commit failed to delete $f"))
-    deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    // snapshot retention (round 16): a retaining table keeps the replaced
+    // originals (and their now-uncovered delete files) on disk — still
+    // referenced by RETAINED manifests, so VERSION AS OF stays readable
+    // across the rewrite; expire's stamp-horizon pass is the GC
+    if (!op.retain) {
+      replaced.foreach(f => require(GraftFs.delete(f),
+        s"replace-data commit failed to delete $f"))
+      deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -2504,7 +2515,7 @@ object GraftLog {
     *
     * @return (files before, files after, bytes rewritten) */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long): (Int, Int, Long) = {
+      targetBytes: Long, retainSnapshots: Boolean = false): (Int, Int, Long) = {
     require(targetBytes > 0, s"compact targetBytes must be positive, got $targetBytes")
     val snap = GraftSnapshotIO.resolve(path)
     // per-input plan: absolute path, on-disk size, origin-stamp segments,
@@ -2614,9 +2625,13 @@ object GraftLog {
     val inputNames = merged.flatMap(_._3).toSet
     val (kept, deadDels) = snap.removeData(inputNames)
     GraftSnapshotIO.write(path, kept.addData(outs))
-    inputNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-      s"compact failed to delete $n"))
-    deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    // a snapshot-retaining landing keeps the merged inputs readable for
+    // time travel; expire's stamp-horizon pass is the GC
+    if (!retainSnapshots) {
+      inputNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+        s"compact failed to delete $n"))
+      deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    }
     val bytes = merged.map(_._5).sum
     (snap.files.length, snap.files.length - inputNames.size + outs.length, bytes)
   }
@@ -2693,6 +2708,44 @@ object GraftLog {
       require(GraftFs.delete(GraftFs.child(path, n)),
         s"expire failed to delete orphan $path/$n") }
     (victims.length, bytes, orphans.length)
+  }
+
+  /** Snapshot GC (round 16; `CALL system.expire_snapshots`) — the
+    * history-pruning HALF of retention, distinct from [[expire]]'s DATA
+    * horizon: deletes superseded manifests stamped below `beforeStamp`
+    * (the newest always survives — it IS the table) and then unlinks
+    * every STAMPED data/position-delete file referenced by NO remaining
+    * manifest. Current data is untouched by construction (the newest
+    * manifest references it), so a snapshot-retaining table can shed
+    * history without moving its live rows — Iceberg's expire_snapshots
+    * shape. Unstamped (foreign) files are never GC'd: they have no
+    * commit protocol, so "unreferenced" proves nothing about them.
+    * Single-writer: this IS a writer (same contract as compact/expire).
+    *
+    * @return (manifests deleted, files deleted, bytes deleted) */
+  def expireSnapshots(path: String, beforeStamp: Long): (Int, Int, Long) = {
+    require(beforeStamp >= 0, s"expireSnapshots beforeStamp must be >= 0, got $beforeStamp")
+    val all = GraftFs.listEntries(path) // (name, bytes, mtime)
+    val manifests = all.map(_._1).filter(_.endsWith(GraftSnapshotIO.EXT)).sorted
+    val victims = manifests.dropRight(1)
+      .filter(m => GraftSnapshotIO.manifestStamp(m) < beforeStamp)
+    victims.foreach(m => require(GraftFs.delete(GraftFs.child(path, m)),
+      s"expire_snapshots failed to delete manifest $path/$m"))
+    val remaining = manifests.filterNot(victims.contains)
+    val referenced: Set[String] = remaining.flatMap { m =>
+      val s = GraftSnapshotIO.parse(
+        GraftFs.readString(GraftFs.child(path, m)), s"$path/$m")
+      s.files.map(_.name) ++ s.deletes.keys
+    }.toSet
+    val garbage = all.filter { case (n, _, _) =>
+      (n.endsWith(".graftlog") || n.endsWith(".graftdel")) &&
+        GraftLogNames.stamp(n) >= 0 && !referenced.contains(n)
+    }
+    val bytes = garbage.map(_._2).sum
+    garbage.foreach { case (n, _, _) =>
+      require(GraftFs.delete(GraftFs.child(path, n)),
+        s"expire_snapshots failed to delete $path/$n") }
+    (victims.length, garbage.length, bytes)
   }
 
   /** The landing's visible log files, sorted (publish-name order) —

@@ -145,12 +145,15 @@ private[sources] object GraftSnapshotIO {
     * VERSION/TIMESTAMP AS OF on the same mechanism. Differences from
     * [[resolve]], both deliberate: no unstamped-file reconciliation
     * (foreign files have no position on the timeline), and a ceiling
-    * BELOW the first manifest resolves to the empty table (that is what
-    * the table held then). Data files of a historical snapshot may have
-    * been unlinked by a later replace/compact/expire — such a read fails
-    * LOUDLY on open (fail-stop; retaining old snapshots' files behind a
-    * retention grace is the stated production extension). A landing with
-    * no manifest at all has no history to travel. */
+    * BELOW the oldest retained manifest fails LOUDLY — it is
+    * indistinguishable from history that `expire_snapshots` already
+    * GC'd, and resolving an expired version to the empty table would be
+    * a silently wrong answer. Data files of a historical snapshot may
+    * themselves have been unlinked (a non-retaining table's
+    * replace/compact, or a passed expire horizon) — such a read fails
+    * LOUDLY on open; `snapshot.retain = true` keeps them until
+    * expire_snapshots. A landing with no manifest at all has no history
+    * to travel. */
   def resolveAsOf(path: String, stampCeiling: Long): GraftSnapshot = {
     val manifests = GraftFs.listNames(path).filter(_.endsWith(EXT)).sorted
     require(manifests.nonEmpty,
@@ -159,7 +162,9 @@ private[sources] object GraftSnapshotIO {
     manifests.filter(m => manifestStamp(m) <= stampCeiling).lastOption match {
       case Some(m) =>
         parse(GraftFs.readString(GraftFs.child(path, m)), s"$path/$m")
-      case None => GraftSnapshot(Vector.empty, Map.empty)
+      case None => throw new IllegalArgumentException(
+        s"no snapshot of $path at or before stamp $stampCeiling " +
+          "(older than the retained history, or before the table existed)")
     }
   }
 

@@ -566,8 +566,10 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     val viaOption = spark.read.format("graftlog")
       .option("asOfStamp", v1.toString).load(dir).orderBy("event_id").collect()
     assert(viaOption.sameElements(asofA))
-    // before the first commit: the empty table, not an error
-    assert(spark.sql("SELECT * FROM graft.tt_t VERSION AS OF '1'").count() == 0)
+    // below the oldest retained manifest: a LOUD error — an expired
+    // version must never silently resolve to the empty table
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt_t VERSION AS OF '1'").collect() }
     // a pinned table rejects writes and row-level commands loudly
     intercept[Exception] {
       spark.sql(s"INSERT INTO graft.tt_t VERSION AS OF '$v1' VALUES (1,1,1.0,'x')") }
@@ -579,5 +581,54 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     intercept[Exception] {
       spark.read.format("graftlog").option("asOfStamp", s"$v1")
         .load(legacy).collect() }
+  }
+
+  test("snapshot retention: history survives rewrites and compaction until expire's horizon GCs it") {
+    spark.sql("DROP TABLE IF EXISTS graft.ret_t")
+    spark.sql("CREATE TABLE graft.ret_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "ret_t")
+    def dataNames() = dir.listFiles().filter(_.getName.endsWith(".graftlog"))
+      .map(_.getName).toSet
+    events.writeTo("graft.ret_t").append()
+    val v1 = graft.sources.GraftLog.testLatestSnapshotStamp(dir.getPath)
+    val origFiles = dataNames()
+    // CoW DELETE on a retaining table: replaced files stay ON DISK
+    spark.sql("DELETE FROM graft.ret_t WHERE event_type = 'click'")
+    assert(origFiles.subsetOf(dataNames()),
+      "a retaining table's rewrite unlinked historical files")
+    val survivors = events.filter(col("event_type") =!= "click")
+    assert(spark.table("graft.ret_t").count() == survivors.count())
+    // full history readable: deleted rows included
+    assert(spark.sql(s"SELECT * FROM graft.ret_t VERSION AS OF '$v1'").count()
+      == events.count(),
+      "VERSION AS OF across a retained rewrite lost rows")
+    // compaction also retains its inputs; history still reads the originals
+    val v2 = graft.sources.GraftLog.testLatestSnapshotStamp(dir.getPath)
+    spark.sql("CALL graft.system.compact(table => 'ret_t', target_mb => 64)").collect()
+    assert(spark.sql(s"SELECT * FROM graft.ret_t VERSION AS OF '$v1'").count()
+      == events.count())
+    assert(spark.sql(s"SELECT * FROM graft.ret_t VERSION AS OF '$v2'").count()
+      == survivors.count())
+    assert(spark.table("graft.ret_t").orderBy("event_id").collect()
+      .sameElements(survivors.orderBy("event_id").collect()))
+    // expire_snapshots is the HISTORY GC (distinct from expire's DATA
+    // horizon, which would also age out the current compacted file's
+    // origin-stamped rows): superseded manifests below the horizon go,
+    // then every stamped file referenced by no remaining manifest —
+    // current data untouched by construction, and the historical read
+    // then fails LOUDLY, never silently partial
+    val horizon = graft.sources.GraftLog.testLatestSnapshotStamp(dir.getPath) + 1
+    val summary = spark.sql(
+      s"CALL graft.system.expire_snapshots(table => 'ret_t', before_stamp => ${horizon}L)").collect()
+    assert(summary.length == 1 && summary(0).getInt(0) > 0 && summary(0).getInt(1) > 0,
+      s"expected manifests + files GC'd, got ${summary.mkString}")
+    assert(spark.table("graft.ret_t").orderBy("event_id").collect()
+      .sameElements(survivors.orderBy("event_id").collect()),
+      "expire_snapshots damaged the current snapshot")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.ret_t VERSION AS OF '$v1'").collect() }
   }
 }
