@@ -15,13 +15,16 @@ package graft.sources
   * chain manifests incrementally; the COMMIT PROTOCOL, which is what the
   * isolation property rests on, is the same).
   *
-  * Residual window, stated not implied: after the manifest swap the
-  * replaced files are physically deleted, so a reader that resolved the
-  * OLD manifest and opens its files after the delete pass fails LOUDLY
-  * (FileNotFound) — fail-stop, never wrong results. Retaining N old
-  * snapshots' files behind a retention grace (Iceberg's
-  * expire_snapshots) is the production extension; old MANIFESTS are
-  * already retained and expired on the stamp horizon.
+  * Residual window on NON-retaining tables, stated not implied: after
+  * the manifest swap the replaced files are physically deleted, so a
+  * reader that resolved the OLD manifest and opens its files after the
+  * delete pass fails LOUDLY (FileNotFound) — fail-stop, never wrong
+  * results. `snapshot.retain = true` tables close it entirely: retired
+  * files stay on disk (old manifests keep referencing them, and
+  * [[resolveAsOf]] keeps reading them) until `CALL
+  * system.expire_snapshots` GCs the history — Iceberg's retention
+  * model. Old MANIFESTS are retained on both kinds of table and expired
+  * on the stamp horizon.
   *
   * Manifest format (text, one record per line):
   * {{{
