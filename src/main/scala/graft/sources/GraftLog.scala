@@ -269,7 +269,7 @@ private[sources] class GraftLogTable(path: String,
       }))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("a write")
-    new GraftLogWriteBuilder(path, info, bucket, extra)
+    new GraftLogWriteBuilder(path, info, bucket, extra, retain)
   }
 }
 
@@ -293,7 +293,8 @@ private[sources] class GraftLogTable(path: String,
   * contract as Spark's own file sink). */
 private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
     bucket: Option[GraftLogBucketSpec],
-    extra: Array[StructField] = Array.empty) extends WriteBuilder with SupportsTruncate {
+    extra: Array[StructField] = Array.empty,
+    retain: Boolean = false) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
@@ -320,14 +321,16 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(Expressions.column(b.col)))
           override def requiredOrdering(): Array[SortOrder] = Array.empty
-          override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate, Some(b), extra)
+          override def toBatch: BatchWrite =
+            new GraftLogBatchWrite(path, doTruncate, Some(b), extra, retain)
           override def toStreaming: StreamingWrite =
             throw new UnsupportedOperationException(
               "bucketed graftlog tables are a batch-join layout; stream into a plain landing")
         }
       case None =>
         new Write {
-          override def toBatch: BatchWrite = new GraftLogBatchWrite(path, doTruncate, None, extra)
+          override def toBatch: BatchWrite =
+            new GraftLogBatchWrite(path, doTruncate, None, extra, retain)
           override def toStreaming: StreamingWrite =
             // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
             // through SupportsTruncate.truncate() — ignoring the flag here
@@ -348,7 +351,8 @@ private case class GraftLogBucketedCommit(parts: Seq[(Int, String)],
 
 private class GraftLogBatchWrite(path: String, truncate: Boolean,
     bucket: Option[GraftLogBucketSpec],
-    extra: Array[StructField] = Array.empty) extends BatchWrite {
+    extra: Array[StructField] = Array.empty,
+    retain: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftFs.mkdirs(path)
     new GraftLogWriterFactory(path, bucket, extra)
@@ -376,8 +380,11 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
     if (truncate || pub.nonEmpty)
       GraftSnapshotIO.write(path,
         base.addData(pub.map(GraftLiveFile(_, None)).toVector))
-    victims.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-      s"truncate failed to delete $path/$n"))
+    // a snapshot-retaining table's OVERWRITE keeps the pre-overwrite
+    // files readable via VERSION AS OF; expire_snapshots is the GC
+    if (!retain)
+      victims.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+        s"truncate failed to delete $path/$n"))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

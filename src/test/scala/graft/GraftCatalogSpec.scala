@@ -630,5 +630,17 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       "expire_snapshots damaged the current snapshot")
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft.ret_t VERSION AS OF '$v1'").collect() }
+    // INSERT OVERWRITE on a retaining table also keeps its pre-overwrite
+    // history readable (the batch truncate path honors retention too)
+    val v3 = graft.sources.GraftLog.testLatestSnapshotStamp(dir.getPath)
+    val filesBeforeOw = dataNames()
+    events.limit(100).createOrReplaceTempView("ret_ow_src")
+    spark.sql("INSERT OVERWRITE graft.ret_t SELECT * FROM ret_ow_src")
+    assert(spark.table("graft.ret_t").count() == 100)
+    assert(filesBeforeOw.subsetOf(dataNames()),
+      "a retaining table's OVERWRITE unlinked historical files")
+    assert(spark.sql(s"SELECT * FROM graft.ret_t VERSION AS OF '$v3'").count()
+      == survivors.count(),
+      "VERSION AS OF across a retained OVERWRITE lost the pre-overwrite table")
   }
 }
