@@ -98,7 +98,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         Seq(s""""extra_cols":[${extra.map(f =>
           s"""["${f.name}","${typeName(f.dataType)}"]""").mkString(",")}]""")
       else Nil)
-    GraftFs.writeString(metaFile(dir), fields.mkString("{", ",", "}") + "\n")
+    // tmp + rename, the same atomic-swap discipline as the snapshot
+    // manifest (r16 advice): an in-place overwrite crashing mid-ALTER or
+    // mid-CREATE would leave truncated metadata that readMeta rejects
+    // loudly, bricking the table until manual repair
+    val tmp = GraftFs.child(dir,
+      s"._graft_table-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
+    GraftFs.writeString(tmp, fields.mkString("{", ",", "}") + "\n")
+    // local/HDFS rename-over-existing replaces atomically; if a scheme
+    // refuses to clobber, fall back to delete-then-rename (the window is
+    // then fail-stop — readMeta errors on the missing file — never a
+    // torn read)
+    if (!GraftFs.rename(tmp, metaFile(dir))) {
+      GraftFs.delete(metaFile(dir))
+      require(GraftFs.rename(tmp, metaFile(dir)),
+        s"metadata swap failed: $tmp -> ${metaFile(dir)}")
+    }
   }
   /** @return (bucket layout, row-level modes, appended schema-evolution
     * columns) — the known shapes only, written exclusively by writeMeta;

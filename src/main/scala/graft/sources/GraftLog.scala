@@ -337,7 +337,7 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
             // would silently APPEND a full snapshot every epoch); queryId keys
             // the replay cleanup so a new query's epoch 0 cannot delete a
             // previous query's epoch-0 files in a shared landing (r14 review)
-            new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra)
+            new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra, retain)
         }
     }
   }
@@ -409,7 +409,8 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
   * mode (truncate=true) every epoch replaces the whole landing — the
   * snapshot semantics Spark requested via SupportsTruncate. */
 private class GraftLogStreamingWrite(path: String, truncate: Boolean,
-    queryId: String, extra: Array[StructField] = Array.empty) extends StreamingWrite {
+    queryId: String, extra: Array[StructField] = Array.empty,
+    retain: Boolean = false) extends StreamingWrite {
   require(!queryId.contains("\"") && !queryId.contains(",") && !queryId.contains("\\"),
     s"unusable queryId for file naming: $queryId")
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -438,9 +439,20 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     if (victims.nonEmpty || pub.nonEmpty)
       GraftSnapshotIO.write(path,
         kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
-    victims.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-      s"epoch commit failed to delete $path/$n"))
-    deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    // Snapshot retention applies to STREAMING epochs too (r16 advice,
+    // medium): on a retaining table the victims the pre-commit snapshot
+    // referenced stay on disk — retained manifests point at them, so
+    // `VERSION AS OF` across any streamed epoch (including Complete-mode
+    // truncate, which victims every file each epoch) keeps reading.
+    // Unreferenced replayed-epoch garbage — files a crashed attempt
+    // published but never committed, which NO manifest references — is
+    // still unlinked unconditionally: retention retains history, not
+    // garbage.
+    val spare: Set[String] = if (retain) base.fileNames else Set.empty
+    victims.filterNot(spare.contains)
+      .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+        s"epoch commit failed to delete $path/$n"))
+    if (!retain) deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -2701,9 +2713,11 @@ object GraftLog {
       s"expire failed to delete $path/$n"))
     deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
     // superseded manifests below the horizon retire too (the newest is
-    // the live table state and always survives)
+    // the live table state and always survives). Validly-stamped names
+    // only: a foreign `.graftsnap` that sorts last must not displace the
+    // real newest manifest out of the survivor slot (r16 advice).
     val manifests = all.map(_._1)
-      .filter(_.endsWith(GraftSnapshotIO.EXT)).sorted
+      .filter(GraftSnapshotIO.isManifest).sorted
     manifests.dropRight(1).filter(m =>
         GraftSnapshotIO.manifestStamp(m) < beforeStamp)
       .foreach(m => require(GraftFs.delete(GraftFs.child(path, m)),
@@ -2733,7 +2747,14 @@ object GraftLog {
   def expireSnapshots(path: String, beforeStamp: Long): (Int, Int, Long) = {
     require(beforeStamp >= 0, s"expireSnapshots beforeStamp must be >= 0, got $beforeStamp")
     val all = GraftFs.listEntries(path) // (name, bytes, mtime)
-    val manifests = all.map(_._1).filter(_.endsWith(GraftSnapshotIO.EXT)).sorted
+    val manifests = all.map(_._1).filter(GraftSnapshotIO.isManifest).sorted
+    // A manifest-less (legacy) landing has NO snapshot history: nothing is
+    // provably unreferenced, so there is nothing to GC — without this
+    // guard every stamped file would be classified as garbage and the
+    // whole table deleted (r16 advice, high). Mirrors resolveAsOf's
+    // manifests.nonEmpty require; resolve() treats the same landing as
+    // live via the directory listing.
+    if (manifests.isEmpty) return (0, 0, 0L)
     val victims = manifests.dropRight(1)
       .filter(m => GraftSnapshotIO.manifestStamp(m) < beforeStamp)
     victims.foreach(m => require(GraftFs.delete(GraftFs.child(path, m)),

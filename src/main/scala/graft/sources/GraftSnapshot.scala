@@ -109,6 +109,14 @@ private[sources] object GraftSnapshotIO {
       name.substring(5, 18).toLong
     else -1L
 
+  /** A name this connector's commits could have minted: the `.graftsnap`
+    * extension AND a valid stamp token. Every snapshot-pointer selection
+    * goes through this, so a foreign/corrupt `.graftsnap` name (stamp
+    * -1, which passes every ceiling and may sort last, e.g.
+    * `zzz.graftsnap`) can never shadow the real manifest (r16 advice). */
+  private[sources] def isManifest(name: String): Boolean =
+    name.endsWith(EXT) && manifestStamp(name) >= 0
+
   /** Names a manifest can carry without escaping; anything else (exotic
     * foreign names) is left to the reconciliation path forever. */
   private def clean(name: String): Boolean =
@@ -119,14 +127,14 @@ private[sources] object GraftSnapshotIO {
     * stamped at rename time like data publishes, so lexicographic max =
     * latest commit. */
   private[sources] def latestManifest(path: String): Option[String] =
-    GraftFs.listNames(path).filter(_.endsWith(EXT)).sorted.lastOption
+    GraftFs.listNames(path).filter(isManifest).sorted.lastOption
 
   /** Resolve the landing's current snapshot: newest manifest ∪ unstamped
     * directory files, or the plain listing for manifest-less (legacy)
     * landings. One directory list, O(files). */
   def resolve(path: String): GraftSnapshot = {
     val names = GraftFs.listNames(path)
-    names.filter(_.endsWith(EXT)).sorted.lastOption match {
+    names.filter(isManifest).sorted.lastOption match {
       case Some(m) =>
         val snap = parse(GraftFs.readString(GraftFs.child(path, m)), s"$path/$m")
         val foreign = names.filter(n => n.endsWith(".graftlog") &&
@@ -158,7 +166,7 @@ private[sources] object GraftSnapshotIO {
     * expire_snapshots. A landing with no manifest at all has no history
     * to travel. */
   def resolveAsOf(path: String, stampCeiling: Long): GraftSnapshot = {
-    val manifests = GraftFs.listNames(path).filter(_.endsWith(EXT)).sorted
+    val manifests = GraftFs.listNames(path).filter(isManifest).sorted
     require(manifests.nonEmpty,
       s"no snapshot history in $path (manifest-less landing): time travel " +
         "needs at least one committed snapshot")
@@ -262,4 +270,9 @@ private[graft] object GraftSnapshotTestHook {
     GraftSnapshotIO.resolve(path).deletes.keys.toSeq.sorted
   def publishedName(tag: String): String =
     GraftLogNames.publish(GraftLogNames.nextStamp(), 0, tag)
+  /** All retained manifest stamps, oldest first — the version handles a
+    * spec can AS-OF against (testLatestSnapshotStamp gives only the tip). */
+  def manifestStamps(path: String): Seq[Long] =
+    GraftFs.listNames(path).filter(GraftSnapshotIO.isManifest)
+      .sorted.map(GraftSnapshotIO.manifestStamp).toSeq
 }

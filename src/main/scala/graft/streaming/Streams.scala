@@ -260,15 +260,20 @@ object Streams {
     // so the WALK is guarded too, returning the partial sum rather than
     // crashing the measurement (r15 advice; a spurious probe failure, the
     // probe requires stateCkptRatio > 0).
-    def walkSum(): Long = {
+    // Some(sum) = the walk COMPLETED (a legitimately empty tree is
+    // Some(0)); None = the traversal itself lost the race — tracked
+    // separately so "raced" and "sum == 0" cannot be conflated (r16
+    // advice: the old `if (first > 0) first else retry` could return 0
+    // when both passes raced, failing the probe's stateCkptRatio > 0)
+    def walkSum(): Option[Long] = {
       val s = java.nio.file.Files.walk(root)
-      try s.filter(java.nio.file.Files.isRegularFile(_))
+      try Some(s.filter(java.nio.file.Files.isRegularFile(_))
         .mapToLong(p => try java.nio.file.Files.size(p) catch {
           case _: java.io.IOException => 0L // maintenance races are fine
-        }).sum()
+        }).sum())
       catch {
         case e: java.io.UncheckedIOException
-            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => 0L
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => None
       } finally s.close()
     }
     if (subdir.isEmpty && sys.env.contains("GRAFT_CKPT_DUMP")) {
@@ -289,10 +294,14 @@ object Streams {
           println("CKPTDUMP aborted: file deleted mid-walk")
       } finally s.close()
     }
-    // one retry: a walk that lost a race mid-traversal returns 0 from the
-    // guard above; the tree still exists, so a second pass normally lands
-    val first = walkSum()
-    if (first > 0L) first else walkSum()
+    // bounded retry until a walk completes without racing RocksDB
+    // maintenance (purges run every 500 ms under the scale probe; each
+    // pass is milliseconds, so losing 8 in a row means something else is
+    // wrong — return the last partial measurement rather than loop)
+    var attempt = 0
+    var done: Option[Long] = walkSum()
+    while (done.isEmpty && attempt < 8) { attempt += 1; done = walkSum() }
+    done.getOrElse(0L)
   }
 
   /** Drive a streaming DataFrame to completion over a static input dir and

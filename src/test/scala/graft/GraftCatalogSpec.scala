@@ -643,4 +643,101 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       == survivors.count(),
       "VERSION AS OF across a retained OVERWRITE lost the pre-overwrite table")
   }
+
+  test("expire_snapshots on a manifest-less (legacy) landing is a NO-OP, never a table wipe") {
+    // With zero manifests nothing is provably unreferenced — the r16
+    // advice (high): before the guard, every stamped file was classified
+    // as garbage and the first expire_snapshots deleted the entire table.
+    val legacy = Scratch.dir("graft_es_legacy")
+    events.limit(50).repartition(2).write.format("graftlog").mode("append").save(legacy)
+    new java.io.File(legacy).listFiles()
+      .filter(_.getName.endsWith(".graftsnap")).foreach(f => assert(f.delete()))
+    val before = spark.read.format("graftlog").load(legacy).count()
+    assert(before == 50)
+    val (ms, fs, bytes) =
+      graft.sources.GraftLog.expireSnapshots(legacy, Long.MaxValue)
+    assert(ms == 0 && fs == 0 && bytes == 0L,
+      s"manifest-less expire_snapshots must be a no-op, got ($ms, $fs, $bytes)")
+    assert(spark.read.format("graftlog").load(legacy).count() == before,
+      "expire_snapshots deleted data from a manifest-less landing")
+  }
+
+  test("a foreign .graftsnap name never shadows the snapshot pointer") {
+    // manifestStamp = -1 names pass every AS-OF ceiling and can sort last
+    // (r16 advice): selection is restricted to validly-stamped names, so
+    // 'zzz.graftsnap' must be invisible to resolve/resolveAsOf/expire.
+    val landing = Scratch.dir("graft_foreign_snap")
+    events.limit(40).write.format("graftlog").mode("append").save(landing)
+    val v1 = graft.sources.GraftLog.testLatestSnapshotStamp(landing)
+    assert(v1 > 0)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(landing, "zzz.graftsnap"), "not a manifest\n")
+    assert(spark.read.format("graftlog").load(landing).count() == 40,
+      "a foreign manifest name shadowed the live snapshot")
+    assert(graft.sources.GraftLog.testLatestSnapshotStamp(landing) == v1,
+      "the version handle moved on a foreign manifest name")
+    assert(spark.read.format("graftlog").option("asOfStamp", v1.toString)
+      .load(landing).count() == 40,
+      "time travel resolved a foreign manifest name")
+    // maintenance survives it too: expire at horizon 0 must not try to
+    // parse (or delete) the foreign name, and the landing stays intact
+    graft.sources.GraftLog.expire(landing, 0L)
+    assert(spark.read.format("graftlog").load(landing).count() == 40)
+  }
+
+  test("STREAMING epoch commits honor snapshot retention: history survives Complete-mode truncates") {
+    // The r16 advice (medium): the streaming write previously never
+    // received the table's retain flag, so Complete-mode epochs — which
+    // victim every data file — unconditionally unlinked them, leaving
+    // retained manifests pointing at deleted files and breaking VERSION
+    // AS OF across any streamed epoch.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("DROP TABLE IF EXISTS graft.sret_t")
+    spark.sql("CREATE TABLE graft.sret_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "sret_t").getPath
+    val in = Scratch.dir("graft_sret_in")
+    val slice = events.orderBy("event_id").limit(60)
+    // two input files -> two Complete-mode epochs (maxFilesPerTrigger=1),
+    // each truncating the table and publishing the full aggregate
+    slice.filter(col("event_id") % 2 === 0).write.format("graftlog").mode("append").save(in)
+    slice.filter(col("event_id") % 2 === 1).write.format("graftlog").mode("append").save(in)
+    val q = spark.readStream.format("graftlog")
+      .option("maxFilesPerTrigger", "1").load(in)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("event_id"), min(col("user_id")).as("user_id"),
+        max(col("value")).as("value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .writeStream
+      .option("checkpointLocation", Scratch.streamCkptDir("graft_sret_ckpt"))
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.sret_t")
+    q.awaitTermination()
+    val stamps = graft.sources.GraftSnapshotTestHook.manifestStamps(dir)
+    assert(stamps.length >= 2, s"expected one manifest per epoch, got $stamps")
+    // epoch 0 saw only the first input file: AS OF its manifest = the
+    // aggregate of the even slice, still readable AFTER epoch 1's truncate
+    val expectedE0 = slice.filter(col("event_id") % 2 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("event_id"), min(col("user_id")).as("user_id"),
+        max(col("value")).as("value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .orderBy("event_type").collect()
+    val asOfE0 = spark.sql(
+      s"SELECT * FROM graft.sret_t VERSION AS OF '${stamps.head}' ORDER BY event_type").collect()
+    assert(asOfE0.sameElements(expectedE0),
+      "VERSION AS OF the first streamed epoch is unreadable or wrong — " +
+        "the epoch commit unlinked retained files")
+    // the current table is epoch 1's full aggregate
+    val expectedNow = slice.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("event_id"), min(col("user_id")).as("user_id"),
+        max(col("value")).as("value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .orderBy("event_type").collect()
+    assert(spark.table("graft.sret_t").orderBy("event_type").collect()
+      .sameElements(expectedNow))
+  }
 }
