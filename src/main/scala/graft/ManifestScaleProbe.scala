@@ -1,0 +1,74 @@
+package graft
+
+import graft.sources.{GraftSnapshotTestHook => Hook}
+
+/** Round-17 instrument for the r16 verdict's manifest-cost gap ("no
+  * measurement of commit latency vs file count exists yet"): time the
+  * commit protocol against synthetic live sets of 10^3..10^5 files and
+  * report, per file count,
+  *
+  *  - the DELTA commit (the round-17 cost: one R/F line per changed
+  *    file, O(change) bytes),
+  *  - the BASE commit (the r16-equivalent cost every commit used to pay:
+  *    the full live-file list, O(live) bytes — sampled from the
+  *    BASE_EVERY rollover that occurs naturally inside the run),
+  *  - snapshot RESOLUTION (chain walk + fold, what every scan plans
+  *    from).
+  *
+  * No Spark session and no data files: the manifest layer is pure
+  * metadata, which is the point — a 1-row commit on a 10^5-file landing
+  * must not write 10^5 lines. Emits one JSON object to the path in
+  * argv(0) (default MANIFEST_SCALE_r17.json) and a summary line to
+  * stdout. */
+object ManifestScaleProbe {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0 else s(s.length / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("MANIFEST_SCALE_r17.json")
+    val legs = Seq(1000, 10000, 100000).map { n =>
+      val dir = Scratch.dir(s"manifest_scale_$n")
+      Hook.addDataBulk(dir, (0 until n).map(i => Hook.publishedName(f"ms$i%07d")))
+      // 20 single-file commits: 15 deltas, one BASE_EVERY rollover base
+      // (the r16-equivalent full-list write), then deltas again
+      val samples = (0 until 20).map { k =>
+        val t0 = System.nanoTime()
+        Hook.addData(dir, Hook.publishedName(f"probe$k%04d"))
+        (System.nanoTime() - t0) / 1e6
+      }
+      val shapes = Hook.manifestShapes(dir) // (name, seq, isBase, bytes)
+      require(shapes.length == 21, s"expected 21 manifests, got ${shapes.length}")
+      val perCommit = shapes.drop(1).zip(samples) // seq order == commit order
+      val (bases, deltas) = perCommit.partition(_._1._3)
+      require(bases.nonEmpty && deltas.nonEmpty,
+        "probe run produced no base rollover or no deltas — cadence broke")
+      val resolveMs = (0 until 5).map { _ =>
+        val t0 = System.nanoTime()
+        val live = Hook.liveNames(dir)
+        require(live.length == n + 20)
+        (System.nanoTime() - t0) / 1e6
+      }
+      val d = (n,
+        median(deltas.map(_._2)), median(deltas.map(_._1._4.toDouble)),
+        median(bases.map(_._2)), median(bases.map(_._1._4.toDouble)),
+        median(resolveMs))
+      println(f"[manifest-scale] files=$n%7d delta_commit=${d._2}%8.2f ms " +
+        f"(${d._3}%9.0f B)  base_commit=${d._4}%8.2f ms (${d._5}%9.0f B)  " +
+        f"resolve=${d._6}%8.2f ms")
+      d
+    }
+    val json = legs.map { case (n, dMs, dB, bMs, bB, rMs) =>
+      s"""    "$n": {"delta_commit_ms": $dMs, "delta_bytes": ${dB.toLong}, """ +
+        s""""base_commit_ms": $bMs, "base_bytes": ${bB.toLong}, """ +
+        s""""resolve_ms": $rMs}"""
+    }.mkString("{\n  \"protocol\": \"cas+delta-chain (BASE_EVERY=16)\",\n" +
+      "  \"note\": \"base_commit is the r16-equivalent O(live-files) cost; " +
+      "delta_commit is the round-17 O(change) cost\",\n  \"file_counts\": {\n",
+      ",\n", "\n  }\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(outPath), json)
+    println(s"[manifest-scale] wrote $outPath")
+  }
+}

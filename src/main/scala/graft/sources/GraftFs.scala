@@ -95,6 +95,58 @@ private[sources] object GraftFs {
     val p = new Path(src); fsOf(p).rename(p, new Path(dst))
   }
 
+  /** Atomic publish-if-absent — the CAS primitive of the optimistic
+    * commit protocol (round 17): move `src` to `dst`, failing (false)
+    * when `dst` already exists, with the existence check and the publish
+    * being ONE atomic step. POSIX `rename(2)` silently REPLACES an
+    * existing destination and NIO's no-REPLACE move is a stat-then-rename
+    * (TOCTOU), so on local file systems the atomic step is `link(2)` —
+    * hard-link `src` to `dst` (fails `EEXIST` atomically in the kernel)
+    * then unlink `src`. On HDFS-like file systems rename-without-
+    * overwrite is already atomic in the namenode, which is exactly the
+    * primitive Delta Lake's HDFS LogStore commits on. */
+  def renameExclusive(src: String, dst: String): Boolean = {
+    val sp = new Path(src)
+    val fs = fsOf(sp)
+    // RawLocalFileSystem throws on getScheme; the URI always answers
+    if (fs.getUri.getScheme == "file") {
+      val from = java.nio.file.Paths.get(sp.toUri.getPath)
+      val to = java.nio.file.Paths.get(new Path(dst).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(to, from)
+        java.nio.file.Files.deleteIfExists(from)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(sp.toUri, hconf)
+          .rename(sp, new Path(dst)) // Options.Rename.NONE: no overwrite
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
+  }
+
+  /** First line of a file (no trailing newline), reading at most
+    * `maxBytes` — the manifest-header peek: selection walks many
+    * manifests but must not pull a multi-MB base manifest into memory
+    * just to learn its stamp. */
+  def readHeadLine(path: String, maxBytes: Int = 256): String = {
+    val in = openData(path)
+    try {
+      val buf = new Array[Byte](maxBytes)
+      var n = 0
+      var b = in.read()
+      while (b >= 0 && b != '\n' && n < maxBytes) {
+        buf(n) = b.toByte; n += 1; b = in.read()
+      }
+      new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Buffered record-stream reader (the cursor's hot path). */
   def openData(path: String): DataInputStream = {
     val p = new Path(path)

@@ -225,12 +225,15 @@ private[sources] class GraftLogTable(path: String,
     // included (a truncate is the one commit allowed to clear leftovers).
     // A snapshot-retaining table keeps the files: the pre-truncate
     // snapshot stays readable until expire's stamp-horizon GC.
-    GraftSnapshotIO.write(path, GraftSnapshot(Vector.empty, Map.empty))
+    // Optimistic vs concurrent commits (round 17): truncate is last-wins
+    // by definition, so the rebase is unconditional — whatever the final
+    // CAS base holds is what gets emptied.
+    GraftSnapshotIO.commit(path, force = true)(base =>
+      GraftChange(removeData = base.fileNames))
     if (!retain)
       GraftFs.listNames(path)
         .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
-        .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-          s"truncate failed to delete $path/$n"))
+        .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
   }
   override def partitioning(): Array[Transform] =
     bucket.map(b => Expressions.bucket(b.n, b.col): Transform).toArray
@@ -371,20 +374,28 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
         GraftFs.listNames(path)
           .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
       else Array.empty[String]
-    val base =
-      if (truncate) GraftSnapshot(Vector.empty, Map.empty)
-      else GraftSnapshotIO.resolve(path)
     val pub = GraftLogNames.publishAll(path, messages, pid => f"b$pid%05d")
     // no-op appends (zero rows, no truncate) swap no manifest: idempotence
-    // stays file-identical, same discipline as the no-op expire
-    if (truncate || pub.nonEmpty)
-      GraftSnapshotIO.write(path,
-        base.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    // stays file-identical, same discipline as the no-op expire.
+    // Optimistic commit (round 17): an APPEND has no conflictable premise
+    // (its files are brand new), so a lost CAS rebases unconditionally
+    // onto the winner's snapshot — two concurrent appends both land, in
+    // CAS order. An OVERWRITE is last-wins by definition: it empties
+    // whatever the FINAL base holds, including files a concurrent append
+    // committed after our victim listing.
+    val committed = GraftSnapshotIO.commit(path, force = truncate) { base =>
+      GraftChange(
+        addData = pub.map(GraftLiveFile(_, None)).toVector,
+        removeData = if (truncate) base.fileNames else Set.empty)
+    }
     // a snapshot-retaining table's OVERWRITE keeps the pre-overwrite
-    // files readable via VERSION AS OF; expire_snapshots is the GC
-    if (!retain)
-      victims.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-        s"truncate failed to delete $path/$n"))
+    // files readable via VERSION AS OF; expire_snapshots is the GC.
+    // Unlink set = pre-listed victims (directory garbage included) ∪
+    // what the final commit actually removed; no existence require —
+    // a racing truncate may legitimately have unlinked first.
+    if (!retain && truncate)
+      (victims.toSet ++ committed.base.fileNames ++ committed.deadDeletes)
+        .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -426,7 +437,6 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     val victims = GraftFs.listNames(path)
       .filter(n => n.endsWith(".graftlog") &&
         (truncate || n.contains(marker)))
-    val base = GraftSnapshotIO.resolve(path)
     val pub = GraftLogNames.publishAll(path, messages,
       pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
     // swap FIRST, unlink after (the uniform commit discipline): readers
@@ -434,11 +444,15 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // unreferenced garbage (expired on the stamp horizon), never a
     // manifest pointing at deleted files. The victim set was computed
     // BEFORE the publish pass, so the replayed epoch's new files — which
-    // carry the SAME epoch marker — can never enter it.
-    val (kept, deadDels) = base.removeData(victims.toSet)
-    if (victims.nonEmpty || pub.nonEmpty)
-      GraftSnapshotIO.write(path,
-        kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    // carry the SAME epoch marker — can never enter it. Optimistic
+    // commit (round 17): an epoch is an append plus the replacement of
+    // its OWN earlier files — no premise a concurrent batch commit can
+    // break — so a lost CAS rebases unconditionally.
+    val committed = GraftSnapshotIO.commit(path) { base =>
+      GraftChange(
+        addData = pub.map(GraftLiveFile(_, None)).toVector,
+        removeData = victims.toSet.intersect(base.fileNames))
+    }
     // Snapshot retention applies to STREAMING epochs too (r16 advice,
     // medium): on a retaining table the victims the pre-commit snapshot
     // referenced stay on disk — retained manifests point at them, so
@@ -448,11 +462,12 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // published but never committed, which NO manifest references — is
     // still unlinked unconditionally: retention retains history, not
     // garbage.
-    val spare: Set[String] = if (retain) base.fileNames else Set.empty
+    val spare: Set[String] = if (retain) committed.base.fileNames else Set.empty
     victims.filterNot(spare.contains)
       .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
         s"epoch commit failed to delete $path/$n"))
-    if (!retain) deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    if (!retain)
+      committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -525,11 +540,21 @@ private class GraftLogRewriteOperation(path: String,
     * scans the ORIGINAL table), so there is no second writer. */
   @volatile private[sources] var groupFilters: Array[Filter] = Array.empty
 
+  /** The rewrite scan's PREMISE, recorded at plan time (round 17): the
+    * file set it read and each file's position-delete coverage. The
+    * survivors the write lands were computed from exactly these bytes, so
+    * the commit re-validates the premise against its freshly-resolved
+    * base — a concurrent commit that rewrote/compacted one of these files
+    * or stacked a new position delete on it invalidates the rewrite, and
+    * the command fails LOUDLY ([[GraftConflictException]]) instead of
+    * resurrecting deleted rows or losing concurrent changes. */
+  @volatile private[sources] var scanned: Option[(Set[String], Map[String, Seq[String]])] = None
+
   /** The group-selection formula, shared verbatim by the rewrite scan's
     * planInputPartitions and the replace commit — both sides apply it to
-    * a snapshot they resolve themselves (identical under the landing's
-    * single-writer contract; the commit's resolution additionally feeds
-    * its manifest swap). */
+    * a snapshot they resolve themselves (identical when no concurrent
+    * commit intervenes; the `scanned` premise check is what catches one
+    * that does). */
   private[sources] def selectedFilesFrom(snap: GraftSnapshot): Array[String] = {
     val files = snap.files.map(f => GraftFs.child(path, f.name)).toArray
     val staticSet = bucket.flatMap(b => GraftLog.prunedBuckets(b, groupFilters)) match {
@@ -542,8 +567,13 @@ private class GraftLogRewriteOperation(path: String,
       case None => staticSet
     }
   }
-  private[sources] def selectedFiles(): Array[String] =
-    selectedFilesFrom(GraftSnapshotIO.resolve(path))
+  private[sources] def selectedFiles(): Array[String] = {
+    val snap = GraftSnapshotIO.resolve(path)
+    val sel = selectedFilesFrom(snap)
+    val names = sel.map(GraftFs.nameOf).toSet
+    scanned = Some((names, names.toSeq.map(n => n -> snap.deletesFor(n)).toMap))
+    sel
+  }
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftLogRewrite($cmd, $path)"
@@ -655,28 +685,46 @@ private class GraftLogReplaceDataBatchWrite(path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftLogWriterFactory(path, bucket, op.extra)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // the scan's exact group-selection formula, evaluated BEFORE the
-    // survivors publish so the new files can never enter the replace set
-    val snap = GraftSnapshotIO.resolve(path)
-    val replaced = op.selectedFilesFrom(snap)
-    val replacedNames = replaced.map(GraftFs.nameOf).toSet
     val pub = GraftLogNames.publishAll(path, messages, pid => f"d$pid%05d")
     // manifest swap FIRST, physical deletes after: readers flip from the
     // old file set to the new one at the rename; the replaced files (and
     // any position-delete files now covering nothing) are dead to every
-    // resolver before they are unlinked
-    val (kept, deadDels) = snap.removeData(replacedNames)
-    if (replaced.nonEmpty || pub.nonEmpty)
-      GraftSnapshotIO.write(path,
-        kept.addData(pub.map(GraftLiveFile(_, None)).toVector))
+    // resolver before they are unlinked. Optimistic commit (round 17):
+    // the survivors were computed from the files the SCAN read, so the
+    // premise check rejects any base where that set changed — a
+    // concurrent compact/rewrite of a replaced file (survivors would
+    // resurrect its pre-change rows) or a new position delete on one
+    // (the takedown would be silently undone by our rewrite).
+    val committed = GraftSnapshotIO.commit(path) { base =>
+      val replacedNames = op.selectedFilesFrom(base).map(GraftFs.nameOf).toSet
+      op.scanned.foreach { case (names, dels) =>
+        if (replacedNames != names)
+          throw new GraftConflictException(
+            s"concurrent commit changed the rewrite's file set on $path: " +
+              s"scanned ${names.size} files, commit-time selection has " +
+              s"${replacedNames.size} — retry the command")
+        names.foreach { n =>
+          if (base.deletesFor(n) != dels(n))
+            throw new GraftConflictException(
+              s"concurrent position deletes landed on $n after the rewrite " +
+                s"scan of $path read it — retry the command")
+        }
+      }
+      GraftChange(
+        addData = pub.map(GraftLiveFile(_, None)).toVector,
+        removeData = replacedNames)
+    }
     // snapshot retention (round 16): a retaining table keeps the replaced
     // originals (and their now-uncovered delete files) on disk — still
     // referenced by RETAINED manifests, so VERSION AS OF stays readable
     // across the rewrite; expire's stamp-horizon pass is the GC
     if (!op.retain) {
-      replaced.foreach(f => require(GraftFs.delete(f),
-        s"replace-data commit failed to delete $f"))
-      deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+      committed.manifest.foreach { _ =>
+        val removed = committed.base.fileNames -- committed.result.fileNames
+        removed.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+          s"replace-data commit failed to delete $path/$n"))
+        committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+      }
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -770,7 +818,6 @@ private class GraftLogDeltaBatchWrite(path: String,
     new GraftLogDeltaWriterFactory(path, bucket, extra)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val snap = GraftSnapshotIO.resolve(path)
     val dels = Seq.newBuilder[(String, Seq[String])]
     val data = Vector.newBuilder[GraftLiveFile]
     messages.zipWithIndex.foreach {
@@ -805,9 +852,26 @@ private class GraftLogDeltaBatchWrite(path: String,
     // table, never an updated row present twice or absent. Original data
     // files are untouched: that absence of rewrite IS merge-on-read.
     // A command matching nothing publishes nothing and swaps nothing.
+    // Optimistic commit (round 17): position deletes name (file, pos)
+    // identities — if a concurrent commit rewrote/compacted/truncated a
+    // covered file, those ordinals now describe bytes that no longer
+    // exist (or, worse, DIFFERENT rows in a merged file), so the premise
+    // check fails the command loudly instead of committing stale deletes.
     val d = dels.result(); val f = data.result()
-    if (d.nonEmpty || f.nonEmpty)
-      GraftSnapshotIO.write(path, snap.addData(f).addDeletes(d))
+    if (d.nonEmpty || f.nonEmpty) {
+      GraftSnapshotIO.commit(path) { base =>
+        d.foreach { case (del, covered) =>
+          covered.foreach { c =>
+            if (!base.fileNames.contains(c))
+              throw new GraftConflictException(
+                s"concurrent commit replaced $c after this command read " +
+                  s"it — the position deletes in $del are stale; retry " +
+                  "the command")
+          }
+        }
+        GraftChange(addData = f, addDeletes = d)
+      }
+    }
     ()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1317,6 +1381,16 @@ private case class GraftLogPartition(file: String) extends InputPartition
   * pushed-OFFSET execution shape (see GraftLogScanBuilder.pushOffset). */
 private case class GraftLogFilesPartition(files: Seq[String]) extends InputPartition
 
+/** A streaming micro-batch read of a file whose segment map shows some
+  * origins ALREADY delivered under the batch's start offset (a compaction
+  * merged processed inputs with unprocessed ones mid-stream): segments
+  * stamped in `deadStamps` are suppressed — byte-skipped wholesale when
+  * nothing needs raw ordinals, decoded-and-dropped when position deletes
+  * or `_pos` do (round 17; closes the r16 "streaming re-delivers across
+  * compaction" gap). */
+private case class GraftLogReplayPartition(file: String,
+    deadStamps: Seq[Long]) extends InputPartition
+
 /** One bucket of a bucketed landing: all its files, keyed by the bucket
   * number — HasPartitionKey is what lets Spark line partitions up across
   * the two sides of a storage-partitioned join. */
@@ -1426,10 +1500,32 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // every name this batch admitted is retained verbatim in end's tail
     // (admit() never compacts the batch it is admitting), so the
     // difference is enumerable from the two offsets alone — including
-    // across a restart, where both come back from checkpoint JSON
+    // across a restart, where both come back from checkpoint JSON.
+    // Exactly-once ACROSS COMPACTION (round 17): an admitted file whose
+    // manifest segment map shows origins this reader already processed
+    // (a mid-stream compaction merged drained inputs with backlog) plans
+    // as a replay partition that suppresses the seen segments — and is
+    // skipped entirely when every origin was processed. The suppression
+    // derives from the CHECKPOINTED start offset plus the segment map,
+    // so a restart re-plans the batch identically while the merged file
+    // lives; a file re-compacted out from under an uncommitted batch
+    // fails loudly on open (fail-stop, same as every resolved-then-
+    // deleted window in this connector).
+    val segsOf = GraftSnapshotIO.resolve(path).files.collect {
+      case GraftLiveFile(n, Some(ss)) => (n, ss)
+    }.toMap
     end.asInstanceOf[GraftLogOffset].tail
       .filterNot(from.seen).sorted
-      .map(n => GraftLogPartition(s"$path/$n"): InputPartition).toArray
+      .flatMap { n =>
+        segsOf.get(n) match {
+          case Some(ss) =>
+            val dead = ss.map(_.stamp).distinct.filter(from.seenStamp)
+            if (dead.isEmpty) Some(GraftLogPartition(s"$path/$n"))
+            else if (ss.forall(s => from.seenStamp(s.stamp))) None
+            else Some(GraftLogReplayPartition(s"$path/$n", dead))
+          case None => Some(GraftLogPartition(s"$path/$n"))
+        }
+      }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1564,6 +1660,8 @@ private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) ex
   require(lagMs >= 0, s"offset lag must be >= 0, got $lagMs")
 
   @transient private lazy val tailSet = tail.toSet
+  @transient private lazy val tailStamps: Set[Long] =
+    tail.map(GraftLogNames.stamp).filter(_ >= 0).toSet
   private def boundary: Long =
     if (hw.isEmpty) Long.MinValue else GraftLogNames.stamp(hw) - lagMs
 
@@ -1574,6 +1672,24 @@ private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) ex
     val s = GraftLogNames.stamp(name)
     (s >= 0 && s < boundary) || tailSet.contains(name)
   }
+
+  /** Segment-level twin of [[seen]] (round 17): was the ORIGINAL file
+    * published at `stamp` already processed under this offset? A
+    * compacted file's manifest segment map carries its merged inputs'
+    * original stamps, so an in-flight reader admits the merged file but
+    * delivers ONLY the segments whose origin it has not processed —
+    * compaction no longer re-delivers rows to streaming consumers.
+    * Sound on both sides of the boundary: below it, oldest-first
+    * admission guarantees every stamped name was admitted (the same
+    * argument seen() rests on); at or above it, the tail holds the
+    * admitted names verbatim and stamps identify them (stamps are unique
+    * per publish within a writer; the residual is a cross-writer
+    * same-millisecond tie inside the lag window COMBINED with a
+    * compaction — the single-compactor contract). Unstamped origins
+    * (stamp < 0, foreign files) are never claimed seen: their rows
+    * re-deliver rather than silently vanish. */
+  def seenStamp(stamp: Long): Boolean =
+    stamp >= 0 && (stamp < boundary || tailStamps.contains(stamp))
 
   /** The offset after additionally processing `admitted`, compacted under
     * the session's lag (which the new offset then carries). Every
@@ -1635,6 +1751,8 @@ private[graft] object GraftLogOffsetTestHook {
   }
   def seen(json: String, name: String): Boolean =
     GraftLogOffset.fromJson(json).seen(name)
+  def seenStamp(json: String, stamp: Long): Boolean =
+    GraftLogOffset.fromJson(json).seenStamp(stamp)
   def admit(json: String, admitted: Seq[String], sessionLagMs: Long): String =
     GraftLogOffset.fromJson(json).admit(admitted, sessionLagMs).json()
   def publishName(millis: Long, seq: Int, tag: String): String =
@@ -1686,7 +1804,8 @@ private case class GraftLogCursorSpec(
     stampFilters: Array[Filter],
     segsOf: Map[String, Vector[GraftSegment]],
     delsOf: Map[String, Seq[String]],
-    extra: Array[StructField] = Array.empty) extends Serializable {
+    extra: Array[StructField] = Array.empty,
+    deadStampsOf: Map[String, Array[Long]] = Map.empty) extends Serializable {
   def cursor(file: String, preds: Array[Filter], needType: Boolean,
       needPos: Boolean): GraftLogCursor = {
     val name = GraftFs.nameOf(file)
@@ -1695,8 +1814,15 @@ private case class GraftLogCursorSpec(
       case None => Array.emptyLongArray
     }
     new GraftLogCursor(file, preds, needType, segsOf.get(name),
-      stampFilters, dels, needPos, extra)
+      stampFilters, dels, needPos, extra,
+      deadStampsOf.getOrElse(name, Array.emptyLongArray))
   }
+
+  /** Streaming replay partitions (round 17): suppress the file's
+    * segments stamped in `dead` — origins the batch's start offset
+    * already delivered. */
+  def withDeadStamps(file: String, dead: Seq[Long]): GraftLogCursorSpec =
+    copy(deadStampsOf = deadStampsOf + (GraftFs.nameOf(file) -> dead.toArray))
   // per-TABLE field resolution: base + metadata statically, ADDED columns
   // at EXTRA_BASE + index (schema evolution)
   def fieldOrdinal(name: String): Int = GraftLog.fieldOrdinal(name) match {
@@ -1762,6 +1888,11 @@ private class GraftLogReaderFactory(filterSource: () => Array[Filter],
             case None => new GraftLogRowReader(file, preds, columns, limit, spec)
           }
         }
+      case GraftLogReplayPartition(file, dead) =>
+        // streaming only (no agg/TopN/offset surface there): the row
+        // reader with the seen segments suppressed in the cursor spec
+        new GraftLogRowReader(file, preds, columns, limit,
+          spec.withDeadStamps(file, dead))
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
   }
@@ -1780,12 +1911,14 @@ private class GraftLogReaderFactory(filterSource: () => Array[Filter],
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     require(agg.isEmpty && topN.isEmpty && offset < 0,
       "columnar read requested for a pushed-TopN/agg/offset scan — supportColumnarReads said no")
-    val files = partition match {
-      case GraftLogPartition(file) => Seq(file)
-      case GraftLogBucketPartition(_, fs) => fs // bucketed partitions vectorize too
+    val (files, effSpec) = partition match {
+      case GraftLogPartition(file) => (Seq(file), spec)
+      case GraftLogBucketPartition(_, fs) => (fs, spec) // bucketed partitions vectorize too
+      case GraftLogReplayPartition(file, dead) =>
+        (Seq(file), spec.withDeadStamps(file, dead))
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
-    new GraftLogColumnarReader(files, filterSource(), columns, limit, spec)
+    new GraftLogColumnarReader(files, filterSource(), columns, limit, effSpec)
   }
 }
 
@@ -1803,7 +1936,8 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     stampFilters: Array[Filter] = Array.empty,
     deletePositions: Array[Long] = Array.emptyLongArray,
     needPos: Boolean = false,
-    extra: Array[StructField] = Array.empty) {
+    extra: Array[StructField] = Array.empty,
+    deadStamps: Array[Long] = Array.emptyLongArray) {
   private val in: DataInputStream = GraftFs.openData(file)
   private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
   private val needType = needTypeHint ||
@@ -1858,7 +1992,8 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     ends
   }
   private val segLive: Array[Boolean] = segments.map(s =>
-    stampFilters.forall(GraftLog.stampAccepts(_, s.stamp))).toArray
+    stampFilters.forall(GraftLog.stampAccepts(_, s.stamp)) &&
+      !(s.stamp >= 0 && deadStamps.contains(s.stamp))).toArray
   private val segStampBoxed: Array[Any] = segments.map(s =>
     if (s.stamp >= 0) Long.box(s.stamp) else null).toArray
   private val segsActive = nSegs > 1 || !segLive(0)
@@ -2495,8 +2630,11 @@ object GraftLog {
   /** Test hook: the landing's newest snapshot-manifest stamp, -1 if none
     * — the version handle `VERSION AS OF` resolves against. */
   def testLatestSnapshotStamp(path: String): Long =
-    GraftSnapshotIO.latestManifest(path)
-      .map(GraftSnapshotIO.manifestStamp).getOrElse(-1L)
+    GraftSnapshotIO.tipStamp(path)
+  /** Test hook: live-file count of the snapshot AS OF `stamp` — the
+    * round-17 chain-GC specs probe time travel without a SparkSession. */
+  def testResolveAsOfCount(path: String, stamp: Long): Int =
+    GraftSnapshotIO.resolveAsOf(path, stamp).files.length
 
   /** Compact a landing's small files — the maintenance operation a
     * 100 TB landing lives or dies by (every append/epoch adds files;
@@ -2525,9 +2663,10 @@ object GraftLog {
     * map preserves every input's ORIGINAL stamp — `_pub_stamp` values and
     * incremental `_pub_stamp > t` slices are IDENTICAL across a
     * compaction (round 16, closing the r15 re-delivery gap for batch
-    * consumers); an in-flight STREAMING reader still sees new names and
-    * re-delivers — offsets are name arithmetic — so schedule compaction
-    * around streaming consumers or key them idempotently.
+    * consumers), and an in-flight STREAMING reader admits the merged file
+    * but delivers ONLY the segments whose origin stamps its offset has
+    * not processed (round 17 — see GraftLogOffset.seenStamp), so batch
+    * and streaming now share ONE consistency model across compaction.
     * (c) pending position-delete files are ABSORBED: an input carrying
     * deletes is record-walked instead of byte-copied, its dead rows
     * dropped and its delete files retired with it.
@@ -2642,14 +2781,31 @@ object GraftLog {
     }
     val outs = outFiles.result()
     val inputNames = merged.flatMap(_._3).toSet
-    val (kept, deadDels) = snap.removeData(inputNames)
-    GraftSnapshotIO.write(path, kept.addData(outs))
+    // Optimistic commit (round 17): the merged bytes were copied from the
+    // inputs AS PLANNED — an input that a concurrent commit replaced, or
+    // that gained a position delete after the merge tasks read it, makes
+    // the merged output wrong (it would resurrect taken-down rows or
+    // double concurrent rewrites), so the premise check fails loudly.
+    // Concurrent APPENDS are untouched inputs and rebase cleanly.
+    val committed = GraftSnapshotIO.commit(path) { base =>
+      inputNames.foreach { n =>
+        if (!base.fileNames.contains(n))
+          throw new GraftConflictException(
+            s"concurrent commit replaced compaction input $n on $path — " +
+              "retry the compaction")
+        if (base.deletesFor(n) != snap.deletesFor(n))
+          throw new GraftConflictException(
+            s"concurrent position deletes landed on compaction input $n " +
+              s"of $path after the merge read it — retry the compaction")
+      }
+      GraftChange(addData = outs, removeData = inputNames)
+    }
     // a snapshot-retaining landing keeps the merged inputs readable for
     // time travel; expire's stamp-horizon pass is the GC
     if (!retainSnapshots) {
       inputNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
         s"compact failed to delete $n"))
-      deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+      committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
     }
     val bytes = merged.map(_._5).sum
     (snap.files.length, snap.files.length - inputNames.size + outs.length, bytes)
@@ -2702,26 +2858,25 @@ object GraftLog {
     // with them. No-op expires write no manifest (idempotence stays
     // file-identical).
     val victimNames = victims.map(_._1).toSet
-    val liveVictims = victimNames.intersect(snap.fileNames)
-    val deadDels: Seq[String] =
-      if (liveVictims.nonEmpty) {
-        val (kept, dead) = snap.removeData(liveVictims)
-        GraftSnapshotIO.write(path, kept)
-        dead
-      } else Nil
+    // Optimistic commit (round 17): expiry removes OLD files; a rebase
+    // just drops victims a concurrent commit already removed, and
+    // concurrently-added files carry fresh stamps, never below the
+    // horizon of a sane caller — no conflictable premise.
+    val committed = GraftSnapshotIO.commit(path)(base =>
+      GraftChange(removeData = victimNames.intersect(base.fileNames)))
     victimNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
       s"expire failed to delete $path/$n"))
-    deadDels.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
-    // superseded manifests below the horizon retire too (the newest is
-    // the live table state and always survives). Validly-stamped names
-    // only: a foreign `.graftsnap` that sorts last must not displace the
-    // real newest manifest out of the survivor slot (r16 advice).
-    val manifests = all.map(_._1)
-      .filter(GraftSnapshotIO.isManifest).sorted
-    manifests.dropRight(1).filter(m =>
-        GraftSnapshotIO.manifestStamp(m) < beforeStamp)
-      .foreach(m => require(GraftFs.delete(GraftFs.child(path, m)),
-        s"expire failed to delete manifest $path/$m"))
+    committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    // superseded manifests below the horizon retire too — but only below
+    // the chain ANCHOR (round 17): a delta manifest above it is a chain
+    // link some retained snapshot still resolves through, and the newest
+    // manifest (the live table state) always survives. Validly-named
+    // manifests only: a foreign `.graftsnap` that sorts last must not
+    // displace the real newest manifest out of the survivor slot
+    // (r16 advice).
+    val (pruned, _) = GraftSnapshotIO.prunable(path, beforeStamp)
+    pruned.foreach(m => require(GraftFs.delete(GraftFs.child(path, m)),
+      s"expire failed to delete manifest $path/$m"))
     val horizon = System.currentTimeMillis() - tmpGraceMs
     val orphans = all.filter { case (n, _, mtime) =>
       n.endsWith(".tmp") && mtime < horizon }
@@ -2747,24 +2902,22 @@ object GraftLog {
   def expireSnapshots(path: String, beforeStamp: Long): (Int, Int, Long) = {
     require(beforeStamp >= 0, s"expireSnapshots beforeStamp must be >= 0, got $beforeStamp")
     val all = GraftFs.listEntries(path) // (name, bytes, mtime)
-    val manifests = all.map(_._1).filter(GraftSnapshotIO.isManifest).sorted
     // A manifest-less (legacy) landing has NO snapshot history: nothing is
     // provably unreferenced, so there is nothing to GC — without this
     // guard every stamped file would be classified as garbage and the
     // whole table deleted (r16 advice, high). Mirrors resolveAsOf's
-    // manifests.nonEmpty require; resolve() treats the same landing as
+    // manifests-nonEmpty require; resolve() treats the same landing as
     // live via the directory listing.
-    if (manifests.isEmpty) return (0, 0, 0L)
-    val victims = manifests.dropRight(1)
-      .filter(m => GraftSnapshotIO.manifestStamp(m) < beforeStamp)
+    if (!all.exists(e => GraftSnapshotIO.isManifest(e._1))) return (0, 0, 0L)
+    // chain-aware pruning (round 17): victims are the manifests strictly
+    // below the chain anchor — everything a retained snapshot resolves
+    // through survives, so delta chains never lose a link
+    val (victims, remaining) = GraftSnapshotIO.prunable(path, beforeStamp)
     victims.foreach(m => require(GraftFs.delete(GraftFs.child(path, m)),
       s"expire_snapshots failed to delete manifest $path/$m"))
-    val remaining = manifests.filterNot(victims.contains)
-    val referenced: Set[String] = remaining.flatMap { m =>
-      val s = GraftSnapshotIO.parse(
-        GraftFs.readString(GraftFs.child(path, m)), s"$path/$m")
-      s.files.map(_.name) ++ s.deletes.keys
-    }.toSet
+    // the live universe: every file ANY retained snapshot references,
+    // computed by folding the remaining chain once (anchor is a base)
+    val referenced = GraftSnapshotIO.referencedBy(path, remaining)
     val garbage = all.filter { case (n, _, _) =>
       (n.endsWith(".graftlog") || n.endsWith(".graftdel")) &&
         GraftLogNames.stamp(n) >= 0 && !referenced.contains(n)

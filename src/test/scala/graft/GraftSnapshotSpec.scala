@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftConflictException, GraftSnapshotTestHook => Hook}
+
+/** Round-17 commit-protocol coverage: the optimistic CAS commit (two
+  * writers can no longer lose an update — the r16 verdict's top gap),
+  * delta-manifest chains with their base cadence (O(change) commits, the
+  * second gap), chain-safe snapshot GC, round-16 manifest compatibility,
+  * and the streaming exactly-once guarantee ACROSS a compaction (the
+  * third gap: offsets were name arithmetic, so an in-flight reader
+  * re-delivered merged rows). Protocol-level tests drive the private
+  * manifest layer through GraftSnapshotTestHook; the streaming test
+  * drives the real query surface end-to-end. */
+class GraftSnapshotSpec extends SparkTestBase {
+
+  private lazy val events = sources.Tables.load(spark, sfDir, "events")
+    .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+
+  test("two concurrent committers both land: the CAS arbitrates, no lost update") {
+    // The exact r16 failure: both writers resolve the same base and both
+    // rename successfully — last manifest wins, first commit's files
+    // become invisible garbage. With seq-named CAS manifests one of the
+    // two renames MUST fail, and the loser rebases — so every add from
+    // every thread is in the final live set.
+    val dir = Scratch.dir("graftsnap_race")
+    val names = for (t <- 0 until 4; i <- 0 until 5)
+      yield Hook.publishedName(s"race-t$t-i$i")
+    val threads = (0 until 4).map { t =>
+      new Thread(() =>
+        (0 until 5).foreach(i => Hook.addData(dir, names(t * 5 + i))))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val live = Hook.liveNames(dir)
+    assert(names.forall(live.contains),
+      s"lost update: ${names.filterNot(live.contains)} missing from $live")
+  }
+
+  test("a lost CAS re-resolves and re-validates before retrying") {
+    val dir = Scratch.dir("graftsnap_contested")
+    val mine = Hook.publishedName("mine")
+    val rival = Hook.publishedName("rival")
+    val buildRuns = Hook.contestedAdd(dir, mine, rival)
+    assert(buildRuns == 2,
+      s"expected exactly one lost CAS + one retry, build ran $buildRuns times")
+    val live = Hook.liveNames(dir)
+    assert(live.contains(mine) && live.contains(rival),
+      s"both commits must survive the collision, got $live")
+  }
+
+  test("a broken premise after a lost CAS fails LOUDLY, never silently merges") {
+    // The row-level commits' conflict shape: this commit removes a file a
+    // rival removed first — the retry's re-validation must surface
+    // GraftConflictException (stale position deletes / double rewrites
+    // are the silent alternative).
+    val dir = Scratch.dir("graftsnap_conflict")
+    val f = Hook.publishedName("victim")
+    Hook.addData(dir, f)
+    intercept[GraftConflictException] { Hook.contestedRemove(dir, f) }
+    assert(!Hook.liveNames(dir).contains(f))
+  }
+
+  test("commits write O(change) deltas with a base every BASE_EVERY links; the chain folds exactly") {
+    val dir = Scratch.dir("graftsnap_chain")
+    val names = (0 until 20).map(i => Hook.publishedName(s"chain-$i"))
+    names.foreach(Hook.addData(dir, _))
+    val shapes = Hook.manifestShapes(dir) // (name, seq, isBase, bytes)
+    assert(shapes.length == 20)
+    // seqs contiguous (CAS names are parent+1 by construction)
+    assert(shapes.map(_._2) == (shapes.head._2 until shapes.head._2 + 20),
+      s"non-contiguous seqs: ${shapes.map(_._2)}")
+    // base cadence: the first commit (no history) and the 17th (chain
+    // depth would reach BASE_EVERY=16); every other commit is a delta
+    val baseIdx = shapes.zipWithIndex.collect { case (s, i) if s._3 => i }
+    assert(baseIdx == Seq(0, 16), s"expected bases at commits 1 and 17, got $baseIdx")
+    // the delta value claim: a 1-file commit's manifest does NOT scale
+    // with the live set — the tip delta is smaller than the last base,
+    // which lists all 17 files known at its commit
+    val lastBase = shapes(16)._4
+    val tipDelta = shapes.last._4
+    assert(tipDelta < lastBase,
+      s"tip delta ($tipDelta B) should be smaller than the 17-file base ($lastBase B)")
+    // and resolution folds the whole chain back to exactly the adds
+    assert(Hook.liveNames(dir) == names.sorted)
+  }
+
+  test("expire_snapshots prunes only below the chain anchor: retained deltas keep resolving") {
+    val dir = Scratch.dir("graftsnap_gc")
+    val names = (0 until 20).map(i => Hook.publishedName(s"gc-$i"))
+    names.foreach(Hook.addData(dir, _))
+    val stamps = Hook.manifestStamps(dir)
+    // horizon above a mid-chain DELTA (commit 10): its chain links back
+    // to the base at commit 1 are load-bearing — nothing is prunable yet
+    val (m1, _, _) = sources.GraftLog.expireSnapshots(dir, stamps(9) + 1)
+    assert(m1 == 0, s"pruned $m1 chain links a retained delta still needs")
+    assert(Hook.liveNames(dir) == names.sorted, "resolution broke after no-op GC")
+    // horizon above the SECOND base (commit 17): the anchor moves there
+    // and exactly the 16 manifests below it retire
+    val (m2, _, _) = sources.GraftLog.expireSnapshots(dir, stamps(16) + 1)
+    assert(m2 == 16, s"expected the 16 pre-anchor manifests pruned, got $m2")
+    assert(Hook.liveNames(dir) == names.sorted, "resolution broke after GC")
+    val left = Hook.manifestShapes(dir)
+    assert(left.length == 4 && left.head._3,
+      s"expected anchor base + 3 deltas, got $left")
+    // history below the anchor is GONE and says so loudly
+    intercept[IllegalArgumentException] {
+      sources.GraftLog.testResolveAsOfCount(dir, stamps(4))
+    }
+    // history at/above the anchor still time-travels
+    assert(sources.GraftLog.testResolveAsOfCount(dir, stamps(16)) == 17)
+  }
+
+  test("round-16 manifests stay readable; the first CAS commit chains on top of them") {
+    val dir = Scratch.dir("graftsnap_v1")
+    val a = Hook.publishedName("v1-a")
+    val b = Hook.publishedName("v1-b")
+    val stamp = graft.sources.GraftLogOffsetTestHook.nextStamp()
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, f"snap-$stamp%013d-0000-cafebabe.graftsnap"),
+      s"graftsnap 1\nF $a\nF $b\n")
+    assert(Hook.liveNames(dir) == Seq(a, b).sorted)
+    val c = Hook.publishedName("v2-c")
+    Hook.addData(dir, c)
+    val shapes = Hook.manifestShapes(dir)
+    assert(shapes.length == 2 && shapes.head._3 && !shapes.last._3,
+      s"expected the v1 base + one v2 delta, got $shapes")
+    assert(shapes.last._2 == stamp + 1,
+      s"first CAS seq must continue at legacy stamp + 1, got ${shapes.last._2}")
+    assert(Hook.liveNames(dir) == Seq(a, b, c).sorted)
+    // time travel across the format boundary
+    assert(sources.GraftLog.testResolveAsOfCount(dir, stamp) == 2)
+  }
+
+  test("offset seenStamp: the segment-level seen test matches the name-level one") {
+    import graft.sources.{GraftLogOffsetTestHook => Off}
+    val base = 1700000000000L
+    def n(s: Long) = Off.publishName(s, 0, "x")
+    // hw at base+20000 with lag 10000: boundary = base+10000
+    val json = Off.make(n(base + 20000), 10000L, Seq(n(base + 15000), n(base + 20000)))
+    assert(Off.seenStamp(json, base + 5000), "below the boundary = implicitly seen")
+    assert(Off.seenStamp(json, base + 15000), "a tail name's stamp = seen")
+    assert(Off.seenStamp(json, base + 20000), "the high-water's own stamp = seen")
+    assert(!Off.seenStamp(json, base + 17000), "unadmitted in-window stamp must be fresh")
+    assert(!Off.seenStamp(json, base + 25000), "a stamp above the high-water must be fresh")
+    assert(!Off.seenStamp(json, -1L), "unstamped origins are never claimed seen")
+  }
+
+  test("streaming read across a compaction delivers every row EXACTLY ONCE") {
+    // The r16 residual, closed: chunk A drains; chunk B lands; compaction
+    // merges A+B into ONE fresh-named file mid-stream. The resumed reader
+    // admits the merged file but must deliver ONLY the B segments — the
+    // segment map's origin stamps against the checkpointed offset decide.
+    // Without segment suppression this re-emits all of A (60 rows); a
+    // too-eager suppression loses B (20).
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Scratch.dir("graftsnap_stream_compact")
+    val out = Scratch.dir("graftsnap_stream_compact_out")
+    val ckpt = Scratch.streamCkptDir("graftsnap_stream_compact_ckpt")
+    val all = events.orderBy("event_id").limit(40)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    all.filter(col("event_id") % 2 === 0).write.format("graftlog").mode("append").save(dir)
+    drain()
+    assert(spark.read.parquet(out).count() == 20)
+    all.filter(col("event_id") % 2 === 1).write.format("graftlog").mode("append").save(dir)
+    val (before, after, _) = sources.GraftLog.compact(spark, dir, 1L << 30)
+    assert(after < before, s"compaction must merge ($before -> $after files)")
+    drain()
+    val fin = spark.read.parquet(out)
+    assert(fin.count() == 40,
+      s"expected exactly 40 rows after the post-compaction drain, got ${fin.count()}")
+    assert(fin.select(countDistinct(col("event_id"))).collect()(0).getLong(0) == 40,
+      "a compacted-in row was re-delivered or lost")
+  }
+}
