@@ -393,9 +393,9 @@ object StorageOps extends QueryModule {
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     ev.filter(col("event_id") % 3 === 0)
       .write.format("graftlog").mode("append").save(landing)
-    val t = new java.io.File(landing).listFiles()
-      .filter(_.getName.endsWith(".graftlog"))
-      .map(f => graft.sources.GraftLog.testStampOf(f.getName)).max
+    val t = graft.sources.GraftFs.listNames(landing)
+      .filter(_.endsWith(".graftlog"))
+      .map(graft.sources.GraftLog.testStampOf).max
     ev.filter(col("event_id") % 3 =!= 0)
       .write.format("graftlog").mode("append").save(landing)
     s.read.format("graftlog").load(landing)
@@ -457,9 +457,9 @@ object StorageOps extends QueryModule {
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     ev.filter(col("event_id") % 3 === 0)
       .write.format("graftlog").mode("append").save(landing)
-    val t = new java.io.File(landing).listFiles()
-      .filter(_.getName.endsWith(".graftlog"))
-      .map(f => graft.sources.GraftLog.testStampOf(f.getName)).max
+    val t = graft.sources.GraftFs.listNames(landing)
+      .filter(_.endsWith(".graftlog"))
+      .map(graft.sources.GraftLog.testStampOf).max
     ev.filter(col("event_id") % 3 =!= 0)
       .write.format("graftlog").mode("append").save(landing)
     // path landing (no catalog table needed): call the engine entry the
@@ -729,13 +729,13 @@ object StorageOps extends QueryModule {
     s.sql("DROP TABLE IF EXISTS graftq.sincec_ev")
     s.sql("CREATE TABLE graftq.sincec_ev (event_id BIGINT, user_id BIGINT, " +
       "value DOUBLE, event_type STRING) USING graftlog")
-    val landing = new java.io.File(catalogWarehouse, "sincec_ev").getPath
+    val landing = graft.sources.GraftFs.child(catalogWarehouse, "sincec_ev")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     ev.filter(col("event_id") % 3 === 0).writeTo("graftq.sincec_ev").append()
-    val t = new java.io.File(landing).listFiles()
-      .filter(_.getName.endsWith(".graftlog"))
-      .map(f => graft.sources.GraftLog.testStampOf(f.getName)).max
+    val t = graft.sources.GraftFs.listNames(landing)
+      .filter(_.endsWith(".graftlog"))
+      .map(graft.sources.GraftLog.testStampOf).max
     ev.filter(col("event_id") % 3 =!= 0).writeTo("graftq.sincec_ev").append()
     s.sql("CALL graftq.system.compact(table => 'sincec_ev', target_mb => 64)").collect()
     s.table("graftq.sincec_ev")
@@ -877,7 +877,7 @@ object StorageOps extends QueryModule {
     s.sql("DROP TABLE IF EXISTS graftq.asof_ev")
     s.sql("CREATE TABLE graftq.asof_ev (event_id BIGINT, user_id BIGINT, " +
       "value DOUBLE, event_type STRING) USING graftlog")
-    val landing = new java.io.File(catalogWarehouse, "asof_ev").getPath
+    val landing = graft.sources.GraftFs.child(catalogWarehouse, "asof_ev")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     ev.filter(col("event_id") % 3 === 0).writeTo("graftq.asof_ev").append()
@@ -910,7 +910,7 @@ object StorageOps extends QueryModule {
     s.sql("CREATE TABLE graftq.ret_ev (event_id BIGINT, user_id BIGINT, " +
       "value DOUBLE, event_type STRING) USING graftlog " +
       "TBLPROPERTIES ('snapshot.retain' = 'true')")
-    val landing = new java.io.File(catalogWarehouse, "ret_ev").getPath
+    val landing = graft.sources.GraftFs.child(catalogWarehouse, "ret_ev")
     Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .writeTo("graftq.ret_ev").append()

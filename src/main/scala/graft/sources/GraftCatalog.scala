@@ -83,7 +83,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   private def writeMeta(dir: String, bucket: Option[GraftLogBucketSpec],
-      modes: GraftLogModes, retain: Boolean,
+      modes: GraftLogModes, ret: GraftRetention,
       extra: Array[org.apache.spark.sql.types.StructField] = Array.empty): Unit = {
     val fields = bucket.map(b =>
         s""""bucket_col":"${b.col}","num_buckets":${b.n}""").toSeq ++
@@ -93,7 +93,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         Seq(s""""update_mode":"${modes.update}"""") else Nil) ++
       (if (modes.merge != GraftLog.COPY_ON_WRITE)
         Seq(s""""merge_mode":"${modes.merge}"""") else Nil) ++
-      (if (retain) Seq(""""snapshot_retain":true""") else Nil) ++
+      (if (ret.snapshots) Seq(""""snapshot_retain":true""") else Nil) ++
+      (if (ret.unlinkGraceMs > 0)
+        Seq(s""""unlink_grace_ms":${ret.unlinkGraceMs}""") else Nil) ++
       (if (extra.nonEmpty)
         Seq(s""""extra_cols":[${extra.map(f =>
           s"""["${f.name}","${typeName(f.dataType)}"]""").mkString(",")}]""")
@@ -120,17 +122,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     * a strict match keeps foreign/corrupt metadata loud instead of
     * silently unbucketed. */
   private def readMeta(dir: String): (Option[GraftLogBucketSpec], GraftLogModes,
-      Boolean, Array[org.apache.spark.sql.types.StructField]) = {
+      GraftRetention, Array[org.apache.spark.sql.types.StructField]) = {
     val text = GraftFs.readString(metaFile(dir)).trim
     val re = ("""\{(?:"bucket_col":"(event_id|user_id)","num_buckets":(\d+))?""" +
       """,?(?:"delete_mode":"(merge-on-read)")?""" +
       """,?(?:"update_mode":"(merge-on-read)")?""" +
       """,?(?:"merge_mode":"(merge-on-read)")?""" +
       """,?(?:"snapshot_retain":(true))?""" +
+      """,?(?:"unlink_grace_ms":(\d+))?""" +
       """,?(?:"extra_cols":\[((?:\["[A-Za-z0-9_]+","(?:bigint|double|string)"\],?)*)\])?\}""").r
     val colRe = """\["([A-Za-z0-9_]+)","(bigint|double|string)"\]""".r
     text match {
-      case re(col, n, dMode, uMode, mMode, retain, extras) =>
+      case re(col, n, dMode, uMode, mMode, retain, graceMs, extras) =>
         val bucket = Option(col).map(c =>
           GraftLogBucketSpec(GraftLog.ordinal(c), n.toInt))
         val extra = Option(extras).map(s => colRe.findAllMatchIn(s).map(m =>
@@ -141,7 +144,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           Option(dMode).getOrElse(GraftLog.COPY_ON_WRITE),
           Option(uMode).getOrElse(GraftLog.COPY_ON_WRITE),
           Option(mMode).getOrElse(GraftLog.COPY_ON_WRITE))
-        (bucket, modes, retain != null, extra)
+        (bucket, modes,
+          GraftRetention(retain != null,
+            Option(graceMs).map(_.toLong).getOrElse(0L)), extra)
       case other => throw new IllegalStateException(
         s"unreadable graft table metadata in $dir: $other")
     }
@@ -161,8 +166,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, modes, retain, extra) = readMeta(dir)
-    new GraftLogTable(dir, bucket, modes, extra, None, retain)
+    val (bucket, modes, ret, extra) = readMeta(dir)
+    new GraftLogTable(dir, bucket, modes, extra, None, ret)
   }
 
   // ---- time travel (round 16): `SELECT ... FROM t VERSION AS OF '<stamp>'`
@@ -188,8 +193,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     require(stamp >= 0, s"AS OF stamp must be >= 0, got $stamp")
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, modes, retain, extra) = readMeta(dir)
-    new GraftLogTable(dir, bucket, modes, extra, Some(stamp), retain)
+    val (bucket, modes, ret, extra) = readMeta(dir)
+    new GraftLogTable(dir, bucket, modes, extra, Some(stamp), ret)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -243,11 +248,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       case Some(other) => throw new IllegalArgumentException(
         s"snapshot.retain must be true or false, got '$other'")
     }
+    // `snapshot.unlink.grace.ms = N` (round 17): replaced files stay on
+    // disk for N ms after the swap retires them, then sweep lazily on
+    // later commits — closes the reader fail-stop window without full
+    // snapshot retention. Ignored when snapshot.retain already keeps
+    // everything until expire_snapshots.
+    val graceMs = Option(properties.get("snapshot.unlink.grace.ms")) match {
+      case None => 0L
+      case Some(raw) =>
+        val n = try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"snapshot.unlink.grace.ms must be a non-negative integer, got '$raw'")
+        }
+        require(n >= 0, s"snapshot.unlink.grace.ms must be >= 0, got $raw")
+        n
+    }
+    val ret = GraftRetention(retain, graceMs)
     val dir = tableDir(ident)
     require(GraftFs.mkdirs(dir) || GraftFs.exists(dir),
       s"cannot create table directory $dir")
-    writeMeta(dir, bucket, modes, retain)
-    new GraftLogTable(dir, bucket, modes, Array.empty, None, retain)
+    writeMeta(dir, bucket, modes, ret)
+    new GraftLogTable(dir, bucket, modes, Array.empty, None, ret)
   }
 
   /** Schema evolution (round 16, closing `alterTable` throwing — the r15
@@ -266,7 +287,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (bucket, modes, retain, extra0) = readMeta(dir)
+    val (bucket, modes, ret, extra0) = readMeta(dir)
     var extra = extra0
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -291,8 +312,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         s"graft tables support ADD COLUMN only; got $other " +
           "(drops/renames/type changes would re-interpret bytes already on disk)")
     }
-    writeMeta(dir, bucket, modes, retain, extra)
-    new GraftLogTable(dir, bucket, modes, extra, None, retain)
+    writeMeta(dir, bucket, modes, ret, extra)
+    new GraftLogTable(dir, bucket, modes, extra, None, ret)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -335,8 +356,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   /** Resolve a table name (optionally namespaced with dots) used as a
     * procedure argument to its landing directory. */
-  /** Whether a resolved landing retains snapshots (compact procedure). */
-  private[sources] def retainOf(dir: String): Boolean = readMeta(dir)._3
+  /** A resolved landing's retirement policy (compact procedure). */
+  private[sources] def retentionOf(dir: String): GraftRetention = readMeta(dir)._3
 
   private[sources] def resolveTableDir(table: String): String = {
     val parts = table.split('.')
@@ -460,7 +481,7 @@ private class GraftCompactProcedure(cat: GraftCatalog)
     val dir = cat.resolveTableDir(table)
     val (before, after, bytes) = GraftLog.compact(
       org.apache.spark.sql.SparkSession.active, dir, targetMb.toLong << 20,
-      cat.retainOf(dir))
+      cat.retentionOf(dir))
     val summary: Scan = new LocalScan {
       override def readSchema(): StructType = StructType(Seq(
         StructField("files_before", IntegerType, nullable = false),

@@ -23,7 +23,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the conf falls back to the classpath `Configuration` (core-site.xml)
   * when no SparkSession is active in the JVM.
   */
-private[sources] object GraftFs {
+private[graft] object GraftFs {
   // one conf per JVM: driver resolves through the session (picks up
   // spark.hadoop.* overrides), executors through the classpath defaults
   private lazy val hconf: Configuration =

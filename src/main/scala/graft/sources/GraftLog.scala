@@ -167,7 +167,7 @@ private[sources] class GraftLogTable(path: String,
     modes: GraftLogModes = GraftLogModes(),
     extra: Array[StructField] = Array.empty,
     asOf: Option[Long] = None,
-    retain: Boolean = false) extends Table
+    ret: GraftRetention = GraftRetention.NONE) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with SupportsDeleteV2 {
   // Time travel (round 16): a table pinned AS OF a stamp reads the
@@ -212,7 +212,7 @@ private[sources] class GraftLogTable(path: String,
     () =>
       if (modes.of(info.command()) == GraftLog.MERGE_ON_READ)
         new GraftLogDeltaOperation(path, bucket, extra, info.command())
-      else new GraftLogRewriteOperation(path, bucket, info.command(), extra, retain)
+      else new GraftLogRewriteOperation(path, bucket, info.command(), extra, ret)
   }
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
     predicates.forall(_.isInstanceOf[AlwaysTrue])
@@ -230,10 +230,11 @@ private[sources] class GraftLogTable(path: String,
     // CAS base holds is what gets emptied.
     GraftSnapshotIO.commit(path, force = true)(base =>
       GraftChange(removeData = base.fileNames))
-    if (!retain)
+    if (!ret.keepVictims)
       GraftFs.listNames(path)
         .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
         .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
+    if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
   }
   override def partitioning(): Array[Transform] =
     bucket.map(b => Expressions.bucket(b.n, b.col): Transform).toArray
@@ -272,7 +273,7 @@ private[sources] class GraftLogTable(path: String,
       }))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("a write")
-    new GraftLogWriteBuilder(path, info, bucket, extra, retain)
+    new GraftLogWriteBuilder(path, info, bucket, extra, ret)
   }
 }
 
@@ -297,7 +298,7 @@ private[sources] class GraftLogTable(path: String,
 private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
     bucket: Option[GraftLogBucketSpec],
     extra: Array[StructField] = Array.empty,
-    retain: Boolean = false) extends WriteBuilder with SupportsTruncate {
+    ret: GraftRetention = GraftRetention.NONE) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
@@ -325,7 +326,7 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
             Distributions.clustered(Array(Expressions.column(b.col)))
           override def requiredOrdering(): Array[SortOrder] = Array.empty
           override def toBatch: BatchWrite =
-            new GraftLogBatchWrite(path, doTruncate, Some(b), extra, retain)
+            new GraftLogBatchWrite(path, doTruncate, Some(b), extra, ret)
           override def toStreaming: StreamingWrite =
             throw new UnsupportedOperationException(
               "bucketed graftlog tables are a batch-join layout; stream into a plain landing")
@@ -333,14 +334,14 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
       case None =>
         new Write {
           override def toBatch: BatchWrite =
-            new GraftLogBatchWrite(path, doTruncate, None, extra, retain)
+            new GraftLogBatchWrite(path, doTruncate, None, extra, ret)
           override def toStreaming: StreamingWrite =
             // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
             // through SupportsTruncate.truncate() — ignoring the flag here
             // would silently APPEND a full snapshot every epoch); queryId keys
             // the replay cleanup so a new query's epoch 0 cannot delete a
             // previous query's epoch-0 files in a shared landing (r14 review)
-            new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra, retain)
+            new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra, ret)
         }
     }
   }
@@ -355,7 +356,7 @@ private case class GraftLogBucketedCommit(parts: Seq[(Int, String)],
 private class GraftLogBatchWrite(path: String, truncate: Boolean,
     bucket: Option[GraftLogBucketSpec],
     extra: Array[StructField] = Array.empty,
-    retain: Boolean = false) extends BatchWrite {
+    ret: GraftRetention = GraftRetention.NONE) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftFs.mkdirs(path)
     new GraftLogWriterFactory(path, bucket, extra)
@@ -393,9 +394,11 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
     // Unlink set = pre-listed victims (directory garbage included) ∪
     // what the final commit actually removed; no existence require —
     // a racing truncate may legitimately have unlinked first.
-    if (!retain && truncate)
+    if (!ret.keepVictims && truncate)
       (victims.toSet ++ committed.base.fileNames ++ committed.deadDeletes)
         .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
+    // graced tables GC lazily: every commit sweeps retirements past grace
+    if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -421,7 +424,7 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
   * snapshot semantics Spark requested via SupportsTruncate. */
 private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     queryId: String, extra: Array[StructField] = Array.empty,
-    retain: Boolean = false) extends StreamingWrite {
+    ret: GraftRetention = GraftRetention.NONE) extends StreamingWrite {
   require(!queryId.contains("\"") && !queryId.contains(",") && !queryId.contains("\\"),
     s"unusable queryId for file naming: $queryId")
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -462,12 +465,14 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // published but never committed, which NO manifest references — is
     // still unlinked unconditionally: retention retains history, not
     // garbage.
-    val spare: Set[String] = if (retain) committed.base.fileNames else Set.empty
+    val spare: Set[String] =
+      if (ret.keepVictims) committed.base.fileNames else Set.empty
     victims.filterNot(spare.contains)
       .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
         s"epoch commit failed to delete $path/$n"))
-    if (!retain)
+    if (!ret.keepVictims)
       committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -524,7 +529,7 @@ private class GraftLogRewriteOperation(path: String,
     private[sources] val bucket: Option[GraftLogBucketSpec],
     cmd: RowLevelOperation.Command,
     private[sources] val extra: Array[StructField] = Array.empty,
-    private[sources] val retain: Boolean = false) extends RowLevelOperation {
+    private[sources] val ret: GraftRetention = GraftRetention.NONE) extends RowLevelOperation {
 
   /** Runtime group-filter file set, recorded by the rewrite scan's
     * filter() (driver-side; the commit re-derives the replace set from
@@ -718,7 +723,7 @@ private class GraftLogReplaceDataBatchWrite(path: String,
     // originals (and their now-uncovered delete files) on disk — still
     // referenced by RETAINED manifests, so VERSION AS OF stays readable
     // across the rewrite; expire's stamp-horizon pass is the GC
-    if (!op.retain) {
+    if (!op.ret.keepVictims) {
       committed.manifest.foreach { _ =>
         val removed = committed.base.fileNames -- committed.result.fileNames
         removed.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
@@ -726,6 +731,7 @@ private class GraftLogReplaceDataBatchWrite(path: String,
         committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
       }
     }
+    if (op.ret.sweeps) { GraftSnapshotIO.sweepRetired(path, op.ret.unlinkGraceMs); () }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -2672,8 +2678,8 @@ object GraftLog {
     * dropped and its delete files retired with it.
     *
     * @return (files before, files after, bytes rewritten) */
-  def compact(spark: SparkSession, path: String,
-      targetBytes: Long, retainSnapshots: Boolean = false): (Int, Int, Long) = {
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+      ret: GraftRetention = GraftRetention.NONE): (Int, Int, Long) = {
     require(targetBytes > 0, s"compact targetBytes must be positive, got $targetBytes")
     val snap = GraftSnapshotIO.resolve(path)
     // per-input plan: absolute path, on-disk size, origin-stamp segments,
@@ -2802,11 +2808,12 @@ object GraftLog {
     }
     // a snapshot-retaining landing keeps the merged inputs readable for
     // time travel; expire's stamp-horizon pass is the GC
-    if (!retainSnapshots) {
+    if (!ret.keepVictims) {
       inputNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
         s"compact failed to delete $n"))
       committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
     }
+    if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
     val bytes = merged.map(_._5).sum
     (snap.files.length, snap.files.length - inputNames.size + outs.length, bytes)
   }

@@ -169,6 +169,30 @@ private[sources] final case class GraftChange(
   * gives up, exactly Iceberg's ValidationException contract. */
 final class GraftConflictException(msg: String) extends RuntimeException(msg)
 
+/** A table's file-retirement policy (what happens to files a commit
+  * replaces, once the manifest swap has made them invisible):
+  *
+  *  - default: unlink immediately — a reader holding the OLD snapshot
+  *    fails loudly (FileNotFound) if it opens them after the swap;
+  *  - `snapshots` (`snapshot.retain = true`): keep until `CALL
+  *    system.expire_snapshots` — full time travel;
+  *  - `unlinkGraceMs` (`snapshot.unlink.grace.ms = N`, round 17): keep
+  *    for N ms — long enough for any in-flight reader to finish — then
+  *    let [[GraftSnapshotIO.sweepRetired]] unlink them lazily on later
+  *    commits. Closes the r16 fail-stop window without retaining full
+  *    history: grace-priced isolation instead of storage-priced.
+  */
+private[sources] final case class GraftRetention(snapshots: Boolean,
+    unlinkGraceMs: Long) {
+  /** Replaced files stay on disk at commit time under either policy. */
+  def keepVictims: Boolean = snapshots || unlinkGraceMs > 0
+  /** The lazy sweep runs only for the graced, non-retaining policy. */
+  def sweeps: Boolean = unlinkGraceMs > 0 && !snapshots
+}
+private[sources] object GraftRetention {
+  val NONE: GraftRetention = GraftRetention(snapshots = false, 0L)
+}
+
 /** The landing's snapshot resolved together with its commit coordinates:
   * `seq` the manifest sequence this state is (next commit claims seq+1),
   * `depth` the delta-chain length behind it (0 = sits on a base),
@@ -563,6 +587,54 @@ private[sources] object GraftSnapshotIO {
         // below it is load-bearing in full, nothing is prunable
         0)
     (ordered.take(if (heads(anchor)._2) anchor else 0), ordered.drop(anchor))
+  }
+
+  /** Graced lazy GC (round 17; `snapshot.unlink.grace.ms` tables): unlink
+    * stamped files that NO snapshot a reader could have resolved within
+    * the last `graceMs` references. The protected manifests are exactly
+    * those that were the TIP at some instant in the window — the newest
+    * one stamped at-or-below the cutoff plus everything stamped after it
+    * — so any reader that resolved within the window still opens every
+    * file of its snapshot. Files stamped INSIDE the window are never
+    * swept either: a stamped-but-unreferenced young file may be a
+    * commit's publish awaiting its CAS, and grace (minutes) dwarfs any
+    * commit. Runs piggybacked on later commits — retirement needs no
+    * timer, just eventual traffic (expire remains the explicit horizon).
+    * @return files unlinked. */
+  def sweepRetired(path: String, graceMs: Long): Int = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    val names = GraftFs.listNames(path)
+    val ordered = refs(names)
+    if (ordered.isEmpty) return 0
+    val heads = ordered.map(headOf(path, _))
+    val firstIn = heads.indexWhere(_._1 >= cutoff)
+    val startIdx = if (firstIn < 0) ordered.length - 1 else math.max(0, firstIn - 1)
+    val anchorIdx = Range.inclusive(startIdx, 0, -1).find(heads(_)._2) match {
+      case Some(a) => a
+      case None => return 0 // broken/foreign chain below: sweep nothing
+    }
+    var state = GraftSnapshot(Vector.empty, Map.empty)
+    val referenced = Set.newBuilder[String]
+    (anchorIdx until ordered.length).foreach { i =>
+      readBody(path, ordered(i)) match {
+        case BaseBody(_, s) => state = s
+        case DeltaBody(_, c) => state = c.apply(state)._1
+      }
+      if (i >= startIdx) {
+        state.files.foreach(f => referenced += f.name)
+        state.deletes.keys.foreach(referenced += _)
+      }
+    }
+    val refd = referenced.result()
+    val garbage = names.filter { n =>
+      (n.endsWith(".graftlog") || n.endsWith(".graftdel")) && {
+        val s = GraftLogNames.stamp(n)
+        s >= 0 && s < cutoff && !refd.contains(n)
+      }
+    }
+    // no existence require: concurrent committers sweep the same garbage
+    garbage.foreach(n => GraftFs.delete(GraftFs.child(path, n)))
+    garbage.length
   }
 
   /** Every data/delete file name referenced by ANY of the `remaining`

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.{GraftConflictException, GraftSnapshotTestHook => Hook}
@@ -146,6 +148,51 @@ class GraftSnapshotSpec extends SparkTestBase {
     assert(!Off.seenStamp(json, base + 17000), "unadmitted in-window stamp must be fresh")
     assert(!Off.seenStamp(json, base + 25000), "a stamp above the high-water must be fresh")
     assert(!Off.seenStamp(json, -1L), "unstamped origins are never claimed seen")
+  }
+
+  test("snapshot.unlink.grace.ms: replaced files outlive the swap by the grace window, then sweep") {
+    // The r16 residual on NON-retaining tables: replaced files were
+    // unlinked right after the swap, so a reader holding the old snapshot
+    // failed on open. With a grace the retired files stay readable for
+    // the window (grace-priced isolation), then any later commit sweeps
+    // what no in-window snapshot references — no timer, no full history.
+    val wh = Scratch.dir("graft_grace_wh")
+    spark.conf.set("spark.sql.catalog.graftg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftg.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS graftg.gr_ev")
+    spark.sql("CREATE TABLE graftg.gr_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.unlink.grace.ms' = '400')")
+    val landing = s"$wh/gr_ev"
+    def disk(): Set[String] = {
+      val d = java.nio.file.Path.of(landing)
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".graftlog")).toSet
+      finally s.close()
+    }
+    events.orderBy("event_id").limit(100).writeTo("graftg.gr_ev").append()
+    val before = disk()
+    val t = sources.GraftLog.testLatestSnapshotStamp(landing)
+    spark.sql("DELETE FROM graftg.gr_ev WHERE event_type = 'click'")
+    // the copy-on-write rewrite retired the originals, but within grace
+    // they stay on disk and the OLD snapshot still reads in full
+    assert(before.subsetOf(disk()),
+      "grace table unlinked replaced files at the swap")
+    val pre = spark.sql(
+      s"SELECT count(*) c FROM graftg.gr_ev VERSION AS OF '$t'")
+      .collect()(0).getLong(0)
+    assert(pre == 100, s"pre-delete snapshot must read in full, got $pre rows")
+    Thread.sleep(700) // let the retirements age past the 400 ms grace
+    events.orderBy("event_id").limit(5).writeTo("graftg.gr_ev").append()
+    assert(before.exists(n => !disk().contains(n)),
+      "the post-grace commit did not sweep the aged retirements")
+    // and the expired historical read now fails LOUDLY, never half-reads
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) c FROM graftg.gr_ev VERSION AS OF '$t'")
+        .collect()
+    }
   }
 
   test("streaming read across a compaction delivers every row EXACTLY ONCE") {
