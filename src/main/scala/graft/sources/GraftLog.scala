@@ -1465,12 +1465,14 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[GraftLogOffset]
+    val snap = GraftSnapshotIO.resolve(path)
+    val names = snap.files.map(_.name).sorted.toArray
     // sorted = publish order for stamped names: admission drains the
     // backlog oldest-first, which is what keeps the high-water honest
     // (everything still unadmitted sorts at or above the new high-water)
     val visible = availableNowCutoff match {
-      case Some(cut) => listNames().filter(cut.contains)
-      case None => listNames()
+      case Some(cut) => names.filter(cut.contains)
+      case None => names
     }
     val fresh = visible.filterNot(cur.seen)
     val admitted = limit match {
@@ -1478,7 +1480,16 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
         fresh.take(r.maxFiles())
       case _ => fresh
     }
-    cur.admit(admitted.toSeq, lagMs)
+    // an admitted merged file delivers its UNSEEN segments; their origin
+    // stamps ride the offset so a SECOND mid-stream compaction (the
+    // merged file re-merged under yet another fresh name) cannot
+    // re-deliver them — the name-level tail no longer identifies them
+    val segsOf = snap.files.collect {
+      case GraftLiveFile(n, Some(ss)) => (n, ss)
+    }.toMap
+    val delivered = admitted.toSeq.flatMap(n => segsOf.get(n).toSeq.flatten
+      .map(_.stamp).filter(st => st >= 0 && !cur.seenStamp(st)))
+    cur.admit(admitted.toSeq, lagMs, delivered)
   }
 
   /** Backlog visibility in every StreamingQueryProgress: how many visible
@@ -1653,7 +1664,8 @@ private[sources] object GraftLogNames {
   * object; names are uuid/stamp tokens, so no escaping beyond quotes is
   * ever needed, and fromJson rejects any name that would require it
   * rather than parse wrongly. */
-private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) extends Offset {
+private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String],
+    segStamps: Seq[Long] = Nil) extends Offset {
   // commas are forbidden alongside quotes/backslashes: the tail parser
   // splits elements on commas, so a comma-bearing (foreign) file name
   // must fail HERE, loudly, not round-trip into a corrupted offset that
@@ -1664,10 +1676,13 @@ private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) ex
   require(hw.isEmpty || GraftLogNames.stamp(hw) >= 0,
     s"offset high-water must be a publish-stamped name, got '$hw'")
   require(lagMs >= 0, s"offset lag must be >= 0, got $lagMs")
+  require(segStamps.forall(_ >= 0),
+    s"offset delivered-segment stamps must be >= 0: $segStamps")
 
   @transient private lazy val tailSet = tail.toSet
   @transient private lazy val tailStamps: Set[Long] =
     tail.map(GraftLogNames.stamp).filter(_ >= 0).toSet
+  @transient private lazy val segSeen: Set[Long] = segStamps.toSet
   private def boundary: Long =
     if (hw.isEmpty) Long.MinValue else GraftLogNames.stamp(hw) - lagMs
 
@@ -1691,11 +1706,15 @@ private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) ex
     * admitted names verbatim and stamps identify them (stamps are unique
     * per publish within a writer; the residual is a cross-writer
     * same-millisecond tie inside the lag window COMBINED with a
-    * compaction — the single-compactor contract). Unstamped origins
+    * compaction — the single-compactor contract). Origins delivered
+    * through an earlier merged file ride `segStamps` — without them a
+    * SECOND mid-stream compaction of that merged file would re-deliver
+    * the segments its name no longer identifies. Unstamped origins
     * (stamp < 0, foreign files) are never claimed seen: their rows
     * re-deliver rather than silently vanish. */
   def seenStamp(stamp: Long): Boolean =
-    stamp >= 0 && (stamp < boundary || tailStamps.contains(stamp))
+    stamp >= 0 && (stamp < boundary || tailStamps.contains(stamp) ||
+      segSeen.contains(stamp))
 
   /** The offset after additionally processing `admitted`, compacted under
     * the session's lag (which the new offset then carries). Every
@@ -1703,7 +1722,8 @@ private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) ex
     * (planInputPartitions enumerates the batch from it);
     * previously-retained names compact out once they age past the new
     * high-water's lag window. */
-  def admit(admitted: Seq[String], sessionLagMs: Long): GraftLogOffset = {
+  def admit(admitted: Seq[String], sessionLagMs: Long,
+      delivered: Seq[Long] = Nil): GraftLogOffset = {
     if (admitted.isEmpty) return this // identical offset => no empty batch
     val adm = admitted.toSet
     val newHw = (Seq(hw).filter(_.nonEmpty) ++ admitted.filter(GraftLogNames.stamp(_) >= 0))
@@ -1738,11 +1758,17 @@ private case class GraftLogOffset(hw: String, lagMs: Long, tail: Seq[String]) ex
       val s = GraftLogNames.stamp(n)
       s < 0 || s >= bnd || adm.contains(n)
     }
-    GraftLogOffset(newHw, newLag, keep.sorted)
+    // delivered ORIGIN stamps of admitted segment-mapped files compact
+    // out on the same boundary as names (below it they are implicitly
+    // seen); newly delivered ones are >= the admission-time boundary by
+    // construction (a below-boundary segment is seen, hence not delivered)
+    val keepSegs = (segStamps ++ delivered).distinct.filter(_ >= bnd)
+    GraftLogOffset(newHw, newLag, keep.sorted, keepSegs.sorted)
   }
 
   override def json(): String =
-    s"""{"hw":"$hw","lag":$lagMs,"tail":${tail.map(f => s""""$f"""").mkString("[", ",", "]")}}"""
+    s"""{"hw":"$hw","lag":$lagMs,"tail":${tail.map(f => s""""$f"""").mkString("[", ",", "]")},""" +
+      s""""segs":${segStamps.mkString("[", ",", "]")}}"""
 }
 
 /** Spec hook: GraftLogOffset is private to the connector; the serde and
@@ -1784,7 +1810,17 @@ private object GraftLogOffset {
     val lagMs = lagBody.substring(0, lagEnd).toLong
     val restTail = lagBody.substring(lagEnd)
     require(restTail.startsWith(""","tail":["""), s"bad graftlog offset: $json")
-    val body = restTail.stripPrefix(""","tail":[""").stripSuffix("]}").trim
+    val afterTail = restTail.stripPrefix(""","tail":[""")
+    // "segs" (round 17, delivered origin stamps) is OPTIONAL on read:
+    // a checkpoint written before the field existed parses as empty.
+    // Tail names cannot contain quotes/commas (enforced at construction),
+    // so the literal separator cannot occur inside an element.
+    val sep = """],"segs":["""
+    val (body, segsBody) = afterTail.indexOf(sep) match {
+      case -1 => (afterTail.stripSuffix("]}").trim, "")
+      case i => (afterTail.substring(0, i).trim,
+        afterTail.substring(i + sep.length).stripSuffix("]}").trim)
+    }
     val tail =
       if (body.isEmpty) Nil
       else body.split(",").toSeq.map { s =>
@@ -1793,7 +1829,15 @@ private object GraftLogOffset {
           s"bad graftlog offset element: $s")
         q.substring(1, q.length - 1)
       }
-    GraftLogOffset(hw, lagMs, tail)
+    val segs =
+      if (segsBody.isEmpty) Nil
+      else segsBody.split(",").toSeq.map { s =>
+        val d = s.trim
+        require(d.nonEmpty && d.forall(_.isDigit),
+          s"bad graftlog offset segment stamp: $s")
+        d.toLong
+      }
+    GraftLogOffset(hw, lagMs, tail, segs)
   }
 }
 

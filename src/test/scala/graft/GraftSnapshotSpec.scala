@@ -226,5 +226,20 @@ class GraftSnapshotSpec extends SparkTestBase {
       s"expected exactly 40 rows after the post-compaction drain, got ${fin.count()}")
     assert(fin.select(countDistinct(col("event_id"))).collect()(0).getLong(0) == 40,
       "a compacted-in row was re-delivered or lost")
+    // DOUBLE compaction: the merged file (whose chunk-B segments the
+    // reader just consumed under ITS name) is re-merged with chunk C
+    // under yet another fresh name. The offset's name tail no longer
+    // identifies B — only the delivered-origin-stamp record (segStamps)
+    // stops B from re-delivering a second time.
+    val extra = events.orderBy(desc("event_id")).limit(20)
+    extra.write.format("graftlog").mode("append").save(dir)
+    val (b2, a2, _) = sources.GraftLog.compact(spark, dir, 1L << 30)
+    assert(a2 < b2, s"second compaction must merge ($b2 -> $a2 files)")
+    drain()
+    val fin2 = spark.read.parquet(out)
+    assert(fin2.count() == 60,
+      s"expected exactly 60 rows after the double-compaction drain, got ${fin2.count()}")
+    assert(fin2.select(countDistinct(col("event_id"))).collect()(0).getLong(0) == 60,
+      "a twice-compacted row was re-delivered or lost")
   }
 }
