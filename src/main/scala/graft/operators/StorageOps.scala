@@ -1032,6 +1032,49 @@ object StorageOps extends QueryModule {
       |WHERE event_id < 30000 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Snapshot-history introspection under the oracle gate (round 17):
+  // `CALL system.snapshots(table)` — Iceberg's snapshots metadata table
+  // as a procedure. The fixture drives a deterministic commit sequence
+  // (three 1-file appends, a copy-on-write DELETE that rewrites all
+  // three files, a compaction that merges them to one) and the oracle
+  // pins the folded history shape: version ordinals, base/delta cadence,
+  // live/added/removed file counts per commit. Stamps are projected away
+  // (wall-clock); everything else is deterministic, so a mis-applied
+  // chain link or a wrong change record fails the hash.
+  // ------------------------------------------------------------------
+  def dsv2Snapshots(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.snap_ev")
+    s.sql("CREATE TABLE graftq.snap_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    (0 until 3).foreach { k =>
+      ev.filter(col("event_id") % 3 === k).repartition(1)
+        .writeTo("graftq.snap_ev").append()
+    }
+    s.sql("DELETE FROM graftq.snap_ev WHERE event_type = 'click'")
+    s.sql("CALL graftq.system.compact(table => 'snap_ev', target_mb => 1024)").collect()
+    s.sql("CALL graftq.system.snapshots(table => 'snap_ev')")
+      .drop("stamp").orderBy(col("version"))
+  }
+
+  // kind pins the base cadence too: a commit writes a BASE whenever the
+  // full list is no bigger than its delta — the DELETE (3 removes + 3
+  // adds vs a 3-file base) and the compaction (3+1 vs a 1-file base)
+  // both roll a base; the appends stay O(change) deltas.
+  val dsv2SnapshotsSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'base',  1, 0, 1, 0),
+      |  (2, 'delta', 2, 0, 1, 0),
+      |  (3, 'delta', 3, 0, 1, 0),
+      |  (4, 'base',  3, 0, 3, 3),
+      |  (5, 'base',  1, 0, 1, 3)
+      |) AS t(version, kind, live_files, delete_files, added_files, removed_files)
+      |ORDER BY version""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, OFFSET pushdown (round 15): the SPI has no partial
   // variant, so the source claims OFFSET fully by collapsing the scan to
   // ONE sequential partition chaining files in publish order and skipping
@@ -1299,6 +1342,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_concurrent" -> (dsv2Concurrent _),
     "scan_dsv2_chain" -> (dsv2Chain _),
     "stream_dsv2_compact" -> (dsv2StreamCompact _),
+    "call_dsv2_snapshots" -> (dsv2Snapshots _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "update_dsv2_mor" -> (dsv2UpdateMor _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
@@ -1336,6 +1380,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_concurrent" -> dsv2ConcurrentSql,
     "scan_dsv2_chain" -> dsv2ChainSql,
     "stream_dsv2_compact" -> dsv2StreamCompactSql,
+    "call_dsv2_snapshots" -> dsv2SnapshotsSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "update_dsv2_mor" -> dsv2UpdateMorSql,
     "merge_dsv2_mor" -> dsv2MergeMorSql,

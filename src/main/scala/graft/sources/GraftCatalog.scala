@@ -84,7 +84,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   private def writeMeta(dir: String, bucket: Option[GraftLogBucketSpec],
       modes: GraftLogModes, ret: GraftRetention,
-      extra: Array[org.apache.spark.sql.types.StructField] = Array.empty): Unit = {
+      extra: Array[org.apache.spark.sql.types.StructField] = Array.empty,
+      exclusive: Boolean = false): Boolean = {
     val fields = bucket.map(b =>
         s""""bucket_col":"${b.col}","num_buckets":${b.n}""").toSeq ++
       (if (modes.delete != GraftLog.COPY_ON_WRITE)
@@ -107,15 +108,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val tmp = GraftFs.child(dir,
       s"._graft_table-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
     GraftFs.writeString(tmp, fields.mkString("{", ",", "}") + "\n")
-    // local/HDFS rename-over-existing replaces atomically; if a scheme
-    // refuses to clobber, fall back to delete-then-rename (the window is
-    // then fail-stop — readMeta errors on the missing file — never a
-    // torn read)
+    // CREATE is a CAS (round 17): two racing creators collide on the one
+    // metadata name and the loser reports TableAlreadyExists instead of
+    // silently clobbering the winner's layout/properties
+    if (exclusive) {
+      val won = GraftFs.renameExclusive(tmp, metaFile(dir))
+      if (!won) GraftFs.delete(tmp)
+      return won
+    }
+    // ALTER: local/HDFS rename-over-existing replaces atomically; if a
+    // scheme refuses to clobber, fall back to delete-then-rename (the
+    // window is then fail-stop — readMeta errors on the missing file —
+    // never a torn read)
     if (!GraftFs.rename(tmp, metaFile(dir))) {
       GraftFs.delete(metaFile(dir))
       require(GraftFs.rename(tmp, metaFile(dir)),
         s"metadata swap failed: $tmp -> ${metaFile(dir)}")
     }
+    true
   }
   /** @return (bucket layout, row-level modes, appended schema-evolution
     * columns) — the known shapes only, written exclusively by writeMeta;
@@ -267,7 +277,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val dir = tableDir(ident)
     require(GraftFs.mkdirs(dir) || GraftFs.exists(dir),
       s"cannot create table directory $dir")
-    writeMeta(dir, bucket, modes, ret)
+    if (!writeMeta(dir, bucket, modes, ret, exclusive = true))
+      throw new TableAlreadyExistsException(ident)
     new GraftLogTable(dir, bucket, modes, Array.empty, None, ret)
   }
 
@@ -343,15 +354,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "expire"),
-      Identifier.of(namespace, "expire_snapshots"))
+      Identifier.of(namespace, "expire_snapshots"),
+      Identifier.of(namespace, "snapshots"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name() match {
     case "compact" => new GraftCompactProcedure(this)
     case "expire" => new GraftExpireProcedure(this)
     case "expire_snapshots" => new GraftExpireSnapshotsProcedure(this)
+    case "snapshots" => new GraftSnapshotsProcedure(this)
     case other => throw new IllegalArgumentException(
       s"no such procedure ${(ident.namespace() :+ other).mkString(".")} " +
-        "in the graft catalog (available: compact, expire, expire_snapshots)")
+        "in the graft catalog (available: compact, expire, expire_snapshots, snapshots)")
   }
 
   /** Resolve a table name (optionally namespaced with dots) used as a
@@ -365,6 +378,54 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val dir = tableDir(ident)
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     dir
+  }
+}
+
+/** `CALL <catalog>.system.snapshots(table => '...')` — the table's
+  * retained snapshot history, oldest first (round 17; Iceberg's
+  * snapshots metadata table as a procedure): one row per retained
+  * manifest with its 1-based version ordinal, commit stamp, manifest
+  * kind (base/delta), live data/delete file counts, and the commit's
+  * added/removed file counts. The audit surface behind every "what
+  * changed, when, and how big is the history I'm paying for" question,
+  * and the thing to consult before choosing an expire/expire_snapshots
+  * horizon. Read-only: folds the manifest chain once, touches nothing. */
+private class GraftSnapshotsProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  override def name(): String = "snapshots"
+  override def description(): String =
+    "list a graftlog table's retained snapshot history, oldest first"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name within this catalog").build())
+  // read-only, but the result reflects live filesystem state: never
+  // constant-fold or reuse across commits
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val infos = GraftSnapshotIO.history(cat.resolveTableDir(table))
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("stamp", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("live_files", IntegerType, nullable = false),
+        StructField("delete_files", IntegerType, nullable = false),
+        StructField("added_files", IntegerType, nullable = false),
+        StructField("removed_files", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = infos.map(i =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.version, i.stamp,
+            org.apache.spark.unsafe.types.UTF8String.fromString(i.kind),
+            i.liveFiles, i.deleteFiles, i.addedFiles,
+            i.removedFiles)): InternalRow).toArray
+    }
+    java.util.List.of(out).iterator()
   }
 }
 

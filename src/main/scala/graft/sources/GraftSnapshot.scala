@@ -637,6 +637,34 @@ private[sources] object GraftSnapshotIO {
     garbage.length
   }
 
+  /** The landing's retained snapshot HISTORY, oldest first — the
+    * introspection surface behind `CALL system.snapshots` (round 17;
+    * Iceberg's snapshots metadata table): one entry per retained
+    * manifest with its commit stamp, kind, and the state/change sizes a
+    * user audits a table by. Folds the chain once; empty for
+    * manifest-less landings. */
+  final case class GraftSnapshotInfo(version: Int, stamp: Long,
+      kind: String, liveFiles: Int, deleteFiles: Int,
+      addedFiles: Int, removedFiles: Int)
+  def history(path: String): Seq[GraftSnapshotInfo] = {
+    val ordered = refs(GraftFs.listNames(path))
+    if (ordered.isEmpty) return Nil
+    require(headOf(path, ordered.head)._2,
+      s"manifest chain in $path does not start at a base manifest — " +
+        "history cannot be folded")
+    var state = GraftSnapshot(Vector.empty, Map.empty)
+    ordered.toSeq.zipWithIndex.map { case (m, i) =>
+      val before = state.fileNames
+      val (stamp, kind) = readBody(path, m) match {
+        case BaseBody(st, snap) => state = snap; (st, "base")
+        case DeltaBody(st, c) => state = c.apply(state)._1; (st, "delta")
+      }
+      val after = state.fileNames
+      GraftSnapshotInfo(i + 1, stamp, kind, state.files.length,
+        state.deletes.size, (after -- before).size, (before -- after).size)
+    }
+  }
+
   /** Every data/delete file name referenced by ANY of the `remaining`
     * manifests' snapshots (the anchor-to-tip states) — the live universe
     * `expire_snapshots` must not touch. Folds the chain once. */

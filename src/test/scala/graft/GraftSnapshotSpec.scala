@@ -150,6 +150,31 @@ class GraftSnapshotSpec extends SparkTestBase {
     assert(!Off.seenStamp(json, -1L), "unstamped origins are never claimed seen")
   }
 
+  test("two racing CREATE TABLEs: one wins the metadata CAS, the loser fails loudly") {
+    // CREATE writes the table metadata with the same create-if-absent
+    // primitive as the manifest CAS: two racers cannot both "create" the
+    // table with the last layout silently clobbering the first.
+    val wh = Scratch.dir("graft_createrace_wh")
+    spark.conf.set("spark.sql.catalog.graftc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftc.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS graftc.race_ev")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map(_ => new Thread(() =>
+      try {
+        spark.sql("CREATE TABLE graftc.race_ev (event_id BIGINT, " +
+          "user_id BIGINT, value DOUBLE, event_type STRING) USING graftlog")
+        ()
+      } catch { case t: Throwable => errs.add(t); () }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.size == 1,
+      s"exactly one CREATE must lose the race, got ${errs.size} failures: $errs")
+    // and the surviving table is fully usable
+    events.orderBy("event_id").limit(10).writeTo("graftc.race_ev").append()
+    assert(spark.table("graftc.race_ev").count() == 10)
+  }
+
   test("snapshot.unlink.grace.ms: replaced files outlive the swap by the grace window, then sweep") {
     // The r16 residual on NON-retaining tables: replaced files were
     // unlinked right after the swap, so a reader holding the old snapshot
