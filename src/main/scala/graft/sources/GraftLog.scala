@@ -1787,6 +1787,10 @@ private[graft] object GraftLogOffsetTestHook {
     GraftLogOffset.fromJson(json).seenStamp(stamp)
   def admit(json: String, admitted: Seq[String], sessionLagMs: Long): String =
     GraftLogOffset.fromJson(json).admit(admitted, sessionLagMs).json()
+  def admitSegs(json: String, admitted: Seq[String], sessionLagMs: Long,
+      delivered: Seq[Long]): String =
+    GraftLogOffset.fromJson(json).admit(admitted, sessionLagMs, delivered).json()
+  def segsOf(json: String): Seq[Long] = GraftLogOffset.fromJson(json).segStamps
   def publishName(millis: Long, seq: Int, tag: String): String =
     GraftLogNames.publish(millis, seq, tag)
   def nextStamp(): Long = GraftLogNames.nextStamp()

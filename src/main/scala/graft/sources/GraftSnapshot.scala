@@ -528,8 +528,12 @@ private[sources] object GraftSnapshotIO {
     * The manifest is a DELTA unless the chain is due a base
     * ([[BASE_EVERY]]) or the base would be no bigger (truncate,
     * overwrite, tiny tables). */
-  def commit(path: String, force: Boolean = false, maxAttempts: Int = 12)
+  def commit(path: String, force: Boolean = false, maxAttempts: Int = 64)
       (build: GraftSnapshot => GraftChange): GraftCommitted = {
+    // livelock bound, not a timeout: every lost CAS means another commit
+    // SUCCEEDED (system-wide progress is guaranteed), so attempts are
+    // bounded by the number of concurrently racing commits — 64 outlasts
+    // any sane writer count while still failing a pathological storm loudly
     var attempt = 1
     while (true) {
       val resolved = resolveCurrent(path)

@@ -220,6 +220,43 @@ class GraftSnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("offset serde round-trips every (hw, lag, tail, segs) shape it can reach") {
+    // The checkpoint JSON now carries an optional "segs" field; this
+    // drives the serde through 200 seeded-random admit chains (names in
+    // and out of the lag window, legacy names, delivered segment stamps)
+    // and pins json->parse->json as a fixed point with fields intact. A
+    // mis-parse here silently re-reads or loses rows across restarts.
+    import graft.sources.{GraftLogOffsetTestHook => Off}
+    val rnd = new scala.util.Random(17)
+    val base = 1700000000000L
+    (0 until 200).foreach { _ =>
+      var json = Off.make("", 0L, Nil)
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        val k = 1 + rnd.nextInt(3)
+        val admitted = (0 until k).map { _ =>
+          if (rnd.nextInt(5) == 0) s"legacy-${rnd.nextInt(1000)}.graftlog"
+          else Off.publishName(base + rnd.nextInt(100000), rnd.nextInt(10), "p")
+        }.distinct
+        val delivered = (0 until rnd.nextInt(3)).map(_ =>
+          base + 50000 + rnd.nextInt(100000)).map(_.toLong)
+        json = Off.admitSegs(json, admitted, 1000L + rnd.nextInt(20000), delivered)
+      }
+      val (hw, lag, tail) = Off.parse(json)
+      val segs = Off.segsOf(json)
+      // the true fixed point, segs included: parse -> serialize == input
+      // (an empty admit returns the offset unchanged, so this IS
+      // fromJson(json).json())
+      assert(Off.admitSegs(json, Nil, lag, Nil) == json,
+        s"serde not a fixed point for $json")
+      // pre-r17 checkpoints (no "segs" field) parse as empty
+      if (segs.isEmpty) {
+        val legacyJson = json.replace(""","segs":[]""", "")
+        assert(Off.parse(legacyJson) == ((hw, lag, tail)),
+          "a segs-less (pre-r17) checkpoint must parse unchanged")
+      }
+    }
+  }
+
   test("streaming read across a compaction delivers every row EXACTLY ONCE") {
     // The r16 residual, closed: chunk A drains; chunk B lands; compaction
     // merges A+B into ONE fresh-named file mid-stream. The resumed reader
