@@ -1075,6 +1075,34 @@ object StorageOps extends QueryModule {
       |ORDER BY version""".stripMargin
 
   // ------------------------------------------------------------------
+  // Zone-map file skipping under the oracle gate (round 17): the task
+  // writers record per-file min/max of the numeric columns into the
+  // manifest (Iceberg's per-file stats), and the scan drops files a
+  // pushed range predicate provably cannot match — on a range-clustered
+  // landing a selective range opens ~1/N of the files instead of all of
+  // them, the classic data-skipping lever at 100 TB. The landing is
+  // written range-partitioned on event_id so the zones are disjoint;
+  // GraftLogSpec pins the planned-partition counts (including the
+  // no-decode zone-map merge across compaction), this oracle pins the
+  // rows.
+  // ------------------------------------------------------------------
+  def dsv2StatsPruned(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_stats")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartitionByRange(6, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.format("graftlog").mode("append").save(landing)
+    s.read.format("graftlog").load(landing)
+      .filter(col("event_id") < 2000 && col("value") >= 1.0d)
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2StatsPrunedSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_id < 2000 AND value >= 1.0 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, OFFSET pushdown (round 15): the SPI has no partial
   // variant, so the source claims OFFSET fully by collapsing the scan to
   // ONE sequential partition chaining files in publish order and skipping
@@ -1343,6 +1371,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_chain" -> (dsv2Chain _),
     "stream_dsv2_compact" -> (dsv2StreamCompact _),
     "call_dsv2_snapshots" -> (dsv2Snapshots _),
+    "scan_dsv2_stats_pruned" -> (dsv2StatsPruned _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "update_dsv2_mor" -> (dsv2UpdateMor _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
@@ -1381,6 +1410,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_chain" -> dsv2ChainSql,
     "stream_dsv2_compact" -> dsv2StreamCompactSql,
     "call_dsv2_snapshots" -> dsv2SnapshotsSql,
+    "scan_dsv2_stats_pruned" -> dsv2StatsPrunedSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "update_dsv2_mor" -> dsv2UpdateMorSql,
     "merge_dsv2_mor" -> dsv2MergeMorSql,

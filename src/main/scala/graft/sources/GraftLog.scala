@@ -347,10 +347,38 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
   }
 }
 
-private case class GraftLogCommit(tmp: String, partitionId: Int) extends WriterCommitMessage
+/** Executor-side min/max tracker for the fixed numeric columns — the
+  * per-file zone map recorded while encoding (round 17). A NaN `value`
+  * poisons the whole record of stats: NaN orders with nothing, so bounds
+  * that ignored it would wrongly prune. */
+private final class GraftStatsTracker {
+  private var any = false
+  private var nan = false
+  private var eidMin = Long.MaxValue; private var eidMax = Long.MinValue
+  private var uidMin = Long.MaxValue; private var uidMax = Long.MinValue
+  private var valMin = Double.MaxValue; private var valMax = Double.MinValue
+  def add(eid: Long, uid: Long, v: Double): Unit = {
+    any = true
+    if (eid < eidMin) eidMin = eid
+    if (eid > eidMax) eidMax = eid
+    if (uid < uidMin) uidMin = uid
+    if (uid > uidMax) uidMax = uid
+    if (v.isNaN) nan = true
+    else {
+      if (v < valMin) valMin = v
+      if (v > valMax) valMax = v
+    }
+  }
+  def result: Option[GraftStats] =
+    if (!any || nan) None
+    else Some(GraftStats(eidMin, eidMax, uidMin, uidMax, valMin, valMax))
+}
 
-/** Bucketed task commit: one tmp file per bucket the task saw. */
-private case class GraftLogBucketedCommit(parts: Seq[(Int, String)],
+private case class GraftLogCommit(tmp: String, partitionId: Int,
+    stats: Option[GraftStats] = None) extends WriterCommitMessage
+
+/** Bucketed task commit: one (bucket, tmp, stats) per bucket the task saw. */
+private case class GraftLogBucketedCommit(parts: Seq[(Int, String, Option[GraftStats])],
     partitionId: Int) extends WriterCommitMessage
 
 private class GraftLogBatchWrite(path: String, truncate: Boolean,
@@ -386,7 +414,7 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
     // committed after our victim listing.
     val committed = GraftSnapshotIO.commit(path, force = truncate) { base =>
       GraftChange(
-        addData = pub.map(GraftLiveFile(_, None)).toVector,
+        addData = pub.toVector,
         removeData = if (truncate) base.fileNames else Set.empty)
     }
     // a snapshot-retaining table's OVERWRITE keeps the pre-overwrite
@@ -402,9 +430,9 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogCommit(tmp, _) => GraftFs.delete(tmp); ()
+      case GraftLogCommit(tmp, _, _) => GraftFs.delete(tmp); ()
       case GraftLogBucketedCommit(parts, _) =>
-        parts.foreach { case (_, tmp) => GraftFs.delete(tmp) }
+        parts.foreach { case (_, tmp, _) => GraftFs.delete(tmp) }
       case _ => ()
     }
 }
@@ -453,7 +481,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // break — so a lost CAS rebases unconditionally.
     val committed = GraftSnapshotIO.commit(path) { base =>
       GraftChange(
-        addData = pub.map(GraftLiveFile(_, None)).toVector,
+        addData = pub.toVector,
         removeData = victims.toSet.intersect(base.fileNames))
     }
     // Snapshot retention applies to STREAMING epochs too (r16 advice,
@@ -476,7 +504,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogCommit(tmp, _) => GraftFs.delete(tmp); ()
+      case GraftLogCommit(tmp, _, _) => GraftFs.delete(tmp); ()
       case _ => ()
     }
 }
@@ -716,7 +744,7 @@ private class GraftLogReplaceDataBatchWrite(path: String,
         }
       }
       GraftChange(
-        addData = pub.map(GraftLiveFile(_, None)).toVector,
+        addData = pub.toVector,
         removeData = replacedNames)
     }
     // snapshot retention (round 16): a retaining table keeps the replaced
@@ -735,9 +763,9 @@ private class GraftLogReplaceDataBatchWrite(path: String,
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogCommit(tmp, _) => GraftFs.delete(tmp); ()
+      case GraftLogCommit(tmp, _, _) => GraftFs.delete(tmp); ()
       case GraftLogBucketedCommit(parts, _) =>
-        parts.foreach { case (_, tmp) => GraftFs.delete(tmp) }
+        parts.foreach { case (_, tmp, _) => GraftFs.delete(tmp) }
       case _ => ()
     }
 }
@@ -807,7 +835,8 @@ private class GraftLogDeltaOperation(path: String,
   * index), plus (bucket, tmp) data parts for inserted/updated rows
   * (bucket -1 on plain tables). */
 private case class GraftLogDeltaCommit(delTmp: String, covered: Seq[String],
-    dataParts: Seq[(Int, String)], partitionId: Int) extends WriterCommitMessage
+    dataParts: Seq[(Int, String, Option[GraftStats])],
+    partitionId: Int) extends WriterCommitMessage
 
 /** Ships to executors: must not capture the (driver-only) batch write. */
 private class GraftLogDeltaWriterFactory(path: String,
@@ -838,7 +867,7 @@ private class GraftLogDeltaBatchWrite(path: String,
             s"delta commit failed to publish $delTmp -> $name")
           dels += ((name, covered))
         }
-        dataParts.foreach { case (b, tmp) =>
+        dataParts.foreach { case (b, tmp, stats) =>
           if (GraftFs.length(tmp) == 0L) {
             require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); ()
           } else {
@@ -847,7 +876,7 @@ private class GraftLogDeltaBatchWrite(path: String,
             val name = GraftLogNames.publish(GraftLogNames.nextStamp(), i, tag)
             require(GraftFs.rename(tmp, GraftFs.child(path, name)),
               s"delta commit failed to publish $tmp -> $name")
-            data += GraftLiveFile(name, None)
+            data += GraftLiveFile(name, None, stats)
           }
         }
       case (other, _) =>
@@ -884,7 +913,7 @@ private class GraftLogDeltaBatchWrite(path: String,
     messages.foreach {
       case GraftLogDeltaCommit(delTmp, _, dataParts, _) =>
         GraftFs.delete(delTmp)
-        dataParts.foreach { case (_, tmp) => GraftFs.delete(tmp) }
+        dataParts.foreach { case (_, tmp, _) => GraftFs.delete(tmp) }
       case _ => ()
     }
 }
@@ -903,15 +932,16 @@ private class GraftLogDeltaWriter(path: String, partitionId: Int,
     GraftFs.createData(delTmp), java.nio.charset.StandardCharsets.UTF_8))
   private val covered = scala.collection.mutable.LinkedHashSet.empty[String]
   // insert-side data tmps, keyed by bucket (-1 = plain), opened lazily
-  private val dataOuts = new java.util.HashMap[Int, (String, DataOutputStream)]()
-  private def dataOut(b: Int): DataOutputStream = {
+  private val dataOuts =
+    new java.util.HashMap[Int, (String, DataOutputStream, GraftStatsTracker)]()
+  private def dataOut(b: Int): (String, DataOutputStream, GraftStatsTracker) = {
     var e = dataOuts.get(b)
     if (e == null) {
       val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
-      e = (tmp, GraftFs.createData(tmp))
+      e = (tmp, GraftFs.createData(tmp), new GraftStatsTracker)
       dataOuts.put(b, e)
     }
-    e._2
+    e
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
@@ -925,15 +955,17 @@ private class GraftLogDeltaWriter(path: String, partitionId: Int,
     throw new IllegalStateException(
       "graftlog represents updates as delete+reinsert (representUpdateAsDeleteAndInsert)")
   override def insert(row: InternalRow): Unit = {
-    val b = bucket.map(bs => bs.bucketOf(row.getLong(bs.ord))).getOrElse(-1)
-    GraftLog.encodeRecord(dataOut(b), row, extra)
+    val e = dataOut(bucket.map(bs => bs.bucketOf(row.getLong(bs.ord))).getOrElse(-1))
+    e._3.add(row.getLong(0), row.getLong(1), row.getDouble(2))
+    GraftLog.encodeRecord(e._2, row, extra)
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
     dataOuts.forEach((_, e) => e._2.close())
-    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    dataOuts.forEach((b, e) => parts += ((b, e._1)))
+    val parts = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, Option[GraftStats])]
+    dataOuts.forEach((b, e) => parts += ((b, e._1, e._3.result)))
     GraftLogDeltaCommit(delTmp, covered.toSeq, parts.sortBy(_._1).toSeq, partitionId)
   }
   override def abort(): Unit = {
@@ -969,11 +1001,16 @@ private class GraftLogWriter(path: String, partitionId: Int,
   private val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
   GraftFs.mkdirs(path) // defensive: factory mkdirs ran on the driver
   private val out = GraftFs.createData(tmp)
+  private val stats = new GraftStatsTracker
 
-  override def write(r: InternalRow): Unit = GraftLog.encodeRecord(out, r, extra)
+  override def write(r: InternalRow): Unit = {
+    stats.add(r.getLong(0), r.getLong(1), r.getDouble(2))
+    GraftLog.encodeRecord(out, r, extra)
+  }
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftLogCommit(tmp, partitionId) // publish happens in the driver's commit()
+    // publish happens in the driver's commit(); the zone map rides along
+    GraftLogCommit(tmp, partitionId, stats.result)
   }
   override def abort(): Unit = { out.close(); GraftFs.delete(tmp); () }
   override def close(): Unit = out.close()
@@ -990,25 +1027,30 @@ private class GraftLogWriter(path: String, partitionId: Int,
 private class GraftLogBucketedWriter(path: String, partitionId: Int,
     bucket: GraftLogBucketSpec,
     extra: Array[StructField] = Array.empty) extends DataWriter[InternalRow] {
-  private val outs = new java.util.HashMap[Int, (String, DataOutputStream)]()
+  private val outs =
+    new java.util.HashMap[Int, (String, DataOutputStream, GraftStatsTracker)]()
   GraftFs.mkdirs(path)
 
-  private def outFor(b: Int): DataOutputStream = {
+  private def outFor(b: Int): (String, DataOutputStream, GraftStatsTracker) = {
     var e = outs.get(b)
     if (e == null) {
       val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
-      e = (tmp, GraftFs.createData(tmp))
+      e = (tmp, GraftFs.createData(tmp), new GraftStatsTracker)
       outs.put(b, e)
     }
-    e._2
+    e
   }
 
-  override def write(r: InternalRow): Unit =
-    GraftLog.encodeRecord(outFor(bucket.bucketOf(r.getLong(bucket.ord))), r, extra)
+  override def write(r: InternalRow): Unit = {
+    val e = outFor(bucket.bucketOf(r.getLong(bucket.ord)))
+    e._3.add(r.getLong(0), r.getLong(1), r.getDouble(2))
+    GraftLog.encodeRecord(e._2, r, extra)
+  }
   override def commit(): WriterCommitMessage = {
     outs.forEach((_, e) => e._2.close())
-    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    outs.forEach((b, e) => parts += ((b, e._1)))
+    val parts = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, Option[GraftStats])]
+    outs.forEach((b, e) => parts += ((b, e._1, e._3.result)))
     GraftLogBucketedCommit(parts.sortBy(_._1).toSeq, partitionId)
   }
   override def abort(): Unit = {
@@ -1255,8 +1297,14 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     case Some(s) => GraftSnapshotIO.resolveAsOf(path, s)
     case None => GraftSnapshotIO.resolve(path)
   }
+  // stamp pruning (time-travel/incremental slices) then zone-map pruning
+  // (round 17): a pushed range/equality predicate on the numeric columns
+  // drops every file whose manifest min/max provably excludes it — the
+  // files are never opened, and estimateStatistics reports the skipped
+  // slice so broadcast decisions see the post-skip size
   @transient private lazy val prunedFiles: Seq[GraftLiveFile] =
-    GraftLog.stampPrune(snapshot.files, stampFilters)
+    GraftLog.statsPrune(
+      GraftLog.stampPrune(snapshot.files, stampFilters), filters)
   private def pathOf(f: GraftLiveFile): String = GraftFs.child(path, f.name)
 
   /** Size statistics from the log files themselves — without this a V2
@@ -1485,7 +1533,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // merged file re-merged under yet another fresh name) cannot
     // re-deliver them — the name-level tail no longer identifies them
     val segsOf = snap.files.collect {
-      case GraftLiveFile(n, Some(ss)) => (n, ss)
+      case GraftLiveFile(n, Some(ss), _) => (n, ss)
     }.toMap
     val delivered = admitted.toSeq.flatMap(n => segsOf.get(n).toSeq.flatten
       .map(_.stamp).filter(st => st >= 0 && !cur.seenStamp(st)))
@@ -1529,7 +1577,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // fails loudly on open (fail-stop, same as every resolved-then-
     // deleted window in this connector).
     val segsOf = GraftSnapshotIO.resolve(path).files.collect {
-      case GraftLiveFile(n, Some(ss)) => (n, ss)
+      case GraftLiveFile(n, Some(ss), _) => (n, ss)
     }.toMap
     end.asInstanceOf[GraftLogOffset].tail
       .filterNot(from.seen).sorted
@@ -1609,10 +1657,13 @@ private[sources] object GraftLogNames {
     lastStamp.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
 
   /** @return the published file NAMES (for the commit's manifest swap). */
+  /** @return the published LIVE-FILE entries (name + task-recorded zone
+    *         map) for the commit's manifest swap. */
   def publishAll(path: String, messages: Array[WriterCommitMessage],
-      tag: Int => String): Seq[String] = {
-    val published = Seq.newBuilder[String]
-    def rename(tmp: String, seq: Int, t: String): Unit = {
+      tag: Int => String): Seq[GraftLiveFile] = {
+    val published = Seq.newBuilder[GraftLiveFile]
+    def rename(tmp: String, seq: Int, t: String,
+        stats: Option[GraftStats]): Unit = {
       // A zero-row task's tmp publishes NOTHING: an empty file is
       // semantically absent in this format (no header/footer), it only
       // costs listing at scale, and Spark deliberately runs one empty
@@ -1626,15 +1677,16 @@ private[sources] object GraftLogNames {
       val dest = s"$path/$name"
       require(GraftFs.rename(tmp, dest),
         s"commit failed to publish $tmp -> $dest")
-      published += name
+      published += GraftLiveFile(name, None, stats)
     }
     messages.zipWithIndex.foreach {
-      case (GraftLogCommit(tmp, pid), i) =>
-        rename(tmp, i, tag(pid))
+      case (GraftLogCommit(tmp, pid, stats), i) =>
+        rename(tmp, i, tag(pid), stats)
       case (GraftLogBucketedCommit(parts, pid), i) =>
         // the `k<bucket>` token leads so bucketOf() can parse it back at
         // scan-planning time; per-task publish keeps stamps monotone
-        parts.foreach { case (b, tmp) => rename(tmp, i, s"k$b-${tag(pid)}") }
+        parts.foreach { case (b, tmp, stats) =>
+          rename(tmp, i, s"k$b-${tag(pid)}", stats) }
       case (other, _) =>
         throw new IllegalStateException(s"unexpected commit message $other")
     }
@@ -1898,7 +1950,7 @@ private object GraftLogCursorSpec {
   def of(path: String, snap: GraftSnapshot, stampFilters: Array[Filter],
       extra: Array[StructField] = Array.empty): GraftLogCursorSpec = {
     val segsOf = snap.files.collect {
-      case GraftLiveFile(n, Some(ss)) => (n, ss)
+      case GraftLiveFile(n, Some(ss), _) => (n, ss)
     }.toMap
     // inverted in ONE pass over the coverage index — building it per data
     // file would be O(files x delete files) driver work, the wrong shape
@@ -2733,11 +2785,12 @@ object GraftLog {
     // per-input plan: absolute path, on-disk size, origin-stamp segments,
     // covering delete files — everything a merge task needs, shippable
     final case class In(abs: String, name: String, size: Long,
-        segs: Vector[GraftSegment], dels: Seq[String]) extends Serializable
+        segs: Vector[GraftSegment], dels: Seq[String],
+        stats: Option[GraftStats]) extends Serializable
     val infos = snap.files.map { f =>
       val abs = GraftFs.child(path, f.name)
       In(abs, f.name, GraftFs.length(abs), f.stampedSegments,
-        snap.deletesFor(f.name).map(d => GraftFs.child(path, d)))
+        snap.deletesFor(f.name).map(d => GraftFs.child(path, d)), f.stats)
     }
     val bins: Seq[(Int, Seq[In])] = infos
       .groupBy(i => GraftLogNames.bucketOf(i.name))
@@ -2815,13 +2868,20 @@ object GraftLog {
         val norm = nonEmpty.foldLeft(Vector.empty[GraftSegment]) { (acc, s) =>
           if (acc.nonEmpty && acc.last.stamp == s.stamp) acc else acc :+ s
         }
-        (tok, tmp, group.map(_.name), norm, group.map(_.size).sum)
+        // zone-map merge, no decode: the union of the inputs' bounds is a
+        // sound (superset) bound for the merged rows — even for the
+        // delete-absorbing walk, which only DROPS rows
+        val stats = group.map(_.stats).reduce[Option[GraftStats]] {
+          case (Some(a), Some(b)) => Some(a.merge(b))
+          case _ => None
+        }
+        (tok, tmp, group.map(_.name), norm, group.map(_.size).sum, stats)
       }.collect()
     // swap: publish merged files (monotone fresh name stamps, bucket
     // token carried over so bucketed scans keep parsing the layout), then
     // flip the manifest, then unlink the originals and absorbed deletes
     val outFiles = Vector.newBuilder[GraftLiveFile]
-    merged.zipWithIndex.foreach { case ((tok, tmp, _, segs, _), seq) =>
+    merged.zipWithIndex.foreach { case ((tok, tmp, _, segs, _, stats), seq) =>
       if (GraftFs.length(tmp) == 0L) {
         require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); ()
       } else {
@@ -2830,7 +2890,7 @@ object GraftLog {
         val name = GraftLogNames.publish(GraftLogNames.nextStamp(), seq, tag)
         require(GraftFs.rename(tmp, GraftFs.child(path, name)),
           s"compact failed to publish $tmp -> $name")
-        outFiles += GraftLiveFile(name, Some(segs))
+        outFiles += GraftLiveFile(name, Some(segs), stats)
       }
     }
     val outs = outFiles.result()
@@ -2894,7 +2954,7 @@ object GraftLog {
     // ANY unstamped-origin segment is never expired (unknown age, same
     // minimal claim as for legacy names).
     val segsOf = snap.files.collect {
-      case GraftLiveFile(n, Some(ss)) => (n, ss)
+      case GraftLiveFile(n, Some(ss), _) => (n, ss)
     }.toMap
     def retireStamp(name: String): Long = segsOf.get(name) match {
       case Some(ss) => if (ss.exists(_.stamp < 0)) -1L else ss.map(_.stamp).max
@@ -3268,6 +3328,68 @@ object GraftLog {
     if (stampFilters.isEmpty) files
     else files.filter(_.stampedSegments.exists(seg =>
       stampFilters.forall(stampAccepts(_, seg.stamp))))
+
+  /** Zone-map file skipping (round 17): drop files whose per-file min/max
+    * stats PROVE a pushed conjunct matches none of their rows. Soundness
+    * direction: a file survives unless some conjunct provably rejects it,
+    * so unknown predicate shapes, unknown columns (strings, added
+    * columns) and stats-less files (pre-r17 manifests, foreign appends)
+    * always survive. PUSHED filters only — runtime filters arrive after
+    * outputPartitioning() is consulted, the same reason bucket pruning
+    * ignores them. */
+  private[sources] def statsPrune(files: Seq[GraftLiveFile],
+      filters: Array[Filter]): Seq[GraftLiveFile] =
+    if (filters.isEmpty) files
+    else files.filter(f => f.stats.forall(st =>
+      filters.forall(statsAccepts(_, st))))
+
+  /** May any row within `st`'s bounds satisfy `f`? (true = keep file /
+    * unknown; only a provable full-file rejection returns false.) */
+  private[sources] def statsAccepts(f: Filter, st: GraftStats): Boolean = {
+    def longRange(col: String): Option[(Long, Long)] = col match {
+      case "event_id" => Some((st.eidMin, st.eidMax))
+      case "user_id" => Some((st.uidMin, st.uidMax))
+      case _ => None
+    }
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def asDouble(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f2: Float => Some(f2.toDouble)
+      case _ => None
+    }
+    def cmp(col: String, v: Any)(longTest: (Long, Long, Long) => Boolean,
+        dblTest: (Double, Double, Double) => Boolean): Boolean =
+      longRange(col) match {
+        case Some((lo, hi)) => asLong(v).forall(x => longTest(lo, hi, x))
+        case None if col == "value" =>
+          asDouble(v).forall(x => !x.isNaN && dblTest(st.valMin, st.valMax, x))
+        case None => true // untracked column: no constraint
+      }
+    f match {
+      case EqualTo(c, v) =>
+        cmp(c, v)((lo, hi, x) => x >= lo && x <= hi,
+          (lo, hi, x) => x >= lo && x <= hi)
+      case GreaterThan(c, v) =>
+        cmp(c, v)((_, hi, x) => hi > x, (_, hi, x) => hi > x)
+      case GreaterThanOrEqual(c, v) =>
+        cmp(c, v)((_, hi, x) => hi >= x, (_, hi, x) => hi >= x)
+      case LessThan(c, v) =>
+        cmp(c, v)((lo, _, x) => lo < x, (lo, _, x) => lo < x)
+      case LessThanOrEqual(c, v) =>
+        cmp(c, v)((lo, _, x) => lo <= x, (lo, _, x) => lo <= x)
+      case In(c, vs) => vs.exists(v => statsAccepts(EqualTo(c, v), st))
+      case And(l, r) => statsAccepts(l, st) && statsAccepts(r, st)
+      case Or(l, r) => statsAccepts(l, st) || statsAccepts(r, st)
+      // Not/IsNull/string predicates and anything else: no file-level claim
+      case _ => true
+    }
+  }
 
   /** Sorted positions deleted from `dataName`, read from its covering
     * position-delete files (text lines `<dataFileName>\t<pos>`). Cost is

@@ -89,10 +89,50 @@ package graft.sources
   */
 private[sources] case class GraftSegment(start: Long, stamp: Long)
 
+/** Per-file column statistics (round 17 — the manifest's zone map):
+  * min/max of the three fixed numeric columns, recorded by the task
+  * writers at encode time and carried through the manifest so a scan can
+  * skip whole files on any pushed range/equality predicate — Iceberg's
+  * per-file stats, the data-skipping lever that makes a range query on a
+  * clustered 100 TB landing open only the overlapping files. Bounds, not
+  * exact sets: compaction merges them without decoding (a superset bound
+  * stays sound when position deletes shrink a file), and files without
+  * stats (pre-r17 manifests, foreign appends) are simply never skipped.
+  * The base columns are non-nullable by schema, so no null bookkeeping;
+  * a file with any NaN `value` row records no stats at all (NaN orders
+  * with nothing). */
+private[sources] final case class GraftStats(eidMin: Long, eidMax: Long,
+    uidMin: Long, uidMax: Long, valMin: Double, valMax: Double) {
+  /** Union of two files' bounds (compaction's no-decode merge). */
+  def merge(o: GraftStats): GraftStats = GraftStats(
+    math.min(eidMin, o.eidMin), math.max(eidMax, o.eidMax),
+    math.min(uidMin, o.uidMin), math.max(uidMax, o.uidMax),
+    math.min(valMin, o.valMin), math.max(valMax, o.valMax))
+  /** Manifest token: `Z`-prefixed (a segment spec starts with a digit,
+    * so the two optional F-line tokens stay unambiguous); doubles as raw
+    * bits for exact round-trips. */
+  def encode: String =
+    s"Z$eidMin:$eidMax:$uidMin:$uidMax:" +
+      s"${java.lang.Double.doubleToRawLongBits(valMin)}:" +
+      s"${java.lang.Double.doubleToRawLongBits(valMax)}"
+}
+private[sources] object GraftStats {
+  def decode(tok: String, where: String): GraftStats = {
+    val parts = tok.substring(1).split(':')
+    require(tok.startsWith("Z") && parts.length == 6,
+      s"bad stats token '$tok' in $where")
+    GraftStats(parts(0).toLong, parts(1).toLong, parts(2).toLong,
+      parts(3).toLong,
+      java.lang.Double.longBitsToDouble(parts(4).toLong),
+      java.lang.Double.longBitsToDouble(parts(5).toLong))
+  }
+}
+
 /** One live data file: its NAME (directory-relative) plus the optional
   * compaction segment map (None = the whole file carries its name stamp). */
 private[sources] case class GraftLiveFile(name: String,
-    segs: Option[Vector[GraftSegment]]) {
+    segs: Option[Vector[GraftSegment]],
+    stats: Option[GraftStats] = None) {
   /** Publish stamp governing `_pub_stamp` semantics per row range: the
     * name stamp for plain files; per-segment original stamps for
     * compacted files. */
@@ -310,19 +350,28 @@ private[sources] object GraftSnapshotIO {
   /** Strict record parsers: manifests are written only by this object, so
     * an unreadable line is corruption and must fail loudly, not resolve
     * to a silently-smaller table. */
-  private def parseF(name: String, segSpec: Option[String],
-      where: String): GraftLiveFile = segSpec match {
-    case None => GraftLiveFile(name, None)
-    case Some(spec) =>
-      val segs = spec.split(',').toVector.map { s =>
-        val i = s.indexOf(':')
-        require(i > 0, s"bad segment '$s' in $where")
-        GraftSegment(s.substring(0, i).toLong, s.substring(i + 1).toLong)
+  /** F-line record: `F <name>[ <segs>][ Z<stats>]` — both optional
+    * tokens positional but self-describing (a stats token starts with
+    * 'Z', a segment spec with a digit). */
+  private def parseF(name: String, toks: Seq[String],
+      where: String): GraftLiveFile = {
+    var segs: Option[Vector[GraftSegment]] = None
+    var stats: Option[GraftStats] = None
+    toks.foreach { tok =>
+      if (tok.startsWith("Z")) stats = Some(GraftStats.decode(tok, where))
+      else {
+        val ss = tok.split(',').toVector.map { s =>
+          val i = s.indexOf(':')
+          require(i > 0, s"bad segment '$s' in $where")
+          GraftSegment(s.substring(0, i).toLong, s.substring(i + 1).toLong)
+        }
+        require(ss.nonEmpty && ss.head.start == 0L &&
+          ss.map(_.start) == ss.map(_.start).sorted,
+          s"bad segment map for $name in $where")
+        segs = Some(ss)
       }
-      require(segs.nonEmpty && segs.head.start == 0L &&
-        segs.map(_.start) == segs.map(_.start).sorted,
-        s"bad segment map for $name in $where")
-      GraftLiveFile(name, Some(segs))
+    }
+    GraftLiveFile(name, segs, stats)
   }
 
   private def parseSnapshotLines(lines: Array[String],
@@ -331,8 +380,8 @@ private[sources] object GraftSnapshotIO {
     val dels = Map.newBuilder[String, Vector[String]]
     lines.foreach { line =>
       line.split(' ') match {
-        case Array("F", name) => files += parseF(name, None, where)
-        case Array("F", name, segSpec) => files += parseF(name, Some(segSpec), where)
+        case Array("F", name, toks @ _*) if toks.length <= 2 =>
+          files += parseF(name, toks, where)
         case Array("D", del, covSpec) => dels += ((del, covSpec.split(',').toVector))
         case _ => throw new IllegalStateException(
           s"unreadable manifest line in $where: '$line'")
@@ -348,10 +397,10 @@ private[sources] object GraftSnapshotIO {
     val dels = Seq.newBuilder[(String, Seq[String])]
     lines.foreach { line =>
       line.split(' ') match {
-        case Array("F", name) => files += parseF(name, None, where)
-        case Array("F", name, segSpec) => files += parseF(name, Some(segSpec), where)
         case Array("R", name) => removed += name
         case Array("D", del, covSpec) => dels += ((del, covSpec.split(',').toSeq))
+        case Array("F", name, toks @ _*) if toks.length <= 2 =>
+          files += parseF(name, toks, where)
         case _ => throw new IllegalStateException(
           s"unreadable manifest line in $where: '$line'")
       }
@@ -365,6 +414,7 @@ private[sources] object GraftSnapshotIO {
       f.segs.foreach { ss =>
         sb.append(' ').append(ss.map(s => s"${s.start}:${s.stamp}").mkString(","))
       }
+      f.stats.foreach(st => sb.append(' ').append(st.encode))
       sb.append('\n')
       // unclean names are necessarily unstamped/foreign (publish names are
       // uuid/stamp tokens): the resolver's reconciliation keeps them live

@@ -70,23 +70,32 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
   }
 
   test("bucket pruning: =/IN on the bucket column plans only the matching buckets") {
-    // user 42 lives in bucket floorMod(42, 8) = 2: a pushed equality must
+    // user 7 lives in bucket floorMod(7, 8) = 7: a pushed equality must
     // collapse the scan to ONE partition; the IN over two users in two
     // distinct buckets plans exactly those two. Answers come from the
     // pruned plan, so a wrongly-dropped bucket fails the value checks too.
-    val eq = spark.table("graft.ev_a").filter(col("user_id") === 42L)
+    // (Users that EXIST in the fixture: since round 17 the per-file zone
+    // maps prune on top of bucket pruning, so a user id outside the data's
+    // range plans ZERO partitions — asserted below.)
+    val eq = spark.table("graft.ev_a").filter(col("user_id") === 7L)
     assert(eq.rdd.getNumPartitions == 1,
       s"equality on the bucket column planned ${eq.rdd.getNumPartitions} partitions")
-    assert(eq.count() == events.filter(col("user_id") === 42L).count())
+    assert(eq.count() == events.filter(col("user_id") === 7L).count())
     val in = spark.table("graft.ev_a")
-      .filter(col("user_id").isin(42L, 43L))
+      .filter(col("user_id").isin(7L, 8L))
     assert(in.rdd.getNumPartitions == 2,
       s"IN over two buckets planned ${in.rdd.getNumPartitions} partitions")
-    assert(in.count() == events.filter(col("user_id").isin(42L, 43L)).count())
-    // a value-column predicate must NOT prune (bucket-agnostic)
-    val np = spark.table("graft.ev_a").filter(col("value") > 1e12)
+    assert(in.count() == events.filter(col("user_id").isin(7L, 8L)).count())
+    // zone maps stack on bucket pruning: an id no file's min/max admits
+    // opens NOTHING, even though its bucket exists
+    val none = spark.table("graft.ev_a").filter(col("user_id") === 42L)
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0,
+      "an out-of-range user id must plan zero partitions under zone maps")
+    // a bucket-agnostic predicate the zone maps cannot reject either
+    // (every file's value range admits it) must not prune anything
+    val np = spark.table("graft.ev_a").filter(col("value") > -1.0d)
     assert(np.rdd.getNumPartitions == 8,
-      s"bucket-agnostic filter wrongly pruned to ${np.rdd.getNumPartitions}")
+      s"non-selective filter wrongly pruned to ${np.rdd.getNumPartitions}")
   }
 
   test("metadata columns on a bucketed table: _bucket = floorMod(user_id, 8) and agrees with the file's k-token") {

@@ -644,6 +644,44 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(scan().rdd.getNumPartitions == nFiles)
   }
 
+  test("per-file zone maps prune files: a range predicate opens only overlapping files") {
+    // Round 17: task writers record min/max of the numeric columns into
+    // the manifest; the scan drops files a pushed conjunct provably
+    // cannot match. Four disjoint event_id chunks -> four files with
+    // disjoint zones; the partition count IS the files opened.
+    val land = Scratch.dir("graftlog_zonemap")
+    (0 until 4).foreach { k =>
+      events.filter(col("event_id") >= k * 250 && col("event_id") < (k + 1) * 250)
+        .repartition(1).write.format("graftlog").mode("append").save(land)
+    }
+    def read() = spark.read.format("graftlog").load(land)
+    assert(read().rdd.getNumPartitions == 4, "fixture must land as 4 files")
+    // equality hits exactly one zone
+    val q1 = read().filter(col("event_id") === 400)
+    assert(q1.rdd.getNumPartitions == 1,
+      s"point predicate planned ${q1.rdd.getNumPartitions} files, wanted 1")
+    assert(q1.count() == 1)
+    // a range straddling a zone boundary opens exactly the two overlaps
+    val q2 = read().filter(col("event_id") >= 240 && col("event_id") < 260)
+    assert(q2.rdd.getNumPartitions == 2,
+      s"straddling range planned ${q2.rdd.getNumPartitions} files, wanted 2")
+    assert(q2.count() ==
+      events.filter(col("event_id") >= 240 && col("event_id") < 260).count())
+    // a provably-empty value range opens NOTHING (fixture values are > 0)
+    val q3 = read().filter(col("value") < -1.0d)
+    assert(q3.rdd.getNumPartitions == 0 && q3.count() == 0,
+      "an out-of-bounds value range must plan zero files")
+    // untracked columns claim nothing: no false pruning
+    assert(read().filter(col("event_type") === "click").rdd.getNumPartitions == 4)
+    // compaction merges zone maps without decoding: the merged file's
+    // bounds span its inputs, so the point predicate still plans it (1
+    // file = the whole landing now) and the rows stay exact
+    GraftLog.compact(spark, land, Long.MaxValue)
+    val q4 = read().filter(col("event_id") === 400)
+    assert(q4.rdd.getNumPartitions == 1 && q4.count() == 1,
+      "post-compaction merged zone map must keep the point lookup exact")
+  }
+
   test("_pub_stamp predicate pushdown prunes FILES: the incremental-batch read surface") {
     val land = Scratch.dir("graftlog_stamp")
     val a = events.filter(col("event_id") < 300)
