@@ -1103,6 +1103,35 @@ object StorageOps extends QueryModule {
       |WHERE event_id < 2000 AND value >= 1.0 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Metadata aggregates under the oracle gate (round 17): an unfiltered,
+  // ungrouped COUNT/MIN/MAX over the zone-mapped columns is answered
+  // from the manifest alone — the scan plans ONE partition carrying the
+  // pre-merged partials and opens no data file (GraftLogSpec proves it
+  // by unlinking the files and re-running). `SELECT count(*) FROM t` on
+  // a 100 TB landing is a metadata operation, exactly Iceberg's
+  // stats-served aggregates.
+  // ------------------------------------------------------------------
+  def dsv2AggStats(s: SparkSession, dir: String): DataFrame = {
+    val landing = scratch("graft_log_metaagg")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(4)
+      .write.format("graftlog").mode("append").save(landing)
+    s.read.format("graftlog").load(landing)
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("eid_min"), max(col("event_id")).as("eid_max"),
+        min(col("user_id")).as("uid_min"), max(col("user_id")).as("uid_max"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+  }
+
+  val dsv2AggStatsSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(event_id) AS eid_min, MAX(event_id) AS eid_max,
+      |  MIN(user_id) AS uid_min, MAX(user_id) AS uid_max,
+      |  MIN(value) AS vmin, MAX(value) AS vmax
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, OFFSET pushdown (round 15): the SPI has no partial
   // variant, so the source claims OFFSET fully by collapsing the scan to
   // ONE sequential partition chaining files in publish order and skipping
@@ -1372,6 +1401,7 @@ object StorageOps extends QueryModule {
     "stream_dsv2_compact" -> (dsv2StreamCompact _),
     "call_dsv2_snapshots" -> (dsv2Snapshots _),
     "scan_dsv2_stats_pruned" -> (dsv2StatsPruned _),
+    "agg_dsv2_stats" -> (dsv2AggStats _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "update_dsv2_mor" -> (dsv2UpdateMor _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
@@ -1411,6 +1441,7 @@ object StorageOps extends QueryModule {
     "stream_dsv2_compact" -> dsv2StreamCompactSql,
     "call_dsv2_snapshots" -> dsv2SnapshotsSql,
     "scan_dsv2_stats_pruned" -> dsv2StatsPrunedSql,
+    "agg_dsv2_stats" -> dsv2AggStatsSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "update_dsv2_mor" -> dsv2UpdateMorSql,
     "merge_dsv2_mor" -> dsv2MergeMorSql,

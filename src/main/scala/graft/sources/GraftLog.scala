@@ -352,13 +352,13 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
   * poisons the whole record of stats: NaN orders with nothing, so bounds
   * that ignored it would wrongly prune. */
 private final class GraftStatsTracker {
-  private var any = false
+  private var n = 0L
   private var nan = false
   private var eidMin = Long.MaxValue; private var eidMax = Long.MinValue
   private var uidMin = Long.MaxValue; private var uidMax = Long.MinValue
   private var valMin = Double.MaxValue; private var valMax = Double.MinValue
   def add(eid: Long, uid: Long, v: Double): Unit = {
-    any = true
+    n += 1
     if (eid < eidMin) eidMin = eid
     if (eid > eidMax) eidMax = eid
     if (uid < uidMin) uidMin = uid
@@ -370,8 +370,8 @@ private final class GraftStatsTracker {
     }
   }
   def result: Option[GraftStats] =
-    if (!any || nan) None
-    else Some(GraftStats(eidMin, eidMax, uidMin, uidMax, valMin, valMax))
+    if (n == 0 || nan) None
+    else Some(GraftStats(n, eidMin, eidMax, uidMin, uidMax, valMin, valMax))
 }
 
 private case class GraftLogCommit(tmp: String, partitionId: Int,
@@ -1391,7 +1391,52 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
           .map { case (k, fs) =>
             GraftLogBucketPartition(k, fs.toSeq): InputPartition
           }
-      case None => files.map(f => GraftLogPartition(f): InputPartition)
+      case None =>
+        agg match {
+          case Some(a) if a.groupBy.isEmpty && filters.isEmpty =>
+            // metadata aggregate (round 17): an ungrouped, unfiltered
+            // COUNT/MIN/MAX over tracked columns reads NOTHING for files
+            // whose zone maps answer it exactly — no covering position
+            // deletes (they change the count), every stamp segment live
+            // (a dead segment's rows are excluded from the query but not
+            // from the stats), and every pushed function servable. A
+            // landing where that holds for all files makes `SELECT
+            // count(*)` a pure metadata query.
+            val (served, opened) = prunedFiles.partition(f =>
+              f.stats.isDefined &&
+                snapshot.deletesFor(f.name).isEmpty &&
+                f.stampedSegments.forall(seg =>
+                  stampFilters.forall(GraftLog.stampAccepts(_, seg.stamp))) &&
+                a.fns.forall(fn => fn.kind match {
+                  case GraftLogAggFn.COUNT_STAR => true
+                  case GraftLogAggFn.COUNT => fn.ord <= 3 // base cols: non-null
+                  case _ => fn.ord <= 2 // MIN/MAX: numeric zone-map columns
+                }))
+            val statsRow: Option[InputPartition] =
+              if (served.isEmpty) None
+              else {
+                val m = served.flatMap(_.stats).reduce(_.merge(_))
+                val values: Seq[Any] = a.fns.toSeq.map { fn =>
+                  fn.kind match {
+                    case GraftLogAggFn.COUNT_STAR | GraftLogAggFn.COUNT => Long.box(m.n)
+                    case GraftLogAggFn.MIN => fn.ord match {
+                      case 0 => Long.box(m.eidMin)
+                      case 1 => Long.box(m.uidMin)
+                      case _ => Double.box(m.valMin)
+                    }
+                    case GraftLogAggFn.MAX => fn.ord match {
+                      case 0 => Long.box(m.eidMax)
+                      case 1 => Long.box(m.uidMax)
+                      case _ => Double.box(m.valMax)
+                    }
+                  }
+                }
+                Some(GraftLogStatsAggPartition(values))
+              }
+            (opened.map(f => GraftLogPartition(pathOf(f)): InputPartition)
+              ++ statsRow).toArray
+          case _ => files.map(f => GraftLogPartition(f): InputPartition)
+        }
     }
   }
 
@@ -1430,6 +1475,14 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
 }
 
 private case class GraftLogPartition(file: String) extends InputPartition
+
+/** A pushed ungrouped COUNT/MIN/MAX answered ENTIRELY from the manifest's
+  * zone maps (round 17): the partition carries the pre-merged partial
+  * values of every servable file — those files are never opened. Spark's
+  * merge aggregation combines this row with the partials of files that
+  * DID need opening (no stats, covering position deletes, partially-dead
+  * stamp segments), so mixed landings stay exact. */
+private case class GraftLogStatsAggPartition(values: Seq[Any]) extends InputPartition
 
 /** Single sequential partition chaining `files` in publish order — the
   * pushed-OFFSET execution shape (see GraftLogScanBuilder.pushOffset). */
@@ -1999,6 +2052,15 @@ private class GraftLogReaderFactory(filterSource: () => Array[Filter],
         // reader with the seen segments suppressed in the cursor spec
         new GraftLogRowReader(file, preds, columns, limit,
           spec.withDeadStamps(file, dead))
+      case GraftLogStatsAggPartition(values) =>
+        // the manifest already answered: emit the one pre-merged partial
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = !done && { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(values.toArray)
+          override def close(): Unit = ()
+        }
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
   }
@@ -2869,12 +2931,16 @@ object GraftLog {
           if (acc.nonEmpty && acc.last.stamp == s.stamp) acc else acc :+ s
         }
         // zone-map merge, no decode: the union of the inputs' bounds is a
-        // sound (superset) bound for the merged rows — even for the
-        // delete-absorbing walk, which only DROPS rows
-        val stats = group.map(_.stats).reduce[Option[GraftStats]] {
-          case (Some(a), Some(b)) => Some(a.merge(b))
-          case _ => None
-        }
+        // sound (superset) bound for the merged rows. A delete-absorbing
+        // walk DROPS rows, which keeps the bounds sound but falsifies the
+        // exact row count the metadata-aggregate path serves — so a group
+        // with any covered input carries no stats at all
+        val stats =
+          if (group.exists(_.dels.nonEmpty)) None
+          else group.map(_.stats).reduce[Option[GraftStats]] {
+            case (Some(a), Some(b)) => Some(a.merge(b))
+            case _ => None
+          }
         (tok, tmp, group.map(_.name), norm, group.map(_.size).sum, stats)
       }.collect()
     // swap: publish merged files (monotone fresh name stamps, bucket

@@ -101,10 +101,14 @@ private[sources] case class GraftSegment(start: Long, stamp: Long)
   * The base columns are non-nullable by schema, so no null bookkeeping;
   * a file with any NaN `value` row records no stats at all (NaN orders
   * with nothing). */
-private[sources] final case class GraftStats(eidMin: Long, eidMax: Long,
+private[sources] final case class GraftStats(n: Long,
+    eidMin: Long, eidMax: Long,
     uidMin: Long, uidMax: Long, valMin: Double, valMax: Double) {
-  /** Union of two files' bounds (compaction's no-decode merge). */
-  def merge(o: GraftStats): GraftStats = GraftStats(
+  /** Union of two files' stats (compaction's no-decode merge). The row
+    * count is EXACT only while no position delete covers the file —
+    * compaction of delete-carrying inputs recomputes by walking anyway,
+    * and the metadata-aggregate path refuses covered files. */
+  def merge(o: GraftStats): GraftStats = GraftStats(n + o.n,
     math.min(eidMin, o.eidMin), math.max(eidMax, o.eidMax),
     math.min(uidMin, o.uidMin), math.max(uidMax, o.uidMax),
     math.min(valMin, o.valMin), math.max(valMax, o.valMax))
@@ -112,19 +116,19 @@ private[sources] final case class GraftStats(eidMin: Long, eidMax: Long,
     * so the two optional F-line tokens stay unambiguous); doubles as raw
     * bits for exact round-trips. */
   def encode: String =
-    s"Z$eidMin:$eidMax:$uidMin:$uidMax:" +
+    s"Z$n:$eidMin:$eidMax:$uidMin:$uidMax:" +
       s"${java.lang.Double.doubleToRawLongBits(valMin)}:" +
       s"${java.lang.Double.doubleToRawLongBits(valMax)}"
 }
 private[sources] object GraftStats {
   def decode(tok: String, where: String): GraftStats = {
     val parts = tok.substring(1).split(':')
-    require(tok.startsWith("Z") && parts.length == 6,
+    require(tok.startsWith("Z") && parts.length == 7,
       s"bad stats token '$tok' in $where")
     GraftStats(parts(0).toLong, parts(1).toLong, parts(2).toLong,
-      parts(3).toLong,
-      java.lang.Double.longBitsToDouble(parts(4).toLong),
-      java.lang.Double.longBitsToDouble(parts(5).toLong))
+      parts(3).toLong, parts(4).toLong,
+      java.lang.Double.longBitsToDouble(parts(5).toLong),
+      java.lang.Double.longBitsToDouble(parts(6).toLong))
   }
 }
 

@@ -644,6 +644,33 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(scan().rdd.getNumPartitions == nFiles)
   }
 
+  test("ungrouped COUNT/MIN/MAX answer from the manifest: servable files are never opened") {
+    // Round 17 metadata aggregates: an unfiltered, ungrouped COUNT/MIN/
+    // MAX over the tracked columns is served from the zone maps alone.
+    // The decisive proof that no file opens: UNLINK every data file and
+    // re-run — the answer cannot change. A FILTERED aggregate must open
+    // files (the zone maps cannot apply row predicates) and now fails
+    // loudly instead.
+    val land = Scratch.dir("graftlog_metaagg")
+    events.limit(600).repartition(3).write.format("graftlog").mode("append").save(land)
+    def agg() = spark.read.format("graftlog").load(land)
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn"),
+        max(col("value")).as("mx"))
+    val want = agg().collect()(0)
+    assert(want.getLong(0) == 600)
+    new java.io.File(land).listFiles()
+      .filter(_.getName.endsWith(".graftlog"))
+      .foreach(f => assert(f.delete()))
+    val got = agg().collect()(0)
+    assert(got == want,
+      s"metadata aggregate depended on the (deleted) data files: $got vs $want")
+    intercept[Exception] {
+      spark.read.format("graftlog").load(land)
+        .filter(col("event_type") === "click")
+        .agg(count(lit(1))).collect()
+    }
+  }
+
   test("per-file zone maps prune files: a range predicate opens only overlapping files") {
     // Round 17: task writers record min/max of the numeric columns into
     // the manifest; the scan drops files a pushed conjunct provably

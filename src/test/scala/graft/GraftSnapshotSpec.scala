@@ -213,11 +213,19 @@ class GraftSnapshotSpec extends SparkTestBase {
     events.orderBy("event_id").limit(5).writeTo("graftg.gr_ev").append()
     assert(before.exists(n => !disk().contains(n)),
       "the post-grace commit did not sweep the aged retirements")
-    // and the expired historical read now fails LOUDLY, never half-reads
+    // a post-grace historical ROW read fails LOUDLY, never half-reads...
     intercept[Exception] {
-      spark.sql(s"SELECT count(*) c FROM graftg.gr_ev VERSION AS OF '$t'")
+      spark.sql(s"SELECT event_id FROM graftg.gr_ev VERSION AS OF '$t'")
         .collect()
     }
+    // ...while a METADATA aggregate of the same snapshot still answers —
+    // correctly — from the retained manifest's zone maps: it never needed
+    // the swept bytes (round-17 metadata aggregates)
+    val metaCount = spark.sql(
+      s"SELECT count(*) c FROM graftg.gr_ev VERSION AS OF '$t'")
+      .collect()(0).getLong(0)
+    assert(metaCount == 100,
+      s"manifest-served count of the historical snapshot: got $metaCount")
   }
 
   test("offset serde round-trips every (hw, lag, tail, segs) shape it can reach") {
