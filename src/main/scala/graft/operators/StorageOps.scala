@@ -1132,6 +1132,36 @@ object StorageOps extends QueryModule {
       |FROM events""".stripMargin
 
   // ------------------------------------------------------------------
+  // Sort-rewrite clustering under the oracle gate (round 17): `CALL
+  // system.cluster(table, by, target_mb)` range-repartitions the live
+  // rows and rewrites the landing as files with DISJOINT zone maps —
+  // the maintenance command that makes range predicates open ~1/N of a
+  // hash-landed table. The fixture lands events hash-partitioned (every
+  // file spans the whole event_id domain, zone maps prune nothing),
+  // clusters by event_id, then range-scans; the oracle pins the rows and
+  // GraftCatalogSpec pins the planned-file counts before/after.
+  // ------------------------------------------------------------------
+  def dsv2Cluster(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.clu_ev")
+    s.sql("CREATE TABLE graftq.clu_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(6) // hash: every file spans the whole event_id domain
+      .writeTo("graftq.clu_ev").append()
+    s.sql("CALL graftq.system.cluster(table => 'clu_ev', by => 'event_id', " +
+      "target_mb => 1)").collect()
+    s.sql("SELECT event_id, user_id, value, event_type FROM graftq.clu_ev " +
+      "WHERE event_id < 2000 ORDER BY event_id")
+  }
+
+  val dsv2ClusterSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Custom source, OFFSET pushdown (round 15): the SPI has no partial
   // variant, so the source claims OFFSET fully by collapsing the scan to
   // ONE sequential partition chaining files in publish order and skipping
@@ -1402,6 +1432,7 @@ object StorageOps extends QueryModule {
     "call_dsv2_snapshots" -> (dsv2Snapshots _),
     "scan_dsv2_stats_pruned" -> (dsv2StatsPruned _),
     "agg_dsv2_stats" -> (dsv2AggStats _),
+    "call_dsv2_cluster" -> (dsv2Cluster _),
     "update_dsv2_rewrite" -> (dsv2Update _),
     "update_dsv2_mor" -> (dsv2UpdateMor _),
     "merge_dsv2_upsert" -> (dsv2Merge _),
@@ -1442,6 +1473,7 @@ object StorageOps extends QueryModule {
     "call_dsv2_snapshots" -> dsv2SnapshotsSql,
     "scan_dsv2_stats_pruned" -> dsv2StatsPrunedSql,
     "agg_dsv2_stats" -> dsv2AggStatsSql,
+    "call_dsv2_cluster" -> dsv2ClusterSql,
     "update_dsv2_rewrite" -> dsv2UpdateSql,
     "update_dsv2_mor" -> dsv2UpdateMorSql,
     "merge_dsv2_mor" -> dsv2MergeMorSql,

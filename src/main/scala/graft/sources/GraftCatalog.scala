@@ -353,7 +353,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   // ---- ProcedureCatalog: table maintenance as SQL CALL ----
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "expire"),
+    Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "cluster"),
+      Identifier.of(namespace, "expire"),
       Identifier.of(namespace, "expire_snapshots"),
       Identifier.of(namespace, "snapshots"))
 
@@ -362,15 +363,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     case "expire" => new GraftExpireProcedure(this)
     case "expire_snapshots" => new GraftExpireSnapshotsProcedure(this)
     case "snapshots" => new GraftSnapshotsProcedure(this)
+    case "cluster" => new GraftClusterProcedure(this)
     case other => throw new IllegalArgumentException(
       s"no such procedure ${(ident.namespace() :+ other).mkString(".")} " +
-        "in the graft catalog (available: compact, expire, expire_snapshots, snapshots)")
+        "in the graft catalog (available: compact, cluster, expire, expire_snapshots, snapshots)")
   }
 
   /** Resolve a table name (optionally namespaced with dots) used as a
     * procedure argument to its landing directory. */
   /** A resolved landing's retirement policy (compact procedure). */
   private[sources] def retentionOf(dir: String): GraftRetention = readMeta(dir)._3
+  /** Full resolved metadata of a landing (cluster procedure). */
+  private[sources] def metaOf(dir: String): (Option[GraftLogBucketSpec],
+      GraftLogModes, GraftRetention,
+      Array[org.apache.spark.sql.types.StructField]) = readMeta(dir)
 
   private[sources] def resolveTableDir(table: String): String = {
     val parts = table.split('.')
@@ -379,6 +385,59 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (!GraftFs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     dir
   }
+}
+
+/** `CALL <catalog>.system.cluster(table => '...', by => '<column>',
+  * target_mb => <n>)` — sort-rewrite the table so its zone maps become
+  * selective (see [[GraftLog.cluster]]): range-repartition the live rows
+  * on `by` and rewrite them as ~target_mb files with disjoint min/max,
+  * after which a range predicate on that column opens ~1/N of the
+  * landing. The maintenance command that turns the round-17 zone maps
+  * from an opportunistic win (sorted ingest) into a guaranteed one.
+  * Returns one summary row. */
+private class GraftClusterProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  override def name(): String = "cluster"
+  override def description(): String =
+    "sort-rewrite a graftlog table by a column so zone maps prune ranges"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name within this catalog").build(),
+    ProcedureParameter.in("by", StringType)
+      .comment("column to range-cluster on (event_id, user_id or value)").build(),
+    ProcedureParameter.in("target_mb", IntegerType).defaultValue("64")
+      .comment("target clustered-file size in MiB").build())
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val byCol = input.getUTF8String(1).toString
+    val targetMb = input.getInt(2)
+    require(targetMb > 0, s"target_mb must be positive, got $targetMb")
+    val dir = cat.resolveTableDir(table)
+    val (bucket, _, ret, extra) = readMetaOf(dir)
+    require(bucket.isEmpty,
+      s"$table is bucketed: the k-token layout is the join contract; " +
+        "cluster would destroy it (use compact)")
+    val (before, after, bytes) = GraftLog.cluster(
+      org.apache.spark.sql.SparkSession.active, dir, byCol,
+      targetMb.toLong << 20, extra, ret)
+    val summary: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false),
+        StructField("bytes_rewritten", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](before, after, bytes)))
+    }
+    java.util.List.of(summary).iterator()
+  }
+  private def readMetaOf(dir: String) = cat.metaOf(dir)
 }
 
 /** `CALL <catalog>.system.snapshots(table => '...')` — the table's

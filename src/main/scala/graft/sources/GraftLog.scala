@@ -2992,6 +2992,88 @@ object GraftLog {
     (snap.files.length, snap.files.length - inputNames.size + outs.length, bytes)
   }
 
+  /** Sort-rewrite a landing so its zone maps become selective (round 17;
+    * `CALL <catalog>.system.cluster(table, by, target_mb)`) — Iceberg's
+    * rewrite_data_files sort strategy. [[compact]] merges small files in
+    * PUBLISH order, which preserves layout but leaves every file's
+    * min/max spanning the whole domain on hash-landed data; clustering
+    * range-repartitions the live rows on `byCol` and rewrites them as
+    * ~targetBytes files with DISJOINT zones, so a pushed range predicate
+    * then opens ~1/N of the landing. The rewrite is a real distributed
+    * job (shuffle by range, sort within partitions); position deletes are
+    * ABSORBED (the scan already drops deleted ordinals) and the evolved
+    * column tail rides along.
+    *
+    * The distributed write lands in a STAGING SUBDIRECTORY (invisible to
+    * the landing's resolution) and ONE optimistic commit swaps inputs out
+    * and the renamed outputs in — readers flip atomically, and the
+    * premise check (inputs still live, delete coverage unchanged since
+    * the read) fails loudly on a concurrent commit, exactly compact's
+    * contract. Bucketed landings are refused: their k-token layout IS
+    * their join contract, and a range layout would destroy it.
+    *
+    * @return (files before, files after, bytes rewritten) */
+  def cluster(spark: SparkSession, path: String, byCol: String,
+      targetBytes: Long, extra: Array[StructField] = Array.empty,
+      ret: GraftRetention = GraftRetention.NONE): (Int, Int, Long) = {
+    require(targetBytes > 0, s"cluster targetBytes must be positive, got $targetBytes")
+    require(Seq("event_id", "user_id", "value").contains(byCol),
+      s"cluster by must be one of event_id/user_id/value (the zone-mapped " +
+        s"columns), got '$byCol'")
+    val snap = GraftSnapshotIO.resolve(path)
+    val inputNames = snap.files.map(_.name)
+    if (inputNames.isEmpty) return (0, 0, 0L)
+    require(!inputNames.exists(n => GraftLogNames.bucketOf(n) >= 0),
+      s"$path is a bucketed landing: its k-token layout is the join " +
+        "contract; clustering would destroy it (compact preserves it)")
+    val inputAbs = inputNames.map(GraftFs.child(path, _))
+    val totalBytes = inputAbs.map(GraftFs.length).sum
+    val k = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // read EXACTLY the premise files (`_file` pin): rows a concurrent
+    // commit adds mid-job must not ride into the outputs, because the
+    // commit below removes only the premise inputs
+    import org.apache.spark.sql.functions.col
+    val staging = GraftFs.child(path, s".cluster-${java.util.UUID.randomUUID().toString.take(16)}")
+    val cols = (GraftLog.schema.fields ++ extra).map(f => col(f.name))
+    spark.read.format("graftlog").load(path)
+      .filter(col("_file").isin(inputAbs: _*))
+      .select(cols.toIndexedSeq: _*)
+      .repartitionByRange(k, col(byCol))
+      .sortWithinPartitions(byCol)
+      .write.format("graftlog").mode("append").save(staging)
+    // the staged landing's own manifest carries the outputs' zone maps;
+    // rename them into the landing in range order (fresh publish stamps)
+    val staged = GraftSnapshotIO.resolve(staging).files
+    val outs = staged.zipWithIndex.map { case (f, i) =>
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val name = GraftLogNames.publish(GraftLogNames.nextStamp(), i, s"s$i-$uuid")
+      require(GraftFs.rename(GraftFs.child(staging, f.name), GraftFs.child(path, name)),
+        s"cluster failed to stage $name into $path")
+      GraftLiveFile(name, None, f.stats)
+    }
+    val committed = GraftSnapshotIO.commit(path) { base =>
+      inputNames.foreach { n =>
+        if (!base.fileNames.contains(n))
+          throw new GraftConflictException(
+            s"concurrent commit replaced cluster input $n on $path — " +
+              "retry the clustering")
+        if (base.deletesFor(n) != snap.deletesFor(n))
+          throw new GraftConflictException(
+            s"concurrent position deletes landed on cluster input $n of " +
+              s"$path after the rewrite read it — retry the clustering")
+      }
+      GraftChange(addData = outs, removeData = inputNames.toSet)
+    }
+    GraftFs.deleteRecursive(staging)
+    if (!ret.keepVictims) {
+      inputNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+        s"cluster failed to delete $n"))
+      committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    }
+    if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
+    (inputNames.length, outs.length, totalBytes)
+  }
+
   /** Retention for a landing (the third lifecycle operation after ingest
     * and [[compact]]; served as `CALL <catalog>.system.expire`): deletes
     * every stamped file published BEFORE `beforeStamp` (exclusive) and

@@ -150,6 +150,48 @@ class GraftSnapshotSpec extends SparkTestBase {
     assert(!Off.seenStamp(json, -1L), "unstamped origins are never claimed seen")
   }
 
+  test("cluster: a sort-rewrite turns non-pruning zone maps into ~1/N file skipping") {
+    // Hash-landed files all span the whole event_id domain — zone maps
+    // prune NOTHING. CALL system.cluster range-rewrites the landing; the
+    // same range predicate then opens exactly the overlapping files, the
+    // rows stay identical, and a concurrent-premise conflict is loud
+    // (protocol shared with compact). Position deletes are absorbed.
+    val wh = Scratch.dir("graft_cluster_wh")
+    spark.conf.set("spark.sql.catalog.graftk",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftk.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS graftk.cl_ev")
+    spark.sql("CREATE TABLE graftk.cl_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    events.repartition(5).writeTo("graftk.cl_ev").append()
+    spark.sql("DELETE FROM graftk.cl_ev WHERE event_id = 17") // absorbed below
+    def ranged() = spark.table("graftk.cl_ev").filter(col("event_id") < 200)
+    val before = ranged().rdd.getNumPartitions
+    assert(before == 5, s"hash-landed fixture must plan all 5 files, got $before")
+    val want = ranged().orderBy("event_id").collect()
+    // byte-level target (the CALL's MiB granularity is for real landings):
+    // ~34 KB of rows at an 8 KB target -> ~5 disjoint-zone files
+    val (b1, a1, _) = sources.GraftLog.cluster(spark, s"$wh/cl_ev",
+      "event_id", 8L * 1024)
+    assert(b1 == 5 && a1 > 1, s"expected a multi-file clustered layout, got $b1 -> $a1")
+    val after = ranged().rdd.getNumPartitions
+    assert(after == 1,
+      s"clustered zones must confine event_id < 200 to 1 file, got $after")
+    val got = ranged().orderBy("event_id").collect()
+    assert(got.sameElements(want), "clustering changed the answer")
+    assert(spark.table("graftk.cl_ev").filter(col("event_id") === 17).count() == 0,
+      "an absorbed position delete resurrected")
+    // the CALL surface: re-clustering at MiB granularity collapses to one
+    // file and reports the summary row
+    val row = spark.sql("CALL graftk.system.cluster(table => 'cl_ev', " +
+      "by => 'event_id', target_mb => 1)").collect()(0)
+    assert(row.getInt(0) == a1 && row.getInt(1) == 1,
+      s"cluster summary: ${row.mkString(",")}")
+    assert(spark.table("graftk.cl_ev").count() == want.length +
+      spark.table("graftk.cl_ev").filter(col("event_id") >= 200).count(),
+      "re-clustering lost rows")
+  }
+
   test("two racing CREATE TABLEs: one wins the metadata CAS, the loser fails loudly") {
     // CREATE writes the table metadata with the same create-if-absent
     // primitive as the manifest CAS: two racers cannot both "create" the
