@@ -95,6 +95,20 @@ private[graft] object GraftFs {
     val p = new Path(src); fsOf(p).rename(p, new Path(dst))
   }
 
+  /** Schemes whose rename-without-overwrite is ATOMIC — a single
+    * compare-and-publish step in one metadata authority: the local
+    * kernel (`link(2)`), an HDFS-like namenode (hdfs/viewfs/webhdfs —
+    * the primitive Delta's HDFS LogStore commits on), or ADLS Gen2's
+    * atomic-rename filesystem (abfs/abfss). NOT on the list: s3a/gs and
+    * other flat object stores, where FileContext's no-overwrite rename
+    * is an existence-check-then-copy — two racing committers could both
+    * "win" and silently lose a commit, the exact failure the CAS exists
+    * to prevent (Delta requires a dedicated LogStore on S3 for the same
+    * reason). Extend via `graft.cas.extra.schemes` (comma-separated) in
+    * the Hadoop conf ONLY for stores with a real atomic create-if-absent. */
+  private val atomicCasSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "ofs", "abfs", "abfss")
+
   /** Atomic publish-if-absent — the CAS primitive of the optimistic
     * commit protocol (round 17): move `src` to `dst`, failing (false)
     * when `dst` already exists, with the existence check and the publish
@@ -104,12 +118,27 @@ private[graft] object GraftFs {
     * hard-link `src` to `dst` (fails `EEXIST` atomically in the kernel)
     * then unlink `src`. On HDFS-like file systems rename-without-
     * overwrite is already atomic in the namenode, which is exactly the
-    * primitive Delta Lake's HDFS LogStore commits on. */
+    * primitive Delta Lake's HDFS LogStore commits on. Schemes outside
+    * [[atomicCasSchemes]] fail LOUDLY (round 18, r17 advice): a
+    * non-atomic CAS is a silent lost-update generator, strictly worse
+    * than no support. */
   def renameExclusive(src: String, dst: String): Boolean = {
     val sp = new Path(src)
     val fs = fsOf(sp)
     // RawLocalFileSystem throws on getScheme; the URI always answers
-    if (fs.getUri.getScheme == "file") {
+    val scheme = fs.getUri.getScheme
+    if (scheme != null && !atomicCasSchemes.contains(scheme) &&
+        !hconf.getTrimmedStringCollection("graft.cas.extra.schemes")
+          .contains(scheme))
+      throw new UnsupportedOperationException(
+        s"graft commits need an atomic rename-without-overwrite, which " +
+          s"'$scheme' does not provide (object-store renames are " +
+          "check-then-copy — two racing committers would both win the " +
+          "CAS and silently lose a commit). Supported schemes: " +
+          s"${atomicCasSchemes.toSeq.sorted.mkString(", ")}; extend via " +
+          "the graft.cas.extra.schemes Hadoop conf only for stores with " +
+          "a real atomic create-if-absent.")
+    if (scheme == "file") {
       val from = java.nio.file.Paths.get(sp.toUri.getPath)
       val to = java.nio.file.Paths.get(new Path(dst).toUri.getPath)
       try {

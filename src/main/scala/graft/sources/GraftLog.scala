@@ -221,18 +221,23 @@ private[sources] class GraftLogTable(path: String,
     require(canDeleteWhere(predicates),
       s"metadata-only delete unsupported for [${predicates.mkString(", ")}]")
     // empty manifest FIRST (readers flip atomically to the empty table),
-    // then physical unlink of data + position-delete files, garbage
-    // included (a truncate is the one commit allowed to clear leftovers).
+    // then physical unlink of exactly the files the final CAS base
+    // referenced (round 18, r17 advice): a raw directory listing would
+    // also catch a concurrent appender's published-but-not-yet-committed
+    // files — its subsequent WINNING commit would then reference unlinked
+    // bytes, leaving the table permanently unreadable instead of
+    // last-wins. Stamped-but-unreferenced crash garbage is left to
+    // expire/sweep (indistinguishable from an in-flight publish).
     // A snapshot-retaining table keeps the files: the pre-truncate
     // snapshot stays readable until expire's stamp-horizon GC.
     // Optimistic vs concurrent commits (round 17): truncate is last-wins
     // by definition, so the rebase is unconditional — whatever the final
     // CAS base holds is what gets emptied.
-    GraftSnapshotIO.commit(path, force = true)(base =>
+    val committed = GraftSnapshotIO.commit(path, force = true)(base =>
       GraftChange(removeData = base.fileNames))
     if (!ret.keepVictims)
-      GraftFs.listNames(path)
-        .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
+      ((committed.base.fileNames -- committed.result.fileNames)
+        ++ committed.deadDeletes)
         .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
     if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
   }
@@ -395,14 +400,6 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
     // the old snapshot or the new one atomically; files published before
     // the swap are stamped-but-unreferenced, i.e. invisible, which is
     // exactly what makes a mid-commit crash leave no partial state.
-    // overwrite: victims snapshotted BEFORE the publish pass (the new
-    // files can never enter the set), physically unlinked AFTER the
-    // manifest swap — the uniform swap-first commit discipline
-    val victims =
-      if (truncate)
-        GraftFs.listNames(path)
-          .filter(n => n.endsWith(".graftlog") || n.endsWith(".graftdel"))
-      else Array.empty[String]
     val pub = GraftLogNames.publishAll(path, messages, pid => f"b$pid%05d")
     // no-op appends (zero rows, no truncate) swap no manifest: idempotence
     // stays file-identical, same discipline as the no-op expire.
@@ -419,11 +416,24 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
     }
     // a snapshot-retaining table's OVERWRITE keeps the pre-overwrite
     // files readable via VERSION AS OF; expire_snapshots is the GC.
-    // Unlink set = pre-listed victims (directory garbage included) ∪
-    // what the final commit actually removed; no existence require —
-    // a racing truncate may legitimately have unlinked first.
+    // Unlink set = what the final CAS base referenced MINUS what the
+    // result still references (round 18, r17 advice — two bugs shared
+    // this line): (a) on a manifest-less landing resolveCurrent's base
+    // is the directory listing, which already contains this commit's own
+    // just-published stamped files — unlinking raw base names destroyed
+    // the data the overwrite just wrote; (b) a raw directory listing
+    // also catches a concurrent appender's published-but-not-yet-
+    // CAS-committed files, whose later winning commit would then
+    // reference unlinked bytes. base -- result can include neither: the
+    // result re-adds our own files, and an uncommitted concurrent
+    // publish is in no manifest (and reconciliation only surfaces
+    // UNSTAMPED names, which carry no in-flight commit). Stamped
+    // crash garbage is left to expire/sweep — truncate no longer claims
+    // it, because it is indistinguishable from an in-flight publish.
+    // No existence require — a racing truncate may have unlinked first.
     if (!ret.keepVictims && truncate)
-      (victims.toSet ++ committed.base.fileNames ++ committed.deadDeletes)
+      ((committed.base.fileNames -- committed.result.fileNames)
+        ++ committed.deadDeletes)
         .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
     // graced tables GC lazily: every commit sweeps retirements past grace
     if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
@@ -461,13 +471,19 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = s"-q$queryId-e$epochId-"
-    // victim discovery stays DIRECTORY-based (not manifest-based): a
-    // replayed epoch may have published files and crashed before its
-    // manifest swap — those are invisible garbage, and re-publishing
-    // without unlinking them would strand them forever
+    // replay-victim discovery stays DIRECTORY-based (not manifest-based)
+    // but is MARKER-SCOPED even in Complete mode (round 18, r17 advice):
+    // a replayed epoch may have published files and crashed before its
+    // manifest swap — those are invisible garbage this query OWNS (the
+    // marker proves it), and re-publishing without unlinking them would
+    // strand them forever. A raw whole-directory listing, by contrast,
+    // would also catch a concurrent batch appender's published-but-not-
+    // yet-CAS-committed files, whose later winning commit would then
+    // reference unlinked bytes. Complete-mode replacement of OTHER files
+    // rides the manifest instead: removeData = the final base, unlinked
+    // as base -- result below.
     val victims = GraftFs.listNames(path)
-      .filter(n => n.endsWith(".graftlog") &&
-        (truncate || n.contains(marker)))
+      .filter(n => n.endsWith(".graftlog") && n.contains(marker))
     val pub = GraftLogNames.publishAll(path, messages,
       pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
     // swap FIRST, unlink after (the uniform commit discipline): readers
@@ -478,11 +494,14 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // carry the SAME epoch marker — can never enter it. Optimistic
     // commit (round 17): an epoch is an append plus the replacement of
     // its OWN earlier files — no premise a concurrent batch commit can
-    // break — so a lost CAS rebases unconditionally.
+    // break — so a lost CAS rebases unconditionally; Complete mode is
+    // last-wins by definition and empties whatever the final base holds.
     val committed = GraftSnapshotIO.commit(path) { base =>
       GraftChange(
         addData = pub.toVector,
-        removeData = victims.toSet.intersect(base.fileNames))
+        removeData =
+          if (truncate) base.fileNames
+          else victims.toSet.intersect(base.fileNames))
     }
     // Snapshot retention applies to STREAMING epochs too (r16 advice,
     // medium): on a retaining table the victims the pre-commit snapshot
@@ -493,13 +512,16 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // published but never committed, which NO manifest references — is
     // still unlinked unconditionally: retention retains history, not
     // garbage.
-    val spare: Set[String] =
-      if (ret.keepVictims) committed.base.fileNames else Set.empty
-    victims.filterNot(spare.contains)
-      .foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
-        s"epoch commit failed to delete $path/$n"))
-    if (!ret.keepVictims)
+    val garbage = victims
+      .filterNot(committed.result.fileNames.contains)
+      .filterNot(committed.base.fileNames.contains)
+    garbage.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
+      s"epoch commit failed to delete $path/$n"))
+    if (!ret.keepVictims) {
+      (committed.base.fileNames -- committed.result.fileNames)
+        .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
       committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+    }
     if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

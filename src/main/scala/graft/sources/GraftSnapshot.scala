@@ -671,6 +671,15 @@ private[sources] object GraftSnapshotIO {
       case Some(a) => a
       case None => return 0 // broken/foreign chain below: sweep nothing
     }
+    // seq-contiguity of the fold, the same check resolveAt enforces
+    // (round 18, r17 advice): a hole in the anchor→tip walk (a manifest
+    // deleted outside the expire protocol) would silently misapply the
+    // deltas, UNDERSTATE the referenced-file set, and unlink LIVE data —
+    // where resolve() fails loudly on the same state. Sweeping nothing is
+    // always safe; the hole surfaces loudly at the next resolve that
+    // walks it.
+    if (((anchorIdx + 1) until ordered.length).exists(i =>
+        seqOf(ordered(i)) != seqOf(ordered(i - 1)) + 1)) return 0
     var state = GraftSnapshot(Vector.empty, Map.empty)
     val referenced = Set.newBuilder[String]
     (anchorIdx until ordered.length).foreach { i =>
@@ -779,6 +788,11 @@ private[graft] object GraftSnapshotTestHook {
     GraftSnapshotIO.resolve(path).deletes.keys.toSeq.sorted
   def publishedName(tag: String): String =
     GraftLogNames.publish(GraftLogNames.nextStamp(), 0, tag)
+  /** Graced lazy-GC passthrough — the r18 chain-hole guard is a sweep
+    * correctness surface (a hole must sweep NOTHING, not unlink live
+    * data). */
+  def sweepRetired(path: String, graceMs: Long): Int =
+    GraftSnapshotIO.sweepRetired(path, graceMs)
   /** All retained manifest stamps, oldest first — the version handles a
     * spec can AS-OF against (testLatestSnapshotStamp gives only the tip). */
   def manifestStamps(path: String): Seq[Long] = {

@@ -354,4 +354,86 @@ class GraftSnapshotSpec extends SparkTestBase {
     assert(fin2.select(countDistinct(col("event_id"))).collect()(0).getLong(0) == 60,
       "a twice-compacted row was re-delivered or lost")
   }
+
+  // ----- round 18: commit unlink discipline (r17 advice) -----------------
+
+  test("first OVERWRITE on a manifest-less landing keeps its own data") {
+    // The r17-advice high finding: on a landing with no manifest,
+    // resolveCurrent's base IS the directory listing — which already
+    // contains the overwrite's own just-published stamped files. Unlinking
+    // raw base names destroyed the data the commit had just written.
+    // Case 1: a brand-new directory (first path write is mode(overwrite)).
+    val fresh = Scratch.dir("graftsnap_ow_fresh")
+    val three = events.orderBy("event_id").limit(3)
+    three.write.format("graftlog").mode("overwrite").save(fresh)
+    assert(spark.read.format("graftlog").load(fresh).count() == 3,
+      "first overwrite on an empty landing lost its own rows")
+    // Case 2: a legacy landing (unstamped data files, no manifest).
+    val legacy = Scratch.dir("graftsnap_ow_legacy")
+    events.orderBy("event_id").limit(4).repartition(1)
+      .write.format("graftlog").mode("append").save(legacy)
+    new java.io.File(legacy).listFiles().foreach { f =>
+      if (f.getName.endsWith(".graftsnap")) assert(f.delete())
+      else if (f.getName.endsWith(".graftlog"))
+        assert(f.renameTo(new java.io.File(legacy, s"legacy-${f.getName.length}.graftlog")))
+    }
+    assert(spark.read.format("graftlog").load(legacy).count() == 4,
+      "legacy landing fixture broken")
+    three.write.format("graftlog").mode("overwrite").save(legacy)
+    assert(spark.read.format("graftlog").load(legacy).count() == 3,
+      "overwrite of a legacy landing lost its own rows (or kept the old ones)")
+  }
+
+  test("OVERWRITE leaves a concurrently-published, not-yet-committed file for its own commit") {
+    // The r17-advice medium finding: a concurrent appender publishes its
+    // stamped files FIRST and swaps its manifest after — an overwrite
+    // racing into that window must not unlink them (the appender's
+    // winning commit would then reference deleted bytes, bricking the
+    // table instead of last-wins). Stamped-but-unreferenced files are in
+    // NO manifest and must survive any other writer's unlink pass.
+    val dir = Scratch.dir("graftsnap_ow_inflight")
+    events.orderBy("event_id").limit(5).repartition(1)
+      .write.format("graftlog").mode("append").save(dir)
+    val src = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".graftlog")).get
+    val inflight = Hook.publishedName("inflight")
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, inflight).toPath)
+    events.orderBy("event_id").limit(2)
+      .write.format("graftlog").mode("overwrite").save(dir)
+    assert(new java.io.File(dir, inflight).exists(),
+      "overwrite unlinked a concurrent commit's published-but-uncommitted file")
+    Hook.addData(dir, inflight) // the appender's commit wins now
+    assert(spark.read.format("graftlog").load(dir).count() == 7,
+      "the late-committed concurrent append must read alongside the overwrite")
+  }
+
+  test("a mid-chain manifest hole makes the graced sweep a NO-OP, never a live-data unlink") {
+    // r17 advice, low: sweepRetired folds anchor->tip; a hole (a manifest
+    // deleted outside the expire protocol) would misapply deltas and
+    // UNDERSTATE the referenced set — unlinking live files where resolve()
+    // fails loudly on the same state. The guard sweeps nothing instead.
+    val dir = Scratch.dir("graftsnap_sweep_hole")
+    val names = (0 until 5).map(i => Hook.publishedName(s"hole-$i"))
+    names.foreach(Hook.addData(dir, _))
+    // aged stamped garbage a healthy sweep WOULD unlink
+    val garbage = Hook.publishedName("garbage")
+    sources.GraftFs.writeString(sources.GraftFs.child(dir, garbage), "x")
+    Thread.sleep(5)
+    // punch a hole mid-chain (between the base and the tip)
+    val holed = Hook.manifestShapes(dir)(2)._1
+    val holedPath = sources.GraftFs.child(dir, holed)
+    val holedText = sources.GraftFs.readString(holedPath)
+    assert(sources.GraftFs.delete(holedPath))
+    assert(Hook.sweepRetired(dir, 0L) == 0,
+      "a broken chain must sweep NOTHING")
+    assert(sources.GraftFs.exists(sources.GraftFs.child(dir, garbage)),
+      "sweep unlinked a file while the chain had a hole")
+    // control: with the chain restored the same sweep claims the garbage
+    sources.GraftFs.writeString(holedPath, holedText)
+    Thread.sleep(5)
+    assert(Hook.sweepRetired(dir, 0L) == 1,
+      "the restored chain must sweep exactly the aged garbage file")
+    assert(Hook.liveNames(dir) == names.sorted, "live set damaged by sweeps")
+  }
 }
