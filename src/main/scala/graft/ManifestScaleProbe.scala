@@ -3,8 +3,9 @@ package graft
 import graft.sources.{GraftSnapshotTestHook => Hook}
 
 /** Round-17 instrument for the r16 verdict's manifest-cost gap ("no
-  * measurement of commit latency vs file count exists yet"): time the
-  * commit protocol against synthetic live sets of 10^3..10^5 files and
+  * measurement of commit latency vs file count exists yet"), extended one
+  * decade in round 18 (r17 verdict #6): time the
+  * commit protocol against synthetic live sets of 10^3..10^6 files and
   * report, per file count,
   *
   *  - the DELTA commit (the round-17 cost: one R/F line per changed
@@ -28,8 +29,8 @@ object ManifestScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("MANIFEST_SCALE_r17.json")
-    val legs = Seq(1000, 10000, 100000).map { n =>
+    val outPath = args.headOption.getOrElse("MANIFEST_SCALE_r18.json")
+    val legs = Seq(1000, 10000, 100000, 1000000).map { n =>
       val dir = Scratch.dir(s"manifest_scale_$n")
       Hook.addDataBulk(dir, (0 until n).map(i => Hook.publishedName(f"ms$i%07d")))
       // 20 single-file commits: 15 deltas, one BASE_EVERY rollover base

