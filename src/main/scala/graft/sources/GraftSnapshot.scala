@@ -164,11 +164,19 @@ private[sources] case class GraftSnapshot(files: Vector[GraftLiveFile],
     * (published wins). The case that NEEDS this: the first CAS commit on
     * a manifest-less landing resolves its base from the directory
     * listing — which already shows the committer's own just-published
-    * stamped files (no manifest exists to make them invisible yet). */
+    * stamped files (no manifest exists to make them invisible yet).
+    * O(live + added): the live vector is name-sorted by construction
+    * (manifests serialize sorted, listings sort, every mutation here
+    * preserves it), so a small add MERGES instead of re-sorting the
+    * whole set — at 10^6 live files a 1-file commit must not pay an
+    * O(n log n) sort (round 18, the 10^6 manifest-probe decade). A
+    * violated invariant (a hand-written foreign manifest) falls back to
+    * the full sort, never a wrong order. */
   def addData(published: Seq[GraftLiveFile]): GraftSnapshot = {
+    if (published.isEmpty) return this
     val names = published.map(_.name).toSet
-    copy(files =
-      (files.filterNot(f => names.contains(f.name)) ++ published).sortBy(_.name))
+    val kept = files.filterNot(f => names.contains(f.name))
+    copy(files = GraftSnapshot.mergeByName(kept, published.sortBy(_.name).toVector))
   }
 
   /** Remove data files (by name) and prune their delete-file coverage;
@@ -186,6 +194,70 @@ private[sources] case class GraftSnapshot(files: Vector[GraftLiveFile],
 
   def addDeletes(added: Seq[(String, Seq[String])]): GraftSnapshot =
     copy(deletes = deletes ++ added.map { case (d, c) => (d, c.toVector) })
+
+  /** Apply a base-to-tip change chain in ONE pass over the file vector —
+    * semantically identical to folding [[GraftChange.apply]] change by
+    * change (GraftSnapshotSpec pins the equivalence on randomized
+    * chains) but O(live + Σchange) instead of O(live × changes): at 10^6
+    * live files a 15-delta resolve must not rebuild the million-entry
+    * vector fifteen times (round 18). The (small) delete-file map still
+    * folds sequentially — its coverage pruning is per-change exact. */
+  def applyAll(changes: Seq[GraftChange]): GraftSnapshot = {
+    if (changes.isEmpty) return this
+    if (changes.sizeIs == 1) return changes.head.apply(this)._1
+    var dels = deletes
+    // per-name FINAL disposition of data files: null = removed
+    val pending = new java.util.LinkedHashMap[String, GraftLiveFile]()
+    changes.foreach { c =>
+      if (c.removeDeletes.nonEmpty) dels = dels -- c.removeDeletes
+      if (c.removeData.nonEmpty) {
+        dels = dels.flatMap { case (d, cov) =>
+          val kept = cov.filterNot(c.removeData.contains)
+          if (kept.isEmpty) None else Some((d, kept))
+        }
+        c.removeData.foreach(n => pending.put(n, null))
+      }
+      c.addData.foreach(f => pending.put(f.name, f))
+      dels = dels ++ c.addDeletes.map { case (d, cov) => (d, cov.toVector) }
+    }
+    // the kept pass CONSUMES pending entries for names present in the
+    // base (replaced in place / removed); what remains is genuinely new —
+    // no O(live) name-set materialization needed
+    val kept = files.flatMap { f =>
+      if (!pending.containsKey(f.name)) Some(f)
+      else Option(pending.remove(f.name)) // replaced in place or removed
+    }
+    val fresh = Vector.newBuilder[GraftLiveFile]
+    pending.forEach { (_, f) => if (f != null) { fresh += f; () } }
+    GraftSnapshot(
+      GraftSnapshot.mergeByName(kept, fresh.result().sortBy(_.name)), dels)
+  }
+}
+
+private[sources] object GraftSnapshot {
+  /** Merge two name-sorted live-file vectors (disjoint names) in O(n);
+    * falls back to a full sort if either side violates the sortedness
+    * invariant (e.g. a hand-written foreign manifest). */
+  private[sources] def mergeByName(kept: Vector[GraftLiveFile],
+      add: Vector[GraftLiveFile]): Vector[GraftLiveFile] = {
+    if (add.isEmpty) return kept
+    if (kept.isEmpty) return add
+    val out = Vector.newBuilder[GraftLiveFile]
+    out.sizeHint(kept.length + add.length)
+    var i = 0; var j = 0
+    var prev = ""
+    while (i < kept.length || j < add.length) {
+      val takeKept = j >= add.length ||
+        (i < kept.length && kept(i).name <= add(j).name)
+      val next = if (takeKept) { val f = kept(i); i += 1; f }
+        else { val f = add(j); j += 1; f }
+      if (next.name < prev) // invariant violated: re-sort, never mis-order
+        return (kept ++ add).sortBy(_.name)
+      prev = next.name
+      out += next
+    }
+    out.result()
+  }
 }
 
 /** One commit's change, the unit a delta manifest serializes. Applies as
@@ -346,20 +418,89 @@ private[sources] object GraftSnapshotIO {
   private[sources] def readBody(path: String, name: String): Body = {
     val text = GraftFs.readString(GraftFs.child(path, name))
     val where = s"$path/$name"
-    val lines = text.split('\n').filter(_.nonEmpty)
-    require(lines.nonEmpty, s"empty manifest $where")
-    lines(0).split(' ') match {
+    val nl = text.indexOf('\n')
+    val header = (if (nl < 0) text else text.substring(0, nl)).trim
+    require(header.nonEmpty, s"empty manifest $where")
+    def body: Array[String] =
+      if (nl < 0) Array.empty
+      else text.substring(nl + 1).split('\n').filter(_.nonEmpty)
+    header.split(' ') match {
       case Array("graftsnap", "1") =>
         val legacy = legacyStamp(name)
         require(legacy >= 0, s"v1 manifest with a non-legacy name: $where")
-        BaseBody(legacy, parseSnapshotLines(lines.drop(1), where))
+        BaseBody(legacy, parseSnapshotBody(text, nl + 1, where))
       case Array("graftsnap", "2", stamp, "base") if stamp.forall(_.isDigit) =>
-        BaseBody(stamp.toLong, parseSnapshotLines(lines.drop(1), where))
+        BaseBody(stamp.toLong, parseSnapshotBody(text, nl + 1, where))
       case Array("graftsnap", "2", stamp, "delta") if stamp.forall(_.isDigit) =>
-        DeltaBody(stamp.toLong, parseChangeLines(lines.drop(1), where))
+        DeltaBody(stamp.toLong, parseChangeLines(body, where))
       case _ => throw new IllegalStateException(
-        s"bad manifest header in $where: '${lines(0)}'")
+        s"bad manifest header in $where: '$header'")
     }
+  }
+
+  /** Parse a base-manifest body, chunk-PARALLEL above 1 MiB (round 18):
+    * record lines are independent and serialized in name order, so
+    * newline-aligned chunks parse concurrently and concatenate in order —
+    * the resolve-latency lever at 10^6 live files, where a 44 MB base
+    * must not be a single-threaded line walk. */
+  private def parseSnapshotBody(text: String, start: Int,
+      where: String): GraftSnapshot = {
+    val len = text.length
+    if (start <= 0 || start >= len)
+      return GraftSnapshot(Vector.empty, Map.empty)
+    if (len - start < (1 << 20))
+      return parseSnapshotRange(text, start, len, where)
+    import scala.collection.parallel.CollectionConverters._
+    val target = math.max(1 << 20,
+      (len - start) / (Runtime.getRuntime.availableProcessors() * 2))
+    val chunks = Vector.newBuilder[(Int, Int)]
+    var p = start
+    while (p < len) {
+      var q = math.min(len.toLong, p.toLong + target).toInt
+      val nlq = text.indexOf('\n', q)
+      q = if (nlq < 0) len else nlq + 1
+      chunks += ((p, q)); p = q
+    }
+    val parsed = chunks.result().par
+      .map { case (a, b) => parseSnapshotRange(text, a, b, where) }.seq
+    GraftSnapshot(parsed.iterator.map(_.files).reduce(_ ++ _),
+      parsed.iterator.map(_.deletes).reduce(_ ++ _))
+  }
+
+  /** Index-scanning record parser over text[from, to): no per-chunk
+    * substring, no per-line split on the dominant `F <name>` shape — the
+    * only allocation per plain file line is its name. Tokened lines
+    * (segments/stats/deletes) take the strict split path. */
+  private def parseSnapshotRange(text: String, from: Int, to: Int,
+      where: String): GraftSnapshot = {
+    val files = Vector.newBuilder[GraftLiveFile]
+    val dels = Map.newBuilder[String, Vector[String]]
+    var p = from
+    while (p < to) {
+      var e = text.indexOf('\n', p)
+      if (e < 0 || e > to) e = to
+      if (e > p) {
+        val fastF = text.charAt(p) == 'F' && p + 2 < e &&
+          text.charAt(p + 1) == ' ' && {
+            val sp = text.indexOf(' ', p + 2)
+            sp < 0 || sp >= e
+          }
+        if (fastF) files += GraftLiveFile(text.substring(p + 2, e), None)
+        else {
+          val line = text.substring(p, e)
+          line.split(' ') match {
+            case Array("F", name, toks @ _*) if toks.length <= 2 =>
+              files += parseF(name, toks, where)
+            case Array("D", del, covSpec) =>
+              dels += ((del, covSpec.split(',').toVector))
+            case _ => throw new IllegalStateException(
+              s"unreadable manifest line in $where: '$line'")
+          }
+        }
+      }
+      p = e + 1
+    }
+    GraftSnapshot(files.result(), dels.result())
   }
 
   /** Strict record parsers: manifests are written only by this object, so
@@ -443,11 +584,31 @@ private[sources] object GraftSnapshotIO {
       sb.append("D ").append(del).append(' ')
         .append(covered.mkString(",")).append('\n')
 
-  private def serializeBase(stamp: Long, snap: GraftSnapshot): String = {
-    val sb = new StringBuilder(s"graftsnap 2 $stamp base\n")
-    snap.files.sortBy(_.name).foreach(appendF(sb, _))
-    snap.deletes.toSeq.sortBy(_._1).foreach { case (d, c) => appendD(sb, d, c) }
-    sb.toString
+  /** Stream a base manifest to `tmp` without materializing the whole
+    * multi-MB text (round 18): at 10^6 live files the old
+    * StringBuilder-then-writeString path held a 44 MB builder plus a
+    * 44 MB byte copy on the base-commit wall. The file vector is
+    * name-sorted by invariant; a violated invariant (foreign manifest)
+    * pays one sort, never a wrong serialization. */
+  private def writeBaseFile(tmp: String, stamp: Long, snap: GraftSnapshot): Unit = {
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      GraftFs.createData(tmp), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    try {
+      w.write(s"graftsnap 2 $stamp base\n")
+      val sorted = {
+        var i = 1; var ok = true
+        while (ok && i < snap.files.length) {
+          ok = snap.files(i - 1).name <= snap.files(i).name; i += 1
+        }
+        ok
+      }
+      val fs = if (sorted) snap.files else snap.files.sortBy(_.name)
+      val sb = new StringBuilder(192)
+      fs.foreach { f => sb.setLength(0); appendF(sb, f); w.write(sb.toString) }
+      snap.deletes.toSeq.sortBy(_._1).foreach { case (d, c) =>
+        sb.setLength(0); appendD(sb, d, c); w.write(sb.toString)
+      }
+    } finally w.close()
   }
 
   private def serializeDelta(stamp: Long, change: GraftChange): String = {
@@ -494,10 +655,11 @@ private[sources] object GraftSnapshotIO {
         case _: DeltaBody => i -= 1
       }
     }
-    val snap = bodies.tail.foldLeft(base.get) {
-      case (s, DeltaBody(_, c)) => c.apply(s)._1
-      case (_, b: BaseBody) => b.snap // unreachable: bases stop the walk
-    }
+    // one-pass chain application (round 18): O(live + Σchange), not
+    // O(live × chain) — see GraftSnapshot.applyAll
+    val snap = base.get.applyAll(bodies.tail.collect {
+      case DeltaBody(_, c) => c // bases stop the walk: tail is all deltas
+    })
     GraftResolved(snap, seqOf(ordered(uptoIdx)), uptoIdx - i,
       bodies.last.stamp)
   }
@@ -615,12 +777,10 @@ private[sources] object GraftSnapshotIO {
       val baseLines = next.files.length + next.deletes.size
       val asBase = resolved.stamp < 0 || resolved.depth + 1 >= BASE_EVERY ||
         baseLines <= change.lineCount
-      val text =
-        if (asBase) serializeBase(stamp, next)
-        else serializeDelta(stamp, change)
       val tmp = GraftFs.child(path,
         s".snap-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
-      GraftFs.writeString(tmp, text)
+      if (asBase) writeBaseFile(tmp, stamp, next)
+      else GraftFs.writeString(tmp, serializeDelta(stamp, change))
       val name = casName(resolved.seq + 1)
       if (GraftFs.renameExclusive(tmp, GraftFs.child(path, name)))
         return GraftCommitted(Some(name), resolved.snap, next, dead)
@@ -876,6 +1036,45 @@ private[graft] object GraftSnapshotTestHook {
     * data). */
   def sweepRetired(path: String, graceMs: Long): Int =
     GraftSnapshotIO.sweepRetired(path, graceMs)
+  /** Live-file COUNT via a full resolve — the probe's resolution-latency
+    * surface without liveNames' O(n log n) name sort. */
+  def resolveFileCount(path: String): Int =
+    GraftSnapshotIO.resolve(path).files.length
+  /** Randomized equivalence pin for the r18 one-pass resolve: applyAll
+    * over a change chain must equal the sequential GraftChange.apply
+    * fold on every (snapshot, chain) — throws with the diverging case
+    * otherwise. Runs in-package because the snapshot types are private. */
+  def checkApplyAllEquivalence(seed: Long, rounds: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val universe = (0 until 40).map(i =>
+      GraftLiveFile(f"f$i%04d", None,
+        if (i % 3 == 0) Some(GraftStats(i.toLong + 1, 0, i, 0, i, 0.0, i)) else None))
+    (0 until rounds).foreach { r =>
+      var base = GraftSnapshot(
+        rnd.shuffle(universe.toList).take(rnd.nextInt(30)).toVector.sortBy(_.name),
+        Map.empty)
+      base = base.addDeletes((0 until rnd.nextInt(4)).map { d =>
+        (f"d$d%02d", rnd.shuffle(universe.map(_.name).toList).take(1 + rnd.nextInt(4)))
+      })
+      val changes = (0 until 1 + rnd.nextInt(6)).map { ci =>
+        GraftChange(
+          addData = rnd.shuffle(universe.toList).take(rnd.nextInt(5)).toVector,
+          removeData = rnd.shuffle(universe.map(_.name).toList)
+            .take(rnd.nextInt(5)).toSet,
+          addDeletes = (0 until rnd.nextInt(2)).map { k =>
+            (f"d$ci%02d-$k", rnd.shuffle(universe.map(_.name).toList)
+              .take(1 + rnd.nextInt(3)))
+          },
+          removeDeletes =
+            if (rnd.nextBoolean()) Set(f"d${rnd.nextInt(4)}%02d") else Set.empty)
+      }
+      val sequential = changes.foldLeft(base)((s, c) => c.apply(s)._1)
+      val onePass = base.applyAll(changes)
+      require(sequential == onePass,
+        s"applyAll divergence at round $r (seed $seed):\n" +
+          s"sequential=$sequential\nonePass=$onePass\nbase=$base\nchanges=$changes")
+    }
+  }
   /** All retained manifest stamps, oldest first — the version handles a
     * spec can AS-OF against (testLatestSnapshotStamp gives only the tip). */
   def manifestStamps(path: String): Seq[Long] = {

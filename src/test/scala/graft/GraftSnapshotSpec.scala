@@ -475,6 +475,13 @@ class GraftSnapshotSpec extends SparkTestBase {
       "absorbed equality-delete files must retire with their covered files")
   }
 
+  test("one-pass chain application (applyAll) is equivalent to the sequential fold") {
+    // the r18 resolve optimization: O(live + changes) instead of
+    // O(live x chain) — randomized chains (adds/removes/delete-file
+    // coverage/removeDeletes) must produce byte-identical snapshots
+    Hook.checkApplyAllEquivalence(seed = 18181818L, rounds = 400)
+  }
+
   // ----- round 18: commit unlink discipline (r17 advice) -----------------
 
   test("first OVERWRITE on a manifest-less landing keeps its own data") {
