@@ -1084,6 +1084,46 @@ object StorageOps extends QueryModule {
       |FROM events WHERE event_id < 30000 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Zone maps over EVOLVED columns (round 18, r17 verdict #3): an ALTER
+  // TABLE ADD COLUMN column gets per-file bounds too (the manifest's W
+  // tokens — present count + typed min/max, string bounds truncated the
+  // Iceberg way), and a range predicate on it PRUNES files even though
+  // extras are never claimed by row pushdown: the predicate stays a
+  // residual Spark evaluates, while a provably-excluded file is never
+  // opened. Null-present files stay exact — bounds cover the non-null
+  // values and SQL value predicates reject nulls anyway (the all-null
+  // range-partition lands in the first file, which the stats then
+  // decline for any value predicate). GraftLogSpec pins the planned-
+  // partition counts; this oracle pins the rows.
+  // ------------------------------------------------------------------
+  def dsv2StatsEvolved(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.stats_ev")
+    s.sql("CREATE TABLE graftq.stats_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    s.sql("ALTER TABLE graftq.stats_ev ADD COLUMN score DOUBLE")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .withColumn("score",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value") * lit(0.5)))
+      .repartitionByRange(6, col("score"))
+      .sortWithinPartitions("score")
+      .writeTo("graftq.stats_ev").append()
+    s.table("graftq.stats_ev")
+      .filter(col("score") > 40.0)
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2StatsEvolvedSql: String =
+    """SELECT event_id, user_id, value, event_type,
+      |  value * 0.5 AS score
+      |FROM events
+      |WHERE event_id % 7 <> 0 AND value * 0.5 > 40.0
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Snapshot-history introspection under the oracle gate (round 17):
   // `CALL system.snapshots(table)` — Iceberg's snapshots metadata table
   // as a procedure. The fixture drives a deterministic commit sequence
@@ -1482,6 +1522,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_chain" -> (dsv2Chain _),
     "stream_dsv2_compact" -> (dsv2StreamCompact _),
     "stream_dsv2_upsert" -> (dsv2StreamUpsert _),
+    "scan_dsv2_stats_evolved" -> (dsv2StatsEvolved _),
     "call_dsv2_snapshots" -> (dsv2Snapshots _),
     "scan_dsv2_stats_pruned" -> (dsv2StatsPruned _),
     "agg_dsv2_stats" -> (dsv2AggStats _),
@@ -1524,6 +1565,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_chain" -> dsv2ChainSql,
     "stream_dsv2_compact" -> dsv2StreamCompactSql,
     "stream_dsv2_upsert" -> dsv2StreamUpsertSql,
+    "scan_dsv2_stats_evolved" -> dsv2StatsEvolvedSql,
     "call_dsv2_snapshots" -> dsv2SnapshotsSql,
     "scan_dsv2_stats_pruned" -> dsv2StatsPrunedSql,
     "agg_dsv2_stats" -> dsv2AggStatsSql,

@@ -130,7 +130,13 @@ class GraftLogSource extends TableProvider
     // when the load() call omitted the path (r13 advice)
     val path = properties.get("path")
     require(path != null, "graftlog requires a path: .load(<dir>) / .save(<dir>)")
-    new GraftLogTable(path)
+    // `.option("evolvedSchema", "name:bigint,name:double,...")` (round 18)
+    // lets a PATH read/write carry a catalog table's ADDED columns — the
+    // cluster rewrite reads its own landing this way; catalog access
+    // remains the public evolved surface
+    val extra = Option(properties.get("evolvedSchema"))
+      .map(GraftLog.decodeExtraSchema).getOrElse(Array.empty[StructField])
+    new GraftLogTable(path, extra = extra)
   }
 }
 
@@ -374,16 +380,33 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
   }
 }
 
-/** Executor-side min/max tracker for the fixed numeric columns — the
-  * per-file zone map recorded while encoding (round 17). A NaN `value`
-  * poisons the whole record of stats: NaN orders with nothing, so bounds
-  * that ignored it would wrongly prune. */
-private final class GraftStatsTracker {
+/** Executor-side min/max tracker for every zone-mapped column — the
+  * per-file stats recorded while encoding: the fixed numerics (round 17),
+  * plus `event_type` string bounds and the ADDED schema-evolution
+  * columns (round 18). A NaN `value` poisons the whole record of stats
+  * (NaN orders with nothing — bounds that ignored it would wrongly
+  * prune); a NaN in an ADDED double column poisons only that column's
+  * bounds (GraftAbsentBounds with its present count). String bounds are
+  * tracked full-length and truncated soundly at result() (Iceberg's
+  * truncate-16 upper-bound increment). */
+private final class GraftStatsTracker(extra: Array[StructField] = Array.empty) {
   private var n = 0L
   private var nan = false
   private var eidMin = Long.MaxValue; private var eidMax = Long.MinValue
   private var uidMin = Long.MaxValue; private var uidMax = Long.MinValue
   private var valMin = Double.MaxValue; private var valMax = Double.MinValue
+  private var etMin: Array[Byte] = null
+  private var etMax: Array[Byte] = null
+  private val nx = extra.length
+  private val exPresent = if (nx == 0) null else new Array[Long](nx)
+  private val exNan = if (nx == 0) null else new Array[Boolean](nx)
+  private val exLongMin = if (nx == 0) null else Array.fill(nx)(Long.MaxValue)
+  private val exLongMax = if (nx == 0) null else Array.fill(nx)(Long.MinValue)
+  private val exDblMin = if (nx == 0) null else Array.fill(nx)(Double.MaxValue)
+  private val exDblMax = if (nx == 0) null else Array.fill(nx)(Double.MinValue)
+  private val exBinMin = if (nx == 0) null else new Array[Array[Byte]](nx)
+  private val exBinMax = if (nx == 0) null else new Array[Array[Byte]](nx)
+
   def add(eid: Long, uid: Long, v: Double): Unit = {
     n += 1
     if (eid < eidMin) eidMin = eid
@@ -396,9 +419,52 @@ private final class GraftStatsTracker {
       if (v > valMax) valMax = v
     }
   }
+  /** `b` must be a freshly-allocated array (the encoder's own copy). */
+  def addEtype(b: Array[Byte]): Unit = {
+    if (etMin == null || java.util.Arrays.compareUnsigned(b, etMin) < 0) etMin = b
+    if (etMax == null || java.util.Arrays.compareUnsigned(b, etMax) > 0) etMax = b
+  }
+  /** `v` is the encoder's boxed value: Long / Double / byte[] / null. */
+  def addExtra(i: Int, v: AnyRef): Unit = v match {
+    case null => ()
+    case l: java.lang.Long =>
+      exPresent(i) += 1
+      val x = l.longValue()
+      if (x < exLongMin(i)) exLongMin(i) = x
+      if (x > exLongMax(i)) exLongMax(i) = x
+    case d: java.lang.Double =>
+      exPresent(i) += 1
+      val x = d.doubleValue()
+      if (x.isNaN) exNan(i) = true
+      else {
+        if (x < exDblMin(i)) exDblMin(i) = x
+        if (x > exDblMax(i)) exDblMax(i) = x
+      }
+    case b: Array[Byte] =>
+      exPresent(i) += 1
+      if (exBinMin(i) == null ||
+          java.util.Arrays.compareUnsigned(b, exBinMin(i)) < 0) exBinMin(i) = b
+      if (exBinMax(i) == null ||
+          java.util.Arrays.compareUnsigned(b, exBinMax(i)) > 0) exBinMax(i) = b
+    case other => throw new IllegalStateException(s"untrackable value $other")
+  }
   def result: Option[GraftStats] =
     if (n == 0 || nan) None
-    else Some(GraftStats(n, eidMin, eidMax, uidMin, uidMax, valMin, valMax))
+    else Some(GraftStats(n, eidMin, eidMax, uidMin, uidMax, valMin, valMax,
+      etype =
+        if (etMin == null) None else Some(GraftBinBounds.of(etMin, etMax)),
+      extras = (0 until nx).map { i =>
+        (i,
+          if (exPresent(i) == 0) GraftAbsentBounds(0)
+          else extra(i).dataType match {
+            case LongType => GraftLongBounds(exPresent(i), exLongMin(i), exLongMax(i))
+            case DoubleType =>
+              if (exNan(i)) GraftAbsentBounds(exPresent(i))
+              else GraftDoubleBounds(exPresent(i), exDblMin(i), exDblMax(i))
+            case _ => GraftStrColBounds(exPresent(i),
+              GraftBinBounds.of(exBinMin(i), exBinMax(i)))
+          })
+      }.toMap))
 }
 
 private case class GraftLogCommit(tmp: String, partitionId: Int,
@@ -1040,7 +1106,7 @@ private class GraftLogDeltaWriter(path: String, partitionId: Int,
     var e = dataOuts.get(b)
     if (e == null) {
       val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
-      e = (tmp, GraftFs.createData(tmp), new GraftStatsTracker)
+      e = (tmp, GraftFs.createData(tmp), new GraftStatsTracker(extra))
       dataOuts.put(b, e)
     }
     e
@@ -1058,8 +1124,8 @@ private class GraftLogDeltaWriter(path: String, partitionId: Int,
       "graftlog represents updates as delete+reinsert (representUpdateAsDeleteAndInsert)")
   override def insert(row: InternalRow): Unit = {
     val e = dataOut(bucket.map(bs => bs.bucketOf(row.getLong(bs.ord))).getOrElse(-1))
-    e._3.add(row.getLong(0), row.getLong(1), row.getDouble(2))
-    GraftLog.encodeRecord(e._2, row, extra)
+    GraftLog.encodeRecord(e._2, row, extra, 0, e._3)
+    ()
   }
 
   override def commit(): WriterCommitMessage = {
@@ -1105,11 +1171,11 @@ private class GraftLogWriter(path: String, partitionId: Int,
   private val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
   GraftFs.mkdirs(path) // defensive: factory mkdirs ran on the driver
   private val out = GraftFs.createData(tmp)
-  private val stats = new GraftStatsTracker
+  private val stats = new GraftStatsTracker(extra)
 
   override def write(r: InternalRow): Unit = {
-    stats.add(r.getLong(0), r.getLong(1), r.getDouble(2))
-    GraftLog.encodeRecord(out, r, extra)
+    GraftLog.encodeRecord(out, r, extra, 0, stats)
+    ()
   }
   override def commit(): WriterCommitMessage = {
     out.close()
@@ -1137,13 +1203,12 @@ private class GraftLogUpsertWriter(path: String, partitionId: Int,
   private val delTmp = s"$path/.gd-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
   GraftFs.mkdirs(path)
   private val out = GraftFs.createData(tmp)
-  private val stats = new GraftStatsTracker
+  private val stats = new GraftStatsTracker(extra)
   private val keys = scala.collection.mutable.ArrayBuilder.make[Long]
 
   override def write(r: InternalRow): Unit = {
-    stats.add(r.getLong(0), r.getLong(1), r.getDouble(2))
     keys += r.getLong(0)
-    GraftLog.encodeRecord(out, r, extra)
+    GraftLog.encodeRecord(out, r, extra, 0, stats)
     ()
   }
   override def commit(): WriterCommitMessage = {
@@ -1179,7 +1244,7 @@ private class GraftLogBucketedWriter(path: String, partitionId: Int,
     var e = outs.get(b)
     if (e == null) {
       val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
-      e = (tmp, GraftFs.createData(tmp), new GraftStatsTracker)
+      e = (tmp, GraftFs.createData(tmp), new GraftStatsTracker(extra))
       outs.put(b, e)
     }
     e
@@ -1187,8 +1252,8 @@ private class GraftLogBucketedWriter(path: String, partitionId: Int,
 
   override def write(r: InternalRow): Unit = {
     val e = outFor(bucket.bucketOf(r.getLong(bucket.ord)))
-    e._3.add(r.getLong(0), r.getLong(1), r.getDouble(2))
-    GraftLog.encodeRecord(e._2, r, extra)
+    GraftLog.encodeRecord(e._2, r, extra, 0, e._3)
+    ()
   }
   override def commit(): WriterCommitMessage = {
     outs.forEach((_, e) => e._2.close())
@@ -1238,12 +1303,20 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
   // surface. The two lanes are disjoint by construction (v2ToV1 accepts
   // only data columns, stampToV1 only `_pub_stamp`); mixed trees fall
   // through both and stay residual.
+  // round 18: predicates over ADDED (schema-evolution) columns translate
+  // into PRUNING HINTS — never claimed (they stay residual and Spark
+  // re-evaluates them), but a file whose W bounds provably exclude the
+  // predicate is never opened. The no-pushdown contract for extras is
+  // about row-filtering claims; a sound reduction needs no claim.
+  private var statsHints: Array[Filter] = Array.empty
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
     val trans = predicates.map(p => (p, GraftLog.v2ToV1(p), GraftLog.stampToV1(p)))
     pushedV2 = trans.collect { case (p, d, s) if d.isDefined || s.isDefined => p }
     pushed = trans.collect { case (_, Some(f), _) => f }
     stampPushed = trans.collect { case (_, None, Some(f)) => f }
-    trans.collect { case (p, None, None) => p }
+    val residual = trans.collect { case (p, None, None) => p }
+    statsHints = residual.flatMap(p => GraftLog.extrasHintV1(p, extra))
+    residual
   }
   override def pushedPredicates(): Array[V2Predicate] = pushedV2
 
@@ -1343,7 +1416,8 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
   }
 
   override def build(): Scan =
-    new GraftLogScan(path, bucket, pushed, stampPushed, required, limit, offset, topN, agg, maxFiles, lagMs, extra, asOf)
+    new GraftLogScan(path, bucket, pushed, stampPushed, statsHints, required,
+      limit, offset, topN, agg, maxFiles, lagMs, extra, asOf)
 }
 
 /** Pushed ORDER BY keys as (column ordinal, descending) plus the limit. */
@@ -1386,6 +1460,7 @@ private case class GraftLogAgg(groupBy: Array[Int], fns: Array[GraftLogAggFn]) {
 
 private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     filters: Array[Filter], stampFilters: Array[Filter],
+    statsHints: Array[Filter],
     required: StructType, limit: Int, offset: Int, topN: Option[GraftLogTopN],
     agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long,
     extra: Array[StructField] = Array.empty,
@@ -1448,7 +1523,8 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   // slice so broadcast decisions see the post-skip size
   @transient private lazy val prunedFiles: Seq[GraftLiveFile] =
     GraftLog.statsPrune(
-      GraftLog.stampPrune(snapshot.files, stampFilters), filters)
+      GraftLog.stampPrune(snapshot.files, stampFilters),
+      filters ++ statsHints, extra)
   private def pathOf(f: GraftLiveFile): String = GraftFs.child(path, f.name)
 
   /** Size statistics from the log files themselves — without this a V2
@@ -2868,6 +2944,33 @@ object GraftLog {
   private[sources] def extraTypeSupported(dt: DataType): Boolean =
     dt == LongType || dt == DoubleType || dt == StringType
 
+  /** Round-trip an ADDED-columns schema through the `evolvedSchema`
+    * path-read option (round 18): `name:bigint,name:double,name:string`. */
+  private[sources] def encodeExtraSchema(extra: Array[StructField]): String =
+    extra.map { f =>
+      val kind = f.dataType match {
+        case LongType => "bigint"
+        case DoubleType => "double"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"unsupported added-column type $other")
+      }
+      s"${f.name}:$kind"
+    }.mkString(",")
+  private[sources] def decodeExtraSchema(spec: String): Array[StructField] =
+    spec.split(',').filter(_.nonEmpty).map { part =>
+      val i = part.indexOf(':')
+      require(i > 0, s"bad evolvedSchema entry '$part'")
+      val dt = part.substring(i + 1) match {
+        case "bigint" => LongType
+        case "double" => DoubleType
+        case "string" => StringType
+        case other => throw new IllegalArgumentException(
+          s"bad evolvedSchema type '$other' in '$part'")
+      }
+      StructField(part.substring(0, i), dt, nullable = true)
+    }
+
   /** Encode one row: the fixed base (len-prefixed, fixed offsets — the
     * pushdown contract) + the schema-evolution tail, one
     * [present: byte][value] field per ADDED column (values: int64 /
@@ -2878,8 +2981,13 @@ object GraftLog {
     * @return total bytes written (length prefix included) — the cluster
     *         rewrite's segment-boundary bookkeeping */
   private[sources] def encodeRecord(out: DataOutputStream, r: InternalRow,
-      extra: Array[StructField], off: Int = 0): Int = {
+      extra: Array[StructField], off: Int = 0,
+      stats: GraftStatsTracker = null): Int = {
     val etype = r.getUTF8String(off + 3).getBytes
+    if (stats != null) {
+      stats.add(r.getLong(off), r.getLong(off + 1), r.getDouble(off + 2))
+      stats.addEtype(etype)
+    }
     // int16 length field: a >32767-byte string would wrap silently here
     // and only surface as a corrupt record at READ time, after commit —
     // fail the task before publishing instead (r13 review)
@@ -2904,6 +3012,7 @@ object GraftLog {
             case other => throw new IllegalStateException(
               s"unencodable added-column type $other") // alterTable validates
           }
+          if (stats != null) stats.addExtra(i, vs(i))
           i += 1
         }
         vs
@@ -3197,9 +3306,13 @@ object GraftLog {
       targetBytes: Long, extra: Array[StructField] = Array.empty,
       ret: GraftRetention = GraftRetention.NONE): (Int, Int, Long) = {
     require(targetBytes > 0, s"cluster targetBytes must be positive, got $targetBytes")
-    require(Seq("event_id", "user_id", "value").contains(byCol),
-      s"cluster by must be one of event_id/user_id/value (the zone-mapped " +
-        s"columns), got '$byCol'")
+    // round 18: every zone-mapped column clusters — the base numerics
+    // (Z), event_type (Y string bounds), and ADDED columns (W bounds)
+    require(GraftLog.schema.fieldNames.contains(byCol) ||
+        extra.exists(_.name == byCol),
+      s"cluster by must be a table column (zone-mapped: " +
+        s"${(GraftLog.schema.fieldNames ++ extra.map(_.name)).mkString("/")}), " +
+        s"got '$byCol'")
     val snap = GraftSnapshotIO.resolve(path)
     val inputNames = snap.files.map(_.name)
     if (inputNames.isEmpty) return (0, 0, 0L)
@@ -3214,7 +3327,10 @@ object GraftLog {
     // commit below removes only the premise inputs
     import org.apache.spark.sql.functions.col
     val cols = (GraftLog.schema.fields ++ extra).map(f => col(f.name))
-    val sorted = spark.read.format("graftlog").load(path)
+    val reader = spark.read.format("graftlog")
+    if (extra.nonEmpty)
+      reader.option("evolvedSchema", GraftLog.encodeExtraSchema(extra))
+    val sorted = reader.load(path)
       .filter(col("_file").isin(inputAbs: _*))
       .select((col("_pub_stamp") +: cols).toIndexedSeq: _*)
       .repartitionByRange(k, col(byCol))
@@ -3232,7 +3348,7 @@ object GraftLog {
         s".cluster-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
       val os = GraftFs.createData(tmp)
       val segs = Vector.newBuilder[GraftSegment]
-      val stats = new GraftStatsTracker
+      val stats = new GraftStatsTracker(extraB)
       var outOff = 0L
       var cur = Long.MinValue
       var any = false
@@ -3241,8 +3357,7 @@ object GraftLog {
         if (!any || st != cur) {
           segs += GraftSegment(outOff, st); cur = st; any = true
         }
-        stats.add(r.getLong(1), r.getLong(2), r.getDouble(3))
-        outOff += GraftLog.encodeRecord(os, r, extraB, 1).toLong
+        outOff += GraftLog.encodeRecord(os, r, extraB, 1, stats).toLong
       } finally os.close()
       Iterator.single((pid, tmp, segs.result(), stats.result, outOff))
     }.collect()
@@ -3578,6 +3693,75 @@ object GraftLog {
     }
   }
 
+  /** Translate predicates over ADDED (schema-evolution) columns into
+    * v1-shaped PRUNING HINTS (round 18). Hints are never claimed as
+    * pushed — extras keep their no-pushdown contract and Spark evaluates
+    * the predicate above the scan — but a file whose W-token bounds
+    * provably exclude the predicate need not be opened for Spark to
+    * reject its rows. Partial AND translation is sound (each translated
+    * conjunct independently constrains the file); OR needs both sides;
+    * NOT and unknown shapes translate to nothing (keep-file). */
+  private[sources] def extrasHintV1(p: V2Predicate,
+      extra: Array[StructField]): Option[Filter] = {
+    if (extra.isEmpty) return None
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
+    val names = extra.map(_.name).toSet
+    def colOf(e: V2Expr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          names.contains(nr.fieldNames()(0)) =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def litOf(e: V2Expr): Option[Any] = e match {
+      case l: V2Lit[_] if l.value != null =>
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def binary(mk: (String, Any) => Filter,
+        flipped: (String, Any) => Filter): Option[Filter] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else colOf(c(0)).zip(litOf(c(1))).map { case (a, v) => mk(a, v) }
+        .orElse(colOf(c(1)).zip(litOf(c(0))).map { case (a, v) => flipped(a, v) })
+    }
+    p.name() match {
+      case "AND" =>
+        val a = p.asInstanceOf[V2And]
+        (extrasHintV1(a.left(), extra), extrasHintV1(a.right(), extra)) match {
+          case (Some(l), Some(r)) => Some(And(l, r))
+          case (l, r) => l.orElse(r) // partial conjunct: still a constraint
+        }
+      case "OR" =>
+        val o = p.asInstanceOf[V2Or]
+        extrasHintV1(o.left(), extra).zip(extrasHintV1(o.right(), extra))
+          .map { case (l, r) => Or(l, r) }
+      case "=" | "<=>" => binary(EqualTo, EqualTo)
+      case ">" => binary(GreaterThan, LessThan)
+      case ">=" => binary(GreaterThanOrEqual, LessThanOrEqual)
+      case "<" => binary(LessThan, GreaterThan)
+      case "<=" => binary(LessThanOrEqual, GreaterThanOrEqual)
+      case "IN" =>
+        val c = p.children()
+        if (c.length < 2) None
+        else colOf(c(0)).flatMap { a =>
+          val vals = c.drop(1).map(litOf)
+          if (vals.exists(_.isEmpty)) None else Some(In(a, vals.map(_.get)))
+        }
+      case "IS_NULL" =>
+        p.children() match { case Array(e) => colOf(e).map(IsNull); case _ => None }
+      case "IS_NOT_NULL" =>
+        p.children() match { case Array(e) => colOf(e).map(IsNotNull); case _ => None }
+      case "STARTS_WITH" =>
+        val c = p.children()
+        if (c.length != 2) None
+        else colOf(c(0)).zip(litOf(c(1))).collect {
+          case (a, v: String) => StringStartsWith(a, v)
+        }
+      case _ => None
+    }
+  }
+
   /** Translate a PURE `_pub_stamp` predicate tree — comparisons/IN
     * against integer literals, IS [NOT] NULL, and AND/OR/NOT over such —
     * to a v1-shaped filter the scan evaluates PER FILE. The stamp is
@@ -3695,19 +3879,54 @@ object GraftLog {
     * outputPartitioning() is consulted, the same reason bucket pruning
     * ignores them. */
   private[sources] def statsPrune(files: Seq[GraftLiveFile],
-      filters: Array[Filter]): Seq[GraftLiveFile] =
+      filters: Array[Filter],
+      extra: Array[StructField] = Array.empty): Seq[GraftLiveFile] =
     if (filters.isEmpty) files
     else files.filter(f => f.stats.forall(st =>
-      filters.forall(statsAccepts(_, st))))
+      filters.forall(statsAccepts(_, st, extra))))
 
   /** May any row within `st`'s bounds satisfy `f`? (true = keep file /
-    * unknown; only a provable full-file rejection returns false.) */
-  private[sources] def statsAccepts(f: Filter, st: GraftStats): Boolean = {
+    * unknown; only a provable full-file rejection returns false.) Covers
+    * the fixed numerics (round 17) plus `event_type` string bounds and
+    * ADDED schema-evolution columns (round 18): a range/=/IN conjunct on
+    * those prunes via the Y/W bounds, with SQL null semantics — value
+    * predicates reject null rows anyway, so bounds over the NON-NULL
+    * values prune soundly regardless of how many rows are null, an
+    * all-null (present = 0) column rejects every value predicate, and a
+    * no-nulls (present = n) column rejects IS NULL. */
+  private[sources] def statsAccepts(f: Filter, st: GraftStats,
+      extra: Array[StructField] = Array.empty): Boolean = {
     def longRange(col: String): Option[(Long, Long)] = col match {
       case "event_id" => Some((st.eidMin, st.eidMax))
       case "user_id" => Some((st.uidMin, st.uidMax))
-      case _ => None
+      case _ => extraOf(col) match {
+        case Some(GraftLongBounds(_, lo, hi)) => Some((lo, hi))
+        case _ => None
+      }
     }
+    def dblRange(col: String): Option[(Double, Double)] = col match {
+      case "value" => Some((st.valMin, st.valMax))
+      case _ => extraOf(col) match {
+        case Some(GraftDoubleBounds(_, lo, hi)) => Some((lo, hi))
+        case _ => None
+      }
+    }
+    /** Bounds entry of an ADDED column, None = untracked/unknown. */
+    def extraOf(col: String): Option[GraftColBounds] = {
+      val i = extra.indexWhere(_.name == col)
+      if (i < 0) None else st.extras.get(i)
+    }
+    /** String bounds of a column (event_type or a string extra). */
+    def binOf(col: String): Option[(Long, GraftBinBounds)] =
+      if (col == "event_type") st.etype.map(b => (st.n, b))
+      else extraOf(col) match {
+        case Some(GraftStrColBounds(p, b)) => Some((p, b))
+        case _ => None
+      }
+    /** Non-null count of the column, None = unknown. */
+    def presentOf(col: String): Option[Long] =
+      if (ordinal(col) >= 0) Some(st.n) // base columns: non-nullable
+      else extraOf(col).map(_.present)
     def asLong(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -3720,30 +3939,74 @@ object GraftLog {
       case f2: Float => Some(f2.toDouble)
       case _ => None
     }
+    def asBytes(v: Any): Option[Array[Byte]] = v match {
+      case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case u: UTF8String => Some(u.getBytes)
+      case _ => None
+    }
+    /** A value predicate on an all-null column matches nothing. */
+    def allNull(col: String): Boolean = presentOf(col).contains(0L)
     def cmp(col: String, v: Any)(longTest: (Long, Long, Long) => Boolean,
-        dblTest: (Double, Double, Double) => Boolean): Boolean =
+        dblTest: (Double, Double, Double) => Boolean,
+        binTest: (GraftBinBounds, Array[Byte]) => Boolean): Boolean = {
+      if (allNull(col)) return false
       longRange(col) match {
         case Some((lo, hi)) => asLong(v).forall(x => longTest(lo, hi, x))
-        case None if col == "value" =>
-          asDouble(v).forall(x => !x.isNaN && dblTest(st.valMin, st.valMax, x))
-        case None => true // untracked column: no constraint
+        case None => dblRange(col) match {
+          case Some((lo, hi)) =>
+            asDouble(v).forall(x => !x.isNaN && dblTest(lo, hi, x))
+          case None => binOf(col) match {
+            case Some((_, b)) => asBytes(v).forall(x => binTest(b, x))
+            case None => true // untracked column: no constraint
+          }
+        }
       }
+    }
+    def le(a: Array[Byte], b: Array[Byte]): Boolean =
+      java.util.Arrays.compareUnsigned(a, b) <= 0
+    def lt(a: Array[Byte], b: Array[Byte]): Boolean =
+      java.util.Arrays.compareUnsigned(a, b) < 0
     f match {
       case EqualTo(c, v) =>
         cmp(c, v)((lo, hi, x) => x >= lo && x <= hi,
-          (lo, hi, x) => x >= lo && x <= hi)
+          (lo, hi, x) => x >= lo && x <= hi,
+          // min is a lower bound, max an upper bound: x must fit both
+          (b, x) => le(b.minBytes, x) && b.maxBytes.forall(m => le(x, m)))
       case GreaterThan(c, v) =>
-        cmp(c, v)((_, hi, x) => hi > x, (_, hi, x) => hi > x)
+        cmp(c, v)((_, hi, x) => hi > x, (_, hi, x) => hi > x,
+          (b, x) => b.maxBytes.forall(m => lt(x, m)))
       case GreaterThanOrEqual(c, v) =>
-        cmp(c, v)((_, hi, x) => hi >= x, (_, hi, x) => hi >= x)
+        cmp(c, v)((_, hi, x) => hi >= x, (_, hi, x) => hi >= x,
+          (b, x) => b.maxBytes.forall(m => le(x, m)))
       case LessThan(c, v) =>
-        cmp(c, v)((lo, _, x) => lo < x, (lo, _, x) => lo < x)
+        cmp(c, v)((lo, _, x) => lo < x, (lo, _, x) => lo < x,
+          (b, x) => lt(b.minBytes, x))
       case LessThanOrEqual(c, v) =>
-        cmp(c, v)((lo, _, x) => lo <= x, (lo, _, x) => lo <= x)
-      case In(c, vs) => vs.exists(v => statsAccepts(EqualTo(c, v), st))
-      case And(l, r) => statsAccepts(l, st) && statsAccepts(r, st)
-      case Or(l, r) => statsAccepts(l, st) || statsAccepts(r, st)
-      // Not/IsNull/string predicates and anything else: no file-level claim
+        cmp(c, v)((lo, _, x) => lo <= x, (lo, _, x) => lo <= x,
+          (b, x) => le(b.minBytes, x))
+      case StringStartsWith(c, p) =>
+        // rows matching the prefix live in [p, upper(p)); disjoint bounds
+        // prove emptiness. The file's max is an UPPER bound and its min a
+        // LOWER bound, so both tests stay conservative.
+        if (allNull(c)) false
+        else binOf(c) match {
+          case Some((_, b)) =>
+            val px = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            b.maxBytes.forall(m => le(px, m)) &&
+              GraftBinBounds.upper(px).forall(up => lt(b.minBytes, up))
+          case None => true
+        }
+      case IsNull(c) =>
+        // prunable when the column provably has NO nulls in this file
+        presentOf(c) match {
+          case Some(p) => p < st.n
+          case None => true
+        }
+      case IsNotNull(c) => !allNull(c)
+      case In(c, vs) => vs.exists(v => statsAccepts(EqualTo(c, v), st, extra))
+      case And(l, r) => statsAccepts(l, st, extra) && statsAccepts(r, st, extra)
+      case Or(l, r) => statsAccepts(l, st, extra) || statsAccepts(r, st, extra)
+      // Not and anything else: no file-level claim
       case _ => true
     }
   }

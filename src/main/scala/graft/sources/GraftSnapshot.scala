@@ -102,20 +102,157 @@ private[sources] case class GraftSegment(start: Long, stamp: Long)
   * The base columns are non-nullable by schema, so no null bookkeeping;
   * a file with any NaN `value` row records no stats at all (NaN orders
   * with nothing). */
+/** Truncated binary-collation bounds for a STRING column (round 18 —
+  * Iceberg's truncate(16) bound semantics): `minB64` holds a <=16-byte
+  * prefix of the true minimum (truncation only lowers a lower bound, so
+  * it stays sound); `maxB64` holds a sound UPPER bound — the true
+  * maximum when it fit, else its 16-byte prefix with the last non-0xff
+  * byte incremented and the tail dropped, or None when every prefix byte
+  * was 0xff (unbounded above). Base64url keeps the manifest token free
+  * of spaces/commas/colons. */
+private[sources] final case class GraftBinBounds(minB64: String,
+    maxB64: Option[String]) {
+  def minBytes: Array[Byte] = GraftBinBounds.dec(minB64)
+  def maxBytes: Option[Array[Byte]] = maxB64.map(GraftBinBounds.dec)
+  def merge(o: GraftBinBounds): GraftBinBounds = {
+    val mn = if (java.util.Arrays.compareUnsigned(minBytes, o.minBytes) <= 0)
+      minB64 else o.minB64
+    val mx = (maxBytes, o.maxBytes) match {
+      case (Some(a), Some(b)) =>
+        Some(if (java.util.Arrays.compareUnsigned(a, b) >= 0) maxB64.get
+          else o.maxB64.get)
+      case _ => None
+    }
+    GraftBinBounds(mn, mx)
+  }
+  def encode: String = s"$minB64:${maxB64.getOrElse(".")}"
+}
+private[sources] object GraftBinBounds {
+  def enc(b: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  def dec(s: String): Array[Byte] = java.util.Base64.getUrlDecoder.decode(s)
+  /** Bounds from the TRUE min/max byte strings, truncated soundly. */
+  def of(minFull: Array[Byte], maxFull: Array[Byte]): GraftBinBounds =
+    GraftBinBounds(enc(minFull.take(16)),
+      (if (maxFull.length <= 16) Some(maxFull) else upper(maxFull.take(16)))
+        .map(enc))
+  /** Smallest byte string GREATER than every string with this prefix:
+    * last non-0xff byte incremented, tail dropped; None if all 0xff. */
+  def upper(prefix: Array[Byte]): Option[Array[Byte]] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(prefix, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+  def decode(body: String, where: String): GraftBinBounds = {
+    val i = body.indexOf(':')
+    require(i >= 0, s"bad string-bounds token '$body' in $where")
+    val mx = body.substring(i + 1)
+    GraftBinBounds(body.substring(0, i), if (mx == ".") None else Some(mx))
+  }
+}
+
+/** Per-ADDED-column statistics (round 18, schema-evolution zone maps):
+  * `present` counts the file's NON-NULL values; bounds cover exactly
+  * those. Absent bounds with present > 0 = poisoned (a NaN double) — no
+  * claims; present == 0 = the column is all-null in this file (older
+  * records, or genuinely null rows), which value predicates can prune
+  * on. Kind-tagged manifest encodings: l/d/s/n. */
+private[sources] sealed trait GraftColBounds {
+  def present: Long
+  def merge(o: GraftColBounds): GraftColBounds = (this, o) match {
+    case (a, b) if a.present == 0 && a.isInstanceOf[GraftAbsentBounds] => b
+    case (a, b) if b.present == 0 && b.isInstanceOf[GraftAbsentBounds] => a
+    case (GraftLongBounds(p1, a1, b1), GraftLongBounds(p2, a2, b2)) =>
+      GraftLongBounds(p1 + p2, math.min(a1, a2), math.max(b1, b2))
+    case (GraftDoubleBounds(p1, a1, b1), GraftDoubleBounds(p2, a2, b2)) =>
+      GraftDoubleBounds(p1 + p2, math.min(a1, a2), math.max(b1, b2))
+    case (GraftStrColBounds(p1, b1), GraftStrColBounds(p2, b2)) =>
+      GraftStrColBounds(p1 + p2, b1.merge(b2))
+    // a poisoned side (or a kind clash, which only corruption produces)
+    // degrades to claim-nothing — sound in the keep-the-file direction
+    case (a, b) => GraftAbsentBounds(a.present + b.present)
+  }
+  def encode: String
+}
+private[sources] final case class GraftLongBounds(present: Long,
+    min: Long, max: Long) extends GraftColBounds {
+  def encode = s"l:$present:$min:$max"
+}
+private[sources] final case class GraftDoubleBounds(present: Long,
+    min: Double, max: Double) extends GraftColBounds {
+  def encode = s"d:$present:${java.lang.Double.doubleToRawLongBits(min)}:" +
+    s"${java.lang.Double.doubleToRawLongBits(max)}"
+}
+private[sources] final case class GraftStrColBounds(present: Long,
+    bounds: GraftBinBounds) extends GraftColBounds {
+  def encode = s"s:$present:${bounds.encode}"
+}
+/** All-null (present = 0) or bounds-poisoned (present > 0, e.g. NaN). */
+private[sources] final case class GraftAbsentBounds(present: Long)
+    extends GraftColBounds {
+  def encode = s"n:$present"
+}
+private[sources] object GraftColBounds {
+  def decode(body: String, where: String): (Int, GraftColBounds) = {
+    val parts = body.split(':')
+    def bad() = throw new IllegalStateException(
+      s"bad column-bounds token '$body' in $where")
+    if (parts.length < 3) bad()
+    val idx = parts(0).toInt
+    val cb = parts(1) match {
+      case "l" if parts.length == 5 =>
+        GraftLongBounds(parts(2).toLong, parts(3).toLong, parts(4).toLong)
+      case "d" if parts.length == 5 =>
+        GraftDoubleBounds(parts(2).toLong,
+          java.lang.Double.longBitsToDouble(parts(3).toLong),
+          java.lang.Double.longBitsToDouble(parts(4).toLong))
+      case "s" if parts.length == 5 =>
+        GraftStrColBounds(parts(2).toLong,
+          GraftBinBounds(parts(3), if (parts(4) == ".") None else Some(parts(4))))
+      case "n" if parts.length == 3 => GraftAbsentBounds(parts(2).toLong)
+      case _ => bad()
+    }
+    (idx, cb)
+  }
+}
+
 private[sources] final case class GraftStats(n: Long,
     eidMin: Long, eidMax: Long,
-    uidMin: Long, uidMax: Long, valMin: Double, valMax: Double) {
+    uidMin: Long, uidMax: Long, valMin: Double, valMax: Double,
+    etype: Option[GraftBinBounds] = None,
+    extras: Map[Int, GraftColBounds] = Map.empty) {
   /** Union of two files' stats (compaction's no-decode merge). The row
     * count is EXACT only while no position delete covers the file —
     * compaction of delete-carrying inputs recomputes by walking anyway,
-    * and the metadata-aggregate path refuses covered files. */
+    * and the metadata-aggregate path refuses covered files. String and
+    * evolved-column bounds (round 18) merge alongside; a side missing a
+    * column's entry wrote it before the ALTER — its rows are all null
+    * there, so the other side's bounds stand with present unchanged. */
   def merge(o: GraftStats): GraftStats = GraftStats(n + o.n,
     math.min(eidMin, o.eidMin), math.max(eidMax, o.eidMax),
     math.min(uidMin, o.uidMin), math.max(uidMax, o.uidMax),
-    math.min(valMin, o.valMin), math.max(valMax, o.valMax))
+    math.min(valMin, o.valMin), math.max(valMax, o.valMax),
+    (etype, o.etype) match {
+      case (Some(a), Some(b)) => Some(a.merge(b))
+      case _ => None
+    },
+    (extras.keySet ++ o.extras.keySet).iterator.map { i =>
+      (i, (extras.get(i), o.extras.get(i)) match {
+        case (Some(a), Some(b)) => a.merge(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => GraftAbsentBounds(0) // unreachable
+      })
+    }.toMap)
   /** Manifest token: `Z`-prefixed (a segment spec starts with a digit,
-    * so the two optional F-line tokens stay unambiguous); doubles as raw
-    * bits for exact round-trips. */
+    * so the optional F-line tokens stay unambiguous); doubles as raw
+    * bits for exact round-trips. The round-18 string/evolved bounds ride
+    * as separate Y/W tokens so pre-r18 manifests parse unchanged. */
   def encode: String =
     s"Z$n:$eidMin:$eidMax:$uidMin:$uidMax:" +
       s"${java.lang.Double.doubleToRawLongBits(valMin)}:" +
@@ -489,7 +626,7 @@ private[sources] object GraftSnapshotIO {
         else {
           val line = text.substring(p, e)
           line.split(' ') match {
-            case Array("F", name, toks @ _*) if toks.length <= 2 =>
+            case Array("F", name, toks @ _*) =>
               files += parseF(name, toks, where)
             case Array("D", del, covSpec) =>
               dels += ((del, covSpec.split(',').toVector))
@@ -506,16 +643,25 @@ private[sources] object GraftSnapshotIO {
   /** Strict record parsers: manifests are written only by this object, so
     * an unreadable line is corruption and must fail loudly, not resolve
     * to a silently-smaller table. */
-  /** F-line record: `F <name>[ <segs>][ Z<stats>]` — both optional
-    * tokens positional but self-describing (a stats token starts with
-    * 'Z', a segment spec with a digit). */
+  /** F-line record: `F <name>[ <segs>][ Z<stats>][ Y<etype>][ W<extra>...]`
+    * — optional tokens, self-describing by first character (a stats token
+    * starts with 'Z', string bounds 'Y', evolved-column bounds 'W', a
+    * segment spec with a digit). */
   private def parseF(name: String, toks: Seq[String],
       where: String): GraftLiveFile = {
     var segs: Option[Vector[GraftSegment]] = None
     var stats: Option[GraftStats] = None
+    var etype: Option[GraftBinBounds] = None
+    val extras = Map.newBuilder[Int, GraftColBounds]
+    var anyExtra = false
     toks.foreach { tok =>
       if (tok.startsWith("Z")) stats = Some(GraftStats.decode(tok, where))
-      else {
+      else if (tok.startsWith("Y"))
+        etype = Some(GraftBinBounds.decode(tok.substring(1), where))
+      else if (tok.startsWith("W")) {
+        extras += GraftColBounds.decode(tok.substring(1), where)
+        anyExtra = true
+      } else {
         val ss = tok.split(',').toVector.map { s =>
           val i = s.indexOf(':')
           require(i > 0, s"bad segment '$s' in $where")
@@ -527,7 +673,10 @@ private[sources] object GraftSnapshotIO {
         segs = Some(ss)
       }
     }
-    GraftLiveFile(name, segs, stats)
+    require(stats.isDefined || (etype.isEmpty && !anyExtra),
+      s"Y/W bounds without a Z stats token for $name in $where")
+    GraftLiveFile(name, segs,
+      stats.map(_.copy(etype = etype, extras = extras.result())))
   }
 
   private def parseSnapshotLines(lines: Array[String],
@@ -536,7 +685,7 @@ private[sources] object GraftSnapshotIO {
     val dels = Map.newBuilder[String, Vector[String]]
     lines.foreach { line =>
       line.split(' ') match {
-        case Array("F", name, toks @ _*) if toks.length <= 2 =>
+        case Array("F", name, toks @ _*) =>
           files += parseF(name, toks, where)
         case Array("D", del, covSpec) => dels += ((del, covSpec.split(',').toVector))
         case _ => throw new IllegalStateException(
@@ -557,7 +706,7 @@ private[sources] object GraftSnapshotIO {
         case Array("R", name) => removed += name
         case Array("X", name) => removedDels += name // delete-file retire (r18)
         case Array("D", del, covSpec) => dels += ((del, covSpec.split(',').toSeq))
-        case Array("F", name, toks @ _*) if toks.length <= 2 =>
+        case Array("F", name, toks @ _*) =>
           files += parseF(name, toks, where)
         case _ => throw new IllegalStateException(
           s"unreadable manifest line in $where: '$line'")
@@ -573,7 +722,13 @@ private[sources] object GraftSnapshotIO {
       f.segs.foreach { ss =>
         sb.append(' ').append(ss.map(s => s"${s.start}:${s.stamp}").mkString(","))
       }
-      f.stats.foreach(st => sb.append(' ').append(st.encode))
+      f.stats.foreach { st =>
+        sb.append(' ').append(st.encode)
+        st.etype.foreach(b => sb.append(" Y").append(b.encode))
+        st.extras.toSeq.sortBy(_._1).foreach { case (i, cb) =>
+          sb.append(" W").append(i).append(':').append(cb.encode)
+        }
+      }
       sb.append('\n')
       // unclean names are necessarily unstamped/foreign (publish names are
       // uuid/stamp tokens): the resolver's reconciliation keeps them live

@@ -709,6 +709,64 @@ class GraftLogSpec extends SparkTestBase with BeforeAndAfterAll {
       "post-compaction merged zone map must keep the point lookup exact")
   }
 
+  test("evolved + string zone maps: ADDED-column ranges prune files, null-present files stay exact, cluster by any column") {
+    // Round 18 (r17 verdict #3): W tokens carry per-file bounds for
+    // ALTER-added columns, Y tokens for event_type. A range predicate on
+    // the added column prunes files WITHOUT being claimed (it stays a
+    // residual Spark evaluates); the all-null-range file declines every
+    // value predicate via its present count; IS NULL opens only files
+    // that provably hold nulls.
+    spark.conf.set("spark.sql.catalog.graftz",
+      classOf[graft.sources.GraftCatalog].getName)
+    val wh = Scratch.dir("graftlog_evolved_wh")
+    spark.conf.set("spark.sql.catalog.graftz.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS graftz.zs")
+    spark.sql("CREATE TABLE graftz.zs (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    spark.sql("ALTER TABLE graftz.zs ADD COLUMN score DOUBLE")
+    val src = events.withColumn("score",
+      when(col("event_id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("event_id").cast("double")))
+    src.repartitionByRange(4, col("score")).sortWithinPartitions("score")
+      .writeTo("graftz.zs").append()
+    def t() = spark.table("graftz.zs")
+    assert(t().rdd.getNumPartitions == 4, "fixture must land as 4 files")
+    // range on the ADDED column: only overlapping zones open
+    val q1 = t().filter(col("score") > 700.0)
+    assert(q1.rdd.getNumPartitions > 0 && q1.rdd.getNumPartitions < 4,
+      s"added-column range planned ${q1.rdd.getNumPartitions} of 4 files — no skipping")
+    assert(q1.count() == src.filter(col("score") > 700.0).count(),
+      "added-column pruning changed the answer")
+    // the all-null + low zone declines the high range; IS NULL opens
+    // ONLY files that provably hold nulls (the nulls-first range file)
+    val qn = t().filter(col("score").isNull)
+    assert(qn.rdd.getNumPartitions == 1,
+      s"IS NULL planned ${qn.rdd.getNumPartitions} files, wanted the 1 null-holding file")
+    assert(qn.count() == src.filter(col("score").isNull).count())
+    // provably-empty added-column range opens nothing
+    val q0 = t().filter(col("score") < -5.0)
+    assert(q0.rdd.getNumPartitions == 0 && q0.count() == 0,
+      "out-of-bounds added-column range must plan zero files")
+    // string zone maps: cluster BY event_type (restriction lifted), then
+    // an equality on one type opens a subset of the clustered files
+    val dir = s"$wh/zs"
+    val extraCols = Array(org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.DoubleType, nullable = true))
+    val (b1, a1, _) = GraftLog.cluster(spark, dir, "event_type", 12L * 1024, extraCols)
+    assert(b1 == 4 && a1 > 1, s"expected a multi-file etype-clustered layout, got $b1 -> $a1")
+    val types = src.select(col("event_type")).distinct().collect().map(_.getString(0)).sorted
+    val probe = types.head // the lexicographic minimum: confined to the first zone(s)
+    val q2 = t().filter(col("event_type") === probe)
+    assert(q2.rdd.getNumPartitions < a1,
+      s"etype equality planned ${q2.rdd.getNumPartitions} of $a1 clustered files — no string skipping")
+    assert(q2.count() == src.filter(col("event_type") === probe).count(),
+      "string-bounds pruning changed the answer")
+    // the evolved column survived the sort-rewrite byte-exactly
+    assert(t().filter(col("score").isNull).count() ==
+      src.filter(col("score").isNull).count(),
+      "cluster dropped or corrupted the evolved-column tail")
+  }
+
   test("_pub_stamp predicate pushdown prunes FILES: the incremental-batch read surface") {
     val land = Scratch.dir("graftlog_stamp")
     val a = events.filter(col("event_id") < 300)
