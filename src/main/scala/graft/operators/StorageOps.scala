@@ -1124,6 +1124,35 @@ object StorageOps extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Two-column Z-order cluster (round 18, r17 verdict #8 stretch):
+  // `CALL system.cluster(by => 'event_id,user_id')` interleaves
+  // quantile-rank bits of both columns so every rewritten file is a
+  // bounded RECTANGLE in the 2D domain — a conjunctive range query
+  // opens ~1/N² of the landing (GraftLogSpec pins the planned-partition
+  // skipping; this oracle pins the rows and the CALL surface).
+  // ------------------------------------------------------------------
+  def dsv2ClusterMulti(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.mcl_ev")
+    s.sql("CREATE TABLE graftq.mcl_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(5).writeTo("graftq.mcl_ev").append()
+    s.sql("CALL graftq.system.cluster(table => 'mcl_ev', " +
+      "by => 'event_id,user_id', target_mb => 1)").collect()
+    s.table("graftq.mcl_ev")
+      .filter(col("event_id") < 2500 && col("user_id") < 40)
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2ClusterMultiSql: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+      |WHERE event_id < 2500 AND user_id < 40
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Snapshot-history introspection under the oracle gate (round 17):
   // `CALL system.snapshots(table)` — Iceberg's snapshots metadata table
   // as a procedure. The fixture drives a deterministic commit sequence
@@ -1523,6 +1552,7 @@ object StorageOps extends QueryModule {
     "stream_dsv2_compact" -> (dsv2StreamCompact _),
     "stream_dsv2_upsert" -> (dsv2StreamUpsert _),
     "scan_dsv2_stats_evolved" -> (dsv2StatsEvolved _),
+    "call_dsv2_cluster_multi" -> (dsv2ClusterMulti _),
     "call_dsv2_snapshots" -> (dsv2Snapshots _),
     "scan_dsv2_stats_pruned" -> (dsv2StatsPruned _),
     "agg_dsv2_stats" -> (dsv2AggStats _),
@@ -1566,6 +1596,7 @@ object StorageOps extends QueryModule {
     "stream_dsv2_compact" -> dsv2StreamCompactSql,
     "stream_dsv2_upsert" -> dsv2StreamUpsertSql,
     "scan_dsv2_stats_evolved" -> dsv2StatsEvolvedSql,
+    "call_dsv2_cluster_multi" -> dsv2ClusterMultiSql,
     "call_dsv2_snapshots" -> dsv2SnapshotsSql,
     "scan_dsv2_stats_pruned" -> dsv2StatsPrunedSql,
     "agg_dsv2_stats" -> dsv2AggStatsSql,

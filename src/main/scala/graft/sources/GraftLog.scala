@@ -3307,12 +3307,27 @@ object GraftLog {
       ret: GraftRetention = GraftRetention.NONE): (Int, Int, Long) = {
     require(targetBytes > 0, s"cluster targetBytes must be positive, got $targetBytes")
     // round 18: every zone-mapped column clusters — the base numerics
-    // (Z), event_type (Y string bounds), and ADDED columns (W bounds)
-    require(GraftLog.schema.fieldNames.contains(byCol) ||
-        extra.exists(_.name == byCol),
-      s"cluster by must be a table column (zone-mapped: " +
+    // (Z), event_type (Y string bounds), and ADDED columns (W bounds).
+    // TWO comma-separated NUMERIC columns Z-ORDER (`by =>
+    // 'user_id,value'`): rows interleave quantile-rank bits of both
+    // dimensions, so each output file is a bounded RECTANGLE in both —
+    // a two-predicate range query opens ~1/N² of the landing instead of
+    // the 1/N a single-column sort gives one predicate.
+    val byCols = byCol.split(',').map(_.trim).filter(_.nonEmpty)
+    require(byCols.length == 1 || byCols.length == 2,
+      s"cluster by takes one column or two comma-separated columns, got '$byCol'")
+    byCols.foreach(c => require(
+      GraftLog.schema.fieldNames.contains(c) || extra.exists(_.name == c),
+      s"cluster by must name table columns (zone-mapped: " +
         s"${(GraftLog.schema.fieldNames ++ extra.map(_.name)).mkString("/")}), " +
-        s"got '$byCol'")
+        s"got '$c'"))
+    if (byCols.length == 2)
+      byCols.foreach { c =>
+        val dt = (GraftLog.schema.fields ++ extra).find(_.name == c).get.dataType
+        require(dt == LongType || dt == DoubleType,
+          s"Z-order clustering interleaves NUMERIC ranks; '$c' is $dt " +
+            "(single-column cluster supports strings)")
+      }
     val snap = GraftSnapshotIO.resolve(path)
     val inputNames = snap.files.map(_.name)
     if (inputNames.isEmpty) return (0, 0, 0L)
@@ -3330,11 +3345,34 @@ object GraftLog {
     val reader = spark.read.format("graftlog")
     if (extra.nonEmpty)
       reader.option("evolvedSchema", GraftLog.encodeExtraSchema(extra))
-    val sorted = reader.load(path)
+    val premise = reader.load(path)
       .filter(col("_file").isin(inputAbs: _*))
-      .select((col("_pub_stamp") +: cols).toIndexedSeq: _*)
-      .repartitionByRange(k, col(byCol))
-      .sortWithinPartitions(col("_pub_stamp").asc_nulls_first, col(byCol))
+    // the shuffle/sort key: the named column, or the Morton interleave of
+    // both columns' approximate-quantile ranks (64 buckets per dimension
+    // -> a 12-bit z; the quantile pass is one driver-side sketch over the
+    // premise rows, so skew cannot starve the z domain)
+    val sortKey: org.apache.spark.sql.Column =
+      if (byCols.length == 1) col(byCols(0))
+      else {
+        import org.apache.spark.sql.functions.{lit, shiftleft, shiftright, when}
+        val q = 63
+        val probs = (1 to q).map(_.toDouble / (q + 1)).toArray
+        val ranks = byCols.map { c =>
+          val cuts = premise.stat.approxQuantile(c, probs, 0.01).distinct
+          cuts.foldLeft(lit(0L))((acc, cut) =>
+            acc + when(col(c) > lit(cut), 1L).otherwise(0L))
+        }
+        (0 until 6).map { i =>
+          shiftleft(shiftright(ranks(0), i).bitwiseAND(lit(1L)), 2 * i + 1)
+            .bitwiseOR(shiftleft(shiftright(ranks(1), i).bitwiseAND(lit(1L)), 2 * i))
+        }.reduce(_.bitwiseOR(_))
+      }
+    val sorted = premise
+      .select((col("_pub_stamp") +: cols :+ sortKey.as("_graft_zk")).toIndexedSeq: _*)
+      .repartitionByRange(k, col("_graft_zk"))
+      // the trailing sort-key column sits PAST the encoder's positional
+      // window (stamp + table columns), so it never lands in the bytes
+      .sortWithinPartitions(col("_pub_stamp").asc_nulls_first, col("_graft_zk"))
     // one task per output file: encode rows shifted past the leading
     // stamp column, recording a segment boundary at every origin-stamp
     // change (rows arrive stamp-grouped by the sort above; unstamped
