@@ -3357,9 +3357,10 @@ object GraftLog {
         import org.apache.spark.sql.functions.{lit, shiftleft, shiftright, when}
         val q = 63
         val probs = (1 to q).map(_.toDouble / (q + 1)).toArray
-        val ranks = byCols.map { c =>
-          val cuts = premise.stat.approxQuantile(c, probs, 0.01).distinct
-          cuts.foldLeft(lit(0L))((acc, cut) =>
+        // ONE sketch pass over both columns (not one scan per column)
+        val allCuts = premise.stat.approxQuantile(byCols, probs, 0.01)
+        val ranks = byCols.zip(allCuts).map { case (c, cuts) =>
+          cuts.distinct.foldLeft(lit(0L))((acc, cut) =>
             acc + when(col(c) > lit(cut), 1L).otherwise(0L))
         }
         (0 until 6).map { i =>

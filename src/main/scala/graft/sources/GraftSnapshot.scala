@@ -1117,6 +1117,9 @@ private[sources] object GraftSnapshotIO {
     require(headOf(path, ordered.head)._2,
       s"manifest chain in $path does not start at a base manifest — " +
         "history cannot be folded")
+    require(!(1 until ordered.length).exists(i =>
+        seqOf(ordered(i)) != seqOf(ordered(i - 1)) + 1),
+      s"manifest chain in $path has a seq hole — history cannot be folded")
     var state = GraftSnapshot(Vector.empty, Map.empty)
     ordered.toSeq.zipWithIndex.map { case (m, i) =>
       val before = state.fileNames
@@ -1135,11 +1138,18 @@ private[sources] object GraftSnapshotIO {
     * `expire_snapshots` must not touch. Folds the chain once. */
   private[sources] def referencedBy(path: String,
       remaining: Array[String]): Set[String] = {
-    // a chain that does not start at a base cannot be folded — and
-    // UNDERSTATING the referenced set deletes live files, so fail loudly
+    // a chain that does not start at a base — or one with a SEQ HOLE
+    // (round 18; a link deleted outside the expire protocol) — cannot be
+    // folded: UNDERSTATING the referenced set deletes live files, so
+    // fail loudly, exactly like resolveAt on the same state
     require(remaining.isEmpty || headOf(path, remaining.head)._2,
       s"manifest chain in $path does not start at a base manifest — " +
         "refusing to compute the referenced-file universe")
+    require(!(1 until remaining.length).exists(i =>
+        seqOf(remaining(i)) != seqOf(remaining(i - 1)) + 1),
+      s"manifest chain in $path has a seq hole — a chain link was " +
+        "deleted outside the expire protocol; refusing to compute the " +
+        "referenced-file universe")
     val out = Set.newBuilder[String]
     var state = GraftSnapshot(Vector.empty, Map.empty)
     remaining.foreach { m =>

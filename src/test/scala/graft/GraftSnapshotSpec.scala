@@ -556,6 +556,12 @@ class GraftSnapshotSpec extends SparkTestBase {
       "a broken chain must sweep NOTHING")
     assert(sources.GraftFs.exists(sources.GraftFs.child(dir, garbage)),
       "sweep unlinked a file while the chain had a hole")
+    // the EXPLICIT GC command fails loudly on the same state: folding
+    // across the hole would understate the referenced-file universe and
+    // unlink live data
+    intercept[IllegalArgumentException] {
+      sources.GraftLog.expireSnapshots(dir, Long.MaxValue)
+    }
     // control: with the chain restored the same sweep claims the garbage
     sources.GraftFs.writeString(holedPath, holedText)
     Thread.sleep(5)
