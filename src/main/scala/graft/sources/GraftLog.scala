@@ -575,11 +575,12 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
       .filter(n => (n.endsWith(".graftlog") || n.endsWith(".graftdel")) &&
         n.contains(marker))
     // upsert messages split into their data half (publishes like any
-    // epoch append) and the equality-delete tmps (round 18)
+    // epoch append) and the equality-delete tmps with their key ranges
+    // (round 18)
     val (dataMsgs, delTmps) = messages.foldLeft(
-        (Vector.empty[WriterCommitMessage], Vector.empty[String])) {
-      case ((ms, ds), GraftLogUpsertCommit(tmp, delTmp, pid, stats)) =>
-        (ms :+ GraftLogCommit(tmp, pid, stats), ds :+ delTmp)
+        (Vector.empty[WriterCommitMessage], Vector.empty[(String, Long, Long)])) {
+      case ((ms, ds), GraftLogUpsertCommit(tmp, delTmp, pid, stats, kMin, kMax)) =>
+        (ms :+ GraftLogCommit(tmp, pid, stats), ds :+ ((delTmp, kMin, kMax)))
       case ((ms, ds), m) => (ms :+ m, ds)
     }
     val pub = GraftLogNames.publishAll(path, dataMsgs.toArray,
@@ -587,7 +588,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // the epoch's equality-delete files: header-only (zero-key task)
     // tmps drop; the rest publish under the SAME epoch marker so a
     // replay retires them with the epoch's data
-    val eqDels = delTmps.zipWithIndex.flatMap { case (tmp, i) =>
+    val eqDels = delTmps.zipWithIndex.flatMap { case ((tmp, kMin, kMax), i) =>
       if (GraftFs.length(tmp) <= GraftLog.EQ_DELETE_HEADER.length + 1L) {
         require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); None
       } else {
@@ -596,7 +597,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
           s"q$queryId-e$epochId-" + f"eq$i%05d-$uuid", ext = ".graftdel")
         require(GraftFs.rename(tmp, GraftFs.child(path, name)),
           s"epoch commit failed to publish $tmp -> $name")
-        Some(name)
+        Some((name, kMin, kMax))
       }
     }
     // swap FIRST, unlink after (the uniform commit discipline): readers
@@ -621,23 +622,36 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
       // listing, which classifies them as legacy delete files with "*"
       // coverage — they must re-enter through addDeletes below with
       // their explicit coverage (or not at all), never as cover-all.
-      val removeDels = (victims.filter(_.endsWith(".graftdel")).toSet ++ eqDels)
-        .intersect(base.deletes.keySet)
-      // upsert coverage: every data file live BEFORE this epoch, by
+      val removeDels =
+        (victims.filter(_.endsWith(".graftdel")).toSet ++ eqDels.map(_._1))
+          .intersect(base.deletes.keySet)
+      // upsert coverage: the data files live BEFORE this epoch, by
       // explicit name — so removeData pruning and the dead-delete
       // machinery retire the eq-delete naturally once compaction (or a
       // later truncate) absorbs or removes the covered files. The
       // epoch's OWN publishes are excluded explicitly: on a
       // manifest-less landing the resolved base IS the directory
       // listing, which already shows them — covering them would delete
-      // the very rows this epoch inserts.
-      val coverage =
-        (base.fileNames -- removeData -- pub.map(_.name)).toSeq.sorted
+      // the very rows this epoch inserts. Coverage is NARROWED by the
+      // zone maps: a file whose event_id bounds cannot overlap the
+      // task's key range contains none of the deleted keys, so on a
+      // key-clustered landing the per-epoch manifest cost is
+      // O(overlapping files), not O(live files). Stats-less files stay
+      // covered (unknown bounds must not skip a takedown).
+      val excluded = removeData ++ pub.map(_.name)
+      val candidates = base.files.filterNot(f => excluded.contains(f.name))
+      def coverageFor(kMin: Long, kMax: Long): Seq[String] =
+        candidates.collect {
+          case f if f.stats.forall(st =>
+              st.eidMax >= kMin && st.eidMin <= kMax) => f.name
+        }.sorted
       GraftChange(
         addData = pub.toVector,
         removeData = removeData,
-        addDeletes =
-          if (coverage.isEmpty) Nil else eqDels.map(d => (d, coverage)),
+        addDeletes = eqDels.flatMap { case (d, kMin, kMax) =>
+          val cov = coverageFor(kMin, kMax)
+          if (cov.isEmpty) None else Some((d, cov))
+        },
         removeDeletes = removeDels)
     }
     // Snapshot retention applies to STREAMING epochs too (r16 advice,
@@ -655,9 +669,10 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
       .filterNot(resultNames.contains).filterNot(baseNames.contains)
     garbage.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
       s"epoch commit failed to delete $path/$n"))
-    // an eq-delete published against an EMPTY pre-epoch live set covers
-    // nothing and was never referenced — withdraw it
-    eqDels.filterNot(committed.result.deletes.keySet.contains)
+    // an eq-delete published against an EMPTY (or fully zone-disjoint)
+    // pre-epoch live set covers nothing and was never referenced —
+    // withdraw it
+    eqDels.map(_._1).filterNot(committed.result.deletes.keySet.contains)
       .foreach(n => GraftFs.delete(GraftFs.child(path, n)))
     if (!ret.keepVictims) {
       (committed.base.fileNames -- committed.result.fileNames)
@@ -671,7 +686,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftLogCommit(tmp, _, _) => GraftFs.delete(tmp); ()
-      case GraftLogUpsertCommit(tmp, delTmp, _, _) =>
+      case GraftLogUpsertCommit(tmp, delTmp, _, _, _, _) =>
         GraftFs.delete(tmp); GraftFs.delete(delTmp); ()
       case _ => ()
     }
@@ -1187,9 +1202,14 @@ private class GraftLogWriter(path: String, partitionId: Int,
 }
 
 /** Upsert task commit (round 18): the data tmp plus the task's DISTINCT
-  * keys, written as an equality-delete tmp at task commit. */
+  * keys, written as an equality-delete tmp at task commit. `keyMin`/
+  * `keyMax` bound the task's keys so the epoch commit can NARROW the
+  * eq-delete's coverage to files whose event_id zone overlaps — on a
+  * key-clustered landing the per-epoch manifest cost drops from O(live
+  * files) to O(overlapping files). */
 private case class GraftLogUpsertCommit(tmp: String, delTmp: String,
-    partitionId: Int, stats: Option[GraftStats]) extends WriterCommitMessage
+    partitionId: Int, stats: Option[GraftStats],
+    keyMin: Long, keyMax: Long) extends WriterCommitMessage
 
 /** Streaming upsert task writer (round 18): the plain record encode plus
   * key tracking — at commit the task's distinct keys become an
@@ -1217,7 +1237,9 @@ private class GraftLogUpsertWriter(path: String, partitionId: Int,
     val sb = new StringBuilder(GraftLog.EQ_DELETE_HEADER).append('\n')
     distinct.foreach(k => sb.append(k).append('\n'))
     GraftFs.writeString(delTmp, sb.toString)
-    GraftLogUpsertCommit(tmp, delTmp, partitionId, stats.result)
+    GraftLogUpsertCommit(tmp, delTmp, partitionId, stats.result,
+      if (distinct.isEmpty) Long.MaxValue else distinct.head,
+      if (distinct.isEmpty) Long.MinValue else distinct.last)
   }
   override def abort(): Unit = {
     out.close(); GraftFs.delete(tmp); GraftFs.delete(delTmp); ()

@@ -1194,6 +1194,10 @@ private[graft] object GraftSnapshotTestHook {
       .flatMap(_.segs).map(_.map(s => (s.start, s.stamp)))
   def deleteFiles(path: String): Seq[String] =
     GraftSnapshotIO.resolve(path).deletes.keys.toSeq.sorted
+  /** Delete-file coverage index (name -> covered data files) — the r18
+    * zone-narrowed upsert coverage pin. */
+  def deleteCoverage(path: String): Map[String, Seq[String]] =
+    GraftSnapshotIO.resolve(path).deletes.map { case (d, c) => (d, c.toSeq) }
   def publishedName(tag: String): String =
     GraftLogNames.publish(GraftLogNames.nextStamp(), 0, tag)
   /** Graced lazy-GC passthrough — the r18 chain-hole guard is a sweep

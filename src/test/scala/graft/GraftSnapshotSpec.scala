@@ -482,6 +482,47 @@ class GraftSnapshotSpec extends SparkTestBase {
     Hook.checkApplyAllEquivalence(seed = 18181818L, rounds = 400)
   }
 
+  test("upsert eq-delete coverage narrows to zone-overlapping files") {
+    // The per-epoch manifest cost lever: an eq-delete names only the
+    // files whose event_id zone can contain its keys. Two zone-disjoint
+    // wave-1 epochs produce NO delete files at all (each epoch's keys
+    // cannot exist in the other's file); a wave-2 correction of the low
+    // keys covers ONLY the low-zone file.
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Scratch.dir("graftsnap_upsert_cov_src")
+    val sink = Scratch.dir("graftsnap_upsert_cov_sink")
+    val ckpt = Scratch.streamCkptDir("graftsnap_upsert_cov_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    val lo = events.filter(col("event_id") < 10)
+    val hi = events.filter(col("event_id") >= 10 && col("event_id") < 20)
+    lo.repartition(1).write.format("graftlog").mode("append").save(src)
+    hi.repartition(1).write.format("graftlog").mode("append").save(src)
+    drain() // two epochs, zone-disjoint keys
+    assert(Hook.deleteFiles(sink).isEmpty,
+      "zone-disjoint epochs must publish NO eq-delete files " +
+        s"(got ${Hook.deleteCoverage(sink)})")
+    lo.withColumn("value", col("value") * 2)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain() // wave 2: corrections for the LOW zone only
+    val cov = Hook.deleteCoverage(sink)
+    assert(cov.size == 1 && cov.values.head.size == 1,
+      s"low-key corrections must cover exactly the one low-zone file, got $cov")
+    val back = spark.read.format("graftlog").load(sink)
+    assert(back.count() == 20, "narrowed coverage lost or duplicated keys")
+    assert(back.filter(col("event_id") < 10).agg(min(col("value"))).collect()(0).getDouble(0) ==
+      lo.agg(min(col("value") * 2)).collect()(0).getDouble(0),
+      "low-zone corrections did not replace")
+  }
+
   // ----- round 18: commit unlink discipline (r17 advice) -----------------
 
   test("first OVERWRITE on a manifest-less landing keeps its own data") {
