@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftSnapshotTestHook => Hook}
+
+/** Round-18 instrument for the native streaming upsert sink's manifest
+  * cost: an epoch's equality-delete covers the pre-commit live set BY
+  * EXPLICIT NAME, so the per-epoch delta-manifest cost is the coverage
+  * size. Two legs over a synthetic 10^3-file landing, same real upsert
+  * stream (5 single-file epochs of 200 corrected keys each):
+  *
+  *  - `hash` — stats-less live files (a hash-landed layout, or pre-r17
+  *    manifests): every eq-delete covers all 10^3 files — the
+  *    O(live-files)-lines-per-epoch worst case, stated not hidden;
+  *  - `clustered` — files carry disjoint event_id zone maps (a
+  *    `CALL system.cluster`ed layout): coverage NARROWS to the files
+  *    whose zone overlaps the epoch's key range — O(overlap) lines.
+  *
+  * Reports per-epoch delta-manifest bytes and wall per leg. The honest
+  * scale story this stamps: upsert landings want key-clustering (which
+  * an upsert workload wants anyway for read locality); without it the
+  * manifest pays coverage in full until compaction collapses the file
+  * count. Emits one JSON object to argv(0) (default
+  * UPSERT_SCALE_r18.json) and a summary line to stdout. */
+object UpsertScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("UPSERT_SCALE_r18.json")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    import org.apache.spark.sql.streaming.Trigger
+    try {
+      val ev = sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      val n = 1000
+      val epochs = 5
+
+      def leg(name: String, clustered: Boolean): (String, Seq[Long], Double) = {
+        val sink = Scratch.dir(s"upsert_scale_${name}_sink")
+        val src = Scratch.dir(s"upsert_scale_${name}_src")
+        val ckpt = Scratch.streamCkptDir(s"upsert_scale_${name}_ckpt")
+        if (clustered)
+          // disjoint 1000-wide event_id zones: file i covers [1000i, 1000i+999]
+          Hook.addDataBulkStats(sink, (0 until n).map(i =>
+            (Hook.publishedName(f"us$i%05d"), i * 1000L, i * 1000L + 999L)))
+        else
+          Hook.addDataBulk(sink, (0 until n).map(i =>
+            Hook.publishedName(f"us$i%05d")))
+        val manifestsBefore = Hook.manifestBytes(sink).length
+        // epochs x 200 keys, all within ONE zone's range (file 3's)
+        (0 until epochs).foreach { e =>
+          ev.limit(200)
+            .withColumn("event_id", col("event_id") % 1000L + lit(3000L))
+            .withColumn("value", col("value") * (e + 2))
+            .repartition(1).write.format("graftlog").mode("append").save(src)
+        }
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graftlog")
+          .option("maxFilesPerTrigger", 1).load(src)
+          .writeStream.format("graftlog")
+          .option("upsertKey", "event_id")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start(sink)
+        q.awaitTermination()
+        val wallS = (System.nanoTime() - t0) / 1e9
+        val perEpoch = Hook.manifestBytes(sink).drop(manifestsBefore)
+        (name, perEpoch, wallS)
+      }
+
+      val legs = Seq(leg("hash", clustered = false),
+        leg("clustered", clustered = true))
+      legs.foreach { case (nm, bytes, wall) =>
+        println(f"[upsert-scale] $nm%9s: epochs=${bytes.length} " +
+          f"manifest_bytes=${bytes.mkString("[", ",", "]")} wall=$wall%.1f s")
+      }
+      val json = legs.map { case (nm, bytes, wall) =>
+        s"""    "$nm": {"live_files": $n, "epochs": ${bytes.length}, """ +
+          s""""delta_manifest_bytes": ${bytes.mkString("[", ",", "]")}, """ +
+          s""""wall_s": $wall}"""
+      }.mkString(
+        "{\n  \"note\": \"eq-delete coverage cost per upsert epoch: " +
+          "explicit names, zone-narrowed on clustered landings\",\n  \"legs\": {\n",
+        ",\n", "\n  }\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Path.of(outPath), json)
+      println(s"[upsert-scale] wrote $outPath")
+    } finally spark.stop()
+  }
+}

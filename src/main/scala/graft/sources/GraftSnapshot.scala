@@ -1188,6 +1188,19 @@ private[graft] object GraftSnapshotTestHook {
       GraftChange(addData = names.map(GraftLiveFile(_, None)).toVector))
     ()
   }
+  /** Bulk add with synthetic event_id zone maps — the upsert-scale
+    * probe's clustered-landing fixture (coverage narrowing needs
+    * stats-bearing entries). */
+  def addDataBulkStats(path: String, entries: Seq[(String, Long, Long)]): Unit = {
+    GraftSnapshotIO.commit(path)(_ =>
+      GraftChange(addData = entries.map { case (n, lo, hi) =>
+        GraftLiveFile(n, None, Some(GraftStats(1L, lo, hi, 0L, 0L, 0.0, 0.0)))
+      }.toVector))
+    ()
+  }
+  /** Manifest byte sizes in commit order — probe surface. */
+  def manifestBytes(path: String): Seq[Long] =
+    manifestShapes(path).map(_._4)
   /** (startOffset, originStamp) segments of a live file, None = unmapped. */
   def segmentsOf(path: String, name: String): Option[Seq[(Long, Long)]] =
     GraftSnapshotIO.resolve(path).files.find(_.name == name)
