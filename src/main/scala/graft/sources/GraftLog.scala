@@ -3315,6 +3315,16 @@ object GraftLog {
     * system.cluster` can no longer re-deliver one row to an in-flight
     * consumer.
     *
+    * Manifest-cost contract, stated not hidden: every output file's
+    * segment map holds one entry per DISTINCT origin stamp present in it,
+    * and a range shuffle scatters each input across many outputs — so
+    * clustering a landing of F small files into K outputs can write
+    * O(F x K) segment entries. The maintenance pipeline is therefore
+    * `compact` FIRST (collapse F to a few large files, whose own segment
+    * maps stay linear because compaction merges in publish order), THEN
+    * `cluster` — at which point origins-per-output is the compacted file
+    * count, not the append history.
+    *
     * Each task writes a `.tmp` in the landing (invisible to resolution)
     * and ONE optimistic commit swaps inputs out and the published outputs
     * in — readers flip atomically, and the premise check (inputs still
