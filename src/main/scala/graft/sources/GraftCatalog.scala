@@ -411,7 +411,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       Identifier.of(namespace, "expire"),
       Identifier.of(namespace, "expire_snapshots"),
       Identifier.of(namespace, "snapshots"),
-      Identifier.of(namespace, "tag"), Identifier.of(namespace, "drop_tag"))
+      Identifier.of(namespace, "tag"), Identifier.of(namespace, "drop_tag"),
+      Identifier.of(namespace, "tags"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name() match {
     case "compact" => new GraftCompactProcedure(this)
@@ -421,10 +422,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     case "cluster" => new GraftClusterProcedure(this)
     case "tag" => new GraftTagProcedure(this, drop = false)
     case "drop_tag" => new GraftTagProcedure(this, drop = true)
+    case "tags" => new GraftTagsListProcedure(this)
     case other => throw new IllegalArgumentException(
       s"no such procedure ${(ident.namespace() :+ other).mkString(".")} " +
         "in the graft catalog (available: compact, cluster, expire, " +
-        "expire_snapshots, snapshots, tag, drop_tag)")
+        "expire_snapshots, snapshots, tag, drop_tag, tags)")
   }
 
   /** Resolve a table name (optionally namespaced with dots) used as a
@@ -567,6 +569,41 @@ private class GraftTagProcedure(cat: GraftCatalog, drop: Boolean)
                 stamp)))
         }
       }
+    java.util.List.of(out).iterator()
+  }
+}
+
+/** `CALL <catalog>.system.tags(table => '...')` — the table's named
+  * snapshot refs, sorted by name: one (name, stamp) row per tag (round
+  * 18). The operability half of the tag surface: an expire-horizon
+  * decision starts from "what is pinned and where". Read-only. */
+private class GraftTagsListProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  override def name(): String = "tags"
+  override def description(): String =
+    "list a graftlog table's named snapshot tags"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name within this catalog").build())
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val tags = GraftSnapshotIO.tags(cat.resolveTableDir(input.getUTF8String(0).toString))
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("stamp", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] = tags.toSeq.sortBy(_._1).map {
+        case (n, st) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              st)): InternalRow
+      }.toArray
+    }
     java.util.List.of(out).iterator()
   }
 }

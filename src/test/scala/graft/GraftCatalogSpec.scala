@@ -839,5 +839,12 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     intercept[Exception] {
       spark.sql("CALL graft.system.tag(table => 'tag_t', name => 'tip')").collect()
     }
+    // the listing surface: exactly the live tags, sorted by name
+    val listed = spark.sql("CALL graft.system.tags(table => 'tag_t')").collect()
+    assert(listed.map(_.getString(0)).toSeq == Seq("tip"),
+      s"expected the one live tag, got ${listed.mkString(",")}")
+    assert(listed(0).getLong(1) == sources.GraftLog.testLatestSnapshotStamp(
+      new java.io.File(spark.conf.get("spark.sql.catalog.graft.warehouse"),
+        "tag_t").getPath))
   }
 }
