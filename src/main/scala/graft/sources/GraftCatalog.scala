@@ -313,6 +313,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val dir = tableDir(ident)
     require(GraftFs.mkdirs(dir) || GraftFs.exists(dir),
       s"cannot create table directory $dir")
+    // r18 advice (medium): the versioned seq-0 claim does not collide
+    // with a pre-r18 table's legacy bare `_graft_table.json`, so a CREATE
+    // racing through the tableExists window (or called directly) on a
+    // legacy table would win the CAS and silently SHADOW the legacy
+    // layout (bucket spec/modes/retention/extra columns). Re-check the
+    // CURRENT metadata — legacy included — immediately before claiming;
+    // the rename CAS below still arbitrates racing versioned creators.
+    if (currentMeta(dir).isDefined) throw new TableAlreadyExistsException(ident)
     if (!writeMetaAt(dir, 0L, bucket, modes, ret))
       throw new TableAlreadyExistsException(ident)
     new GraftLogTable(dir, bucket, modes, Array.empty, None, ret)

@@ -4017,7 +4017,16 @@ object GraftLog {
     }
     /** A value predicate on an all-null column matches nothing. */
     def allNull(col: String): Boolean = presentOf(col).contains(0L)
-    def cmp(col: String, v: Any)(longTest: (Long, Long, Long) => Boolean,
+    // `nanKeeps` is the verdict for a NaN comparison LITERAL (r18 advice,
+    // low): a file carrying double bounds provably contains NO NaN in
+    // that column (a NaN row poisons `value`'s whole stats record and an
+    // added column's bounds to GraftAbsentBounds), and under Spark's
+    // ordering NaN sorts GREATER than every double — so `col < NaN` /
+    // `col <= NaN` is TRUE for every bounded row (keep the file), while
+    // `col = NaN` / `col > NaN` / `col >= NaN` can only match NaN rows
+    // the file provably lacks (prune it).
+    def cmp(col: String, v: Any, nanKeeps: Boolean = false)(
+        longTest: (Long, Long, Long) => Boolean,
         dblTest: (Double, Double, Double) => Boolean,
         binTest: (GraftBinBounds, Array[Byte]) => Boolean): Boolean = {
       if (allNull(col)) return false
@@ -4025,7 +4034,7 @@ object GraftLog {
         case Some((lo, hi)) => asLong(v).forall(x => longTest(lo, hi, x))
         case None => dblRange(col) match {
           case Some((lo, hi)) =>
-            asDouble(v).forall(x => !x.isNaN && dblTest(lo, hi, x))
+            asDouble(v).forall(x => if (x.isNaN) nanKeeps else dblTest(lo, hi, x))
           case None => binOf(col) match {
             case Some((_, b)) => asBytes(v).forall(x => binTest(b, x))
             case None => true // untracked column: no constraint
@@ -4050,10 +4059,10 @@ object GraftLog {
         cmp(c, v)((_, hi, x) => hi >= x, (_, hi, x) => hi >= x,
           (b, x) => b.maxBytes.forall(m => le(x, m)))
       case LessThan(c, v) =>
-        cmp(c, v)((lo, _, x) => lo < x, (lo, _, x) => lo < x,
+        cmp(c, v, nanKeeps = true)((lo, _, x) => lo < x, (lo, _, x) => lo < x,
           (b, x) => lt(b.minBytes, x))
       case LessThanOrEqual(c, v) =>
-        cmp(c, v)((lo, _, x) => lo <= x, (lo, _, x) => lo <= x,
+        cmp(c, v, nanKeeps = true)((lo, _, x) => lo <= x, (lo, _, x) => lo <= x,
           (b, x) => le(b.minBytes, x))
       case StringStartsWith(c, p) =>
         // rows matching the prefix live in [p, upper(p)); disjoint bounds

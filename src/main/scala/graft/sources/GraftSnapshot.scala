@@ -199,7 +199,13 @@ private[sources] final case class GraftAbsentBounds(present: Long)
 }
 private[sources] object GraftColBounds {
   def decode(body: String, where: String): (Int, GraftColBounds) = {
-    val parts = body.split(':')
+    // split with limit -1: Java's default split DROPS trailing empty
+    // tokens, and a string column whose non-null values are all empty
+    // strings encodes its bounds as '<i>:s:<p>::' (base64 of "" is "") —
+    // the default split would hand back 3 parts and every subsequent
+    // resolve of the table would fail on its own committed manifest
+    // (r18 advice, high).
+    val parts = body.split(":", -1)
     def bad() = throw new IllegalStateException(
       s"bad column-bounds token '$body' in $where")
     if (parts.length < 3) bad()
@@ -1004,6 +1010,21 @@ private[sources] object GraftSnapshotIO {
         s"tag '$name' already exists on $path (tags are immutable; " +
           "drop_tag it first to repoint)")
     }
+    // r18 advice (low): tag creation races a concurrent expire pass — the
+    // stamp was validated above, but expire/expire_snapshots read tags()
+    // BEFORE deleting, so a tag landing in that window can point at a
+    // chain the pass already pruned. Re-verify AFTER the CAS made the tag
+    // visible: a stamp no longer retained means the race was lost — drop
+    // the tag and fail loudly (a dangling tag's VERSION AS OF would fail
+    // forever; prunable() additionally ignores dangling tags so one that
+    // slips through cannot clamp every future GC horizon either).
+    if (!refs(GraftFs.listNames(path)).exists(m => headOf(path, m)._1 == stamp)) {
+      GraftFs.delete(GraftFs.child(path, s"tag-$name$TAG_EXT"))
+      throw new IllegalStateException(
+        s"tag '$name' lost a race with a concurrent expire on $path: " +
+          s"snapshot stamped $stamp is no longer retained — the tag was " +
+          "dropped; re-resolve a retained stamp and re-tag")
+    }
   }
 
   /** Drop tag `name`; @return whether it existed. The tagged history
@@ -1030,9 +1051,15 @@ private[sources] object GraftSnapshotIO {
     // oldest tagged stamp, so the tagged manifest — and the contiguous
     // chain from its anchor base — survives any expire pass; stamps are
     // strictly monotone along the chain, so everything above the oldest
-    // tag (later tags included) survives with it
-    val horizon = (tags(path).values.toSeq :+ beforeStamp).min
+    // tag (later tags included) survives with it. DANGLING tags — a
+    // stamp matching NO retained manifest, the residue of a tag that
+    // lost its create/expire race before the post-CAS verify existed —
+    // pin nothing (their chain is already gone) and are ignored, so a
+    // stale tag file cannot freeze every future GC horizon (r18 advice).
     val heads = ordered.map(headOf(path, _)) // (stamp, isBase)
+    val retainedStamps = heads.map(_._1).toSet
+    val horizon = (tags(path).values.filter(retainedStamps.contains).toSeq
+      :+ beforeStamp).min
     val oldestRetained = heads.indexWhere(_._1 >= horizon) match {
       case -1 => ordered.length - 1 // the tip always survives
       case i => i

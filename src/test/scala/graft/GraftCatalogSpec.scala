@@ -791,6 +791,108 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(spark.table("graft.alt_cas").filter(col("cas_c1") === 7L).count() == 2)
   }
 
+  test("empty-string bounds on an evolved STRING column round-trip through the manifest") {
+    // r18 advice (high): a file whose evolved STRING column holds only
+    // empty strings encodes its W token as 's:<p>::' — Java's default
+    // split drops the trailing empty tokens and every later resolve of
+    // the table failed on its own committed manifest.
+    spark.sql("CREATE TABLE graft.empty_s (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    spark.sql("ALTER TABLE graft.empty_s ADD COLUMN tag_s STRING")
+    events.limit(8).withColumn("tag_s", lit(""))
+      .writeTo("graft.empty_s").append()
+    // the read below re-resolves the manifest, i.e. re-parses the token
+    assert(spark.table("graft.empty_s").count() == 8)
+    assert(spark.table("graft.empty_s").filter(col("tag_s") === "").count() == 8)
+    // mixed empty/non-empty bounds round-trip too (empty min, real max)
+    events.limit(4).withColumn("tag_s",
+        when(col("event_id") % 2 === 0, lit("")).otherwise(lit("zz")))
+      .writeTo("graft.empty_s").append()
+    assert(spark.table("graft.empty_s").count() == 12)
+    assert(spark.table("graft.empty_s").filter(col("tag_s") === "zz").count() >= 1)
+  }
+
+  test("a NaN comparison literal prunes in Spark's NaN-greatest direction, never against it") {
+    // r18 advice (low): under Spark's ordering NaN is GREATER than every
+    // double, so `col < NaN` / `<=` holds for every non-NaN row — a
+    // zone map that treated a NaN literal as prune-everything silently
+    // emptied the query. =/>/>= stay prunable: bounds-bearing files
+    // provably contain no NaN in that column.
+    spark.sql("CREATE TABLE graft.nan_lit (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    spark.sql("ALTER TABLE graft.nan_lit ADD COLUMN score DOUBLE")
+    val rows = events.limit(64)
+      .withColumn("score",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+    rows.repartitionByRange(4, col("score")).sortWithinPartitions("score")
+      .writeTo("graft.nan_lit").append()
+    val nonNull = rows.filter(col("score").isNotNull).count()
+    val t = spark.table("graft.nan_lit")
+    val nan = lit(Double.NaN)
+    // evolved column (hint-pruning path)
+    assert(t.filter(col("score") < nan).count() == nonNull,
+      "score < NaN must keep every non-null row")
+    assert(t.filter(col("score") <= nan).count() == nonNull)
+    assert(t.filter(col("score") > nan).count() == 0)
+    assert(t.filter(col("score") >= nan).count() == 0)
+    assert(t.filter(col("score") === nan).count() == 0)
+    // base column (claimed-pushdown path): every row has a non-NaN value
+    assert(t.filter(col("value") < nan).count() == 64,
+      "value < NaN must keep every row")
+    assert(t.filter(col("value") > nan).count() == 0)
+  }
+
+  test("CREATE TABLE on a directory holding LEGACY metadata fails loudly, never shadows it") {
+    // r18 advice (medium): the versioned seq-0 claim does not collide
+    // with a pre-r18 bare `_graft_table.json`; CREATE must detect the
+    // legacy table and report TableAlreadyExists instead of silently
+    // shadowing its layout.
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dir = new java.io.File(warehouse, "legacy_t")
+    assert(dir.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_graft_table.json").toPath, "{}\n")
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      cat.createTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "legacy_t"),
+        new org.apache.spark.sql.types.StructType(),
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        new java.util.HashMap[String, String]())
+    }
+    val metas = dir.listFiles().map(_.getName).filter(_.startsWith("_graft_table."))
+    assert(metas.toSeq == Seq("_graft_table.json"),
+      s"CREATE must not mint versioned metadata over a legacy table: ${metas.toSeq}")
+  }
+
+  test("a dangling tag (stamp no longer retained) cannot freeze the GC horizon") {
+    import graft.sources.{GraftSnapshotTestHook => Hook}
+    spark.sql("CREATE TABLE graft.tag_gone (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "tag_gone").getPath
+    val a = events.orderBy("event_id").limit(10)
+    a.writeTo("graft.tag_gone").append()                               // base
+    events.orderBy("event_id").limit(20).writeTo("graft.tag_gone").append() // delta
+    a.createOrReplaceTempView("tag_gone_src")
+    spark.sql("INSERT OVERWRITE graft.tag_gone SELECT * FROM tag_gone_src") // base
+    events.orderBy("event_id").limit(5).writeTo("graft.tag_gone").append() // delta
+    // a hand-planted tag whose stamp matches NO retained manifest — the
+    // residue the create/expire race could leave behind: it must neither
+    // resolve nor pin history
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "tag-ghost.grafttag").toPath, "1\n")
+    val tip = Hook.manifestStamps(dir).last
+    val gone = spark.sql("CALL graft.system.expire_snapshots(" +
+      s"table => 'tag_gone', before_stamp => ${tip + 1}L)").collect()(0)
+    assert(gone.getInt(0) == 2,
+      s"a dangling tag froze the GC horizon: pruned ${gone.getInt(0)} manifests, expected 2")
+    assert(spark.table("graft.tag_gone").count() == 15)
+  }
+
   test("a tagged snapshot survives expire_snapshots that GCs all untagged history around it") {
     import graft.sources.{GraftSnapshotTestHook => Hook}
     spark.sql("CREATE TABLE graft.tag_t (event_id BIGINT, user_id BIGINT, " +
