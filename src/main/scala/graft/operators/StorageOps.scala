@@ -1066,12 +1066,23 @@ object StorageOps extends QueryModule {
     }
     ev.repartition(3).write.format("graftlog").mode("append").save(src)
     drain() // two epochs (3 files at maxFilesPerTrigger=2): inserts
-    ev.filter(col("event_id") % 3 === 0)
+    // one correction epoch with INTRA-EPOCH duplicate keys (round 19):
+    // every third key is corrected, and every fifteenth is corrected
+    // TWICE in the same micro-batch — one source file, version order
+    // pinned, so the sink's keep-last-per-key contract is what the
+    // oracle checks (the r18 sink landed both copies)
+    val corr1 = ev.filter(col("event_id") % 3 === 0)
       .withColumn("value", col("value") * 2)
       .withColumn("event_type", lit("corrected"))
+      .withColumn("_v", lit(1))
+    val corr2 = ev.filter(col("event_id") % 15 === 0)
+      .withColumn("value", col("value") * 3)
+      .withColumn("event_type", lit("corrected2"))
+      .withColumn("_v", lit(2))
+    corr1.unionByName(corr2).repartition(1).sortWithinPartitions(col("_v"))
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-      .repartition(2).write.format("graftlog").mode("append").save(src)
-    drain() // one epoch: keyed corrections replace the originals
+      .write.format("graftlog").mode("append").save(src)
+    drain() // one epoch: keyed corrections replace the originals, last wins
     // merge-on-read parity across compaction: absorb the eq-deletes
     graft.sources.GraftLog.compact(s, sink, 1L << 30)
     s.read.format("graftlog").load(sink).orderBy(col("event_id"))
@@ -1079,8 +1090,10 @@ object StorageOps extends QueryModule {
 
   val dsv2StreamUpsertSql: String =
     """SELECT event_id, user_id,
-      |  CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value,
-      |  CASE WHEN event_id % 3 = 0 THEN 'corrected' ELSE event_type END AS event_type
+      |  CASE WHEN event_id % 15 = 0 THEN value * 3
+      |       WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value,
+      |  CASE WHEN event_id % 15 = 0 THEN 'corrected2'
+      |       WHEN event_id % 3 = 0 THEN 'corrected' ELSE event_type END AS event_type
       |FROM events WHERE event_id < 30000 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------

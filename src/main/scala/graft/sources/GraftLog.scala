@@ -343,38 +343,65 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
               "bucketed graftlog tables are a batch-join layout; stream into a plain landing")
         }
       case None =>
-        // UPSERT sink (round 18, r17 verdict #2): `.option("upsertKey",
-        // "event_id")` on a streaming write makes each epoch REPLACE rows
-        // by key — the epoch publishes its data plus ONE equality-delete
-        // file per task covering the whole pre-commit live set, all in
-        // the one manifest swap. The keyed MERGE that previously needed a
-        // foreachBatch batch-MERGE detour becomes a native exactly-once
-        // V2 sink. event_id only: the key must be a fixed-offset long the
-        // readers and the compaction absorb-walk can probe without
-        // decoding the record.
-        val upsert = Option(info.options.get("upsertKey")).map { k =>
-          require(k == "event_id",
-            s"graftlog upsertKey supports event_id (the fixed-offset key " +
-              s"column); got '$k'")
+        // UPSERT sink (round 18, r17 verdict #2; generalized round 19):
+        // `.option("upsertKey", "event_id"|"user_id")` on a streaming
+        // write makes each epoch REPLACE rows by key — the epoch
+        // publishes its data plus ONE equality-delete file per task
+        // covering the pre-commit live set, all in the one manifest
+        // swap. The keyed MERGE that previously needed a foreachBatch
+        // batch-MERGE detour becomes a native exactly-once V2 sink.
+        // Fixed-offset LONG columns only: the readers and the compaction
+        // absorb-walk probe the key at its fixed byte offset without
+        // decoding the record; a string/composite key would need a keyed
+        // decode on every one of those paths, so it is refused loudly
+        // rather than supported slowly.
+        val upsertOrd: Option[Int] = Option(info.options.get("upsertKey")).map { k =>
+          val ord = GraftLog.ordinal(k)
+          require(ord == 0 || ord == 1,
+            s"graftlog upsertKey supports the fixed-offset long key " +
+              s"columns (event_id, user_id); got '$k'")
           require(!doTruncate,
             "upsertKey with Complete output mode is contradictory: " +
               "Complete already replaces the whole landing each epoch")
-          true
-        }.getOrElse(false)
-        new Write {
-          override def toBatch: BatchWrite = {
-            require(!upsert,
-              "upsertKey is a streaming-sink option; batch upserts are " +
-                "MERGE INTO on a catalog table")
-            new GraftLogBatchWrite(path, doTruncate, None, extra, ret)
-          }
-          override def toStreaming: StreamingWrite =
-            // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
-            // through SupportsTruncate.truncate() — ignoring the flag here
-            // would silently APPEND a full snapshot every epoch); queryId keys
-            // the replay cleanup so a new query's epoch 0 cannot delete a
-            // previous query's epoch-0 files in a shared landing (r14 review)
-            new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra, ret, upsert)
+          ord
+        }
+        upsertOrd match {
+          case Some(ord) =>
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+            // An upsert write REQUIRES a key-clustered distribution
+            // (round 19, the r18 verdict's one weak component): without
+            // it a key arriving in two source partitions of one
+            // micro-batch lands in two tasks, BOTH copies survive (each
+            // epoch's eq-delete coverage must exclude the epoch's own
+            // publishes), and every read returns a duplicate key. The
+            // shuffle routes all of a key's occurrences to ONE task,
+            // where the writer keeps the last — the same template as the
+            // bucketed batch write above.
+            new Write with RequiresDistributionAndOrdering {
+              override def requiredDistribution(): Distribution =
+                Distributions.clustered(Array(Expressions.column(GraftLog.colName(ord))))
+              override def requiredOrdering(): Array[SortOrder] = Array.empty
+              override def toBatch: BatchWrite =
+                throw new UnsupportedOperationException(
+                  "upsertKey is a streaming-sink option; batch upserts are " +
+                    "MERGE INTO on a catalog table")
+              override def toStreaming: StreamingWrite =
+                new GraftLogStreamingWrite(path, truncate = false,
+                  info.queryId(), extra, ret, Some(ord))
+            }
+          case None =>
+            new Write {
+              override def toBatch: BatchWrite =
+                new GraftLogBatchWrite(path, doTruncate, None, extra, ret)
+              override def toStreaming: StreamingWrite =
+                // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
+                // through SupportsTruncate.truncate() — ignoring the flag here
+                // would silently APPEND a full snapshot every epoch); queryId keys
+                // the replay cleanup so a new query's epoch 0 cannot delete a
+                // previous query's epoch-0 files in a shared landing (r14 review)
+                new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra, ret)
+            }
         }
     }
   }
@@ -551,12 +578,12 @@ private class GraftLogBatchWrite(path: String, truncate: Boolean,
 private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     queryId: String, extra: Array[StructField] = Array.empty,
     ret: GraftRetention = GraftRetention.NONE,
-    upsert: Boolean = false) extends StreamingWrite {
+    upsertOrd: Option[Int] = None) extends StreamingWrite {
   require(!queryId.contains("\"") && !queryId.contains(",") && !queryId.contains("\\"),
     s"unusable queryId for file naming: $queryId")
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     GraftFs.mkdirs(path)
-    new GraftLogWriterFactory(path, None, extra, upsert)
+    new GraftLogWriterFactory(path, None, extra, upsertOrd)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = s"-q$queryId-e$epochId-"
@@ -589,7 +616,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // tmps drop; the rest publish under the SAME epoch marker so a
     // replay retires them with the epoch's data
     val eqDels = delTmps.zipWithIndex.flatMap { case ((tmp, kMin, kMax), i) =>
-      if (GraftFs.length(tmp) <= GraftLog.EQ_DELETE_HEADER.length + 1L) {
+      if (kMin > kMax) { // zero-key task: header-only tmp, nothing to retire
         require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); None
       } else {
         val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -633,17 +660,22 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
       // manifest-less landing the resolved base IS the directory
       // listing, which already shows them — covering them would delete
       // the very rows this epoch inserts. Coverage is NARROWED by the
-      // zone maps: a file whose event_id bounds cannot overlap the
-      // task's key range contains none of the deleted keys, so on a
-      // key-clustered landing the per-epoch manifest cost is
-      // O(overlapping files), not O(live files). Stats-less files stay
-      // covered (unknown bounds must not skip a takedown).
+      // zone maps: a file whose KEY-column bounds (event_id or user_id,
+      // per upsertOrd) cannot overlap the task's key range contains none
+      // of the deleted keys, so on a key-clustered landing the per-epoch
+      // manifest cost is O(overlapping files), not O(live files).
+      // Stats-less files stay covered (unknown bounds must not skip a
+      // takedown).
       val excluded = removeData ++ pub.map(_.name)
       val candidates = base.files.filterNot(f => excluded.contains(f.name))
+      val keyOrd = upsertOrd.getOrElse(0)
       def coverageFor(kMin: Long, kMax: Long): Seq[String] =
         candidates.collect {
-          case f if f.stats.forall(st =>
-              st.eidMax >= kMin && st.eidMin <= kMax) => f.name
+          case f if f.stats.forall { st =>
+              val (lo, hi) =
+                if (keyOrd == 0) (st.eidMin, st.eidMax) else (st.uidMin, st.uidMax)
+              hi >= kMin && lo <= kMax
+            } => f.name
         }.sorted
       GraftChange(
         addData = pub.toVector,
@@ -1164,7 +1196,7 @@ private class GraftLogDeltaWriter(path: String, partitionId: Int,
 private class GraftLogWriterFactory(path: String,
     bucket: Option[GraftLogBucketSpec] = None,
     extra: Array[StructField] = Array.empty,
-    upsert: Boolean = false)
+    upsertOrd: Option[Int] = None)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucket match {
@@ -1172,8 +1204,10 @@ private class GraftLogWriterFactory(path: String,
       case None => new GraftLogWriter(path, partitionId, extra)
     }
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    if (upsert) new GraftLogUpsertWriter(path, partitionId, extra)
-    else new GraftLogWriter(path, partitionId, extra)
+    upsertOrd match {
+      case Some(ord) => new GraftLogUpsertWriter(path, partitionId, extra, ord)
+      case None => new GraftLogWriter(path, partitionId, extra)
+    }
 }
 
 private class GraftLogWriter(path: String, partitionId: Int,
@@ -1211,33 +1245,85 @@ private case class GraftLogUpsertCommit(tmp: String, delTmp: String,
     partitionId: Int, stats: Option[GraftStats],
     keyMin: Long, keyMax: Long) extends WriterCommitMessage
 
-/** Streaming upsert task writer (round 18): the plain record encode plus
-  * key tracking — at commit the task's distinct keys become an
-  * equality-delete tmp (header + one key per line) that the epoch commit
-  * publishes covering the pre-commit live set. Keys are collected raw and
-  * dedup-sorted once at commit: O(rows) appends, no per-row set probe. */
+/** Streaming upsert task writer (round 18; keep-last round 19): the
+  * plain record encode plus key tracking — at commit the task's distinct
+  * keys become an equality-delete tmp (header + one key per line) that
+  * the epoch commit publishes covering the pre-commit live set.
+  *
+  * INTRA-EPOCH duplicate keys (round 19, the r18 verdict's weak
+  * component): eq-delete coverage must exclude the epoch's own publishes
+  * (or the epoch would delete its own inserts), so a key written twice in
+  * one micro-batch would land BOTH rows and silently violate the
+  * replace-by-key contract. The write's required key-clustered
+  * distribution routes every occurrence of a key to THIS one task, and
+  * the writer keeps the LAST occurrence in task-arrival order: rows
+  * stream to the tmp as before (no buffering), a key→last-ordinal map
+  * tracks supersession, and only a task that actually saw a duplicate
+  * pays a second pass — a record walk that drops superseded ordinals and
+  * recomputes the file's zone-map stats from the survivors (the
+  * streaming tracker saw the dead rows too, and a superset row COUNT
+  * would corrupt the pushed-aggregate path). Arrival order within one
+  * source file is deterministic (shuffle writers and readers both
+  * preserve a map partition's row order); across source partitions the
+  * stream itself defines no order, so neither does the sink — exactly
+  * the Flink/Iceberg upsert contract. */
 private class GraftLogUpsertWriter(path: String, partitionId: Int,
-    extra: Array[StructField] = Array.empty)
+    extra: Array[StructField] = Array.empty,
+    keyOrd: Int = 0)
     extends DataWriter[InternalRow] {
+  require(keyOrd == 0 || keyOrd == 1, s"upsert key must be a long column, got ord $keyOrd")
   private val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
   private val delTmp = s"$path/.gd-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
   GraftFs.mkdirs(path)
   private val out = GraftFs.createData(tmp)
   private val stats = new GraftStatsTracker(extra)
-  private val keys = scala.collection.mutable.ArrayBuilder.make[Long]
+  private val lastOrd = scala.collection.mutable.LongMap.empty[Long]
+  private var ord = 0L
+  private var dup = false
 
   override def write(r: InternalRow): Unit = {
-    keys += r.getLong(0)
+    if (lastOrd.put(r.getLong(keyOrd), ord).isDefined) dup = true
+    ord += 1
     GraftLog.encodeRecord(out, r, extra, 0, stats)
     ()
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    val distinct = keys.result().distinct.sorted
-    val sb = new StringBuilder(GraftLog.EQ_DELETE_HEADER).append('\n')
+    val distinct = { val a = lastOrd.keysIterator.toArray; java.util.Arrays.sort(a); a }
+    val (dataTmp, st) =
+      if (!dup) (tmp, stats.result)
+      else {
+        // duplicate keys in this task: keep each key's LAST record
+        val tmp2 = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
+        val in = GraftFs.openData(tmp)
+        val os = GraftFs.createData(tmp2)
+        val st2 = new GraftStatsTracker(extra)
+        try {
+          var buf = new Array[Byte](256)
+          var ordIn = 0L
+          var done = false
+          while (!done) {
+            val len = try in.readInt() catch { case _: EOFException => done = true; -1 }
+            if (!done) {
+              if (buf.length < len) buf = new Array[Byte](len)
+              in.readFully(buf, 0, len)
+              // the key sits at its fixed offset: event_id at 0, user_id at 8
+              val k = java.nio.ByteBuffer.wrap(buf, keyOrd * 8, 8).getLong
+              if (lastOrd(k) == ordIn) {
+                os.writeInt(len); os.write(buf, 0, len)
+                GraftLog.trackRecordStats(buf, len, extra, st2)
+              }
+              ordIn += 1
+            }
+          }
+        } finally { in.close(); os.close() }
+        require(GraftFs.delete(tmp), s"failed to drop superseded $tmp")
+        (tmp2, st2.result)
+      }
+    val sb = new StringBuilder(GraftLog.eqDeleteHeader(keyOrd)).append('\n')
     distinct.foreach(k => sb.append(k).append('\n'))
     GraftFs.writeString(delTmp, sb.toString)
-    GraftLogUpsertCommit(tmp, delTmp, partitionId, stats.result,
+    GraftLogUpsertCommit(dataTmp, delTmp, partitionId, st,
       if (distinct.isEmpty) Long.MaxValue else distinct.head,
       if (distinct.isEmpty) Long.MinValue else distinct.last)
   }
@@ -2210,13 +2296,13 @@ private case class GraftLogCursorSpec(
   def cursor(file: String, preds: Array[Filter], needType: Boolean,
       needPos: Boolean): GraftLogCursor = {
     val name = GraftFs.nameOf(file)
-    val (dels, eqKeys) = delsOf.get(name) match {
+    val dels = delsOf.get(name) match {
       case Some(paths) => GraftLog.loadDeletes(paths, name)
-      case None => (Array.emptyLongArray, Array.emptyLongArray)
+      case None => GraftLog.NO_DELETES
     }
     new GraftLogCursor(file, preds, needType, segsOf.get(name),
-      stampFilters, dels, needPos, extra,
-      deadStampsOf.getOrElse(name, Array.emptyLongArray), eqKeys)
+      stampFilters, dels.pos, needPos, extra,
+      deadStampsOf.getOrElse(name, Array.emptyLongArray), dels.eqEid, dels.eqUid)
   }
 
   /** Streaming replay partitions (round 17): suppress the file's
@@ -2348,7 +2434,8 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     needPos: Boolean = false,
     extra: Array[StructField] = Array.empty,
     deadStamps: Array[Long] = Array.emptyLongArray,
-    eqDeleteKeys: Array[Long] = Array.emptyLongArray) {
+    eqDeleteEid: Array[Long] = Array.emptyLongArray,
+    eqDeleteUid: Array[Long] = Array.emptyLongArray) {
   private val in: DataInputStream = GraftFs.openData(file)
   private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
   private val needType = needTypeHint ||
@@ -2495,10 +2582,13 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
         while (delIdx < deletePositions.length && deletePositions(delIdx) < recOrd) delIdx += 1
         delIdx < deletePositions.length && deletePositions(delIdx) == recOrd
       }) { delIdx += 1; skipped += 1 }
-      // equality delete (round 18): the upsert sink's keyed takedown —
-      // covered files drop every record whose key is in the set
-      else if (eqDeleteKeys.length > 0 &&
-          java.util.Arrays.binarySearch(eqDeleteKeys, eventId) >= 0) {
+      // equality delete (round 18; either long key since round 19): the
+      // upsert sink's keyed takedown — covered files drop every record
+      // whose key is in the set
+      else if ((eqDeleteEid.length > 0 &&
+          java.util.Arrays.binarySearch(eqDeleteEid, eventId) >= 0) ||
+        (eqDeleteUid.length > 0 &&
+          java.util.Arrays.binarySearch(eqDeleteUid, userId) >= 0)) {
         skipped += 1
       }
       else {
@@ -3183,7 +3273,8 @@ object GraftLog {
             GraftFs.copyInto(in.abs, os)
             outOff += in.size
           } else {
-            val (dels, eqKeys) = loadDeletes(in.dels, in.name)
+            val loaded = loadDeletes(in.dels, in.name)
+            val dels = loaded.pos
             val segStarts = in.segs.map(_.start).toArray
             val din = GraftFs.openData(in.abs)
             val dout: DataOutputStream = os
@@ -3201,12 +3292,16 @@ object GraftLog {
                   if (buf.length < len) buf = new Array[Byte](len)
                   din.readFully(buf, 0, len)
                   inOff += 4 + len; ord += 1
-                  // the record's key (event_id) is the first field — the
-                  // fixed-offset contract the eq-delete absorb leans on
-                  def eqDead: Boolean = eqKeys.length > 0 && {
-                    val eid = java.nio.ByteBuffer.wrap(buf, 0, 8).getLong
-                    java.util.Arrays.binarySearch(eqKeys, eid) >= 0
-                  }
+                  // the record's keys sit at fixed offsets (event_id at
+                  // 0, user_id at 8) — the contract the eq-delete absorb
+                  // leans on
+                  def eqDead: Boolean =
+                    (loaded.eqEid.length > 0 && java.util.Arrays.binarySearch(
+                      loaded.eqEid,
+                      java.nio.ByteBuffer.wrap(buf, 0, 8).getLong) >= 0) ||
+                    (loaded.eqUid.length > 0 && java.util.Arrays.binarySearch(
+                      loaded.eqUid,
+                      java.nio.ByteBuffer.wrap(buf, 8, 8).getLong) >= 0)
                   while (delIdx < dels.length && dels(delIdx) < ord) delIdx += 1
                   if (delIdx < dels.length && dels(delIdx) == ord) delIdx += 1 // dropped
                   else if (eqDead) () // upsert-retired key: dropped
@@ -4095,31 +4190,50 @@ object GraftLog {
     * position-delete files (text lines `<dataFileName>\t<pos>`). Cost is
     * O(entries in the covering delete files) per task — the manifest's
     * coverage index keeps "covering" tight. */
-  /** Header line of an EQUALITY-delete file (round 18): the `.graftdel`
-    * keyed variant behind the native streaming upsert sink. Body = one
-    * decimal `event_id` per line; the file applies to every data file its
-    * manifest coverage names (the upsert epoch covers the whole
-    * pre-commit live set), where a position-delete record names one
-    * (file, ordinal) identity. */
+  /** Header line of an EQUALITY-delete file (round 18; keyed by either
+    * long column since round 19): the `.graftdel` keyed variant behind
+    * the native streaming upsert sink. Body = one decimal key per line;
+    * the file applies to every data file its manifest coverage names
+    * (the upsert epoch covers the pre-commit live set), where a
+    * position-delete record names one (file, ordinal) identity. */
   private[sources] val EQ_DELETE_HEADER = "eq event_id"
+  private[sources] val EQ_DELETE_HEADER_UID = "eq user_id"
+  private[sources] def eqDeleteHeader(keyOrd: Int): String = keyOrd match {
+    case 0 => EQ_DELETE_HEADER
+    case 1 => EQ_DELETE_HEADER_UID
+    case o => throw new IllegalStateException(s"no equality-delete key at ordinal $o")
+  }
+
+  /** Per-file deletes loaded for a cursor: position ordinals plus the
+    * equality keys per key column — all sorted for binary-search probes. */
+  private[sources] final case class GraftLoadedDeletes(pos: Array[Long],
+      eqEid: Array[Long], eqUid: Array[Long]) {
+    def any: Boolean = pos.nonEmpty || eqEid.nonEmpty || eqUid.nonEmpty
+  }
+  private[sources] val NO_DELETES =
+    GraftLoadedDeletes(Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray)
 
   /** Load the deletes covering `dataName` from its covering delete
-    * files, split by kind: (position ordinals, equality keys) — both
-    * sorted for the cursor's binary-search probes. */
+    * files, split by kind and key column. */
   private[sources] def loadDeletes(delPaths: Seq[String],
-      dataName: String): (Array[Long], Array[Long]) = {
-    if (delPaths.isEmpty) return (Array.emptyLongArray, Array.emptyLongArray)
+      dataName: String): GraftLoadedDeletes = {
+    if (delPaths.isEmpty) return NO_DELETES
     val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val eid = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val uid = scala.collection.mutable.ArrayBuffer.empty[Long]
     delPaths.foreach { p =>
       val lines = GraftFs.readString(p).split('\n')
-      if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER)
+      val eqInto =
+        if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER) eid
+        else if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_UID) uid
+        else null
+      if (eqInto != null)
         lines.iterator.drop(1).foreach { line =>
           if (line.nonEmpty) {
             require(line.forall(_.isDigit) ||
                 (line.head == '-' && line.tail.forall(_.isDigit)),
               s"corrupt equality-delete record in $p: '$line'")
-            keys += line.toLong
+            eqInto += line.toLong
           }
         }
       else lines.foreach { line =>
@@ -4131,11 +4245,45 @@ object GraftLog {
         }
       }
     }
-    (pos.toArray.sorted, keys.distinct.sorted.toArray)
+    GraftLoadedDeletes(pos.toArray.sorted,
+      eid.distinct.sorted.toArray, uid.distinct.sorted.toArray)
+  }
+
+  /** Re-track a raw encoded record's zone-map stats — the upsert
+    * writer's duplicate-drop pass recomputes its file's stats from the
+    * SURVIVING records (round 19): the streaming tracker saw the
+    * superseded rows too, and while superset BOUNDS would stay sound, a
+    * superset row COUNT would corrupt the pushed metadata-aggregate
+    * path. Mirrors the cursor's decode exactly (big-endian, nullable
+    * [present][value] tail). */
+  private[sources] def trackRecordStats(buf: Array[Byte], len: Int,
+      extra: Array[StructField], stats: GraftStatsTracker): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(buf, 0, len)
+    val eid = bb.getLong; val uid = bb.getLong; val v = bb.getDouble
+    stats.add(eid, uid, v)
+    val etLen = bb.getShort
+    val et = new Array[Byte](etLen); bb.get(et)
+    stats.addEtype(et)
+    var i = 0
+    while (i < extra.length && bb.remaining() > 0) {
+      val present = bb.get()
+      if (present != 0) {
+        require(present == 1, "corrupt record tail in upsert rewrite")
+        extra(i).dataType match {
+          case LongType => stats.addExtra(i, Long.box(bb.getLong))
+          case DoubleType => stats.addExtra(i, Double.box(bb.getDouble))
+          case _ =>
+            val l = bb.getShort
+            val b = new Array[Byte](l); bb.get(b)
+            stats.addExtra(i, b)
+        }
+      }
+      i += 1
+    }
   }
 
   private[sources] def loadDeletePositions(delPaths: Seq[String],
-      dataName: String): Array[Long] = loadDeletes(delPaths, dataName)._1
+      dataName: String): Array[Long] = loadDeletes(delPaths, dataName).pos
 
   /** Compiled per-record predicate over the decoded fields. */
   private[sources] type Pred = (Long, Long, Double, UTF8String) => Boolean
