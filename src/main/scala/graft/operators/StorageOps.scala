@@ -1537,7 +1537,71 @@ object StorageOps extends QueryModule {
       |FROM events WHERE event_id < 20000
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Changelog read (round 19, r18 verdict #2): TABLE CHANGES between two
+  // snapshots — Delta CDF / Iceberg changelog-scan, derived from the
+  // manifest chain's eq-delete records. The fixture streams the events
+  // slice into a snapshot-retaining catalog table through the native
+  // upsert sink (snapshot s1), streams a correction wave for every fifth
+  // key, compacts MID-WINDOW (the changelog must see through the rewrite
+  // — its segment maps make it net-zero), and reads the changes: each
+  // corrected key appears exactly twice, its original row as 'delete'
+  // and its corrected row as 'insert'. `_change_stamp` is wall-clock and
+  // projected away for the oracle.
+  // ------------------------------------------------------------------
+  def dsv2Changes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.cdf_ev")
+    s.sql("CREATE TABLE graftq.cdf_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val sink = catalogWarehouse + "/cdf_ev"
+    val src = scratch("graft_cdf_src")
+    val ckpt = graft.Scratch.streamCkptDir("graft_cdf_ckpt")
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 30000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    def drain(): Unit = {
+      val q = s.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 2).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    ev.repartition(2).write.format("graftlog").mode("append").save(src)
+    drain() // wave 1: the baseline snapshot
+    val s1 = graft.sources.GraftLog.testLatestSnapshotStamp(sink)
+    ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("event_type", lit("fix"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain() // wave 2: keyed corrections (the change window's content)
+    s.sql("CALL graftq.system.compact(table => 'cdf_ev')").collect()
+    val s2 = graft.sources.GraftLog.testLatestSnapshotStamp(sink)
+    graft.sources.GraftLog.readChanges(s, sink, s1, s2)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"), col("_change_type"))
+      .orderBy(col("_change_type"), col("event_id"))
+  }
+
+  val dsv2ChangesSql: String =
+    """SELECT event_id, user_id, value, event_type, _change_type FROM (
+      |  SELECT event_id, user_id, value * 2 AS value, 'fix' AS event_type,
+      |         'insert' AS _change_type
+      |  FROM events WHERE event_id < 30000 AND event_id % 5 = 0
+      |  UNION ALL
+      |  SELECT event_id, user_id, value, event_type,
+      |         'delete' AS _change_type
+      |  FROM events WHERE event_id < 30000 AND event_id % 5 = 0
+      |) ORDER BY _change_type, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_dsv2_changes" -> (dsv2Changes _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "scan_partition_pruned" -> (partitionPruned _),
@@ -1582,6 +1646,7 @@ object StorageOps extends QueryModule {
     "stream_dsv2_complete" -> (dsv2StreamComplete _))
 
   def oracles: Map[String, String] = Map(
+    "scan_dsv2_changes" -> dsv2ChangesSql,
     "json_roundtrip" -> jsonRoundtripSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "scan_partition_pruned" -> partitionPrunedSql,

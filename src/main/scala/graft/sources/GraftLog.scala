@@ -3682,6 +3682,246 @@ object GraftLog {
     (victims.length, garbage.length, bytes)
   }
 
+  // -------------------------------------------------------------------
+  // Changelog read (round 19, r18 verdict #2): TABLE CHANGES between two
+  // snapshots, derived from the eq/pos-delete records the format stores
+  // -------------------------------------------------------------------
+
+  /** Epoch marker (`-q<queryId>-e<epoch>-`) of a streaming publish name,
+    * None for batch/rewrite names. The greedy first group makes
+    * `-e<digits>-` bind to the LAST candidate before the task token, so
+    * a queryId that itself contains a `-e<digits>-` shaped segment
+    * cannot confuse the parse. */
+  private val EpochMarkerRe = """^pub-\d{13}-\d+-q(.+)-e(\d+)-(?:p|eq)\d{5}-""".r
+  private[sources] def epochMarkerOf(name: String): Option[String] =
+    EpochMarkerRe.findFirstMatchIn(name).map(m => s"-q${m.group(1)}-e${m.group(2)}-")
+
+  /** NET row-level changes of a landing between the snapshot current AS
+    * OF `fromStamp` and the one current AS OF `toStamp` — Delta's change
+    * data feed / Iceberg's changelog scan, derived entirely from what
+    * the manifest chain already stores. Returns the table columns plus
+    * `_change_type` ('insert' | 'delete') and `_change_stamp` (the
+    * inserting origin's publish stamp / the killing commit's stamp). An
+    * upsert is its two halves: the replaced row as a delete, the
+    * replacement as an insert — exactly what a downstream incremental
+    * aggregate needs to stay equal to the full recompute.
+    *
+    * NET means squashed between the two snapshots: a row born and killed
+    * inside the window appears on neither side. Semantics per change
+    * source, each stated:
+    *  - appends / streaming (upsert) epochs: inserts are rows whose
+    *    ORIGIN publish stamp did not exist in the FROM snapshot — exact
+    *    across compaction/clustering, whose segment maps preserve
+    *    origins, so a mid-window rewrite contributes NOTHING;
+    *  - equality deletes (the upsert sink): the FROM-snapshot rows
+    *    matching the window's deleted keys are the delete side;
+    *  - position deletes (merge-on-read DELETE/UPDATE): the FROM-snapshot
+    *    rows at the deleted (file, ordinal) identities;
+    *  - copy-on-write rewrites, truncate, and expire REFUSE loudly: they
+    *    remove rows without recording which — deriving their changes
+    *    would require diffing row content, and a silently-partial
+    *    changelog is the one wrong answer this surface must never give.
+    *    Changelog-readable history wants merge-on-read modes + the
+    *    streaming upsert sink, which CDC workloads use anyway.
+    *
+    * The window is resolved against RETAINED snapshots (`resolveAsOf`
+    * ceilings), so the natural host is a `snapshot.retain = true` table;
+    * on a non-retaining landing a historical file may already be
+    * unlinked and the read fails loudly, never wrong. Driver cost is
+    * O(manifests + delete records in the window) metadata; the row work
+    * is two distributed scans (FROM keyed/position-filtered, TO
+    * stamp-filtered with zone/stamp file pruning). Unstamped foreign
+    * files have no timeline position and are invisible to both sides,
+    * matching resolveAsOf. */
+  def readChanges(spark: SparkSession, path: String, fromStamp: Long,
+      toStamp: Long, extra: Array[StructField] = Array.empty): DataFrame = {
+    require(fromStamp >= 0, s"readChanges fromStamp must be >= 0, got $fromStamp")
+    require(toStamp >= fromStamp,
+      s"readChanges window is [from, to]: $fromStamp > $toStamp")
+    import org.apache.spark.sql.functions.{broadcast, col, lit, substring_index}
+    val ordered = GraftSnapshotIO.refs(GraftFs.listNames(path))
+    require(ordered.nonEmpty,
+      s"no snapshot history in $path (manifest-less landing): table " +
+        "changes need committed snapshots")
+    val heads = ordered.map(GraftSnapshotIO.headOf(path, _))
+    val iFrom = heads.lastIndexWhere(_._1 <= fromStamp)
+    require(iFrom >= 0,
+      s"no snapshot of $path at or before stamp $fromStamp (older than " +
+        "the retained history, or before the table existed)")
+    val iTo = heads.lastIndexWhere(_._1 <= toStamp)
+    val schemaAll = StructType((GraftLog.schema.fields ++ extra) ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_change_stamp", LongType, nullable = true)))
+    if (iTo == iFrom)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaAll)
+    // the walked range must be seq-contiguous — a hole would silently
+    // skip a commit's change, the exact failure resolveAt refuses
+    require(!((iFrom + 1) to iTo).exists(i =>
+        GraftSnapshotIO.seqOf(ordered(i)) != GraftSnapshotIO.seqOf(ordered(i - 1)) + 1),
+      s"manifest chain of $path has a seq hole inside the change window — " +
+        "a link was deleted outside the expire protocol")
+    val stateFrom = GraftSnapshotIO.resolveAsOf(path, fromStamp)
+    // walk the window's commits: per commit (stamp, added files, removed
+    // data names, added delete files, removed delete files); a BASE
+    // manifest in-window (every 16th commit, or an overwrite) yields its
+    // change as a state diff
+    final case class Chg(stamp: Long, added: Vector[GraftLiveFile],
+        removed: Set[String], addedDels: Seq[String], removedDels: Set[String])
+    var state = stateFrom
+    val commits = ((iFrom + 1) to iTo).map { i =>
+      GraftSnapshotIO.readBody(path, ordered(i)) match {
+        case GraftSnapshotIO.DeltaBody(st, c) =>
+          val rec = Chg(st, c.addData, c.removeData,
+            c.addDeletes.map(_._1), c.removeDeletes)
+          state = c.apply(state)._1
+          rec
+        case GraftSnapshotIO.BaseBody(st, s) =>
+          val oldF = state.fileNames
+          val rec = Chg(st, s.files.filterNot(f => oldF.contains(f.name)),
+            oldF -- s.fileNames,
+            (s.deletes.keySet -- state.deletes.keySet).toSeq.sorted,
+            state.deletes.keySet -- s.deletes.keySet)
+          state = s
+          rec
+      }
+    }
+    // derivability + replay classification (see scaladoc): a commit that
+    // removes data files is a rewrite (all added files carry segment
+    // maps — net zero), a streaming epoch REPLAY (every removed name
+    // shares an added file's epoch marker), or underivable
+    val replayRepub = Set.newBuilder[String] // re-published pre-window rows
+    val skippedDels = Set.newBuilder[String] // their re-published eq-dels
+    commits.foreach { c =>
+      if (c.removed.nonEmpty) {
+        val rewriteLike = c.added.nonEmpty && c.added.forall(_.segs.isDefined)
+        if (!rewriteLike) {
+          val markers = c.added.flatMap(f => epochMarkerOf(f.name)).toSet
+          require(markers.nonEmpty && c.removed.forall(r => markers.exists(r.contains)),
+            s"table changes of $path between $fromStamp and $toStamp are " +
+              s"not derivable: the commit stamped ${c.stamp} removed data " +
+              "files outside a rewrite/replay shape (copy-on-write " +
+              "rewrite, truncate, or expire records no row identities); " +
+              "changelog-readable history wants merge-on-read modes and " +
+              "the streaming upsert sink")
+          if (c.removed.forall(stateFrom.fileNames.contains)) {
+            // a replayed epoch whose first attempt committed BEFORE the
+            // window: its re-published rows pre-exist (not inserts) and
+            // its re-published eq-del re-states pre-window takedowns
+            c.added.foreach(f => replayRepub += f.name)
+            skippedDels ++= c.addedDels.filter(d => markers.exists(d.contains))
+          }
+        }
+      }
+    }
+    // collect the window's delete records. A delete file the window
+    // itself later retires still CONTRIBUTED its changes when it landed —
+    // a mid-window compaction absorbs an eq-delete physically, but the
+    // keyed takedown happened — so retirement never erases collection
+    // (the retaining table keeps the bytes readable). The only skips are
+    // the pre-window replay re-publications classified above (their keys
+    // re-state takedowns already applied in the FROM snapshot), and a
+    // replay's within-window X-retired first attempt is harmless to keep:
+    // its replacement carries the same keys and the first-stamp maps
+    // dedup them.
+    val xed = skippedDels.result()
+    val eqEid = scala.collection.mutable.Map.empty[Long, Long] // key -> first kill stamp
+    val eqUid = scala.collection.mutable.Map.empty[Long, Long]
+    val posRec = scala.collection.mutable.Map.empty[(String, Long), Long]
+    commits.foreach { c =>
+      c.addedDels.filterNot(xed.contains).foreach { d =>
+        val lines = GraftFs.readString(GraftFs.child(path, d)).split('\n')
+        val eqInto =
+          if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER) eqEid
+          else if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_UID) eqUid
+          else null
+        if (eqInto != null)
+          lines.iterator.drop(1).foreach { line =>
+            if (line.nonEmpty) {
+              val k = line.toLong
+              if (!eqInto.contains(k)) eqInto(k) = c.stamp
+            }
+          }
+        else lines.foreach { line =>
+          if (line.nonEmpty) {
+            val t = line.indexOf('\t')
+            require(t > 0, s"corrupt delete record in $path/$d: '$line'")
+            val id = (line.substring(0, t), line.substring(t + 1).toLong)
+            if (!posRec.contains(id)) posRec(id) = c.stamp
+          }
+        }
+      }
+    }
+    val tableCols = (GraftLog.schema.fields ++ extra).map(f => col(f.name))
+    def reader = {
+      val r = spark.read.format("graftlog")
+      if (extra.nonEmpty) r.option("evolvedSchema", encodeExtraSchema(extra))
+      r
+    }
+    // INSERT side: rows of the TO snapshot whose origin stamp the FROM
+    // snapshot never held. Stamps are (practically) monotone with commit
+    // order, so `> max(from origins)` prunes files via the pushed stamp
+    // lane; the rare concurrent-committer straggler (an in-window origin
+    // stamped below a FROM origin) rides an exact small IN-list instead
+    // of an O(live files) literal list.
+    val fromStamps = stateFrom.files
+      .flatMap(_.stampedSegments.map(_.stamp)).filter(_ >= 0).toSet
+    val toStamps = state.files
+      .flatMap(_.stampedSegments.map(_.stamp)).filter(_ >= 0).toSet
+    val maxFrom = if (fromStamps.isEmpty) -1L else fromStamps.max
+    val lowNew = (toStamps -- fromStamps).filter(_ <= maxFrom).toSeq.sorted
+    val insBase = lit(false) || col("_pub_stamp") > lit(maxFrom)
+    val insPred =
+      if (lowNew.isEmpty) insBase
+      else insBase || col("_pub_stamp").isin(lowNew: _*)
+    val repub = replayRepub.result()
+    val toDf = reader.option("asOfStamp", toStamp).load(path)
+    val inserts0 = toDf.filter(col("_pub_stamp").isNotNull && insPred)
+    val inserts = (if (repub.isEmpty) inserts0
+      else inserts0.filter(
+        !substring_index(col("_file"), "/", -1).isin(repub.toSeq: _*)))
+      .select((tableCols :+ lit("insert").as("_change_type")
+        :+ col("_pub_stamp").as("_change_stamp")).toIndexedSeq: _*)
+    // DELETE side: FROM-snapshot rows matching the window's deleted keys
+    // (zone-pruned pushed IN when small; the stamp join is broadcast
+    // either way) or deleted (file, ordinal) identities (broadcast join
+    // against the O(changes) record set)
+    import spark.implicits._
+    val fromDf = reader.option("asOfStamp", fromStamp).load(path)
+    val withIdent = tableCols ++ Seq(col("_file"), col("_pos"), col("_cs"))
+    val branches = Seq.newBuilder[DataFrame]
+    def eqBranch(keyCol: String, keys: Map[Long, Long]): DataFrame = {
+      val stampDf = broadcast(keys.toSeq.toDF("_ck", "_cs"))
+      val pre =
+        if (keys.size <= 1000)
+          fromDf.filter(col(keyCol).isin(keys.keys.toSeq.sorted: _*))
+        else fromDf
+      pre.join(stampDf, col(keyCol) === col("_ck")).drop("_ck")
+        .select(withIdent.toIndexedSeq: _*)
+    }
+    if (eqEid.nonEmpty) branches += eqBranch("event_id", eqEid.toMap)
+    if (eqUid.nonEmpty) branches += eqBranch("user_id", eqUid.toMap)
+    if (posRec.nonEmpty) {
+      val posDf = broadcast(
+        posRec.toSeq.map { case ((f, p), s) => (f, p, s) }.toDF("_cf", "_cp", "_cs"))
+      branches += fromDf.join(posDf,
+          substring_index(col("_file"), "/", -1) === col("_cf") &&
+            col("_pos") === col("_cp"))
+        .select(withIdent.toIndexedSeq: _*)
+    }
+    val deletes = branches.result().reduceOption(_ unionByName _) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaAll)
+      case Some(d) =>
+        // a row both position- and key-deleted in the window is ONE
+        // delete: (_file, _pos) is its identity
+        d.dropDuplicates("_file", "_pos")
+          .select((tableCols :+ lit("delete").as("_change_type")
+            :+ col("_cs").as("_change_stamp")).toIndexedSeq: _*)
+    }
+    inserts.unionByName(deletes)
+  }
+
   /** The landing's visible log files, sorted (publish-name order) —
     * snapshot-resolved since round 16: the newest manifest's live set
     * (plus reconciled unstamped foreign files), or the directory listing
