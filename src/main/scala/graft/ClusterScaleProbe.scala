@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cluster-without-compact scale probe (round 19, r18 verdict #4 + #6):
+  * empirical evidence for the two cluster-at-scale levers landed this
+  * round —
+  *
+  *  1. the `max_origins` SEGMENT-MAP CAP: clustering F small files into
+  *     K outputs used to write O(F x K) segment entries; the cap bounds
+  *     every output's map (coalesced spans, newest-label, `C`-flagged),
+  *     so the manifest cost of clustering a 10^4-file landing stays
+  *     O(K x max_origins) bytes instead of O(F x K);
+  *  2. the MANIFEST-PINNED premise read: the rewrite used to pin its
+  *     input set with an F-literal `_file` IN-list — itself a planning
+  *     hazard at 10^4 inputs; it now reads `asOfStamp = <resolved tip>`
+  *     at O(1) plan cost, so wall scales with DATA, not with a literal
+  *     list.
+  *
+  * Each leg: ONE append shaped into N files (per-file publish stamps =
+  * N distinct origins — the worst case for segment maps), then
+  * `cluster(by = event_id)` into ~8 outputs. Reported per leg: wall,
+  * files before/after, the newest manifest's bytes, and the max
+  * segment-map entries on any output (must be <= max_origins).
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ClusterScaleProbe [baseDir] [legs]"
+  * Prints one JSON line (committed as CLUSTER_SCALE_r<N>.json).
+  */
+object ClusterScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val legSizes = args.drop(1).headOption.map(_.split(',').map(_.toInt).toSeq)
+      .getOrElse(Seq(1000, 10000))
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    try {
+      val ev = sources.Tables.load(spark, base, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      val rows = ev.limit(100000).cache()
+      rows.count()
+
+      case class Leg(files: Int, wallS: Double, outFiles: Int,
+          manifestBytes: Long, maxSegs: Int, coalesced: Boolean, rowsOk: Boolean)
+      val legs = legSizes.map { n =>
+        val dir = Scratch.dir(s"graft_clscale_$n")
+        // one append, N tasks -> N files, each with its OWN publish stamp:
+        // the per-origin worst case a long append history produces
+        rows.repartition(n).write.format("graftlog").mode("append").save(dir)
+        val total = rows.count()
+        val target = math.max(1L, new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".graftlog")).map(_.length()).sum / 8)
+        val t0 = System.nanoTime()
+        val (b, a, _) = sources.GraftLog.cluster(spark, dir, "event_id", target)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val names = sources.GraftSnapshotTestHook.liveNames(dir)
+        val segCounts = names.map(nm =>
+          sources.GraftSnapshotTestHook.segmentsOf(dir, nm).map(_.size).getOrElse(1))
+        val anyCoalesced = names.exists(nm =>
+          sources.GraftSnapshotTestHook.coalescedOf(dir, nm))
+        val mBytes = sources.GraftSnapshotTestHook.manifestBytes(dir).last
+        val ok = spark.read.format("graftlog").load(dir).count() == total
+        Leg(b, wall, a, mBytes, segCounts.max, anyCoalesced, ok)
+      }
+      def j(l: Leg): String =
+        f"""{"files":${l.files},"wall_s":${l.wallS}%.2f,"out_files":${l.outFiles},""" +
+          s""""manifest_bytes":${l.manifestBytes},"max_segs_per_output":${l.maxSegs},""" +
+          s""""coalesced":${l.coalesced},"rows_ok":${l.rowsOk}}"""
+      val json = s"""{"base":"$base","max_origins":64,""" +
+        s""""cluster_legs":[${legs.map(j).mkString(",")}]}"""
+      println(json)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("cluster_scale_out.json"), json + "\n")
+      Scratch.purge(spark)
+    } finally spark.stop()
+  }
+}

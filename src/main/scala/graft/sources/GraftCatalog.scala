@@ -478,13 +478,17 @@ private class GraftClusterProcedure(cat: GraftCatalog)
     ProcedureParameter.in("by", StringType)
       .comment("column to range-cluster on (event_id, user_id or value)").build(),
     ProcedureParameter.in("target_mb", IntegerType).defaultValue("64")
-      .comment("target clustered-file size in MiB").build())
+      .comment("target clustered-file size in MiB").build(),
+    ProcedureParameter.in("max_origins", IntegerType).defaultValue("64")
+      .comment("segment-map cap per output file: more distinct origin " +
+        "stamps coalesce (newest-label, manifest-flagged)").build())
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val table = input.getUTF8String(0).toString
     val byCol = input.getUTF8String(1).toString
     val targetMb = input.getInt(2)
+    val maxOrigins = input.getInt(3)
     require(targetMb > 0, s"target_mb must be positive, got $targetMb")
     val dir = cat.resolveTableDir(table)
     val (bucket, _, ret, extra) = readMetaOf(dir)
@@ -493,7 +497,7 @@ private class GraftClusterProcedure(cat: GraftCatalog)
         "cluster would destroy it (use compact)")
     val (before, after, bytes) = GraftLog.cluster(
       org.apache.spark.sql.SparkSession.active, dir, byCol,
-      targetMb.toLong << 20, extra, ret)
+      targetMb.toLong << 20, extra, ret, maxOrigins)
     val summary: Scan = new LocalScan {
       override def readSchema(): StructType = StructType(Seq(
         StructField("files_before", IntegerType, nullable = false),

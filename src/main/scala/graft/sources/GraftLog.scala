@@ -1914,7 +1914,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // merged file re-merged under yet another fresh name) cannot
     // re-deliver them — the name-level tail no longer identifies them
     val segsOf = snap.files.collect {
-      case GraftLiveFile(n, Some(ss), _) => (n, ss)
+      case GraftLiveFile(n, Some(ss), _, _) => (n, ss)
     }.toMap
     val delivered = admitted.toSeq.flatMap(n => segsOf.get(n).toSeq.flatten
       .map(_.stamp).filter(st => st >= 0 && !cur.seenStamp(st)))
@@ -1958,7 +1958,7 @@ private class GraftLogMicroBatchStream(path: String, filters: Array[Filter],
     // fails loudly on open (fail-stop, same as every resolved-then-
     // deleted window in this connector).
     val segsOf = GraftSnapshotIO.resolve(path).files.collect {
-      case GraftLiveFile(n, Some(ss), _) => (n, ss)
+      case GraftLiveFile(n, Some(ss), _, _) => (n, ss)
     }.toMap
     end.asInstanceOf[GraftLogOffset].tail
       .filterNot(from.seen).sorted
@@ -2331,7 +2331,7 @@ private object GraftLogCursorSpec {
   def of(path: String, snap: GraftSnapshot, stampFilters: Array[Filter],
       extra: Array[StructField] = Array.empty): GraftLogCursorSpec = {
     val segsOf = snap.files.collect {
-      case GraftLiveFile(n, Some(ss), _) => (n, ss)
+      case GraftLiveFile(n, Some(ss), _, _) => (n, ss)
     }.toMap
     // inverted in ONE pass over the coverage index — building it per data
     // file would be O(files x delete files) driver work, the wrong shape
@@ -3428,11 +3428,32 @@ object GraftLog {
     * refused: their k-token layout IS their join contract, and a range
     * layout would destroy it.
     *
+    * SEGMENT-MAP COST CAP (round 19, r18 verdict #4): an output's map
+    * holds one entry per distinct origin stamp, and the range shuffle
+    * scatters every input across many outputs — clustering F small files
+    * into K outputs writes O(F x K) entries, which on a
+    * cluster-without-compact 10^5-file landing is a manifest blow-up.
+    * `maxOrigins` bounds it: an output exceeding the cap COALESCES
+    * adjacent stamped spans (rows arrive stamp-ascending, so spans chunk
+    * in order) into at most `maxOrigins` segments, each labeled with its
+    * NEWEST member stamp, and the file is flagged `C` in the manifest.
+    * The newest label is the uniformly conservative direction:
+    * incremental `_pub_stamp > t` readers OVER-read (never under-read),
+    * streaming consumers RE-deliver (never lose), and expire's data-age
+    * max(origin) is unchanged — while the unknown-age (-1) span is never
+    * merged with stamped ones, so unstamped data keeps its
+    * never-expire/always-redeliver contract. The changelog read refuses
+    * windows that add a coalesced file (exactness lost by construction);
+    * the compact-first pipeline keeps origins-per-output below any sane
+    * cap, so the flag is the escape hatch's receipt, not the norm.
+    *
     * @return (files before, files after, bytes rewritten) */
   def cluster(spark: SparkSession, path: String, byCol: String,
       targetBytes: Long, extra: Array[StructField] = Array.empty,
-      ret: GraftRetention = GraftRetention.NONE): (Int, Int, Long) = {
+      ret: GraftRetention = GraftRetention.NONE,
+      maxOrigins: Int = 64): (Int, Int, Long) = {
     require(targetBytes > 0, s"cluster targetBytes must be positive, got $targetBytes")
+    require(maxOrigins >= 2, s"cluster maxOrigins must be >= 2, got $maxOrigins")
     // round 18: every zone-mapped column clusters — the base numerics
     // (Z), event_type (Y string bounds), and ADDED columns (W bounds).
     // TWO comma-separated NUMERIC columns Z-ORDER (`by =>
@@ -3455,7 +3476,8 @@ object GraftLog {
           s"Z-order clustering interleaves NUMERIC ranks; '$c' is $dt " +
             "(single-column cluster supports strings)")
       }
-    val snap = GraftSnapshotIO.resolve(path)
+    val resolved = GraftSnapshotIO.resolveCurrent(path)
+    val snap = resolved.snap
     val inputNames = snap.files.map(_.name)
     if (inputNames.isEmpty) return (0, 0, 0L)
     require(!inputNames.exists(n => GraftLogNames.bucketOf(n) >= 0),
@@ -3464,16 +3486,27 @@ object GraftLog {
     val inputAbs = inputNames.map(GraftFs.child(path, _))
     val totalBytes = inputAbs.map(GraftFs.length).sum
     val k = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // read EXACTLY the premise files (`_file` pin): rows a concurrent
-    // commit adds mid-job must not ride into the outputs, because the
-    // commit below removes only the premise inputs
+    // read EXACTLY the premise files: rows a concurrent commit adds
+    // mid-job must not ride into the outputs, because the commit below
+    // removes only the premise inputs. The pin is the MANIFEST itself
+    // (round 19, r18 verdict #6): an `asOfStamp` read resolves the very
+    // snapshot this command just resolved — stamps are strictly monotone
+    // along the chain, so a concurrent commit's higher stamp can never
+    // shadow it — at O(1) plan cost where the previous `_file` IN-list of
+    // F literals was itself a planning hazard on a 10^4-file landing.
+    // Fallback to the literal pin only where the manifest cannot speak:
+    // a manifest-less legacy landing, or unstamped foreign files that
+    // time travel (correctly) refuses to see.
     import org.apache.spark.sql.functions.col
     val cols = (GraftLog.schema.fields ++ extra).map(f => col(f.name))
     val reader = spark.read.format("graftlog")
     if (extra.nonEmpty)
       reader.option("evolvedSchema", GraftLog.encodeExtraSchema(extra))
-    val premise = reader.load(path)
-      .filter(col("_file").isin(inputAbs: _*))
+    val premise =
+      if (resolved.stamp >= 0 &&
+          inputNames.forall(n => GraftLogNames.stamp(n) >= 0))
+        reader.option("asOfStamp", resolved.stamp).load(path)
+      else reader.load(path).filter(col("_file").isin(inputAbs: _*))
     // the shuffle/sort key: the named column, or the Morton interleave of
     // both columns' approximate-quantile ranks (64 buckets per dimension
     // -> a 12-bit z; the quantile pass is one driver-side sketch over the
@@ -3509,6 +3542,7 @@ object GraftLog {
     // contract for unknown-age data)
     val extraB = extra
     val pathB = path
+    val maxOriginsB = maxOrigins
     val parts = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val tmp = GraftFs.child(pathB,
         s".cluster-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
@@ -3525,12 +3559,26 @@ object GraftLog {
         }
         outOff += GraftLog.encodeRecord(os, r, extraB, 1, stats).toLong
       } finally os.close()
-      Iterator.single((pid, tmp, segs.result(), stats.result, outOff))
+      // max_origins cap: coalesce adjacent STAMPED spans (ascending by
+      // the sort above) into even chunks labeled by their newest member;
+      // the leading -1 (unknown-age) span never merges — see the scaladoc
+      val exact = segs.result()
+      val (out, coalesced) =
+        if (exact.length <= maxOriginsB) (exact, false)
+        else {
+          val unk = exact.takeWhile(_.stamp < 0)
+          val stamped = exact.drop(unk.length)
+          val budget = math.max(1, maxOriginsB - unk.length)
+          val per = math.ceil(stamped.length.toDouble / budget).toInt
+          (unk ++ stamped.grouped(per)
+            .map(g => GraftSegment(g.head.start, g.last.stamp)).toVector, true)
+        }
+      Iterator.single((pid, tmp, out, coalesced, stats.result, outOff))
     }.collect()
     // publish in range order (fresh stamps; the ORIGIN stamps live in the
     // segment map), then one CAS swap, then unlink the inputs
     val outFiles = Vector.newBuilder[GraftLiveFile]
-    parts.sortBy(_._1).foreach { case (pid, tmp, segs, stats, _) =>
+    parts.sortBy(_._1).foreach { case (pid, tmp, segs, coalesced, stats, _) =>
       if (GraftFs.length(tmp) == 0L) {
         require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); ()
       } else {
@@ -3538,7 +3586,7 @@ object GraftLog {
         val name = GraftLogNames.publish(GraftLogNames.nextStamp(), pid, s"s$pid-$uuid")
         require(GraftFs.rename(tmp, GraftFs.child(path, name)),
           s"cluster failed to publish $tmp -> $name")
-        outFiles += GraftLiveFile(name, Some(segs), stats)
+        outFiles += GraftLiveFile(name, Some(segs), stats, coalesced)
       }
     }
     val outs = outFiles.result()
@@ -3592,7 +3640,7 @@ object GraftLog {
     // ANY unstamped-origin segment is never expired (unknown age, same
     // minimal claim as for legacy names).
     val segsOf = snap.files.collect {
-      case GraftLiveFile(n, Some(ss), _) => (n, ss)
+      case GraftLiveFile(n, Some(ss), _, _) => (n, ss)
     }.toMap
     def retireStamp(name: String): Long = segsOf.get(name) match {
       case Some(ss) => if (ss.exists(_.stamp < 0)) -1L else ss.map(_.stamp).max
@@ -3793,6 +3841,19 @@ object GraftLog {
     val replayRepub = Set.newBuilder[String] // re-published pre-window rows
     val skippedDels = Set.newBuilder[String] // their re-published eq-dels
     commits.foreach { c =>
+      // a COALESCED segment map (cluster's max_origins cap) coarsens
+      // `_pub_stamp` upward by construction — an in-window coalesced file
+      // could classify pre-existing rows as inserts, so refuse loudly
+      // (pre-window coalesced files are net-zero: their relabeled stamps
+      // are FROM-snapshot stamps on both sides)
+      c.added.find(_.coalesced).foreach { f =>
+        throw new IllegalArgumentException(
+          s"table changes of $path between $fromStamp and $toStamp are " +
+            s"not derivable: the commit stamped ${c.stamp} added " +
+            s"${f.name} with a COALESCED segment map (cluster " +
+            "max_origins cap) — origin stamps are coarsened; compact " +
+            "before clustering to keep changelog-exact history")
+      }
       if (c.removed.nonEmpty) {
         val rewriteLike = c.added.nonEmpty && c.added.forall(_.segs.isDefined)
         if (!rewriteLike) {

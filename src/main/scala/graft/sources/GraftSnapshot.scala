@@ -277,10 +277,19 @@ private[sources] object GraftStats {
 }
 
 /** One live data file: its NAME (directory-relative) plus the optional
-  * compaction segment map (None = the whole file carries its name stamp). */
+  * compaction segment map (None = the whole file carries its name stamp).
+  * `coalesced` (round 19) marks a segment map whose origin-stamp spans
+  * were COALESCED under the cluster command's `max_origins` cap: each
+  * span is labeled with its NEWEST member stamp, so `_pub_stamp` is
+  * coarsened UPWARD for the affected rows — conservative everywhere it
+  * matters (incremental `> t` readers over-read and streaming consumers
+  * re-deliver, never lose; expire's data-age max is unchanged) — but no
+  * longer exact, so the changelog read refuses windows that add such a
+  * file rather than emit a silently wrong diff. */
 private[sources] case class GraftLiveFile(name: String,
     segs: Option[Vector[GraftSegment]],
-    stats: Option[GraftStats] = None) {
+    stats: Option[GraftStats] = None,
+    coalesced: Boolean = false) {
   /** Publish stamp governing `_pub_stamp` semantics per row range: the
     * name stamp for plain files; per-segment original stamps for
     * compacted files. */
@@ -649,19 +658,22 @@ private[sources] object GraftSnapshotIO {
   /** Strict record parsers: manifests are written only by this object, so
     * an unreadable line is corruption and must fail loudly, not resolve
     * to a silently-smaller table. */
-  /** F-line record: `F <name>[ <segs>][ Z<stats>][ Y<etype>][ W<extra>...]`
+  /** F-line record: `F <name>[ <segs>][ C][ Z<stats>][ Y<etype>][ W<extra>...]`
     * — optional tokens, self-describing by first character (a stats token
-    * starts with 'Z', string bounds 'Y', evolved-column bounds 'W', a
-    * segment spec with a digit). */
+    * starts with 'Z', string bounds 'Y', evolved-column bounds 'W', the
+    * coalesced-segments flag is the bare 'C' (round 19), a segment spec
+    * starts with a digit). */
   private def parseF(name: String, toks: Seq[String],
       where: String): GraftLiveFile = {
     var segs: Option[Vector[GraftSegment]] = None
     var stats: Option[GraftStats] = None
     var etype: Option[GraftBinBounds] = None
+    var coalesced = false
     val extras = Map.newBuilder[Int, GraftColBounds]
     var anyExtra = false
     toks.foreach { tok =>
-      if (tok.startsWith("Z")) stats = Some(GraftStats.decode(tok, where))
+      if (tok == "C") coalesced = true
+      else if (tok.startsWith("Z")) stats = Some(GraftStats.decode(tok, where))
       else if (tok.startsWith("Y"))
         etype = Some(GraftBinBounds.decode(tok.substring(1), where))
       else if (tok.startsWith("W")) {
@@ -681,8 +693,10 @@ private[sources] object GraftSnapshotIO {
     }
     require(stats.isDefined || (etype.isEmpty && !anyExtra),
       s"Y/W bounds without a Z stats token for $name in $where")
+    require(!coalesced || segs.isDefined,
+      s"coalesced flag without a segment map for $name in $where")
     GraftLiveFile(name, segs,
-      stats.map(_.copy(etype = etype, extras = extras.result())))
+      stats.map(_.copy(etype = etype, extras = extras.result())), coalesced)
   }
 
   private def parseSnapshotLines(lines: Array[String],
@@ -728,6 +742,7 @@ private[sources] object GraftSnapshotIO {
       f.segs.foreach { ss =>
         sb.append(' ').append(ss.map(s => s"${s.start}:${s.stamp}").mkString(","))
       }
+      if (f.coalesced && f.segs.isDefined) sb.append(" C")
       f.stats.foreach { st =>
         sb.append(' ').append(st.encode)
         st.etype.foreach(b => sb.append(" Y").append(b.encode))
@@ -1232,6 +1247,10 @@ private[graft] object GraftSnapshotTestHook {
   def segmentsOf(path: String, name: String): Option[Seq[(Long, Long)]] =
     GraftSnapshotIO.resolve(path).files.find(_.name == name)
       .flatMap(_.segs).map(_.map(s => (s.start, s.stamp)))
+  /** Whether a live file's segment map was coalesced (round 19 cap). */
+  def coalescedOf(path: String, name: String): Boolean =
+    GraftSnapshotIO.resolve(path).files.find(_.name == name)
+      .exists(_.coalesced)
   def deleteFiles(path: String): Seq[String] =
     GraftSnapshotIO.resolve(path).deletes.keys.toSeq.sorted
   /** Delete-file coverage index (name -> covered data files) — the r18

@@ -523,6 +523,69 @@ class GraftSnapshotSpec extends SparkTestBase {
       "low-zone corrections did not replace")
   }
 
+  test("cluster max_origins coalesces segment maps conservatively: over-deliver, never lose") {
+    // r18 verdict #4: clustering F files into K outputs writes O(F x K)
+    // segment entries — the cap coalesces adjacent stamped spans, each
+    // labeled with its NEWEST member, and flags the file. Conservative
+    // on every consumer: incremental `> t` over-reads (never under),
+    // expire's data-age max is exact, changelog reads refuse loudly.
+    val dir = Scratch.dir("graftsnap_coalesce")
+    val ten = events.orderBy("event_id").limit(10).collect()
+    // ten single-row appends = ten distinct origin stamps
+    ten.foreach { r =>
+      events.filter(col("event_id") === r.getLong(0)).repartition(1)
+        .write.format("graftlog").mode("append").save(dir)
+    }
+    val preStamp = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val read0 = spark.read.format("graftlog").load(dir)
+    val stamps = read0.select(col("_pub_stamp")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(stamps.length == 10, s"fixture: expected 10 origin stamps, got ${stamps.length}")
+    val byStamp = read0.select(col("_pub_stamp"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (b, a, _) = sources.GraftLog.cluster(spark, dir, "event_id", 1L << 30,
+      maxOrigins = 4)
+    assert(b == 10 && a == 1, s"fixture: expected 10 -> 1 files, got $b -> $a")
+    val out = sources.GraftSnapshotTestHook.liveNames(dir).head
+    val segs = sources.GraftSnapshotTestHook.segmentsOf(dir, out).get
+    assert(segs.size <= 4, s"max_origins=4 must cap the map, got ${segs.size} entries")
+    assert(sources.GraftSnapshotTestHook.coalescedOf(dir, out),
+      "a capped map must carry the coalesced flag through the manifest")
+    // rows intact
+    val t = spark.read.format("graftlog").load(dir)
+    assert(t.count() == 10, "coalescing lost rows")
+    // newest-label direction: `_pub_stamp > t` must return a SUPERSET of
+    // the truly-newer rows (over-deliver), never lose one
+    val cut = stamps(6)
+    val trueNew = byStamp.filter(_._1 > cut).values.toSet
+    val got = t.filter(col("_pub_stamp") > cut)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(trueNew.subsetOf(got),
+      s"coalescing LOST incremental rows: missing ${trueNew -- got}")
+    // expire keys on max(origin): the newest label keeps the data-age
+    // clock exact — the file survives a horizon at its true max stamp
+    val (gone, _, _) = sources.GraftLog.expire(dir, stamps.last)
+    assert(gone == 0, "coalescing aged the file below its newest origin")
+    // changelog windows crossing a coalesced rewrite refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      sources.GraftLog.readChanges(spark, dir, preStamp,
+        sources.GraftLog.testLatestSnapshotStamp(dir)).collect()
+    }
+    assert(err.getMessage.contains("COALESCED"),
+      s"expected the coalesced-window refusal, got: ${err.getMessage}")
+    // an UNCAPPED cluster on the same shape stays exact (no flag)
+    val dir2 = Scratch.dir("graftsnap_coalesce_exact")
+    ten.take(5).foreach { r =>
+      events.filter(col("event_id") === r.getLong(0)).repartition(1)
+        .write.format("graftlog").mode("append").save(dir2)
+    }
+    sources.GraftLog.cluster(spark, dir2, "event_id", 1L << 30)
+    val out2 = sources.GraftSnapshotTestHook.liveNames(dir2).head
+    assert(!sources.GraftSnapshotTestHook.coalescedOf(dir2, out2))
+    assert(sources.GraftSnapshotTestHook.segmentsOf(dir2, out2).get.size == 5,
+      "an uncapped cluster must keep per-origin exact maps")
+  }
+
   test("upsert keeps the last row per key within one epoch — same task and across source files") {
     // r18 verdict weak component: eq-delete coverage must exclude the
     // epoch's own publishes, so WITHOUT the round-19 fix a key written
