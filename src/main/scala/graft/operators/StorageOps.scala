@@ -1600,7 +1600,54 @@ object StorageOps extends QueryModule {
       |  FROM events WHERE event_id < 30000 AND event_id % 5 = 0
       |) ORDER BY _change_type, event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Column RENAME via stable slot ids (round 19, r18 verdict #5): the
+  // record tail and the manifest's W zone-map tokens are positional by
+  // SLOT, so a rename is metadata-only — records written under the OLD
+  // name read through the NEW one, with the slot-indexed zone maps still
+  // pruning. The fixture writes one wave under `score`, renames to
+  // `quality`, writes a second wave under the new name with a DIFFERENT
+  // formula, and filters on `quality`: both generations must answer.
+  // ------------------------------------------------------------------
+  def dsv2Renamed(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.ren_ev")
+    s.sql("CREATE TABLE graftq.ren_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    s.sql("ALTER TABLE graftq.ren_ev ADD COLUMN score DOUBLE")
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 30000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.filter(col("event_id") % 2 === 0)
+      .withColumn("score",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value") * lit(0.5)))
+      .repartitionByRange(4, col("score")).sortWithinPartitions("score")
+      .writeTo("graftq.ren_ev").append()
+    s.sql("ALTER TABLE graftq.ren_ev RENAME COLUMN score TO quality")
+    ev.filter(col("event_id") % 2 === 1)
+      .withColumn("quality", col("value") * lit(0.25))
+      .repartitionByRange(4, col("quality")).sortWithinPartitions("quality")
+      .writeTo("graftq.ren_ev").append()
+    s.table("graftq.ren_ev")
+      .filter(col("quality") > 40.0)
+      .orderBy(col("event_id"))
+  }
+
+  val dsv2RenamedSql: String =
+    """SELECT event_id, user_id, value, event_type,
+      |  CASE WHEN event_id % 2 = 0 THEN value * 0.5
+      |       ELSE value * 0.25 END AS quality
+      |FROM events
+      |WHERE event_id < 30000
+      |  AND CASE WHEN event_id % 2 = 0
+      |        THEN event_id % 7 <> 0 AND value * 0.5 > 40.0
+      |        ELSE value * 0.25 > 40.0 END
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_dsv2_renamed" -> (dsv2Renamed _),
     "scan_dsv2_changes" -> (dsv2Changes _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
@@ -1646,6 +1693,7 @@ object StorageOps extends QueryModule {
     "stream_dsv2_complete" -> (dsv2StreamComplete _))
 
   def oracles: Map[String, String] = Map(
+    "scan_dsv2_renamed" -> dsv2RenamedSql,
     "scan_dsv2_changes" -> dsv2ChangesSql,
     "json_roundtrip" -> jsonRoundtripSql,
     "orc_roundtrip" -> orcRoundtripSql,

@@ -139,8 +139,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       (if (ret.unlinkGraceMs > 0)
         Seq(s""""unlink_grace_ms":${ret.unlinkGraceMs}""") else Nil) ++
       (if (extra.nonEmpty)
+        // a third "d" element tombstones the SLOT (round 19): dropped
+        // columns keep their tail position (the slot index is the stable
+        // field id) under the reserved `_dropped_<slot>` placeholder name
         Seq(s""""extra_cols":[${extra.map(f =>
-          s"""["${f.name}","${typeName(f.dataType)}"]""").mkString(",")}]""")
+          s"""["${f.name}","${typeName(f.dataType)}"""" +
+            (if (GraftLog.droppedCol(f)) ""","d"]""" else "]")).mkString(",")}]""")
       else Nil)
     // tmp + CAS rename, the same atomic-claim discipline as the snapshot
     // manifest: a crash mid-write leaves only an invisible tmp (readMeta
@@ -169,15 +173,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       """,?(?:"merge_mode":"(merge-on-read)")?""" +
       """,?(?:"snapshot_retain":(true))?""" +
       """,?(?:"unlink_grace_ms":(\d+))?""" +
-      """,?(?:"extra_cols":\[((?:\["[A-Za-z0-9_]+","(?:bigint|double|string)"\],?)*)\])?\}""").r
-    val colRe = """\["([A-Za-z0-9_]+)","(bigint|double|string)"\]""".r
+      """,?(?:"extra_cols":\[((?:\["[A-Za-z0-9_]+","(?:bigint|double|string)"(?:,"d")?\],?)*)\])?\}""").r
+    val colRe = """\["([A-Za-z0-9_]+)","(bigint|double|string)"(,"d")?\]""".r
     text match {
       case re(col, n, dMode, uMode, mMode, retain, graceMs, extras) =>
         val bucket = Option(col).map(c =>
           GraftLogBucketSpec(GraftLog.ordinal(c), n.toInt))
-        val extra = Option(extras).map(s => colRe.findAllMatchIn(s).map(m =>
-          org.apache.spark.sql.types.StructField(m.group(1), typeOf(m.group(2)),
-            nullable = true)).toArray)
+        val extra = Option(extras).map(s => colRe.findAllMatchIn(s).map { m =>
+          val f = org.apache.spark.sql.types.StructField(m.group(1),
+            typeOf(m.group(2)), nullable = true)
+          if (m.group(3) != null) f.copy(metadata = GraftLog.DROPPED_META) else f
+        }.toArray)
           .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
         val modes = GraftLogModes(
           Option(dMode).getOrElse(GraftLog.COPY_ON_WRITE),
@@ -354,16 +360,35 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         case Some((_, seq)) =>
           val (bucket, modes, ret, extra0) = readMeta(dir)
           var extra = extra0
+          def validName(name: String, what: String): Unit = {
+            require(name.matches("[A-Za-z0-9_]+"),
+              s"$what column name must be [A-Za-z0-9_]+: '$name'")
+            require(!name.startsWith("_dropped"),
+              s"'_dropped' prefixed names are reserved for tombstoned slots: '$name'")
+          }
+          def takenNames: Set[String] =
+            GraftLog.schema.fieldNames.toSet ++ extra.map(_.name) ++
+              Set("_file", "_bucket", "_pub_stamp", "_pos")
+          /** Slot of an ACTIVE evolved column, with the loud contracts a
+            * rename/drop shares: base columns are the fixed-offset format
+            * (their names are the pushdown/bucketing/upsert contract) and
+            * cannot change; unknown names fail. */
+          def activeSlot(name: String, what: String): Int = {
+            require(GraftLog.ordinal(name) < 0,
+              s"base column '$name' is the fixed-offset format contract " +
+                s"and cannot be ${what}ed")
+            val i = extra.indexWhere(f =>
+              f.name == name && !GraftLog.droppedCol(f))
+            require(i >= 0, s"no such column '$name' on $dir")
+            i
+          }
           changes.foreach {
             case add: TableChange.AddColumn =>
               require(add.fieldNames().length == 1,
                 s"graft tables have no nested columns: ${add.fieldNames().mkString(".")}")
               val name = add.fieldNames()(0)
-              require(name.matches("[A-Za-z0-9_]+"),
-                s"added column name must be [A-Za-z0-9_]+: '$name'")
-              val taken = GraftLog.schema.fieldNames.toSet ++ extra.map(_.name) ++
-                Set("_file", "_bucket", "_pub_stamp", "_pos")
-              if (taken.contains(name)) throw new GraftConflictException(
+              validName(name, "added")
+              if (takenNames.contains(name)) throw new GraftConflictException(
                 s"column '$name' already exists on $dir")
               require(GraftLog.extraTypeSupported(add.dataType()),
                 s"added columns support BIGINT/DOUBLE/STRING; got ${add.dataType().simpleString}")
@@ -374,9 +399,39 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
                 "added columns APPEND only (the record tail is positional)")
               extra = extra :+ org.apache.spark.sql.types.StructField(
                 name, add.dataType(), nullable = true)
+            // RENAME (round 19): metadata-only — the slot index is the
+            // stable field id, the record tail and the W zone-map tokens
+            // are slot-positional, so history reads through the new name
+            // with its bounds still pruning
+            case ren: TableChange.RenameColumn =>
+              require(ren.fieldNames().length == 1,
+                s"graft tables have no nested columns: ${ren.fieldNames().mkString(".")}")
+              val i = activeSlot(ren.fieldNames()(0), "renam")
+              validName(ren.newName(), "renamed")
+              if (takenNames.contains(ren.newName()))
+                throw new GraftConflictException(
+                  s"column '${ren.newName()}' already exists on $dir")
+              extra = extra.updated(i, extra(i).copy(name = ren.newName()))
+            // DROP (round 19): tombstone the slot under the reserved
+            // placeholder — old records keep their bytes (readers skip
+            // them), new records encode the slot as absent, and a later
+            // ADD of the same name is a NEW slot, all-null for history
+            case del: TableChange.DeleteColumn =>
+              require(del.fieldNames().length == 1,
+                s"graft tables have no nested columns: ${del.fieldNames().mkString(".")}")
+              val name = del.fieldNames()(0)
+              val missing = GraftLog.ordinal(name) < 0 &&
+                !extra.exists(f => f.name == name && !GraftLog.droppedCol(f))
+              if (missing && del.ifExists()) ()
+              else {
+                val i = activeSlot(name, "dropp")
+                extra = extra.updated(i, org.apache.spark.sql.types.StructField(
+                  s"_dropped_$i", extra(i).dataType, nullable = true,
+                  metadata = GraftLog.DROPPED_META))
+              }
             case other => throw new UnsupportedOperationException(
-              s"graft tables support ADD COLUMN only; got $other " +
-                "(drops/renames/type changes would re-interpret bytes already on disk)")
+              s"graft tables support ADD/RENAME/DROP COLUMN only; got $other " +
+                "(type changes/reorders would re-interpret bytes already on disk)")
           }
           if (writeMetaAt(dir, seq + 1, bucket, modes, ret, extra))
             return new GraftLogTable(dir, bucket, modes, extra, None, ret)

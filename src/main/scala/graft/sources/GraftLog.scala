@@ -196,7 +196,7 @@ private[sources] class GraftLogTable(path: String,
   override def name(): String =
     s"graftlog($path)" + asOf.map(s => s"@$s").getOrElse("")
   override def schema(): StructType =
-    StructType(GraftLog.schema.fields ++ extra)
+    StructType(GraftLog.schema.fields ++ GraftLog.activeExtra(extra))
   override def metadataColumns(): Array[MetadataColumn] = GraftLog.metadataColumns
 
   // Conditional DELETE/UPDATE/MERGE go through the group-based rewrite
@@ -316,7 +316,7 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
     // positional writes would silently swap misordered columns into the
     // wrong fixed-offset fields — require the exact table schema up front
     val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
-    val want = (GraftLog.schema.fields ++ extra).map(f => (f.name, f.dataType)).toSeq
+    val want = (GraftLog.schema.fields ++ GraftLog.activeExtra(extra)).map(f => (f.name, f.dataType)).toSeq
     require(got == want,
       s"graftlog write schema must be exactly $want (in order); got $got — " +
         "select the columns in table order before writing")
@@ -836,7 +836,7 @@ private class GraftLogRewriteOperation(path: String,
       // positional writers: require the exact data schema, in order (the
       // rewrite plan projects metadata columns away before the write)
       val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
-      val want = (GraftLog.schema.fields ++ extra).map(f => (f.name, f.dataType)).toSeq
+      val want = (GraftLog.schema.fields ++ GraftLog.activeExtra(extra)).map(f => (f.name, f.dataType)).toSeq
       require(got == want,
         s"replace-data write schema must be exactly $want; got $got")
       bucket match {
@@ -867,7 +867,7 @@ private class GraftLogRewriteOperation(path: String,
 private class GraftLogRewriteScanBuilder(path: String, op: GraftLogRewriteOperation)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  private var required: StructType = StructType(GraftLog.schema.fields ++ op.extra)
+  private var required: StructType = StructType(GraftLog.schema.fields ++ GraftLog.activeExtra(op.extra))
   private var groupHint: Array[Filter] = Array.empty
   override def pruneColumns(r: StructType): Unit = required = r
   // GROUP-SELECTION pushdown: Spark's GroupBasedRowLevelOperationScanPlanning
@@ -1392,7 +1392,7 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
   private var pushedV2: Array[V2Predicate] = Array.empty
   private var pushed: Array[Filter] = Array.empty
   private var stampPushed: Array[Filter] = Array.empty
-  private var required: StructType = StructType(GraftLog.schema.fields ++ extra)
+  private var required: StructType = StructType(GraftLog.schema.fields ++ GraftLog.activeExtra(extra))
 
   // V2 Predicate pushdown (round 15; replaces the v1 Filter ADT — the
   // modern DSv2 contract): each conjunct arrives as a connector Predicate
@@ -3067,21 +3067,42 @@ object GraftLog {
         case other => throw new IllegalArgumentException(
           s"unsupported added-column type $other")
       }
-      s"${f.name}:$kind"
+      s"${f.name}:$kind" + (if (droppedCol(f)) ":d" else "")
     }.mkString(",")
   private[sources] def decodeExtraSchema(spec: String): Array[StructField] =
     spec.split(',').filter(_.nonEmpty).map { part =>
-      val i = part.indexOf(':')
-      require(i > 0, s"bad evolvedSchema entry '$part'")
-      val dt = part.substring(i + 1) match {
+      val toks = part.split(':')
+      require(toks.length == 2 || (toks.length == 3 && toks(2) == "d"),
+        s"bad evolvedSchema entry '$part'")
+      val dt = toks(1) match {
         case "bigint" => LongType
         case "double" => DoubleType
         case "string" => StringType
         case other => throw new IllegalArgumentException(
           s"bad evolvedSchema type '$other' in '$part'")
       }
-      StructField(part.substring(0, i), dt, nullable = true)
+      val f = StructField(toks(0), dt, nullable = true)
+      if (toks.length == 3) f.copy(metadata = DROPPED_META) else f
     }
+
+  // ---- schema evolution: column SLOTS vs ACTIVE columns (round 19) ----
+  // The record tail and the manifest's W zone-map tokens are POSITIONAL
+  // by slot: the slot index is the column's stable field id (slots are
+  // append-only and never physically removed, so the id never moves).
+  // RENAME is a metadata-only name change on a slot (history reads
+  // through the new name; the slot-indexed W bounds keep pruning). DROP
+  // tombstones the slot: its name becomes the reserved
+  // `_dropped_<slot>` placeholder (user columns cannot take that
+  // prefix), readers still walk its bytes in old records but never
+  // project it, writers encode it as absent, and a later ADD — even of
+  // the same name — is a NEW slot with a new id, all-null for history.
+  private[sources] val DROPPED_META = new org.apache.spark.sql.types.MetadataBuilder()
+    .putBoolean("graft.dropped", true).build()
+  private[sources] def droppedCol(f: StructField): Boolean =
+    f.metadata.contains("graft.dropped") && f.metadata.getBoolean("graft.dropped")
+  /** The Spark-visible evolved columns: every non-tombstoned slot. */
+  private[sources] def activeExtra(extra: Array[StructField]): Array[StructField] =
+    if (extra.exists(droppedCol)) extra.filterNot(droppedCol) else extra
 
   /** Encode one row: the fixed base (len-prefixed, fixed offsets — the
     * pushdown contract) + the schema-evolution tail, one
@@ -3110,19 +3131,24 @@ object GraftLog {
       if (extra.isEmpty) null
       else {
         val vs = new Array[AnyRef](extra.length)
-        var i = 0
+        var i = 0 // slot index (the record tail is positional by slot)
+        var ro = 0 // row ordinal among ACTIVE columns (Spark's view)
         while (i < extra.length) {
-          if (r.isNullAt(off + 4 + i)) { vs(i) = null; extraLen += 1 }
-          else extra(i).dataType match {
-            case LongType => vs(i) = Long.box(r.getLong(off + 4 + i)); extraLen += 9
-            case DoubleType => vs(i) = Double.box(r.getDouble(off + 4 + i)); extraLen += 9
-            case StringType =>
-              val b = r.getUTF8String(off + 4 + i).getBytes
-              require(b.length <= Short.MaxValue,
-                s"${extra(i).name} exceeds the format's int16 length field (${b.length} bytes)")
-              vs(i) = b; extraLen += 3 + b.length
-            case other => throw new IllegalStateException(
-              s"unencodable added-column type $other") // alterTable validates
+          if (droppedCol(extra(i))) { vs(i) = null; extraLen += 1 }
+          else {
+            if (r.isNullAt(off + 4 + ro)) { vs(i) = null; extraLen += 1 }
+            else extra(i).dataType match {
+              case LongType => vs(i) = Long.box(r.getLong(off + 4 + ro)); extraLen += 9
+              case DoubleType => vs(i) = Double.box(r.getDouble(off + 4 + ro)); extraLen += 9
+              case StringType =>
+                val b = r.getUTF8String(off + 4 + ro).getBytes
+                require(b.length <= Short.MaxValue,
+                  s"${extra(i).name} exceeds the format's int16 length field (${b.length} bytes)")
+                vs(i) = b; extraLen += 3 + b.length
+              case other => throw new IllegalStateException(
+                s"unencodable added-column type $other") // alterTable validates
+            }
+            ro += 1
           }
           if (stats != null) stats.addExtra(i, vs(i))
           i += 1
@@ -3465,13 +3491,13 @@ object GraftLog {
     require(byCols.length == 1 || byCols.length == 2,
       s"cluster by takes one column or two comma-separated columns, got '$byCol'")
     byCols.foreach(c => require(
-      GraftLog.schema.fieldNames.contains(c) || extra.exists(_.name == c),
+      GraftLog.schema.fieldNames.contains(c) || GraftLog.activeExtra(extra).exists(_.name == c),
       s"cluster by must name table columns (zone-mapped: " +
-        s"${(GraftLog.schema.fieldNames ++ extra.map(_.name)).mkString("/")}), " +
+        s"${(GraftLog.schema.fieldNames ++ GraftLog.activeExtra(extra).map(_.name)).mkString("/")}), " +
         s"got '$c'"))
     if (byCols.length == 2)
       byCols.foreach { c =>
-        val dt = (GraftLog.schema.fields ++ extra).find(_.name == c).get.dataType
+        val dt = (GraftLog.schema.fields ++ GraftLog.activeExtra(extra)).find(_.name == c).get.dataType
         require(dt == LongType || dt == DoubleType,
           s"Z-order clustering interleaves NUMERIC ranks; '$c' is $dt " +
             "(single-column cluster supports strings)")
@@ -3498,7 +3524,10 @@ object GraftLog {
     // a manifest-less legacy landing, or unstamped foreign files that
     // time travel (correctly) refuses to see.
     import org.apache.spark.sql.functions.col
-    val cols = (GraftLog.schema.fields ++ extra).map(f => col(f.name))
+    // the rewrite rows carry the ACTIVE columns (Spark's view); the
+    // encoder writes tombstoned slots as absent, so a dropped column's
+    // bytes physically vanish on rewrite — Iceberg's rewrite semantics
+    val cols = (GraftLog.schema.fields ++ GraftLog.activeExtra(extra)).map(f => col(f.name))
     val reader = spark.read.format("graftlog")
     if (extra.nonEmpty)
       reader.option("evolvedSchema", GraftLog.encodeExtraSchema(extra))
@@ -3797,7 +3826,7 @@ object GraftLog {
       s"no snapshot of $path at or before stamp $fromStamp (older than " +
         "the retained history, or before the table existed)")
     val iTo = heads.lastIndexWhere(_._1 <= toStamp)
-    val schemaAll = StructType((GraftLog.schema.fields ++ extra) ++ Seq(
+    val schemaAll = StructType((GraftLog.schema.fields ++ GraftLog.activeExtra(extra)) ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_change_stamp", LongType, nullable = true)))
     if (iTo == iFrom)
@@ -3913,7 +3942,7 @@ object GraftLog {
         }
       }
     }
-    val tableCols = (GraftLog.schema.fields ++ extra).map(f => col(f.name))
+    val tableCols = (GraftLog.schema.fields ++ GraftLog.activeExtra(extra)).map(f => col(f.name))
     def reader = {
       val r = spark.read.format("graftlog")
       if (extra.nonEmpty) r.option("evolvedSchema", encodeExtraSchema(extra))

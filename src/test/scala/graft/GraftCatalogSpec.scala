@@ -532,15 +532,19 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(postDel.filter(col("event_id") % 2 =!= 0 && col("score").isNull &&
       col("event_id") < 9000000L).count() == 0,
       "rewrite dropped added-column values")
-    // unsafe changes are rejected loudly
+    // unsafe changes are rejected loudly (RENAME/DROP of EVOLVED columns
+    // became supported in round 19 — see the slot-positional spec; base
+    // columns and type changes stay refused)
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.evo_t ADD COLUMNS (bad TIMESTAMP)") }
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.evo_t ADD COLUMNS (score DOUBLE)") }
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.evo_t DROP COLUMN tag") }
+      spark.sql("ALTER TABLE graft.evo_t DROP COLUMN event_id") }
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.evo_t RENAME COLUMN tag TO tag2") }
+      spark.sql("ALTER TABLE graft.evo_t RENAME COLUMN value TO v2") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo_t ALTER COLUMN score TYPE STRING") }
   }
 
   test("time travel: VERSION/TIMESTAMP AS OF resolve the manifest history; pinned tables are read-only") {
@@ -865,6 +869,66 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     val metas = dir.listFiles().map(_.getName).filter(_.startsWith("_graft_table."))
     assert(metas.toSeq == Seq("_graft_table.json"),
       s"CREATE must not mint versioned metadata over a legacy table: ${metas.toSeq}")
+  }
+
+  test("RENAME/DROP evolved columns: slot-positional history, re-add is a new slot") {
+    // r18 verdict #5: the slot index is the stable field id — the record
+    // tail and the W zone-map tokens are slot-positional, so RENAME is
+    // metadata-only (history reads through the new name), DROP tombstones
+    // the slot (bytes skipped, never re-interpreted), and re-ADDing a
+    // dropped name is a NEW slot that reads all-null for history even
+    // under a different type.
+    spark.sql("CREATE TABLE graft.evo2 (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    spark.sql("ALTER TABLE graft.evo2 ADD COLUMN a BIGINT")
+    spark.sql("ALTER TABLE graft.evo2 ADD COLUMN b STRING")
+    val w1 = events.orderBy("event_id").limit(10)
+      .withColumn("a", col("event_id") * 10L)
+      .withColumn("b", col("event_type"))
+    w1.writeTo("graft.evo2").append()
+    val sumA = w1.agg(sum(col("a"))).collect()(0).getLong(0)
+    // RENAME: pre-rename records read through the new name
+    spark.sql("ALTER TABLE graft.evo2 RENAME COLUMN a TO a2")
+    assert(spark.table("graft.evo2").agg(sum(col("a2"))).collect()(0).getLong(0) == sumA,
+      "pre-rename records must read through the new name")
+    assert(!spark.table("graft.evo2").columns.contains("a"))
+    // the slot-indexed zone maps survive the rename: a range filter on
+    // the NEW name over the OLD files answers exactly
+    assert(spark.table("graft.evo2").filter(col("a2") > lit(sumA)).count() == 0)
+    val loA = w1.agg(min(col("a"))).collect()(0).getLong(0)
+    assert(spark.table("graft.evo2").filter(col("a2") === loA).count() == 1)
+    // DROP: the column leaves the schema; data stays intact
+    spark.sql("ALTER TABLE graft.evo2 DROP COLUMN b")
+    assert(!spark.table("graft.evo2").columns.contains("b"))
+    assert(spark.table("graft.evo2").count() == 10)
+    // re-ADD the dropped name with a DIFFERENT type: a fresh slot — old
+    // records read NULL, new records carry it
+    spark.sql("ALTER TABLE graft.evo2 ADD COLUMN b DOUBLE")
+    events.orderBy(desc("event_id")).limit(4)
+      .withColumn("a2", lit(7L)).withColumn("b", lit(1.5))
+      .writeTo("graft.evo2").append()
+    val t = spark.table("graft.evo2")
+    assert(t.count() == 14)
+    assert(t.filter(col("b") === 1.5).count() == 4,
+      "new-slot values must read back")
+    assert(t.filter(col("b").isNull).count() == 10,
+      "history must read the re-added slot as null")
+    // writes after the drop round-trip through compaction (the tombstone
+    // slot encodes as absent; the absorb/recode paths walk it)
+    spark.sql("CALL graft.system.compact(table => 'evo2')").collect()
+    assert(spark.table("graft.evo2").filter(col("b") === 1.5).count() == 4)
+    assert(spark.table("graft.evo2").agg(sum(col("a2"))).collect()(0).getLong(0)
+      == sumA + 4 * 7L)
+    // contracts stay loud: base columns are the format
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo2 RENAME COLUMN event_id TO eid")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo2 DROP COLUMN value")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo2 RENAME COLUMN a2 TO event_id")
+    }
   }
 
   test("changelog read: an incremental aggregate maintained from the change feed equals the full recompute") {
