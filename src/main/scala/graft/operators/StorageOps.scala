@@ -1646,7 +1646,60 @@ object StorageOps extends QueryModule {
       |        ELSE value * 0.25 > 40.0 END
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Writable branches (round 19, r18 verdict #7): write-audit-publish.
+  // The fixture appends the even keys to main, forks a branch, STAGES
+  // the odd keys onto it, and snapshots all three observable states —
+  // main while staged (evens only: isolation), the branch view (all
+  // rows), and main after the atomic fast-forward publish (all rows).
+  // Pre-publish states are materialized eagerly (collect) because the
+  // publish mutates what a lazy plan would re-read.
+  // ------------------------------------------------------------------
+  def dsv2Branch(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.br_ev")
+    s.sql("CREATE TABLE graftq.br_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val sink = catalogWarehouse + "/br_ev"
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 30000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.filter(col("event_id") % 2 === 0).writeTo("graftq.br_ev").append()
+    s.sql("CALL graftq.system.branch(table => 'br_ev', name => 'fix')").collect()
+    ev.filter(col("event_id") % 2 === 1)
+      .writeTo("graftq.br_ev").option("branch", "fix").append()
+    val mainStaged = s.table("graftq.br_ev").collect()
+    val branchView = s.read.format("graftlog").option("branch", "fix")
+      .load(sink)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .collect()
+    s.sql("CALL graftq.system.publish_branch(table => 'br_ev', name => 'fix')").collect()
+    val sch = s.table("graftq.br_ev").schema
+    def phased(rows: Array[org.apache.spark.sql.Row], phase: String) =
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 4), sch)
+        .withColumn("phase", lit(phase))
+    phased(mainStaged, "a_staged_main")
+      .unionByName(phased(branchView, "b_branch"))
+      .unionByName(s.table("graftq.br_ev").withColumn("phase", lit("c_published")))
+      .orderBy(col("phase"), col("event_id"))
+  }
+
+  val dsv2BranchSql: String =
+    """SELECT event_id, user_id, value, event_type, phase FROM (
+      |  SELECT event_id, user_id, value, event_type,
+      |         'a_staged_main' AS phase
+      |  FROM events WHERE event_id < 30000 AND event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id, user_id, value, event_type, 'b_branch'
+      |  FROM events WHERE event_id < 30000
+      |  UNION ALL
+      |  SELECT event_id, user_id, value, event_type, 'c_published'
+      |  FROM events WHERE event_id < 30000
+      |) ORDER BY phase, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_dsv2_branch" -> (dsv2Branch _),
     "scan_dsv2_renamed" -> (dsv2Renamed _),
     "scan_dsv2_changes" -> (dsv2Changes _),
     "json_roundtrip" -> (jsonRoundtrip _),
@@ -1693,6 +1746,7 @@ object StorageOps extends QueryModule {
     "stream_dsv2_complete" -> (dsv2StreamComplete _))
 
   def oracles: Map[String, String] = Map(
+    "scan_dsv2_branch" -> dsv2BranchSql,
     "scan_dsv2_renamed" -> dsv2RenamedSql,
     "scan_dsv2_changes" -> dsv2ChangesSql,
     "json_roundtrip" -> jsonRoundtripSql,

@@ -475,7 +475,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       Identifier.of(namespace, "expire_snapshots"),
       Identifier.of(namespace, "snapshots"),
       Identifier.of(namespace, "tag"), Identifier.of(namespace, "drop_tag"),
-      Identifier.of(namespace, "tags"))
+      Identifier.of(namespace, "tags"),
+      Identifier.of(namespace, "branch"),
+      Identifier.of(namespace, "publish_branch"),
+      Identifier.of(namespace, "drop_branch"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name() match {
     case "compact" => new GraftCompactProcedure(this)
@@ -486,10 +489,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     case "tag" => new GraftTagProcedure(this, drop = false)
     case "drop_tag" => new GraftTagProcedure(this, drop = true)
     case "tags" => new GraftTagsListProcedure(this)
+    case "branch" => new GraftBranchProcedure(this, GraftBranchProcedure.CREATE)
+    case "publish_branch" => new GraftBranchProcedure(this, GraftBranchProcedure.PUBLISH)
+    case "drop_branch" => new GraftBranchProcedure(this, GraftBranchProcedure.DROP)
     case other => throw new IllegalArgumentException(
       s"no such procedure ${(ident.namespace() :+ other).mkString(".")} " +
         "in the graft catalog (available: compact, cluster, expire, " +
-        "expire_snapshots, snapshots, tag, drop_tag, tags)")
+        "expire_snapshots, snapshots, tag, drop_tag, tags, branch, " +
+        "publish_branch, drop_branch)")
   }
 
   /** Resolve a table name (optionally namespaced with dots) used as a
@@ -636,6 +643,81 @@ private class GraftTagProcedure(cat: GraftCatalog, drop: Boolean)
                 stamp)))
         }
       }
+    java.util.List.of(out).iterator()
+  }
+}
+
+/** Writable-branch procedures (round 19; write-audit-publish):
+  * `CALL system.branch(table, name)` forks a branch at the current tip;
+  * staged writes go `df.writeTo(t).option("branch", name).append()` /
+  * `df.write.format("graftlog").option("branch", name)` and audit reads
+  * `spark.read...option("branch", name)` — invisible to main readers.
+  * `CALL system.publish_branch(table, name)` fast-forwards the staged
+  * change into main atomically (one CAS commit; a main commit since the
+  * fork fails loudly). `CALL system.drop_branch(table, name)` abandons
+  * the staged files. Returns (name, stamp) / (name, files_published) /
+  * (name, existed). */
+private object GraftBranchProcedure {
+  val CREATE = 0; val PUBLISH = 1; val DROP = 2
+}
+private class GraftBranchProcedure(cat: GraftCatalog, mode: Int)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField}
+  import GraftBranchProcedure._
+
+  override def name(): String = mode match {
+    case CREATE => "branch"; case PUBLISH => "publish_branch"; case _ => "drop_branch"
+  }
+  override def description(): String = mode match {
+    case CREATE => "fork a writable branch at the table's current tip"
+    case PUBLISH => "atomically fast-forward a branch's staged appends into main"
+    case _ => "abandon a branch and unlink its staged files"
+  }
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name within this catalog").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("branch name ([A-Za-z0-9_]+)").build())
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.resolveTableDir(input.getUTF8String(0).toString)
+    val branchName = input.getUTF8String(1).toString
+    val nameU = org.apache.spark.unsafe.types.UTF8String.fromString(branchName)
+    val out: Scan = mode match {
+      case CREATE =>
+        val stamp = GraftSnapshotIO.createBranch(dir, branchName)
+        new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("fork_stamp", LongType, nullable = false)))
+          override def rows(): Array[InternalRow] = Array(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](nameU, stamp)))
+        }
+      case PUBLISH =>
+        val published = GraftSnapshotIO.publishBranch(dir, branchName)
+        new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("files_published", IntegerType, nullable = false)))
+          override def rows(): Array[InternalRow] = Array(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](nameU, published.size)))
+        }
+      case _ =>
+        val existed = GraftSnapshotIO.dropBranch(dir, branchName)
+        new LocalScan {
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("existed", BooleanType, nullable = false)))
+          override def rows(): Array[InternalRow] = Array(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](nameU, existed)))
+        }
+    }
     java.util.List.of(out).iterator()
   }
 }

@@ -281,7 +281,15 @@ private[sources] class GraftLogTable(path: String,
         }
         require(s >= 0, s"graftlog asOfStamp must be >= 0, got $raw")
         s
-      }))
+      }),
+      // `.option("branch", name)` (round 19): read a branch's staged
+      // snapshot — fork-point state plus the branch's append chain
+      Option(options.get("branch")).map { b =>
+        require(asOf.isEmpty && options.get("asOfStamp") == null,
+          "a branch read cannot also pin AS OF: branches have exactly " +
+            "one (current) state until published")
+        b
+      })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("a write")
     new GraftLogWriteBuilder(path, info, bucket, extra, ret)
@@ -328,6 +336,15 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
     // reason Spark's own bucketBy shuffles first. Identity clustering (not
     // the bucket transform) keeps the requirement resolvable without the
     // function catalog on the write path.
+    val branch = Option(info.options.get("branch"))
+    branch.foreach { _ =>
+      require(!doTruncate,
+        "branch writes are append-only (write-audit-publish staging): " +
+          "no truncate/overwrite — publish, then overwrite main")
+      require(bucket.isEmpty,
+        "branch writes support plain landings; a bucketed layout's " +
+          "k-token contract is main-only")
+    }
     bucket match {
       case Some(b) =>
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -365,6 +382,9 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
               "Complete already replaces the whole landing each epoch")
           ord
         }
+        branch.foreach { _ => require(upsertOrd.isEmpty,
+          "branch writes do not compose with the upsert sink: publish " +
+            "first, then upsert on main") }
         upsertOrd match {
           case Some(ord) =>
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -393,14 +413,18 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
           case None =>
             new Write {
               override def toBatch: BatchWrite =
-                new GraftLogBatchWrite(path, doTruncate, None, extra, ret)
-              override def toStreaming: StreamingWrite =
+                new GraftLogBatchWrite(path, doTruncate, None, extra, ret, branch)
+              override def toStreaming: StreamingWrite = {
+                require(branch.isEmpty,
+                  "streaming into a branch is unsupported — branches stage " +
+                    "batch audit data; stream into main")
                 // truncate-per-epoch is COMPLETE output mode (Spark routes Complete
                 // through SupportsTruncate.truncate() — ignoring the flag here
                 // would silently APPEND a full snapshot every epoch); queryId keys
                 // the replay cleanup so a new query's epoch 0 cannot delete a
                 // previous query's epoch-0 files in a shared landing (r14 review)
                 new GraftLogStreamingWrite(path, doTruncate, info.queryId(), extra, ret)
+              }
             }
         }
     }
@@ -504,12 +528,24 @@ private case class GraftLogBucketedCommit(parts: Seq[(Int, String, Option[GraftS
 private class GraftLogBatchWrite(path: String, truncate: Boolean,
     bucket: Option[GraftLogBucketSpec],
     extra: Array[StructField] = Array.empty,
-    ret: GraftRetention = GraftRetention.NONE) extends BatchWrite {
+    ret: GraftRetention = GraftRetention.NONE,
+    branch: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftFs.mkdirs(path)
     new GraftLogWriterFactory(path, bucket, extra)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // BRANCH append (round 19): publish the task files exactly like a
+    // main append — stamped names, invisible until referenced — then
+    // swap the BRANCH manifest: main readers never see them until
+    // publish_branch fast-forwards the accumulated change in one CAS
+    branch.foreach { b =>
+      val pub = GraftLogNames.publishAll(path, messages,
+        pid => s"br$b-" + f"b$pid%05d")
+      GraftSnapshotIO.commitToBranch(path, b)(_ =>
+        GraftChange(addData = pub.toVector))
+      return
+    }
     // Snapshot-commit protocol (round 16): resolve the pre-commit live
     // set, publish, then swap ONE manifest — a concurrent reader observes
     // the old snapshot or the new one atomically; files published before
@@ -1383,7 +1419,8 @@ private class GraftLogBucketedWriter(path: String, partitionId: Int,
 private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpec],
     maxFiles: Option[Int], lagMs: Long,
     extra: Array[StructField] = Array.empty,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    branch: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
@@ -1525,7 +1562,7 @@ private class GraftLogScanBuilder(path: String, bucket: Option[GraftLogBucketSpe
 
   override def build(): Scan =
     new GraftLogScan(path, bucket, pushed, stampPushed, statsHints, required,
-      limit, offset, topN, agg, maxFiles, lagMs, extra, asOf)
+      limit, offset, topN, agg, maxFiles, lagMs, extra, asOf, branch)
 }
 
 /** Pushed ORDER BY keys as (column ordinal, descending) plus the limit. */
@@ -1572,7 +1609,8 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
     required: StructType, limit: Int, offset: Int, topN: Option[GraftLogTopN],
     agg: Option[GraftLogAgg], maxFiles: Option[Int], lagMs: Long,
     extra: Array[StructField] = Array.empty,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    branch: Option[String] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering with Serializable {
@@ -1582,6 +1620,8 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(asOf.isEmpty, "streaming from a time-travel (AS OF) snapshot " +
       "is unsupported — a pinned snapshot is a bounded batch; read it as one")
+    require(branch.isEmpty, "streaming from a branch is unsupported — " +
+      "branches are the staging half of write-audit-publish; stream main")
     new GraftLogMicroBatchStream(path, filters, required.fieldNames, maxFiles, lagMs, extra)
   }
 
@@ -1620,9 +1660,12 @@ private class GraftLogScan(path: String, bucket: Option[GraftLogBucketSpec],
   // statistics all derive from this single resolution, so they can never
   // observe different landings (the r15-noted SPJ desync window), and a
   // Scan reads one atomic snapshot end to end.
-  @transient private lazy val snapshot: GraftSnapshot = asOf match {
-    case Some(s) => GraftSnapshotIO.resolveAsOf(path, s)
-    case None => GraftSnapshotIO.resolve(path)
+  @transient private lazy val snapshot: GraftSnapshot = branch match {
+    case Some(b) => GraftSnapshotIO.resolveBranch(path, b) // round 19
+    case None => asOf match {
+      case Some(s) => GraftSnapshotIO.resolveAsOf(path, s)
+      case None => GraftSnapshotIO.resolve(path)
+    }
   }
   // stamp pruning (time-travel/incremental slices) then zone-map pruning
   // (round 17): a pushed range/equality predicate on the numeric columns
@@ -3746,8 +3789,11 @@ object GraftLog {
     victims.foreach(m => require(GraftFs.delete(GraftFs.child(path, m)),
       s"expire_snapshots failed to delete manifest $path/$m"))
     // the live universe: every file ANY retained snapshot references,
-    // computed by folding the remaining chain once (anchor is a base)
-    val referenced = GraftSnapshotIO.referencedBy(path, remaining)
+    // computed by folding the remaining chain once (anchor is a base) —
+    // plus staged branch data (round 19), referenced by no main snapshot
+    // yet but live until its branch publishes or drops
+    val referenced = GraftSnapshotIO.referencedBy(path, remaining) ++
+      GraftSnapshotIO.branchReferences(path)
     val garbage = all.filter { case (n, _, _) =>
       (n.endsWith(".graftlog") || n.endsWith(".graftdel")) &&
         GraftLogNames.stamp(n) >= 0 && !referenced.contains(n)

@@ -1048,6 +1048,182 @@ private[sources] object GraftSnapshotIO {
     GraftFs.delete(GraftFs.child(path, s"tag-$name$TAG_EXT"))
 
   // -------------------------------------------------------------------
+  // Writable branches (round 19, r18 verdict #7): write-audit-publish
+  // -------------------------------------------------------------------
+
+  /** Branches are the WRITABLE ref type tags are the read-only half of
+    * (Iceberg's branch refs / the write-audit-publish pattern): a
+    * `branch-<name>.graftbranch` file pins the MAIN stamp the branch
+    * forked at, and the branch's own commits chain as delta manifests
+    * named `snap-<name>.<seq13>.graftsnap` — a shape [[seqOf]] can never
+    * classify as a main manifest, so branch state is INVISIBLE to main
+    * readers by construction (that invisibility IS the audit isolation).
+    * Branch commits are APPEND-ONLY (the fast-forward publish below is a
+    * pure addData rebase; rewrites on a branch would need branch-scoped
+    * premise validation nothing consumes yet — refused loudly).
+    * PUBLISH is one main CAS commit that applies the branch's
+    * accumulated change, with the true fast-forward premise — the main
+    * snapshot is still EXACTLY the fork-point snapshot — validated
+    * against the freshly-resolved base inside the optimistic loop; a
+    * main commit since the fork fails the publish loudly
+    * ([[GraftConflictException]] — re-branch and re-stage), it never
+    * silently merges. The branch's base stamp clamps every GC horizon
+    * (like tags) and branch-referenced files are folded into every
+    * sweep/expire live-universe, so staged data survives maintenance
+    * until the branch is published or dropped. */
+  val BRANCH_EXT = ".graftbranch"
+  private[sources] def branchNameOf(fileName: String): Option[String] =
+    if (fileName.length > 7 + BRANCH_EXT.length && fileName.startsWith("branch-") &&
+        fileName.endsWith(BRANCH_EXT))
+      Some(fileName.substring(7, fileName.length - BRANCH_EXT.length))
+    else None
+
+  /** The landing's branches: name -> fork-point main stamp. */
+  def branches(path: String): Map[String, Long] =
+    GraftFs.listNames(path).flatMap { n =>
+      branchNameOf(n).map { b =>
+        val head = GraftFs.readHeadLine(GraftFs.child(path, n)).trim
+        require(head.nonEmpty && head.forall(_.isDigit),
+          s"corrupt branch file $path/$n: '$head'")
+        (b, head.toLong)
+      }
+    }.toMap
+
+  /** Seq of a BRANCH manifest name (`snap-<branch>.<seq13>.graftsnap`),
+    * -1 if not that branch's shape. Parsed against a KNOWN branch name,
+    * so the name charset needs no delimiter discipline. */
+  private[sources] def branchSeqOf(branch: String, name: String): Long = {
+    val prefix = s"snap-$branch."
+    if (name.startsWith(prefix) && name.endsWith(EXT)) {
+      val mid = name.substring(prefix.length, name.length - EXT.length)
+      if (mid.length == 13 && mid.forall(c => c >= '0' && c <= '9')) mid.toLong
+      else -1L
+    } else -1L
+  }
+  private def branchManifestName(branch: String, seq: Long): String =
+    f"snap-$branch.$seq%013d$EXT"
+  private def branchRefs(path: String, branch: String): Array[String] =
+    GraftFs.listNames(path).filter(branchSeqOf(branch, _) >= 0)
+      .sortBy(branchSeqOf(branch, _))
+
+  /** Create branch `name` at the CURRENT main tip; CAS-created like tags
+    * (a duplicate fails loudly). @return the fork-point stamp. */
+  def createBranch(path: String, name: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"branch names are [A-Za-z0-9_]+: got '$name'")
+    val stamp = tipStamp(path)
+    require(stamp >= 0,
+      s"no snapshot history in $path: commit once before branching")
+    val tmp = GraftFs.child(path,
+      s".branch-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
+    GraftFs.writeString(tmp, s"$stamp\n")
+    if (!GraftFs.renameExclusive(tmp,
+        GraftFs.child(path, s"branch-$name$BRANCH_EXT"))) {
+      GraftFs.delete(tmp)
+      throw new IllegalStateException(
+        s"branch '$name' already exists on $path (publish or drop it first)")
+    }
+    stamp
+  }
+
+  /** Resolve a branch's snapshot: main-at-fork plus the branch's delta
+    * chain, seq-contiguous or loudly broken — the same discipline as
+    * [[resolveAt]]. */
+  def resolveBranch(path: String, name: String): GraftSnapshot = {
+    val base = branches(path).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on $path"))
+    val refs = branchRefs(path, name)
+    require(!(1 until refs.length).exists(i =>
+        branchSeqOf(name, refs(i)) != branchSeqOf(name, refs(i - 1)) + 1),
+      s"branch '$name' manifest chain in $path has a seq hole")
+    val baseSnap = resolveAsOf(path, base)
+    baseSnap.applyAll(refs.toSeq.map(m => readBody(path, m) match {
+      case DeltaBody(_, c) => c
+      case _: BaseBody => throw new IllegalStateException(
+        s"branch manifest $path/$m is not a delta — corrupt branch chain")
+    }))
+  }
+
+  /** Optimistic append-only commit onto a branch: same CAS discipline as
+    * [[commit]], on the branch's own seq namespace. */
+  def commitToBranch(path: String, name: String, maxAttempts: Int = 64)
+      (build: GraftSnapshot => GraftChange): Unit = {
+    var attempt = 1
+    while (true) {
+      val change = build(resolveBranch(path, name))
+      require(change.removeData.isEmpty && change.removeDeletes.isEmpty,
+        s"branch '$name' commits are append-only (publish is a pure " +
+          "fast-forward rebase); rewrites/deletes belong on main")
+      if (change.isEmpty) return
+      val refs = branchRefs(path, name)
+      val seq = if (refs.isEmpty) SEQ0
+        else branchSeqOf(name, refs.last) + 1
+      val tmp = GraftFs.child(path,
+        s".snap-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
+      GraftFs.writeString(tmp,
+        serializeDelta(GraftLogNames.nextStamp(), change))
+      if (GraftFs.renameExclusive(tmp,
+          GraftFs.child(path, branchManifestName(name, seq)))) return
+      GraftFs.delete(tmp)
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"commit contention on branch '$name' of $path: lost $maxAttempts CAS attempts")
+      Thread.sleep(attempt.toLong)
+    }
+  }
+
+  /** Atomic fast-forward publish: apply the branch's accumulated change
+    * to main in ONE CAS commit, requiring main to still be EXACTLY the
+    * fork-point snapshot (validated against the freshly-resolved base —
+    * a concurrent main commit fails loudly, never merges silently), then
+    * drop the branch refs. @return the file names published to main. */
+  def publishBranch(path: String, name: String): Seq[String] = {
+    val forkStamp = branches(path).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on $path"))
+    val forkSnap = resolveAsOf(path, forkStamp)
+    val branchSnap = resolveBranch(path, name)
+    val added = branchSnap.files.filterNot(f => forkSnap.fileNames.contains(f.name))
+    val addedDels = (branchSnap.deletes -- forkSnap.deletes.keySet).toSeq
+      .map { case (d, c) => (d, c: Seq[String]) }
+    GraftSnapshotIO.commit(path) { base =>
+      if (base != forkSnap)
+        throw new GraftConflictException(
+          s"fast-forward publish of branch '$name' on $path: main moved " +
+            s"since the fork at $forkStamp — re-branch from the new tip " +
+            "and re-stage")
+      GraftChange(addData = added, addDeletes = addedDels)
+    }
+    // cleanup AFTER the main swap: the branch is now redundant state; a
+    // crash here leaves only a harmless already-published branch that
+    // publish (idempotently empty) or drop can clear
+    branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
+    GraftFs.delete(GraftFs.child(path, s"branch-$name$BRANCH_EXT"))
+    added.map(_.name)
+  }
+
+  /** Abandon a branch: unlink its staged (main-unreferenced) files and
+    * every branch manifest. @return whether it existed. */
+  def dropBranch(path: String, name: String): Boolean = {
+    if (!branches(path).contains(name)) return false
+    val main = resolve(path)
+    val branchSnap = resolveBranch(path, name)
+    val staged = (branchSnap.fileNames -- main.fileNames) ++
+      (branchSnap.deletes.keySet -- main.deletes.keySet)
+    GraftFs.delete(GraftFs.child(path, s"branch-$name$BRANCH_EXT"))
+    branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
+    staged.foreach(n => GraftFs.delete(GraftFs.child(path, n)))
+    true
+  }
+
+  /** Every file any live branch references — folded into sweep/expire
+    * live-universes so maintenance never unlinks staged branch data. */
+  private[sources] def branchReferences(path: String): Set[String] =
+    branches(path).keys.flatMap { b =>
+      val st = resolveBranch(path, b)
+      st.files.map(_.name) ++ st.deletes.keys
+    }.toSet
+
+  // -------------------------------------------------------------------
   // Manifest GC (chain-aware)
   // -------------------------------------------------------------------
 
@@ -1073,8 +1249,10 @@ private[sources] object GraftSnapshotIO {
     // stale tag file cannot freeze every future GC horizon (r18 advice).
     val heads = ordered.map(headOf(path, _)) // (stamp, isBase)
     val retainedStamps = heads.map(_._1).toSet
-    val horizon = (tags(path).values.filter(retainedStamps.contains).toSeq
-      :+ beforeStamp).min
+    // branches clamp like tags (round 19): the fork-point snapshot must
+    // stay resolvable for the branch to read or fast-forward from
+    val horizon = ((tags(path).values ++ branches(path).values)
+      .filter(retainedStamps.contains).toSeq :+ beforeStamp).min
     val oldestRetained = heads.indexWhere(_._1 >= horizon) match {
       case -1 => ordered.length - 1 // the tip always survives
       case i => i
@@ -1132,7 +1310,9 @@ private[sources] object GraftSnapshotIO {
         state.deletes.keys.foreach(referenced += _)
       }
     }
-    val refd = referenced.result()
+    // staged branch data is live (round 19): referenced by no main
+    // snapshot yet, but the branch's publish will reference it
+    val refd = referenced.result() ++ branchReferences(path)
     val garbage = names.filter { n =>
       (n.endsWith(".graftlog") || n.endsWith(".graftdel")) && {
         val s = GraftLogNames.stamp(n)

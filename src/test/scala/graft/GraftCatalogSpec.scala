@@ -871,6 +871,69 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       s"CREATE must not mint versioned metadata over a legacy table: ${metas.toSeq}")
   }
 
+  test("writable branches: staged writes invisible, atomic fast-forward publish, loud conflicts") {
+    // r18 verdict #7 (stretch): tags' writable sibling — the
+    // write-audit-publish pattern. Staged appends land on a branch ref
+    // main readers cannot see; publish fast-forwards the accumulated
+    // change in ONE CAS commit; a main commit since the fork conflicts
+    // loudly; maintenance never eats staged data.
+    spark.sql("CREATE TABLE graft.br_t (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "br_t").getPath
+    val w1 = events.orderBy("event_id").limit(10)
+    val w2 = events.orderBy("event_id").limit(15).except(w1)
+    w1.writeTo("graft.br_t").append()
+    spark.sql("CALL graft.system.branch(table => 'br_t', name => 'audit')").collect()
+    w2.writeTo("graft.br_t").option("branch", "audit").append()
+    // isolation: main unchanged, branch sees fork + staged
+    assert(spark.table("graft.br_t").count() == 10,
+      "a staged branch write leaked into main")
+    def branchRead() = spark.read.format("graftlog")
+      .option("branch", "audit").load(dir)
+    assert(branchRead().count() == 15, "branch read must see fork + staged")
+    // a second staged commit chains
+    events.orderBy(desc("event_id")).limit(3)
+      .writeTo("graft.br_t").option("branch", "audit").append()
+    assert(branchRead().count() == 18)
+    assert(spark.table("graft.br_t").count() == 10)
+    // maintenance never unlinks staged data and the fork stays resolvable
+    val tip = sources.GraftLog.testLatestSnapshotStamp(dir)
+    spark.sql("CALL graft.system.expire_snapshots(table => 'br_t', " +
+      s"before_stamp => ${tip + 1}L)").collect()
+    assert(branchRead().count() == 18,
+      "expire_snapshots unlinked staged branch data")
+    // atomic fast-forward publish: main flips to the accumulated change
+    val pub = spark.sql("CALL graft.system.publish_branch(" +
+      "table => 'br_t', name => 'audit')").collect()(0)
+    assert(pub.getInt(1) >= 2, s"expected staged files published, got $pub")
+    assert(spark.table("graft.br_t").count() == 18,
+      "publish must fast-forward the staged appends into main")
+    intercept[Exception] { branchRead().collect() } // the ref is gone
+    // conflict: main moves after the fork -> publish fails loudly
+    spark.sql("CALL graft.system.branch(table => 'br_t', name => 'b2')").collect()
+    events.orderBy("event_id").limit(2)
+      .writeTo("graft.br_t").option("branch", "b2").append()
+    events.orderBy(desc("event_id")).limit(1).writeTo("graft.br_t").append()
+    val err = intercept[Exception] {
+      spark.sql("CALL graft.system.publish_branch(table => 'br_t', name => 'b2')").collect()
+    }
+    assert(err.getMessage.contains("fast-forward") ||
+      Option(err.getCause).exists(_.getMessage.contains("fast-forward")),
+      s"expected the fast-forward conflict, got: ${err.getMessage}")
+    assert(spark.table("graft.br_t").count() == 19, "a failed publish must not change main")
+    // abandon: staged files go, main intact
+    val dropped = spark.sql("CALL graft.system.drop_branch(" +
+      "table => 'br_t', name => 'b2')").collect()(0)
+    assert(dropped.getBoolean(1))
+    assert(spark.table("graft.br_t").count() == 19)
+    // branch writes refuse the shapes the contract excludes
+    intercept[Exception] {
+      events.limit(1).writeTo("graft.br_t").option("branch", "nope")
+        .overwritePartitions()
+    }
+  }
+
   test("RENAME/DROP evolved columns: slot-positional history, re-add is a new slot") {
     // r18 verdict #5: the slot index is the stable field id — the record
     // tail and the W zone-map tokens are slot-positional, so RENAME is
