@@ -1185,8 +1185,17 @@ private[sources] object GraftSnapshotIO {
     val added = branchSnap.files.filterNot(f => forkSnap.fileNames.contains(f.name))
     val addedDels = (branchSnap.deletes -- forkSnap.deletes.keySet).toSeq
       .map { case (d, c) => (d, c: Seq[String]) }
+    // the fast-forward premise compares the STAMPED (commit-protocol)
+    // view of both snapshots: commit() resolves its base WITH unstamped
+    // foreign-file reconciliation, while the fork resolved AS OF a stamp
+    // (which correctly refuses foreign files) — a foreign file arriving
+    // mid-branch is not main movement in the manifest sense and must not
+    // fail the publish spuriously (appends rebase over it exactly like
+    // any other append commit does)
+    def stampedView(s: GraftSnapshot) =
+      (s.files.filter(f => GraftLogNames.stamp(f.name) >= 0), s.deletes)
     GraftSnapshotIO.commit(path) { base =>
-      if (base != forkSnap)
+      if (stampedView(base) != stampedView(forkSnap))
         throw new GraftConflictException(
           s"fast-forward publish of branch '$name' on $path: main moved " +
             s"since the fork at $forkStamp — re-branch from the new tip " +

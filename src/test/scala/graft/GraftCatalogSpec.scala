@@ -910,6 +910,19 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(spark.table("graft.br_t").count() == 18,
       "publish must fast-forward the staged appends into main")
     intercept[Exception] { branchRead().collect() } // the ref is gone
+    // a FOREIGN (unstamped) file arriving mid-branch is not main
+    // movement in the manifest sense: publish must rebase over it like
+    // any append, never conflict spuriously
+    spark.sql("CALL graft.system.branch(table => 'br_t', name => 'b3')").collect()
+    events.orderBy("event_id").limit(2)
+      .writeTo("graft.br_t").option("branch", "b3").append()
+    val donor = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graftlog")).minBy(_.getName)
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(dir, "foreign-import.graftlog").toPath)
+    spark.sql("CALL graft.system.publish_branch(table => 'br_t', name => 'b3')").collect()
+    val postForeign = spark.table("graft.br_t").count()
+    assert(postForeign > 18, s"foreign + staged rows must both land, got $postForeign")
     // conflict: main moves after the fork -> publish fails loudly
     spark.sql("CALL graft.system.branch(table => 'br_t', name => 'b2')").collect()
     events.orderBy("event_id").limit(2)
@@ -921,12 +934,13 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(err.getMessage.contains("fast-forward") ||
       Option(err.getCause).exists(_.getMessage.contains("fast-forward")),
       s"expected the fast-forward conflict, got: ${err.getMessage}")
-    assert(spark.table("graft.br_t").count() == 19, "a failed publish must not change main")
+    assert(spark.table("graft.br_t").count() == postForeign + 1,
+      "a failed publish must not change main")
     // abandon: staged files go, main intact
     val dropped = spark.sql("CALL graft.system.drop_branch(" +
       "table => 'br_t', name => 'b2')").collect()(0)
     assert(dropped.getBoolean(1))
-    assert(spark.table("graft.br_t").count() == 19)
+    assert(spark.table("graft.br_t").count() == postForeign + 1)
     // branch writes refuse the shapes the contract excludes
     intercept[Exception] {
       events.limit(1).writeTo("graft.br_t").option("branch", "nope")
