@@ -1123,6 +1123,17 @@ private[sources] object GraftSnapshotIO {
       throw new IllegalStateException(
         s"branch '$name' already exists on $path (publish or drop it first)")
     }
+    // same post-CAS verify as createTag (r18 advice class): a concurrent
+    // expire pass reads branches() BEFORE deleting, so a branch landing
+    // in that window could fork a chain the pass already pruned — drop
+    // it and fail loudly (prunable() also ignores dangling fork stamps,
+    // so a survivor cannot freeze GC either)
+    if (!refs(GraftFs.listNames(path)).exists(m => headOf(path, m)._1 == stamp)) {
+      GraftFs.delete(GraftFs.child(path, s"branch-$name$BRANCH_EXT"))
+      throw new IllegalStateException(
+        s"branch '$name' lost a race with a concurrent expire on $path: " +
+          s"the fork snapshot stamped $stamp is no longer retained — re-branch")
+    }
     stamp
   }
 
