@@ -374,9 +374,11 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
         // rather than supported slowly.
         val upsertOrd: Option[Int] = Option(info.options.get("upsertKey")).map { k =>
           val ord = GraftLog.ordinal(k)
-          require(ord == 0 || ord == 1,
+          require(ord == 0 || ord == 1 || ord == 3,
             s"graftlog upsertKey supports the fixed-offset long key " +
-              s"columns (event_id, user_id); got '$k'")
+              s"columns (event_id, user_id) and the string column " +
+              s"(event_type); got '$k' — composite keys are refused " +
+              "(no fixed-offset probe exists for them)")
           require(!doTruncate,
             "upsertKey with Complete output mode is contradictory: " +
               "Complete already replaces the whole landing each epoch")
@@ -641,9 +643,10 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // epoch append) and the equality-delete tmps with their key ranges
     // (round 18)
     val (dataMsgs, delTmps) = messages.foldLeft(
-        (Vector.empty[WriterCommitMessage], Vector.empty[(String, Long, Long)])) {
-      case ((ms, ds), GraftLogUpsertCommit(tmp, delTmp, pid, stats, kMin, kMax)) =>
-        (ms :+ GraftLogCommit(tmp, pid, stats), ds :+ ((delTmp, kMin, kMax)))
+        (Vector.empty[WriterCommitMessage],
+          Vector.empty[(String, Long, Long, Array[Byte], Array[Byte])])) {
+      case ((ms, ds), GraftLogUpsertCommit(tmp, delTmp, pid, stats, kMin, kMax, kMinB, kMaxB)) =>
+        (ms :+ GraftLogCommit(tmp, pid, stats), ds :+ ((delTmp, kMin, kMax, kMinB, kMaxB)))
       case ((ms, ds), m) => (ms :+ m, ds)
     }
     val pub = GraftLogNames.publishAll(path, dataMsgs.toArray,
@@ -651,8 +654,9 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
     // the epoch's equality-delete files: header-only (zero-key task)
     // tmps drop; the rest publish under the SAME epoch marker so a
     // replay retires them with the epoch's data
-    val eqDels = delTmps.zipWithIndex.flatMap { case ((tmp, kMin, kMax), i) =>
-      if (kMin > kMax) { // zero-key task: header-only tmp, nothing to retire
+    val eqDels = delTmps.zipWithIndex.flatMap { case ((tmp, kMin, kMax, kMinB, kMaxB), i) =>
+      if (kMin > kMax && kMinB == null) {
+        // zero-key task: header-only tmp, nothing to retire
         require(GraftFs.delete(tmp), s"failed to drop empty $tmp"); None
       } else {
         val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -660,7 +664,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
           s"q$queryId-e$epochId-" + f"eq$i%05d-$uuid", ext = ".graftdel")
         require(GraftFs.rename(tmp, GraftFs.child(path, name)),
           s"epoch commit failed to publish $tmp -> $name")
-        Some((name, kMin, kMax))
+        Some((name, kMin, kMax, kMinB, kMaxB))
       }
     }
     // swap FIRST, unlink after (the uniform commit discipline): readers
@@ -705,19 +709,32 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
       val excluded = removeData ++ pub.map(_.name)
       val candidates = base.files.filterNot(f => excluded.contains(f.name))
       val keyOrd = upsertOrd.getOrElse(0)
-      def coverageFor(kMin: Long, kMax: Long): Seq[String] =
+      def coverageFor(kMin: Long, kMax: Long,
+          kMinB: Array[Byte], kMaxB: Array[Byte]): Seq[String] =
         candidates.collect {
           case f if f.stats.forall { st =>
-              val (lo, hi) =
-                if (keyOrd == 0) (st.eidMin, st.eidMax) else (st.uidMin, st.uidMax)
-              hi >= kMin && lo <= kMax
+              if (keyOrd == 3) st.etype match {
+                case None => true // no string bounds recorded: stay covered
+                case Some(b) =>
+                  // TRUNCATED bounds prune only when PROVABLY disjoint:
+                  // minBytes is a lower bound on the file's true min and
+                  // maxBytes an upper bound on its true max, so disjoint
+                  // = (file min above the keys) or (file max below them)
+                  !(java.util.Arrays.compareUnsigned(b.minBytes, kMaxB) > 0 ||
+                    b.maxBytes.exists(m =>
+                      java.util.Arrays.compareUnsigned(m, kMinB) < 0))
+              } else {
+                val (lo, hi) =
+                  if (keyOrd == 0) (st.eidMin, st.eidMax) else (st.uidMin, st.uidMax)
+                hi >= kMin && lo <= kMax
+              }
             } => f.name
         }.sorted
       GraftChange(
         addData = pub.toVector,
         removeData = removeData,
-        addDeletes = eqDels.flatMap { case (d, kMin, kMax) =>
-          val cov = coverageFor(kMin, kMax)
+        addDeletes = eqDels.flatMap { case (d, kMin, kMax, kMinB, kMaxB) =>
+          val cov = coverageFor(kMin, kMax, kMinB, kMaxB)
           if (cov.isEmpty) None else Some((d, cov))
         },
         removeDeletes = removeDels)
@@ -754,7 +771,7 @@ private class GraftLogStreamingWrite(path: String, truncate: Boolean,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftLogCommit(tmp, _, _) => GraftFs.delete(tmp); ()
-      case GraftLogUpsertCommit(tmp, delTmp, _, _, _, _) =>
+      case GraftLogUpsertCommit(tmp, delTmp, _, _, _, _, _, _) =>
         GraftFs.delete(tmp); GraftFs.delete(delTmp); ()
       case _ => ()
     }
@@ -1273,13 +1290,17 @@ private class GraftLogWriter(path: String, partitionId: Int,
 
 /** Upsert task commit (round 18): the data tmp plus the task's DISTINCT
   * keys, written as an equality-delete tmp at task commit. `keyMin`/
-  * `keyMax` bound the task's keys so the epoch commit can NARROW the
-  * eq-delete's coverage to files whose event_id zone overlaps — on a
-  * key-clustered landing the per-epoch manifest cost drops from O(live
-  * files) to O(overlapping files). */
+  * `keyMax` bound the task's LONG keys (`keyMinB`/`keyMaxB` the STRING
+  * key's bytes, round 19) so the epoch commit can NARROW the eq-delete's
+  * coverage to files whose key-column zone overlaps — on a key-clustered
+  * landing the per-epoch manifest cost drops from O(live files) to
+  * O(overlapping files). A zero-key task signals with kMin > kMax (long)
+  * / null bounds (string). */
 private case class GraftLogUpsertCommit(tmp: String, delTmp: String,
     partitionId: Int, stats: Option[GraftStats],
-    keyMin: Long, keyMax: Long) extends WriterCommitMessage
+    keyMin: Long, keyMax: Long,
+    keyMinB: Array[Byte] = null, keyMaxB: Array[Byte] = null)
+  extends WriterCommitMessage
 
 /** Streaming upsert task writer (round 18; keep-last round 19): the
   * plain record encode plus key tracking — at commit the task's distinct
@@ -1307,18 +1328,27 @@ private class GraftLogUpsertWriter(path: String, partitionId: Int,
     extra: Array[StructField] = Array.empty,
     keyOrd: Int = 0)
     extends DataWriter[InternalRow] {
-  require(keyOrd == 0 || keyOrd == 1, s"upsert key must be a long column, got ord $keyOrd")
+  require(keyOrd == 0 || keyOrd == 1 || keyOrd == 3,
+    s"upsert key must be a long or the string column, got ord $keyOrd")
+  private val strKey = keyOrd == 3
   private val tmp = s"$path/.gl-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
   private val delTmp = s"$path/.gd-${java.util.UUID.randomUUID().toString.take(16)}.tmp"
   GraftFs.mkdirs(path)
   private val out = GraftFs.createData(tmp)
   private val stats = new GraftStatsTracker(extra)
   private val lastOrd = scala.collection.mutable.LongMap.empty[Long]
+  // string keys: UnsafeRow-backed UTF8Strings view a reused buffer, so
+  // map keys are CLONES; probes use the transient value
+  private val lastOrdS = new java.util.HashMap[UTF8String, java.lang.Long]()
   private var ord = 0L
   private var dup = false
 
   override def write(r: InternalRow): Unit = {
-    if (lastOrd.put(r.getLong(keyOrd), ord).isDefined) dup = true
+    if (strKey) {
+      val k = r.getUTF8String(3)
+      if (lastOrdS.containsKey(k)) dup = true
+      lastOrdS.put(k.clone(), Long.box(ord))
+    } else if (lastOrd.put(r.getLong(keyOrd), ord).isDefined) dup = true
     ord += 1
     GraftLog.encodeRecord(out, r, extra, 0, stats)
     ()
@@ -1326,6 +1356,18 @@ private class GraftLogUpsertWriter(path: String, partitionId: Int,
   override def commit(): WriterCommitMessage = {
     out.close()
     val distinct = { val a = lastOrd.keysIterator.toArray; java.util.Arrays.sort(a); a }
+    val distinctS: Array[UTF8String] =
+      if (!strKey) Array.empty
+      else {
+        val a = lastOrdS.keySet().toArray(new Array[UTF8String](0))
+        java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+        a
+      }
+    def lastOf(buf: Array[Byte], len: Int): Long =
+      if (strKey) {
+        val l = ((buf(24) & 0xff) << 8) | (buf(25) & 0xff)
+        lastOrdS.get(UTF8String.fromBytes(buf, 26, l)).longValue()
+      } else lastOrd(java.nio.ByteBuffer.wrap(buf, keyOrd * 8, 8).getLong)
     val (dataTmp, st) =
       if (!dup) (tmp, stats.result)
       else {
@@ -1343,9 +1385,9 @@ private class GraftLogUpsertWriter(path: String, partitionId: Int,
             if (!done) {
               if (buf.length < len) buf = new Array[Byte](len)
               in.readFully(buf, 0, len)
-              // the key sits at its fixed offset: event_id at 0, user_id at 8
-              val k = java.nio.ByteBuffer.wrap(buf, keyOrd * 8, 8).getLong
-              if (lastOrd(k) == ordIn) {
+              // the key sits at its fixed offset: event_id at 0, user_id
+              // at 8, event_type length-prefixed at 24
+              if (lastOf(buf, len) == ordIn) {
                 os.writeInt(len); os.write(buf, 0, len)
                 GraftLog.trackRecordStats(buf, len, extra, st2)
               }
@@ -1357,11 +1399,16 @@ private class GraftLogUpsertWriter(path: String, partitionId: Int,
         (tmp2, st2.result)
       }
     val sb = new StringBuilder(GraftLog.eqDeleteHeader(keyOrd)).append('\n')
-    distinct.foreach(k => sb.append(k).append('\n'))
+    if (strKey) // base64url lines: a string key may contain any byte
+      distinctS.foreach(k =>
+        sb.append(GraftBinBounds.enc(k.getBytes)).append('\n'))
+    else distinct.foreach(k => sb.append(k).append('\n'))
     GraftFs.writeString(delTmp, sb.toString)
     GraftLogUpsertCommit(dataTmp, delTmp, partitionId, st,
       if (distinct.isEmpty) Long.MaxValue else distinct.head,
-      if (distinct.isEmpty) Long.MinValue else distinct.last)
+      if (distinct.isEmpty) Long.MinValue else distinct.last,
+      if (distinctS.isEmpty) null else distinctS.head.getBytes,
+      if (distinctS.isEmpty) null else distinctS.last.getBytes)
   }
   override def abort(): Unit = {
     out.close(); GraftFs.delete(tmp); GraftFs.delete(delTmp); ()
@@ -2345,7 +2392,8 @@ private case class GraftLogCursorSpec(
     }
     new GraftLogCursor(file, preds, needType, segsOf.get(name),
       stampFilters, dels.pos, needPos, extra,
-      deadStampsOf.getOrElse(name, Array.emptyLongArray), dels.eqEid, dels.eqUid)
+      deadStampsOf.getOrElse(name, Array.emptyLongArray), dels.eqEid, dels.eqUid,
+      dels.eqEtype)
   }
 
   /** Streaming replay partitions (round 17): suppress the file's
@@ -2478,11 +2526,13 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     extra: Array[StructField] = Array.empty,
     deadStamps: Array[Long] = Array.emptyLongArray,
     eqDeleteEid: Array[Long] = Array.emptyLongArray,
-    eqDeleteUid: Array[Long] = Array.emptyLongArray) {
+    eqDeleteUid: Array[Long] = Array.emptyLongArray,
+    eqDeleteEtype: Array[UTF8String] = Array.empty) {
   private val in: DataInputStream = GraftFs.openData(file)
   private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
   private val needType = needTypeHint ||
-    filters.exists(_.references.contains("event_type"))
+    filters.exists(_.references.contains("event_type")) ||
+    eqDeleteEtype.nonEmpty // the keyed takedown must decode the key
 
   var eventId: Long = 0L
   var userId: Long = 0L
@@ -2631,7 +2681,9 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
       else if ((eqDeleteEid.length > 0 &&
           java.util.Arrays.binarySearch(eqDeleteEid, eventId) >= 0) ||
         (eqDeleteUid.length > 0 &&
-          java.util.Arrays.binarySearch(eqDeleteUid, userId) >= 0)) {
+          java.util.Arrays.binarySearch(eqDeleteUid, userId) >= 0) ||
+        (eqDeleteEtype.length > 0 && java.util.Arrays.binarySearch(
+          eqDeleteEtype.asInstanceOf[Array[AnyRef]], etype) >= 0)) {
         skipped += 1
       }
       else {
@@ -3370,7 +3422,13 @@ object GraftLog {
                       java.nio.ByteBuffer.wrap(buf, 0, 8).getLong) >= 0) ||
                     (loaded.eqUid.length > 0 && java.util.Arrays.binarySearch(
                       loaded.eqUid,
-                      java.nio.ByteBuffer.wrap(buf, 8, 8).getLong) >= 0)
+                      java.nio.ByteBuffer.wrap(buf, 8, 8).getLong) >= 0) ||
+                    (loaded.eqEtype.length > 0 && {
+                      val l = ((buf(24) & 0xff) << 8) | (buf(25) & 0xff)
+                      java.util.Arrays.binarySearch(
+                        loaded.eqEtype.asInstanceOf[Array[AnyRef]],
+                        UTF8String.fromBytes(buf, 26, l)) >= 0
+                    })
                   while (delIdx < dels.length && dels(delIdx) < ord) delIdx += 1
                   if (delIdx < dels.length && dels(delIdx) == ord) delIdx += 1 // dropped
                   else if (eqDead) () // upsert-retired key: dropped
@@ -3963,6 +4021,7 @@ object GraftLog {
     val xed = skippedDels.result()
     val eqEid = scala.collection.mutable.Map.empty[Long, Long] // key -> first kill stamp
     val eqUid = scala.collection.mutable.Map.empty[Long, Long]
+    val eqEty = scala.collection.mutable.Map.empty[String, Long]
     val posRec = scala.collection.mutable.Map.empty[(String, Long), Long]
     commits.foreach { c =>
       c.addedDels.filterNot(xed.contains).foreach { d =>
@@ -3971,7 +4030,14 @@ object GraftLog {
           if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER) eqEid
           else if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_UID) eqUid
           else null
-        if (eqInto != null)
+        if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_ETYPE)
+          lines.iterator.drop(1).foreach { line =>
+            if (line.nonEmpty) {
+              val k = UTF8String.fromBytes(GraftBinBounds.dec(line)).toString
+              if (!eqEty.contains(k)) eqEty(k) = c.stamp
+            }
+          }
+        else if (eqInto != null)
           lines.iterator.drop(1).foreach { line =>
             if (line.nonEmpty) {
               val k = line.toLong
@@ -4037,6 +4103,15 @@ object GraftLog {
     }
     if (eqEid.nonEmpty) branches += eqBranch("event_id", eqEid.toMap)
     if (eqUid.nonEmpty) branches += eqBranch("user_id", eqUid.toMap)
+    if (eqEty.nonEmpty) {
+      val stampDf = broadcast(eqEty.toSeq.toDF("_ck", "_cs"))
+      val pre =
+        if (eqEty.size <= 1000)
+          fromDf.filter(col("event_type").isin(eqEty.keys.toSeq: _*))
+        else fromDf
+      branches += pre.join(stampDf, col("event_type") === col("_ck"))
+        .drop("_ck").select(withIdent.toIndexedSeq: _*)
+    }
     if (posRec.nonEmpty) {
       val posDf = broadcast(
         posRec.toSeq.map { case ((f, p), s) => (f, p, s) }.toDF("_cf", "_cp", "_cs"))
@@ -4574,17 +4649,21 @@ object GraftLog {
     * position-delete record names one (file, ordinal) identity. */
   private[sources] val EQ_DELETE_HEADER = "eq event_id"
   private[sources] val EQ_DELETE_HEADER_UID = "eq user_id"
+  private[sources] val EQ_DELETE_HEADER_ETYPE = "eq event_type"
   private[sources] def eqDeleteHeader(keyOrd: Int): String = keyOrd match {
     case 0 => EQ_DELETE_HEADER
     case 1 => EQ_DELETE_HEADER_UID
+    case 3 => EQ_DELETE_HEADER_ETYPE
     case o => throw new IllegalStateException(s"no equality-delete key at ordinal $o")
   }
 
   /** Per-file deletes loaded for a cursor: position ordinals plus the
     * equality keys per key column — all sorted for binary-search probes. */
   private[sources] final case class GraftLoadedDeletes(pos: Array[Long],
-      eqEid: Array[Long], eqUid: Array[Long]) {
-    def any: Boolean = pos.nonEmpty || eqEid.nonEmpty || eqUid.nonEmpty
+      eqEid: Array[Long], eqUid: Array[Long],
+      eqEtype: Array[UTF8String] = Array.empty) {
+    def any: Boolean =
+      pos.nonEmpty || eqEid.nonEmpty || eqUid.nonEmpty || eqEtype.nonEmpty
   }
   private[sources] val NO_DELETES =
     GraftLoadedDeletes(Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray)
@@ -4597,13 +4676,19 @@ object GraftLog {
     val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
     val eid = scala.collection.mutable.ArrayBuffer.empty[Long]
     val uid = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ety = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     delPaths.foreach { p =>
       val lines = GraftFs.readString(p).split('\n')
       val eqInto =
         if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER) eid
         else if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_UID) uid
         else null
-      if (eqInto != null)
+      if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_ETYPE)
+        // base64url lines: a string key may contain any byte
+        lines.iterator.drop(1).foreach { line =>
+          if (line.nonEmpty) ety += UTF8String.fromBytes(GraftBinBounds.dec(line))
+        }
+      else if (eqInto != null)
         lines.iterator.drop(1).foreach { line =>
           if (line.nonEmpty) {
             require(line.forall(_.isDigit) ||
@@ -4621,8 +4706,10 @@ object GraftLog {
         }
       }
     }
+    val etySorted = ety.distinct.toArray
+    java.util.Arrays.sort(etySorted.asInstanceOf[Array[AnyRef]])
     GraftLoadedDeletes(pos.toArray.sorted,
-      eid.distinct.sorted.toArray, uid.distinct.sorted.toArray)
+      eid.distinct.sorted.toArray, uid.distinct.sorted.toArray, etySorted)
   }
 
   /** Re-track a raw encoded record's zone-map stats — the upsert

@@ -707,6 +707,72 @@ class GraftSnapshotSpec extends SparkTestBase {
       "absorbed user_id eq-deletes must retire with their covered files")
   }
 
+  test("upsert keyed on event_type (string): replace, keep-last, replay, compaction absorb") {
+    // round 19 (r18 verdict #3, the string half): eq-delete files carry
+    // base64url key lines under an `eq event_type` header; the cursor
+    // probes the decoded string, the absorb-walk decodes the
+    // length-prefixed field at its fixed offset, and coverage narrows on
+    // the truncated Y string bounds (prune only when provably disjoint).
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Scratch.dir("graftsnap_upsert_str_src")
+    val sink = Scratch.dir("graftsnap_upsert_str_sink")
+    val ckpt = Scratch.streamCkptDir("graftsnap_upsert_str_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_type")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    def state(): Map[String, Double] =
+      spark.read.format("graftlog").load(sink)
+        .select(col("event_type"), col("value")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+    // one unique string key per row, so replace-by-key is row-exact
+    val typed = events.orderBy("event_id").limit(10)
+      .withColumn("event_type", concat(lit("t"), col("event_id").cast("string")))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    typed.repartition(2).write.format("graftlog").mode("append").save(src)
+    drain()
+    val v1 = state()
+    assert(v1.size == 10, s"wave 1 must land 10 string keys, got ${v1.size}")
+    // corrections for the even ids; the LOWEST even id arrives TWICE in
+    // one ordered file — keep-last must pick the 999 version
+    val evens = typed.filter(col("event_id") % 2 === 0)
+    val minEven = evens.agg(min(col("event_id"))).collect()(0).getLong(0)
+    val c1 = evens.withColumn("value", col("value") * 2).withColumn("_v", lit(1))
+    val c2 = evens.filter(col("event_id") === minEven)
+      .withColumn("value", lit(999.0)).withColumn("_v", lit(2))
+    c1.unionByName(c2).repartition(1).sortWithinPartitions(col("_v")).drop("_v")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.format("graftlog").mode("append").save(src)
+    drain()
+    val v2 = state()
+    assert(v2.size == 10, s"string-keyed upsert duplicated or lost keys: ${v2.size}")
+    v1.foreach { case (k, v) =>
+      val id = k.substring(1).toLong
+      val want = if (id == minEven) 999.0 else if (id % 2 == 0) v * 2 else v
+      assert(v2(k) == want, s"key $k: expected $want, got ${v2(k)}")
+    }
+    // replay idempotence
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val sidecar = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    if (sidecar.exists()) assert(sidecar.delete())
+    assert(commits.last.delete(), "fixture: could not delete the commit marker")
+    drain()
+    assert(state() == v2, "a replayed event_type-keyed epoch changed the table")
+    // the absorb-walk decodes the string key at its fixed offset
+    val (b, a, _) = sources.GraftLog.compact(spark, sink, 1L << 30)
+    assert(a < b, s"compaction must merge ($b -> $a files)")
+    assert(state() == v2, "compaction changed the string-keyed upsert answer")
+    assert(sources.GraftSnapshotTestHook.deleteFiles(sink).isEmpty,
+      "absorbed string eq-deletes must retire with their covered files")
+  }
+
   // ----- round 18: commit unlink discipline (r17 advice) -----------------
 
   test("first OVERWRITE on a manifest-less landing keeps its own data") {
