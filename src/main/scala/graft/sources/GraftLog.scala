@@ -361,17 +361,18 @@ private class GraftLogWriteBuilder(path: String, info: LogicalWriteInfo,
         }
       case None =>
         // UPSERT sink (round 18, r17 verdict #2; generalized round 19):
-        // `.option("upsertKey", "event_id"|"user_id")` on a streaming
-        // write makes each epoch REPLACE rows by key — the epoch
-        // publishes its data plus ONE equality-delete file per task
-        // covering the pre-commit live set, all in the one manifest
+        // `.option("upsertKey", "event_id"|"user_id"|"event_type")` on a
+        // streaming write makes each epoch REPLACE rows by key — the
+        // epoch publishes its data plus ONE equality-delete file per
+        // task covering the pre-commit live set, all in the one manifest
         // swap. The keyed MERGE that previously needed a foreachBatch
         // batch-MERGE detour becomes a native exactly-once V2 sink.
-        // Fixed-offset LONG columns only: the readers and the compaction
-        // absorb-walk probe the key at its fixed byte offset without
-        // decoding the record; a string/composite key would need a keyed
-        // decode on every one of those paths, so it is refused loudly
-        // rather than supported slowly.
+        // Key contract: the LONG columns are probed at their fixed byte
+        // offsets without decoding the record; the STRING column rides a
+        // keyed decode (the cursor's needType path, and the absorb-walk
+        // reading the length-prefixed field at its fixed offset).
+        // COMPOSITE keys are refused loudly — no single probe exists for
+        // them, and a silent partial match would corrupt replacements.
         val upsertOrd: Option[Int] = Option(info.options.get("upsertKey")).map { k =>
           val ord = GraftLog.ordinal(k)
           require(ord == 0 || ord == 1 || ord == 3,
@@ -3495,7 +3496,16 @@ object GraftLog {
             s"concurrent position deletes landed on compaction input $n " +
               s"of $path after the merge read it — retry the compaction")
       }
-      GraftChange(addData = outs, removeData = inputNames)
+      // absorbed delete files retire EXPLICITLY (X records, round 19):
+      // semantically identical to the dead-coverage pruning that would
+      // drop them anyway, but the explicit record makes a compaction
+      // whose outputs were ALL empty (every row dead) distinguishable in
+      // the manifest from a truncate — the changelog read needs that
+      // distinction to classify the commit as net-zero
+      GraftChange(addData = outs, removeData = inputNames,
+        removeDeletes = base.deletes.collect {
+          case (d, cov) if cov.forall(inputNames.contains) => d
+        }.toSet)
     }
     // a snapshot-retaining landing keeps the merged inputs readable for
     // time travel; expire's stamp-horizon pass is the GC
@@ -3503,6 +3513,10 @@ object GraftLog {
       inputNames.foreach(n => require(GraftFs.delete(GraftFs.child(path, n)),
         s"compact failed to delete $n"))
       committed.deadDeletes.foreach(d => GraftFs.delete(GraftFs.child(path, d)))
+      // the X-retired absorbed dels are no longer in deadDeletes (the
+      // change removed them before the coverage pruning could)
+      (committed.base.deletes.keySet -- committed.result.deletes.keySet)
+        .foreach(d => GraftFs.delete(GraftFs.child(path, d)))
     }
     if (ret.sweeps) { GraftSnapshotIO.sweepRetired(path, ret.unlinkGraceMs); () }
     val bytes = merged.map(_._5).sum
@@ -3948,13 +3962,21 @@ object GraftLog {
     // manifest in-window (every 16th commit, or an overwrite) yields its
     // change as a state diff
     final case class Chg(stamp: Long, added: Vector[GraftLiveFile],
-        removed: Set[String], addedDels: Seq[String], removedDels: Set[String])
+        removed: Set[String], addedDels: Seq[String], removedDels: Set[String],
+        delta: Boolean, removedAllCovered: Boolean)
     var state = stateFrom
     val commits = ((iFrom + 1) to iTo).map { i =>
       GraftSnapshotIO.readBody(path, ordered(i)) match {
         case GraftSnapshotIO.DeltaBody(st, c) =>
+          // was every removed data file covered, in the PRE-commit
+          // state, by a delete file this commit explicitly retires? —
+          // the all-rows-dead absorb signature only compaction writes
+          val covered = c.removeData.nonEmpty && c.removeData.forall(n =>
+            state.deletesFor(n).exists(d =>
+              c.removeDeletes.contains(GraftFs.nameOf(d))))
           val rec = Chg(st, c.addData, c.removeData,
-            c.addDeletes.map(_._1), c.removeDeletes)
+            c.addDeletes.map(_._1), c.removeDeletes,
+            delta = true, removedAllCovered = covered)
           state = c.apply(state)._1
           rec
         case GraftSnapshotIO.BaseBody(st, s) =>
@@ -3962,7 +3984,8 @@ object GraftLog {
           val rec = Chg(st, s.files.filterNot(f => oldF.contains(f.name)),
             oldF -- s.fileNames,
             (s.deletes.keySet -- state.deletes.keySet).toSeq.sorted,
-            state.deletes.keySet -- s.deletes.keySet)
+            state.deletes.keySet -- s.deletes.keySet,
+            delta = false, removedAllCovered = false)
           state = s
           rec
       }
@@ -3989,7 +4012,16 @@ object GraftLog {
       }
       if (c.removed.nonEmpty) {
         val rewriteLike = c.added.nonEmpty && c.added.forall(_.segs.isDefined)
-        if (!rewriteLike) {
+        // a DELTA commit that removes ONLY fully-absorbed files (every
+        // removed data file covered by a delete file the same commit
+        // X-retires) is a compaction whose merged outputs were all empty
+        // — net-zero for the changelog, since the killing delete records
+        // were collected when they landed (in-window) or were already
+        // applied in the FROM snapshot (pre-window). A truncate can
+        // never take this shape: it retires deletes via coverage pruning
+        // (no X records) and always lands as a BASE manifest.
+        val absorbLike = c.delta && c.added.isEmpty && c.removedAllCovered
+        if (!rewriteLike && !absorbLike) {
           val markers = c.added.flatMap(f => epochMarkerOf(f.name)).toSet
           require(markers.nonEmpty && c.removed.forall(r => markers.exists(r.contains)),
             s"table changes of $path between $fromStamp and $toStamp are " +

@@ -951,8 +951,14 @@ private[sources] object GraftSnapshotIO {
       val (next, dead) = change.apply(resolved.snap)
       val stamp = math.max(GraftLogNames.nextStamp(), resolved.stamp + 1)
       val baseLines = next.files.length + next.deletes.size
+      // the smaller-base shortcut yields to a change carrying EXPLICIT
+      // delete-file retirements (X records, round 19): an all-rows-dead
+      // compaction empties the table (baseLines = 0) and a base manifest
+      // would erase the X records that distinguish the commit from a
+      // truncate — which the changelog read's net-zero classification
+      // depends on. The BASE_EVERY cadence still bounds chains.
       val asBase = resolved.stamp < 0 || resolved.depth + 1 >= BASE_EVERY ||
-        baseLines <= change.lineCount
+        (baseLines <= change.lineCount && change.removeDeletes.isEmpty)
       val tmp = GraftFs.child(path,
         s".snap-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
       if (asBase) writeBaseFile(tmp, stamp, next)
@@ -1091,12 +1097,17 @@ private[sources] object GraftSnapshotIO {
 
   /** Seq of a BRANCH manifest name (`snap-<branch>.<seq13>.graftsnap`),
     * -1 if not that branch's shape. Parsed against a KNOWN branch name,
-    * so the name charset needs no delimiter discipline. */
+    * so the name charset needs no delimiter discipline; the exact LENGTH
+    * check runs first — a branch named like a 13-digit main seq (e.g.
+    * '1000000000000', which every table's first manifest carries) must
+    * parse the main manifest to -1, not crash on a negative substring
+    * range (round-19 review). */
   private[sources] def branchSeqOf(branch: String, name: String): Long = {
     val prefix = s"snap-$branch."
-    if (name.startsWith(prefix) && name.endsWith(EXT)) {
+    if (name.length == prefix.length + 13 + EXT.length &&
+        name.startsWith(prefix) && name.endsWith(EXT)) {
       val mid = name.substring(prefix.length, name.length - EXT.length)
-      if (mid.length == 13 && mid.forall(c => c >= '0' && c <= '9')) mid.toLong
+      if (mid.forall(c => c >= '0' && c <= '9')) mid.toLong
       else -1L
     } else -1L
   }
@@ -1111,6 +1122,9 @@ private[sources] object GraftSnapshotIO {
   def createBranch(path: String, name: String): Long = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"branch names are [A-Za-z0-9_]+: got '$name'")
+    require(!GraftFs.listNames(path).contains(publishJournalName(name)),
+      s"a publish of branch '$name' on $path is in flight or crashed " +
+        "mid-protocol — run publish_branch to complete it first")
     val stamp = tipStamp(path)
     require(stamp >= 0,
       s"no snapshot history in $path: commit once before branching")
@@ -1123,6 +1137,11 @@ private[sources] object GraftSnapshotIO {
       throw new IllegalStateException(
         s"branch '$name' already exists on $path (publish or drop it first)")
     }
+    // a DEAD same-named branch (publish/drop crashed mid-cleanup) may
+    // have left manifests behind; having WON the ref CAS, no live branch
+    // of this name exists, so those are remnants that would pollute the
+    // new chain — clear them before the branch is usable
+    branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
     // same post-CAS verify as createTag (r18 advice class): a concurrent
     // expire pass reads branches() BEFORE deleting, so a branch landing
     // in that window could fork a chain the pass already pruned — drop
@@ -1162,9 +1181,12 @@ private[sources] object GraftSnapshotIO {
     var attempt = 1
     while (true) {
       val change = build(resolveBranch(path, name))
-      require(change.removeData.isEmpty && change.removeDeletes.isEmpty,
-        s"branch '$name' commits are append-only (publish is a pure " +
-          "fast-forward rebase); rewrites/deletes belong on main")
+      require(change.removeData.isEmpty && change.removeDeletes.isEmpty &&
+          change.addDeletes.isEmpty,
+        s"branch '$name' commits are append-only DATA (publish renames " +
+          "the staged files to fresh publish stamps; a delete file's " +
+          "coverage would name the pre-rename files); rewrites/deletes " +
+          "belong on main")
       if (change.isEmpty) return
       val refs = branchRefs(path, name)
       val seq = if (refs.isEmpty) SEQ0
@@ -1183,65 +1205,190 @@ private[sources] object GraftSnapshotIO {
     }
   }
 
-  /** Atomic fast-forward publish: apply the branch's accumulated change
-    * to main in ONE CAS commit, requiring main to still be EXACTLY the
-    * fork-point snapshot (validated against the freshly-resolved base —
-    * a concurrent main commit fails loudly, never merges silently), then
-    * drop the branch refs. @return the file names published to main. */
+  /** Atomic fast-forward publish — a small crash-safe protocol (round-19
+    * review), because the naive swap had two real holes: (a) staged
+    * files carry STAGING-time name stamps, and a streaming reader of
+    * main whose offset high-water has advanced past them would silently
+    * never admit the published rows (`_pub_stamp > t` incremental
+    * readers miss them the same way), so publish must re-stamp; (b) a
+    * crash between the main CAS and the ref cleanup must make a RETRY
+    * complete the publish, never tell the user to re-stage
+    * already-published rows.
+    *
+    *  1. CAS-claim a PUBLISH JOURNAL (`publish-<name>.graftpub`: fork
+    *     stamp + old->new name mapping, publish-stamped fresh names) —
+    *     concurrent publishes collide here; a cheap pre-validation
+    *     refuses an already-moved main before anything renames.
+    *  2. Rename staged files to their fresh names (idempotent per entry:
+    *     old absent + new present = already done).
+    *  3. ONE main CAS commit adds the fresh names, with the fast-forward
+    *     premise validated against the freshly-resolved base: main still
+    *     EXACTLY the fork-point snapshot (stamped view — unstamped
+    *     foreign arrivals rebase like any append), OR every fresh name
+    *     already live (a resumed retry after the CAS) which commits the
+    *     empty no-op. A genuine conflict ROLLS BACK the renames, drops
+    *     the journal, and throws loudly — the branch stays readable.
+    *  4. Cleanup: branch manifests, the branch ref, the journal LAST.
+    *     Any crash re-enters at the journal and runs forward; a journal
+    *     without its branch ref means cleanup already passed the CAS —
+    *     finish the cleanup and return.
+    *
+    * @return the fresh file names published to main. */
+  private[sources] def publishJournalName(name: String): String =
+    s"publish-$name.graftpub"
   def publishBranch(path: String, name: String): Seq[String] = {
-    val forkStamp = branches(path).getOrElse(name,
-      throw new IllegalArgumentException(s"no branch '$name' on $path"))
-    val forkSnap = resolveAsOf(path, forkStamp)
-    val branchSnap = resolveBranch(path, name)
-    val added = branchSnap.files.filterNot(f => forkSnap.fileNames.contains(f.name))
-    val addedDels = (branchSnap.deletes -- forkSnap.deletes.keySet).toSeq
-      .map { case (d, c) => (d, c: Seq[String]) }
-    // the fast-forward premise compares the STAMPED (commit-protocol)
-    // view of both snapshots: commit() resolves its base WITH unstamped
-    // foreign-file reconciliation, while the fork resolved AS OF a stamp
-    // (which correctly refuses foreign files) — a foreign file arriving
-    // mid-branch is not main movement in the manifest sense and must not
-    // fail the publish spuriously (appends rebase over it exactly like
-    // any other append commit does)
-    def stampedView(s: GraftSnapshot) =
-      (s.files.filter(f => GraftLogNames.stamp(f.name) >= 0), s.deletes)
-    GraftSnapshotIO.commit(path) { base =>
-      if (stampedView(base) != stampedView(forkSnap))
-        throw new GraftConflictException(
-          s"fast-forward publish of branch '$name' on $path: main moved " +
-            s"since the fork at $forkStamp — re-branch from the new tip " +
-            "and re-stage")
-      GraftChange(addData = added, addDeletes = addedDels)
+    val jName = publishJournalName(name)
+    val jPath = GraftFs.child(path, jName)
+    def cleanup(): Unit = {
+      branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
+      GraftFs.delete(GraftFs.child(path, s"branch-$name$BRANCH_EXT"))
+      GraftFs.delete(jPath)
+      ()
     }
-    // cleanup AFTER the main swap: the branch is now redundant state; a
-    // crash here leaves only a harmless already-published branch that
-    // publish (idempotently empty) or drop can clear
-    branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
-    GraftFs.delete(GraftFs.child(path, s"branch-$name$BRANCH_EXT"))
-    added.map(_.name)
+    val hasJournal = GraftFs.listNames(path).contains(jName)
+    if (hasJournal && !branches(path).contains(name)) {
+      // the ref is deleted before the journal, so this state is
+      // strictly post-CAS: the publish succeeded — finish the cleanup
+      val mapping = readPublishJournal(jPath)._2
+      cleanup()
+      return mapping.map(_._2)
+    }
+    val (forkStamp, mapping) =
+      if (hasJournal) readPublishJournal(jPath)
+      else {
+        val fs = branches(path).getOrElse(name,
+          throw new IllegalArgumentException(s"no branch '$name' on $path"))
+        val forkSnap = resolveAsOf(path, fs)
+        val branchSnap = resolveBranch(path, name)
+        // cheap pre-validation: an already-moved main renames nothing
+        if (stampedFiles(resolveCurrent(path).snap) != stampedFiles(forkSnap))
+          throw new GraftConflictException(
+            s"fast-forward publish of branch '$name' on $path: main " +
+              s"moved since the fork at $fs — re-branch from the new " +
+              "tip and re-stage")
+        val added = branchSnap.files
+          .filterNot(f => forkSnap.fileNames.contains(f.name))
+        val m = added.zipWithIndex.map { case (f, i) =>
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          (f.name,
+            GraftLogNames.publish(GraftLogNames.nextStamp(), i, s"pb$name-$uuid"))
+        }
+        val tmp = GraftFs.child(path,
+          s".pub-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
+        GraftFs.writeString(tmp,
+          (s"$fs" +: m.map { case (o, n) => s"$o\t$n" }).mkString("", "\n", "\n"))
+        if (!GraftFs.renameExclusive(tmp, jPath)) {
+          GraftFs.delete(tmp)
+          throw new IllegalStateException(
+            s"a concurrent publish of branch '$name' on $path is in flight")
+        }
+        (fs, m)
+      }
+    // stats/coalesced ride from the branch entries (resolvable through
+    // cleanup, which deletes the chain only after the CAS)
+    val entryOf = resolveBranch(path, name).files.map(f => (f.name, f)).toMap
+    mapping.foreach { case (o, n) =>
+      val oAbs = GraftFs.child(path, o); val nAbs = GraftFs.child(path, n)
+      if (GraftFs.exists(oAbs)) require(GraftFs.rename(oAbs, nAbs),
+        s"publish failed to rename $o -> $n")
+      else require(GraftFs.exists(nAbs),
+        s"publish resume on $path: neither $o nor $n exists")
+    }
+    val addedNew = mapping.map { case (o, n) =>
+      val f = entryOf.getOrElse(o,
+        throw new IllegalStateException(
+          s"publish journal names $o, which branch '$name' does not carry"))
+      GraftLiveFile(n, f.segs, f.stats, f.coalesced)
+    }
+    val forkSnap = resolveAsOf(path, forkStamp)
+    try {
+      GraftSnapshotIO.commit(path) { base =>
+        if (mapping.nonEmpty &&
+            mapping.forall { case (_, n) => base.fileNames.contains(n) })
+          GraftChange() // already published: the retry's no-op
+        else if (stampedFiles(base) != stampedFiles(forkSnap))
+          throw new GraftConflictException(
+            s"fast-forward publish of branch '$name' on $path: main moved " +
+              s"since the fork at $forkStamp — re-branch from the new tip " +
+              "and re-stage")
+        else GraftChange(addData = addedNew.toVector)
+      }
+      ()
+    } catch {
+      case e: GraftConflictException =>
+        // restore the stage names (the branch stays readable) and
+        // withdraw the journal before surfacing the conflict
+        mapping.foreach { case (o, n) =>
+          val nAbs = GraftFs.child(path, n)
+          if (GraftFs.exists(nAbs)) { GraftFs.rename(nAbs, GraftFs.child(path, o)); () }
+        }
+        GraftFs.delete(jPath)
+        throw e
+    }
+    cleanup()
+    mapping.map(_._2)
   }
 
-  /** Abandon a branch: unlink its staged (main-unreferenced) files and
-    * every branch manifest. @return whether it existed. */
+  /** The stamped (commit-protocol) file view a fast-forward premise
+    * compares: unstamped foreign arrivals are not main movement. */
+  private def stampedFiles(s: GraftSnapshot): (Vector[GraftLiveFile], Map[String, Vector[String]]) =
+    (s.files.filter(f => GraftLogNames.stamp(f.name) >= 0), s.deletes)
+
+  private def readPublishJournal(jPath: String): (Long, Vector[(String, String)]) = {
+    val lines = GraftFs.readString(jPath).split('\n').filter(_.nonEmpty)
+    require(lines.nonEmpty && lines(0).forall(_.isDigit),
+      s"corrupt publish journal $jPath")
+    (lines(0).toLong, lines.drop(1).toVector.map { l =>
+      val i = l.indexOf('\t')
+      require(i > 0, s"corrupt publish journal line in $jPath: '$l'")
+      (l.substring(0, i), l.substring(i + 1))
+    })
+  }
+
+  /** Abandon a branch: unlink its STAGED files — what the branch chain
+    * itself ADDED (never the fork-point state: diffing against the
+    * CURRENT main would unlink fork files that retained history still
+    * references after a main rewrite — round-19 review), minus anything
+    * ANY retained main manifest references (a crashed publish's
+    * survivors stay). Tolerates a dangling fork (the create/expire race
+    * residue): the staged set needs only the branch chain, no resolve.
+    * @return whether it existed. */
   def dropBranch(path: String, name: String): Boolean = {
+    require(!GraftFs.listNames(path).contains(publishJournalName(name)),
+      s"a publish of branch '$name' on $path is in flight or crashed " +
+        "mid-protocol — run publish_branch to complete it, then drop")
     if (!branches(path).contains(name)) return false
-    val main = resolve(path)
-    val branchSnap = resolveBranch(path, name)
-    val staged = (branchSnap.fileNames -- main.fileNames) ++
-      (branchSnap.deletes.keySet -- main.deletes.keySet)
+    val staged = branchAddedNames(path, name)
+    val ordered = refs(GraftFs.listNames(path))
+    val protectedNames =
+      if (ordered.isEmpty) Set.empty[String]
+      else referencedBy(path, prunable(path, 0L)._2)
     GraftFs.delete(GraftFs.child(path, s"branch-$name$BRANCH_EXT"))
     branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
-    staged.foreach(n => GraftFs.delete(GraftFs.child(path, n)))
+    (staged -- protectedNames).foreach(n => GraftFs.delete(GraftFs.child(path, n)))
     true
   }
 
-  /** Every file any live branch references — folded into sweep/expire
-    * live-universes so maintenance never unlinks staged branch data. */
-  private[sources] def branchReferences(path: String): Set[String] =
-    branches(path).keys.flatMap { b =>
-      val st = resolveBranch(path, b)
-      st.files.map(_.name) ++ st.deletes.keys
+  /** File names a branch's own delta chain ADDED — no fork resolve, so
+    * a dangling branch cannot wedge callers (round-19 review). */
+  private def branchAddedNames(path: String, name: String): Set[String] =
+    branchRefs(path, name).flatMap { m =>
+      readBody(path, m) match {
+        case DeltaBody(_, c) => c.addData.map(_.name) ++ c.addDeletes.map(_._1)
+        case _: BaseBody => Nil // corrupt chain: claim nothing
+      }
     }.toSet
+
+  /** Every file any live branch references — folded into sweep/expire
+    * live-universes so maintenance never unlinks staged branch data.
+    * Folds the branch CHAINS directly (addData names): no fork resolve,
+    * so a DANGLING branch (fork stamp already expired) protects its
+    * staged names instead of wedging every sweeping commit with the
+    * resolveAsOf failure (round-19 review). */
+  private[sources] def branchReferences(path: String): Set[String] = {
+    val names = GraftFs.listNames(path)
+    names.flatMap(branchNameOf).flatMap(b => branchAddedNames(path, b)).toSet
+  }
 
   // -------------------------------------------------------------------
   // Manifest GC (chain-aware)

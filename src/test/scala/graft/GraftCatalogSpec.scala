@@ -936,6 +936,10 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       s"expected the fast-forward conflict, got: ${err.getMessage}")
     assert(spark.table("graft.br_t").count() == postForeign + 1,
       "a failed publish must not change main")
+    // the conflict path ROLLS BACK: the branch stays readable (staged
+    // names restored, journal withdrawn) so drop/re-stage both work
+    assert(spark.read.format("graftlog").option("branch", "b2").load(dir)
+      .count() > 0, "a conflicted publish must leave the branch readable")
     // abandon: staged files go, main intact
     val dropped = spark.sql("CALL graft.system.drop_branch(" +
       "table => 'br_t', name => 'b2')").collect()(0)
@@ -946,6 +950,123 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       events.limit(1).writeTo("graft.br_t").option("branch", "nope")
         .overwritePartitions()
     }
+  }
+
+  test("publish re-stamps: published rows are visible to incremental readers of main") {
+    // round-19 review (high): staged files carry STAGING-time name
+    // stamps; entering main under them would sit below any advanced
+    // streaming/incremental high-water and the published rows would be
+    // silently skipped. Publish renames to stamps minted at PUBLISH
+    // time, so `_pub_stamp > <pre-publish max>` catches exactly them.
+    spark.sql("CREATE TABLE graft.br_st (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "br_st").getPath
+    events.orderBy("event_id").limit(8).writeTo("graft.br_st").append()
+    spark.sql("CALL graft.system.branch(table => 'br_st', name => 'lag')").collect()
+    events.orderBy(desc("event_id")).limit(4)
+      .writeTo("graft.br_st").option("branch", "lag").append()
+    Thread.sleep(5) // staging-time stamps are strictly below what follows
+    val hw = spark.read.format("graftlog").load(dir)
+      .agg(max(col("_pub_stamp"))).collect()(0).getLong(0)
+    spark.sql("CALL graft.system.publish_branch(table => 'br_st', name => 'lag')").collect()
+    val fresh = spark.read.format("graftlog").load(dir)
+      .filter(col("_pub_stamp") > hw)
+    assert(fresh.count() == 4,
+      "published rows must carry publish-time stamps (incremental " +
+        s"readers past the staging stamps would lose them); got ${fresh.count()}")
+    assert(spark.table("graft.br_st").count() == 12)
+  }
+
+  test("drop_branch after a main rewrite never unlinks fork-point history") {
+    // round-19 review (data-loss class): the staged set must be what the
+    // branch chain ADDED — diffing against the CURRENT main would
+    // classify fork-point files a main compaction replaced (but retained
+    // history still references) as staged, and unlink them.
+    spark.sql("CREATE TABLE graft.br_gc (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "br_gc").getPath
+    events.orderBy("event_id").limit(6).repartition(2)
+      .writeTo("graft.br_gc").append()
+    val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    spark.sql("CALL graft.system.branch(table => 'br_gc', name => 'aud')").collect()
+    events.orderBy(desc("event_id")).limit(3)
+      .writeTo("graft.br_gc").option("branch", "aud").append()
+    // main moves: compaction replaces the fork-point files (retained on
+    // disk for time travel) — the branch is now unpublishable
+    spark.sql("CALL graft.system.compact(table => 'br_gc')").collect()
+    intercept[Exception] {
+      spark.sql("CALL graft.system.publish_branch(table => 'br_gc', name => 'aud')").collect()
+    }
+    val dropped = spark.sql("CALL graft.system.drop_branch(" +
+      "table => 'br_gc', name => 'aud')").collect()(0)
+    assert(dropped.getBoolean(1))
+    // the fork-point snapshot must still read: drop unlinked ONLY the
+    // branch's own staged files
+    assert(spark.sql(s"SELECT count(*) FROM graft.br_gc VERSION AS OF '$s1'")
+      .collect()(0).getLong(0) == 6,
+      "drop_branch unlinked fork-point files that retained history references")
+    assert(spark.table("graft.br_gc").count() == 6)
+  }
+
+  test("a dangling or digit-named branch neither wedges maintenance nor breaks parsing") {
+    // round-19 review: (a) a branch whose fork stamp is no longer
+    // retained must not wedge sweep/expire (its staged names are still
+    // protected, folded from the branch chain alone); (b) a branch named
+    // like a 13-digit manifest seq must not crash manifest parsing.
+    spark.sql("CREATE TABLE graft.br_edge (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "br_edge").getPath
+    events.orderBy("event_id").limit(5).writeTo("graft.br_edge").append()
+    // (b) the first manifest on every table is seq 1000000000000 — a
+    // branch of that NAME once crashed branchSeqOf on it
+    spark.sql("CALL graft.system.branch(table => 'br_edge', name => '1000000000000')").collect()
+    events.orderBy(desc("event_id")).limit(2)
+      .writeTo("graft.br_edge").option("branch", "1000000000000").append()
+    assert(spark.read.format("graftlog").option("branch", "1000000000000")
+      .load(dir).count() == 7)
+    spark.sql("CALL graft.system.publish_branch(table => 'br_edge', " +
+      "name => '1000000000000')").collect()
+    assert(spark.table("graft.br_edge").count() == 7)
+    // (a) a hand-planted DANGLING branch (fork stamp retained nowhere)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "branch-ghost.graftbranch").toPath, "1\n")
+    val tip = sources.GraftLog.testLatestSnapshotStamp(dir)
+    // maintenance still runs (no resolveAsOf wedge) and prunes history
+    spark.sql("CALL graft.system.expire_snapshots(table => 'br_edge', " +
+      s"before_stamp => ${tip + 1}L)").collect()
+    assert(spark.table("graft.br_edge").count() == 7)
+    // and the dangling ref is cleanly droppable
+    assert(spark.sql("CALL graft.system.drop_branch(table => 'br_edge', " +
+      "name => 'ghost')").collect()(0).getBoolean(1))
+  }
+
+  test("changelog sees through an all-rows-dead compaction (absorb, not truncate)") {
+    // round-19 review: a compaction whose merged outputs are ALL empty
+    // commits remove-only — previously indistinguishable from a truncate
+    // and refused. Compact now X-retires the absorbed delete files and
+    // the commit() base shortcut yields to X-carrying changes, so the
+    // changelog classifies the commit as net-zero.
+    spark.sql("CREATE TABLE graft.cdf_dead (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true', 'delete.mode'='merge-on-read')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "cdf_dead").getPath
+    events.orderBy("event_id").limit(10).writeTo("graft.cdf_dead").append()
+    val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    // merge-on-read DELETE of every row (a real predicate, not truncate)
+    spark.sql("DELETE FROM graft.cdf_dead WHERE event_id >= 0")
+    assert(spark.table("graft.cdf_dead").count() == 0)
+    // the absorb: every merged output is empty -> remove-only X commit
+    spark.sql("CALL graft.system.compact(table => 'cdf_dead')").collect()
+    val s2 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val changes = sources.GraftLog.readChanges(spark, dir, s1, s2)
+    assert(changes.filter(col("_change_type") === "delete").count() == 10,
+      "the window must carry the 10 recorded deletions")
+    assert(changes.filter(col("_change_type") === "insert").count() == 0)
   }
 
   test("RENAME/DROP evolved columns: slot-positional history, re-add is a new slot") {
