@@ -951,14 +951,19 @@ private[sources] object GraftSnapshotIO {
       val (next, dead) = change.apply(resolved.snap)
       val stamp = math.max(GraftLogNames.nextStamp(), resolved.stamp + 1)
       val baseLines = next.files.length + next.deletes.size
-      // the smaller-base shortcut yields to a change carrying EXPLICIT
-      // delete-file retirements (X records, round 19): an all-rows-dead
-      // compaction empties the table (baseLines = 0) and a base manifest
-      // would erase the X records that distinguish the commit from a
-      // truncate — which the changelog read's net-zero classification
-      // depends on. The BASE_EVERY cadence still bounds chains.
-      val asBase = resolved.stamp < 0 || resolved.depth + 1 >= BASE_EVERY ||
-        (baseLines <= change.lineCount && change.removeDeletes.isEmpty)
+      // the smaller-base shortcut AND the normal cadence yield to a
+      // change carrying EXPLICIT delete-file retirements (X records,
+      // round 19): a base manifest would erase the X records that
+      // distinguish an all-rows-dead compaction from a truncate — which
+      // the changelog read's net-zero classification depends on. Chains
+      // stay bounded by the 2x hard cap (X-carrying commits are rare:
+      // full absorbs and streaming replays), where an X-carrying commit
+      // does write a base and a changelog window over it refuses loudly
+      // — never silently wrong.
+      val asBase = resolved.stamp < 0 ||
+        resolved.depth + 1 >= 2 * BASE_EVERY ||
+        (change.removeDeletes.isEmpty &&
+          (resolved.depth + 1 >= BASE_EVERY || baseLines <= change.lineCount))
       val tmp = GraftFs.child(path,
         s".snap-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
       if (asBase) writeBaseFile(tmp, stamp, next)
@@ -1240,8 +1245,12 @@ private[sources] object GraftSnapshotIO {
     val jName = publishJournalName(name)
     val jPath = GraftFs.child(path, jName)
     def cleanup(): Unit = {
-      branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
+      // REF first (round-19 review #2): journal-present + ref-absent is
+      // the unambiguous 'post-CAS, finish the cleanup' state — deleting
+      // manifests first could crash into a truncated-chain state the
+      // resume path cannot rebuild entries from
       GraftFs.delete(GraftFs.child(path, s"branch-$name$BRANCH_EXT"))
+      branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
       GraftFs.delete(jPath)
       ()
     }
@@ -1253,9 +1262,11 @@ private[sources] object GraftSnapshotIO {
       cleanup()
       return mapping.map(_._2)
     }
-    val (forkStamp, mapping) =
-      if (hasJournal) readPublishJournal(jPath)
-      else {
+    val (forkStamp, mapping, snapOpt) =
+      if (hasJournal) {
+        val (fs, m) = readPublishJournal(jPath)
+        (fs, m, None)
+      } else {
         val fs = branches(path).getOrElse(name,
           throw new IllegalArgumentException(s"no branch '$name' on $path"))
         val forkSnap = resolveAsOf(path, fs)
@@ -1282,11 +1293,27 @@ private[sources] object GraftSnapshotIO {
           throw new IllegalStateException(
             s"a concurrent publish of branch '$name' on $path is in flight")
         }
-        (fs, m)
+        (fs, m, Some(branchSnap))
       }
+    // ALREADY PUBLISHED detector (round-19 review #1): the fresh names
+    // are unique to this journal, so ANY retained main manifest
+    // referencing one proves the CAS happened — a retry after a
+    // post-CAS crash (even one followed by a main rewrite that moved
+    // the names out of the CURRENT live set) must finish the cleanup,
+    // never fall through to a spurious conflict whose rollback would
+    // rename main-referenced files away.
+    val mainRefs = refs(GraftFs.listNames(path))
+    val retainedUniverse =
+      if (mainRefs.isEmpty) Set.empty[String]
+      else referencedBy(path, prunable(path, 0L)._2)
+    if (mapping.exists { case (_, n) => retainedUniverse.contains(n) }) {
+      cleanup()
+      return mapping.map(_._2)
+    }
     // stats/coalesced ride from the branch entries (resolvable through
     // cleanup, which deletes the chain only after the CAS)
-    val entryOf = resolveBranch(path, name).files.map(f => (f.name, f)).toMap
+    val entryOf = snapOpt.getOrElse(resolveBranch(path, name))
+      .files.map(f => (f.name, f)).toMap
     mapping.foreach { case (o, n) =>
       val oAbs = GraftFs.child(path, o); val nAbs = GraftFs.child(path, n)
       if (GraftFs.exists(oAbs)) require(GraftFs.rename(oAbs, nAbs),
@@ -1317,10 +1344,16 @@ private[sources] object GraftSnapshotIO {
     } catch {
       case e: GraftConflictException =>
         // restore the stage names (the branch stays readable) and
-        // withdraw the journal before surfacing the conflict
+        // withdraw the journal before surfacing the conflict. The
+        // already-published detector above means no fresh name is
+        // referenced by retained main history here; the live-set check
+        // is belt and braces against a publish racing this rollback.
+        val live = resolve(path).fileNames
         mapping.foreach { case (o, n) =>
           val nAbs = GraftFs.child(path, n)
-          if (GraftFs.exists(nAbs)) { GraftFs.rename(nAbs, GraftFs.child(path, o)); () }
+          if (!live.contains(n) && GraftFs.exists(nAbs)) {
+            GraftFs.rename(nAbs, GraftFs.child(path, o)); ()
+          }
         }
         GraftFs.delete(jPath)
         throw e
@@ -1379,15 +1412,39 @@ private[sources] object GraftSnapshotIO {
       }
     }.toSet
 
-  /** Every file any live branch references — folded into sweep/expire
-    * live-universes so maintenance never unlinks staged branch data.
-    * Folds the branch CHAINS directly (addData names): no fork resolve,
-    * so a DANGLING branch (fork stamp already expired) protects its
-    * staged names instead of wedging every sweeping commit with the
-    * resolveAsOf failure (round-19 review). */
+  /** Every file any live branch (or in-flight publish) references —
+    * folded into sweep/expire live-universes so maintenance never
+    * unlinks staged branch data. Three sources, each load-bearing
+    * (round-19 review):
+    *  - the branch chains' own added names (no fork resolve, so a
+    *    DANGLING branch protects its staged data instead of wedging
+    *    every sweeping commit);
+    *  - each live branch's FORK-POINT snapshot (best-effort: a main
+    *    rewrite retires those files from every in-window main snapshot,
+    *    but the branch still reads them), tolerating a dangling fork;
+    *  - publish journals' old AND new names (a crashed pre-CAS publish
+    *    leaves the only copy of the staged rows under fresh names no
+    *    manifest references yet). */
   private[sources] def branchReferences(path: String): Set[String] = {
     val names = GraftFs.listNames(path)
-    names.flatMap(branchNameOf).flatMap(b => branchAddedNames(path, b)).toSet
+    val out = Set.newBuilder[String]
+    names.flatMap(branchNameOf).foreach { b =>
+      out ++= branchAddedNames(path, b)
+      branches(path).get(b).foreach { fork =>
+        try {
+          val snap = resolveAsOf(path, fork)
+          snap.files.foreach(f => out += f.name)
+          snap.deletes.keys.foreach(out += _)
+        } catch { case _: Exception => () } // dangling fork: chain gone
+      }
+    }
+    names.filter(n => n.startsWith("publish-") && n.endsWith(".graftpub"))
+      .foreach { j =>
+        try readPublishJournal(GraftFs.child(path, j))._2.foreach { case (o, n) =>
+          out += o; out += n
+        } catch { case _: Exception => () } // corrupt journal: claim nothing
+      }
+    out.result()
   }
 
   // -------------------------------------------------------------------
