@@ -1400,9 +1400,9 @@ private class GraftLogUpsertWriter(path: String, partitionId: Int,
         (tmp2, st2.result)
       }
     val sb = new StringBuilder(GraftLog.eqDeleteHeader(keyOrd)).append('\n')
-    if (strKey) // base64url lines: a string key may contain any byte
+    if (strKey) // injective lines: "" encodes to the '.' marker, never blank
       distinctS.foreach(k =>
-        sb.append(GraftBinBounds.enc(k.getBytes)).append('\n'))
+        sb.append(GraftLog.encEqKeyLine(k.getBytes)).append('\n'))
     else distinct.foreach(k => sb.append(k).append('\n'))
     GraftFs.writeString(delTmp, sb.toString)
     GraftLogUpsertCommit(dataTmp, delTmp, partitionId, st,
@@ -3994,7 +3994,15 @@ object GraftLog {
     // removes data files is a rewrite (all added files carry segment
     // maps — net zero), a streaming epoch REPLAY (every removed name
     // shares an added file's epoch marker), or underivable
-    val replayRepub = Set.newBuilder[String] // re-published pre-window rows
+    // Re-published pre-window rows are tracked by their PUBLISH stamps,
+    // not file names (round 20, r19 advice): a mid-window compact/cluster
+    // that merges a replay-republished file preserves the replay's
+    // in-window origin stamps in the output's segment map under a NEW
+    // name — a name filter would misreport those pre-window rows as
+    // inserts. One stamp identifies exactly one published file's rows,
+    // and rewrites carry origin stamps forward by contract, so a stamp
+    // exclusion survives any in-window rewrite.
+    val replayRepub = Set.newBuilder[Long]
     val skippedDels = Set.newBuilder[String] // their re-published eq-dels
     commits.foreach { c =>
       // a COALESCED segment map (cluster's max_origins cap) coarsens
@@ -4034,7 +4042,12 @@ object GraftLog {
             // a replayed epoch whose first attempt committed BEFORE the
             // window: its re-published rows pre-exist (not inserts) and
             // its re-published eq-del re-states pre-window takedowns
-            c.added.foreach(f => replayRepub += f.name)
+            c.added.foreach { f =>
+              val st = GraftLogNames.stamp(f.name)
+              require(st >= 0, s"replay re-publication ${f.name} in " +
+                s"$path is unstamped — epoch publishes are always stamped")
+              replayRepub += st
+            }
             skippedDels ++= c.addedDels.filter(d => markers.exists(d.contains))
           }
         }
@@ -4065,7 +4078,7 @@ object GraftLog {
         if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_ETYPE)
           lines.iterator.drop(1).foreach { line =>
             if (line.nonEmpty) {
-              val k = UTF8String.fromBytes(GraftBinBounds.dec(line)).toString
+              val k = UTF8String.fromBytes(GraftLog.decEqKeyLine(line)).toString
               if (!eqEty.contains(k)) eqEty(k) = c.stamp
             }
           }
@@ -4112,8 +4125,7 @@ object GraftLog {
     val toDf = reader.option("asOfStamp", toStamp).load(path)
     val inserts0 = toDf.filter(col("_pub_stamp").isNotNull && insPred)
     val inserts = (if (repub.isEmpty) inserts0
-      else inserts0.filter(
-        !substring_index(col("_file"), "/", -1).isin(repub.toSeq: _*)))
+      else inserts0.filter(!col("_pub_stamp").isin(repub.toSeq.sorted: _*)))
       .select((tableCols :+ lit("insert").as("_change_type")
         :+ col("_pub_stamp").as("_change_stamp")).toIndexedSeq: _*)
     // DELETE side: FROM-snapshot rows matching the window's deleted keys
@@ -4689,6 +4701,18 @@ object GraftLog {
     case o => throw new IllegalStateException(s"no equality-delete key at ordinal $o")
   }
 
+  /** Injective line codec for STRING equality-delete keys (round 20):
+    * base64url of the key bytes, with the EMPTY key encoded as the lone
+    * marker '.', a character outside the base64url alphabet. Plain
+    * enc("") emits an EMPTY line, which every reader skips as a blank —
+    * the takedown for the "" key was silently lost (the superseded row
+    * survived alongside its replacement). Nonempty keys are unchanged,
+    * so files written before this codec still decode identically. */
+  private[sources] def encEqKeyLine(k: Array[Byte]): String =
+    if (k.isEmpty) "." else GraftBinBounds.enc(k)
+  private[sources] def decEqKeyLine(line: String): Array[Byte] =
+    if (line == ".") Array.emptyByteArray else GraftBinBounds.dec(line)
+
   /** Per-file deletes loaded for a cursor: position ordinals plus the
     * equality keys per key column — all sorted for binary-search probes. */
   private[sources] final case class GraftLoadedDeletes(pos: Array[Long],
@@ -4716,9 +4740,9 @@ object GraftLog {
         else if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_UID) uid
         else null
       if (lines.nonEmpty && lines(0) == EQ_DELETE_HEADER_ETYPE)
-        // base64url lines: a string key may contain any byte
+        // injective key lines: the '.' marker IS the empty key
         lines.iterator.drop(1).foreach { line =>
-          if (line.nonEmpty) ety += UTF8String.fromBytes(GraftBinBounds.dec(line))
+          if (line.nonEmpty) ety += UTF8String.fromBytes(GraftLog.decEqKeyLine(line))
         }
       else if (eqInto != null)
         lines.iterator.drop(1).foreach { line =>

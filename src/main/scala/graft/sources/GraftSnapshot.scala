@@ -1133,6 +1133,22 @@ private[sources] object GraftSnapshotIO {
     val stamp = tipStamp(path)
     require(stamp >= 0,
       s"no snapshot history in $path: commit once before branching")
+    // A DEAD same-named branch (publish/drop crashed mid-cleanup) may
+    // have left chain manifests behind; they are swept BEFORE the ref
+    // CAS (round 20, r19 advice): once the ref is visible, a concurrent
+    // commitToBranch can resolve the branch and land snap-<name>.<seq>
+    // in the window before a post-CAS sweep's listing — and the sweep
+    // would delete a freshly COMMITTED manifest. With no live ref, no
+    // writer can target the name, so every listed chain manifest is a
+    // remnant. Order matters: list FIRST, then re-check the ref is still
+    // absent — a ref live at the re-check means the listing may already
+    // contain a concurrently created branch's commits, so skip the sweep
+    // and let the CAS below fail loudly; a manifest landing AFTER the
+    // listing cannot be in the captured set.
+    val remnants = branchRefs(path, name)
+    if (remnants.nonEmpty &&
+        !GraftFs.listNames(path).contains(s"branch-$name$BRANCH_EXT"))
+      remnants.foreach(m => GraftFs.delete(GraftFs.child(path, m)))
     val tmp = GraftFs.child(path,
       s".branch-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
     GraftFs.writeString(tmp, s"$stamp\n")
@@ -1142,11 +1158,6 @@ private[sources] object GraftSnapshotIO {
       throw new IllegalStateException(
         s"branch '$name' already exists on $path (publish or drop it first)")
     }
-    // a DEAD same-named branch (publish/drop crashed mid-cleanup) may
-    // have left manifests behind; having WON the ref CAS, no live branch
-    // of this name exists, so those are remnants that would pollute the
-    // new chain — clear them before the branch is usable
-    branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
     // same post-CAS verify as createTag (r18 advice class): a concurrent
     // expire pass reads branches() BEFORE deleting, so a branch landing
     // in that window could fork a chain the pass already pruned — drop

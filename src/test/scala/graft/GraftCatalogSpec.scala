@@ -952,6 +952,37 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("re-creating a dead branch's name sweeps its remnant chain before the ref CAS") {
+    // round 20 (r19 advice, low): a drop/publish that crashed after the
+    // ref delete but before manifest cleanup leaves snap-<name>.<seq>
+    // remnants. They must be swept BEFORE the new ref CAS — once the ref
+    // is visible, a concurrent commitToBranch could land a fresh branch
+    // manifest in the window before a post-CAS sweep's listing, and the
+    // sweep would delete a freshly COMMITTED manifest. Functional
+    // contract pinned here: the re-created branch starts at the fork
+    // (dead chain swept from disk), and sweeping happens pre-CAS.
+    spark.sql("CREATE TABLE graft.br_dead (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "br_dead").getPath
+    events.orderBy("event_id").limit(6).writeTo("graft.br_dead").append()
+    spark.sql("CALL graft.system.branch(table => 'br_dead', name => 'wk')").collect()
+    events.orderBy(desc("event_id")).limit(3)
+      .writeTo("graft.br_dead").option("branch", "wk").append()
+    val remnants = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("snap-wk.")).toSet
+    assert(remnants.nonEmpty, "fixture: the staged write must land a branch manifest")
+    // simulate the drop crash: ref gone, chain manifests left behind
+    assert(new java.io.File(dir, "branch-wk.graftbranch").delete())
+    spark.sql("CALL graft.system.branch(table => 'br_dead', name => 'wk')").collect()
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(remnants.forall(!names.contains(_)),
+      s"dead-branch remnants survived the re-create: ${remnants.intersect(names)}")
+    assert(spark.read.format("graftlog").option("branch", "wk").load(dir)
+      .count() == 6, "the re-created branch must start at the fork, not " +
+        "chain onto the dead branch's deltas")
+  }
+
   test("publish re-stamps: published rows are visible to incremental readers of main") {
     // round-19 review (high): staged files carry STAGING-time name
     // stamps; entering main under them would sit below any advanced
@@ -1197,6 +1228,63 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     val empty = sources.GraftLog.readChanges(spark, dir, s2, s2)
     assert(empty.isEmpty && empty.columns.takeRight(2).toSeq ==
       Seq("_change_type", "_change_stamp"))
+  }
+
+  test("changelog read: a compacted replay re-publication is still not an insert") {
+    // round 20 (r19 advice, low): replay re-publications used to be
+    // excluded from the insert side by file NAME — a mid-window compact
+    // that merges a re-published file preserves the replay's in-window
+    // origin stamps in its segment map under a NEW name, so those
+    // pre-window rows passed both the stamp predicate and the name
+    // filter and were misreported as inserts. The exclusion now rides
+    // the replay's publish STAMPS, which rewrites carry forward.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE graft.cdf_replay (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "cdf_replay").getPath
+    val src = Scratch.dir("graft_cdf_replay_src")
+    val ckpt = Scratch.streamCkptDir("graft_cdf_replay_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 8).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dir)
+      q.awaitTermination()
+    }
+    val wave1 = events.orderBy("event_id").limit(10)
+    wave1.repartition(1).write.format("graftlog").mode("append").save(src)
+    drain() // the first attempt commits BEFORE the window
+    val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    // simulate a sink-side replay: drop the last commit marker and
+    // re-drain — the replayed epoch re-publishes wave 1 IN-window
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val sidecar = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    if (sidecar.exists()) assert(sidecar.delete())
+    assert(commits.last.delete(), "fixture: could not delete the commit marker")
+    drain()
+    // genuine in-window inserts on DISJOINT keys
+    val wave2 = events.orderBy(desc("event_id")).limit(5)
+    wave2.repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    // the mid-window compact merges replay re-publications with the
+    // fresh files — the re-published names disappear into merged outputs
+    spark.sql("CALL graft.system.compact(table => 'cdf_replay')").collect()
+    val s2 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val changes = sources.GraftLog.readChanges(spark, dir, s1, s2)
+    val ins = changes.filter(col("_change_type") === "insert")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val want = wave2.select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(ins == want,
+      s"inserts must be exactly the fresh wave: got ${ins.size} rows, " +
+        s"spurious ${ins -- want}, missing ${want -- ins}")
+    assert(changes.filter(col("_change_type") === "delete").count() == 0,
+      "disjoint-key waves must produce no delete changes")
   }
 
   test("changelog read refuses a window containing an underivable commit, loudly") {

@@ -773,6 +773,63 @@ class GraftSnapshotSpec extends SparkTestBase {
       "absorbed string eq-deletes must retire with their covered files")
   }
 
+  test("upsert keyed on event_type: the EMPTY string key replaces by key") {
+    // round 20 (r19 advice, medium): base64url of zero bytes is an EMPTY
+    // line, which loadDeletes/readChanges skip as a blank — the takedown
+    // for the "" key was silently lost and the superseded row survived
+    // alongside its replacement. The injective line codec ('.' marker
+    // for the empty key) must make "" behave exactly like any other key.
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Scratch.dir("graftsnap_upsert_emptykey_src")
+    val sink = Scratch.dir("graftsnap_upsert_emptykey_sink")
+    val ckpt = Scratch.streamCkptDir("graftsnap_upsert_emptykey_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 1).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_type")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    def state(): Map[String, Double] =
+      spark.read.format("graftlog").load(sink)
+        .select(col("event_type"), col("value")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+    // wave 1: the empty key plus two ordinary keys
+    val base = events.orderBy("event_id").limit(3)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val typed = base.withColumn("event_type",
+      when(col("event_id") === base.agg(min("event_id")).collect()(0).getLong(0),
+        lit("")).otherwise(concat(lit("t"), col("event_id").cast("string"))))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    typed.repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    val v1 = state()
+    assert(v1.size == 3 && v1.contains(""),
+      s"wave 1 must land the empty key among 3 keys, got ${v1.keySet}")
+    // wave 2: correct ONLY the empty key
+    typed.filter(col("event_type") === "").withColumn("value", lit(777.0))
+      .write.format("graftlog").mode("append").save(src)
+    drain()
+    // row-exact: a lost takedown leaves BOTH rows for "" (a keyed Map
+    // would collapse them and hide the duplicate)
+    assert(spark.read.format("graftlog").load(sink).count() == 3,
+      "the empty-key takedown was lost: the stale row survived")
+    val v2 = state()
+    assert(v2.size == 3,
+      s"the empty-key takedown was lost or over-applied: ${v2.size} keys")
+    assert(v2("") == 777.0, s"empty key kept the stale value ${v2("")}")
+    v1.foreach { case (k, v) => if (k.nonEmpty)
+      assert(v2(k) == v, s"unrelated key '$k' changed: $v -> ${v2(k)}") }
+    // the absorb-walk must also honor the marker line on compaction
+    val (b, a, _) = sources.GraftLog.compact(spark, sink, 1L << 30)
+    assert(a < b, s"compaction must merge ($b -> $a files)")
+    assert(state() == v2, "compaction changed the empty-key upsert answer")
+    assert(sources.GraftSnapshotTestHook.deleteFiles(sink).isEmpty,
+      "absorbed eq-deletes must retire with their covered files")
+  }
+
   // ----- round 18: commit unlink discipline (r17 advice) -----------------
 
   test("first OVERWRITE on a manifest-less landing keeps its own data") {
