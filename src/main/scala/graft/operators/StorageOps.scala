@@ -1097,6 +1097,59 @@ object StorageOps extends QueryModule {
       |FROM events WHERE event_id < 30000 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // COMPOSITE upsert key (round 20, r19 verdict missing #2): the sink
+  // keyed on the (user_id, event_type) TUPLE. Wave 1 streams the whole
+  // events slice in one pinned-order file, so the sink's keep-last
+  // contract leaves the max-event_id row per tuple; wave 2 replaces
+  // exactly the 'click' tuple of every user that has one — other types
+  // for the same users, and the same type for other tuples, untouched.
+  // Compaction absorbs the composite eq-deletes (the absorb-walk probes
+  // the canonical tuple encode) before the read.
+  // ------------------------------------------------------------------
+  def dsv2StreamUpsertCk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = scratch("graft_upsert_ck_src")
+    val sink = scratch("graft_upsert_ck_sink")
+    val ckpt = graft.Scratch.streamCkptDir("graft_upsert_ck_ckpt")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    def drain(): Unit = {
+      val q = s.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 2).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "user_id,event_type")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    ev.repartition(1).sortWithinPartitions(col("event_id"))
+      .write.format("graftlog").mode("append").save(src)
+    drain() // keep-last leaves the max-event_id row per tuple
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+      .select((col("user_id") + 2000000L).as("event_id"), col("user_id"),
+        lit(77.5).as("value"), lit("click").as("event_type"))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain() // tuple corrections for every (user, 'click')
+    graft.sources.GraftLog.compact(s, sink, 1L << 30)
+    s.read.format("graftlog").load(sink)
+      .orderBy(col("user_id"), col("event_type"), col("event_id"))
+  }
+
+  val dsv2StreamUpsertCkSql: String =
+    """SELECT event_id, user_id, value, event_type FROM (
+      |  SELECT event_id, user_id, value, event_type,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND event_type <> 'click'
+      |UNION ALL
+      |SELECT 2000000 + user_id AS event_id, user_id,
+      |       77.5 AS value, 'click' AS event_type
+      |FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') u
+      |ORDER BY user_id, event_type, event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Zone maps over EVOLVED columns (round 18, r17 verdict #3): an ALTER
   // TABLE ADD COLUMN column gets per-file bounds too (the manifest's W
   // tokens — present count + typed min/max, string bounds truncated the
@@ -1784,6 +1837,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_renamed" -> (dsv2Renamed _),
     "scan_dsv2_changes" -> (dsv2Changes _),
     "scan_dsv2_changes_u" -> (dsv2ChangesU _),
+    "stream_dsv2_upsert_ck" -> (dsv2StreamUpsertCk _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "scan_partition_pruned" -> (partitionPruned _),
@@ -1832,6 +1886,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_renamed" -> dsv2RenamedSql,
     "scan_dsv2_changes" -> dsv2ChangesSql,
     "scan_dsv2_changes_u" -> dsv2ChangesUSql,
+    "stream_dsv2_upsert_ck" -> dsv2StreamUpsertCkSql,
     "json_roundtrip" -> jsonRoundtripSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "scan_partition_pruned" -> partitionPrunedSql,

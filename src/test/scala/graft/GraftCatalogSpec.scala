@@ -1367,6 +1367,59 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       s"untyped feed must stay two-valued, got $plain")
   }
 
+  test("changelog read over a composite-keyed upsert window, typed and untyped") {
+    // round 20: the composite eq-delete files ("eq user_id,event_type"
+    // headers, canonical ':'-joined tuple lines) must feed the
+    // changelog — the FROM rows of corrected TUPLES as deletes (typed
+    // update_preimage when the tuple reappears), nothing for tuples
+    // sharing only one component with a correction.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE graft.cdf_ck (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "cdf_ck").getPath
+    val src = Scratch.dir("graft_cdf_ck_src")
+    val ckpt = Scratch.streamCkptDir("graft_cdf_ck_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "user_id,event_type")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dir)
+      q.awaitTermination()
+    }
+    val six = spark.range(6).select(
+      col("id").as("event_id"), (col("id") % 3).as("user_id"),
+      (col("id") * 10 + 10).cast("double").as("value"),
+      when(col("id") < 3, lit("a")).otherwise(lit("b")).as("event_type"))
+    six.repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    six.filter(col("event_type") === "a") // correct the 'a' tuples only
+      .withColumn("value", col("value") * 3)
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    val s2 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val typed = sources.GraftLog.readChanges(spark, dir, s1, s2,
+        updateImages = true)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(typed.length == 6, s"expected 3 pre + 3 post images, got ${typed.length}")
+    assert(typed.forall(_._2 == "a"), s"a 'b' tuple leaked into the window: $typed")
+    val pre = typed.filter(_._4 == "update_preimage").map(t => (t._1, t._3)).toMap
+    val post = typed.filter(_._4 == "update_postimage").map(t => (t._1, t._3)).toMap
+    assert(pre.keySet == Set(0L, 1L, 2L) && post.keySet == Set(0L, 1L, 2L))
+    pre.foreach { case (u, v) => assert(post(u) == v * 3,
+      s"user $u: postimage ${post(u)} != preimage $v * 3") }
+    // untyped stays two-valued over the same window
+    val plain = sources.GraftLog.readChanges(spark, dir, s1, s2)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(plain == Map("insert" -> 3L, "delete" -> 3L), s"untyped: $plain")
+  }
+
   test("changelog read refuses a window containing an underivable commit, loudly") {
     // copy-on-write rewrites/truncates record no row identities — a
     // silently partial changelog is the one wrong answer this surface
