@@ -1654,6 +1654,72 @@ object StorageOps extends QueryModule {
       |) ORDER BY _change_type, event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Changelog as a native STREAMING source (round 20, r19 verdict next
+  // #6): the same correction window as scan_dsv2_changes, but consumed
+  // via `readStream.option("readChanges", "true")` — offset = snapshot
+  // stamp, the AvailableNow drain over the closed window re-derives the
+  // identical typed feed the batch reader computes (the spec also pins
+  // restart exactly-once). The mid-window compaction is kept: insert
+  // partitions suppress pre-window/replay segments by origin stamp, so
+  // the stream sees through the rewrite like the batch surface.
+  // ------------------------------------------------------------------
+  def dsv2StreamChanges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.warehouse", catalogWarehouse)
+    s.sql("DROP TABLE IF EXISTS graftq.cdfs_ev")
+    s.sql("CREATE TABLE graftq.cdfs_ev (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val sink = catalogWarehouse + "/cdfs_ev"
+    val src = scratch("graft_cdfs_src")
+    val ckpt = graft.Scratch.streamCkptDir("graft_cdfs_ckpt")
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") < 30000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    def drain(): Unit = {
+      val q = s.readStream.format("graftlog")
+        .option("maxFilesPerTrigger", 2).load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    ev.repartition(2).write.format("graftlog").mode("append").save(src)
+    drain() // baseline
+    val s1 = graft.sources.GraftLog.testLatestSnapshotStamp(sink)
+    ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("event_type", lit("fix"))
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain() // the window's corrections
+    s.sql("CALL graftq.system.compact(table => 'cdfs_ev')").collect()
+    val changes = s.readStream.format("graftlog")
+      .option("readChanges", "true").option("changesFrom", s1)
+      .load(sink)
+    graft.streaming.Streams.runToCompletion(changes,
+      s"cdfs_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      Some(Trigger.AvailableNow()))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"), col("_change_type"))
+      .orderBy(col("_change_type"), col("event_id"))
+  }
+
+  val dsv2StreamChangesSql: String =
+    """SELECT event_id, user_id, value, event_type, _change_type FROM (
+      |  SELECT event_id, user_id, value * 2 AS value, 'fix' AS event_type,
+      |         'insert' AS _change_type
+      |  FROM events WHERE event_id < 30000 AND event_id % 5 = 0
+      |  UNION ALL
+      |  SELECT event_id, user_id, value, event_type,
+      |         'delete' AS _change_type
+      |  FROM events WHERE event_id < 30000 AND event_id % 5 = 0
+      |) ORDER BY _change_type, event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Typed changelog with UPDATE images (round 20, r19 verdict missing
   // #1): Delta-CDF-style `update_preimage`/`update_postimage` rows. The
   // fixture streams a baseline through the upsert sink, then in one
@@ -1838,6 +1904,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_changes" -> (dsv2Changes _),
     "scan_dsv2_changes_u" -> (dsv2ChangesU _),
     "stream_dsv2_upsert_ck" -> (dsv2StreamUpsertCk _),
+    "stream_dsv2_changes" -> (dsv2StreamChanges _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "scan_partition_pruned" -> (partitionPruned _),
@@ -1887,6 +1954,7 @@ object StorageOps extends QueryModule {
     "scan_dsv2_changes" -> dsv2ChangesSql,
     "scan_dsv2_changes_u" -> dsv2ChangesUSql,
     "stream_dsv2_upsert_ck" -> dsv2StreamUpsertCkSql,
+    "stream_dsv2_changes" -> dsv2StreamChangesSql,
     "json_roundtrip" -> jsonRoundtripSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "scan_partition_pruned" -> partitionPrunedSql,

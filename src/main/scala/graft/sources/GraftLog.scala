@@ -121,8 +121,13 @@ class GraftLogSource extends TableProvider
 
   override def shortName(): String = "graftlog"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftLog.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val extra = Option(options.get("evolvedSchema"))
+      .map(GraftLog.decodeExtraSchema).getOrElse(Array.empty[StructField])
+    if (java.lang.Boolean.parseBoolean(options.get("readChanges")))
+      GraftLogChanges.changesSchema(extra)
+    else GraftLog.schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -136,7 +141,11 @@ class GraftLogSource extends TableProvider
     // remains the public evolved surface
     val extra = Option(properties.get("evolvedSchema"))
       .map(GraftLog.decodeExtraSchema).getOrElse(Array.empty[StructField])
-    new GraftLogTable(path, extra = extra)
+    // `.option("readChanges", "true")` (round 20): the typed change feed
+    // as a native streaming source — see [[GraftLogChanges]]
+    if (java.lang.Boolean.parseBoolean(properties.get("readChanges")))
+      new GraftLogChangesTable(path, extra)
+    else new GraftLogTable(path, extra = extra)
   }
 }
 
@@ -3990,14 +3999,29 @@ object GraftLog {
     * stamp-filtered with zone/stamp file pruning). Unstamped foreign
     * files have no timeline position and are invisible to both sides,
     * matching resolveAsOf. */
-  def readChanges(spark: SparkSession, path: String, fromStamp: Long,
-      toStamp: Long, extra: Array[StructField] = Array.empty,
-      updateImages: Boolean = false): DataFrame = {
-    require(fromStamp >= 0, s"readChanges fromStamp must be >= 0, got $fromStamp")
-    require(toStamp >= fromStamp,
-      s"readChanges window is [from, to]: $fromStamp > $toStamp")
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
-      lit, min, row_number, substring_index, when}
+  /** One window commit: stamp, added/removed data files, added/removed
+    * delete files, delta vs base shape, and the all-rows-dead absorb
+    * signature (see [[readChanges]]). */
+  private[sources] final case class GraftChgRec(stamp: Long,
+      added: Vector[GraftLiveFile], removed: Set[String],
+      addedDels: Seq[String], removedDels: Set[String],
+      delta: Boolean, removedAllCovered: Boolean)
+  /** A resolved, derivability-checked change window: both boundary
+    * states, the walked commits, the replay re-publication stamps to
+    * exclude from the insert side, and the re-published eq-delete names
+    * to skip from collection. Shared by the batch [[readChanges]] and
+    * the streaming changes source. */
+  private[sources] final case class GraftChangesWindow(
+      stateFrom: GraftSnapshot, stateTo: GraftSnapshot,
+      commits: Seq[GraftChgRec], repubStamps: Set[Long], xedDels: Set[String])
+
+  /** Resolve and classify the change window [fromStamp, toStamp]; None
+    * when the window spans no commits. Refuses underivable windows
+    * (copy-on-write rewrite, truncate, expire, coalesced segment maps)
+    * loudly — a silently partial changelog is the one wrong answer this
+    * surface must never give. */
+  private[sources] def changesWindow(path: String, fromStamp: Long,
+      toStamp: Long): Option[GraftChangesWindow] = {
     val ordered = GraftSnapshotIO.refs(GraftFs.listNames(path))
     require(ordered.nonEmpty,
       s"no snapshot history in $path (manifest-less landing): table " +
@@ -4008,12 +4032,7 @@ object GraftLog {
       s"no snapshot of $path at or before stamp $fromStamp (older than " +
         "the retained history, or before the table existed)")
     val iTo = heads.lastIndexWhere(_._1 <= toStamp)
-    val schemaAll = StructType((GraftLog.schema.fields ++ GraftLog.activeExtra(extra)) ++ Seq(
-      StructField("_change_type", StringType, nullable = false),
-      StructField("_change_stamp", LongType, nullable = true)))
-    if (iTo == iFrom)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaAll)
+    if (iTo == iFrom) return None
     // the walked range must be seq-contiguous — a hole would silently
     // skip a commit's change, the exact failure resolveAt refuses
     require(!((iFrom + 1) to iTo).exists(i =>
@@ -4025,9 +4044,6 @@ object GraftLog {
     // data names, added delete files, removed delete files); a BASE
     // manifest in-window (every 16th commit, or an overwrite) yields its
     // change as a state diff
-    final case class Chg(stamp: Long, added: Vector[GraftLiveFile],
-        removed: Set[String], addedDels: Seq[String], removedDels: Set[String],
-        delta: Boolean, removedAllCovered: Boolean)
     var state = stateFrom
     val commits = ((iFrom + 1) to iTo).map { i =>
       GraftSnapshotIO.readBody(path, ordered(i)) match {
@@ -4038,14 +4054,14 @@ object GraftLog {
           val covered = c.removeData.nonEmpty && c.removeData.forall(n =>
             state.deletesFor(n).exists(d =>
               c.removeDeletes.contains(GraftFs.nameOf(d))))
-          val rec = Chg(st, c.addData, c.removeData,
+          val rec = GraftChgRec(st, c.addData, c.removeData,
             c.addDeletes.map(_._1), c.removeDeletes,
             delta = true, removedAllCovered = covered)
           state = c.apply(state)._1
           rec
         case GraftSnapshotIO.BaseBody(st, s) =>
           val oldF = state.fileNames
-          val rec = Chg(st, s.files.filterNot(f => oldF.contains(f.name)),
+          val rec = GraftChgRec(st, s.files.filterNot(f => oldF.contains(f.name)),
             oldF -- s.fileNames,
             (s.deletes.keySet -- state.deletes.keySet).toSeq.sorted,
             state.deletes.keySet -- s.deletes.keySet,
@@ -4117,6 +4133,30 @@ object GraftLog {
         }
       }
     }
+    Some(GraftChangesWindow(stateFrom, state, commits,
+      replayRepub.result(), skippedDels.result()))
+  }
+
+  def readChanges(spark: SparkSession, path: String, fromStamp: Long,
+      toStamp: Long, extra: Array[StructField] = Array.empty,
+      updateImages: Boolean = false): DataFrame = {
+    require(fromStamp >= 0, s"readChanges fromStamp must be >= 0, got $fromStamp")
+    require(toStamp >= fromStamp,
+      s"readChanges window is [from, to]: $fromStamp > $toStamp")
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
+      lit, min, row_number, substring_index, when}
+    val schemaAll = StructType((GraftLog.schema.fields ++ GraftLog.activeExtra(extra)) ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_change_stamp", LongType, nullable = true)))
+    val win = changesWindow(path, fromStamp, toStamp) match {
+      case None =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaAll)
+      case Some(w) => w
+    }
+    val stateFrom = win.stateFrom
+    val state = win.stateTo
+    val commits = win.commits
     // collect the window's delete records. A delete file the window
     // itself later retires still CONTRIBUTED its changes when it landed —
     // a mid-window compaction absorbs an eq-delete physically, but the
@@ -4127,7 +4167,7 @@ object GraftLog {
     // replay's within-window X-retired first attempt is harmless to keep:
     // its replacement carries the same keys and the first-stamp maps
     // dedup them.
-    val xed = skippedDels.result()
+    val xed = win.xedDels
     // The window's delete records are collected DISTRIBUTED (round 20,
     // r19 verdict hardening): the delete files are read as datasets and
     // reduced to (key -> first kill stamp) with a group-by, so driver
@@ -4247,7 +4287,7 @@ object GraftLog {
     val insPred =
       if (lowNew.isEmpty) insBase
       else insBase || col("_pub_stamp").isin(lowNew: _*)
-    val repub = replayRepub.result()
+    val repub = win.repubStamps
     val toDf = reader.option("asOfStamp", toStamp).load(path)
     val inserts0 = toDf.filter(col("_pub_stamp").isNotNull && insPred)
     val inserts = (if (repub.isEmpty) inserts0

@@ -1,0 +1,323 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Changelog as a native STREAMING source (round 20, r19 verdict next
+  * #6): `spark.readStream.format("graftlog").option("readChanges",
+  * "true").load(path)` delivers the table's typed change feed —
+  * `_change_type` ('insert' | 'delete') and `_change_stamp` appended to
+  * the table columns — so downstream incremental pipelines consume
+  * corrections natively instead of re-running batch [[GraftLog.readChanges]]
+  * windows.
+  *
+  * Offsets are SNAPSHOT STAMPS: each micro-batch is the change window
+  * (prevStamp, tipStamp], re-derived deterministically from the manifest
+  * chain — a checkpointed restart re-plans the identical window while
+  * the snapshots are retained, so delivery is exactly once. An
+  * AvailableNow drain over a closed window therefore equals the batch
+  * `readChanges` over the same stamps (GraftCatalogSpec pins it).
+  * `.option("changesFrom", stamp)` starts the feed at a historical
+  * stamp; the default is the tip at query start (future changes only).
+  *
+  * Scope, stated loudly: windows whose delete records are EQUALITY
+  * deletes (the streaming upsert sink's shape — the CDC feed this
+  * source exists for) stream natively; a window containing a
+  * POSITION-delete commit (batch MoR DELETE/UPDATE) refuses with a
+  * pointer to the batch reader, and underivable windows (copy-on-write
+  * rewrite, truncate, expire, coalesced maps) refuse exactly like the
+  * batch surface. Per-batch driver cost is O(that window's delete
+  * records + live files) — bounded by what one micro-batch spans, the
+  * same envelope as the sink that wrote the epochs.
+  *
+  * Plan shape per batch: INSERT partitions are the TO-state files
+  * carrying in-window origin stamps, read with pre-window/replay
+  * segments suppressed (the dead-stamp machinery) and the TO-state drop
+  * sets applied, so an in-window birth that was killed in-window
+  * appears on neither side (NET semantics, matching batch). DELETE
+  * partitions are the FROM-state files zone-overlapping the window's
+  * killed keys, read with the FROM-state drop sets (rows already dead
+  * before the window never re-report) and filtered to the kill sets,
+  * emitting each FROM row once with its first-kill stamp. */
+private[sources] object GraftLogChanges {
+  def changesSchema(extra: Array[StructField]): StructType =
+    StructType((GraftLog.schema.fields ++ GraftLog.activeExtra(extra)) ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_change_stamp", LongType, nullable = true)))
+}
+
+private[sources] class GraftLogChangesTable(path: String,
+    extra: Array[StructField] = Array.empty) extends Table with SupportsRead {
+  override def name(): String = s"graftlog_changes:$path"
+  override def schema(): StructType = GraftLogChanges.changesSchema(extra)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startStamp = Option(options.get("changesFrom")).map(_.toLong)
+    () => new Scan {
+      override def readSchema(): StructType = GraftLogChanges.changesSchema(extra)
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftLogChangesStream(path, extra, startStamp)
+      override def description(): String =
+        s"GraftLogChangesScan path=$path from=${startStamp.getOrElse(-1L)}"
+    }
+  }
+}
+
+private[sources] case class GraftLogChangesOffset(stamp: Long) extends Offset {
+  override def json(): String = s"""{"stamp":$stamp}"""
+}
+private[sources] object GraftLogChangesOffset {
+  private val Re = """\{"stamp":(-?\d+)\}""".r
+  def fromJson(s: String): GraftLogChangesOffset = s match {
+    case Re(n) => GraftLogChangesOffset(n.toLong)
+    case other => throw new IllegalArgumentException(
+      s"unreadable graftlog changes offset: '$other'")
+  }
+}
+
+/** One change partition: an insert-side file (window segments live,
+  * everything else dead) or a delete-side FROM file with the window's
+  * kill sets (sorted key arrays with ALIGNED first-kill stamp arrays).
+  * `delPaths` and `segs` are resolved at PLANNING time from the
+  * partition's own boundary state — the TO state for inserts (so an
+  * in-window birth killed in-window vanishes: NET semantics) and the
+  * FROM state for deletes (so rows already dead before the window never
+  * re-report, while the window's own kills stay VISIBLE to be emitted). */
+private[sources] case class GraftLogChangesPartition(
+    file: String, insert: Boolean,
+    deadStamps: Array[Long],
+    segs: Option[Vector[GraftSegment]],
+    delPaths: Seq[String],
+    eqEid: Array[Long], eqEidStamp: Array[Long],
+    eqUid: Array[Long], eqUidStamp: Array[Long],
+    eqEty: Array[String], eqEtyStamp: Array[Long],
+    eqTuples: Seq[(Seq[Int], Array[String], Array[Long])]) extends InputPartition
+
+private[sources] class GraftLogChangesStream(path: String,
+    extra: Array[StructField], startStamp: Option[Long])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @volatile private var cutoff: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    cutoff = Some(GraftSnapshotIO.tipStamp(path))
+
+  override def initialOffset(): Offset = {
+    val s = startStamp.getOrElse(GraftSnapshotIO.tipStamp(path))
+    require(s >= 0,
+      s"no snapshot history in $path: the changes stream needs committed " +
+        "snapshots (or an explicit changesFrom stamp)")
+    GraftLogChangesOffset(s)
+  }
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow) routes
+  // discovery through the 2-arg form; a batch is the whole pending
+  // window — stamp windows re-derive deterministically, so rate
+  // limiting would only split what restarts re-plan identically anyway
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    GraftLogChangesOffset(cutoff.getOrElse(GraftSnapshotIO.tipStamp(path)))
+  override def deserializeOffset(json: String): Offset =
+    GraftLogChangesOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[GraftLogChangesOffset].stamp
+    val b = end.asInstanceOf[GraftLogChangesOffset].stamp
+    if (b <= a) return Array.empty
+    val win = GraftLog.changesWindow(path, a, b) match {
+      case None => return Array.empty
+      case Some(w) => w
+    }
+    val fromStamps = win.stateFrom.files
+      .flatMap(_.stampedSegments.map(_.stamp)).filter(_ >= 0).toSet
+    val toStamps = win.stateTo.files
+      .flatMap(_.stampedSegments.map(_.stamp)).filter(_ >= 0).toSet
+    val windowStamps = toStamps -- fromStamps -- win.repubStamps
+    val inserts = win.stateTo.files.flatMap { f =>
+      val stamps = f.stampedSegments.map(_.stamp).filter(_ >= 0)
+      if (!stamps.exists(windowStamps.contains)) None
+      else Some(GraftLogChangesPartition(GraftFs.child(path, f.name),
+        insert = true,
+        deadStamps = stamps.distinct.filterNot(windowStamps.contains).toArray,
+        segs = f.segs,
+        delPaths = win.stateTo.deletesFor(f.name).map(GraftFs.child(path, _)),
+        Array.emptyLongArray, Array.emptyLongArray,
+        Array.emptyLongArray, Array.emptyLongArray,
+        Array.empty, Array.emptyLongArray, Nil))
+    }
+    // window kill sets, first-kill stamp per key (commit order = stamp
+    // order). Bounded by ONE micro-batch's delete records — the same
+    // envelope as the upsert epochs that wrote them.
+    val eid = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val uid = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val ety = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val tup = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Int], scala.collection.mutable.LinkedHashMap[String, Long]]
+    win.commits.foreach { c =>
+      c.addedDels.filterNot(win.xedDels.contains).foreach { d =>
+        val lines = GraftFs.readString(GraftFs.child(path, d)).split('\n')
+        val head = if (lines.nonEmpty) lines(0) else ""
+        val tupOrds = GraftLog.tupleHeaderOrds(head)
+        def recs = lines.iterator.drop(1).filter(_.nonEmpty)
+        if (head == GraftLog.EQ_DELETE_HEADER)
+          recs.foreach(k => eid.getOrElseUpdate(k.toLong, c.stamp))
+        else if (head == GraftLog.EQ_DELETE_HEADER_UID)
+          recs.foreach(k => uid.getOrElseUpdate(k.toLong, c.stamp))
+        else if (head == GraftLog.EQ_DELETE_HEADER_ETYPE)
+          recs.foreach(k => ety.getOrElseUpdate(
+            UTF8String.fromBytes(GraftLog.decEqKeyLine(k)).toString, c.stamp))
+        else if (tupOrds.isDefined) {
+          val into = tup.getOrElseUpdate(tupOrds.get,
+            scala.collection.mutable.LinkedHashMap.empty[String, Long])
+          recs.foreach(k => into.getOrElseUpdate(k, c.stamp))
+        }
+        else throw new IllegalArgumentException(
+          s"the graftlog changes STREAM supports equality-delete windows " +
+            s"(the streaming upsert sink's shape); the commit stamped " +
+            s"${c.stamp} added position-delete records ($d) — read that " +
+            "window with the batch readChanges surface instead")
+      }
+    }
+    def sortedWithStamps[K](m: scala.collection.mutable.LinkedHashMap[K, Long],
+        sort: Array[K] => Unit)(implicit ct: scala.reflect.ClassTag[K]): (Array[K], Array[Long]) = {
+      val ks = m.keysIterator.toArray
+      sort(ks)
+      (ks, ks.map(m))
+    }
+    val (eidK, eidS) = sortedWithStamps[Long](eid, a => java.util.Arrays.sort(a))
+    val (uidK, uidS) = sortedWithStamps[Long](uid, a => java.util.Arrays.sort(a))
+    val (etyK, etyS) = sortedWithStamps[String](ety,
+      a => java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]]))
+    val tups = tup.toSeq.map { case (ords, m) =>
+      val (k, s) = sortedWithStamps[String](m,
+        a => java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]]))
+      (ords, k, s)
+    }
+    val deletes =
+      if (eidK.isEmpty && uidK.isEmpty && etyK.isEmpty && tups.isEmpty) Nil
+      else {
+        // zone-prune the FROM files: keep a file iff ANY kind could
+        // match it (overlap checks are the coverage logic's — sound
+        // supersets; stats-less files always stay)
+        def longOverlap(lo: Long, hi: Long, ks: Array[Long]): Boolean =
+          ks.nonEmpty && ks(ks.length - 1) >= lo && ks(0) <= hi
+        def etyOverlap(b: GraftBinBounds, ks: Array[String]): Boolean =
+          ks.nonEmpty && {
+            val mn = ks(0).getBytes; val mx = ks(ks.length - 1).getBytes
+            !(java.util.Arrays.compareUnsigned(b.minBytes, mx) > 0 ||
+              b.maxBytes.exists(m => java.util.Arrays.compareUnsigned(m, mn) < 0))
+          }
+        win.stateFrom.files.flatMap { f =>
+          val keep = f.stats match {
+            case None => true
+            case Some(st) =>
+              longOverlap(st.eidMin, st.eidMax, eidK) ||
+              longOverlap(st.uidMin, st.uidMax, uidK) ||
+              (etyK.nonEmpty && st.etype.forall(etyOverlap(_, etyK))) ||
+              tups.exists { case (ords, ks, _) =>
+                val firsts = ks.map(_.split(":", 2)(0))
+                ords.head match {
+                  case 0 => longOverlap(st.eidMin, st.eidMax, firsts.map(_.toLong).sorted)
+                  case 1 => longOverlap(st.uidMin, st.uidMax, firsts.map(_.toLong).sorted)
+                  case 3 =>
+                    val dec = firsts.map(p =>
+                      UTF8String.fromBytes(GraftLog.decEqKeyLine(p)).toString).sorted
+                    st.etype.forall(etyOverlap(_, dec))
+                }
+              }
+          }
+          if (!keep) None
+          else Some(GraftLogChangesPartition(GraftFs.child(path, f.name),
+            insert = false, Array.emptyLongArray,
+            segs = f.segs,
+            delPaths = win.stateFrom.deletesFor(f.name).map(GraftFs.child(path, _)),
+            eidK, eidS, uidK, uidS, etyK, etyS, tups))
+        }
+      }
+    (inserts ++ deletes).map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogChangesReaderFactory(extra)
+}
+
+private[sources] class GraftLogChangesReaderFactory(
+    extra: Array[StructField]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLogChangesReader(
+      partition.asInstanceOf[GraftLogChangesPartition], extra)
+}
+
+private[sources] class GraftLogChangesReader(
+    p: GraftLogChangesPartition,
+    extra: Array[StructField]) extends PartitionReader[InternalRow] {
+  private val name = GraftFs.nameOf(p.file)
+  private val dels = GraftLog.loadDeletes(p.delPaths, name)
+  private val cursor = new GraftLogCursor(p.file, Array.empty[Filter],
+    needTypeHint = true, p.segs, Array.empty, dels.pos, needPos = false,
+    extra, p.deadStamps, dels.eqEid, dels.eqUid, dels.eqEtype, dels.eqTuples)
+  private val nExtra = GraftLog.activeExtra(extra).length
+  private val extraOrds: Array[Int] = GraftLog.activeExtra(extra)
+    .map(f => GraftLog.EXTRA_BASE + extra.indexWhere(_.name == f.name))
+  private val insertTag = UTF8String.fromString("insert")
+  private val deleteTag = UTF8String.fromString("delete")
+  private var row: InternalRow = _
+
+  /** First-kill stamp for the current cursor row, Long.MinValue = not
+    * killed in this window. */
+  private def killStamp(): Long = {
+    var st = Long.MaxValue
+    if (p.eqEid.length > 0) {
+      val i = java.util.Arrays.binarySearch(p.eqEid, cursor.eventId)
+      if (i >= 0) st = math.min(st, p.eqEidStamp(i))
+    }
+    if (p.eqUid.length > 0) {
+      val i = java.util.Arrays.binarySearch(p.eqUid, cursor.userId)
+      if (i >= 0) st = math.min(st, p.eqUidStamp(i))
+    }
+    if (p.eqEty.length > 0) {
+      val i = java.util.Arrays.binarySearch(
+        p.eqEty.asInstanceOf[Array[AnyRef]], cursor.etype.toString)
+      if (i >= 0) st = math.min(st, p.eqEtyStamp(i))
+    }
+    p.eqTuples.foreach { case (ords, keys, stamps) =>
+      val i = java.util.Arrays.binarySearch(keys.asInstanceOf[Array[AnyRef]],
+        GraftLog.encTupleOfCols(cursor.eventId, cursor.userId, cursor.etype, ords))
+      if (i >= 0) st = math.min(st, stamps(i))
+    }
+    if (st == Long.MaxValue) Long.MinValue else st
+  }
+
+  override def next(): Boolean = {
+    while (cursor.advance()) {
+      val stamp =
+        if (p.insert) cursor.field(GraftLog.META_STAMP).asInstanceOf[java.lang.Long]
+        else { val k = killStamp(); if (k == Long.MinValue) null else Long.box(k) }
+      if (p.insert || stamp != null) {
+        val vals = new Array[Any](4 + nExtra + 2)
+        vals(0) = cursor.eventId; vals(1) = cursor.userId
+        vals(2) = cursor.value; vals(3) = cursor.etype
+        var j = 0
+        while (j < nExtra) { vals(4 + j) = cursor.field(extraOrds(j)); j += 1 }
+        vals(4 + nExtra) = if (p.insert) insertTag else deleteTag
+        vals(4 + nExtra + 1) = stamp
+        row = new GenericInternalRow(vals)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = cursor.close()
+}

@@ -29,9 +29,9 @@ class ContractSpec extends SparkTestBase {
     // (127/125 documented vs 128/126 actual), and round 8 caught this pin
     // guarding only itself while SURVEY.md drifted anyway. The counts are
     // now GREPPED out of the docs, so doc drift is itself a test failure.
-    assert(SparkEntry.queries.size == 225,
+    assert(SparkEntry.queries.size == 226,
       s"queries registered: ${SparkEntry.queries.size}; update docs + this pin together")
-    assert(SparkEntry.oracleSql.size == 225,
+    assert(SparkEntry.oracleSql.size == 226,
       s"oracle-checked: ${SparkEntry.oracleSql.size}; update docs + this pin together")
     def documented(path: String): (Int, Int) = {
       val text = new String(java.nio.file.Files.readAllBytes(

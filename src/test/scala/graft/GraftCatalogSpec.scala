@@ -1420,6 +1420,80 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(plain == Map("insert" -> 3L, "delete" -> 3L), s"untyped: $plain")
   }
 
+  test("changes STREAM: AvailableNow drain equals batch readChanges; restart resumes exactly-once") {
+    // round 20 (r19 verdict next #6): the changelog as a native
+    // streaming source — offset = snapshot stamp, each micro-batch the
+    // re-derived change window. A drain over a closed window must equal
+    // the batch readChanges over the same stamps, and a SECOND drain
+    // from the same checkpoint must deliver only the new window.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE graft.cdf_st (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "cdf_st").getPath
+    val src = Scratch.dir("graft_cdf_st_src")
+    val ckpt = Scratch.streamCkptDir("graft_cdf_st_ckpt")
+    def drainUpsert(): Unit = {
+      val q = spark.readStream.format("graftlog").load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dir)
+      q.awaitTermination()
+    }
+    val base = events.orderBy("event_id").limit(40)
+    base.repartition(2).write.format("graftlog").mode("append").save(src)
+    drainUpsert()
+    val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    base.filter(col("event_id") % 4 === 0)
+      .withColumn("value", col("value") * 2)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drainUpsert() // window 1: corrections
+    val s2 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    // the changes stream, drained into an exactly-once file sink
+    val outDir = Scratch.dir("graft_cdf_st_out")
+    val chCkpt = Scratch.streamCkptDir("graft_cdf_st_chckpt")
+    def drainChanges(): Unit = {
+      val q = spark.readStream.format("graftlog")
+        .option("readChanges", "true").option("changesFrom", s1)
+        .load(dir)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", chCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainChanges()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Double, String, Long)] =
+      df.select(col("event_id"), col("value"), col("_change_type"),
+        col("_change_stamp")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))).toSet
+    val streamed1 = rows(spark.read.parquet(outDir))
+    val batch1 = rows(sources.GraftLog.readChanges(spark, dir, s1, s2))
+    assert(streamed1 == batch1,
+      s"streamed window != batch readChanges: extra ${streamed1 -- batch1}, " +
+        s"missing ${batch1 -- streamed1}")
+    assert(streamed1.exists(_._3 == "delete") && streamed1.exists(_._3 == "insert"),
+      "window 1 must carry both sides of the corrections")
+    // window 2: disjoint fresh inserts; the SAME checkpoint resumes and
+    // must deliver ONLY the new window (exactly-once, no re-delivery)
+    base.withColumn("event_id", col("event_id") + 700000L)
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drainUpsert()
+    val s3 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    drainChanges()
+    val streamedAll = rows(spark.read.parquet(outDir))
+    val batchAll = batch1 ++ rows(sources.GraftLog.readChanges(spark, dir, s2, s3))
+    assert(streamedAll == batchAll,
+      s"resumed drain diverged: extra ${streamedAll -- batchAll}, " +
+        s"missing ${batchAll -- streamedAll}")
+    // an idle drain delivers nothing new
+    drainChanges()
+    assert(rows(spark.read.parquet(outDir)) == batchAll,
+      "an idle drain re-delivered rows")
+  }
+
   test("changelog read refuses a window containing an underivable commit, loudly") {
     // copy-on-write rewrites/truncates record no row identities — a
     // silently partial changelog is the one wrong answer this surface
