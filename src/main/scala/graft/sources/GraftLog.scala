@@ -4006,14 +4006,26 @@ object GraftLog {
       added: Vector[GraftLiveFile], removed: Set[String],
       addedDels: Seq[String], removedDels: Set[String],
       delta: Boolean, removedAllCovered: Boolean)
+  /** A copy-on-write rewrite inside a change window, derivable as a ROW
+    * DIFF (round 20, r19 verdict #7): the pre-commit view of the removed
+    * files EXCEPT ALL the added files' rows = the rows the rewrite
+    * dropped; the symmetric difference = the rows it introduced (a CoW
+    * UPDATE's new images). Requires the removed files to pre-exist the
+    * window and a retaining landing (the pre-commit snapshot must still
+    * read). */
+  private[sources] final case class GraftCowDiff(preStamp: Long, stamp: Long,
+      removed: Seq[String], added: Seq[String])
+
   /** A resolved, derivability-checked change window: both boundary
     * states, the walked commits, the replay re-publication stamps to
-    * exclude from the insert side, and the re-published eq-delete names
-    * to skip from collection. Shared by the batch [[readChanges]] and
-    * the streaming changes source. */
+    * exclude from the insert side, the re-published eq-delete names
+    * to skip from collection, and any copy-on-write rewrites derivable
+    * as row diffs. Shared by the batch [[readChanges]] and the
+    * streaming changes source. */
   private[sources] final case class GraftChangesWindow(
       stateFrom: GraftSnapshot, stateTo: GraftSnapshot,
-      commits: Seq[GraftChgRec], repubStamps: Set[Long], xedDels: Set[String])
+      commits: Seq[GraftChgRec], repubStamps: Set[Long], xedDels: Set[String],
+      cowDiffs: Seq[GraftCowDiff] = Nil)
 
   /** Resolve and classify the change window [fromStamp, toStamp]; None
     * when the window spans no commits. Refuses underivable windows
@@ -4084,7 +4096,9 @@ object GraftLog {
     // exclusion survives any in-window rewrite.
     val replayRepub = Set.newBuilder[Long]
     val skippedDels = Set.newBuilder[String] // their re-published eq-dels
-    commits.foreach { c =>
+    val cow = Seq.newBuilder[GraftCowDiff]
+    val preStamps = ((iFrom + 1) to iTo).map(i => heads(i - 1)._1)
+    commits.zip(preStamps).foreach { case (c, preStamp) =>
       // a COALESCED segment map (cluster's max_origins cap) coarsens
       // `_pub_stamp` upward by construction — an in-window coalesced file
       // could classify pre-existing rows as inserts, so refuse loudly
@@ -4111,30 +4125,59 @@ object GraftLog {
         val absorbLike = c.delta && c.added.isEmpty && c.removedAllCovered
         if (!rewriteLike && !absorbLike) {
           val markers = c.added.flatMap(f => epochMarkerOf(f.name)).toSet
-          require(markers.nonEmpty && c.removed.forall(r => markers.exists(r.contains)),
-            s"table changes of $path between $fromStamp and $toStamp are " +
-              s"not derivable: the commit stamped ${c.stamp} removed data " +
-              "files outside a rewrite/replay shape (copy-on-write " +
-              "rewrite, truncate, or expire records no row identities); " +
-              "changelog-readable history wants merge-on-read modes and " +
-              "the streaming upsert sink")
-          if (c.removed.forall(stateFrom.fileNames.contains)) {
-            // a replayed epoch whose first attempt committed BEFORE the
-            // window: its re-published rows pre-exist (not inserts) and
-            // its re-published eq-del re-states pre-window takedowns
+          val replayShape =
+            markers.nonEmpty && c.removed.forall(r => markers.exists(r.contains))
+          if (replayShape) {
+            if (c.removed.forall(stateFrom.fileNames.contains)) {
+              // a replayed epoch whose first attempt committed BEFORE the
+              // window: its re-published rows pre-exist (not inserts) and
+              // its re-published eq-del re-states pre-window takedowns
+              c.added.foreach { f =>
+                val st = GraftLogNames.stamp(f.name)
+                require(st >= 0, s"replay re-publication ${f.name} in " +
+                  s"$path is unstamped — epoch publishes are always stamped")
+                replayRepub += st
+              }
+              skippedDels ++= c.addedDels.filter(d => markers.exists(d.contains))
+            }
+          } else {
+            // COPY-ON-WRITE fallback (round 20, r19 verdict #7): a
+            // commit that replaces PRE-WINDOW files with plain fresh
+            // files derives as a ROW DIFF on a retaining landing — the
+            // added files' stamps are excluded from the insert side
+            // (they re-publish surviving rows), and [[readChanges]]
+            // computes removed-EXCEPT-ALL-added as deletes plus the
+            // symmetric difference as inserts (a CoW UPDATE's — or an
+            // overwrite's — new images). Delta vs base manifest shape
+            // does not matter (small tables base-compact eagerly);
+            // SURVIVOR-LESS removals stay refused: with no added files
+            // the shape is indistinguishable from expire, whose
+            // removals are retention, not logical deletes.
+            val cowShape = c.added.nonEmpty &&
+              c.added.forall(_.segs.isEmpty) &&
+              c.removed.forall(stateFrom.fileNames.contains)
+            require(cowShape,
+              s"table changes of $path between $fromStamp and $toStamp are " +
+                s"not derivable: the commit stamped ${c.stamp} removed data " +
+                "files outside a rewrite/replay/copy-on-write-diff shape " +
+                "(truncate and expire record no row identities, and a " +
+                "survivor-less or in-window copy-on-write rewrite is " +
+                "indistinguishable from them); changelog-readable history " +
+                "wants merge-on-read modes and the streaming upsert sink")
             c.added.foreach { f =>
               val st = GraftLogNames.stamp(f.name)
-              require(st >= 0, s"replay re-publication ${f.name} in " +
-                s"$path is unstamped — epoch publishes are always stamped")
+              require(st >= 0, s"copy-on-write survivor ${f.name} in " +
+                s"$path is unstamped — batch publishes are always stamped")
               replayRepub += st
             }
-            skippedDels ++= c.addedDels.filter(d => markers.exists(d.contains))
+            cow += GraftCowDiff(preStamp, c.stamp,
+              c.removed.toSeq.sorted, c.added.map(_.name))
           }
         }
       }
     }
     Some(GraftChangesWindow(stateFrom, state, commits,
-      replayRepub.result(), skippedDels.result()))
+      replayRepub.result(), skippedDels.result(), cow.result()))
   }
 
   def readChanges(spark: SparkSession, path: String, fromStamp: Long,
@@ -4409,7 +4452,32 @@ object GraftLog {
         one.select((tableCols :+ col("_ct").as("_change_type")
           :+ col("_cs").as("_change_stamp")).toIndexedSeq: _*)
     }
-    insertsTyped.unionByName(deletes)
+    // COPY-ON-WRITE row diffs (round 20, r19 verdict #7): per CoW
+    // commit, the pre-commit view of the removed files EXCEPT ALL the
+    // survivor files' rows = the rows the rewrite dropped (typed
+    // delete); the symmetric difference = the rows it introduced (a CoW
+    // UPDATE's new images, typed insert — content diffs carry no key
+    // contract, so they never type as update images). The pre-commit
+    // read applies that state's own MoR drop sets, so a row already
+    // dead before the rewrite is in neither side; multiset EXCEPT ALL
+    // keeps duplicate-row counts exact.
+    val cowBranches = win.cowDiffs.flatMap { d =>
+      def slice(stamp: Long, names: Seq[String]) =
+        reader.option("asOfStamp", stamp).load(path)
+          .filter(substring_index(col("_file"), "/", -1)
+            .isin(names.toIndexedSeq: _*))
+          .select(tableCols.toIndexedSeq: _*)
+      val oldRows = slice(d.preStamp, d.removed)
+      val newRows = slice(d.stamp, d.added)
+      Seq(
+        oldRows.exceptAll(newRows)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_change_stamp", lit(d.stamp)),
+        newRows.exceptAll(oldRows)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_change_stamp", lit(d.stamp)))
+    }
+    cowBranches.foldLeft(insertsTyped.unionByName(deletes))(_ unionByName _)
   }
 
   /** The landing's visible log files, sorted (publish-name order) —

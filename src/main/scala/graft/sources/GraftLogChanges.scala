@@ -139,6 +139,10 @@ private[sources] class GraftLogChangesStream(path: String,
       case None => return Array.empty
       case Some(w) => w
     }
+    require(win.cowDiffs.isEmpty,
+      s"the graftlog changes STREAM supports merge-on-read windows; the " +
+        s"window ($a, $b] contains a copy-on-write rewrite (row diffs " +
+        "need EXCEPT ALL) — read it with the batch readChanges surface")
     val fromStamps = win.stateFrom.files
       .flatMap(_.stampedSegments.map(_.stamp)).filter(_ >= 0).toSet
     val toStamps = win.stateTo.files

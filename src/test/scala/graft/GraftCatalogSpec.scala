@@ -1494,10 +1494,12 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       "an idle drain re-delivered rows")
   }
 
-  test("changelog read refuses a window containing an underivable commit, loudly") {
-    // copy-on-write rewrites/truncates record no row identities — a
-    // silently partial changelog is the one wrong answer this surface
-    // must never give
+  test("changelog derives copy-on-write windows as row diffs; truncate still refuses") {
+    // round 20 (r19 verdict #7, flipping the old refusal): a CoW DELETE
+    // window derives — the pre-commit view of the removed files EXCEPT
+    // ALL the survivors = the dropped rows; a CoW UPDATE's new images
+    // surface as inserts. Shapes indistinguishable from retention
+    // (survivor-less removal, base-manifest overwrite) still refuse.
     spark.sql("CREATE TABLE graft.cdf_bad (event_id BIGINT, user_id BIGINT, " +
       "value DOUBLE, event_type STRING) USING graftlog " +
       "TBLPROPERTIES ('snapshot.retain'='true')")
@@ -1506,18 +1508,75 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
     events.orderBy("event_id").limit(10).writeTo("graft.cdf_bad").append()
     val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
     // a copy-on-write DELETE removes files and lands survivor files with
-    // no segment maps — underivable by design
+    // no segment maps — now derived as a row diff
     spark.sql("DELETE FROM graft.cdf_bad WHERE event_id % 2 = 0")
     val s2 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val ch1 = sources.GraftLog.readChanges(spark, dir, s1, s2)
+    val dels = ch1.filter(col("_change_type") === "delete")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val evens = events.orderBy("event_id").limit(10)
+      .filter(col("event_id") % 2 === 0)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(dels == evens,
+      s"CoW DELETE diff wrong: spurious ${dels -- evens}, missing ${evens -- dels}")
+    assert(ch1.filter(col("_change_type") === "insert").count() == 0,
+      "a pure CoW DELETE must introduce no inserts")
+    // a CoW UPDATE window: old images as deletes, new images as inserts
+    spark.sql("UPDATE graft.cdf_bad SET value = value * 2 WHERE event_id % 3 = 0")
+    val s3 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val ch2 = sources.GraftLog.readChanges(spark, dir, s2, s3)
+      .select(col("event_id"), col("value"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val touched = events.orderBy("event_id").limit(10)
+      .filter(col("event_id") % 2 =!= 0 && col("event_id") % 3 === 0)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ch2.count(_._3 == "delete") == touched.size &&
+      ch2.count(_._3 == "insert") == touched.size,
+      s"CoW UPDATE diff must pair old/new images: $ch2")
+    ch2.foreach { case (id, v, t) =>
+      if (t == "delete") assert(v == touched(id), s"old image of $id wrong: $v")
+      else assert(v == touched(id) * 2, s"new image of $id wrong: $v")
+    }
+    // the changes STREAM refuses CoW windows, pointing at the batch reader
+    val streamErr = intercept[Exception] {
+      import org.apache.spark.sql.streaming.Trigger
+      val q = spark.readStream.format("graftlog")
+        .option("readChanges", "true").option("changesFrom", s1).load(dir)
+        .writeStream.format("memory").queryName("cdf_bad_stream")
+        .option("checkpointLocation", Scratch.streamCkptDir("cdf_bad_st_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(streamErr.getMessage.contains("copy-on-write") ||
+      Option(streamErr.getCause).exists(_.getMessage.contains("copy-on-write")),
+      s"stream must refuse CoW windows loudly: ${streamErr.getMessage}")
+    // an OVERWRITE derives as replace-all: every old row a delete,
+    // every new row an insert (the same row-diff machinery)
+    val preOverwrite = spark.table("graft.cdf_bad").count()
+    events.orderBy(desc("event_id")).limit(4)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .createOrReplaceTempView("cdf_bad_ow")
+    spark.sql("INSERT OVERWRITE TABLE graft.cdf_bad SELECT * FROM cdf_bad_ow")
+    val s4 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val ch3 = sources.GraftLog.readChanges(spark, dir, s3, s4)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ch3 == Map("delete" -> preOverwrite, "insert" -> 4L),
+      s"overwrite window must diff as replace-all: $ch3")
+    // a SURVIVOR-LESS removal (truncate shape) still refuses loudly —
+    // indistinguishable from expire's retention removals
+    spark.sql("DELETE FROM graft.cdf_bad")
+    val s5 = sources.GraftLog.testLatestSnapshotStamp(dir)
     val err = intercept[IllegalArgumentException] {
-      sources.GraftLog.readChanges(spark, dir, s1, s2).collect()
+      sources.GraftLog.readChanges(spark, dir, s4, s5).collect()
     }
     assert(err.getMessage.contains("not derivable"),
       s"expected a loud underivable-window refusal, got: ${err.getMessage}")
-    // pure appends after the rewrite stay readable from the LATER anchor
+    // pure appends after the truncate stay readable from the LATER anchor
     events.orderBy(desc("event_id")).limit(5).writeTo("graft.cdf_bad").append()
-    val s3 = sources.GraftLog.testLatestSnapshotStamp(dir)
-    val tail = sources.GraftLog.readChanges(spark, dir, s2, s3)
+    val s6 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val tail = sources.GraftLog.readChanges(spark, dir, s5, s6)
     assert(tail.filter(col("_change_type") === "insert").count() == 5)
     assert(tail.filter(col("_change_type") === "delete").count() == 0)
   }
