@@ -210,7 +210,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!hasMeta(dir)) throw new NoSuchTableException(ident)
+    if (!hasMeta(dir)) {
+      // Branch identifier (round 20, r19 verdict #4): `<table>.branch_
+      // <name>` loads a branch-pinned instance of the parent table —
+      // the Iceberg-style surface that lets SQL row-level commands
+      // (DELETE/UPDATE/MERGE, merge-on-read) target a branch:
+      //   DELETE FROM graft.t.branch_audit WHERE ...
+      // Scans read the branch view; appends stage onto the branch.
+      if (ident.name.startsWith("branch_") && ident.namespace().nonEmpty) {
+        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val pdir = tableDir(parent)
+        val b = ident.name.stripPrefix("branch_")
+        if (hasMeta(pdir) && GraftSnapshotIO.branches(pdir).contains(b)) {
+          val (bucket, modes, ret, extra) = readMeta(pdir)
+          return new GraftLogTable(pdir, bucket, modes, extra, None, ret, Some(b))
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val (bucket, modes, ret, extra) = readMeta(dir)
     new GraftLogTable(dir, bucket, modes, extra, None, ret)
   }

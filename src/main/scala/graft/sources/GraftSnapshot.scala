@@ -1197,12 +1197,16 @@ private[sources] object GraftSnapshotIO {
     var attempt = 1
     while (true) {
       val change = build(resolveBranch(path, name))
-      require(change.removeData.isEmpty && change.removeDeletes.isEmpty &&
-          change.addDeletes.isEmpty,
-        s"branch '$name' commits are append-only DATA (publish renames " +
-          "the staged files to fresh publish stamps; a delete file's " +
-          "coverage would name the pre-rename files); rewrites/deletes " +
-          "belong on main")
+      // Round 20 (r19 verdict #4): branch commits may ADD data and ADD
+      // merge-on-read delete files (the write-audit-publish flow's audit
+      // step fixes rows with MoR DELETE/UPDATE/MERGE before publishing);
+      // publish remaps staged-file references inside delete files and
+      // coverage to the publish-stamped names. Removing files stays
+      // refused: a rewrite of fork-point files could not fast-forward.
+      require(change.removeData.isEmpty && change.removeDeletes.isEmpty,
+        s"branch '$name' commits cannot REMOVE files (a branch rewrite " +
+          "of fork-point state cannot fast-forward publish); compactions " +
+          "and copy-on-write commands belong on main")
       if (change.isEmpty) return
       val refs = branchRefs(path, name)
       val seq = if (refs.isEmpty) SEQ0
@@ -1255,13 +1259,18 @@ private[sources] object GraftSnapshotIO {
   def publishBranch(path: String, name: String): Seq[String] = {
     val jName = publishJournalName(name)
     val jPath = GraftFs.child(path, jName)
-    def cleanup(): Unit = {
+    def cleanup(mapping: Seq[(String, String)]): Unit = {
       // REF first (round-19 review #2): journal-present + ref-absent is
       // the unambiguous 'post-CAS, finish the cleanup' state — deleting
       // manifests first could crash into a truncated-chain state the
       // resume path cannot rebuild entries from
       GraftFs.delete(GraftFs.child(path, s"branch-$name$BRANCH_EXT"))
       branchRefs(path, name).foreach(m => GraftFs.delete(GraftFs.child(path, m)))
+      // staged DELETE files were COPIED (content-remapped) to their
+      // publish names, not renamed — the originals are post-CAS garbage
+      mapping.foreach { case (o, _) =>
+        if (o.endsWith(".graftdel")) { GraftFs.delete(GraftFs.child(path, o)); () }
+      }
       GraftFs.delete(jPath)
       ()
     }
@@ -1270,7 +1279,7 @@ private[sources] object GraftSnapshotIO {
       // the ref is deleted before the journal, so this state is
       // strictly post-CAS: the publish succeeded — finish the cleanup
       val mapping = readPublishJournal(jPath)._2
-      cleanup()
+      cleanup(mapping)
       return mapping.map(_._2)
     }
     val (forkStamp, mapping, snapOpt) =
@@ -1290,10 +1299,19 @@ private[sources] object GraftSnapshotIO {
               "tip and re-stage")
         val added = branchSnap.files
           .filterNot(f => forkSnap.fileNames.contains(f.name))
+        // staged merge-on-read DELETE files publish too (round 20, r19
+        // verdict #4): fresh publish-stamped names; their content and
+        // coverage remap staged data names at the rename step below
+        val addedDels =
+          (branchSnap.deletes.keySet -- forkSnap.deletes.keySet).toSeq.sorted
         val m = added.zipWithIndex.map { case (f, i) =>
           val uuid = java.util.UUID.randomUUID().toString.take(8)
           (f.name,
             GraftLogNames.publish(GraftLogNames.nextStamp(), i, s"pb$name-$uuid"))
+        } ++ addedDels.zipWithIndex.map { case (o, i) =>
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          (o, GraftLogNames.publish(GraftLogNames.nextStamp(), added.size + i,
+            s"pb$name-$uuid", ext = ".graftdel"))
         }
         val tmp = GraftFs.child(path,
           s".pub-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
@@ -1318,38 +1336,71 @@ private[sources] object GraftSnapshotIO {
       if (mainRefs.isEmpty) Set.empty[String]
       else referencedBy(path, prunable(path, 0L)._2)
     if (mapping.exists { case (_, n) => retainedUniverse.contains(n) }) {
-      cleanup()
+      cleanup(mapping)
       return mapping.map(_._2)
     }
-    // stats/coalesced ride from the branch entries (resolvable through
-    // cleanup, which deletes the chain only after the CAS)
-    val entryOf = snapOpt.getOrElse(resolveBranch(path, name))
-      .files.map(f => (f.name, f)).toMap
-    mapping.foreach { case (o, n) =>
+    // stats/coalesced/coverage ride from the branch entries (resolvable
+    // through cleanup, which deletes the chain only after the CAS)
+    val branchState = snapOpt.getOrElse(resolveBranch(path, name))
+    val entryOf = branchState.files.map(f => (f.name, f)).toMap
+    val (delMapping, dataMapping) = mapping.partition(_._1.endsWith(".graftdel"))
+    val dataMap = dataMapping.toMap
+    dataMapping.foreach { case (o, n) =>
       val oAbs = GraftFs.child(path, o); val nAbs = GraftFs.child(path, n)
       if (GraftFs.exists(oAbs)) require(GraftFs.rename(oAbs, nAbs),
         s"publish failed to rename $o -> $n")
       else require(GraftFs.exists(nAbs),
         s"publish resume on $path: neither $o nor $n exists")
     }
-    val addedNew = mapping.map { case (o, n) =>
+    // staged DELETE files are COPIED with their position-delete lines
+    // remapped to the staged data files' publish names (fork-file
+    // references are untouched); the original stays until cleanup, so a
+    // conflict rollback just deletes the copy. Idempotent on resume:
+    // copy-present = done (content is deterministic).
+    delMapping.foreach { case (o, n) =>
+      val oAbs = GraftFs.child(path, o); val nAbs = GraftFs.child(path, n)
+      if (!GraftFs.exists(nAbs)) {
+        require(GraftFs.exists(oAbs),
+          s"publish resume on $path: neither $o nor $n exists")
+        val remapped = GraftFs.readString(oAbs).split('\n').map { line =>
+          val t = line.indexOf('\t')
+          if (t <= 0) line // eq headers/keys carry no file references
+          else dataMap.get(line.substring(0, t))
+            .map(_ + line.substring(t)).getOrElse(line)
+        }.mkString("\n")
+        val tmp = GraftFs.child(path,
+          s".pubdel-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
+        GraftFs.writeString(tmp, remapped)
+        require(GraftFs.rename(tmp, nAbs),
+          s"publish failed to write remapped delete file $n")
+      }
+    }
+    val addedNew = dataMapping.map { case (o, n) =>
       val f = entryOf.getOrElse(o,
         throw new IllegalStateException(
           s"publish journal names $o, which branch '$name' does not carry"))
       GraftLiveFile(n, f.segs, f.stats, f.coalesced)
     }
+    val addedDelNew = delMapping.map { case (o, n) =>
+      val cov = branchState.deletes.getOrElse(o,
+        throw new IllegalStateException(
+          s"publish journal names $o, which branch '$name' does not carry"))
+      (n, cov.map(c => dataMap.getOrElse(c, c)))
+    }
     val forkSnap = resolveAsOf(path, forkStamp)
     try {
       GraftSnapshotIO.commit(path) { base =>
-        if (mapping.nonEmpty &&
-            mapping.forall { case (_, n) => base.fileNames.contains(n) })
+        if (mapping.nonEmpty && mapping.forall { case (_, n) =>
+            if (n.endsWith(".graftdel")) base.deletes.keySet.contains(n)
+            else base.fileNames.contains(n) })
           GraftChange() // already published: the retry's no-op
         else if (stampedFiles(base) != stampedFiles(forkSnap))
           throw new GraftConflictException(
             s"fast-forward publish of branch '$name' on $path: main moved " +
               s"since the fork at $forkStamp — re-branch from the new tip " +
               "and re-stage")
-        else GraftChange(addData = addedNew.toVector)
+        else GraftChange(addData = addedNew.toVector,
+          addDeletes = addedDelNew)
       }
       ()
     } catch {
@@ -1359,17 +1410,22 @@ private[sources] object GraftSnapshotIO {
         // already-published detector above means no fresh name is
         // referenced by retained main history here; the live-set check
         // is belt and braces against a publish racing this rollback.
-        val live = resolve(path).fileNames
-        mapping.foreach { case (o, n) =>
+        val liveState = resolve(path)
+        dataMapping.foreach { case (o, n) =>
           val nAbs = GraftFs.child(path, n)
-          if (!live.contains(n) && GraftFs.exists(nAbs)) {
+          if (!liveState.fileNames.contains(n) && GraftFs.exists(nAbs)) {
             GraftFs.rename(nAbs, GraftFs.child(path, o)); ()
+          }
+        }
+        delMapping.foreach { case (_, n) =>
+          if (!liveState.deletes.keySet.contains(n)) {
+            GraftFs.delete(GraftFs.child(path, n)); ()
           }
         }
         GraftFs.delete(jPath)
         throw e
     }
-    cleanup()
+    cleanup(mapping)
     mapping.map(_._2)
   }
 
