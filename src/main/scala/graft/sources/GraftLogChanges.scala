@@ -125,7 +125,11 @@ private[sources] class GraftLogChangesStream(path: String,
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    GraftLogChangesOffset(cutoff.getOrElse(GraftSnapshotIO.tipStamp(path)))
+    // clamped monotone: an AvailableNow cutoff prepared before a
+    // restart must never sit below the checkpointed start
+    GraftLogChangesOffset(math.max(
+      start.asInstanceOf[GraftLogChangesOffset].stamp,
+      cutoff.getOrElse(GraftSnapshotIO.tipStamp(path))))
   override def deserializeOffset(json: String): Offset =
     GraftLogChangesOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
@@ -149,7 +153,12 @@ private[sources] class GraftLogChangesStream(path: String,
       .flatMap(_.stampedSegments.map(_.stamp)).filter(_ >= 0).toSet
     val windowStamps = toStamps -- fromStamps -- win.repubStamps
     val inserts = win.stateTo.files.flatMap { f =>
-      val stamps = f.stampedSegments.map(_.stamp).filter(_ >= 0)
+      // dead set from the UNFILTERED segment stamps: an unstamped (-1)
+      // segment — a foreign file merged in by a rewrite — has no
+      // timeline position and must be suppressed like the batch
+      // reader's `_pub_stamp IS NOT NULL` (windowStamps never holds -1,
+      // so -1 always lands in the dead set)
+      val stamps = f.stampedSegments.map(_.stamp)
       if (!stamps.exists(windowStamps.contains)) None
       else Some(GraftLogChangesPartition(GraftFs.child(path, f.name),
         insert = true,
@@ -305,10 +314,15 @@ private[sources] class GraftLogChangesReader(
 
   override def next(): Boolean = {
     while (cursor.advance()) {
+      // insert rows from an UNSTAMPED segment (a foreign file merged in
+      // by a rewrite) have no timeline position — the batch reader
+      // excludes them via `_pub_stamp IS NOT NULL`, and so does this
+      // stream (the cursor's dead-stamp machinery only suppresses
+      // stamped segments, so the guard lives here)
       val stamp =
         if (p.insert) cursor.field(GraftLog.META_STAMP).asInstanceOf[java.lang.Long]
         else { val k = killStamp(); if (k == Long.MinValue) null else Long.box(k) }
-      if (p.insert || stamp != null) {
+      if (stamp != null) {
         val vals = new Array[Any](4 + nExtra + 2)
         vals(0) = cursor.eventId; vals(1) = cursor.userId
         vals(2) = cursor.value; vals(3) = cursor.etype

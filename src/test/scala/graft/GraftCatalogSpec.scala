@@ -1575,6 +1575,61 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
       "an idle drain re-delivered rows")
   }
 
+  test("changes stream excludes unstamped foreign segments, like the batch reader") {
+    // round-20 self-review: a rewrite can merge a RECONCILED foreign
+    // (unstamped) file with in-window stamped files — the merged file's
+    // segment map then carries a -1-stamp segment. Foreign rows have no
+    // timeline position: the batch insert side excludes them via
+    // `_pub_stamp IS NOT NULL`, and the stream must match (the cursor's
+    // dead-stamp machinery only suppresses STAMPED segments, so the
+    // reader guards on the null publish stamp).
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE graft.cdf_fx (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "cdf_fx").getPath
+    events.orderBy("event_id").limit(10).writeTo("graft.cdf_fx").append()
+    val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    // a foreign unstamped file lands mid-window (written elsewhere with
+    // the same record codec, then dropped in under a legacy name)
+    val donor = Scratch.dir("graft_cdf_fx_donor")
+    events.orderBy(desc("event_id")).limit(4).repartition(1)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.format("graftlog").mode("append").save(donor)
+    val donorFile = new java.io.File(donor).listFiles()
+      .filter(_.getName.endsWith(".graftlog")).head
+    java.nio.file.Files.copy(donorFile.toPath,
+      new java.io.File(dir, "legacy-foreign.graftlog").toPath)
+    // in-window stamped appends, then a compact that merges the foreign
+    // file with them into segment-mapped outputs
+    events.orderBy("event_id").limit(25).filter(col("event_id") >= 10)
+      .writeTo("graft.cdf_fx").append()
+    sources.GraftLog.compact(spark, dir, 1L << 30)
+    val s2 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val batchIns = sources.GraftLog.readChanges(spark, dir, s1, s2)
+      .filter(col("_change_type") === "insert")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val wantIns = events.orderBy("event_id").limit(25)
+      .filter(col("event_id") >= 10)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(batchIns == wantIns,
+      s"fixture: batch must exclude foreign rows, got spurious ${batchIns -- wantIns}")
+    val outDir = Scratch.dir("graft_cdf_fx_out")
+    val q = spark.readStream.format("graftlog")
+      .option("readChanges", "true").option("changesFrom", s1).load(dir)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", Scratch.streamCkptDir("graft_cdf_fx_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .filter(col("_change_type") === "insert")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed == wantIns,
+      s"stream leaked foreign-segment rows as inserts: spurious " +
+        s"${streamed -- wantIns}, missing ${wantIns -- streamed}")
+  }
+
   test("changelog derives copy-on-write windows as row diffs; truncate still refuses") {
     // round 20 (r19 verdict #7, flipping the old refusal): a CoW DELETE
     // window derives — the pre-commit view of the removed files EXCEPT
