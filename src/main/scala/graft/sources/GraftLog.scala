@@ -4381,14 +4381,21 @@ object GraftLog {
     val withIdent = tableCols ++ Seq(col("_file"), col("_pos"), col("_cs"))
     // (key columns, FROM rows it deletes) per eq kind — single-column
     // kinds and composite kinds share the shape; pos rows are keyless
+    // the bounded probe's sample doubles as the SMALL-case key relation
+    // (round-20 review): ≤1000 keys — the common correction wave — join
+    // a local broadcast built from the already-collected rows instead of
+    // re-running the distributed key aggregation a second time
+    def localDf(rows: Array[org.apache.spark.sql.Row],
+        schema: StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     val singleKinds = Seq("event_id" -> eqEid, "user_id" -> eqUid,
       "event_type" -> eqEty).collect { case (kc, Some(keysDf)) =>
       val sample = keysDf.limit(1001).collect()
-      val pre =
+      val (pre, right) =
         if (sample.length <= 1000)
-          fromDf.filter(col(kc).isin(sample.map(_.get(0)).toIndexedSeq: _*))
-        else fromDf
-      val right = if (sample.length <= 1000) broadcast(keysDf) else keysDf
+          (fromDf.filter(col(kc).isin(sample.map(_.get(0)).toIndexedSeq: _*)),
+            broadcast(localDf(sample, keysDf.schema)))
+        else (fromDf, keysDf)
       (Seq(kc), pre.join(right, col(kc) === col("_ck")).drop("_ck")
         .select(withIdent.toIndexedSeq: _*))
     }
@@ -4399,18 +4406,20 @@ object GraftLog {
         col(GraftLog.colName(o)) === col(compColOf(o))).reduce(_ && _)
       // the bounded pushdown probe narrows on the FIRST component
       val sample = keysDf.limit(1001).collect()
-      val pre =
+      val (pre, right) =
         if (sample.length <= 1000)
-          fromDf.filter(col(GraftLog.colName(ords.head)).isin(
-            sample.map(_.getAs[Any](compColOf(ords.head))).toIndexedSeq: _*))
-        else fromDf
-      val right = if (sample.length <= 1000) broadcast(keysDf) else keysDf
+          (fromDf.filter(col(GraftLog.colName(ords.head)).isin(
+            sample.map(_.getAs[Any](compColOf(ords.head))).toIndexedSeq: _*)),
+            broadcast(localDf(sample, keysDf.schema)))
+        else (fromDf, keysDf)
       (keyCols, pre.join(right, cond).drop("_ce", "_cu", "_cy")
         .select(withIdent.toIndexedSeq: _*))
     }
     val eqKinds = singleKinds ++ compKinds
     val posBranch = posRec.map { posDf =>
-      val small = posDf.limit(100001).collect().length <= 100000
+      // size probe by COUNT of the limited subquery — no row payload
+      // ships to the driver just to be measured (round-20 review)
+      val small = posDf.limit(100001).count() <= 100000
       fromDf.join(if (small) broadcast(posDf) else posDf,
           substring_index(col("_file"), "/", -1) === col("_cf") &&
             col("_pos") === col("_cp"))
@@ -4468,13 +4477,16 @@ object GraftLog {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaAll)
       case Some(d) =>
-        // a row both position- and key-deleted in the window is ONE
-        // delete: (_file, _pos) is its identity. With typed images the
-        // update label wins the tie (lexically greatest _ct), so a row
-        // that is both pos-deleted and key-replaced types as preimage.
+        // a row killed by MULTIPLE kinds in one window is ONE delete:
+        // (_file, _pos) is its identity, and the surviving row is
+        // DETERMINISTIC (round-20 review): the update label wins the
+        // tie (lexically greatest _ct) and the MINIMUM kill stamp wins
+        // among equals — the same min-across-kinds the streaming
+        // changes reader computes, so drain == batch holds on
+        // multi-kind windows too (dropDuplicates keeps an arbitrary
+        // branch row, which made _change_stamp shuffle-dependent).
         val one =
-          if (!updateImages || branches.lengthIs == 1)
-            d.dropDuplicates("_file", "_pos")
+          if (branches.lengthIs == 1) d.dropDuplicates("_file", "_pos")
           else {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("_file", "_pos")
@@ -4485,15 +4497,22 @@ object GraftLog {
         one.select((tableCols :+ col("_ct").as("_change_type")
           :+ col("_cs").as("_change_stamp")).toIndexedSeq: _*)
     }
-    // COPY-ON-WRITE row diffs (round 20, r19 verdict #7): per CoW
-    // commit, the pre-commit view of the removed files EXCEPT ALL the
-    // survivor files' rows = the rows the rewrite dropped (typed
-    // delete); the symmetric difference = the rows it introduced (a CoW
+    // COPY-ON-WRITE row diffs (round 20, r19 verdict #7; NET-corrected
+    // by the round-20 review): per CoW commit, the pre-commit view of
+    // the removed files EXCEPT ALL the survivor files' rows AS OF THE
+    // WINDOW END = the rows the window net-dropped through the rewrite;
+    // the symmetric difference = the rows it net-introduced (a CoW
     // UPDATE's new images, typed insert — content diffs carry no key
-    // contract, so they never type as update images). The pre-commit
-    // read applies that state's own MoR drop sets, so a row already
-    // dead before the rewrite is in neither side; multiset EXCEPT ALL
-    // keeps duplicate-row counts exact.
+    // contract, so they never type as update images). Slicing the
+    // survivor side at TO (not at the CoW commit) applies any LATER
+    // in-window MoR kills to the rewrite's own rows, so a row the CoW
+    // introduced and a later epoch replaced is in neither side; and a
+    // pre-image whose key the window ALSO eq-deleted is anti-joined out
+    // (the eq branch already reports that row — reporting it twice
+    // would double a consumer's decrement). The pre-commit read applies
+    // that state's own MoR drop sets, so a row already dead before the
+    // rewrite is in neither side; multiset EXCEPT ALL keeps
+    // duplicate-row counts exact.
     val cowBranches = win.cowDiffs.flatMap { d =>
       def slice(stamp: Long, names: Seq[String]) =
         reader.option("asOfStamp", stamp).load(path)
@@ -4501,9 +4520,24 @@ object GraftLog {
             .isin(names.toIndexedSeq: _*))
           .select(tableCols.toIndexedSeq: _*)
       val oldRows = slice(d.preStamp, d.removed)
-      val newRows = slice(d.stamp, d.added)
+      val newRows = slice(toStamp, d.added)
+      val killKeySpecs: Seq[(DataFrame, org.apache.spark.sql.Column)] =
+        Seq("event_id" -> eqEid, "user_id" -> eqUid, "event_type" -> eqEty)
+          .collect { case (kc, Some(kdf)) =>
+            (kdf.select(col("_ck").as(s"_kk$kc")),
+              col(kc) === col(s"_kk$kc"))
+          } ++ compKeyDfs.map { case (ords, kdf) =>
+            val compColOf = Map(0 -> "_ce", 1 -> "_cu", 3 -> "_cy")
+            (kdf.select(ords.map(o =>
+                col(compColOf(o)).as(s"_kk$o")).toIndexedSeq: _*).distinct(),
+              ords.map(o =>
+                col(GraftLog.colName(o)) === col(s"_kk$o")).reduce(_ && _))
+          }
+      val cowDel = killKeySpecs.foldLeft(oldRows.exceptAll(newRows)) {
+        case (df, (kdf, cond)) => df.join(kdf, cond, "left_anti")
+      }
       Seq(
-        oldRows.exceptAll(newRows)
+        cowDel
           .withColumn("_change_type", lit("delete"))
           .withColumn("_change_stamp", lit(d.stamp)),
         newRows.exceptAll(oldRows)

@@ -84,22 +84,35 @@ private[sources] object GraftLogChangesOffset {
 }
 
 /** One change partition: an insert-side file (window segments live,
-  * everything else dead) or a delete-side FROM file with the window's
-  * kill sets (sorted key arrays with ALIGNED first-kill stamp arrays).
-  * `delPaths` and `segs` are resolved at PLANNING time from the
-  * partition's own boundary state — the TO state for inserts (so an
-  * in-window birth killed in-window vanishes: NET semantics) and the
-  * FROM state for deletes (so rows already dead before the window never
-  * re-report, while the window's own kills stay VISIBLE to be emitted). */
+  * everything else dead) or a delete-side FROM file. `delPaths` and
+  * `segs` are resolved at PLANNING time from the partition's own
+  * boundary state — the TO state for inserts (so an in-window birth
+  * killed in-window vanishes: NET semantics) and the FROM state for
+  * deletes (so rows already dead before the window never re-report,
+  * while the window's own kills stay VISIBLE to be emitted). The
+  * window's KILL SETS ride the reader FACTORY, not the partitions
+  * (round-20 review): Spark serializes every InputPartition
+  * independently, so per-partition kill arrays would ship
+  * O(files x keys) bytes per batch; the factory is serialized once. */
 private[sources] case class GraftLogChangesPartition(
     file: String, insert: Boolean,
     deadStamps: Array[Long],
     segs: Option[Vector[GraftSegment]],
-    delPaths: Seq[String],
+    delPaths: Seq[String]) extends InputPartition
+
+/** The window's kill sets: sorted key arrays with ALIGNED first-kill
+  * stamp arrays, per key kind. */
+private[sources] case class GraftLogChangesKills(
     eqEid: Array[Long], eqEidStamp: Array[Long],
     eqUid: Array[Long], eqUidStamp: Array[Long],
     eqEty: Array[String], eqEtyStamp: Array[Long],
-    eqTuples: Seq[(Seq[Int], Array[String], Array[Long])]) extends InputPartition
+    eqTuples: Seq[(Seq[Int], Array[String], Array[Long])])
+private[sources] object GraftLogChangesKills {
+  val EMPTY: GraftLogChangesKills = GraftLogChangesKills(
+    Array.emptyLongArray, Array.emptyLongArray,
+    Array.emptyLongArray, Array.emptyLongArray,
+    Array.empty, Array.emptyLongArray, Nil)
+}
 
 private[sources] class GraftLogChangesStream(path: String,
     extra: Array[StructField], startStamp: Option[Long])
@@ -164,10 +177,7 @@ private[sources] class GraftLogChangesStream(path: String,
         insert = true,
         deadStamps = stamps.distinct.filterNot(windowStamps.contains).toArray,
         segs = f.segs,
-        delPaths = win.stateTo.deletesFor(f.name).map(GraftFs.child(path, _)),
-        Array.emptyLongArray, Array.emptyLongArray,
-        Array.emptyLongArray, Array.emptyLongArray,
-        Array.empty, Array.emptyLongArray, Nil))
+        delPaths = win.stateTo.deletesFor(f.name).map(GraftFs.child(path, _))))
     }
     // window kill sets, first-kill stamp per key (commit order = stamp
     // order). Bounded by ONE micro-batch's delete records — the same
@@ -222,14 +232,40 @@ private[sources] class GraftLogChangesStream(path: String,
       else {
         // zone-prune the FROM files: keep a file iff ANY kind could
         // match it (overlap checks are the coverage logic's — sound
-        // supersets; stats-less files always stay)
+        // supersets; stats-less files always stay). Per-kind key ranges
+        // are computed ONCE (round-20 review): string ranges in UTF-8
+        // BYTE order — the probe arrays are String-sorted (UTF-16
+        // order, which binarySearch needs), and for non-BMP code points
+        // the two orders DIVERGE, so min/max extraction from the sorted
+        // array would build an unsound byte range and prune files that
+        // hold killed keys.
+        def byteRange(bs: Iterable[Array[Byte]]): Option[(Array[Byte], Array[Byte])] =
+          bs.foldLeft(Option.empty[(Array[Byte], Array[Byte])]) {
+            case (None, b) => Some((b, b))
+            case (Some((mn, mx)), b) => Some((
+              if (java.util.Arrays.compareUnsigned(b, mn) < 0) b else mn,
+              if (java.util.Arrays.compareUnsigned(b, mx) > 0) b else mx))
+          }
         def longOverlap(lo: Long, hi: Long, ks: Array[Long]): Boolean =
           ks.nonEmpty && ks(ks.length - 1) >= lo && ks(0) <= hi
-        def etyOverlap(b: GraftBinBounds, ks: Array[String]): Boolean =
-          ks.nonEmpty && {
-            val mn = ks(0).getBytes; val mx = ks(ks.length - 1).getBytes
+        def etyOverlap(b: GraftBinBounds,
+            range: Option[(Array[Byte], Array[Byte])]): Boolean =
+          range.exists { case (mn, mx) =>
             !(java.util.Arrays.compareUnsigned(b.minBytes, mx) > 0 ||
               b.maxBytes.exists(m => java.util.Arrays.compareUnsigned(m, mn) < 0))
+          }
+        val etyRange = byteRange(etyK.map(_.getBytes("UTF-8")))
+        // per composite kind: the FIRST component's range, decoded once
+        val tupRanges: Seq[(Int, Either[(Long, Long), Option[(Array[Byte], Array[Byte])]])] =
+          tups.map { case (ords, ks, _) =>
+            val firsts = ks.map(_.split(":", 2)(0))
+            ords.head match {
+              case o @ (0 | 1) =>
+                val ls = firsts.map(_.toLong)
+                (o, Left((ls.min, ls.max)))
+              case 3 =>
+                (3, Right(byteRange(firsts.map(GraftLog.decEqKeyLine))))
+            }
           }
         win.stateFrom.files.flatMap { f =>
           val keep = f.stats match {
@@ -237,44 +273,45 @@ private[sources] class GraftLogChangesStream(path: String,
             case Some(st) =>
               longOverlap(st.eidMin, st.eidMax, eidK) ||
               longOverlap(st.uidMin, st.uidMax, uidK) ||
-              (etyK.nonEmpty && st.etype.forall(etyOverlap(_, etyK))) ||
-              tups.exists { case (ords, ks, _) =>
-                val firsts = ks.map(_.split(":", 2)(0))
-                ords.head match {
-                  case 0 => longOverlap(st.eidMin, st.eidMax, firsts.map(_.toLong).sorted)
-                  case 1 => longOverlap(st.uidMin, st.uidMax, firsts.map(_.toLong).sorted)
-                  case 3 =>
-                    val dec = firsts.map(p =>
-                      UTF8String.fromBytes(GraftLog.decEqKeyLine(p)).toString).sorted
-                    st.etype.forall(etyOverlap(_, dec))
-                }
+              (etyK.nonEmpty && st.etype.forall(etyOverlap(_, etyRange))) ||
+              tupRanges.exists {
+                case (0, Left((lo, hi))) => hi >= st.eidMin && lo <= st.eidMax
+                case (1, Left((lo, hi))) => hi >= st.uidMin && lo <= st.uidMax
+                case (_, Right(range)) => st.etype.forall(etyOverlap(_, range))
+                case _ => true
               }
           }
           if (!keep) None
           else Some(GraftLogChangesPartition(GraftFs.child(path, f.name),
             insert = false, Array.emptyLongArray,
             segs = f.segs,
-            delPaths = win.stateFrom.deletesFor(f.name).map(GraftFs.child(path, _)),
-            eidK, eidS, uidK, uidS, etyK, etyS, tups))
+            delPaths = win.stateFrom.deletesFor(f.name).map(GraftFs.child(path, _))))
         }
       }
+    // stashed for this batch's factory: micro-batch execution is serial
+    // per query, and Spark plans partitions before it asks for the
+    // factory, so the snapshot pairs with exactly these partitions
+    lastKills = GraftLogChangesKills(eidK, eidS, uidK, uidS, etyK, etyS, tups)
     (inserts ++ deletes).map(p => p: InputPartition).toArray
   }
 
+  @volatile private var lastKills: GraftLogChangesKills = GraftLogChangesKills.EMPTY
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogChangesReaderFactory(extra)
+    new GraftLogChangesReaderFactory(extra, lastKills)
 }
 
 private[sources] class GraftLogChangesReaderFactory(
-    extra: Array[StructField]) extends PartitionReaderFactory {
+    extra: Array[StructField],
+    kills: GraftLogChangesKills) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftLogChangesReader(
-      partition.asInstanceOf[GraftLogChangesPartition], extra)
+      partition.asInstanceOf[GraftLogChangesPartition], extra, kills)
 }
 
 private[sources] class GraftLogChangesReader(
     p: GraftLogChangesPartition,
-    extra: Array[StructField]) extends PartitionReader[InternalRow] {
+    extra: Array[StructField],
+    kills: GraftLogChangesKills) extends PartitionReader[InternalRow] {
   private val name = GraftFs.nameOf(p.file)
   private val dels = GraftLog.loadDeletes(p.delPaths, name)
   private val cursor = new GraftLogCursor(p.file, Array.empty[Filter],
@@ -291,20 +328,20 @@ private[sources] class GraftLogChangesReader(
     * killed in this window. */
   private def killStamp(): Long = {
     var st = Long.MaxValue
-    if (p.eqEid.length > 0) {
-      val i = java.util.Arrays.binarySearch(p.eqEid, cursor.eventId)
-      if (i >= 0) st = math.min(st, p.eqEidStamp(i))
+    if (kills.eqEid.length > 0) {
+      val i = java.util.Arrays.binarySearch(kills.eqEid, cursor.eventId)
+      if (i >= 0) st = math.min(st, kills.eqEidStamp(i))
     }
-    if (p.eqUid.length > 0) {
-      val i = java.util.Arrays.binarySearch(p.eqUid, cursor.userId)
-      if (i >= 0) st = math.min(st, p.eqUidStamp(i))
+    if (kills.eqUid.length > 0) {
+      val i = java.util.Arrays.binarySearch(kills.eqUid, cursor.userId)
+      if (i >= 0) st = math.min(st, kills.eqUidStamp(i))
     }
-    if (p.eqEty.length > 0) {
+    if (kills.eqEty.length > 0) {
       val i = java.util.Arrays.binarySearch(
-        p.eqEty.asInstanceOf[Array[AnyRef]], cursor.etype.toString)
-      if (i >= 0) st = math.min(st, p.eqEtyStamp(i))
+        kills.eqEty.asInstanceOf[Array[AnyRef]], cursor.etype.toString)
+      if (i >= 0) st = math.min(st, kills.eqEtyStamp(i))
     }
-    p.eqTuples.foreach { case (ords, keys, stamps) =>
+    kills.eqTuples.foreach { case (ords, keys, stamps) =>
       val i = java.util.Arrays.binarySearch(keys.asInstanceOf[Array[AnyRef]],
         GraftLog.encTupleOfCols(cursor.eventId, cursor.userId, cursor.etype, ords))
       if (i >= 0) st = math.min(st, stamps(i))

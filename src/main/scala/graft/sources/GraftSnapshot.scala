@@ -1209,7 +1209,21 @@ private[sources] object GraftSnapshotIO {
           "and copy-on-write commands belong on main")
       if (change.isEmpty) return
       val refs = branchRefs(path, name)
-      val seq = if (refs.isEmpty) SEQ0
+      // a FRESH chain starts at a stamp-derived seq, NOT a fixed SEQ0
+      // (round-20 review): branch manifest names must never be reusable
+      // across branch generations — with a deterministic start, a
+      // re-created branch's first commit could mint the exact name a
+      // dead predecessor left behind, and a concurrent createBranch's
+      // captured remnant list (names!) could then delete the freshly
+      // committed manifest. nextStamp() is monotone epoch-millis and
+      // fits the 13-digit name format; chain contiguity only needs
+      // consecutive seqs, not a fixed origin. (A dead chain's tail
+      // seqs are start + k synthetic increments, so a predecessor that
+      // committed faster than 1/ms could still shadow near-future
+      // stamps — that corner needs a same-millisecond create/commit/
+      // drop/create race on top, vs. the CERTAIN collision a fixed
+      // origin gave any re-create.)
+      val seq = if (refs.isEmpty) GraftLogNames.nextStamp()
         else branchSeqOf(name, refs.last) + 1
       val tmp = GraftFs.child(path,
         s".snap-${java.util.UUID.randomUUID().toString.take(16)}.tmp")

@@ -1630,6 +1630,75 @@ class GraftCatalogSpec extends SparkTestBase with BeforeAndAfterAll {
         s"${streamed -- wantIns}, missing ${wantIns -- streamed}")
   }
 
+  test("CoW diff stays NET when a later in-window epoch replaces a rewritten row") {
+    // round-20 review (the top finding): window = CoW UPDATE at s_a,
+    // then an upsert epoch at s_b replacing one of the rewritten keys.
+    // NET must be: ONE delete of the pre-window image per touched key,
+    // the upsert's replacement as the insert for the replaced key, and
+    // the CoW's new image as the insert for the others — the old code
+    // emitted the replaced key's pre-image TWICE (eq branch + CoW diff)
+    // and its intermediate CoW image as a stale insert.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE graft.cdf_net (event_id BIGINT, user_id BIGINT, " +
+      "value DOUBLE, event_type STRING) USING graftlog " +
+      "TBLPROPERTIES ('snapshot.retain'='true')")
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "cdf_net").getPath
+    val src = Scratch.dir("graft_cdf_net_src")
+    val ckpt = Scratch.streamCkptDir("graft_cdf_net_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlog").load(src)
+        .writeStream.format("graftlog")
+        .option("upsertKey", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dir)
+      q.awaitTermination()
+    }
+    val base = events.orderBy("event_id").limit(10)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    base.repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    val s1 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val orig = base.select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val evens = orig.keySet.filter(_ % 2 == 0)
+    val replacedKey = evens.min
+    // CoW UPDATE rewrites the evens (v1 -> v2 = v1*2) ...
+    spark.sql("UPDATE graft.cdf_net SET value = value * 2 WHERE event_id % 2 = 0")
+    // ... then an upsert epoch replaces ONE rewritten key (v2 -> 777)
+    base.filter(col("event_id") === replacedKey)
+      .withColumn("value", lit(777.0))
+      .repartition(1).write.format("graftlog").mode("append").save(src)
+    drain()
+    val s2 = sources.GraftLog.testLatestSnapshotStamp(dir)
+    val ch = sources.GraftLog.readChanges(spark, dir, s1, s2)
+      .select(col("event_id"), col("value"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val dels = ch.filter(_._3 == "delete")
+    assert(dels.length == evens.size,
+      s"each touched key must delete its pre-window image ONCE: $dels")
+    dels.foreach { case (k, v, _) =>
+      assert(evens.contains(k) && v == orig(k),
+        s"delete must carry key $k's pre-window image: $v vs ${orig(k)}")
+    }
+    val ins = ch.filter(_._3 == "insert").map(t => (t._1, t._2)).toMap
+    assert(ins.size == evens.size, s"one net insert per touched key: $ins")
+    evens.foreach { k =>
+      val want = if (k == replacedKey) 777.0 else orig(k) * 2
+      assert(ins(k) == want,
+        s"key $k net insert must be $want (stale intermediate image?): ${ins(k)}")
+    }
+    // incremental-aggregate invariant over the mixed window
+    val sumS1 = orig.values.sum
+    val incremental = sumS1 +
+      ch.filter(_._3 == "insert").map(_._2).sum -
+      ch.filter(_._3 == "delete").map(_._2).sum
+    val full = spark.read.format("graftlog").load(dir)
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(incremental - full) < 1e-9,
+      s"mixed CoW+upsert window: incremental $incremental != full $full")
+  }
+
   test("changelog derives copy-on-write windows as row diffs; truncate still refuses") {
     // round 20 (r19 verdict #7, flipping the old refusal): a CoW DELETE
     // window derives — the pre-commit view of the removed files EXCEPT
