@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFns, VectorFns}
 import graft.sources.Tables
@@ -287,24 +288,34 @@ object DedupOps extends QueryModule {
       lastPath = p
       s.read.parquet(p)
     }
-    var labels = cut(edges.select(col("a").as("v")).distinct()
-      .withColumn("label", col("v")))
+    // Round-21 fused init (guide §1.2 — one fewer full pass): the seed
+    // labels fold the FIRST propagation round in. label₀(v) =
+    // min(v, min of N(v)) is exactly what the old identity init
+    // (label = v) produced after its first loop round, computed here as
+    // ONE keyed aggregate over the symmetric edge list (each (a,b) row
+    // has b = v, so least(a,b) covers the self term). The loop below is
+    // unchanged and still proves the fixpoint — it just starts one round
+    // deeper, saving one labels write + one convergence probe per call.
+    var labels = cut(edges
+      .groupBy(col("b").as("v")).agg(min(least(col("a"), col("b"))).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("v").as("a"), col("label").as("albl")), Seq("a"))
         .groupBy(col("b")).agg(min(col("albl")).as("nmin"))
+      // The written round carries its own `changed` flag (round 21):
+      // labels only ever DECREASE, so changed ⇔ nmin < label, computed in
+      // the same pass that writes the round — the convergence probe then
+      // reads one tiny just-written file with a pushed filter instead of
+      // joining two label files (one fewer shuffle + scan per round).
       val next = cut(labels
         .join(nbrMin.select(col("b").as("v"), col("nmin")), Seq("v"), "left")
-        .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
-      // both sides are parquet-backed, so the probe costs one tiny join,
-      // not a replay of the loop prefix
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("changed")))
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("v"), col("label"))
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -492,10 +503,11 @@ object DedupOps extends QueryModule {
   // Scale: per round one keyed equi-join (ranks to edge sources) + one
   // keyed sum (contributions to destinations) — the standard Pregel
   // shuffle pair, linear in |E|; ranks/degree relations are |V|-sized.
-  // Each round is parquet-cut (same rationale as the clustering loop:
-  // bounded lineage, fault-tolerant artifact, shared-scan reuse). A hub
-  // vertex is a hot REDUCE key but its contribution rows are degree-
-  // bounded per neighbor, so AQE skew split applies cleanly.
+  // The fixed unroll is a LINEAR lazy chain evaluated in ONE job (round
+  // 21; see the loop comment — no per-round parquet cuts, unlike the
+  // convergence-probed clustering loop). A hub vertex is a hot REDUCE
+  // key but its contribution rows are degree-bounded per neighbor, so
+  // AQE skew split applies cleanly.
   // ------------------------------------------------------------------
   private val PR_SCALE = 1000000000000L // 1e-12 fixed-point units
   private val PR_ITERS = 5
@@ -511,20 +523,30 @@ object DedupOps extends QueryModule {
     val nv = math.max(deg.count(), 1L)
     val base = PR_SCALE / nv
     val ewd = e.join(deg, Seq("u")) // (u, v, du) — degree folded in once
-    def cut(df: DataFrame): DataFrame = {
-      val p = graft.Scratch.dir("graft_pr_ranks")
-      df.write.parquet(p)
-      s.read.parquet(p)
-    }
-    var ranks = cut(deg.select(col("u").as("vtx"), lit(base).as("r")))
+    // Round 21 (guide §2.4 / §1.2): the per-round parquet cuts are GONE.
+    // Unlike the clustering loop, this unroll is a LINEAR chain — round k
+    // feeds round k+1 exactly once and there is no convergence probe — so
+    // the lazy 5-round plan evaluates every subtree once in a single job:
+    // no O(k²) replay exists to cut. The shared relations (deg's partial
+    // aggregate, ewd's join input) canonicalize identically across rounds
+    // and are computed once via ReuseExchange; the edge parquet (already a
+    // scratch artifact) is re-scanned per round — the same superstep shape
+    // Pregel uses, where static edges are re-read and only ranks iterate.
+    // Dropping the cuts removes 6 write+read jobs (and their commit
+    // protocol) per execution and keeps the whole iteration inside one
+    // DAG that AQE plans end-to-end; at cluster scale a 10-shuffle DAG is
+    // well inside Spark's normal stage-retry granularity, and a lost
+    // executor recomputes only the lost partitions instead of failing a
+    // consumed-and-deleted scratch read.
+    var ranks = deg.select(col("u").as("vtx"), lit(base).as("r"))
     for (_ <- 1 to PR_ITERS) {
       val contrib = ewd
         .join(ranks.select(col("vtx").as("u"), col("r")), Seq("u"))
         .groupBy(col("v")).agg(sum(expr("r div du")).as("sm"))
-      ranks = cut(deg.select(col("u").as("vtx"))
+      ranks = deg.select(col("u").as("vtx"))
         .join(contrib.select(col("v").as("vtx"), col("sm")), Seq("vtx"), "left")
         .withColumn("num", lit(15L * base) + lit(85L) * coalesce(col("sm"), lit(0L)))
-        .select(col("vtx"), expr("num div 100").as("r")))
+        .select(col("vtx"), expr("num div 100").as("r"))
     }
     ranks.select(col("vtx").as("doc_id"), col("r").as("pr"))
       .orderBy(col("doc_id"))
@@ -569,7 +591,8 @@ object DedupOps extends QueryModule {
   // Scale: each round is one degree aggregate (keyed count) plus two
   // semi-joins of the edge relation against the surviving-vertex set —
   // all hash-partitioned on vertex id, linear in |E|, no quadratic
-  // stage; rounds are parquet-cut like the clustering loop.
+  // stage; every second round is parquet-cut (round 21 — see the loop
+  // comment for why the cut cadence is 2, not 1 and not never).
   // ------------------------------------------------------------------
   private val PEEL_ROUNDS = 6
 
@@ -587,14 +610,25 @@ object DedupOps extends QueryModule {
       s.read.parquet(p)
     }
     var e = edges
-    for (_ <- 1 to PEEL_ROUNDS) {
+    for (r <- 1 to PEEL_ROUNDS) {
       val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("dg"))
       val keep = deg.filter(col("dg") >= 2).select(col("x"))
-      e = cut(e
+      val next = e
         .join(keep.select(col("x").as("u")), Seq("u"), "semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "semi")
-        .select(col("u"), col("v")))
+        .select(col("u"), col("v"))
+      // Round 21 (guide §1.2): cut every SECOND round, not every round.
+      // Unlike pageRank's linear chain, a peel round references its
+      // predecessor THREE times (degree aggregate + both semi-join probe
+      // sides), so a fully lazy unroll grows the plan 3^rounds — the cut
+      // is load-bearing here. But one un-cut round in between is bounded:
+      // the duplicated lazy subtree is a parquet scan plus two broadcast
+      // semi-joins (the keep sets are |V|-bounded filters whose degree
+      // exchange IS reused — canonical equality holds, both probe sides
+      // build from the same broadcast), so halving the cuts halves the
+      // write+read jobs per execution without an exponential plan.
+      e = if (r % 2 == 0) cut(next) else next
     }
     e.select(explode(array(col("u"), col("v"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("core_degree"))
@@ -773,43 +807,34 @@ object DedupOps extends QueryModule {
       .select(col("doc_id"), hex60(col("shingle")).as("sh_key")))
 
   /** Df-cap then MATERIALIZE a (doc_id, sh_key) relation to scratch
-    * parquet, in two lineage cuts (round 13). The r12 formulation left
-    * sharing to ReuseExchange, but the consumers' exchanges are not
-    * canonically equal (partial-count agg vs semi probe vs self-join
-    * sides vs doc_id sizes), so the tokenize+shingle+hash scan — the
-    * single most expensive narrow stage in the engine — re-ran once PER
-    * CONSUMER (~4x, measured ~9 CPU-s each at sf0.1). Cut 1 writes the
-    * raw key relation (one scan, ever); cut 2 writes the capped relation
-    * the three downstream consumers read. Both files are 2-long-column
-    * and linear in corpus tokens — the same recomputable, fault-tolerant
-    * artifact discipline as the near-dup edge set (edgesParquet), not a
-    * pinned-block cache. The df cap still runs BEFORE the self-join
-    * (aggregate + semi-join, map-side partials), so no key can fan out
-    * quadratically and AQE can split a skewed probe. */
+    * parquet in ONE lineage cut (round 21; supersedes the round-13
+    * two-cut form). The r12 formulation left sharing to ReuseExchange,
+    * but the consumers' exchanges are not canonically equal (partial-
+    * count agg vs semi probe vs self-join sides vs doc_id sizes), so the
+    * tokenize+shingle+hash scan — the single most expensive narrow stage
+    * in the engine — re-ran once PER CONSUMER (~4x, measured ~9 CPU-s
+    * each at sf0.1). Round 13 fixed that with two cuts (raw keys, then
+    * agg + semi-join + capped keys) = two full materializations of the
+    * span relation. Round 21 (guide §2.4 "remove shuffles outright")
+    * fuses them: one shuffle of the span relation by sh_key, a count
+    * window over the partition key, filter, write — the tokenize scan
+    * runs once, the relation is materialized once, and the raw
+    * intermediate file (plus its eager delete walk) disappears. The
+    * window is PARTITIONED (by sh_key), so the registry-wide
+    * single-partition-window ban does not apply; a hot key is bounded by
+    * the window's own partition (its rows all carry df > cap and are
+    * dropped). Downstream is unchanged: the capped file is what the
+    * self-join consumers read, so no key fans out quadratically. Same
+    * cap rule as before (count per sh_key <= MAX_SHINGLE_DF), identical
+    * output rows. */
   private def cappedShingles(sh0: DataFrame): DataFrame = {
     val s = sh0.sparkSession
-    val rawPath = graft.Scratch.dir("graft_sh_raw")
-    sh0.write.parquet(rawPath)
-    val raw = s.read.parquet(rawPath)
-    val keepKeys = raw.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MAX_SHINGLE_DF)
-      .select(col("sh_key"))
     val cappedPath = graft.Scratch.dir("graft_sh_capped")
-    raw.join(keepKeys, Seq("sh_key"), "left_semi")
+    val wDf = Window.partitionBy(col("sh_key"))
+    sh0.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= MAX_SHINGLE_DF)
       .select(col("doc_id"), col("sh_key"))
       .write.parquet(cappedPath)
-    // the raw cut is consumed entirely by the capped write above; deleting
-    // it NOW (rather than at session-end purge) halves the scratch
-    // footprint these queries hold through the rest of a bench session
-    // (r13 review) — Scratch.purge tolerates already-deleted paths
-    locally {
-      import java.nio.file.{Files, Path}
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(rawPath)
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(f => Files.delete(f))
-    }
     s.read.parquet(cappedPath)
   }
 
@@ -904,21 +929,33 @@ object DedupOps extends QueryModule {
     * DuckDB as `(h // 2^b) % 2`, like the simhashPairs band split —
     * replaces per-(token, bit) hex substring/ascii string ops; nbits <=
     * 60). Powers of two up to 2^59 are exactly representable doubles, so
-    * the pow-then-cast is exact in both engines. */
-  private def simhashFp(s: SparkSession, dir: String, nbits: Int): DataFrame =
+    * the pow-then-cast is exact in both engines.
+    *
+    * Round 21 (optimization guide §2.3 "shuffle fewer bytes" / §1.2 "the
+    * distributed algorithm"): the bit dimension is aggregated as nbits
+    * SUM COLUMNS of one groupBy(doc_id), not an explode(0..nbits-1) row
+    * fan-out — the old shape multiplied every token row x nbits through
+    * TWO aggregate exchanges (tokens x 32 rows shuffled at sf0.1); this
+    * one keeps the relation at one row per token and shuffles a single
+    * partial-agg state of nbits longs per doc. Bit-identical result: the
+    * per-bit vote v_b is the same integer sum either way, and the final
+    * fingerprint is a left-assoc long sum of when(v_b > 0, 2^b) terms —
+    * exact integer arithmetic, same as the grouped form. */
+  private def simhashFp(s: SparkSession, dir: String, nbits: Int): DataFrame = {
+    val votes = (0 until nbits).map { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val fpBits = (0 until nbits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
     Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      // compute the token hash ONCE, then fan out to the bit positions
+      // compute the token hash ONCE, then extract all bit votes from it
       .select(col("doc_id"), hex60(col("tok")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(nbits - 1))).as("b"))
-      .withColumn("contrib",
-        when(expr("(h div cast(pow(2, b) as bigint)) % 2") === 1, 1)
-          .otherwise(-1))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("v"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("cast(pow(2, b) as bigint)")).otherwise(0L))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpBits.as("simhash"))
+  }
 
   def simhash(s: SparkSession, dir: String): DataFrame =
     simhashFp(s, dir, 16).orderBy(col("doc_id"))

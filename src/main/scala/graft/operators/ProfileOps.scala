@@ -33,17 +33,31 @@ object ProfileOps extends QueryModule {
     val li = Tables.loadParallel(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
       "l_returnflag", "l_shipdate")
-    val aggs = cols.flatMap { c =>
+    // Round 21 (guide §1.2 "per-task work"): nulls/min/max and the exact
+    // distinct counts are SEPARATE aggregates, crossJoined at one row
+    // each. Combined, the multi-countDistinct plan Expands every row x
+    // (|cols|+1) AND drags the min(string)/max(string) buffers through
+    // every stage — string-buffered aggregates are not hash-aggregable,
+    // so the WHOLE Expand pipeline fell back to SortAggregate: a 6-key
+    // sort of rows x 6 at 16 columns wide (the measured 2.3 s). Split,
+    // the distinct pass is a pure group-by dedup + counts — all
+    // HashAggregate, no sort anywhere — and the profile pass is a
+    // grouping-less single-pass aggregate (SortAggregate with empty keys
+    // sorts nothing). Same scan count: both passes prune to the same 5
+    // columns, so the round-robin exchange they share is reused. Outputs
+    // are identical column-for-column.
+    val profAggs = cols.flatMap { c =>
       Seq(
         sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
         // strings unify numeric/string/timestamp min-max in one output
         // column (fixture timestamps are midnight-exact, so the rendered
         // form is engine-identical)
         min(col(c)).cast("string").as(s"${c}_min"),
         max(col(c)).cast("string").as(s"${c}_max"))
     }
-    val one = li.agg(aggs.head, aggs.tail: _*)
+    val distAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_distinct"))
+    val one = li.agg(profAggs.head, profAggs.tail: _*)
+      .crossJoin(li.agg(distAggs.head, distAggs.tail: _*))
     val stacked = cols.map { c =>
       s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max"
     }.mkString(", ")

@@ -692,7 +692,7 @@ object VectorOps extends QueryModule {
     graft.plans.GraftFunctions.ensureRegistered(s)
     val e = emb(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("de"))
-    val centroids = e
+    val centroidsAgg = e
       .select(col("label"), posexplode(col("de")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(round(col("v") * 1e6).cast("long")).as("csum"), count(lit(1)).as("n"))
@@ -700,6 +700,18 @@ object VectorOps extends QueryModule {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("ce"))
+    // Round 21 (guide §1.2): the coarse codebook is MATERIALIZED ONCE per
+    // execution as a local relation. The residual path consumes centroids
+    // from THREE separate driver actions — pqTrain's init collect,
+    // pqTrain's update collect, and the final declared plan — and
+    // exchange reuse never spans actions, so the lazy form recomputed the
+    // full posexplode centroid aggregate 3x per execution. The collect is
+    // bounded BY CONSTRUCTION (ncells x 64 doubles — the IVF coarse
+    // codebook, same class as the PQ codebooks and kmeansTrain's K-seed
+    // collects); downstream arithmetic reads the exact same doubles, so
+    // results are bit-identical and the oracle is untouched.
+    val centroids = s.createDataFrame(
+      java.util.Arrays.asList(centroidsAgg.collect(): _*), centroidsAgg.schema)
     val res = e.join(broadcast(centroids), Seq("label"))
       .select(col("vec_id"), col("label"),
         zip_with(col("de"), col("ce"), (a, b) => a - b).as("de"))
@@ -793,9 +805,24 @@ object VectorOps extends QueryModule {
         .agg(count(col("edid")).as("hits"))
         .select(lit(method).as("method"), col("qid"), col("hits"),
           (col("hits").cast("double") / PQ_TOPK).as("recall"))
+    // Round 21 (guide §2.6 "overlap independent jobs"): constructing the
+    // IVF-PQ and residual-IVF-PQ legs runs their PQ-training collects —
+    // several short driver-blocking jobs each, independent of one another.
+    // Built sequentially they serialize ~4 jobs of mostly-idle cluster
+    // time; two driver threads let the scheduler back-fill one leg's
+    // stragglers with the other leg's tasks. The collected codebooks are
+    // deterministic values, so construction order cannot change results.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fIvfpq = Future(annIvfPq(s, dir))
+    val fRes = Future(annIvfPqResidual(s, dir))
     val ivfCand = annIvf(s, dir).select(col("qid"), col("did"))
-    val ivfpqCand = annIvfPq(s, dir).select(col("qid"), col("vec_id").as("did"))
-    val resCand = annIvfPqResidual(s, dir).select(col("qid"), col("vec_id").as("did"))
+    val ivfpqCand = Await.result(fIvfpq, Duration.Inf)
+      .select(col("qid"), col("vec_id").as("did"))
+    val resCand = Await.result(fRes, Duration.Inf)
+      .select(col("qid"), col("vec_id").as("did"))
     recallOf(ivfCand, "ivf")
       .unionByName(recallOf(ivfpqCand, "ivfpq"))
       .unionByName(recallOf(resCand, "ivfpq_res"))

@@ -2624,6 +2624,13 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
     eqDeleteTuples: Seq[(Seq[Int], Array[String])] = Nil) {
   private val in: DataInputStream = GraftFs.openData(file)
   private val preds: Array[GraftLog.Pred] = filters.map(GraftLog.compile)
+  // first-component pre-filtered composite probes (round 21, r20 advice):
+  // built once per cursor so the hot decode loop only pays the tuple
+  // encode allocation on candidate rows
+  private val tupleProbes: Array[GraftLog.TupleKindProbe] =
+    eqDeleteTuples.map { case (ords, keys) =>
+      new GraftLog.TupleKindProbe(ords, keys)
+    }.toArray
   private val needType = needTypeHint ||
     filters.exists(_.references.contains("event_type")) ||
     eqDeleteEtype.nonEmpty || // the keyed takedown must decode the key
@@ -2779,10 +2786,8 @@ private final class GraftLogCursor(file: String, filters: Array[Filter],
           java.util.Arrays.binarySearch(eqDeleteUid, userId) >= 0) ||
         (eqDeleteEtype.length > 0 && java.util.Arrays.binarySearch(
           eqDeleteEtype.asInstanceOf[Array[AnyRef]], etype) >= 0) ||
-        (eqDeleteTuples.nonEmpty && eqDeleteTuples.exists { case (ords, keys) =>
-          java.util.Arrays.binarySearch(keys.asInstanceOf[Array[AnyRef]],
-            GraftLog.encTupleOfCols(eventId, userId, etype, ords)) >= 0
-        })) {
+        (tupleProbes.length > 0 &&
+          tupleProbes.exists(_.dead(eventId, userId, etype)))) {
         skipped += 1
       }
       else {
@@ -3495,6 +3500,12 @@ object GraftLog {
           } else {
             val loaded = loadDeletes(in.dels, in.name)
             val dels = loaded.pos
+            // first-component pre-filtered composite probes (round 21):
+            // built once per input file, so the absorb walk only pays the
+            // tuple encode allocation on candidate records
+            val tupleProbes = loaded.eqTuples.map { case (ords, keys) =>
+              new GraftLog.TupleKindProbe(ords, keys)
+            }
             val segStarts = in.segs.map(_.start).toArray
             val din = GraftFs.openData(in.abs)
             val dout: DataOutputStream = os
@@ -3528,12 +3539,7 @@ object GraftLog {
                         loaded.eqEtype.asInstanceOf[Array[AnyRef]],
                         UTF8String.fromBytes(buf, 26, l)) >= 0
                     }) ||
-                    (loaded.eqTuples.nonEmpty &&
-                      loaded.eqTuples.exists { case (ords, keys) =>
-                        java.util.Arrays.binarySearch(
-                          keys.asInstanceOf[Array[AnyRef]],
-                          GraftLog.encTupleOfBuf(buf, ords)) >= 0
-                      })
+                    (tupleProbes.nonEmpty && tupleProbes.exists(_.deadBuf(buf)))
                   while (delIdx < dels.length && dels(delIdx) < ord) delIdx += 1
                   if (delIdx < dels.length && dels(delIdx) == ord) delIdx += 1 // dropped
                   else if (eqDead) () // upsert-retired key: dropped
@@ -4290,10 +4296,18 @@ object GraftLog {
     }
     def eqLongKeys(kind: String): Option[DataFrame] = delLines(kind).map { ds =>
       ds.map { case (line, st) =>
+        // r20 advice: a lone "-" used to pass (empty tail's forall is
+        // vacuously true) and an over-Long digit string threw a bare
+        // NumberFormatException from the executor — both now fail with
+        // the labeled corrupt-record error
         require(line.forall(_.isDigit) ||
-            (line.head == '-' && line.tail.forall(_.isDigit)),
+            (line.length > 1 && line.head == '-' && line.tail.forall(_.isDigit)),
           s"corrupt equality-delete record in $path: '$line'")
-        (line.toLong, st)
+        val k = try line.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"corrupt equality-delete record in $path: '$line' (out of Long range)")
+        }
+        (k, st)
       }.toDF("_ck", "_cs").groupBy("_ck").agg(min("_cs").as("_cs"))
     }
     val eqEid = eqLongKeys(EQ_DELETE_HEADER)
@@ -4325,9 +4339,13 @@ object GraftLog {
           var eid: Option[Long] = None
           var uid: Option[Long] = None
           var ety: Option[String] = None
+          def longPart(p: String): Long = try p.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"corrupt composite equality-delete record in $path: '$line'")
+          }
           ords.zip(parts).foreach {
-            case (0, p) => eid = Some(p.toLong)
-            case (1, p) => uid = Some(p.toLong)
+            case (0, p) => eid = Some(longPart(p))
+            case (1, p) => uid = Some(longPart(p))
             case (3, p) =>
               ety = Some(UTF8String.fromBytes(GraftLog.decEqKeyLine(p)).toString)
           }
@@ -5117,6 +5135,63 @@ object GraftLog {
       case 1 => uid.toString
       case 3 => encEqKeyLine(ety.getBytes)
     }.mkString(":")
+  /** Composite eq-delete probe with a FIRST-COMPONENT pre-filter
+    * (round 21, r20 advice): the plain probe built a fresh ':'-joined
+    * String (including a base64 encode of event_type) for EVERY decoded
+    * row per composite kind — O(rows x kinds) garbage on the hot decode
+    * path, unlike the allocation-free single-key probes. Most rows are
+    * not deleted, so this probes the sorted first components first
+    * (allocation-free long binary search, or a pre-decoded UTF8String
+    * array for a string first component) and only builds the full tuple
+    * encode on a first-component hit. `indexOf` returns the position in
+    * the original sorted `keys` array (so callers with aligned stamp
+    * arrays keep working), -1 when absent. */
+  private[sources] final class TupleKindProbe(
+      val ords: Seq[Int], val keys: Array[String]) extends Serializable {
+    private val firstKind: Int = ords.head
+    private def firstPart(k: String): String = k.substring(0, k.indexOf(':'))
+    private val firstLongs: Array[Long] =
+      if (firstKind == 3) null
+      else { val a = keys.map(k => firstPart(k).toLong); java.util.Arrays.sort(a); a }
+    private val firstStrs: Array[AnyRef] =
+      if (firstKind != 3) null
+      else {
+        val a: Array[AnyRef] =
+          keys.map(k => UTF8String.fromBytes(decEqKeyLine(firstPart(k))): AnyRef)
+        java.util.Arrays.sort(a)
+        a
+      }
+    private def firstHit(eid: Long, uid: Long, ety: => UTF8String): Boolean =
+      firstKind match {
+        case 0 => java.util.Arrays.binarySearch(firstLongs, eid) >= 0
+        case 1 => java.util.Arrays.binarySearch(firstLongs, uid) >= 0
+        case _ =>
+          val e = ety
+          e != null &&
+            java.util.Arrays.binarySearch(firstStrs, e.asInstanceOf[AnyRef]) >= 0
+      }
+    def indexOf(eid: Long, uid: Long, ety: UTF8String): Int =
+      if (!firstHit(eid, uid, ety)) -1
+      else java.util.Arrays.binarySearch(keys.asInstanceOf[Array[AnyRef]],
+        encTupleOfCols(eid, uid, ety, ords))
+    def dead(eid: Long, uid: Long, ety: UTF8String): Boolean =
+      indexOf(eid, uid, ety) >= 0
+    /** Raw-record-buffer variant (the compaction absorb walk): keys sit
+      * at the fixed encode offsets — event_id at 0, user_id at 8,
+      * event_type length-prefixed at 24. The event_type UTF8String wraps
+      * the buffer range only when the first component is the string. */
+    def deadBuf(buf: Array[Byte]): Boolean = {
+      def eid = java.nio.ByteBuffer.wrap(buf, 0, 8).getLong
+      def uid = java.nio.ByteBuffer.wrap(buf, 8, 8).getLong
+      def ety = {
+        val l = ((buf(24) & 0xff) << 8) | (buf(25) & 0xff)
+        UTF8String.fromBytes(buf, 26, l)
+      }
+      firstHit(eid, uid, ety) && java.util.Arrays.binarySearch(
+        keys.asInstanceOf[Array[AnyRef]], encTupleOfBuf(buf, ords)) >= 0
+    }
+  }
+
   /** Ordinals of a composite eq-delete header ("eq c1,c2,..."), None if
     * `header` is not a composite header. */
   private[sources] def tupleHeaderOrds(header: String): Option[Seq[Int]] =

@@ -98,7 +98,8 @@ private[sources] case class GraftLogChangesPartition(
     file: String, insert: Boolean,
     deadStamps: Array[Long],
     segs: Option[Vector[GraftSegment]],
-    delPaths: Seq[String]) extends InputPartition
+    delPaths: Seq[String],
+    winStart: Long, winEnd: Long) extends InputPartition
 
 /** The window's kill sets: sorted key arrays with ALIGNED first-kill
   * stamp arrays, per key kind. */
@@ -177,7 +178,8 @@ private[sources] class GraftLogChangesStream(path: String,
         insert = true,
         deadStamps = stamps.distinct.filterNot(windowStamps.contains).toArray,
         segs = f.segs,
-        delPaths = win.stateTo.deletesFor(f.name).map(GraftFs.child(path, _))))
+        delPaths = win.stateTo.deletesFor(f.name).map(GraftFs.child(path, _)),
+        winStart = a, winEnd = b))
     }
     // window kill sets, first-kill stamp per key (commit order = stamp
     // order). Bounded by ONE micro-batch's delete records — the same
@@ -285,27 +287,57 @@ private[sources] class GraftLogChangesStream(path: String,
           else Some(GraftLogChangesPartition(GraftFs.child(path, f.name),
             insert = false, Array.emptyLongArray,
             segs = f.segs,
-            delPaths = win.stateFrom.deletesFor(f.name).map(GraftFs.child(path, _))))
+            delPaths = win.stateFrom.deletesFor(f.name).map(GraftFs.child(path, _)),
+            winStart = a, winEnd = b))
         }
       }
-    // stashed for this batch's factory: micro-batch execution is serial
-    // per query, and Spark plans partitions before it asks for the
-    // factory, so the snapshot pairs with exactly these partitions
-    lastKills = GraftLogChangesKills(eidK, eidS, uidK, uidS, etyK, etyS, tups)
+    // Stash this window's kill sets KEYED BY the (start, end] stamps the
+    // partitions themselves carry (round 21, r20 advice): the old single
+    // @volatile field relied on Spark pairing each planInputPartitions
+    // call with the next createReaderFactory call — an execution mode
+    // that replans a batch after factory creation, or pipelines batches,
+    // would pair one batch's partitions with another's kill sets and
+    // silently emit wrong delete rows. Now the factory snapshots the
+    // whole (bounded) window map and every reader indexes it by its OWN
+    // partition's window, so mispairing is structurally impossible; an
+    // unknown window fails loudly instead of reading stale kills.
+    killsByWindow.synchronized {
+      killsByWindow.put((a, b), GraftLogChangesKills(eidK, eidS, uidK, uidS, etyK, etyS, tups))
+    }
     (inserts ++ deletes).map(p => p: InputPartition).toArray
   }
 
-  @volatile private var lastKills: GraftLogChangesKills = GraftLogChangesKills.EMPTY
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogChangesReaderFactory(extra, lastKills)
+  /** Kill sets per planned window, insertion-ordered and bounded: micro-
+    * batch execution is serial per query, so live windows are few — 8
+    * retained windows is far beyond any replanning/pipelining depth, and
+    * eviction of a still-running batch's entry surfaces as the reader's
+    * loud unknown-window error, never as wrong rows. */
+  private val killsByWindow =
+    new java.util.LinkedHashMap[(Long, Long), GraftLogChangesKills]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Long), GraftLogChangesKills]): Boolean = size() > 8
+    }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val snapshot = killsByWindow.synchronized {
+      import scala.jdk.CollectionConverters._
+      killsByWindow.asScala.toMap
+    }
+    new GraftLogChangesReaderFactory(extra, snapshot)
+  }
 }
 
 private[sources] class GraftLogChangesReaderFactory(
     extra: Array[StructField],
-    kills: GraftLogChangesKills) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftLogChangesReader(
-      partition.asInstanceOf[GraftLogChangesPartition], extra, kills)
+    killsByWindow: Map[(Long, Long), GraftLogChangesKills]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftLogChangesPartition]
+    val kills = killsByWindow.getOrElse((p.winStart, p.winEnd),
+      throw new IllegalStateException(
+        s"graftlog changes reader has no kill sets for window " +
+          s"(${p.winStart}, ${p.winEnd}] — the planning snapshot that " +
+          "produced this partition is gone; re-plan the batch"))
+    new GraftLogChangesReader(p, extra, kills)
+  }
 }
 
 private[sources] class GraftLogChangesReader(
@@ -322,6 +354,13 @@ private[sources] class GraftLogChangesReader(
     .map(f => GraftLog.EXTRA_BASE + extra.indexWhere(_.name == f.name))
   private val insertTag = UTF8String.fromString("insert")
   private val deleteTag = UTF8String.fromString("delete")
+  // first-component pre-filtered composite probes (round 21, r20 advice):
+  // built once per reader; aligned stamp arrays are indexed by the probe's
+  // position in the original sorted key array
+  private val tupleProbes: Array[(GraftLog.TupleKindProbe, Array[Long])] =
+    kills.eqTuples.map { case (ords, keys, stamps) =>
+      (new GraftLog.TupleKindProbe(ords, keys), stamps)
+    }.toArray
   private var row: InternalRow = _
 
   /** First-kill stamp for the current cursor row, Long.MinValue = not
@@ -341,9 +380,8 @@ private[sources] class GraftLogChangesReader(
         kills.eqEty.asInstanceOf[Array[AnyRef]], cursor.etype.toString)
       if (i >= 0) st = math.min(st, kills.eqEtyStamp(i))
     }
-    kills.eqTuples.foreach { case (ords, keys, stamps) =>
-      val i = java.util.Arrays.binarySearch(keys.asInstanceOf[Array[AnyRef]],
-        GraftLog.encTupleOfCols(cursor.eventId, cursor.userId, cursor.etype, ords))
+    tupleProbes.foreach { case (probe, stamps) =>
+      val i = probe.indexOf(cursor.eventId, cursor.userId, cursor.etype)
       if (i >= 0) st = math.min(st, stamps(i))
     }
     if (st == Long.MaxValue) Long.MinValue else st

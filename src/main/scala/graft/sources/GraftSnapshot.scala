@@ -1147,8 +1147,26 @@ private[sources] object GraftSnapshotIO {
     // listing cannot be in the captured set.
     val remnants = branchRefs(path, name)
     if (remnants.nonEmpty &&
-        !GraftFs.listNames(path).contains(s"branch-$name$BRANCH_EXT"))
+        !GraftFs.listNames(path).contains(s"branch-$name$BRANCH_EXT")) {
       remnants.foreach(m => GraftFs.delete(GraftFs.child(path, m)))
+      // r20 advice: a dead predecessor chain that committed faster than
+      // 1/ms can leave tail seqs ABOVE this generation's nextStamp(), so
+      // a same-millisecond create/commit/drop/create race could mint a
+      // reusable manifest name even after the stamp-derived fresh-chain
+      // start. If any such remnant SURVIVED the sweep (delete failure),
+      // refuse to create over it — with the ref still absent these
+      // cannot be a live branch's commits, and proceeding would let a
+      // fresh commit collide with (or be shadowed by) the leftover name.
+      if (!GraftFs.listNames(path).contains(s"branch-$name$BRANCH_EXT")) {
+        val floor = GraftLogNames.nextStamp()
+        val survivors = branchRefs(path, name)
+          .filter(m => branchSeqOf(name, m) >= floor)
+        require(survivors.isEmpty,
+          s"branch '$name' on $path has undeletable dead-chain manifests at " +
+            s"or above the fresh seq floor $floor (${survivors.mkString(", ")}) " +
+            "— remove them before re-creating the branch")
+      }
+    }
     val tmp = GraftFs.child(path,
       s".branch-${java.util.UUID.randomUUID().toString.take(16)}.tmp")
     GraftFs.writeString(tmp, s"$stamp\n")
