@@ -254,28 +254,29 @@ object VectorOps extends QueryModule {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
-    // Rehydration (single pass): explode each candidate pair into its two
-    // (pair, side, vec_id) probes and join ONCE against the embeddings
-    // relation on vec_id, then regroup by pair — the corpus is scanned
-    // once (round 3 scanned it twice more here) and is never a broadcast
-    // build side. No broadcast hints in either direction: the candidate
-    // set scales with corpus duplication (web corpora run 30%+
-    // duplicates), so forcing it onto the driver is unbounded at 100 TB —
-    // the same reasoning as the unhinted curation anti join. Unhinted,
-    // AQE broadcasts the probe side when runtime stats prove it small and
-    // falls back to a key-only shuffle on vec_id when they don't.
-    val probes = candidates.select(
-        explode(array(
-          struct(col("d1"), col("d2"), lit(1).as("side"), col("d1").as("vid")),
-          struct(col("d1"), col("d2"), lit(2).as("side"), col("d2").as("vid")))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
-        col("p.side").as("side"), col("p.vid").as("vid"))
-    e.select(col("vec_id"), col("embedding"))
-      .join(probes, col("vec_id") === col("vid"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(
-        first(when(col("side") === 1, col("embedding")), ignoreNulls = true).as("e1"),
-        first(when(col("side") === 2, col("embedding")), ignoreNulls = true).as("e2"))
+    // Rehydration as TWO keyed id-joins (round 21, guide §2.3 "shuffle
+    // fewer bytes"): attach e1 by d1, then e2 by d2, and evaluate the
+    // fused cosine in the second join's task. The previous form exploded
+    // every pair into two (pair, side, vec_id) probe rows and re-grouped
+    // by pair with first(when(side...)) aggregates — that final
+    // groupBy(d1, d2) exchange carried BOTH embeddings per pair as
+    // un-reducible aggregate state (first() over rows that land in
+    // different map partitions merges nothing map-side), i.e. ~2 vectors
+    // of payload per candidate pair through a shuffle, plus the 2x probe
+    // fan-out before it. The join chain moves each candidate row through
+    // at most two key exchanges carrying ONE vector, and the whole
+    // explode + wide-aggregate stage disappears. Identical rows:
+    // candidates are distinct, vec_id is unique in the corpus, and both
+    // joins are inner on ids that exist by construction. Still no
+    // broadcast hints in either direction: the candidate set scales with
+    // corpus duplication (web corpora run 30%+ duplicates), so forcing it
+    // onto the driver is unbounded at 100 TB — unhinted, AQE broadcasts
+    // the corpus side when runtime stats prove it small (it does at
+    // fixture scale, making both joins exchange-free) and falls back to a
+    // key shuffle when they don't.
+    candidates
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), Seq("d1"))
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), Seq("d2"))
       .select(col("d1"), col("d2"), expr("cosine_fast(e1, e2)").as("cos"))
       .filter(col("cos") >= 0.5)
       .orderBy(col("d1"), col("d2"))
