@@ -182,8 +182,9 @@ object VectorOps extends QueryModule {
   //      with cosine >= 0.5 land in a shared probed cell);
   //   3. candidate (d1 < d2) pairs = vectors sharing a probed cell —
   //      a hash join on the cell id, distinct'd;
-  //   4. embeddings re-joined BY ID in ONE pass (candidates exploded to
-  //      (pair, side, vec_id) probes), then one exact cosine per pair.
+  //   4. embeddings rehydrated by TWO keyed id-joins (e1 attached by d1,
+  //      then e2 by d2), the fused cosine evaluated in the second join's
+  //      task — one exact cosine per pair.
   // Scale: the pair space is cell-local (sum over cells of |cell|² instead
   // of n²); the cell id is the shuffle key; candidates are a vanishing
   // fraction of the corpus, so the single id-join that rehydrates
@@ -267,7 +268,15 @@ object VectorOps extends QueryModule {
     // at most two key exchanges carrying ONE vector, and the whole
     // explode + wide-aggregate stage disappears. Identical rows:
     // candidates are distinct, vec_id is unique in the corpus, and both
-    // joins are inner on ids that exist by construction. Still no
+    // joins are inner on ids that exist by construction — one row per
+    // candidate pair DEPENDS on vec_id being unique in the corpus (the
+    // old first() aggregate collapsed hypothetical duplicates; VectorSpec's
+    // brute-force cross-check pins the invariant). Trade-off made
+    // knowingly: in the no-broadcast fallback the corpus relation flows
+    // through TWO vec_id exchanges (one per side) where the old shape paid
+    // one scan + one exchange — a win whenever candidates are the smaller
+    // side (they are, by construction: a vanishing fraction of the corpus)
+    // or AQE broadcasts the corpus side. Still no
     // broadcast hints in either direction: the candidate set scales with
     // corpus duplication (web corpora run 30%+ duplicates), so forcing it
     // onto the driver is unbounded at 100 TB — unhinted, AQE broadcasts
