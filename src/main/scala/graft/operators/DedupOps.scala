@@ -974,7 +974,22 @@ object DedupOps extends QueryModule {
   // ------------------------------------------------------------------
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(s)
-    simhashPairsOf(simhashFp(s, dir, 32))
+    // Materialize the fingerprint relation ONCE (round 22, guide §1.2
+    // "don't compute things you throw away" — the scratch-parquet lineage
+    // cut cappedShingles/rfm use): the pairwise core consumes fp from
+    // FIVE places (the two banded self-join sides — each dragging the
+    // band explode + bucket-cap semi — plus the cap aggregate and the
+    // two rehydration joins), and those subtrees are not canonically
+    // equal, so ReuseExchange shared nothing and the per-token md5
+    // fingerprint aggregation re-ran once per consumer (~5x, the dominant
+    // measured CPU here). Long/long columns round-trip parquet exactly,
+    // so rows are bit-identical and the oracle is untouched. The cut
+    // lives HERE, not in simhashPairsOf: mm_dedup_phash's aHash
+    // fingerprint is a cheap narrow fold whose recompute costs less than
+    // a parquet round-trip (measured both ways, round 22).
+    val fpPath = graft.Scratch.dir("graft_simhash_fp")
+    simhashFp(s, dir, 32).write.parquet(fpPath)
+    simhashPairsOf(s.read.parquet(fpPath))
   }
 
   /** Pairwise core over a (doc_id, simhash) fingerprint relation —

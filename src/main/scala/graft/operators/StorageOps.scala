@@ -1586,13 +1586,18 @@ object StorageOps extends QueryModule {
   // protocol corner from r13 (the write half was batch-only).
   // ------------------------------------------------------------------
   def dsv2StreamSink(s: SparkSession, dir: String): DataFrame = {
-    val in = scratch("graft_log_sink_in")
+    // the INPUT landing is memoized setup; the V2 StreamingWrite drain into
+    // a fresh sink + checkpoint is the operator and re-runs per execution
+    val in = fixture(s, dir, "log_sink_in") {
+      val p = scratch("graft_log_sink_in")
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") < 20000)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .repartition(4)
+        .write.format("graftlog").mode("append").save(p)
+      p
+    }
     val out = scratch("graft_log_sink_out")
-    Tables.load(s, dir, "events")
-      .filter(col("event_id") < 20000)
-      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-      .repartition(4)
-      .write.format("graftlog").mode("append").save(in)
     val q = s.readStream.format("graftlog").load(in)
       .writeStream.format("graftlog")
       .option("checkpointLocation", graft.Scratch.streamCkptDir("gl_sink_ckpt"))
@@ -1624,16 +1629,21 @@ object StorageOps extends QueryModule {
   // read-back.
   // ------------------------------------------------------------------
   def dsv2StreamComplete(s: SparkSession, dir: String): DataFrame = {
-    val in = scratch("graft_log_complete_in")
+    // the INPUT landing is memoized setup; the truncate-per-epoch drain
+    // into a fresh sink + checkpoint is the operator, per execution
+    val in = fixture(s, dir, "log_complete_in") {
+      val p = scratch("graft_log_complete_in")
+      // two input files x one-file triggers = two data epochs: the minimum
+      // that PROVES replacement (epoch 2's snapshot must replace epoch 1's)
+      // without paying fixture-scale per-epoch machinery twice more
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") < 20000)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .repartition(2)
+        .write.format("graftlog").mode("append").save(p)
+      p
+    }
     val out = scratch("graft_log_complete_out")
-    // two input files x one-file triggers = two data epochs: the minimum
-    // that PROVES replacement (epoch 2's snapshot must replace epoch 1's)
-    // without paying fixture-scale per-epoch machinery twice more
-    Tables.load(s, dir, "events")
-      .filter(col("event_id") < 20000)
-      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-      .repartition(2)
-      .write.format("graftlog").mode("append").save(in)
     // stateful stream: the house low-shuffle-partition discipline (every
     // epoch pays one state-store fsync per shuffle partition; 32 of them
     // per micro-batch is pure checkpoint tax at fixture scale)
@@ -1673,12 +1683,15 @@ object StorageOps extends QueryModule {
   // oracle; decimal-accumulate / double-render house discipline.
   // ------------------------------------------------------------------
   def dsv2StreamSource(s: SparkSession, dir: String): DataFrame = {
-    val landing = scratch("graft_log_stream")
-    Tables.load(s, dir, "events")
-      .filter(col("event_id") < 20000)
-      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-      .repartition(4)
-      .write.format("graftlog").mode("append").save(landing)
+    val landing = fixture(s, dir, "log_stream") {
+      val p = scratch("graft_log_stream")
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") < 20000)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .repartition(4)
+        .write.format("graftlog").mode("append").save(p)
+      p
+    }
     val agg = s.readStream.format("graftlog").load(landing)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
