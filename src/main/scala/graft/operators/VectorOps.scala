@@ -806,8 +806,38 @@ object VectorOps extends QueryModule {
   // true neighbors in the probed cells.
   // ------------------------------------------------------------------
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = cosineTopK(s, dir).filter(col("rank") <= PQ_TOPK)
-      .select(col("qid").as("eqid"), col("did").as("edid"))
+    // Round 22 (guide §1.2 "don't compute things you throw away"): the
+    // exact ground-truth set is consumed by THREE recallOf legs, and the
+    // lazy form re-ran the whole brute-force cosine pipeline once per leg
+    // (3 of this plan's 32 embedding scans). It is NQUERY x PQ_TOPK rows
+    // by construction (25 here) — the same bounded-collect class as the
+    // PQ codebooks — so materialize it once as a local relation and let
+    // every leg broadcast the same 25 rows. Values are the identical
+    // collected doubles; the oracle is untouched.
+    def exactLocal(): DataFrame = {
+      val exact0 = cosineTopK(s, dir).filter(col("rank") <= PQ_TOPK)
+        .select(col("qid").as("eqid"), col("did").as("edid"))
+      s.createDataFrame(
+        java.util.Arrays.asList(exact0.collect(): _*), exact0.schema)
+    }
+    // Round 21 (guide §2.6 "overlap independent jobs"): constructing the
+    // IVF-PQ and residual-IVF-PQ legs runs their PQ-training collects —
+    // several short driver-blocking jobs each, independent of one another.
+    // Built sequentially they serialize ~4 jobs of mostly-idle cluster
+    // time; driver threads let the scheduler back-fill one leg's
+    // stragglers with another leg's tasks. The collected codebooks (and
+    // round 22, the exact ground-truth collect above, a third independent
+    // job chain) are deterministic values, so construction order cannot
+    // change results.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fExact = Future(exactLocal())
+    val fIvfpq = Future(annIvfPq(s, dir))
+    val fRes = Future(annIvfPqResidual(s, dir))
+    val ivfCand = annIvf(s, dir).select(col("qid"), col("did"))
+    val exact = Await.result(fExact, Duration.Inf)
     def recallOf(cand: DataFrame, method: String): DataFrame =
       cand.join(broadcast(exact),
           col("qid") === col("eqid") && col("did") === col("edid"), "left")
@@ -815,20 +845,6 @@ object VectorOps extends QueryModule {
         .agg(count(col("edid")).as("hits"))
         .select(lit(method).as("method"), col("qid"), col("hits"),
           (col("hits").cast("double") / PQ_TOPK).as("recall"))
-    // Round 21 (guide §2.6 "overlap independent jobs"): constructing the
-    // IVF-PQ and residual-IVF-PQ legs runs their PQ-training collects —
-    // several short driver-blocking jobs each, independent of one another.
-    // Built sequentially they serialize ~4 jobs of mostly-idle cluster
-    // time; two driver threads let the scheduler back-fill one leg's
-    // stragglers with the other leg's tasks. The collected codebooks are
-    // deterministic values, so construction order cannot change results.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val fIvfpq = Future(annIvfPq(s, dir))
-    val fRes = Future(annIvfPqResidual(s, dir))
-    val ivfCand = annIvf(s, dir).select(col("qid"), col("did"))
     val ivfpqCand = Await.result(fIvfpq, Duration.Inf)
       .select(col("qid"), col("vec_id").as("did"))
     val resCand = Await.result(fRes, Duration.Inf)
